@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Graft
+import graft.functions.SqlBind
+import graft.sources.ParquetSource
+
+/** Reference-parity query set — one entry per conecta operator from
+  * SURVEY.md §2.1 (O1–O16), retargeted at the driver's Parquet testdata.
+  * DuckDB oracles use identical column aliases and a deterministic ORDER BY
+  * on lineitem's unique key (l_orderkey, l_linenumber, l_partkey, l_suppkey).
+  */
+object ReferenceParity {
+
+  private def source(spark: SparkSession, dir: String): ParquetSource =
+    Graft.parquetSource(spark, dir)
+
+  private val liKey = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+  private val liKeySql = liKey.mkString(", ")
+
+  // q09 sqlBind: one template, bound twice (backtick idents for Spark,
+  // double-quote idents for DuckDB) — parity with tests/test_bind.py.
+  private val bindTemplate =
+    "select IDENT(:col) as l_orderkey, l_linenumber, l_returnflag " +
+      "from lineitem where l_returnflag = :flag and l_quantity >= :qty " +
+      "order by 1, 2"
+  private val bindParams: Map[String, Any] =
+    Map("col" -> "l_orderkey", "flag" -> "R", "qty" -> 25)
+  private[graft] def bindSpark: String =
+    SqlBind.sqlBind(bindTemplate, bindParams, quoteIdentWith = "`")
+  private[graft] def bindDuck: String =
+    SqlBind.sqlBind(bindTemplate, bindParams)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1/O11: full scan through the engine (README.md:29 workload)
+    "q01_full_scan" -> ((s, dir) =>
+      Graft.readSql(s, dir, Seq("select * from lineitem"))
+        .orderBy(liKey.head, liKey.tail: _*)),
+
+    // LIMIT passthrough (tests/test_read_sql.py:58-66)
+    "q02_limit" -> ((s, dir) =>
+      Graft.readSql(s, dir,
+        Seq(s"select * from lineitem order by $liKeySql limit 10"))),
+
+    // multi-query UNION ALL property (tests/test_read_sql.py:69-84)
+    "q03_union_disjoint" -> ((s, dir) =>
+      Graft.readSql(s, dir, Seq(
+        "select * from lineitem where l_orderkey < 30000",
+        "select * from lineitem where l_orderkey >= 30000"))
+        .orderBy(liKey.head, liKey.tail: _*)),
+
+    // O2-O6: engine 4-way partition on l_orderkey ≡ unpartitioned result
+    // (tests/test_partition_plan.py:4-16, benchmark.py:138-144)
+    "q04_partitioned_scan" -> ((s, dir) =>
+      Graft.readSql(s, dir, Seq("select * from lineitem"),
+        partitionOn = Some("l_orderkey"), partitionNum = Some(4))
+        .orderBy(liKey.head, liKey.tail: _*)),
+
+    // O7: MIN/MAX metadata aggregate pushdown (postgres.rs:585-592)
+    "q05_minmax" -> ((s, dir) => {
+      val src = source(s, dir)
+      src.execute(src.minMaxQuery("select * from lineitem", "l_orderkey"))
+        .toDF("min_ok", "max_ok")
+    }),
+
+    // O8: merged COUNT(*) sum over n sub-queries (postgres.rs:512-526)
+    "q06_merged_count" -> ((s, dir) => {
+      val src = source(s, dir)
+      src.execute(src.mergedCountQuery(Seq(
+        "select * from lineitem where l_orderkey < 30000",
+        "select * from lineitem where l_orderkey >= 30000")))
+    }),
+
+    // O10: LIMIT-0 schema probe (postgres.rs:528-530)
+    "q07_schema_probe" -> ((s, dir) => {
+      val src = source(s, dir)
+      src.execute(src.schemaQuery("select * from lineitem"))
+    }),
+
+    // single-column projection → Parquet column pruning
+    // (conecta-docs arrow_backends.md:9-16)
+    "q08_projection" -> ((s, dir) =>
+      Graft.readSql(s, dir, Seq("select l_orderkey from lineitem"))
+        .orderBy("l_orderkey")),
+
+    // O16: sqlBind parameter binding + IDENT quoting (test_bind.py:4-22)
+    "q09_sql_bind" -> ((s, dir) => source(s, dir).execute(bindSpark))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_full_scan" ->
+      s"SELECT * FROM lineitem ORDER BY $liKeySql",
+    "q02_limit" ->
+      s"SELECT * FROM lineitem ORDER BY $liKeySql LIMIT 10",
+    "q03_union_disjoint" ->
+      s"SELECT * FROM lineitem ORDER BY $liKeySql",
+    "q04_partitioned_scan" ->
+      s"SELECT * FROM lineitem ORDER BY $liKeySql",
+    "q05_minmax" ->
+      ("SELECT cast(min(l_orderkey) as bigint) AS min_ok, " +
+        "cast(max(l_orderkey) as bigint) AS max_ok FROM lineitem"),
+    "q06_merged_count" ->
+      ("SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey < 30000) + " +
+        "(SELECT count(*) FROM lineitem WHERE l_orderkey >= 30000) " +
+        "AS total_count"),
+    "q07_schema_probe" ->
+      "SELECT * FROM lineitem LIMIT 0",
+    "q08_projection" ->
+      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey",
+    "q09_sql_bind" -> bindDuck
+  )
+}

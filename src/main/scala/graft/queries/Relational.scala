@@ -1,0 +1,322 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Graft
+
+/** Relational capability surface (SURVEY.md §2.2) — the constructs conecta
+  * pushes to the source database, executed INSIDE this engine by Catalyst:
+  * aggregation, joins (broadcast/semi/anti/theta), windows, top-k, set ops,
+  * scalar functions, rollup, subqueries/CTEs.
+  *
+  * Cross-engine float determinism: double columns are cast to
+  * DecimalType(18,6) BEFORE aggregation (exact in both Spark and DuckDB),
+  * and the exact decimal result is cast back to double — bit-identical on
+  * both sides, independent of partitioning/accumulation order. This also
+  * makes results stable under cluster re-partitioning at 100 TB scale.
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** `cast(sum(cast(x as decimal(18,6))) as double)` — the exact-sum idiom. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- Aggregation: TPC-H Q1-style pricing summary -------------------
+    "q10_agg_pricing_summary" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 6)) -
+            dec(col("l_discount")))).cast(DecimalType(24, 4)).cast("double")
+            .as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1)))
+            .as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- Join: broadcast dims + agg (revenue by market segment) --------
+    "q11_join_revenue_by_segment" -> ((s, dir) => {
+      val src = Graft.parquetSource(s, dir)
+      val li = src.table("lineitem")
+      val o = src.table("orders")
+      val c = src.table("customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 6)) -
+            dec(col("l_discount")))).cast(DecimalType(24, 4)).cast("double")
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- Window: row_number + running sum per supplier -----------------
+    "q12_window_running_sum" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("l_suppkey") <= 3)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty", sum(dec(col("l_quantity"))).over(wf)
+          .cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"), col("rn"), col("running_qty"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    // ---- Top-k: TakeOrderedAndProject ----------------------------------
+    "q13_topk" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .limit(15)
+    }),
+
+    // ---- Set ops: INTERSECT / EXCEPT -----------------------------------
+    "q14_setops" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      val r = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      val bigQty = li.filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey")).distinct()
+      val cheap = li.filter(col("l_extendedprice") < 2000)
+        .select(col("l_orderkey")).distinct()
+      r.intersect(bigQty).except(cheap).orderBy("l_orderkey")
+    }),
+
+    // ---- Scalar functions: string/date/math row-wise -------------------
+    "q15_scalar_functions" -> ((s, dir) => {
+      val o = Graft.parquetSource(s, dir).table("orders")
+      o.select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderstatus"), 1, 1).as("status_c"),
+        length(col("o_orderpriority")).as("prio_len"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority"))
+          .as("status_prio"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        abs(col("o_totalprice") - lit(250000.0d)).as("price_dist"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        floor(col("o_totalprice")).as("price_floor"),
+        ceil(col("o_totalprice")).as("price_ceil"),
+        (col("o_orderkey") % 7).as("key_mod"),
+        when(col("o_totalprice") > 250000, "high").otherwise("low")
+          .as("price_band"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- Grouping sets: ROLLUP -----------------------------------------
+    "q16_rollup" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // ---- Distinct aggregation ------------------------------------------
+    "q17_count_distinct" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Events: tumbling-window aggregation (batch form) --------------
+    // events.ts is LongType nanos (TIMESTAMP(NANOS) parquet, see
+    // ParquetSource); converted explicitly to µs timestamps.
+    "q18_events_hourly" -> ((s, dir) => {
+      val ev = Graft.parquetSource(s, dir).table("events")
+      ev.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(date_trunc("hour", col("ts_us")).as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
+        .orderBy("hour_ts", "event_type")
+    }),
+
+    // ---- Semi join: EXISTS ---------------------------------------------
+    "q19_semi_join" -> ((s, dir) => {
+      val src = Graft.parquetSource(s, dir)
+      val c = src.table("customer")
+      val o = src.table("orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_customers_with_orders"))
+    }),
+
+    // ---- Anti join: NOT EXISTS -----------------------------------------
+    "q20_anti_join" -> ((s, dir) => {
+      val src = Graft.parquetSource(s, dir)
+      val c = src.table("customer")
+      val o = src.table("orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- CTE + correlated EXISTS subquery (same SQL both engines) ------
+    "q21_cte_exists" -> ((s, dir) =>
+      Graft.parquetSource(s, dir).execute(cteExistsSql)),
+
+    // ---- Theta (non-equi) self-join ------------------------------------
+    "q22_theta_join" -> ((s, dir) => {
+      val src = Graft.parquetSource(s, dir)
+      val p1 = src.table("part").select(col("p_partkey").as("k1"),
+        col("p_size").as("sz1"))
+      val p2 = src.table("part").select(col("p_partkey").as("k2"),
+        col("p_size").as("sz2"))
+      p1.join(p2, col("sz1") === col("sz2") && col("k1") < col("k2"))
+        .groupBy(col("sz1").as("p_size"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("p_size")
+    })
+  )
+
+  private val cteExistsSql: String =
+    """WITH big AS (
+      |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+      |)
+      |SELECT c.c_custkey, c.c_name, count(*) AS n_big
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |WHERE EXISTS (SELECT 1 FROM big b WHERE b.o_orderkey = o.o_orderkey)
+      |GROUP BY c.c_custkey, c.c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q10_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity as decimal(18,6))) as double) AS sum_qty,
+        |  cast(sum(cast(l_extendedprice as decimal(18,6))) as double) AS sum_base_price,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,6)) *
+        |      (cast(1 as decimal(18,6)) - cast(l_discount as decimal(18,6)))) as decimal(24,4)) as double) AS sum_disc_price,
+        |  cast(sum(cast(l_quantity as decimal(18,6))) as double) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= timestamp '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q11_join_revenue_by_segment" ->
+      """SELECT c_mktsegment,
+        |  cast(cast(sum(cast(l_extendedprice as decimal(18,6)) *
+        |      (cast(1 as decimal(18,6)) - cast(l_discount as decimal(18,6)))) as decimal(24,4)) as double) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q12_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  row_number() OVER w AS rn,
+        |  cast(sum(cast(l_quantity as decimal(18,6))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 3
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |LIMIT 15""".stripMargin,
+
+    "q14_setops" ->
+      """SELECT l_orderkey FROM (
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 40
+        |  EXCEPT
+        |  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_extendedprice < 2000
+        |) ORDER BY l_orderkey""".stripMargin,
+
+    "q15_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substring(o_orderstatus, 1, 1) AS status_c,
+        |  length(o_orderpriority) AS prio_len,
+        |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+        |  year(o_orderdate) AS o_year,
+        |  month(o_orderdate) AS o_month,
+        |  dayofmonth(o_orderdate) AS o_day,
+        |  cast(date_trunc('month', o_orderdate) as timestamp) AS month_start,
+        |  abs(o_totalprice - 250000.0) AS price_dist,
+        |  sqrt(o_totalprice) AS price_sqrt,
+        |  cast(floor(o_totalprice) as bigint) AS price_floor,
+        |  cast(ceil(o_totalprice) as bigint) AS price_ceil,
+        |  o_orderkey % 7 AS key_mod,
+        |  CASE WHEN o_totalprice > 250000 THEN 'high' ELSE 'low' END AS price_band
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  cast(sum(cast(l_quantity as decimal(18,6))) as double) AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q17_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q18_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |  count(*) AS n,
+        |  cast(sum(cast(value as decimal(18,6))) as double) AS value_sum
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "q19_semi_join" ->
+      """SELECT count(*) AS n_customers_with_orders FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q20_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q21_cte_exists" -> cteExistsSql,
+
+    "q22_theta_join" ->
+      """SELECT p1.p_size AS p_size, count(*) AS n_pairs
+        |FROM part p1 JOIN part p2
+        |  ON p1.p_size = p2.p_size AND p1.p_partkey < p2.p_partkey
+        |GROUP BY 1 ORDER BY p_size""".stripMargin
+  )
+}
