@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data-pipeline workloads
+  * (SURVEY.md §7.2 step 7 — north-star extensions beyond the reference).
+  *
+  * Every function here is built from native Catalyst expressions (string
+  * ops, regex, higher-order array functions) — no UDFs, so the whole
+  * pipeline stays inside whole-stage codegen and scales linearly with
+  * partitions at 100 TB.
+  *
+  * Determinism contract: each function has an exact DuckDB-SQL equivalent
+  * (integer/IEEE arithmetic in a fixed order), so results hash-match the
+  * correctness oracle bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Mersenne prime 2^31-1 — modulus for rolling/minhash arithmetic.
+    * Keeps products under 2^37, far from Long overflow. */
+  val HashP: Long = 2147483647L
+
+  /** 60-bit deterministic string hash: first 15 hex chars of md5 → bigint.
+    * md5 is identical in every engine, so this is the cross-engine hash
+    * primitive (DuckDB: `cast('0x' || substr(md5(s),1,15) as bigint)`). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokenization of trimmed text. */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  def wordCount(c: Column): Column = size(words(c))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** BPE-ish token count: alpha runs are chunked to ≤4 chars, digits and
+    * punctuation tokenize singly — a deterministic approximation of BPE
+    * vocabulary behavior with no model file. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation ratio: non-alphanumeric-non-space chars / total chars. */
+  def punctRatio(c: Column): Column = {
+    val stripped = regexp_replace(c, "[A-Za-z0-9\\s]", "")
+    when(length(c) > 0, length(stripped).cast("double") / length(c))
+      .otherwise(lit(0.0d))
+  }
+
+  /** Mean word length — long-word gibberish shows up as an outlier. */
+  def meanWordLen(c: Column): Column =
+    when(wordCount(c) > 0,
+      length(regexp_replace(c, "\\s+", "")).cast("double") /
+        wordCount(c)).otherwise(lit(0.0d))
+
+  /** Number of tokens of `c` that appear in `vocab` (with multiplicity). */
+  def tokensInSet(c: Column, vocab: Seq[String]): Column = {
+    val set = array(vocab.map(lit): _*)
+    aggregate(words(c), lit(0),
+      (acc, w) => acc + when(array_contains(set, w), 1).otherwise(0))
+  }
+
+  /** Stopword ratio against a given stopword list. */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    when(wordCount(c) > 0,
+      tokensInSet(c, stopwords).cast("double") / wordCount(c))
+      .otherwise(lit(0.0d))
+
+  /** Rolling document fingerprint: polynomial hash over the 60-bit hashes
+    * of the token stream, mod 2^31-1. Order-sensitive (a permuted document
+    * fingerprints differently), cheap, and exactly reproducible in SQL. */
+  def fingerprint(c: Column): Column =
+    aggregate(words(c), lit(0L),
+      (acc, w) => (acc * 31L + pmod(hash60(w), lit(HashP))) % HashP)
+
+  /** Word n-gram shingles: `n`-token windows joined by single spaces.
+    * Documents shorter than `n` tokens yield an empty array. */
+  def shingles(c: Column, n: Int): Column = {
+    val ws = words(c)
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle hashes (mod p) — the MinHash input set. */
+  def shingleHashes(c: Column, n: Int): Column =
+    array_distinct(transform(shingles(c, n),
+      s => pmod(hash60(s), lit(HashP))))
+
+  /** k MinHash signatures over a distinct-hash set: permutation j is
+    * h -> ((2j+3)·h + j²+1) mod p. Products stay < 2^36 (h < p ≈ 2^31,
+    * a_j ≤ 33) — no Long overflow. */
+  def minhashes(hs: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j =>
+      array_min(transform(hs, h => ((j * 2 + 3) * h + j * j + lit(1)) % HashP)))
+
+  /** LSH band keys: the signature is cut into `bands` runs of `rows`
+    * values; each run is comma-joined and re-hashed to a 60-bit band key.
+    * Two documents are candidate duplicates iff they share ≥1 band key —
+    * the bucket-join replaces the O(n²) all-pairs comparison at scale. */
+  def lshBandKeys(mh: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      hash60(concat_ws(",",
+        transform(slice(mh, b * rows + 1, lit(rows)), _.cast("string")))))
+
+  /** 48-bit SimHash over a distinct-hash set. Bit b is the sign of
+    * Σ_h (2·(((h·(2b+1)+b) mod p) & 1) − 1): each set element votes ±1
+    * per bit through a per-bit rehash (the raw hashes are < 2^31, so
+    * their high bits carry no signal — rehashing restores it). */
+  def simhash48(hs: Column): Column = {
+    val pow2 = array((0 until 48).map(b => lit(1L << b)): _*)
+    aggregate(
+      transform(sequence(lit(0), lit(47)), b =>
+        when(aggregate(hs, lit(0L), (acc, h) =>
+          acc + (((h * (b * 2 + 1) + b) % HashP).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+          element_at(pow2, b + 1)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Jaccard similarity of two distinct-hash sets, as double. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+}

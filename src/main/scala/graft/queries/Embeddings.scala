@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.EmbeddingFunctions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim)
+  * — ANN baseline + LSH scale path (SURVEY.md §7.2 step 7).
+  *
+  * Scale design (100 TB): vectors are L2-normalized ONCE per row (so a
+  * pairwise cosine is a single dot-product fold, not three), and cached;
+  * q30 brute-force broadcasts the small query set against the corpus
+  * with per-partition top-k; q31's candidate generation is an LSH band
+  * bucket-join (no all-pairs shuffle) followed by exact verification.
+  * All arithmetic is a fixed-order left fold on doubles — bit-identical
+  * to the DuckDB oracle and invariant under repartitioning.
+  */
+object Embeddings {
+
+  private val Bits = 16
+  private val Dim = 64
+  private val Bands = 4
+  private val Rows = 4
+  private val planes: Seq[Seq[Double]] = hyperplanes(Bits, Dim)
+
+  /** vec_id + L2-normalized double vector (one norm fold per row). */
+  private def normalized(s: SparkSession, dir: String): DataFrame =
+    Graft.parquetSource(s, dir).table("embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("nv"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q30: brute-force cosine top-10 for query vectors vec_id < 5 ---
+    "q30_cosine_topk" -> ((s, dir) => {
+      val e = normalized(s, dir).cache()
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("nv").as("qv"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dot(col("qv"), col("nv")).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- q31: hyperplane-LSH near-duplicate pairs, cosine ≥ 0.45 -------
+    "q31_ann_lsh" -> ((s, dir) => {
+      val e = normalized(s, dir).cache()
+      val bits: Seq[org.apache.spark.sql.Column] = planes.map { p =>
+        when(dot(col("nv"), typedLit(p)) > 0, 1L).otherwise(0L)
+      }
+      val bandKeys = array((0 until Bands).map { b =>
+        (0 until Rows).map(r => bits(b * Rows + r) * (1L << r))
+          .reduce(_ + _)
+      }: _*)
+      val keyed = e.select(col("vec_id"),
+        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+        .cache() // 16 hyperplane folds per row; compute once per side
+      val a = keyed.as("a"); val b = keyed.as("b")
+      val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .distinct()
+      val e1 = e.select(col("vec_id").as("v1"), col("nv").as("x1"))
+      val e2 = e.select(col("vec_id").as("v2"), col("nv").as("x2"))
+      cand.join(e1, "v1").join(e2, "v2")
+        .select(col("v1"), col("v2"), dot(col("x1"), col("x2")).as("cos"))
+        .where(col("cos") >= 0.45)
+        .orderBy("v1", "v2")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB left-fold dot product — same IEEE op order as [[dot]]. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::double, list_transform(list_zip($a, $b), p -> p[1]*p[2])), (acc, x) -> acc + x)"
+
+  /** Normalized-vector CTE — same op order as [[normalized]]. */
+  private val baseCte =
+    """WITH e0 AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) v FROM embeddings
+      |), en AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_prepend(0.0::double, list_transform(v, x -> x*x)), (acc, x) -> acc + x)) nrm
+      |  FROM e0
+      |), e AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM en
+      |)""".stripMargin
+
+  private val bandKeySql: Seq[String] = (0 until Bands).map { b =>
+    (0 until Rows).map { r =>
+      val plane = planeSqlLiteral(planes(b * Rows + r))
+      s"(CASE WHEN ${duckDot("nv", plane)} > 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q30_cosine_topk" ->
+      (baseCte +
+        s""", q AS (SELECT vec_id q_id, nv qv FROM e WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT q.q_id, e.vec_id, ${duckDot("q.qv", "e.nv")} AS cos
+           |  FROM e JOIN q ON e.vec_id <> q.q_id
+           |), ranked AS (
+           |  SELECT q_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+           |  FROM scored
+           |)
+           |SELECT q_id, vec_id, cos, rank FROM ranked
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+
+    "q31_ann_lsh" ->
+      (baseCte +
+        s""", keyed AS (
+           |  SELECT vec_id, unnest(range(0, $Bands)) band_idx,
+           |    unnest([${bandKeySql.mkString(",\n      ")}]) band_key
+           |  FROM e
+           |), cand AS (
+           |  SELECT DISTINCT a.vec_id v1, b.vec_id v2
+           |  FROM keyed a JOIN keyed b ON a.band_idx = b.band_idx
+           |    AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+           |)
+           |SELECT v1, v2, ${duckDot("e1.nv", "e2.nv")} AS cos
+           |FROM cand JOIN e e1 ON e1.vec_id = v1 JOIN e e2 ON e2.vec_id = v2
+           |WHERE ${duckDot("e1.nv", "e2.nv")} >= 0.45
+           |ORDER BY v1, v2""".stripMargin)
+  )
+}

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.TextFunctions._
+
+/** LLM-training-data text pipeline over the `documents` table — the
+  * north-star operator family beyond the reference's EL scope
+  * (SURVEY.md §7.2 step 7): quality stats, language ID, fingerprinting,
+  * exact + MinHash/LSH + SimHash + n-gram-Jaccard deduplication.
+  *
+  * Scale design (100 TB): every per-document computation is a columnar
+  * expression (no UDFs, no collect); every pairwise comparison is blocked
+  * — MinHash via LSH band bucket-join, SimHash via 6-bit chunk bucket-join
+  * (pigeonhole: hamming ≤ 7 ⇒ ≥1 of 8 chunks equal, so the banded join is
+  * EXACTLY equivalent to the O(n²) all-pairs join for the hamming ≤ 6
+  * filter), n-gram Jaccard via prefix blocking. The only shuffles are the
+  * bucket joins on small derived keys.
+  */
+object TextPipeline {
+
+  private val P = HashP // 2^31-1
+
+  /** doc_id, words, distinct 3-gram shingle hashes — shared scan base. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    val d = Graft.parquetSource(s, dir).table("documents")
+    d.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      .where(size(words(col("text"))) >= 3)
+  }
+
+  // English/Spanish/German/French stopword seeds for the n-gram-free
+  // language-ID heuristic (ratio of stopword tokens per language).
+  private val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "une", "et", "est", "du"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q23: per-document quality statistics --------------------------
+    "q23_text_stats" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      d.select(
+        col("doc_id"),
+        charCount(col("text")).as("n_chars_calc"),
+        wordCount(col("text")).as("n_words"),
+        bpeTokenCount(col("text")).as("n_tokens"),
+        punctRatio(col("text")).as("punct_ratio"),
+        meanWordLen(col("text")).as("mean_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- q24: stopword-ratio language ID, fixed-priority argmax --------
+    "q24_lang_id" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val scored = d.select(
+        (col("doc_id") +: col("lang").as("lang_claimed") +:
+          langs.map { case (l, sw) =>
+            stopwordRatio(col("text"), sw).as(s"score_$l")
+          }): _*)
+      val pred = langs.foldRight(lit("und"): Column) { case ((l, _), els) =>
+        val c = col(s"score_$l")
+        val beatsRest = langs.filter(_._1 != l)
+          .map(o => c >= col(s"score_${o._1}")).reduce(_ && _)
+        when(c > 0 && beatsRest, lit(l)).otherwise(els)
+      }
+      // foldRight gives en > es > de > fr tie priority (first wins ties).
+      scored.withColumn("lang_pred", pred).orderBy("doc_id")
+    }),
+
+    // ---- q25: order-sensitive rolling document fingerprint -------------
+    "q25_fingerprint" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- q26: exact dedup by normalized content hash -------------------
+    "q26_exact_dedup" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      d.select(col("doc_id"), md5(lower(trim(col("text")))).as("dup_key"))
+        .groupBy(col("dup_key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    // ---- q27: MinHash + LSH near-duplicate pairs -----------------------
+    // 16 perms, 4 bands × 4 rows; candidates = band-bucket join; verified
+    // with exact Jaccard ≥ 0.8 on the 3-gram shingle sets.
+    "q27_minhash_lsh" -> ((s, dir) => {
+      val sh = shingled(s, dir).cache()
+      // MinHash via explode + 16 codegen'd MIN aggregates (map-side
+      // partial agg — the 100 TB shape), not per-element lambdas.
+      // Same arithmetic as TextFunctions.minhashes.
+      val exploded = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val minCols = (0 until 16).map(j =>
+        min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
+      val mh = exploded.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+      val bandKeys = array((0 until 4).map { b =>
+        hash60(concat_ws(",",
+          (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+      }: _*)
+      val banded = mh
+        .select(col("doc_id"),
+          posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+      val a = banded.as("a"); val b = banded.as("b")
+      val cand = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val s1 = sh.select(col("doc_id").as("d1"), col("hs").as("h1"))
+      val s2 = sh.select(col("doc_id").as("d2"), col("hs").as("h2"))
+      cand.join(s1, "d1").join(s2, "d2")
+        .select(col("d1"), col("d2"), jaccard(col("h1"), col("h2")).as("jac"))
+        .where(col("jac") >= 0.8)
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- q28: SimHash near-duplicate pairs (banded, exact-equivalent) --
+    // 48-bit simhash; join on 8 chunks of 6 bits; hamming ≤ 6 < 7 chunks'
+    // pigeonhole bound ⇒ identical result to all-pairs (the oracle).
+    "q28_simhash" -> ((s, dir) => {
+      // Explode the shingle sets and compute the 48 per-bit vote sums as
+      // plain codegen'd aggregates with map-side partial aggregation —
+      // same arithmetic as TextFunctions.simhash48 but whole-stage
+      // codegen instead of per-element interpreted lambdas (≈60× faster,
+      // and the partial agg is the shape that scales to 100 TB).
+      val exploded = shingled(s, dir)
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      val votes = (0 until 48).map { b =>
+        sum(((col("h") * (2 * b + 1) + b) % P).bitwiseAND(lit(1L)) * 2 - 1)
+          .as(s"s$b")
+      }
+      val simCol = (0 until 48).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sim = exploded.groupBy(col("doc_id"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), simCol.as("sh"))
+        .cache() // tiny (one row per doc); avoids recompute in self-join
+      val chunks = array((0 until 8).map(c =>
+        shiftright(col("sh"), 6 * c).bitwiseAND(lit(63L))): _*)
+      val keyed = sim.select(col("doc_id"), col("sh"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk_key")))
+      val a = keyed.as("a"); val b = keyed.as("b")
+      a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_key") === col("b.chunk_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("ham"))
+        .distinct()
+        .where(col("ham") <= 6)
+        .orderBy("d1", "d2")
+    }),
+
+    // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
+    // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
+    // within blocks only (linear-ish at scale when blocks stay small).
+    "q29_ngram_jaccard" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val base = d.select(col("doc_id"),
+        concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"),
+        shingleHashes(col("text"), 2).as("hs"))
+        .where(size(words(col("text"))) >= 3)
+        .cache() // shingling is the expensive step; don't redo it per side
+      val a = base.as("a"); val b = base.as("b")
+      a.join(b, col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          jaccard(col("a.hs"), col("b.hs")).as("jac"))
+        .where(col("jac") >= 0.5)
+        .orderBy("d1", "d2")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTEs: words + distinct n-gram shingle hashes. */
+  private def shingleCte(n: Int): String = {
+    val last = n - 1
+    s"""WITH ws AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    list_transform(range(1, len(w)-${last - 1}), i ->
+       |      array_to_string(list_slice(w, i, i+$last), ' ')),
+       |    s -> ('0x' || substr(md5(s),1,15))::bigint % 2147483647)) hs
+       |  FROM ws WHERE len(w) >= $n
+       |)""".stripMargin
+  }
+
+  private val langScoreSql: String = langs.map { case (l, sw) =>
+    val set = sw.map(w => s"'$w'").mkString("[", ",", "]")
+    s"CASE WHEN len(w) > 0 THEN len(list_filter(w, x -> list_contains($set, x)))::double / len(w) ELSE 0.0 END AS score_$l"
+  }.mkString(",\n  ")
+
+  private val langPredSql: String = {
+    val arms = langs.map { case (l, _) =>
+      val beats = langs.filter(_._1 != l)
+        .map(o => s"score_$l >= score_${o._1}").mkString(" AND ")
+      s"WHEN score_$l > 0 AND $beats THEN '$l'"
+    }.mkString("\n    ")
+    s"CASE $arms\n    ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q23_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_calc,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens,
+        |  CASE WHEN length(text) > 0
+        |    THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::double / length(text)
+        |    ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |    THEN length(regexp_replace(text, '\s+', '', 'g'))::double
+        |         / len(regexp_split_to_array(trim(text), '\s+'))
+        |    ELSE 0.0 END AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_lang_id" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang AS lang_claimed,
+         |    regexp_split_to_array(trim(text), '\\s+') w FROM documents
+         |), scored AS (
+         |  SELECT doc_id, lang_claimed,
+         |  $langScoreSql
+         |  FROM ws
+         |)
+         |SELECT doc_id, lang_claimed, score_en, score_es, score_de, score_fr,
+         |  $langPredSql AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::bigint,
+        |      list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |        s -> ('0x' || substr(md5(s),1,15))::bigint % 2147483647)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, md5(lower(trim(text))) dup_key FROM documents)
+        |GROUP BY dup_key ORDER BY keep_id""".stripMargin,
+
+    "q27_minhash_lsh" ->
+      (shingleCte(3) +
+        """, mh AS (
+          |  SELECT doc_id, hs, list_transform(range(0, 16),
+          |    j -> list_min(list_transform(hs, h -> ((2*j+3)*h + j*j+1) % 2147483647))) m
+          |  FROM sh
+          |), eb AS (
+          |  SELECT doc_id, unnest(range(0, 4)) band_idx,
+          |    unnest(list_transform(range(0, 4), b ->
+          |      ('0x' || substr(md5(array_to_string(list_slice(m, b*4+1, b*4+4), ',')),1,15))::bigint)) band_key
+          |  FROM mh
+          |), cand AS (
+          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+          |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          |)
+          |SELECT d1, d2,
+          |  len(list_intersect(s1.hs, s2.hs))::double
+          |    / len(list_distinct(s1.hs || s2.hs)) AS jac
+          |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+          |WHERE len(list_intersect(s1.hs, s2.hs))::double
+          |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
+          |ORDER BY d1, d2""".stripMargin),
+
+    "q28_simhash" ->
+      (shingleCte(3) +
+        """, sim AS (
+          |  SELECT doc_id, list_sum(list_transform(range(0, 48), b ->
+          |    CASE WHEN list_sum(list_transform(hs,
+          |        h -> 2*(((h*(2*b+1)+b) % 2147483647) & 1) - 1)) > 0
+          |    THEN 1::bigint << b ELSE 0 END))::bigint s
+          |  FROM sh
+          |)
+          |SELECT a.doc_id d1, b.doc_id d2, bit_count(xor(a.s, b.s)) AS ham
+          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.s, b.s)) <= 6
+          |ORDER BY d1, d2""".stripMargin),
+
+    "q29_ngram_jaccard" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), base AS (
+        |  SELECT doc_id, array_to_string(list_slice(w, 1, 3), ' ') blk,
+        |    list_distinct(list_transform(
+        |      list_transform(range(1, len(w)), i ->
+        |        array_to_string(list_slice(w, i, i+1), ' ')),
+        |      s -> ('0x' || substr(md5(s),1,15))::bigint % 2147483647)) hs
+        |  FROM ws WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id d1, b.doc_id d2,
+        |  len(list_intersect(a.hs, b.hs))::double
+        |    / len(list_distinct(a.hs || b.hs)) AS jac
+        |FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.hs, b.hs))::double
+        |    / len(list_distinct(a.hs || b.hs)) >= 0.5
+        |ORDER BY d1, d2""".stripMargin
+  )
+}
