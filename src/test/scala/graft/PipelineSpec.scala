@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{EmbeddingFunctions, Multimodal, TextFunctions}
+
+/** Unit tests for the training-data pipeline functions (TextFunctions,
+  * EmbeddingFunctions, Multimodal) — semantics on hand-built rows, checked
+  * against values computed by hand. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeline-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import TextFunctions._
+
+  private def one(df: DataFrame): Seq[Any] = df.collect().head.toSeq
+
+  private def textDf(s: String): DataFrame = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+  }
+
+  test("word/char/token counts") {
+    val r = one(textDf("Hello, wonderful  world 42!").select(
+      wordCount(col("t")), charCount(col("t")), bpeTokenCount(col("t"))))
+    assert(r(0) == 4)   // Hello, | wonderful | world | 42!
+    assert(r(1) == 27)
+    // BPE-ish: Hell,o | , | wond,erfu,l | worl,d | 4 | 2 | ! => 11
+    assert(r(2) == 11)
+  }
+
+  test("punct ratio and mean word length") {
+    val r = one(textDf("ab, cd!").select(
+      punctRatio(col("t")), meanWordLen(col("t"))))
+    assert(r(0) == 2.0 / 7.0) // ',' and '!'
+    assert(r(1) == 3.0)       // 6 non-space chars / 2 words
+  }
+
+  test("empty-ish text does not divide by zero") {
+    val r = one(textDf(" ").select(
+      punctRatio(col("t")), meanWordLen(col("t")), fingerprint(col("t"))))
+    assert(r(0) == 0.0 && r(1) == 0.0)
+  }
+
+  test("shingles and shingle hashes") {
+    val r = one(textDf("a b c d").select(shingles(col("t"), 3)))
+    assert(r(0) == Seq("a b c", "b c d"))
+    val short = one(textDf("a b").select(shingles(col("t"), 3)))
+    assert(short(0) == Seq())
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fp1 = one(textDf("a b c").select(fingerprint(col("t"))))
+    val fp2 = one(textDf("c b a").select(fingerprint(col("t"))))
+    assert(fp1 != fp2)
+  }
+
+  test("hash60 matches the DuckDB-side definition") {
+    // md5('hello') = 5d41402abc4b2a76...; first 15 hex = 0x5d41402abc4b2a7
+    val r = one(textDf("hello").select(hash60(col("t"))))
+    assert(r(0) == 0x5d41402abc4b2a7L)
+  }
+
+  test("minhash signature: identical sets agree, disjoint sets differ") {
+    import spark.implicits._
+    val df = Seq("x y z w q r s t", "x y z w q r s t", "a b c d e f g h")
+      .toDF("t")
+    val sigs = df.select(minhashes(shingleHashes(col("t"), 3), 16)).collect()
+    assert(sigs(0).getSeq[Long](0) == sigs(1).getSeq[Long](0))
+    assert(sigs(0).getSeq[Long](0) != sigs(2).getSeq[Long](0))
+  }
+
+  test("simhash: near-identical texts are close, different texts far") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = a.replace("dog", "cat")
+    val c = "completely unrelated words about spark catalyst tungsten rows"
+    val df = Seq(a, b, c).toDF("t")
+    val hs = df.select(simhash48(shingleHashes(col("t"), 3))).collect()
+      .map(_.getLong(0))
+    def ham(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)))
+  }
+
+  test("jaccard of hash sets") {
+    import spark.implicits._
+    val df = Seq(("a b c d", "b c d e")).toDF("x", "y")
+    // 2-gram sets: {ab,bc,cd} vs {bc,cd,de}: |∩|=2, |∪|=4
+    val r = df.select(jaccard(
+      shingleHashes(col("x"), 2), shingleHashes(col("y"), 2))).collect()
+    assert(r.head.getDouble(0) == 0.5)
+  }
+
+  test("embedding dot/norm/cosine left-fold") {
+    import spark.implicits._
+    val df = Seq((Seq(3.0, 4.0), Seq(3.0, 4.0)), (Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      .toDF("a", "b")
+    val r = df.select(
+      EmbeddingFunctions.dot(col("a"), col("b")),
+      EmbeddingFunctions.norm(col("a")),
+      EmbeddingFunctions.cosine(col("a"), col("b"))).collect()
+    assert(r(0).getDouble(0) == 25.0)
+    assert(r(0).getDouble(1) == 5.0)
+    assert(r(0).getDouble(2) == 1.0)
+    assert(r(1).getDouble(2) == 0.0)
+  }
+
+  test("hyperplanes are deterministic ±1 and reproducible") {
+    val p1 = EmbeddingFunctions.hyperplanes(16, 64)
+    val p2 = EmbeddingFunctions.hyperplanes(16, 64)
+    assert(p1 == p2)
+    assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
+    // not degenerate: both signs present in every plane's first half
+    assert(p1.forall(p => p.distinct.size == 2))
+  }
+
+  test("multimodal: payload plumbing, stub decode, frame sampling") {
+    import spark.implicits._
+    val docs = Seq((7L, "0123456789abcdef0123456789abcdef0123456789",
+      "en", "src", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.syntheticMedia(docs)
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val r = media.select(
+      Multimodal.payloadBytes(col("payload")),
+      Multimodal.decodeStub(col("payload")),
+      Multimodal.sampleFrames(col("payload"), 16, 2),
+      Multimodal.thumbnail(col("payload"), 4)).collect().head
+    assert(r.getInt(0) == 42)
+    val features = r.getSeq[Double](1)
+    assert(features.length == 4 && features(3) == 42.0)
+    val frames = r.getSeq[Array[Byte]](2)
+    // stride 2 × 16 bytes over 42 bytes → offsets 0 and 32 → 2 frames
+    assert(frames.length == 2)
+    assert(new String(frames.head) == "0123456789abcdef")
+    assert(new String(r.getAs[Array[Byte]](3)) == "0123")
+  }
+
+  test("arrow sink: one IPC batch per partition") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).toDF("id").repartition(4)
+    val batches = graft.sources.ArrowSink.collectIpcBatches(df)
+    assert(batches.length == 4)
+    assert(batches.forall(_.nonEmpty))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Structured Streaming tests: the same transforms that pass the batch
+  * oracle (q18) run incrementally over a MemoryStream, with watermarks
+  * and custom session state. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("hourly windowed agg: stream result == batch result on same data") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
+      (3L, ts(20), "view", 3.0), (4L, ts(59), "click", 4.0))
+      .toDF("event_id", "ts_us", "user_id_x", "value")
+      .withColumnRenamed("user_id_x", "event_type_x")
+    // build with proper column names: ts (nanos long) like the real table
+    val raw = Seq(
+      (1L, ts(0).getTime * 1000000L, 10L, "click", 1.0),
+      (2L, ts(10).getTime * 1000000L, 11L, "click", 2.0),
+      (3L, ts(20).getTime * 1000000L, 12L, "view", 3.0),
+      (4L, ts(59).getTime * 1000000L, 10L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val batch = EventStreams.hourlyCounts(raw)
+      .orderBy("hour_ts", "event_type").collect()
+    assert(batch.length == 2)
+    val click = batch.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 3 && click.getDouble(3) == 7.0)
+
+    // same transform, incrementally
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.hourlyCounts(streamDf)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts(0).getTime * 1000000L, 10L, "click", 1.0),
+        (2L, ts(10).getTime * 1000000L, 11L, "click", 2.0),
+        (3L, ts(20).getTime * 1000000L, 12L, "view", 3.0),
+        (4L, ts(59).getTime * 1000000L, 10L, "click", 4.0))
+      q.processAllAvailable()
+      // advance the watermark past the window so append emits it
+      ms.addData((5L, Timestamp.valueOf("2026-01-01 13:00:00").getTime * 1000000L,
+        10L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("hourly").orderBy("hour_ts", "event_type").collect()
+      assert(got.length == 2)
+      val sClick = got.find(_.getString(1) == "click").get
+      assert(sClick.getLong(2) == 3 && sClick.getDouble(3) == 7.0)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, state flushes on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStreams.sessionize(ms.toDS(), gapMinutes = 10)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00, 10:05 (one session), then 10:30 (new one)
+      ms.addData(
+        Event(ts(0), 1L, "click", 1.0),
+        Event(ts(5), 1L, "click", 2.0),
+        Event(ts(30), 1L, "view", 3.0))
+      q.processAllAvailable()
+      // push watermark far ahead → all sessions time out and flush
+      ms.addData(Event(Timestamp.valueOf("2026-01-01 12:00:00"), 99L, "x", 0.0))
+      q.processAllAvailable()
+      ms.addData(Event(Timestamp.valueOf("2026-01-01 14:00:00"), 98L, "x", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[Session].collect()
+        .filter(_.user_id == 1L).sortBy(_.start_us)
+      assert(got.length == 2)
+      assert(got(0).n_events == 2 && got(0).total_value == 3.0)
+      assert(got(1).n_events == 1 && got(1).total_value == 3.0)
+    } finally q.stop()
+  }
+}
