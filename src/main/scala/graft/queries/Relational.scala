@@ -181,6 +181,43 @@ object Relational {
     "q21_cte_exists" -> ((s, dir) =>
       Graft.parquetSource(s, dir).execute(cteExistsSql)),
 
+    // ---- Summary statistics: exact percentiles -------------------------
+    "q34_summary_stats" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("qty_min"),
+          max(col("l_quantity")).as("qty_max"),
+          dsum(col("l_quantity")).as("qty_sum"),
+          percentile(col("l_quantity"), lit(0.5)).as("qty_median"),
+          percentile(col("l_extendedprice"), lit(0.25)).as("price_q1"),
+          percentile(col("l_extendedprice"), lit(0.75)).as("price_q3"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Approximate sketches: HLL distinct + KLL percentile -----------
+    // Mergeable sketch state is the 100 TB shape (no exact-distinct
+    // shuffle of every key). Not SQL-reproducible bit-for-bit → no oracle
+    // entry; the driver records a rows-only check.
+    "q35_approx_sketches" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- Batch sessionization: gap-split via window lag + cumsum -------
+    // Identical SQL on both engines (ts is integer nanos — exact); the
+    // streaming counterpart with custom state is
+    // graft.streaming.EventStreams.sessionize (StreamingSpec).
+    "q36_sessionize_batch" -> ((s, dir) =>
+      Graft.parquetSource(s, dir).execute(sessionizeSpark)),
+
     // ---- Theta (non-equi) self-join ------------------------------------
     "q22_theta_join" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
@@ -194,6 +231,32 @@ object Relational {
         .orderBy("p_size")
     })
   )
+
+  /** 30-minute-gap sessionization over integer-µs timestamps. The body is
+    * identical on both engines; only the events source differs — Spark
+    * reads parquet TIMESTAMP(NANOS) as Long nanos (nanosAsLong, truncated
+    * to µs here), DuckDB as a native µs timestamp (`epoch_us`). */
+  private def sessionizeSqlFor(eventsRel: String): String =
+    s"""WITH e0 AS (
+      |  SELECT user_id, $eventsRel
+      |), x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e0
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM x
+      |)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts) AS start_us, max(ts) AS end_us
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  private val sessionizeSpark = sessionizeSqlFor("ts div 1000 AS ts FROM events")
+  private val sessionizeDuck = sessionizeSqlFor("epoch_us(ts) AS ts FROM events")
 
   private val cteExistsSql: String =
     """WITH big AS (
@@ -312,6 +375,21 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
 
     "q21_cte_exists" -> cteExistsSql,
+
+    "q34_summary_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  min(l_quantity) AS qty_min,
+        |  max(l_quantity) AS qty_max,
+        |  cast(sum(cast(l_quantity as decimal(18,6))) as double) AS qty_sum,
+        |  quantile_cont(l_quantity, 0.5) AS qty_median,
+        |  quantile_cont(l_extendedprice, 0.25) AS price_q1,
+        |  quantile_cont(l_extendedprice, 0.75) AS price_q3
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q35_approx_sketches: intentionally no oracle (sketch internals are
+    // engine-specific); driver applies the rows-only check.
+
+    "q36_sessionize_batch" -> sessionizeDuck,
 
     "q22_theta_join" ->
       """SELECT p1.p_size AS p_size, count(*) AS n_pairs

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev tool: dump formatted physical plans for selected queries, for
+  * pushdown / broadcast / codegen review. Usage:
+  *   runMain graft.tools.PlanDump <sfDir> <queryName>...
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q01_full_scan", "q04_partitioned_scan", "q08_projection",
+        "q10_agg_pricing_summary", "q11_join_revenue_by_segment")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => println(fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        case None => println(s"unknown query $n")
+      }
+    }
+    spark.stop()
+  }
+}
