@@ -22,12 +22,17 @@ object Bench {
     SparkEntry.queries.get("q01_full_scan")
       .foreach(fn => fn(spark, sfDir).write.format("noop")
         .mode("overwrite").save())
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      // queries cache intermediates for their own self-joins; drop them so
+      // caches don't accumulate memory pressure across the suite
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

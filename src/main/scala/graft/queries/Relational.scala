@@ -218,6 +218,27 @@ object Relational {
     "q36_sessionize_batch" -> ((s, dir) =>
       Graft.parquetSource(s, dir).execute(sessionizeSpark)),
 
+    // ---- Custom Aggregator: bounded top-k per group --------------------
+    // Map-side-combinable k-row buffers (graft.functions.TopK) instead of
+    // the full-partition sort a row_number window needs; the oracle IS
+    // that window — proving the two agree.
+    "q37_topk_agg" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      val topk = udaf(new graft.functions.TopK.TopKAgg(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+          graft.functions.TopK.Scored]())
+      li.groupBy(col("l_returnflag"))
+        .agg(topk(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber").cast("long"), col("l_partkey"),
+          col("l_suppkey")).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("l_returnflag"), (col("i") + 1).as("rank"),
+          col("r.score").as("l_extendedprice"),
+          col("r.k1").as("l_orderkey"), col("r.k2").as("l_linenumber"),
+          col("r.k3").as("l_partkey"), col("r.k4").as("l_suppkey"))
+        .orderBy("l_returnflag", "rank")
+    }),
+
     // ---- Theta (non-equi) self-join ------------------------------------
     "q22_theta_join" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
@@ -390,6 +411,21 @@ object Relational {
     // engine-specific); driver applies the rows-only check.
 
     "q36_sessionize_batch" -> sessionizeDuck,
+
+    "q37_topk_agg" ->
+      """SELECT l_returnflag, rank, l_extendedprice, l_orderkey,
+        |  l_linenumber, l_partkey, l_suppkey
+        |FROM (
+        |  SELECT l_returnflag,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+        |        l_partkey, l_suppkey) AS rank,
+        |    l_extendedprice, l_orderkey,
+        |    cast(l_linenumber as bigint) AS l_linenumber,
+        |    l_partkey, l_suppkey
+        |  FROM lineitem
+        |)
+        |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin,
 
     "q22_theta_join" ->
       """SELECT p1.p_size AS p_size, count(*) AS n_pairs

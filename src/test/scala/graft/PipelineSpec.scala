@@ -144,6 +144,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(new String(r.getAs[Array[Byte]](3)) == "0123")
   }
 
+  test("topk aggregator: bounded, ordered, merge-associative") {
+    import graft.functions.TopK._
+    val agg = new TopKAgg(3)
+    val rows = (1 to 10).map(i => Scored(i.toDouble, i, 0, 0, 0))
+    // reduce in one pass
+    val all = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(all.map(_.score) == Seq(10.0, 9.0, 8.0))
+    // merge of arbitrary splits gives the same result
+    val (l, r) = rows.splitAt(4)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == all)
+    // ties break on the key, ascending
+    val ties = Seq(Scored(5.0, 2, 0, 0, 0), Scored(5.0, 1, 0, 0, 0),
+      Scored(5.0, 3, 0, 0, 0), Scored(5.0, 0, 0, 0, 0))
+    val t = ties.foldLeft(agg.zero)(agg.reduce)
+    assert(t.map(_.k1) == Seq(0L, 1L, 2L))
+  }
+
   test("arrow sink: one IPC batch per partition") {
     import spark.implicits._
     val df = spark.range(0, 1000).toDF("id").repartition(4)
