@@ -17,9 +17,10 @@ import graft.plans.PartitionPlan
   * (max_pool_size defaults to partition count, conecta-core/src/lib.rs:131-139)
   * maps to `numPartitions`.
   *
-  * Untested in this offline environment (no reachable database); kept thin
-  * and behind the Source seam, exactly as the reference keeps its trait for
-  * DummySource-based tests (conecta-core/src/metadata.rs:103-261).
+  * Verified end-to-end against embedded Derby (JdbcSpec): partitioned
+  * reads with one executor-side connection per predicate, min/max plan
+  * metadata, and multi-query union — the Source trait is the test seam,
+  * exactly as in the reference (conecta-core/src/metadata.rs:103-261).
   */
 final class JdbcSource(val spark: SparkSession, url: String,
     props: Properties = new Properties()) extends Source {

@@ -37,9 +37,12 @@ trait Source {
     (toLong(row.get(0)), toLong(row.get(1)))
   }
 
+  /** Aliases matter: some dialects (Derby) auto-name unaliased expression
+    * columns "1","2", which Spark's generated outer SELECT then cannot
+    * reference. */
   def minMaxQuery(query: String, col: String): String =
-    s"select cast(min($col) as bigint), cast(max($col) as bigint) " +
-      s"from ($query) as query_inner"
+    s"select cast(min($col) as bigint) as min_v, " +
+      s"cast(max($col) as bigint) as max_v from ($query) as query_inner"
 
   /** Sum of COUNT(*) over n queries in a single statement —
     * conecta-core/src/source/postgres.rs:512-526. */
@@ -54,8 +57,8 @@ trait Source {
   /** Per-query COUNT(*) — the preallocation probe of postgres.rs:353-366,
     * kept as an optional stats feature. */
   def fetchCounts(queries: Seq[String]): Seq[Long] =
-    queries.map(q => toLong(
-      execute(s"select count(*) from ($q) as q_count").collect().head.get(0)))
+    queries.map(q => toLong(execute(
+      s"select count(*) as cnt from ($q) as q_count").collect().head.get(0)))
 
   /** Execute one SQL query against this source, returning a DataFrame. */
   def execute(query: String): DataFrame

@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JDBC source round-trip against embedded Derby (ships with Spark for the
+  * Hive metastore — no external database needed): the partitioned read
+  * path of SURVEY.md §2.1 O1/O11 with real executor-side JDBC connections,
+  * one partition per generated predicate. */
+class JdbcSpec extends AnyFunSuite {
+
+  private val url = "jdbc:derby:memory:graftdb"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-jdbc-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val seeded: Unit = {
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE li (id BIGINT NOT NULL, qty DOUBLE, flag VARCHAR(1))")
+    val ps = conn.prepareStatement("INSERT INTO li VALUES (?, ?, ?)")
+    (1 to 1000).foreach { i =>
+      ps.setLong(1, i.toLong)
+      ps.setDouble(2, i * 1.5)
+      ps.setString(3, if (i % 2 == 0) "A" else "B")
+      ps.addBatch()
+    }
+    ps.executeBatch()
+    conn.close()
+  }
+
+  test("partitioned JDBC read: one Spark partition per range predicate") {
+    seeded
+    val df = Graft.readSql(spark, url, Seq("select * from li"),
+      partitionOn = Some("id"), partitionNum = Some(3))
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 1000)
+    // partition bounds neither drop nor duplicate boundary rows
+    assert(df.select("id").distinct().count() == 1000)
+    val sum = df.selectExpr("cast(sum(id) as bigint)").collect().head.getLong(0)
+    assert(sum == 1000L * 1001L / 2)
+  }
+
+  test("min/max metadata pushdown runs against the database") {
+    seeded
+    val plan = Graft.createPartitionPlan(spark, url,
+      Seq("select * from li"), partitionOn = Some("id"),
+      partitionNum = Some(4))
+    assert(plan.minValue.contains(1L) && plan.maxValue.contains(1000L))
+    assert(plan.predicates.length == 4)
+  }
+
+  test("multi-query union-all over JDBC") {
+    seeded
+    val df = Graft.readSql(spark, url, Seq(
+      "select * from li where id < 500",
+      "select * from li where id >= 500"))
+    assert(df.count() == 1000)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the properties that matter at 100 TB —
+  * filter pushdown to the Parquet scan, column pruning, broadcast joins
+  * for small dimensions, top-k without a global sort — asserted on the
+  * actual physical plans so they cannot silently regress. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q04: partition range predicates reach the Parquet scan") {
+    val p = plan("q04_partitioned_scan")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_orderkey"))
+    assert(p.contains("LessThan(l_orderkey"))
+  }
+
+  test("q08: projection prunes the read schema to one column") {
+    val p = plan("q08_projection")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"))
+  }
+
+  test("q11: dimension joins broadcast (no shuffle of the fact table)") {
+    val p = plan("q11_join_revenue_by_segment")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q13: top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q10: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q10_agg_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"))
+  }
+
+  test("q27: candidate generation is a bucket join, not a cross join") {
+    val p = plan("q27_minhash_lsh")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q32: metadata predicate does not force payload decode first") {
+    // the width filter is a plain column predicate evaluated in the scan
+    // stage projection — no exchange before the filter
+    val p = SparkEntry.queries("q32_media_features")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("Filter"))
+  }
+}
