@@ -17,6 +17,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional perf protocol (reference metric names) — SPARK_GRAFT_PERF=1
+    val perf = if (sys.env.get("SPARK_GRAFT_PERF").contains("1"))
+      Some(graft.tools.PerfLogger.install(spark)) else None
     // Warm the session (parquet footers, codegen, JIT) outside the timings
     // so per-query numbers measure the query, not first-touch overhead.
     SparkEntry.queries.get("q01_full_scan")
@@ -33,8 +36,10 @@ object Bench {
       // queries cache intermediates for their own self-joins; drop them so
       // caches don't accumulate memory pressure across the suite
       spark.catalog.clearCache()
+      perf.foreach(_.checkpoint(name))
       name -> (System.nanoTime() - t0) / 1e9
     }
+    perf.foreach(_.finish())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

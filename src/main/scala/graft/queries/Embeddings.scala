@@ -26,9 +26,13 @@ object Embeddings {
   private val Rows = 4
   private val planes: Seq[Seq[Double]] = hyperplanes(Bits, Dim)
 
-  /** vec_id + L2-normalized double vector (one norm fold per row). */
+  /** vec_id + L2-normalized double vector (one norm fold per row).
+    * Repartition first: the testdata parquet is one row group, and the
+    * per-row folds must spread across the full parallelism — the same
+    * shape that matters on a cluster with few large input files. */
   private def normalized(s: SparkSession, dir: String): DataFrame =
     Graft.parquetSource(s, dir).table("embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
       .select(col("vec_id"),

@@ -24,10 +24,16 @@ object TextPipeline {
 
   private val P = HashP // 2^31-1
 
-  /** doc_id, words, distinct 3-gram shingle hashes — shared scan base. */
+  /** doc_id, words, distinct 3-gram shingle hashes — shared scan base.
+    * The repartition matters: the testdata parquet is a single row group,
+    * so without it ALL per-document hashing lands on one task. At cluster
+    * scale the same applies whenever upstream files are few/large —
+    * spreading rows across the default parallelism BEFORE expensive
+    * per-row compute is the correct shape at any scale. */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     val d = Graft.parquetSource(s, dir).table("documents")
-    d.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+    d.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
       .where(size(words(col("text"))) >= 3)
   }
 
@@ -167,9 +173,10 @@ object TextPipeline {
     // within blocks only (linear-ish at scale when blocks stay small).
     "q29_ngram_jaccard" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val base = d.select(col("doc_id"),
-        concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"),
-        shingleHashes(col("text"), 2).as("hs"))
+      val base = d.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"),
+          shingleHashes(col("text"), 2).as("hs"))
         .where(size(words(col("text"))) >= 3)
         .cache() // shingling is the expensive step; don't redo it per side
       val a = base.as("a"); val b = base.as("b")

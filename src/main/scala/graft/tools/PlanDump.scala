@@ -14,8 +14,9 @@ object PlanDump {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q01_full_scan", "q04_partitioned_scan", "q08_projection",
         "q10_agg_pricing_summary", "q11_join_revenue_by_segment")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
