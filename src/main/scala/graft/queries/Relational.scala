@@ -239,6 +239,17 @@ object Relational {
         .orderBy("l_returnflag", "rank")
     }),
 
+    // ---- JSON column extraction (events.props) -------------------------
+    "q38_json_extract" -> ((s, dir) => {
+      val ev = Graft.parquetSource(s, dir).table("events")
+      ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type")
+    }),
+
     // ---- Theta (non-equi) self-join ------------------------------------
     "q22_theta_join" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
@@ -411,6 +422,13 @@ object Relational {
     // engine-specific); driver applies the rows-only check.
 
     "q36_sessionize_batch" -> sessionizeDuck,
+
+    "q38_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(json_extract_string(props, '$.k')::bigint) AS k_sum,
+        |  min(json_extract_string(props, '$.k')::bigint) AS k_min,
+        |  max(json_extract_string(props, '$.k')::bigint) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q37_topk_agg" ->
       """SELECT l_returnflag, rank, l_extendedprice, l_orderkey,

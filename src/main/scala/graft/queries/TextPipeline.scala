@@ -168,6 +168,33 @@ object TextPipeline {
         .orderBy("d1", "d2")
     }),
 
+    // ---- q39: deterministic train/val/test split -----------------------
+    // Hash-range assignment (80/10/10) — reproducible on any engine or
+    // cluster size, unlike rand(): the split of a document never changes
+    // when data is repartitioned or reprocessed. Core training-data op.
+    "q39_hash_split" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val bucket = pmod(hash60(col("text")), lit(100L))
+      d.select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- q40: stratified sample — first k per language by hash order ---
+    // Deterministic per-stratum sampling: rank by content hash (stable,
+    // uniform) inside each language, keep 5. Shuffles only the small
+    // (lang, hash) projection, never the payloads.
+    "q40_stratified_sample" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), hash60(col("text")).as("h"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy("lang", "rnk")
+    }),
+
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
@@ -298,6 +325,21 @@ object TextPipeline {
           |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.s, b.s)) <= 6
           |ORDER BY d1, d2""".stripMargin),
+
+    "q39_hash_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ('0x' || substr(md5(text),1,15))::bigint % 100 < 80 THEN 'train'
+        |       WHEN ('0x' || substr(md5(text),1,15))::bigint % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_stratified_sample" ->
+      """SELECT doc_id, lang, rnk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(text),1,15))::bigint, doc_id) AS rnk
+        |  FROM documents
+        |) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
     "q29_ngram_jaccard" ->
       """WITH ws AS (
