@@ -250,6 +250,62 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // ---- Pivot: long → wide conditional aggregation --------------------
+    "q41_pivot" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_linestatus")
+    }),
+
+    // ---- Window function family ----------------------------------------
+    "q42_window_family" -> ((s, dir) => {
+      val o = Graft.parquetSource(s, dir).table("orders")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      o.where(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(w).as("first_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- String function breadth ---------------------------------------
+    "q43_string_breadth" -> ((s, dir) => {
+      val o = Graft.parquetSource(s, dir).table("orders")
+      o.where(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"),
+          levenshtein(col("o_orderpriority"), lit("1-URGENT")).as("lev"),
+          translate(col("o_orderpriority"), "-", "_").as("tr"),
+          lpad(col("o_orderstatus"), 3, "0").as("lp"),
+          rpad(col("o_orderstatus"), 3, "*").as("rp"),
+          reverse(col("o_orderpriority")).as("rev"),
+          repeat(col("o_orderstatus"), 3).as("rep"),
+          instr(col("o_orderpriority"), "-").as("pos"),
+          split_part(col("o_orderpriority"), lit("-"), lit(2)).as("part2"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- Null semantics + date arithmetic ------------------------------
+    "q44_null_date_semantics" -> ((s, dir) => {
+      val o = Graft.parquetSource(s, dir).table("orders")
+      val status = nullif(col("o_orderstatus"), lit("O"))
+      o.where(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"),
+          status.as("status_n"),
+          coalesce(status, lit("?")).as("status_c"),
+          (status <=> lit(null)).as("is_open"),
+          datediff(lit("2026-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("age_days"),
+          add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
+          last_day(col("o_orderdate").cast("date")).as("month_end"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- Theta (non-equi) self-join ------------------------------------
     "q22_theta_join" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
@@ -422,6 +478,48 @@ object Relational {
     // engine-specific); driver applies the rows-only check.
 
     "q36_sessionize_batch" -> sessionizeDuck,
+
+    "q41_pivot" ->
+      """SELECT l_linestatus,
+        |  cast(sum(CASE WHEN l_returnflag = 'A' THEN cast(l_quantity as decimal(18,6)) END) as double) AS "A",
+        |  cast(sum(CASE WHEN l_returnflag = 'N' THEN cast(l_quantity as decimal(18,6)) END) as double) AS "N",
+        |  cast(sum(CASE WHEN l_returnflag = 'R' THEN cast(l_quantity as decimal(18,6)) END) as double) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q42_window_family" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_orderkey) OVER w AS first_ok
+        |FROM orders
+        |WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q43_string_breadth" ->
+      """SELECT o_orderkey,
+        |  levenshtein(o_orderpriority, '1-URGENT') AS lev,
+        |  translate(o_orderpriority, '-', '_') AS tr,
+        |  lpad(o_orderstatus, 3, '0') AS lp,
+        |  rpad(o_orderstatus, 3, '*') AS rp,
+        |  reverse(o_orderpriority) AS rev,
+        |  repeat(o_orderstatus, 3) AS rep,
+        |  strpos(o_orderpriority, '-') AS pos,
+        |  split_part(o_orderpriority, '-', 2) AS part2
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
+
+    "q44_null_date_semantics" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_n,
+        |  coalesce(nullif(o_orderstatus, 'O'), '?') AS status_c,
+        |  (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open,
+        |  date_diff('day', cast(o_orderdate as date), date '2026-01-01') AS age_days,
+        |  cast(cast(o_orderdate as date) + interval 1 month as date) AS next_month,
+        |  last_day(cast(o_orderdate as date)) AS month_end
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
 
     "q38_json_extract" ->
       """SELECT event_type, count(*) AS n,
