@@ -306,6 +306,21 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // ---- Array aggregation with deterministic ordering -----------------
+    // collect_set/collect_list order is partition-dependent — sorting the
+    // collected arrays restores determinism at any parallelism.
+    "q45_array_agg" -> ((s, dir) => {
+      val li = Graft.parquetSource(s, dir).table("lineitem")
+      li.where(col("l_suppkey") <= 5)
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          slice(sort_array(collect_set(col("l_orderkey"))), 1, 3)
+            .as("first_oks"),
+          count(lit(1)).as("n"))
+        .orderBy("l_suppkey")
+    }),
+
     // ---- Theta (non-equi) self-join ------------------------------------
     "q22_theta_join" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
@@ -478,6 +493,14 @@ object Relational {
     // engine-specific); driver applies the rows-only check.
 
     "q36_sessionize_batch" -> sessionizeDuck,
+
+    "q45_array_agg" ->
+      """SELECT l_suppkey,
+        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+        |  list_slice(list_sort(list(DISTINCT l_orderkey)), 1, 3) AS first_oks,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_suppkey <= 5
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "q41_pivot" ->
       """SELECT l_linestatus,
