@@ -60,6 +60,18 @@ object Graft {
       charDelimiter: String = ":", quoteIdentWith: String = "\""): String =
     SqlBind.sqlBind(sql, parameters, charDelimiter, quoteIdentWith)
 
+  /** Debug-log mode helper — the counterpart of set_debug_log
+    * (conecta-python/conecta/__init__.py:12-43), which maps
+    * perf/lib/all → RUST_LOG scopes; here → Spark log levels. */
+  def setDebugLog(spark: SparkSession, mode: String): Unit = mode match {
+    case "perf" | "lib" => spark.sparkContext.setLogLevel("INFO")
+    case "all" => spark.sparkContext.setLogLevel("DEBUG")
+    case "off" => spark.sparkContext.setLogLevel("WARN")
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown debug mode '$other' (expected perf|lib|all|off)")
+  }
+
   private def planWith(source: Source, config: PartitionConfig): PartitionPlan =
     Planner.createPartitionPlan(
       config,

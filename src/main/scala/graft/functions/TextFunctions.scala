@@ -122,4 +122,24 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Distinct lowercase character trigrams of the text. */
+  def charTrigrams(c: Column): Column = {
+    val lc = lower(c)
+    when(length(lc) >= 3,
+      array_distinct(transform(sequence(lit(1), length(lc) - 2),
+        i => substr(lc, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character-n-gram language signal: |trigrams(text) ∩ profile| /
+    * |trigrams(text)| — the classic n-gram language-ID heuristic over a
+    * fixed per-language trigram profile. */
+  def trigramOverlap(c: Column, profile: Seq[String]): Column = {
+    val tg = charTrigrams(c)
+    when(size(tg) > 0,
+      size(array_intersect(tg, array(profile.map(lit): _*))).cast("double") /
+        size(tg).cast("double"))
+      .otherwise(lit(0.0d))
+  }
 }

@@ -45,6 +45,10 @@ object TextPipeline {
     "de" -> Seq("der", "die", "und", "ist", "das"),
     "fr" -> Seq("le", "une", "et", "est", "du"))
 
+  /** Common-English character-trigram profile for the n-gram signal. */
+  private val enTrigrams = Seq(
+    "the", "and", "ing", "ion", "ent", "er ", "he ", " th", "on ", "at ")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q23: per-document quality statistics --------------------------
@@ -65,6 +69,7 @@ object TextPipeline {
       val d = Graft.parquetSource(s, dir).table("documents")
       val scored = d.select(
         (col("doc_id") +: col("lang").as("lang_claimed") +:
+          trigramOverlap(col("text"), enTrigrams).as("score_en_3g") +:
           langs.map { case (l, sw) =>
             stopwordRatio(col("text"), sw).as(s"score_$l")
           }): _*)
@@ -264,13 +269,20 @@ object TextPipeline {
     "q24_lang_id" ->
       s"""WITH ws AS (
          |  SELECT doc_id, lang AS lang_claimed,
-         |    regexp_split_to_array(trim(text), '\\s+') w FROM documents
+         |    regexp_split_to_array(trim(text), '\\s+') w,
+         |    list_distinct(list_transform(range(1, length(lower(text))-1),
+         |      i -> substr(lower(text), i, 3))) tg
+         |  FROM documents
          |), scored AS (
          |  SELECT doc_id, lang_claimed,
+         |  CASE WHEN len(tg) > 0 THEN
+         |    len(list_intersect(tg, [${enTrigrams.map(t => s"'$t'").mkString(",")}]))::double / len(tg)
+         |  ELSE 0.0 END AS score_en_3g,
          |  $langScoreSql
          |  FROM ws
          |)
-         |SELECT doc_id, lang_claimed, score_en, score_es, score_de, score_fr,
+         |SELECT doc_id, lang_claimed, score_en_3g,
+         |  score_en, score_es, score_de, score_fr,
          |  $langPredSql AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin,
 

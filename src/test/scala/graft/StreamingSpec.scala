@@ -72,6 +72,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file stream source: events parquet processed incrementally") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    assert(stream.isStreaming)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_hourly")
+      assert(got.count() > 0)
+      // stream aggregate == batch aggregate over the same file
+      val batchN = EventStreams.hourlyCounts(
+        spark.read.parquet(dir.toString))
+        .agg(sum("n")).collect().head.getLong(0)
+      val streamN = got.agg(sum("n")).collect().head.getLong(0)
+      assert(streamN == batchN)
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, state flushes on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
