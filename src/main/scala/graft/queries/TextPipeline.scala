@@ -67,9 +67,17 @@ object TextPipeline {
     // ---- q24: stopword-ratio language ID, fixed-priority argmax --------
     "q24_lang_id" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val scored = d.select(
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // materialize the trigram set once — HOF expressions get no
+      // common-subexpression elimination outside codegen
+      val withTg = d.withColumn("tg", charTrigrams(col("text")))
+      val tgScore = when(size(col("tg")) > 0,
+        size(array_intersect(col("tg"),
+          array(enTrigrams.map(lit): _*))).cast("double") /
+          size(col("tg")).cast("double")).otherwise(lit(0.0d))
+      val scored = withTg.select(
         (col("doc_id") +: col("lang").as("lang_claimed") +:
-          trigramOverlap(col("text"), enTrigrams).as("score_en_3g") +:
+          tgScore.as("score_en_3g") +:
           langs.map { case (l, sw) =>
             stopwordRatio(col("text"), sw).as(s"score_$l")
           }): _*)
