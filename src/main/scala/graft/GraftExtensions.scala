@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProductExpr
+
+/** SparkSessionExtensions entry point — registers graft's native Catalyst
+  * expressions as SQL functions. Two deployment paths:
+  *
+  *   - cluster config: `spark.sql.extensions=graft.GraftExtensions`
+  *   - live session: `GraftExtensions.register(spark)`
+  *
+  * Both routes share one function table, so SQL and the Column API expose
+  * identical semantics.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** (name, info, builder) triples for every graft SQL function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_dot expects 2 arguments, got ${children.length}")
+        DotProductExpr(children.head, children(1))
+      }))
+
+  /** Register into an already-running session's function registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

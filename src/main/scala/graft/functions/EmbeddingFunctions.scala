@@ -23,6 +23,13 @@ object EmbeddingFunctions {
   def dot(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x * y))
 
+  /** Codegen dot product — same left-fold IEEE semantics as [[dot]] but a
+    * generated Java loop (see [[DotProductExpr]]); use on hot paths. */
+  def dotNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(DotProductExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(a),
+      org.apache.spark.sql.GraftArrowBridge.expression(b)))
+
   /** L2 norm. */
   def norm(a: Column): Column =
     sqrt(foldSum(transform(a, x => x * x)))

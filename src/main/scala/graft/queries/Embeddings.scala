@@ -47,7 +47,7 @@ object Embeddings {
         .select(col("vec_id").as("q_id"), col("nv").as("qv"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          dot(col("qv"), col("nv")).as("cos"))
+          dotNative(col("qv"), col("nv")).as("cos"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -59,7 +59,7 @@ object Embeddings {
     "q31_ann_lsh" -> ((s, dir) => {
       val e = normalized(s, dir).cache()
       val bits: Seq[org.apache.spark.sql.Column] = planes.map { p =>
-        when(dot(col("nv"), typedLit(p)) > 0, 1L).otherwise(0L)
+        when(dotNative(col("nv"), typedLit(p)) > 0, 1L).otherwise(0L)
       }
       val bandKeys = array((0 until Bands).map { b =>
         (0 until Rows).map(r => bits(b * Rows + r) * (1L << r))
@@ -78,7 +78,7 @@ object Embeddings {
       val e1 = e.select(col("vec_id").as("v1"), col("nv").as("x1"))
       val e2 = e.select(col("vec_id").as("v2"), col("nv").as("x2"))
       cand.join(e1, "v1").join(e2, "v2")
-        .select(col("v1"), col("v2"), dot(col("x1"), col("x2")).as("cos"))
+        .select(col("v1"), col("v2"), dotNative(col("x1"), col("x2")).as("cos"))
         .where(col("cos") >= 0.45)
         .orderBy("v1", "v2")
     })

@@ -13,4 +13,12 @@ object GraftArrowBridge {
   def toArrowBatchRdd(df: Dataset[Row]): RDD[Array[Byte]] =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
       .toArrowBatchRdd
+
+  /** Wrap a raw Catalyst Expression as a Column (classic backend). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column to its Catalyst Expression (classic backend). */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

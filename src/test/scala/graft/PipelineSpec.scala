@@ -113,6 +113,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(1).getDouble(2) == 0.0)
   }
 
+  test("native dot expression ≡ fold dot, and registers as SQL function") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.5, -2.25, 3.125), Seq(0.5, 4.0, -1.75)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1))).toDF("a", "b")
+    val rows = df.select(
+      EmbeddingFunctions.dot(col("a"), col("b")).as("fold"),
+      EmbeddingFunctions.dotNative(col("a"), col("b")).as("native"))
+      .collect()
+    rows.foreach { r =>
+      // bit-identical, not approximately equal — same IEEE op sequence
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // SQL registration path (SparkSessionExtensions function table)
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "select graft_dot(array(3.0D, 4.0D), array(3.0D, 4.0D))")
+      .collect().head.getDouble(0)
+    assert(viaSql == 25.0)
+  }
+
   test("hyperplanes are deterministic ±1 and reproducible") {
     val p1 = EmbeddingFunctions.hyperplanes(16, 64)
     val p2 = EmbeddingFunctions.hyperplanes(16, 64)
