@@ -81,6 +81,50 @@ object Embeddings {
         .select(col("v1"), col("v2"), dotNative(col("x1"), col("x2")).as("cos"))
         .where(col("cos") >= 0.45)
         .orderBy("v1", "v2")
+    }),
+
+    // ---- q46: IVF-style ANN — cell-partitioned search ------------------
+    // Coarse quantizer: 16 deterministic centroids (vec_id < 16); every
+    // vector is assigned to its nearest centroid cell; a query probes only
+    // its 2 nearest cells. At 100 TB, `cell` becomes the table's physical
+    // partition key, so a query reads 2/16ths of the corpus — the IVF
+    // scale path next to q31's LSH (both approximate, both verified by an
+    // oracle that replicates the exact same search).
+    "q46_ivf_ann" -> ((s, dir) => {
+      val e = normalized(s, dir).cache()
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("nv").as("cv"))
+      // nearest-centroid assignment (argmax cosine, tie on cid)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid"))
+      val cells = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("nv"), col("cid"),
+          dotNative(col("nv"), col("cv")).as("sim"))
+        .withColumn("rnk", row_number().over(wAssign))
+        .where(col("rnk") === 1)
+        .select(col("vec_id"), col("nv"), col("cid").as("cell"))
+        .cache()
+      // queries probe their 2 nearest cells
+      val q = cells.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("nv").as("qv"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("qsim").desc, col("cid"))
+      val probes = q.join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("qv"), col("cid"),
+          dotNative(col("qv"), col("cv")).as("qsim"))
+        .withColumn("rnk", row_number().over(wProbe))
+        .where(col("rnk") <= 2)
+        .select(col("q_id"), col("qv"), col("cid").as("cell"))
+      // search only the probed cells
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      probes.join(cells, "cell")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dotNative(col("qv"), col("nv")).as("cos"))
+        .withColumn("rank", row_number().over(wTop))
+        .where(col("rank") <= 5)
+        .orderBy("q_id", "rank")
     })
   )
 
@@ -138,6 +182,36 @@ object Embeddings {
            |SELECT v1, v2, ${duckDot("e1.nv", "e2.nv")} AS cos
            |FROM cand JOIN e e1 ON e1.vec_id = v1 JOIN e e2 ON e2.vec_id = v2
            |WHERE ${duckDot("e1.nv", "e2.nv")} >= 0.45
-           |ORDER BY v1, v2""".stripMargin)
+           |ORDER BY v1, v2""".stripMargin),
+
+    "q46_ivf_ann" ->
+      (baseCte +
+        s""", cents AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, nv, cid, ${duckDot("nv", "cv")} AS sim,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ${duckDot("nv", "cv")} DESC, cid) rnk
+           |  FROM e CROSS JOIN cents
+           |), cells AS (
+           |  SELECT vec_id, nv, cid AS cell FROM assign WHERE rnk = 1
+           |), q AS (
+           |  SELECT vec_id q_id, nv qv FROM cells WHERE vec_id < 5
+           |), probes AS (
+           |  SELECT q_id, qv, cell FROM (
+           |    SELECT q.q_id, q.qv, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${duckDot("q.qv", "c.cv")} DESC, c.cid) rnk
+           |    FROM q CROSS JOIN cents c
+           |  ) WHERE rnk <= 2
+           |), scored AS (
+           |  SELECT p.q_id, s.vec_id, ${duckDot("p.qv", "s.nv")} AS cos
+           |  FROM probes p JOIN cells s ON s.cell = p.cell
+           |  WHERE s.vec_id <> p.q_id
+           |)
+           |SELECT q_id, vec_id, cos, rank FROM (
+           |  SELECT q_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+           |  FROM scored
+           |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   )
 }

@@ -208,6 +208,22 @@ object TextPipeline {
         .orderBy("lang", "rnk")
     }),
 
+    // ---- q47: weighted source mixing -----------------------------------
+    // Per-source sampling rates via hash ranges (even sources 80%, odd
+    // 30%) — the deterministic "data mixing" step of a training pipeline:
+    // reproducible at any parallelism, no rand(), restartable.
+    "q47_weighted_mix" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val srcNum = regexp_extract(col("source"), "src(\\d+)", 1).cast("int")
+      val rate = when(srcNum % 2 === 0, 80).otherwise(30)
+      val kept = pmod(hash60(concat(col("text"), col("source"))), lit(100L))
+        .lt(rate)
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
@@ -360,6 +376,14 @@ object TextPipeline {
         |      ORDER BY ('0x' || substr(md5(text),1,15))::bigint, doc_id) AS rnk
         |  FROM documents
         |) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "q47_weighted_mix" ->
+      """SELECT source, count(*) AS n_total,
+        |  sum(CASE WHEN ('0x' || substr(md5(text || source),1,15))::bigint % 100
+        |    < (CASE WHEN regexp_extract(source, 'src(\d+)', 1)::int % 2 = 0
+        |       THEN 80 ELSE 30 END)
+        |  THEN 1 ELSE 0 END) AS n_kept
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q29_ngram_jaccard" ->
       """WITH ws AS (
