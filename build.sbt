@@ -26,5 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g, deliberately NOT larger: with -Xmx32g, G1 lets eden balloon to
+  // ~19 GB between collections and individual young GCs then stall all
+  // 32 task threads for seconds at random points — the same query
+  // measured 3 s to 28 s run-to-run at 32g vs a stable 3-7 s at 8g.
+  // Spark tasks are allocation-heavy but short-lived; a small heap with
+  // frequent cheap young GCs is the stable configuration.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 47-query suite generates hundreds of Janino classes (one per
+  // codegen stage, × warm+timed passes). The default 240 MB code cache
+  // fills mid-suite and triggers flush/recompile churn — late queries
+  // then time 5-15× their solo cost, at random. 1 GB fits the suite.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").toSeq.map(f => s"-Xlog:gc:$f"
 )

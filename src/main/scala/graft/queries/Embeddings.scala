@@ -26,7 +26,13 @@ object Embeddings {
   private val Rows = 4
   private val planes: Seq[Seq[Double]] = hyperplanes(Bits, Dim)
 
-  /** vec_id + L2-normalized double vector (one norm fold per row).
+  /** vec_id + raw double vector + its L2 norm. Cosines are computed as
+    * dot(a,b)/(‖a‖·‖b‖) rather than normalizing each vector up front:
+    * per-element normalization needs a lambda `transform` (interpreted,
+    * outside codegen), while dot and norm are the native codegen
+    * [[DotProductExpr]] — so this keeps the whole plan codegen'd at the
+    * cost of one extra double multiply+divide per pair. The oracle
+    * computes the identical formula, so doubles stay bit-identical.
     * Repartition first: the testdata parquet is one row group, and the
     * per-row folds must spread across the full parallelism — the same
     * shape that matters on a cluster with few large input files. */
@@ -34,9 +40,8 @@ object Embeddings {
     Graft.parquetSource(s, dir).table("embeddings")
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
-      .select(col("vec_id"),
-        transform(col("v"), x => x / col("nrm")).as("nv"))
+      .select(col("vec_id"), col("v"),
+        sqrt(dotNative(col("v"), col("v"))).as("nrm"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -44,10 +49,12 @@ object Embeddings {
     "q30_cosine_topk" -> ((s, dir) => {
       val e = normalized(s, dir).cache()
       val q = e.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("nv").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          dotNative(col("qv"), col("nv")).as("cos"))
+          (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -58,8 +65,10 @@ object Embeddings {
     // ---- q31: hyperplane-LSH near-duplicate pairs, cosine ≥ 0.45 -------
     "q31_ann_lsh" -> ((s, dir) => {
       val e = normalized(s, dir).cache()
+      // sign(dot(v/‖v‖, p)) = sign(dot(v, p)) since ‖v‖ > 0 — the raw
+      // dot skips normalization entirely (oracle computes the same)
       val bits: Seq[org.apache.spark.sql.Column] = planes.map { p =>
-        when(dotNative(col("nv"), typedLit(p)) > 0, 1L).otherwise(0L)
+        when(dotNative(col("v"), typedLit(p)) > 0, 1L).otherwise(0L)
       }
       val bandKeys = array((0 until Bands).map { b =>
         (0 until Rows).map(r => bits(b * Rows + r) * (1L << r))
@@ -75,10 +84,14 @@ object Embeddings {
           col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
         .distinct()
-      val e1 = e.select(col("vec_id").as("v1"), col("nv").as("x1"))
-      val e2 = e.select(col("vec_id").as("v2"), col("nv").as("x2"))
+      val e1 = e.select(col("vec_id").as("v1"), col("v").as("x1"),
+        col("nrm").as("nr1"))
+      val e2 = e.select(col("vec_id").as("v2"), col("v").as("x2"),
+        col("nrm").as("nr2"))
       cand.join(e1, "v1").join(e2, "v2")
-        .select(col("v1"), col("v2"), dotNative(col("x1"), col("x2")).as("cos"))
+        .select(col("v1"), col("v2"),
+          (dotNative(col("x1"), col("x2")) / (col("nr1") * col("nr2")))
+            .as("cos"))
         .where(col("cos") >= 0.45)
         .orderBy("v1", "v2")
     }),
@@ -93,35 +106,40 @@ object Embeddings {
     "q46_ivf_ann" -> ((s, dir) => {
       val e = normalized(s, dir).cache()
       val cents = e.where(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("nv").as("cv"))
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"))
       // nearest-centroid assignment (argmax cosine, tie on cid)
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("cid"))
       val cells = e.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("nv"), col("cid"),
-          dotNative(col("nv"), col("cv")).as("sim"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          (dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+            .as("sim"))
         .withColumn("rnk", row_number().over(wAssign))
         .where(col("rnk") === 1)
-        .select(col("vec_id"), col("nv"), col("cid").as("cell"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
         .cache()
       // queries probe their 2 nearest cells
       val q = cells.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("nv").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
       val wProbe = Window.partitionBy(col("q_id"))
         .orderBy(col("qsim").desc, col("cid"))
       val probes = q.join(broadcast(cents), lit(true))
-        .select(col("q_id"), col("qv"), col("cid"),
-          dotNative(col("qv"), col("cv")).as("qsim"))
+        .select(col("q_id"), col("qv"), col("qn"), col("cid"),
+          (dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+            .as("qsim"))
         .withColumn("rnk", row_number().over(wProbe))
         .where(col("rnk") <= 2)
-        .select(col("q_id"), col("qv"), col("cid").as("cell"))
+        .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
       // search only the probed cells
       val wTop = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
       probes.join(cells, "cell")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          dotNative(col("qv"), col("nv")).as("cos"))
+          (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos"))
         .withColumn("rank", row_number().over(wTop))
         .where(col("rank") <= 5)
         .orderBy("q_id", "rank")
@@ -134,31 +152,33 @@ object Embeddings {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::double, list_transform(list_zip($a, $b), p -> p[1]*p[2])), (acc, x) -> acc + x)"
 
-  /** Normalized-vector CTE — same op order as [[normalized]]. */
+  /** Raw-vector + norm CTE — same op order as [[normalized]]. */
   private val baseCte =
     """WITH e0 AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::double) v FROM embeddings
-      |), en AS (
+      |), e AS (
       |  SELECT vec_id, v,
       |    sqrt(list_reduce(list_prepend(0.0::double, list_transform(v, x -> x*x)), (acc, x) -> acc + x)) nrm
       |  FROM e0
-      |), e AS (
-      |  SELECT vec_id, list_transform(v, x -> x / nrm) nv FROM en
       |)""".stripMargin
+
+  /** Cosine with the same op order as the Spark side: dot/(na*nb). */
+  private def duckCos(a: String, na: String, b: String, nb: String): String =
+    s"(${duckDot(a, b)} / ($na * $nb))"
 
   private val bandKeySql: Seq[String] = (0 until Bands).map { b =>
     (0 until Rows).map { r =>
       val plane = planeSqlLiteral(planes(b * Rows + r))
-      s"(CASE WHEN ${duckDot("nv", plane)} > 0 THEN ${1L << r} ELSE 0 END)"
+      s"(CASE WHEN ${duckDot("v", plane)} > 0 THEN ${1L << r} ELSE 0 END)"
     }.mkString(" + ")
   }
 
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" ->
       (baseCte +
-        s""", q AS (SELECT vec_id q_id, nv qv FROM e WHERE vec_id < 5),
+        s""", q AS (SELECT vec_id q_id, v qv, nrm qn FROM e WHERE vec_id < 5),
            |scored AS (
-           |  SELECT q.q_id, e.vec_id, ${duckDot("q.qv", "e.nv")} AS cos
+           |  SELECT q.q_id, e.vec_id, ${duckCos("q.qv", "q.qn", "e.v", "e.nrm")} AS cos
            |  FROM e JOIN q ON e.vec_id <> q.q_id
            |), ranked AS (
            |  SELECT q_id, vec_id, cos,
@@ -179,32 +199,32 @@ object Embeddings {
            |  FROM keyed a JOIN keyed b ON a.band_idx = b.band_idx
            |    AND a.band_key = b.band_key AND a.vec_id < b.vec_id
            |)
-           |SELECT v1, v2, ${duckDot("e1.nv", "e2.nv")} AS cos
+           |SELECT v1, v2, ${duckCos("e1.v", "e1.nrm", "e2.v", "e2.nrm")} AS cos
            |FROM cand JOIN e e1 ON e1.vec_id = v1 JOIN e e2 ON e2.vec_id = v2
-           |WHERE ${duckDot("e1.nv", "e2.nv")} >= 0.45
+           |WHERE ${duckCos("e1.v", "e1.nrm", "e2.v", "e2.nrm")} >= 0.45
            |ORDER BY v1, v2""".stripMargin),
 
     "q46_ivf_ann" ->
       (baseCte +
-        s""", cents AS (SELECT vec_id cid, nv cv FROM e WHERE vec_id < 16),
+        s""", cents AS (SELECT vec_id cid, v cv, nrm cn FROM e WHERE vec_id < 16),
            |assign AS (
-           |  SELECT vec_id, nv, cid, ${duckDot("nv", "cv")} AS sim,
+           |  SELECT vec_id, v, nrm, cid, ${duckCos("v", "nrm", "cv", "cn")} AS sim,
            |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY ${duckDot("nv", "cv")} DESC, cid) rnk
+           |      ORDER BY ${duckCos("v", "nrm", "cv", "cn")} DESC, cid) rnk
            |  FROM e CROSS JOIN cents
            |), cells AS (
-           |  SELECT vec_id, nv, cid AS cell FROM assign WHERE rnk = 1
+           |  SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rnk = 1
            |), q AS (
-           |  SELECT vec_id q_id, nv qv FROM cells WHERE vec_id < 5
+           |  SELECT vec_id q_id, v qv, nrm qn FROM cells WHERE vec_id < 5
            |), probes AS (
-           |  SELECT q_id, qv, cell FROM (
-           |    SELECT q.q_id, q.qv, c.cid AS cell,
+           |  SELECT q_id, qv, qn, cell FROM (
+           |    SELECT q.q_id, q.qv, q.qn, c.cid AS cell,
            |      row_number() OVER (PARTITION BY q.q_id
-           |        ORDER BY ${duckDot("q.qv", "c.cv")} DESC, c.cid) rnk
+           |        ORDER BY ${duckCos("q.qv", "q.qn", "c.cv", "c.cn")} DESC, c.cid) rnk
            |    FROM q CROSS JOIN cents c
            |  ) WHERE rnk <= 2
            |), scored AS (
-           |  SELECT p.q_id, s.vec_id, ${duckDot("p.qv", "s.nv")} AS cos
+           |  SELECT p.q_id, s.vec_id, ${duckCos("p.qv", "p.qn", "s.v", "s.nrm")} AS cos
            |  FROM probes p JOIN cells s ON s.cell = p.cell
            |  WHERE s.vec_id <> p.q_id
            |)

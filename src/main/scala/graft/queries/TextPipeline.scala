@@ -37,6 +37,50 @@ object TextPipeline {
       .where(size(words(col("text"))) >= 3)
   }
 
+  /** (doc_id, h): distinct word-n-gram shingle hashes as ROWS, with no
+    * higher-order functions anywhere in the plan. Shingles are built by
+    * posexploding the token stream and stitching each token to its n-1
+    * successors with window `lead` — every operator (split, explode,
+    * window sort, concat, md5) is whole-stage-codegen'd. The HOF
+    * `transform`-based path (shingleHashes) computes the same set but
+    * runs interpreted: lambda expressions are excluded from codegen, and
+    * the megamorphic interpreted tree is also hostage to JIT mood — the
+    * same query measured 3 s to 90 s run-to-run. Codegen'd plans are
+    * small monomorphic classes and time stably. Only docs with ≥3 words
+    * participate (matches every dedup query's filter). */
+  private def shingleRows(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val d = Graft.parquetSource(s, dir).table("documents")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead("w", k).over(w).as(s"w$k"))
+    val parts = col("w") +: (1 until n).map(k => col(s"w$k"))
+    d.where(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
+      .where(col(s"w${n - 1}").isNotNull) // concat_ws drops nulls: full n-grams only
+      .select(col("doc_id"),
+        pmod(hash60(concat_ws(" ", parts: _*)), lit(P)).as("h"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs via exploded intersection counts:
+    * |A∩B| from an equi-join on the shingle-hash rows, |A∪B| = n1+n2−|A∩B|.
+    * Pairs with an empty intersection drop out of the join — correct under
+    * any positive threshold. No array columns, no HOFs; the candidate set
+    * is small (that is the point of blocking), so the joins broadcast. */
+  private def pairJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val e1 = sh.select(col("doc_id").as("d1"), col("h"))
+    val e2 = sh.select(col("doc_id").as("d2"), col("h"))
+    cand.join(e1, "d1").join(e2, Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
+  }
+
   // English/Spanish/German/French stopword seeds for the n-gram-free
   // language-ID heuristic (ratio of stopword tokens per language).
   private val langs: Seq[(String, Seq[String])] = Seq(
@@ -68,19 +112,37 @@ object TextPipeline {
     "q24_lang_id" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      // materialize the trigram set once — HOF expressions get no
-      // common-subexpression elimination outside codegen
-      val withTg = d.withColumn("tg", charTrigrams(col("text")))
-      val tgScore = when(size(col("tg")) > 0,
-        size(array_intersect(col("tg"),
-          array(enTrigrams.map(lit): _*))).cast("double") /
-          size(col("tg")).cast("double")).otherwise(lit(0.0d))
-      val scored = withTg.select(
-        (col("doc_id") +: col("lang").as("lang_claimed") +:
-          tgScore.as("score_en_3g") +:
-          langs.map { case (l, sw) =>
-            stopwordRatio(col("text"), sw).as(s"score_$l")
-          }): _*)
+      // Character-trigram signal as exploded rows (substr over an index
+      // explode) and stopword ratios as exploded-token aggregates — the
+      // interpreted transform/aggregate lambdas computed the same values
+      // but outside codegen (and with unstable run-to-run JIT cost).
+      val lc = lower(col("text"))
+      val tgAgg = d.select(col("doc_id"), lc.as("lc"))
+        .where(length(col("lc")) >= 3)
+        .select(col("doc_id"), col("lc"),
+          explode(sequence(lit(1), length(col("lc")) - 2)).as("i"))
+        .select(col("doc_id"), substr(col("lc"), col("i"), lit(3)).as("tg"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tg")).as("n_tg"),
+          countDistinct(when(col("tg").isin(enTrigrams: _*), col("tg")))
+            .as("n_en_tg"))
+      val swAggs = count(lit(1)).as("nw") +: langs.map { case (l, sw) =>
+        sum(when(col("w").isin(sw: _*), 1).otherwise(0)).as(s"c_$l")
+      }
+      val swAgg = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(swAggs.head, swAggs.tail: _*)
+      val scored = d.select(col("doc_id"), col("lang").as("lang_claimed"))
+        .join(tgAgg, Seq("doc_id"), "left")
+        .join(swAgg, Seq("doc_id"), "left")
+        .select(
+          (col("doc_id") +: col("lang_claimed") +:
+            coalesce(col("n_en_tg").cast("double") /
+              col("n_tg").cast("double"), lit(0.0d)).as("score_en_3g") +:
+            langs.map { case (l, _) =>
+              (col(s"c_$l").cast("double") / col("nw").cast("double"))
+                .as(s"score_$l")
+            }): _*)
       val pred = langs.foldRight(lit("und"): Column) { case ((l, _), els) =>
         val c = col(s"score_$l")
         val beatsRest = langs.filter(_._1 != l)
@@ -92,9 +154,33 @@ object TextPipeline {
     }),
 
     // ---- q25: order-sensitive rolling document fingerprint -------------
+    // Same value as TextFunctions.fingerprint's left fold
+    // (acc·31 + h_i mod p), computed positionally: the fold expands to
+    // Σ h_i·31^(n−1−i) mod p, so each exploded token contributes one
+    // codegen'd term (h · 31^(n−pos−1) mod p via a precomputed power
+    // table) and a SUM aggregate replaces the interpreted lambda fold.
+    // Commutative terms also mean map-side partial aggregation — the
+    // sequential fold shape couldn't partial-agg at all.
     "q25_fingerprint" -> ((s, dir) => {
+      val maxW = 8192 // power-table cap; longest testdata doc ≈ 110 words
+      val pows = {
+        val a = new Array[Long](maxW); a(0) = 1L
+        for (i <- 1 until maxW) a(i) = a(i - 1) * 31L % P
+        a.toSeq
+      }
+      val powArr = typedLit(pows)
       val d = Graft.parquetSource(s, dir).table("documents")
-      d.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy("doc_id")
+      d.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"),
+          pmod(hash60(col("w")), lit(P)).as("h"),
+          count(lit(1)).over(w).as("nw"))
+        .select(col("doc_id"),
+          pmod(col("h") * element_at(powArr,
+            (col("nw") - col("pos")).cast("int")), lit(P)).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(pmod(sum(col("term")), lit(P)).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -112,14 +198,13 @@ object TextPipeline {
     // 16 perms, 4 bands × 4 rows; candidates = band-bucket join; verified
     // with exact Jaccard ≥ 0.8 on the 3-gram shingle sets.
     "q27_minhash_lsh" -> ((s, dir) => {
-      val sh = shingled(s, dir).cache()
-      // MinHash via explode + 16 codegen'd MIN aggregates (map-side
-      // partial agg — the 100 TB shape), not per-element lambdas.
-      // Same arithmetic as TextFunctions.minhashes.
-      val exploded = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val sh = shingleRows(s, dir).cache()
+      // MinHash via 16 codegen'd MIN aggregates over the shingle rows
+      // (map-side partial agg — the 100 TB shape), not per-element
+      // lambdas. Same arithmetic as TextFunctions.minhashes.
       val minCols = (0 until 16).map(j =>
         min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
-      val mh = exploded.groupBy(col("doc_id"))
+      val mh = sh.groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
       val bandKeys = array((0 until 4).map { b =>
         hash60(concat_ws(",",
@@ -135,10 +220,7 @@ object TextPipeline {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      val s1 = sh.select(col("doc_id").as("d1"), col("hs").as("h1"))
-      val s2 = sh.select(col("doc_id").as("d2"), col("hs").as("h2"))
-      cand.join(s1, "d1").join(s2, "d2")
-        .select(col("d1"), col("d2"), jaccard(col("h1"), col("h2")).as("jac"))
+      pairJaccard(cand, sh)
         .where(col("jac") >= 0.8)
         .orderBy("d1", "d2")
     }),
@@ -147,23 +229,26 @@ object TextPipeline {
     // 48-bit simhash; join on 8 chunks of 6 bits; hamming ≤ 6 < 7 chunks'
     // pigeonhole bound ⇒ identical result to all-pairs (the oracle).
     "q28_simhash" -> ((s, dir) => {
-      // Explode the shingle sets and compute the 48 per-bit vote sums as
-      // plain codegen'd aggregates with map-side partial aggregation —
-      // same arithmetic as TextFunctions.simhash48 but whole-stage
-      // codegen instead of per-element interpreted lambdas (≈60× faster,
-      // and the partial agg is the shape that scales to 100 TB).
-      val exploded = shingled(s, dir)
-        .select(col("doc_id"), explode(col("hs")).as("h"))
-      val votes = (0 until 48).map { b =>
-        sum(((col("h") * (2 * b + 1) + b) % P).bitwiseAND(lit(1L)) * 2 - 1)
-          .as(s"s$b")
-      }
-      val simCol = (0 until 48).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sim = exploded.groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), simCol.as("sh"))
+      // Three narrow codegen stages instead of one 48-column aggregate:
+      // (1) explode shingles THEN hash, so md5 runs per-row inside
+      // whole-stage codegen rather than inside an interpreted HOF lambda;
+      // (2) explode the 48 bit indices into rows, so the vote sum is one
+      // tiny expression — the previous 48-sum aggregate generated a
+      // method too large for the JIT and ran bytecode-interpreted
+      // (~9.5 s for 260 k rows; this shape is <1 s and each stage keeps
+      // map-side partial aggregation, the 100 TB shape);
+      // (3) fold signed votes back into the 48-bit signature.
+      val exploded = shingleRows(s, dir)
+      val votes = exploded
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0), lit(47))).as("b"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(((col("h") * (col("b") * 2 + 1) + col("b")) % P)
+          .bitwiseAND(lit(1L)) * 2 - 1).as("v"))
+      val sim = votes.groupBy(col("doc_id"))
+        .agg(sum(when(col("v") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+          .otherwise(lit(0L))).as("sh"))
         .cache() // tiny (one row per doc); avoids recompute in self-join
       val chunks = array((0 until 8).map(c =>
         shiftright(col("sh"), 6 * c).bitwiseAND(lit(63L))): _*)
@@ -229,17 +314,17 @@ object TextPipeline {
     // within blocks only (linear-ish at scale when blocks stay small).
     "q29_ngram_jaccard" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val base = d.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // blocking key: first three words (slice/concat_ws are plain
+      // codegen'd collection expressions, not lambda HOFs)
+      val blocks = d.where(size(words(col("text"))) >= 3)
         .select(col("doc_id"),
-          concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"),
-          shingleHashes(col("text"), 2).as("hs"))
-        .where(size(words(col("text"))) >= 3)
-        .cache() // shingling is the expensive step; don't redo it per side
-      val a = base.as("a"); val b = base.as("b")
-      a.join(b, col("a.blk") === col("b.blk") &&
+          concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"))
+      val a = blocks.as("a"); val b = blocks.as("b")
+      val cand = a.join(b, col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          jaccard(col("a.hs"), col("b.hs")).as("jac"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val sh = shingleRows(s, dir, 2).cache()
+      pairJaccard(cand, sh)
         .where(col("jac") >= 0.5)
         .orderBy("d1", "d2")
     })
