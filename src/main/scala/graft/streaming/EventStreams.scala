@@ -47,6 +47,19 @@ object EventStreams {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Streaming exact deduplication with bounded state: drop events whose
+    * dedup key was already seen within the watermark delay. The streaming
+    * counterpart of q26's batch hash-dedup — `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the watermark passes it, so state size is
+    * bounded by (arrival rate × delay), never by stream history. At 100 TB/
+    * day that bound is what makes exact streaming dedup feasible at all;
+    * unbounded `dropDuplicates` state would grow forever. */
+  def dedupedWithinWatermark(events: DataFrame, keys: Seq[String],
+      delay: String): DataFrame =
+    normalized(events)
+      .withWatermark("ts_us", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-user session aggregation via flatMapGroupsWithState: a session
     * closes after `gapMinutes` of event-time inactivity. Custom state —
     * the KeyValueGroupedDataset state-store path the blueprint names. */

@@ -123,4 +123,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(1).n_events == 1 && got(1).total_value == 3.0)
     } finally q.stop()
   }
+
+  test("streaming dedup: duplicate keys within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.dedupedWithinWatermark(
+        streamDf, Seq("user_id", "event_type"), "30 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      // (10,click) arrives 3×, (11,view) once — within one watermark span
+      ms.addData(
+        (1L, ts(0).getTime * 1000000L, 10L, "click", 1.0),
+        (2L, ts(1).getTime * 1000000L, 10L, "click", 1.0),
+        (3L, ts(2).getTime * 1000000L, 11L, "view", 2.0))
+      q.processAllAvailable()
+      ms.addData((4L, ts(3).getTime * 1000000L, 10L, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("deduped").collect()
+      assert(got.length == 2) // one (10,click) + one (11,view)
+      // advance the watermark past (10,click)'s eviction point with an
+      // unrelated key (the watermark only moves at end-of-batch) …
+      ms.addData((5L, Timestamp.valueOf("2026-01-01 12:00:00").getTime * 1000000L,
+        98L, "x", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 3)
+      // … then the same key is accepted again: its state was evicted
+      // (bounded-state semantics, not exact-forever)
+      ms.addData((6L, Timestamp.valueOf("2026-01-01 12:05:00").getTime * 1000000L,
+        10L, "click", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 4)
+    } finally q.stop()
+  }
 }
