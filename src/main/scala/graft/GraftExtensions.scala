@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProductExpr
+import graft.functions.{DotProductExpr, Hash60Expr}
 
 /** SparkSessionExtensions entry point — registers graft's native Catalyst
   * expressions as SQL functions. Two deployment paths:
@@ -31,6 +31,13 @@ object GraftExtensions {
         require(children.length == 2,
           s"graft_dot expects 2 arguments, got ${children.length}")
         DotProductExpr(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Hash60Expr].getName, "graft_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_hash60 expects 1 argument, got ${children.length}")
+        Hash60Expr(children.head)
       }))
 
   /** Register into an already-running session's function registry. */

@@ -23,9 +23,13 @@ object TextFunctions {
 
   /** 60-bit deterministic string hash: first 15 hex chars of md5 → bigint.
     * md5 is identical in every engine, so this is the cross-engine hash
-    * primitive (DuckDB: `cast('0x' || substr(md5(s),1,15) as bigint)`). */
+    * primitive (DuckDB: `cast('0x' || substr(md5(s),1,15) as bigint)`).
+    * Computed by the native [[Hash60Expr]] straight from digest bytes —
+    * the equivalent built-in chain `conv(substring(md5(c),1,15),16,10)`
+    * allocates and re-parses a hex string per row. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftArrowBridge.column(Hash60Expr(
+      org.apache.spark.sql.GraftArrowBridge.expression(c)))
 
   /** Whitespace tokenization of trimmed text. */
   def words(c: Column): Column = split(trim(c), "\\s+")

@@ -69,6 +69,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(0) == 0x5d41402abc4b2a7L)
   }
 
+  test("native hash60 == built-in conv(substring(md5)) chain") {
+    import spark.implicits._
+    val df = Seq("", "hello", "a b c", "ünïcödé ẞtring", "x" * 5000,
+      "tab\tnewline\n", "0123456789abcdef").toDF("t")
+    val got = df.select(hash60(col("t")),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // and via SQL through the extension registry
+    graft.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("h60_probe")
+    val sql = spark.sql(
+      "SELECT graft_hash60(t) = CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT) FROM h60_probe")
+      .collect()
+    assert(sql.forall(_.getBoolean(0)))
+  }
+
   test("minhash signature: identical sets agree, disjoint sets differ") {
     import spark.implicits._
     val df = Seq("x y z w q r s t", "x y z w q r s t", "a b c d e f g h")
