@@ -63,4 +63,47 @@ class PlanQualitySpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(p.contains("Filter"))
   }
+
+  test("bucketed tables co-locate joins: no shuffle exchange in the plan") {
+    // The 100 TB claim in SCALE.md: writing both join sides bucketed by
+    // the join key (same bucket count) removes the shuffle from every
+    // subsequent join on that key. Asserted on the physical plan: the
+    // bucketed join has NO ShuffleExchange; the same join over plain
+    // parquet has one on each side.
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_b")
+      ord.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_b")
+      // force SMJ so the exchange question is meaningful (broadcast would
+      // trivially avoid a shuffle regardless of layout)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val bucketed = spark.table("li_b")
+          .join(spark.table("ord_b"),
+            org.apache.spark.sql.functions.col("l_orderkey") ===
+              org.apache.spark.sql.functions.col("o_orderkey"))
+        val pb = bucketed.queryExecution.executedPlan.toString
+        assert(pb.contains("SortMergeJoin"))
+        assert(!pb.contains("Exchange"), s"bucketed join still shuffles:\n$pb")
+        assert(bucketed.count() > 0)
+
+        val plain = li.join(ord,
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+        assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
 }
