@@ -48,7 +48,11 @@ object TextPipeline {
     * same query measured 3 s to 90 s run-to-run. Codegen'd plans are
     * small monomorphic classes and time stably. Only docs with ≥3 words
     * participate (matches every dedup query's filter). */
-  private def shingleRows(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+  private def shingleRows(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    shingleRowsAll(s, dir, n).distinct()
+
+  /** Same, with multiplicity (one row per shingle occurrence). */
+  private def shingleRowsAll(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
     val d = Graft.parquetSource(s, dir).table("documents")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until n).map(k => lead("w", k).over(w).as(s"w$k"))
@@ -59,7 +63,6 @@ object TextPipeline {
       .where(col(s"w${n - 1}").isNotNull) // concat_ws drops nulls: full n-grams only
       .select(col("doc_id"),
         pmod(hash60(concat_ws(" ", parts: _*)), lit(P)).as("h"))
-      .distinct()
   }
 
   /** Exact Jaccard for candidate pairs via exploded intersection counts:
@@ -309,6 +312,41 @@ object TextPipeline {
         .orderBy("source")
     }),
 
+    // ---- q48: intra-document repetition score --------------------------
+    // Fraction of repeated 3-grams (1 − distinct/total) — the classic
+    // "repetitious text" quality filter of LLM-pretraining pipelines.
+    // Pure partial-aggregatable counts; no pairwise work at all.
+    "q48_repetition" -> ((s, dir) => {
+      shingleRowsAll(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), countDistinct(col("h")).as("n_uniq"))
+        .select(col("doc_id"), col("n_sh"), col("n_uniq"),
+          (lit(1) - col("n_uniq").cast("double") / col("n_sh").cast("double"))
+            .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- q49: deterministic sequence packing ---------------------------
+    // The concat-and-chunk packing step of LLM pretraining: documents are
+    // content-hash-sharded, ordered deterministically within each shard,
+    // and laid out on a token-offset axis; pack_id = start_offset div 512.
+    // Each shard packs independently (one window partition = one task), so
+    // packing 100 TB is embarrassingly parallel, and the layout is
+    // reproducible from the data alone — no rand(), restart-stable.
+    "q49_sequence_pack" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("doc_id"), bpeTokenCount(col("text")).as("n_tokens"),
+          hash60(col("text")).as("h"))
+        .withColumn("shard", col("h") % 32)
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_off"),
+          expr("(cum - n_tokens) div 512").as("pack_id"))
+        .orderBy("shard", "start_off", "doc_id")
+    }),
+
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
@@ -469,6 +507,36 @@ object TextPipeline {
         |       THEN 80 ELSE 30 END)
         |  THEN 1 ELSE 0 END) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q48_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), sg AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+        |      array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3
+        |  )
+        |)
+        |SELECT doc_id, count(*) AS n_sh, count(DISTINCT h) AS n_uniq,
+        |  1 - (count(DISTINCT h)::double / count(*)::double) AS rep_ratio
+        |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q49_sequence_pack" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens,
+        |    ('0x' || substr(md5(text),1,15))::bigint AS h
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, n_tokens, h, h % 32 AS shard,
+        |    sum(n_tokens) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM base
+        |)
+        |SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
+        |  (cum - n_tokens) // 512 AS pack_id
+        |FROM pos ORDER BY shard, start_off, doc_id""".stripMargin,
 
     "q29_ngram_jaccard" ->
       """WITH ws AS (
