@@ -158,6 +158,46 @@ object Relational {
         .orderBy("hour_ts", "event_type")
     }),
 
+    // ---- As-of join: latest click at-or-before each purchase -----------
+    // The nearest-timestamp join Spark lacks natively (SURVEY.md custom-op
+    // ladder tier (a): composed from existing operators). Both sides are
+    // tagged and unioned, then ONE window pass per user carries the most
+    // recent click forward — a single shuffle+sort by (user, time), vs the
+    // per-row range scan a naive `c.ts <= p.ts` theta join would do
+    // (which explodes to |clicks|×|purchases| per user before picking the
+    // max). The same shape handles any as-of direction or tolerance.
+    // Oracle: DuckDB's native ASOF LEFT JOIN — an independent
+    // implementation of the same semantics.
+    "q50_asof_join" -> ((s, dir) => {
+      val ev = Graft.parquetSource(s, dir).table("events")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+          lit(null).cast("long").as("p_event_id"),
+          col("value").as("c_value"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+          col("event_id").as("p_event_id"),
+          lit(null).cast("double").as("c_value"))
+      // side orders clicks before purchases at equal ts_us → inclusive
+      // (c.ts <= p.ts) semantics, matching ASOF JOIN's <=
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("side"), col("c_value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purch)
+        .withColumn("click_ts_us",
+          last(when(col("side") === 0, col("ts_us")), ignoreNulls = true)
+            .over(w))
+        .withColumn("click_value",
+          last(when(col("side") === 0, col("c_value")), ignoreNulls = true)
+            .over(w))
+        .where(col("side") === 1)
+        .select(col("p_event_id").as("event_id"), col("user_id"),
+          col("ts_us"), col("click_ts_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // ---- Semi join: EXISTS ---------------------------------------------
     "q19_semi_join" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
@@ -467,6 +507,21 @@ object Relational {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_ts, event_type""".stripMargin,
+
+    "q50_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) ts_us, user_id, event_type, value
+        |  FROM events
+        |), clicks AS (
+        |  SELECT user_id, ts_us, value FROM e WHERE event_type = 'click'
+        |), purch AS (
+        |  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        |  c.ts_us AS click_ts_us, c.value AS click_value
+        |FROM purch p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
 
     "q19_semi_join" ->
       """SELECT count(*) AS n_customers_with_orders FROM customer
