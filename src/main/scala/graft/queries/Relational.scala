@@ -198,6 +198,39 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // ---- Range join: points into intervals via bin bucketing -----------
+    // "How many lineitems shipped within 30 days of each small-customer
+    // order?" — a point-in-interval join with NO equi key. The naive
+    // `p >= start AND p < end` condition is a nested-loop O(|P|·|I|);
+    // instead both sides map to week-sized bins (≈ the interval length):
+    // each point lands in exactly ONE bin, each interval explodes to the
+    // ≤6 bins it covers, and the bin equi-join + exact filter bounds
+    // candidates to points actually near each interval. At 100 TB this is
+    // a plain shuffled equi-join on a dense integer key — no broadcast of
+    // either side needed, no row explosion beyond bin co-residency.
+    "q51_range_join" -> ((s, dir) => {
+      val src = Graft.parquetSource(s, dir)
+      val week = 604800L // seconds; bin size ≈ interval length
+      val iv = src.table("orders").where(col("o_custkey") < 5)
+        .select(col("o_orderkey"), col("o_orderdate").as("start_d"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("end_d"))
+      val ivBins = iv
+        .withColumn("bin", explode(sequence(
+          expr(s"unix_timestamp(start_d) div $week"),
+          expr(s"(unix_timestamp(end_d) - 1) div $week"))))
+      val pts = src.table("lineitem")
+        .select(col("l_shipdate"),
+          expr(s"unix_timestamp(l_shipdate) div $week").as("bin"))
+      val matched = ivBins.join(pts, "bin")
+        .where(col("l_shipdate") >= col("start_d") &&
+          col("l_shipdate") < col("end_d"))
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      iv.select(col("o_orderkey"))
+        .join(matched, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"), coalesce(col("n"), lit(0L)).as("n_shipped"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- Semi join: EXISTS ---------------------------------------------
     "q19_semi_join" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
@@ -522,6 +555,17 @@ object Relational {
         |FROM purch p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
         |ORDER BY p.event_id""".stripMargin,
+
+    "q51_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey, o_orderdate AS start_d,
+        |         o_orderdate + INTERVAL 30 DAY AS end_d
+        |  FROM orders WHERE o_custkey < 5
+        |)
+        |SELECT iv.o_orderkey, count(l.l_shipdate) AS n_shipped
+        |FROM iv LEFT JOIN lineitem l
+        |  ON l.l_shipdate >= iv.start_d AND l.l_shipdate < iv.end_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_semi_join" ->
       """SELECT count(*) AS n_customers_with_orders FROM customer
