@@ -75,6 +75,38 @@ object Multimodal {
   def thumbnail(payload: Column, bytes: Int): Column =
     substring(payload, 1, bytes)
 
+  /** The per-partition decoder lifecycle a REAL codec needs (native
+    * handles, model weights, JNI state): constructed once per partition,
+    * streamed through, never serialized to the driver. The stub computes
+    * the same features as [[decodeStub]] (asserted by PipelineSpec), so
+    * the two decode paths are interchangeable — columnar expressions when
+    * the "decode" is expressible, this seam when it needs a library. */
+  final class StubCodec {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def features(payload: Array[Byte]): Array[Double] = {
+      md.reset()
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      def h(off: Int): Long = java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
+      Array(h(0) % 997L / 997d, h(8) % 991L / 991d, h(16) % 983L / 983d,
+        payload.length.toDouble)
+    }
+  }
+
+  /** Partition-parallel decode over the batch iterator — the Scala analog
+    * of a pandas/Arrow batch UDF: one codec per partition, one pass over
+    * the rows, columnar result schema `(media_id, features)`. */
+  def decodePartitionwise(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new StubCodec // opened once per partition, not per row
+        rows.map { case (id, payload) => (id, codec.features(payload)) }
+      }
+      .toDF("media_id", "features")
+  }
+
   /** Wrap a text/documents table as a synthetic media table: the text
     * bytes become the payload (deterministic, so the DuckDB oracle can
     * reproduce features exactly). */

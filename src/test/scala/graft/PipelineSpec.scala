@@ -208,4 +208,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(batches.length == 4)
     assert(batches.forall(_.nonEmpty))
   }
+
+  test("partition-wise decode seam == columnar stub decode") {
+    import graft.functions.Multimodal._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val media = syntheticMedia(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .repartition(4)
+    val columnar = media
+      .select(col("media_id"), decodeStub(col("payload")).as("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val seam = decodePartitionwise(media)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(seam.keySet == columnar.keySet && seam.nonEmpty)
+    seam.foreach { case (id, f) => assert(f == columnar(id), s"media $id") }
+  }
 }
