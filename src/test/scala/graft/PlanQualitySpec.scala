@@ -64,6 +64,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Filter"))
   }
 
+  test("salted join: exact row parity with the plain join, salt spreads keys") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // l_returnflag has 3 values over ~600k rows — a genuinely hot key
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    val dim = li.select(col("l_returnflag")).distinct()
+      .withColumn("flag_tag", concat(lit("tag_"), col("l_returnflag")))
+    val plain = li.join(dim, Seq("l_returnflag"))
+    val salted = graft.plans.Skew.saltedJoin(li, dim, "l_returnflag", 8,
+      col("l_orderkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum("l_extendedprice")).collect().head.getDouble(0) ==
+      plain.agg(sum("l_extendedprice")).collect().head.getDouble(0))
+    // each hot key really fans out across salt values
+    val fanOut = li.withColumn("__salt",
+        pmod(hash(col("l_orderkey")), lit(8)))
+      .groupBy("l_returnflag").agg(countDistinct("__salt").as("n_salts"))
+      .collect().map(_.getLong(1))
+    assert(fanOut.forall(_ == 8))
+  }
+
   test("bucketed tables co-locate joins: no shuffle exchange in the plan") {
     // The 100 TB claim in SCALE.md: writing both join sides bucketed by
     // the join key (same bucket count) removes the shuffle from every
