@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column functions for LLM-data-pipeline workloads
@@ -77,6 +78,34 @@ object TextFunctions {
     aggregate(words(c), lit(0L),
       (acc, w) => (acc * 31L + pmod(hash60(w), lit(HashP))) % HashP)
 
+  /** Rolling fingerprints for a whole `doc_id`/`text` DataFrame — the
+    * codegen formulation of [[fingerprint]] (equivalence property-tested):
+    * the fold acc·31 + h_i mod p expands to Σ h_i·31^(n−1−i) mod p, so
+    * each exploded token contributes one term via a precomputed power
+    * table and a commutative SUM aggregate (map-side partial agg) replaces
+    * the interpreted sequential lambda fold. Documents longer than the
+    * power table (8192 words) are not supported by this formulation. */
+  def fingerprintRows(docs: DataFrame): DataFrame = {
+    val maxW = 8192
+    val pows = {
+      val a = new Array[Long](maxW); a(0) = 1L
+      for (i <- 1 until maxW) a(i) = a(i - 1) * 31L % HashP
+      a.toSeq
+    }
+    val powArr = typedLit(pows)
+    val w = Window.partitionBy("doc_id")
+    docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        pmod(hash60(col("w")), lit(HashP)).as("h"),
+        count(lit(1)).over(w).as("nw"))
+      .select(col("doc_id"),
+        pmod(col("h") * element_at(powArr,
+          (col("nw") - col("pos")).cast("int")), lit(HashP)).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(pmod(sum(col("term")), lit(HashP)).as("fp"))
+  }
+
   /** Word n-gram shingles: `n`-token windows joined by single spaces.
     * Documents shorter than `n` tokens yield an empty array. */
   def shingles(c: Column, n: Int): Column = {
@@ -91,6 +120,26 @@ object TextFunctions {
   def shingleHashes(c: Column, n: Int): Column =
     array_distinct(transform(shingles(c, n),
       s => pmod(hash60(s), lit(HashP))))
+
+  /** Shingle hashes as ROWS with multiplicity — the codegen formulation
+    * of [[shingleHashes]] (equivalence property-tested): the token stream
+    * is posexploded and each token stitched to its n−1 successors with
+    * window `lead`, so shingling, hashing, and everything downstream stay
+    * inside whole-stage codegen (lambda HOFs are interpreted AND
+    * JIT-unstable — 3 s to 90 s run-to-run for the same plan). Expects
+    * `doc_id`/`text` columns; keeps docs with ≥ 3 words; returns
+    * (doc_id, h). */
+  def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(k => lead("w", k).over(w).as(s"w$k"))
+    val parts = col("w") +: (1 until n).map(k => col(s"w$k"))
+    docs.where(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
+      .where(col(s"w${n - 1}").isNotNull) // concat_ws drops nulls: full n-grams only
+      .select(col("doc_id"),
+        pmod(hash60(concat_ws(" ", parts: _*)), lit(HashP)).as("h"))
+  }
 
   /** k MinHash signatures over a distinct-hash set: permutation j is
     * h -> ((2j+3)·h + j²+1) mod p. Products stay < 2^36 (h < p ≈ 2^31,

@@ -52,18 +52,8 @@ object TextPipeline {
     shingleRowsAll(s, dir, n).distinct()
 
   /** Same, with multiplicity (one row per shingle occurrence). */
-  private def shingleRowsAll(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val d = Graft.parquetSource(s, dir).table("documents")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until n).map(k => lead("w", k).over(w).as(s"w$k"))
-    val parts = col("w") +: (1 until n).map(k => col(s"w$k"))
-    d.where(size(words(col("text"))) >= 3)
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
-      .where(col(s"w${n - 1}").isNotNull) // concat_ws drops nulls: full n-grams only
-      .select(col("doc_id"),
-        pmod(hash60(concat_ws(" ", parts: _*)), lit(P)).as("h"))
-  }
+  private def shingleRowsAll(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    shingleHashRows(Graft.parquetSource(s, dir).table("documents"), n)
 
   /** Exact Jaccard for candidate pairs via exploded intersection counts:
     * |A∩B| from an equi-join on the shingle-hash rows, |A∪B| = n1+n2−|A∩B|.
@@ -165,25 +155,9 @@ object TextPipeline {
     // Commutative terms also mean map-side partial aggregation — the
     // sequential fold shape couldn't partial-agg at all.
     "q25_fingerprint" -> ((s, dir) => {
-      val maxW = 8192 // power-table cap; longest testdata doc ≈ 110 words
-      val pows = {
-        val a = new Array[Long](maxW); a(0) = 1L
-        for (i <- 1 until maxW) a(i) = a(i - 1) * 31L % P
-        a.toSeq
-      }
-      val powArr = typedLit(pows)
       val d = Graft.parquetSource(s, dir).table("documents")
-      val w = Window.partitionBy("doc_id")
-      d.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
-        .select(col("doc_id"), col("pos"),
-          pmod(hash60(col("w")), lit(P)).as("h"),
-          count(lit(1)).over(w).as("nw"))
-        .select(col("doc_id"),
-          pmod(col("h") * element_at(powArr,
-            (col("nw") - col("pos")).cast("int")), lit(P)).as("term"))
-        .groupBy(col("doc_id"))
-        .agg(pmod(sum(col("term")), lit(P)).as("fp"))
+      fingerprintRows(
+        d.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+
+/** Generator-driven equivalence between the interpreted HOF reference
+  * formulations (transform/aggregate lambdas — simple, obviously correct)
+  * and the codegen formulations the queries actually run (window-lead
+  * shingle rows, positional-power fingerprints, exploded trigrams). The
+  * HOF versions serve as executable specifications; the rewrites must
+  * agree on arbitrary text, not just the synthetic corpus. */
+class TextEquivalenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-text-equiv")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val wordGen: Gen[String] = for {
+    n <- Gen.chooseNum(1, 8)
+    cs <- Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('ü', 'ß', 'é', '中', '!', '.')))
+  } yield cs.mkString
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    ws <- Gen.listOfN(n, wordGen)
+    sep <- Gen.oneOf(" ", "  ", " \t ")
+  } yield ws.mkString(sep)
+
+  private def docsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("window-lead shingle rows == HOF shingleHashes (sets, n=2 and n=3)") {
+    val docs = docsDf(samples(textGen, 120))
+    for (n <- Seq(2, 3)) {
+      val hof = docs.where(size(words(col("text"))) >= 3)
+        .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("h"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val codegen = shingleHashRows(docs, n).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(codegen == hof, s"n=$n")
+    }
+  }
+
+  test("positional-power fingerprint == HOF fold fingerprint") {
+    val docs = docsDf(samples(textGen, 120))
+    val hof = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val codegen = fingerprintRows(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(codegen.keySet == hof.keySet)
+    codegen.foreach { case (id, fp) => assert(fp == hof(id), s"doc $id") }
+  }
+
+  test("exploded char trigrams == HOF charTrigrams (distinct sets)") {
+    val docs = docsDf(samples(textGen, 120))
+    val hof = docs.select(col("doc_id"), explode(charTrigrams(col("text"))).as("tg"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val lc = lower(col("text"))
+    val codegen = docs.select(col("doc_id"), lc.as("lc"))
+      .where(length(col("lc")) >= 3)
+      .select(col("doc_id"), col("lc"),
+        explode(sequence(lit(1), length(col("lc")) - 2)).as("i"))
+      .select(col("doc_id"), substr(col("lc"), col("i"), lit(3)).as("tg"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(codegen == hof)
+  }
+}
