@@ -60,6 +60,30 @@ object EventStreams {
       .withWatermark("ts_us", delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream attribution join: each purchase joins the clicks of
+    * the same user from the preceding `windowMinutes`. Both sides are
+    * watermarked, and the time-range condition lets the engine BOUND the
+    * join state: a click's state is dropped once the watermark passes
+    * click_ts + window (it can no longer match any future purchase), so
+    * state is rate × window on each side — the only stream-stream join
+    * shape that survives unbounded streams. Batch/stream parity holds
+    * like every transform here (same plan, incrementalized). */
+  def attributedPurchases(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val p = normalized(purchases).withWatermark("ts_us", s"$windowMinutes minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    val c = normalized(clicks).withWatermark("ts_us", s"$windowMinutes minutes")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"),
+        col("value").as("click_value"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"), col("c_ts"),
+        col("click_value"))
+  }
+
   /** Per-user session aggregation via flatMapGroupsWithState: a session
     * closes after `gapMinutes` of event-time inactivity. Custom state —
     * the KeyValueGroupedDataset state-store path the blueprint names. */

@@ -124,6 +124,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: purchases attribute to in-window clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def df(ms: MemoryStream[(Long, Long, Long, String, Double)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pms = MemoryStream[(Long, Long, Long, String, Double)]
+    val cms = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStreams.attributedPurchases(df(pms), df(cms), 30)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      def ns(minute: Int): Long = ts(minute).getTime * 1000000L
+      // user 10: clicks at 10:00 and 10:05, purchase at 10:20 → both in
+      // window; click at 10:50 is AFTER the purchase → no match
+      cms.addData((1L, ns(0), 10L, "click", 1.0), (2L, ns(5), 10L, "click", 2.0),
+        (3L, ns(50), 10L, "click", 9.0))
+      pms.addData((4L, ns(20), 10L, "purchase", 50.0))
+      q.processAllAvailable()
+      // advance both watermarks so results flush from state
+      cms.addData((5L, Timestamp.valueOf("2026-01-01 13:00:00").getTime * 1000000L,
+        99L, "click", 0.0))
+      pms.addData((6L, Timestamp.valueOf("2026-01-01 13:00:00").getTime * 1000000L,
+        99L, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib").collect()
+        .filter(_.getLong(1) == 10L)
+      assert(got.length == 2) // the two in-window clicks, not the later one
+      assert(got.map(_.getDouble(4)).sorted.toSeq == Seq(1.0, 2.0))
+    } finally q.stop()
+  }
+
   test("streaming dedup: duplicate keys within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
