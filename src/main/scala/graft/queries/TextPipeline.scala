@@ -321,6 +321,32 @@ object TextPipeline {
         .orderBy("shard", "start_off", "doc_id")
     }),
 
+    // ---- q52: benchmark-contamination detection ------------------------
+    // Which training documents contain eval-set 5-grams? (doc_id < 20
+    // stands in for the benchmark corpus.) The eval side of a real
+    // pipeline is tiny versus 100 TB of training text, so its distinct
+    // 5-gram hash set BROADCASTS; the training side streams through a
+    // broadcast-hash left join and a map-side-combinable per-doc count —
+    // the corpus is never shuffled at all (only the per-doc aggregate
+    // moves). Catches both verbatim leaks (contamination = 1.0) and
+    // partial quote-level overlap.
+    "q52_contamination" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val sg = shingleHashRows(d, 5).distinct()
+      val ev = sg.where(col("doc_id") < 20).select(col("h")).distinct()
+        .withColumn("hit", lit(1))
+      val tr = sg.where(col("doc_id") >= 20)
+      tr.join(broadcast(ev), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0))).as("n_shared"))
+        .where(col("n_shared") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_grams").cast("double"))
+            .as("contamination"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
@@ -481,6 +507,28 @@ object TextPipeline {
         |       THEN 80 ELSE 30 END)
         |  THEN 1 ELSE 0 END) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q52_contamination" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), sg AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-3), i ->
+        |      array_to_string(list_slice(w, i, i+4), ' '))) s
+        |    FROM ws WHERE len(w) >= 5
+        |  )
+        |), ev AS (SELECT DISTINCT h FROM sg WHERE doc_id < 20),
+        |tr AS (SELECT doc_id, h FROM sg WHERE doc_id >= 20)
+        |SELECT tr.doc_id,
+        |  count(*) AS n_grams,
+        |  sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+        |  sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::double
+        |    / count(*) AS contamination
+        |FROM tr LEFT JOIN ev ON tr.h = ev.h
+        |GROUP BY tr.doc_id
+        |HAVING n_shared > 0
+        |ORDER BY tr.doc_id""".stripMargin,
 
     "q48_repetition" ->
       """WITH ws AS (
