@@ -64,6 +64,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Filter"))
   }
 
+  test("q50/q51: composed as-of and range joins plan without nested loops") {
+    for (q <- Seq("q50_asof_join", "q51_range_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
+  test("q52: eval-set side broadcasts; the corpus is not shuffled for the join") {
+    val p = plan("q52_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("salted join: exact row parity with the plain join, salt spreads keys") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
