@@ -67,6 +67,41 @@ class TextEquivalenceSpec extends AnyFunSuite {
     codegen.foreach { case (id, fp) => assert(fp == hof(id), s"doc $id") }
   }
 
+  test("16 MIN aggregates over shingle rows == HOF minhashes") {
+    val docs = docsDf(samples(textGen, 120))
+    val hof = docs.where(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), minhashes(shingleHashes(col("text"), 3), 16).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val minCols = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 3) + (j * j + 1)) % HashP).as(s"m$j"))
+    val codegen = shingleHashRows(docs, 3).distinct()
+      .groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), (1 to 16).map(r.getLong(_)).toSeq)).toMap
+    assert(codegen.keySet == hof.keySet && codegen.nonEmpty)
+    codegen.foreach { case (id, mh) => assert(mh == hof(id), s"doc $id") }
+  }
+
+  test("bit-exploded vote sums == HOF simhash48") {
+    val docs = docsDf(samples(textGen, 120))
+    val hof = docs.where(size(words(col("text"))) >= 3)
+      .select(col("doc_id"), simhash48(shingleHashes(col("text"), 3)).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val codegen = shingleHashRows(docs, 3).distinct()
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(47))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(((col("h") * (col("b") * 2 + 1) + col("b")) % HashP)
+        .bitwiseAND(lit(1L)) * 2 - 1).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(lit(0L))).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(codegen.keySet == hof.keySet && codegen.nonEmpty)
+    codegen.foreach { case (id, sh) => assert(sh == hof(id), s"doc $id") }
+  }
+
   test("exploded char trigrams == HOF charTrigrams (distinct sets)") {
     val docs = docsDf(samples(textGen, 120))
     val hof = docs.select(col("doc_id"), explode(charTrigrams(col("text"))).as("tg"))
