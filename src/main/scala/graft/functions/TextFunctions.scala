@@ -100,8 +100,14 @@ object TextFunctions {
         pmod(hash60(col("w")), lit(HashP)).as("h"),
         count(lit(1)).over(w).as("nw"))
       .select(col("doc_id"),
-        pmod(col("h") * element_at(powArr,
-          (col("nw") - col("pos")).cast("int")), lit(HashP)).as("term"))
+        // beyond the power table, element_at would yield null and the SUM
+        // would silently skip the term → a wrong fingerprint; fail loudly
+        when(col("nw") <= maxW,
+          pmod(col("h") * element_at(powArr,
+            (col("nw") - col("pos")).cast("int")), lit(HashP)))
+          .otherwise(raise_error(concat(lit(
+            s"fingerprintRows supports at most $maxW words per document; doc "),
+            col("doc_id"), lit(" has "), col("nw")))).as("term"))
       .groupBy(col("doc_id"))
       .agg(pmod(sum(col("term")), lit(HashP)).as("fp"))
   }

@@ -102,6 +102,14 @@ class TextEquivalenceSpec extends AnyFunSuite {
     codegen.foreach { case (id, sh) => assert(sh == hof(id), s"doc $id") }
   }
 
+  test("fingerprintRows fails loudly past the power-table cap") {
+    val big = docsDf(Seq(Seq.fill(8200)("w").mkString(" ")))
+    val e = intercept[Exception](fingerprintRows(big).collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("at most")))
+  }
+
   test("exploded char trigrams == HOF charTrigrams (distinct sets)") {
     val docs = docsDf(samples(textGen, 120))
     val hof = docs.select(col("doc_id"), explode(charTrigrams(col("text"))).as("tg"))
