@@ -347,6 +347,48 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q53: near-dup pairs → dedup clusters + canonical keep list ----
+    // The step that makes pair detection actionable: connected components
+    // over the verified q27 pairs via iterative min-label propagation,
+    // then keep_id = the component's minimum doc_id. Each iteration is
+    // one equi-join + min-aggregate on the EDGE list (tiny relative to
+    // the corpus — that is the point of LSH), and the loop runs
+    // O(component diameter) times; near-dup components are shallow
+    // (pairs/chains), so 2-3 iterations converge even at 100 TB. The
+    // driver-side loop with a convergence count is the standard
+    // large-scale CC shape (checkpoint labels per iteration on a real
+    // cluster to truncate lineage). Oracle: a DuckDB recursive-CTE
+    // transitive closure — an independent formulation of the same
+    // components.
+    "q53_dedup_clusters" -> ((s, dir) => {
+      val pairs = defs("q27_minhash_lsh")(s, dir)
+        .select(col("d1"), col("d2"))
+      val edges = pairs.unionByName(
+        pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+      var labels = edges.select(col("d1").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges
+          .join(labels, edges("d2") === labels("doc_id"))
+          .select(edges("d1").as("doc_id"), col("lbl"))
+        val next = labels.unionByName(prop)
+          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl")).cache()
+        // one action per iteration: the convergence count materializes
+        // `next` (and caches it) as a side effect
+        changed = next
+          .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+          .where(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+      }
+      val sizes = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "lbl")
+        .select(col("doc_id"), col("lbl").as("keep_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
@@ -398,6 +440,32 @@ object TextPipeline {
     s"CASE $arms\n    ELSE 'und' END"
   }
 
+  /** q27's full oracle SQL — also embedded as the `pairs` CTE of q53's
+    * recursive-CTE connected-components oracle. */
+  private val minhashPairsSql: String =
+    shingleCte(3) +
+      """, mh AS (
+        |  SELECT doc_id, hs, list_transform(range(0, 16),
+        |    j -> list_min(list_transform(hs, h -> ((2*j+3)*h + j*j+1) % 2147483647))) m
+        |  FROM sh
+        |), eb AS (
+        |  SELECT doc_id, unnest(range(0, 4)) band_idx,
+        |    unnest(list_transform(range(0, 4), b ->
+        |      ('0x' || substr(md5(array_to_string(list_slice(m, b*4+1, b*4+4), ',')),1,15))::bigint)) band_key
+        |  FROM mh
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+        |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |)
+        |SELECT d1, d2,
+        |  len(list_intersect(s1.hs, s2.hs))::double
+        |    / len(list_distinct(s1.hs || s2.hs)) AS jac
+        |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+        |WHERE len(list_intersect(s1.hs, s2.hs))::double
+        |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
+        |ORDER BY d1, d2""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q23_text_stats" ->
       """SELECT doc_id,
@@ -447,29 +515,19 @@ object TextPipeline {
         |FROM (SELECT doc_id, md5(lower(trim(text))) dup_key FROM documents)
         |GROUP BY dup_key ORDER BY keep_id""".stripMargin,
 
-    "q27_minhash_lsh" ->
-      (shingleCte(3) +
-        """, mh AS (
-          |  SELECT doc_id, hs, list_transform(range(0, 16),
-          |    j -> list_min(list_transform(hs, h -> ((2*j+3)*h + j*j+1) % 2147483647))) m
-          |  FROM sh
-          |), eb AS (
-          |  SELECT doc_id, unnest(range(0, 4)) band_idx,
-          |    unnest(list_transform(range(0, 4), b ->
-          |      ('0x' || substr(md5(array_to_string(list_slice(m, b*4+1, b*4+4), ',')),1,15))::bigint)) band_key
-          |  FROM mh
-          |), cand AS (
-          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
-          |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
-          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-          |)
-          |SELECT d1, d2,
-          |  len(list_intersect(s1.hs, s2.hs))::double
-          |    / len(list_distinct(s1.hs || s2.hs)) AS jac
-          |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
-          |WHERE len(list_intersect(s1.hs, s2.hs))::double
-          |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
-          |ORDER BY d1, d2""".stripMargin),
+    "q27_minhash_lsh" -> minhashPairsSql,
+
+    "q53_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT a AS doc_id, min(b) AS keep_id,
+         |  count(DISTINCT b) AS cluster_size
+         |FROM reach GROUP BY a ORDER BY a""".stripMargin,
 
     "q28_simhash" ->
       (shingleCte(3) +
