@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, Hash60Expr}
+import graft.functions.{DotProductExpr, Hash60Expr, ShinglesExpr}
 
 /** SparkSessionExtensions entry point — registers graft's native Catalyst
   * expressions as SQL functions. Two deployment paths:
@@ -38,6 +38,13 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_hash60 expects 1 argument, got ${children.length}")
         Hash60Expr(children.head)
+      }),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_shingles expects 2 arguments, got ${children.length}")
+        ShinglesExpr(children.head, children(1))
       }))
 
   /** Register into an already-running session's function registry. */

@@ -102,6 +102,24 @@ class TextEquivalenceSpec extends AnyFunSuite {
     codegen.foreach { case (id, sh) => assert(sh == hof(id), s"doc $id") }
   }
 
+  test("graft_shingles generator == explode(shingles) HOF, via SQL") {
+    graft.GraftExtensions.register(spark)
+    val docs = docsDf(samples(textGen, 120))
+    docs.createOrReplaceTempView("sgl_probe")
+    for (n <- Seq(2, 3)) {
+      val hof = docs.select(col("doc_id"),
+        explode(shingles(col("text"), n)).as("shingle"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      val gen = spark.sql(
+        s"SELECT doc_id, s.shingle FROM sgl_probe " +
+          s"LATERAL VIEW graft_shingles(text, $n) s AS shingle")
+        .collect().map(r => (r.getLong(0), r.getString(1))).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      assert(gen == hof, s"n=$n") // same rows WITH multiplicity
+    }
+  }
+
   test("fingerprintRows fails loudly past the power-table cap") {
     val big = docsDf(Seq(Seq.fill(8200)("w").mkString(" ")))
     val e = intercept[Exception](fingerprintRows(big).collect())
