@@ -369,18 +369,20 @@ object TextPipeline {
         .withColumn("lbl", col("doc_id")).cache()
       var changed = 1L
       while (changed > 0) {
+        // self rows carry the old label through the same aggregate, so
+        // convergence needs no extra join: changed ⟺ some doc's
+        // min(neighbors+self) beat its old own label
         val prop = edges
           .join(labels, edges("d2") === labels("doc_id"))
-          .select(edges("d1").as("doc_id"), col("lbl"))
-        val next = labels.unionByName(prop)
-          .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl")).cache()
-        // one action per iteration: the convergence count materializes
-        // `next` (and caches it) as a side effect
-        changed = next
-          .join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-          .where(col("lbl") =!= col("old")).count()
+          .select(edges("d1").as("doc_id"), col("lbl"), lit(0).as("self"))
+        val next = labels.withColumn("self", lit(1)).unionByName(prop)
+          .groupBy(col("doc_id"))
+          .agg(min(col("lbl")).as("lbl"),
+            min(when(col("self") === 1, col("lbl"))).as("old"))
+          .cache()
+        changed = next.where(col("lbl") < col("old")).count()
         labels.unpersist()
-        labels = next
+        labels = next.select(col("doc_id"), col("lbl"))
       }
       val sizes = labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("cluster_size"))
