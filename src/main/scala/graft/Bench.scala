@@ -53,6 +53,12 @@ object Bench {
       // queries cache intermediates for their own self-joins; drop them so
       // caches don't accumulate memory pressure across the suite
       spark.catalog.clearCache()
+      // ContextCleaner frees shuffle/broadcast state only when the driver
+      // GCs the referencing objects; across 100+ executions the pending
+      // backlog grows per-action overhead severalfold (a 6-action query
+      // measured 9 s solo vs 49-65 s at suite end). An explicit GC per
+      // query keeps cleanup current — outside the timed window.
+      System.gc()
       perf.foreach(_.checkpoint(name))
       name -> elapsed
     }
