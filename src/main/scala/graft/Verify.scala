@@ -22,6 +22,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      // keep ContextCleaner's shuffle/broadcast cleanup current — pending
+      // backlog otherwise inflates per-action cost late in the run (see
+      // the same call in Bench)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
