@@ -33,7 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Spark tasks are allocation-heavy but short-lived; a small heap with
   // frequent cheap young GCs is the stable configuration.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // A 47-query suite generates hundreds of Janino classes (one per
+  // A 50+-query suite generates hundreds of Janino classes (one per
   // codegen stage, × warm+timed passes). The default 240 MB code cache
   // fills mid-suite and triggers flush/recompile churn — late queries
   // then time 5-15× their solo cost, at random. 1 GB fits the suite.
