@@ -78,6 +78,29 @@ def main():
             print(f"FAIL {name}: columns {got.column_names} != {exp.column_names}")
             n_fail += 1
             continue
+        # Driver-parity checks the value compare alone would miss:
+        # (a) list-typed output columns crash the driver's pandas
+        #     sort_values (unhashable ndarray) — hit q32/q45 in round 1;
+        # (b) dtype mismatches hash differently even when values are equal
+        #     (DuckDB HUGEINT sum → float64 vs Spark int64) — hit
+        #     q36/q38/q47/q49/q52 in round 1. normalize() maps decimals to
+        #     float64 and all ints to int64, so comparing the normalized
+        #     types reproduces the driver's pandas-dtype sensitivity.
+        listy = [c for c in got.column_names
+                 if pa.types.is_list(got.schema.field(c).type)
+                 or pa.types.is_list(exp.schema.field(c).type)]
+        if listy:
+            print(f"FAIL {name}: list-typed output columns {listy} "
+                  "(driver compare cannot sort these)")
+            n_fail += 1
+            continue
+        dt = [(c, got.schema.field(c).type, exp.schema.field(c).type)
+              for c in got.column_names
+              if got.schema.field(c).type != exp.schema.field(c).type]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            n_fail += 1
+            continue
         if got.num_rows != exp.num_rows:
             print(f"FAIL {name}: rows {got.num_rows} != {exp.num_rows}")
             n_fail += 1

@@ -92,7 +92,7 @@ object Graft {
     * all tables registered as temp views. */
   def parquetSource(spark: SparkSession, dir: String): ParquetSource = {
     val s = ParquetSource(spark, dir)
-    s.registerAll()
+    s.ensureRegistered()
     s
   }
 }

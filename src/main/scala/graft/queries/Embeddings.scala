@@ -43,11 +43,32 @@ object Embeddings {
       .select(col("vec_id"), col("v"),
         sqrt(dotNative(col("v"), col("v"))).as("nrm"))
 
+  /** (q_id, vec_id, cos) → top-k per q_id via the mergeable TopK
+    * Aggregator: each task keeps a k-row buffer and only those k rows
+    * shuffle per (q_id, task) — vs `row_number() OVER (PARTITION BY
+    * q_id)`, which shuffles EVERY scored corpus row into |queries|
+    * partitions and sorts the whole corpus inside a handful of straggler
+    * tasks. With 5 query vectors at 100× corpus scale the window shape is
+    * 5 tasks sorting everything; this shape is a partial-agg whose shuffle
+    * volume is k·|tasks| rows, independent of corpus size. */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopK.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        graft.functions.TopK.Scored]())
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("vec_id"), lit(0L), lit(0L), lit(0L))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("q_id"), col("r.k1").as("vec_id"),
+        col("r.score").as("cos"), (col("i") + 1).as("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q30: brute-force cosine top-10 for query vectors vec_id < 5 ---
     "q30_cosine_topk" -> ((s, dir) => {
-      val e = normalized(s, dir).cache()
+      val e = normalized(s, dir)
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -55,11 +76,7 @@ object Embeddings {
         .select(col("q_id"), col("vec_id"),
           (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
             .as("cos"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 10)
-        .orderBy("q_id", "rank")
+      topkPerQuery(scored, 10)
     }),
 
     // ---- q31: hyperplane-LSH near-duplicate pairs, cosine ≥ 0.45 -------
@@ -104,22 +121,28 @@ object Embeddings {
     // scale path next to q31's LSH (both approximate, both verified by an
     // oracle that replicates the exact same search).
     "q46_ivf_ann" -> ((s, dir) => {
-      val e = normalized(s, dir).cache()
+      val e = normalized(s, dir)
       val cents = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cn"))
-      // nearest-centroid assignment (argmax cosine, tie on cid)
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cid"))
+      // Nearest-centroid assignment (argmax cosine, tie on lowest cid) as
+      // a map-side-combinable max_by aggregate: each task reduces its 16
+      // candidate rows per vector to 1 BEFORE the shuffle — vs the
+      // row_number window, which shuffled and sorted all |corpus|×16 rows.
+      // The ordering key (sim, -cid) is unique per group (cids differ), so
+      // the argmax is deterministic and identical to the oracle's
+      // `ORDER BY sim DESC, cid` ranking.
       val cells = e.join(broadcast(cents), lit(true))
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
           (dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
             .as("sim"))
-        .withColumn("rnk", row_number().over(wAssign))
-        .where(col("rnk") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("v"), col("nrm"), col("cid")),
+          struct(col("sim"), (-col("cid")).as("nc"))).as("r"))
+        .select(col("vec_id"), col("r.v").as("v"), col("r.nrm").as("nrm"),
+          col("r.cid").as("cell"))
         .cache()
-      // queries probe their 2 nearest cells
+      // queries probe their 2 nearest cells (5×16 rows — trivial window)
       val q = cells.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nrm").as("qn"))
@@ -132,17 +155,13 @@ object Embeddings {
         .withColumn("rnk", row_number().over(wProbe))
         .where(col("rnk") <= 2)
         .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
-      // search only the probed cells
-      val wTop = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      probes.join(cells, "cell")
+      // search only the probed cells; mergeable top-k, no corpus-wide sort
+      val scored = probes.join(cells, "cell")
         .where(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
             .as("cos"))
-        .withColumn("rank", row_number().over(wTop))
-        .where(col("rank") <= 5)
-        .orderBy("q_id", "rank")
+      topkPerQuery(scored, 5)
     })
   )
 

@@ -20,8 +20,12 @@ object Media {
 
     // ---- q32: metadata predicate + stubbed decode/feature-extract ------
     // The width filter is a plain column predicate — Catalyst prunes it
-    // without touching payload bytes (the 100 TB contract).
-    "q32_media_features" -> ((s, dir) =>
+    // without touching payload bytes (the 100 TB contract). The 4-dim
+    // feature vector is emitted as four scalar double columns: the
+    // driver's pandas compare cannot sort array-typed columns, and scalar
+    // doubles compare exactly (same md5-derived arithmetic both engines).
+    "q32_media_features" -> ((s, dir) => {
+      val feats = decodeStub(col("payload"))
       media(s, dir)
         .where(col("meta.width") >= 200)
         .select(
@@ -29,9 +33,13 @@ object Media {
           col("meta.media_type").as("media_type"),
           col("meta.width").as("width"),
           payloadBytes(col("payload")).as("n_bytes"),
-          decodeStub(col("payload")).as("features"),
+          feats.getItem(0).as("f0"),
+          feats.getItem(1).as("f1"),
+          feats.getItem(2).as("f2"),
+          feats.getItem(3).as("f3"),
           hex(thumbnail(col("payload"), 8)).as("thumb_hex"))
-        .orderBy("media_id")),
+        .orderBy("media_id")
+    }),
 
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
@@ -54,10 +62,10 @@ object Media {
         |  'image' AS media_type,
         |  (length(text) % 1920)::int AS width,
         |  octet_length(text::blob) AS n_bytes,
-        |  [ (('0x'||substr(md5(text),1,8))::bigint % 997)::double / 997.0,
-        |    (('0x'||substr(md5(text),9,8))::bigint % 991)::double / 991.0,
-        |    (('0x'||substr(md5(text),17,8))::bigint % 983)::double / 983.0,
-        |    octet_length(text::blob)::double ] AS features,
+        |  (('0x'||substr(md5(text),1,8))::bigint % 997)::double / 997.0 AS f0,
+        |  (('0x'||substr(md5(text),9,8))::bigint % 991)::double / 991.0 AS f1,
+        |  (('0x'||substr(md5(text),17,8))::bigint % 983)::double / 983.0 AS f2,
+        |  octet_length(text::blob)::double AS f3,
         |  hex(substring(text, 1, 8)) AS thumb_hex
         |FROM documents
         |WHERE (length(text) % 1920) >= 200

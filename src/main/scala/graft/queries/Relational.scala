@@ -269,18 +269,47 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
-    // ---- Approximate sketches: HLL distinct + KLL percentile -----------
+    // ---- Approximate sketches: HLL distinct + approx percentile --------
     // Mergeable sketch state is the 100 TB shape (no exact-distinct
-    // shuffle of every key). Not SQL-reproducible bit-for-bit → no oracle
-    // entry; the driver records a rows-only check.
+    // shuffle of every key). Sketch internals are engine-specific (HLL++
+    // here, DuckDB's HLL / t-digest in the oracle), so raw estimates can
+    // never hash-match; the compared output is the EXACT values plus a
+    // per-engine "sketch within 5% of exact" boolean — each engine attests
+    // its own sketch accuracy, and the attestations agree deterministically
+    // because both sketches are comfortably inside the tolerance on this
+    // data (rsd=0.01 HLL ⇒ ~1% typical error; accuracy=10000 percentile
+    // sketch ⇒ exact at these group sizes).
+    // The two aggregate families run as SEPARATE passes joined on the
+    // 3-row group key: mixing two countDistinct columns (which plan an
+    // Expand ×3 of the input) with object-buffer aggregates (percentile /
+    // HLL / percentile_approx) pushes the distinct-key cardinality through
+    // ObjectHashAggregate's 128-entry fallback, degrading the whole query
+    // to a sort-based aggregate over the expanded input (59 s at sf0.1 —
+    // measured). Split, each pass keeps its natural fast shape: hash-agg
+    // with expansion for the distincts, partial-able object aggregates
+    // with 3 keys for the rest. The join is 3 rows — broadcast-trivial.
     "q35_approx_sketches" -> ((s, dir) => {
       val li = Graft.parquetSource(s, dir).table("lineitem")
-      li.groupBy(col("l_returnflag"))
+      val exact = li.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"))
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+      val sketches = li.groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("asup"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("am"))
+      exact.join(sketches, "l_returnflag")
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+          col("median_price"),
+          (abs(col("ap") - col("n_parts")).cast("double") /
+            col("n_parts").cast("double") < 0.05).as("parts_ok"),
+          (abs(col("asup") - col("n_supps")).cast("double") /
+            col("n_supps").cast("double") < 0.05).as("supps_ok"),
+          (abs(col("am") - col("median_price")) / col("median_price") < 0.05)
+            .as("median_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -381,15 +410,20 @@ object Relational {
 
     // ---- Array aggregation with deterministic ordering -----------------
     // collect_set/collect_list order is partition-dependent — sorting the
-    // collected arrays restores determinism at any parallelism.
+    // collected arrays restores determinism at any parallelism. The sorted
+    // arrays are serialized to comma-joined strings because the driver's
+    // pandas compare cannot sort list-typed columns (unhashable ndarray);
+    // integer→string formatting is identical across engines, so the
+    // serialization stays hash-deterministic.
     "q45_array_agg" -> ((s, dir) => {
       val li = Graft.parquetSource(s, dir).table("lineitem")
       li.where(col("l_suppkey") <= 5)
         .groupBy(col("l_suppkey"))
         .agg(
-          sort_array(collect_set(col("l_linestatus"))).as("statuses"),
-          slice(sort_array(collect_set(col("l_orderkey"))), 1, 3)
-            .as("first_oks"),
+          concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+            .as("statuses"),
+          concat_ws(",", slice(sort_array(collect_set(col("l_orderkey"))),
+            1, 3).cast("array<string>")).as("first_oks"),
           count(lit(1)).as("n"))
         .orderBy("l_suppkey")
     }),
@@ -422,8 +456,9 @@ object Relational {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       |), s AS (
       |  SELECT user_id, ts,
-      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+      |      AS session_id
       |  FROM x
       |)
       |SELECT user_id, session_id, count(*) AS n_events,
@@ -588,15 +623,27 @@ object Relational {
         |  quantile_cont(l_extendedprice, 0.75) AS price_q3
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    // q35_approx_sketches: intentionally no oracle (sketch internals are
-    // engine-specific); driver applies the rows-only check.
+    // q35: exact values compared directly; each engine independently
+    // attests its own sketch is within 5% of its own exact values.
+    "q35_approx_sketches" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  (abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))::double
+        |     / count(DISTINCT l_partkey)) < 0.05 AS parts_ok,
+        |  (abs(approx_count_distinct(l_suppkey) - count(DISTINCT l_suppkey))::double
+        |     / count(DISTINCT l_suppkey)) < 0.05 AS supps_ok,
+        |  (abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |     / quantile_cont(l_extendedprice, 0.5)) < 0.05 AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q36_sessionize_batch" -> sessionizeDuck,
 
     "q45_array_agg" ->
       """SELECT l_suppkey,
-        |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
-        |  list_slice(list_sort(list(DISTINCT l_orderkey)), 1, 3) AS first_oks,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  array_to_string(list_slice(list_sort(list(DISTINCT l_orderkey)), 1, 3), ',') AS first_oks,
         |  count(*) AS n
         |FROM lineitem WHERE l_suppkey <= 5
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
@@ -645,7 +692,7 @@ object Relational {
 
     "q38_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(json_extract_string(props, '$.k')::bigint) AS k_sum,
+        |  sum(json_extract_string(props, '$.k')::bigint)::bigint AS k_sum,
         |  min(json_extract_string(props, '$.k')::bigint) AS k_min,
         |  max(json_extract_string(props, '$.k')::bigint) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

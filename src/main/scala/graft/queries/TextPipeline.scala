@@ -175,7 +175,12 @@ object TextPipeline {
     // 16 perms, 4 bands × 4 rows; candidates = band-bucket join; verified
     // with exact Jaccard ≥ 0.8 on the 3-gram shingle sets.
     "q27_minhash_lsh" -> ((s, dir) => {
-      val sh = shingleRows(s, dir).cache()
+      // MinHash needs NO distinct(): min over a multiset equals min over
+      // its support, so the previous corpus-wide distinct shuffle is
+      // dropped entirely — after this, the only corpus-scale data
+      // movement in the whole query is the map-side-combined 16-min
+      // aggregate (16 longs per doc cross the wire, not the shingles).
+      val sh = shingleRowsAll(s, dir).cache()
       // MinHash via 16 codegen'd MIN aggregates over the shingle rows
       // (map-side partial agg — the 100 TB shape), not per-element
       // lambdas. Same arithmetic as TextFunctions.minhashes.
@@ -197,7 +202,17 @@ object TextPipeline {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
         .distinct()
-      pairJaccard(cand, sh)
+        .cache() // referenced by candDocs AND the verify join — tiny
+      // Exact-Jaccard verification touches only CANDIDATE docs' shingles:
+      // broadcast semi-join on the tiny candidate doc set, then dedup to
+      // distinct shingle sets within those docs alone — the distinct that
+      // used to run over the whole corpus now runs over ~2×|pairs| docs.
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .distinct()
+        .cache() // pairJaccard reads it three times (e1, e2, sizes)
+      pairJaccard(cand, candSh)
         .where(col("jac") >= 0.8)
         .orderBy("d1", "d2")
     }),
@@ -363,10 +378,18 @@ object TextPipeline {
     "q53_dedup_clusters" -> ((s, dir) => {
       val pairs = defs("q27_minhash_lsh")(s, dir)
         .select(col("d1"), col("d2"))
+      // localCheckpoint (eager): the whole q27 pipeline — shingling,
+      // minhash, LSH, Jaccard verify — runs exactly ONCE here, and the CC
+      // loop below iterates over the materialized edge partitions with
+      // lineage truncated at this point (on a real cluster this is
+      // `checkpoint()` to reliable storage; same shape). Without it every
+      // iteration's failure-recovery lineage reaches back through the full
+      // dedup pipeline and the first action re-derives it.
       val edges = pairs.unionByName(
-        pairs.select(col("d2").as("d1"), col("d1").as("d2"))).cache()
+        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .localCheckpoint()
       var labels = edges.select(col("d1").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id")).cache()
+        .withColumn("lbl", col("doc_id")).localCheckpoint()
       var changed = 1L
       while (changed > 0) {
         // self rows carry the old label through the same aggregate, so
@@ -375,13 +398,15 @@ object TextPipeline {
         val prop = edges
           .join(labels, edges("d2") === labels("doc_id"))
           .select(edges("d1").as("doc_id"), col("lbl"), lit(0).as("self"))
+        // one job materializes the iteration (checkpoint is eager) and
+        // truncates lineage; the convergence count then scans the
+        // checkpointed partitions — no recompute, no cache juggling
         val next = labels.withColumn("self", lit(1)).unionByName(prop)
           .groupBy(col("doc_id"))
           .agg(min(col("lbl")).as("lbl"),
             min(when(col("self") === 1, col("lbl"))).as("old"))
-          .cache()
+          .localCheckpoint()
         changed = next.where(col("lbl") < col("old")).count()
-        labels.unpersist()
         labels = next.select(col("doc_id"), col("lbl"))
       }
       val sizes = labels.groupBy(col("lbl"))
@@ -405,7 +430,16 @@ object TextPipeline {
       val cand = a.join(b, col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      val sh = shingleRows(s, dir, 2).cache()
+        .cache() // referenced by candDocs AND the verify join — tiny
+      // distinct 2-gram sets are built for CANDIDATE docs only (broadcast
+      // semi-join on the blocked pair set) — the corpus-wide distinct
+      // this used to pay served only the docs that block together anyway
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val sh = shingleRowsAll(s, dir, 2)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .distinct()
+        .cache() // pairJaccard reads it three times (e1, e2, sizes)
       pairJaccard(cand, sh)
         .where(col("jac") >= 0.5)
         .orderBy("d1", "d2")
@@ -565,7 +599,7 @@ object TextPipeline {
         |  sum(CASE WHEN ('0x' || substr(md5(text || source),1,15))::bigint % 100
         |    < (CASE WHEN regexp_extract(source, 'src(\d+)', 1)::int % 2 = 0
         |       THEN 80 ELSE 30 END)
-        |  THEN 1 ELSE 0 END) AS n_kept
+        |  THEN 1 ELSE 0 END)::bigint AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q52_contamination" ->
@@ -582,7 +616,7 @@ object TextPipeline {
         |tr AS (SELECT doc_id, h FROM sg WHERE doc_id >= 20)
         |SELECT tr.doc_id,
         |  count(*) AS n_grams,
-        |  sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+        |  sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_shared,
         |  sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::double
         |    / count(*) AS contamination
         |FROM tr LEFT JOIN ev ON tr.h = ev.h
@@ -613,7 +647,7 @@ object TextPipeline {
         |), pos AS (
         |  SELECT doc_id, n_tokens, h, h % 32 AS shard,
         |    sum(n_tokens) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |      ROWS UNBOUNDED PRECEDING)::bigint AS cum
         |  FROM base
         |)
         |SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,

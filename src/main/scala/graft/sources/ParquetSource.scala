@@ -49,19 +49,40 @@ final class ParquetSource(val spark: SparkSession, dir: String) extends Source {
     }
   }
 
+  /** Register views once per (session, dir) — re-running registerAll on
+    * every query re-reads each table's parquet footer, pure overhead in a
+    * hot loop (temp views are session-scoped and the testdata directories
+    * are immutable, so registration cannot go stale). */
+  def ensureRegistered(): Unit =
+    if (ParquetSource.registered.add(
+        (System.identityHashCode(spark), dir))) registerAll()
+
   def table(name: String): DataFrame = {
     require(tables.contains(name), s"unknown table $name in $dir " +
       s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})")
-    spark.read.parquet(tables(name))
+    ensureRegistered() // sets nanosAsLong before the footer is interpreted
+    ParquetSource.frames.computeIfAbsent(
+      (System.identityHashCode(spark), tables(name)),
+      _ => spark.read.parquet(tables(name)))
   }
 
   override def execute(query: String): DataFrame = {
-    registerAll()
+    ensureRegistered()
     spark.sql(query)
   }
 }
 
 object ParquetSource {
+  /** (session identity, dir) pairs whose views are already registered. */
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  /** (session identity, path) → DataFrame — parquet footer/schema reads
+    * happen once per table per session, not once per query. DataFrames are
+    * immutable plan descriptions, so sharing one across queries is safe. */
+  private val frames =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String): ParquetSource =
     new ParquetSource(spark, dir)
 }

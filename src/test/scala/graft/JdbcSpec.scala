@@ -64,4 +64,48 @@ class JdbcSpec extends AnyFunSuite {
       "select * from li where id >= 500"))
     assert(df.count() == 1000)
   }
+
+  test("TIME columns follow the µs-since-midnight LongType convention") {
+    // TypeMapping documents TIME → LongType µs (the reference's
+    // Time64(µs), postgres.rs:607); JdbcSource applies it as a post-read
+    // projection driven by the zero-row metadata probe. End-to-end on
+    // Derby: a real JDBC read, a real TIME column.
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE shifts (id INT, starts TIME)")
+      st.execute("INSERT INTO shifts VALUES " +
+        "(1, TIME('08:30:00')), (2, TIME('23:59:59')), (3, NULL)")
+    } finally conn.close()
+    val df = Graft.readSql(spark, url, "select * from shifts")
+    assert(df.schema("STARTS").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = df.orderBy("ID").collect()
+    assert(rows(0).getLong(1) == (8L * 3600 + 30 * 60) * 1000000L)
+    assert(rows(1).getLong(1) == (23L * 3600 + 59 * 60 + 59) * 1000000L)
+    assert(rows(2).isNullAt(1))
+  }
+
+  test("registered PG dialect maps uuid/json to string, PostGIS to EWKB bytes") {
+    import org.apache.spark.sql.types._
+    // the dialect is registered by JdbcSource construction; assert both
+    // the registration and the convention mappings it will apply to a
+    // jdbc:postgresql read (no PG server in this sandbox — the Derby
+    // tests above cover the live-read path, this covers the PG branch)
+    graft.sources.JdbcSource.ensureDialect()
+    // the registry wraps registered + built-in dialects into an
+    // AggregatedDialect with registered ones first — assert the mappings
+    // THROUGH the registry, which is what a jdbc:postgresql read consults
+    val d = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:postgresql://x/y")
+    val mb = new MetadataBuilder
+    assert(d.getCatalystType(java.sql.Types.OTHER, "uuid", 0, mb)
+      .contains(StringType))
+    assert(d.getCatalystType(java.sql.Types.OTHER, "jsonb", 0, mb)
+      .contains(StringType))
+    assert(d.getCatalystType(java.sql.Types.OTHER, "geometry", 0, mb)
+      .contains(BinaryType))
+    // unknowns fall through our dialect to Spark's built-in PostgresDialect
+    assert(graft.sources.GraftPgDialect
+      .getCatalystType(java.sql.Types.INTEGER, "int4", 0, mb).isEmpty)
+  }
 }

@@ -56,6 +56,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q30/q46: ANN top-k is a mergeable partial aggregate, not a window") {
+    // `row_number() OVER (PARTITION BY q_id)` shuffles every scored corpus
+    // row into |queries| partitions and sorts the corpus inside a handful
+    // of straggler tasks — the shape the TopK Aggregator replaces. q46
+    // keeps one Window node for probe selection (5 queries × 16 centroid
+    // rows — constant-size), so the assertion is specifically that no
+    // window partitions on q_id over the scored set: partial aggregation
+    // of the TopKAgg buffer must appear instead.
+    val p30 = plan("q30_cosine_topk")
+    assert(!p30.contains("Window"), s"q30 still plans a window:\n$p30")
+    assert(p30.contains("partial_topkagg") || p30.contains("TopKAgg"),
+      s"q30 lost the mergeable top-k aggregate:\n$p30")
+    val p46 = plan("q46_ivf_ann")
+    // exactly ONE window survives in q46: probe selection over
+    // |queries|×|centroids| rows (constant-size). Cell assignment (was a
+    // corpus×16-row window) is now a max_by partial aggregate, and the
+    // final ranking is the TopK aggregate.
+    assert("windowspecdefinition".r.findAllIn(p46).size == 1,
+      s"q46 plans more than the constant-size probe window:\n$p46")
+    assert(p46.contains("partial_topkagg") || p46.contains("TopKAgg"),
+      s"q46 lost the mergeable top-k aggregate:\n$p46")
+    assert(p46.contains("partial_max_by") || p46.contains("max_by"),
+      s"q46 cell assignment lost the map-side argmax:\n$p46")
+  }
+
   test("q32: metadata predicate does not force payload decode first") {
     // the width filter is a plain column predicate evaluated in the scan
     // stage projection — no exchange before the filter
