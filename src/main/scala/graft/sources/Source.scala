@@ -60,6 +60,22 @@ trait Source {
     queries.map(q => toLong(execute(
       s"select count(*) as cnt from ($q) as q_count").collect().head.get(0)))
 
+  /** First table referenced in the query's FROM clause — the reference's
+    * `get_table_name` (conecta-core/src/source/postgres.rs:532-554, which
+    * walks a sqlparser AST the same way). Spark-native: Catalyst's SQL
+    * parser produces the logical plan, and the first UnresolvedRelation in
+    * top-down/left-to-right order IS the first FROM-clause table — no
+    * hand-rolled SQL string parsing, full dialect coverage (CTEs,
+    * subqueries, joins) for free. */
+  def tableName(query: String): String = {
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    plan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.mkString(".")
+    }.getOrElse(throw new IllegalArgumentException(
+      s"could not extract a table name from: $query"))
+  }
+
   /** Execute one SQL query against this source, returning a DataFrame. */
   def execute(query: String): DataFrame
 

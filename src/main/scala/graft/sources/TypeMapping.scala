@@ -41,13 +41,14 @@ object TypeMapping {
     case "timestamp" => TimestampNTZType
     // --- superset beyond the reference (it panics on these) ---
     case "timestamptz" | "timestamp with time zone" => TimestampType
-    case t if t.startsWith("numeric") || t.startsWith("decimal") =>
-      parseDecimal(t)
     case "interval" => DayTimeIntervalType()
     case "json" | "jsonb" => StringType
-    // --- arrays ---
+    // --- arrays (before the prefix-guarded scalars: "numeric(10,2)[]"
+    //     must recurse on its element type, not parse as a decimal) ---
     case t if t.startsWith("_") => ArrayType(pgTypeToSpark(t.drop(1)))
     case t if t.endsWith("[]") => ArrayType(pgTypeToSpark(t.dropRight(2)))
+    case t if t.startsWith("numeric") || t.startsWith("decimal") =>
+      parseDecimal(t)
     // --- geometric ---
     case "point" | "line" | "circle" | "box" | "lseg" | "path" | "polygon" =>
       ArrayType(DoubleType)

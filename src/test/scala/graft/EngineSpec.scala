@@ -88,4 +88,18 @@ class EngineSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("table-name extraction finds the first FROM table (postgres.rs:532-554)") {
+    val src = Graft.parquetSource(spark, dir)
+    assert(src.tableName("select * from lineitem") == "lineitem")
+    assert(src.tableName(
+      "select * from orders o join customer c on o.o_custkey = c.c_custkey")
+      == "orders")
+    assert(src.tableName(
+      "with big as (select * from nation) select * from region") == "region")
+    assert(src.tableName("select * from (select * from part) p") == "part")
+    assert(src.tableName("select l_orderkey from db.schema.lineitem")
+      == "db.schema.lineitem")
+    assertThrows[IllegalArgumentException](src.tableName("select 1"))
+  }
 }

@@ -53,4 +53,57 @@ class TypeMappingSpec extends AnyFunSuite {
   test("unknown types raise (matching to_native_ty's panic contract)") {
     intercept[IllegalArgumentException](pgTypeToSpark("tsvector"))
   }
+
+  test("full pg_datatypes_ddl.sql type zoo: every column maps or fails loudly") {
+    // The reference's integration DDL, column per column
+    // (conecta-python/conecta/tests/test_data/pg_datatypes_ddl.sql).
+    // Three classes: (a) reference-supported types MUST map; (b) types the
+    // reference panics on but this engine supports (documented superset)
+    // MUST map; (c) types neither supports MUST throw loudly — silent
+    // fallback to a wrong type is the only unacceptable outcome.
+    val referenceSupported = Seq(
+      "serial" -> IntegerType, "smallint" -> ShortType,
+      "integer" -> IntegerType, "bigint" -> LongType,
+      "real" -> FloatType, "double precision" -> DoubleType,
+      "char" -> StringType, "varchar" -> StringType, "text" -> StringType,
+      "boolean" -> BooleanType, "date" -> DateType, "time" -> LongType,
+      "timestamp" -> TimestampNTZType, "uuid" -> StringType,
+      "bytea" -> BinaryType,
+      "point" -> ArrayType(DoubleType), "circle" -> ArrayType(DoubleType),
+      "line" -> ArrayType(DoubleType), "box" -> ArrayType(DoubleType),
+      "lseg" -> ArrayType(DoubleType), "path" -> ArrayType(DoubleType),
+      "polygon" -> ArrayType(DoubleType),
+      "integer[]" -> ArrayType(IntegerType),
+      "text[]" -> ArrayType(StringType),
+      "smallint[]" -> ArrayType(ShortType),
+      "bigint[]" -> ArrayType(LongType),
+      "real[]" -> ArrayType(FloatType),
+      "double precision[]" -> ArrayType(DoubleType),
+      "varchar[]" -> ArrayType(StringType),
+      "boolean[]" -> ArrayType(BooleanType),
+      "uuid[]" -> ArrayType(StringType),
+      "bytea[]" -> ArrayType(BinaryType))
+    for ((t, expected) <- referenceSupported)
+      assert(pgTypeToSpark(t) == expected, t)
+
+    val supersetSupported = Seq(
+      "numeric(10, 2)" -> DecimalType(10, 2),
+      "numeric(12, 4)" -> DecimalType(12, 4),
+      "interval" -> DayTimeIntervalType(),
+      "json" -> StringType, "jsonb" -> StringType,
+      "timestamp with time zone" -> TimestampType,
+      "numeric(10, 2)[]" -> ArrayType(DecimalType(10, 2)),
+      "json[]" -> ArrayType(StringType),
+      "jsonb[]" -> ArrayType(StringType),
+      "timestamp with time zone[]" -> ArrayType(TimestampType),
+      "interval[]" -> ArrayType(DayTimeIntervalType()))
+    for ((t, expected) <- supersetSupported)
+      assert(pgTypeToSpark(t) == expected, t)
+
+    // neither engine supports these (reference panics; we throw):
+    // timetz (no Spark counterpart), range types, and their arrays
+    for (t <- Seq("time with time zone", "int4range", "numrange", "tsrange",
+        "int4range[]", "numrange[]", "tsrange[]", "time with time zone[]"))
+      intercept[IllegalArgumentException](pgTypeToSpark(t))
+  }
 }
