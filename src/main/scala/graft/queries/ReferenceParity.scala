@@ -85,7 +85,19 @@ object ReferenceParity {
         .orderBy("l_orderkey")),
 
     // O16: sqlBind parameter binding + IDENT quoting (test_bind.py:4-22)
-    "q09_sql_bind" -> ((s, dir) => source(s, dir).execute(bindSpark))
+    "q09_sql_bind" -> ((s, dir) => source(s, dir).execute(bindSpark)),
+
+    // The baseline-comparable load shape. The reference's BASELINE.md
+    // anchors time an UNSORTED Arrow load; q01's global ORDER BY exists
+    // only to make row order deterministic for the compare. The driver's
+    // compare is row-order-invariant (it sorts rows by every column
+    // before hashing — its round-1 failure on array columns crashed
+    // inside that very pandas sort), so this entry omits the sort on
+    // BOTH sides: the honest apples-to-apples scan number, and its
+    // correctness row is direct evidence for whether the presentation
+    // sorts elsewhere in the suite are droppable.
+    "q54_scan_unsorted" -> ((s, dir) =>
+      Graft.readSql(s, dir, Seq("select * from lineitem")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +120,7 @@ object ReferenceParity {
       "SELECT * FROM lineitem LIMIT 0",
     "q08_projection" ->
       "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey",
-    "q09_sql_bind" -> bindDuck
+    "q09_sql_bind" -> bindDuck,
+    "q54_scan_unsorted" -> "SELECT * FROM lineitem"
   )
 }
