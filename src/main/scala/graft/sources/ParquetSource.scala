@@ -54,15 +54,13 @@ final class ParquetSource(val spark: SparkSession, dir: String) extends Source {
     * hot loop (temp views are session-scoped and the testdata directories
     * are immutable, so registration cannot go stale). */
   def ensureRegistered(): Unit =
-    if (ParquetSource.registered.add(
-        (System.identityHashCode(spark), dir))) registerAll()
+    if (ParquetSource.registered.add((spark, dir))) registerAll()
 
   def table(name: String): DataFrame = {
     require(tables.contains(name), s"unknown table $name in $dir " +
       s"(have: ${tables.keys.toSeq.sorted.mkString(", ")})")
     ensureRegistered() // sets nanosAsLong before the footer is interpreted
-    ParquetSource.frames.computeIfAbsent(
-      (System.identityHashCode(spark), tables(name)),
+    ParquetSource.frames.computeIfAbsent((spark, tables(name)),
       _ => spark.read.parquet(tables(name)))
   }
 
@@ -73,15 +71,18 @@ final class ParquetSource(val spark: SparkSession, dir: String) extends Source {
 }
 
 object ParquetSource {
-  /** (session identity, dir) pairs whose views are already registered. */
+  /** (session, dir) pairs whose views are already registered. Sessions key
+    * by reference equality (SparkSession has no value equals), which is
+    * collision-free; the strong reference is fine — a JVM holds a handful
+    * of sessions, not a stream of them. */
   private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
-  /** (session identity, path) → DataFrame — parquet footer/schema reads
-    * happen once per table per session, not once per query. DataFrames are
+  /** (session, path) → DataFrame — parquet footer/schema reads happen
+    * once per table per session, not once per query. DataFrames are
     * immutable plan descriptions, so sharing one across queries is safe. */
-  private val frames =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private val frames = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String): ParquetSource =
     new ParquetSource(spark, dir)
