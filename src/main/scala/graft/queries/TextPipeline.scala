@@ -416,6 +416,43 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q55: per-document top-k term frequency ------------------------
+    // The "characteristic terms" primitive of vocab/tokenizer pipelines:
+    // explode → per-(doc, term) count (map-side combinable) → top-3 per
+    // doc. The window partitions by doc_id with group size bounded by a
+    // document's distinct-term count — per-key bounded windows distribute
+    // evenly at any corpus size (unlike the per-QUERY windows q30/q46
+    // replaced, whose partition count was tiny and data-proportional).
+    "q55_term_frequency" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val tf = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("term"))
+      tf.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), col("n"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // ---- q56: corpus vocabulary with document frequency ----------------
+    // The vocab-building step of tokenizer training: per-term document
+    // frequency + total occurrences, min-df filtered, top-30. Pure
+    // wordcount shape — every aggregate is map-side combinable and the
+    // final top-30 is a TakeOrderedAndProject, so at 100 TB only
+    // per-task partial (term, df, tf) triples cross the wire.
+    "q56_vocabulary" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .where(col("df") >= 5)
+        .orderBy(col("df").desc, col("term"))
+        .limit(30)
+    }),
+
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
@@ -653,6 +690,29 @@ object TextPipeline {
         |SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
         |  (cum - n_tokens) // 512 AS pack_id
         |FROM pos ORDER BY shard, start_off, doc_id""".stripMargin,
+
+    "q55_term_frequency" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS n FROM tok GROUP BY doc_id, term
+        |)
+        |SELECT doc_id, rnk, term, n FROM (
+        |  SELECT doc_id, term, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, term) AS rnk
+        |  FROM tf
+        |) WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q56_vocabulary" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |)
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |FROM tok GROUP BY term
+        |HAVING count(DISTINCT doc_id) >= 5
+        |ORDER BY df DESC, term LIMIT 30""".stripMargin,
 
     "q29_ngram_jaccard" ->
       """WITH ws AS (
