@@ -224,23 +224,40 @@ object TextPipeline {
       // Three narrow codegen stages instead of one 48-column aggregate:
       // (1) explode shingles THEN hash, so md5 runs per-row inside
       // whole-stage codegen rather than inside an interpreted HOF lambda;
-      // (2) explode the 48 bit indices into rows, so the vote sum is one
-      // tiny expression — the previous 48-sum aggregate generated a
-      // method too large for the JIT and ran bytecode-interpreted
-      // (~9.5 s for 260 k rows; this shape is <1 s and each stage keeps
-      // map-side partial aggregation, the 100 TB shape);
-      // (3) fold signed votes back into the 48-bit signature.
+      // (2) explode CHUNK indices (12 chunks × 4 bits, not 48 single
+      // bits): each row packs its chunk's four 0/1 bit values into
+      // 16-bit fields of one long, so a plain SUM accumulates four
+      // bit-POPCOUNTS at once — sign(Σ±1) ≡ 2·count¹ > n, so counting
+      // ones loses nothing. 4× fewer exploded rows than the per-bit
+      // shape for the same per-row expression size (the tiny methods
+      // are what keep the JIT compiling them; the single 48-sum
+      // aggregate was one giant update method and ran interpreted,
+      // ~9.5 s for 260 k rows). Field overflow needs 2^16 shingles in
+      // one document — an order of magnitude above any real document.
+      // Each stage keeps map-side partial aggregation: shuffle volume is
+      // 12 longs per document, independent of shingle count — the
+      // 100 TB shape;
+      // (3) unpack counts and fold the 48 bit decisions back into the
+      // signature.
       val exploded = shingleRows(s, dir)
+      val packedBits = (0 until 4).map { k =>
+        // bit b = 4·chunk + k of the per-shingle rehash, shifted to field k
+        shiftleft(((col("h") * ((col("c") * 4 + k) * 2 + 1) +
+          (col("c") * 4 + k)) % P).bitwiseAND(lit(1L)), 16 * k)
+      }.reduce(_ + _)
       val votes = exploded
         .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(47))).as("b"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(((col("h") * (col("b") * 2 + 1) + col("b")) % P)
-          .bitwiseAND(lit(1L)) * 2 - 1).as("v"))
+          explode(sequence(lit(0), lit(11))).as("c"))
+        .groupBy(col("doc_id"), col("c"))
+        .agg(sum(packedBits).as("s"), count(lit(1)).as("n"))
+      val chunkSig = (0 until 4).map { k =>
+        when(shiftright(col("s"), 16 * k).bitwiseAND(lit(0xFFFFL)) * 2
+          > col("n"),
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(c * 4 + $k AS INT))"))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
       val sim = votes.groupBy(col("doc_id"))
-        .agg(sum(when(col("v") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-          .otherwise(lit(0L))).as("sh"))
+        .agg(sum(chunkSig).as("sh"))
         .cache() // tiny (one row per doc); avoids recompute in self-join
       val chunks = array((0 until 8).map(c =>
         shiftright(col("sh"), 6 * c).bitwiseAND(lit(63L))): _*)
