@@ -255,6 +255,10 @@ object Relational {
       Graft.parquetSource(s, dir).execute(cteExistsSql)),
 
     // ---- Summary statistics: exact percentiles -------------------------
+    // Both price quantiles come from ONE percentile(col, array(...))
+    // aggregate: a single value buffer per group serves any number of
+    // requested quantiles, vs one full 6M-value buffer per separate
+    // percentile() call.
     "q34_summary_stats" -> ((s, dir) => {
       val li = Graft.parquetSource(s, dir).table("lineitem")
       li.groupBy(col("l_returnflag"))
@@ -264,8 +268,12 @@ object Relational {
           max(col("l_quantity")).as("qty_max"),
           dsum(col("l_quantity")).as("qty_sum"),
           percentile(col("l_quantity"), lit(0.5)).as("qty_median"),
-          percentile(col("l_extendedprice"), lit(0.25)).as("price_q1"),
-          percentile(col("l_extendedprice"), lit(0.75)).as("price_q3"))
+          percentile(col("l_extendedprice"),
+            array(lit(0.25), lit(0.75))).as("price_q"))
+        .select(col("l_returnflag"), col("n"), col("qty_min"),
+          col("qty_max"), col("qty_sum"), col("qty_median"),
+          col("price_q").getItem(0).as("price_q1"),
+          col("price_q").getItem(1).as("price_q3"))
         .orderBy("l_returnflag")
     }),
 

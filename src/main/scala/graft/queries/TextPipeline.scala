@@ -24,19 +24,6 @@ object TextPipeline {
 
   private val P = HashP // 2^31-1
 
-  /** doc_id, words, distinct 3-gram shingle hashes — shared scan base.
-    * The repartition matters: the testdata parquet is a single row group,
-    * so without it ALL per-document hashing lands on one task. At cluster
-    * scale the same applies whenever upstream files are few/large —
-    * spreading rows across the default parallelism BEFORE expensive
-    * per-row compute is the correct shape at any scale. */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
-    val d = Graft.parquetSource(s, dir).table("documents")
-    d.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-      .where(size(words(col("text"))) >= 3)
-  }
-
   /** (doc_id, h): distinct word-n-gram shingle hashes as ROWS, with no
     * higher-order functions anywhere in the plan. Shingles are built by
     * posexploding the token stream and stitching each token to its n-1
