@@ -127,24 +127,27 @@ object TextFunctions {
     array_distinct(transform(shingles(c, n),
       s => pmod(hash60(s), lit(HashP))))
 
-  /** Shingle hashes as ROWS with multiplicity — the codegen formulation
-    * of [[shingleHashes]] (equivalence property-tested): the token stream
-    * is posexploded and each token stitched to its n−1 successors with
-    * window `lead`, so shingling, hashing, and everything downstream stay
-    * inside whole-stage codegen (lambda HOFs are interpreted AND
-    * JIT-unstable — 3 s to 90 s run-to-run for the same plan). Expects
+  /** Shingle hashes as ROWS with multiplicity, via the native
+    * [[ShinglesExpr]] generator — one iterator per input row, rows out
+    * MAP-SIDE with no shuffle at all (equivalence property-tested against
+    * the HOF formulation; lambda HOFs are interpreted AND JIT-unstable —
+    * 3 s to 90 s run-to-run for the same plan). An earlier formulation
+    * stitched posexploded tokens with window `lead`: fully codegen'd, but
+    * it paid a corpus-wide hash-shuffle + sort of every TOKEN row before
+    * any shingle existed. The generator needs neither; only the small
+    * repartition of raw documents (testdata is a single row group — at
+    * real scale with many input files even that drops away). Expects
     * `doc_id`/`text` columns; keeps docs with ≥ 3 words; returns
     * (doc_id, h). */
   def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until n).map(k => lead("w", k).over(w).as(s"w$k"))
-    val parts = col("w") +: (1 until n).map(k => col(s"w$k"))
-    docs.where(size(words(col("text"))) >= 3)
-      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "w")))
-      .select(col("doc_id") +: col("pos") +: col("w") +: leads: _*)
-      .where(col(s"w${n - 1}").isNotNull) // concat_ws drops nulls: full n-grams only
+    import org.apache.spark.sql.GraftArrowBridge.{column, expression}
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    spread.where(size(words(col("text"))) >= 3)
       .select(col("doc_id"),
-        pmod(hash60(concat_ws(" ", parts: _*)), lit(HashP)).as("h"))
+        column(ShinglesExpr(expression(col("text")),
+          expression(lit(n)))).as("s"))
+      .select(col("doc_id"), pmod(hash60(col("s")), lit(HashP)).as("h"))
   }
 
   /** k MinHash signatures over a distinct-hash set: permutation j is
