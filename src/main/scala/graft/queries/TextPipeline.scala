@@ -97,14 +97,19 @@ object TextPipeline {
       // interpreted transform/aggregate lambdas computed the same values
       // but outside codegen (and with unstable run-to-run JIT cost).
       val lc = lower(col("text"))
+      // distinct() once then plain counts: two countDistinct columns
+      // would plan an Expand ×2 of the (doc, trigram) rows — the distinct
+      // pair set is computed a single time and both counts are cheap
+      // map-side-combinable aggregates over it
       val tgAgg = d.select(col("doc_id"), lc.as("lc"))
         .where(length(col("lc")) >= 3)
         .select(col("doc_id"), col("lc"),
           explode(sequence(lit(1), length(col("lc")) - 2)).as("i"))
         .select(col("doc_id"), substr(col("lc"), col("i"), lit(3)).as("tg"))
+        .distinct()
         .groupBy(col("doc_id"))
-        .agg(countDistinct(col("tg")).as("n_tg"),
-          countDistinct(when(col("tg").isin(enTrigrams: _*), col("tg")))
+        .agg(count(lit(1)).as("n_tg"),
+          sum(when(col("tg").isin(enTrigrams: _*), 1L).otherwise(0L))
             .as("n_en_tg"))
       val swAggs = count(lit(1)).as("nw") +: langs.map { case (l, sw) =>
         sum(when(col("w").isin(sw: _*), 1).otherwise(0)).as(s"c_$l")
