@@ -81,6 +81,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q46 cell assignment lost the map-side argmax:\n$p46")
   }
 
+  test("q54: unsorted scan plans as a bare columnar read — no exchange, no sort") {
+    val p = plan("q54_scan_unsorted")
+    assert(!p.contains("Exchange"), s"q54 moves data:\n$p")
+    assert(!p.contains("Sort"), s"q54 sorts:\n$p")
+    assert(p.contains("FileScan parquet"))
+  }
+
+  test("q56: vocabulary is partial-agg + TakeOrdered, never a global sort") {
+    val p = plan("q56_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"), s"q56 sorts globally:\n$p")
+    assert(p.contains("partial_"), s"q56 lost map-side combine:\n$p")
+  }
+
   test("q32: metadata predicate does not force payload decode first") {
     // the width filter is a plain column predicate evaluated in the scan
     // stage projection — no exchange before the filter
