@@ -462,6 +462,36 @@ object TextPipeline {
         .limit(30)
     }),
 
+    // ---- q57: rare-token quality score ---------------------------------
+    // The LM-filter proxy of CCNet-style pipelines without the
+    // engine-divergent log arithmetic: a token is "rare" when its corpus
+    // document frequency is under 10% of the corpus (integer compare —
+    // df·10 < n_docs — so the threshold is SF-invariant and exactly
+    // reproducible), and each document scores the fraction of its tokens
+    // that are rare. At 100 TB the document-frequency table is
+    // VOCABULARY-sized, so the rare set broadcasts and the corpus token
+    // stream never shuffles — only per-doc count pairs move (map-side
+    // combine), the q52 shape.
+    "q57_rare_token_score" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val tok = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val dfreq = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val rare = dfreq.crossJoin(broadcast(nDocs))
+        .where(col("df") * 10 < col("n_docs"))
+        .select(col("term"), lit(1L).as("rare"))
+      tok.join(broadcast(rare), Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("rare"), lit(0L))).as("n_rare"))
+        .select(col("doc_id"), col("n_tokens"), col("n_rare"),
+          (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+            .as("rare_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
@@ -722,6 +752,23 @@ object TextPipeline {
         |FROM tok GROUP BY term
         |HAVING count(DISTINCT doc_id) >= 5
         |ORDER BY df DESC, term LIMIT 30""".stripMargin,
+
+    "q57_rare_token_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), rare AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        |  ) WHERE df * 10 < (SELECT count(DISTINCT doc_id) FROM documents)
+        |)
+        |SELECT tok.doc_id,
+        |  count(*) AS n_tokens,
+        |  sum(CASE WHEN rare.term IS NOT NULL THEN 1 ELSE 0 END)::bigint AS n_rare,
+        |  sum(CASE WHEN rare.term IS NOT NULL THEN 1 ELSE 0 END)::double
+        |    / count(*) AS rare_ratio
+        |FROM tok LEFT JOIN rare ON tok.term = rare.term
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
     "q29_ngram_jaccard" ->
       """WITH ws AS (
