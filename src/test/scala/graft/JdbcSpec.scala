@@ -86,6 +86,27 @@ class JdbcSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
   }
 
+  test("TIME convention also applies on the partitioned-read path") {
+    // readPlan goes through spark.read.jdbc(url, table, predicates, props)
+    // rather than execute() — the conventions projection must cover both.
+    val conn = DriverManager.getConnection(s"$url;create=true")
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE shifts2 (id BIGINT NOT NULL, starts TIME)")
+      st.execute("INSERT INTO shifts2 VALUES " +
+        "(1, TIME('01:00:00')), (2, TIME('02:00:00'))," +
+        "(3, TIME('03:00:00')), (4, TIME('04:00:00'))")
+    } finally conn.close()
+    val df = Graft.readSql(spark, url, Seq("select * from shifts2"),
+      partitionOn = Some("id"), partitionNum = Some(2))
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.schema("STARTS").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val rows = df.orderBy("ID").collect()
+    assert(rows.map(_.getLong(1)).toSeq ==
+      (1 to 4).map(h => h * 3600L * 1000000L))
+  }
+
   test("registered PG dialect maps uuid/json to string, PostGIS to EWKB bytes") {
     import org.apache.spark.sql.types._
     // the dialect is registered by JdbcSource construction; assert both
