@@ -400,7 +400,16 @@ object TextPipeline {
       var labels = edges.select(col("d1").as("doc_id")).distinct()
         .withColumn("lbl", col("doc_id")).localCheckpoint()
       var changed = 1L
+      var iter = 0
       while (changed > 0) {
+        // min-label propagation converges in O(component diameter)
+        // iterations; near-dup components are shallow. A pathological
+        // input (a 100-link chain of pairwise near-dups) should fail
+        // loudly rather than spin — past this bound, large-star/
+        // small-star contraction is the right algorithm.
+        iter += 1
+        require(iter <= 100,
+          "dedup-cluster label propagation exceeded 100 iterations")
         // self rows carry the old label through the same aggregate, so
         // convergence needs no extra join: changed ⟺ some doc's
         // min(neighbors+self) beat its old own label
