@@ -79,4 +79,33 @@ class GeoSpec extends AnyFunSuite {
   test("scientific-notation coordinates survive parsing") {
     assert(Geo.parseGeoText("point", "(1e3,-2.5E-2)").toSeq == Seq(1000.0, -0.025))
   }
+
+  test("property: random geometries round-trip through EWKB exactly") {
+    // generator-driven encode→decode identity over random coordinate
+    // lists, both endiannesses, with/without SRID (same raw-Gen pattern
+    // as PartitionPropSpec — the scalatestplus bridge is offline)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+    val coord = Gen.chooseNum(-1e6, 1e6)
+    val geomGen = for {
+      kind <- Gen.oneOf(1, 2, 3)
+      nPts <- Gen.chooseNum(1, 40)
+      pts <- Gen.listOfN(nPts * 2, coord)
+      big <- Gen.oneOf(true, false)
+      srid <- Gen.option(Gen.chooseNum(1, 999999))
+    } yield (kind, pts, big, srid)
+    samples(geomGen, 300).foreach { case (kind, pts, big, srid) =>
+      val order = if (big) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+      val coords = if (kind == 1) pts.take(2) else pts
+      val bytes = ewkb(order, kind, srid, { b =>
+        if (kind == 2) b.putInt(coords.length / 2)
+        if (kind == 3) { b.putInt(1); b.putInt(coords.length / 2) }
+        coords.foreach(b.putDouble)
+      })
+      assert(Geo.decodeEwkb(bytes).toSeq == coords,
+        s"kind=$kind n=${coords.length} big=$big srid=$srid")
+    }
+  }
 }
