@@ -61,6 +61,70 @@ object TextPipeline {
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
   }
 
+  /** Exact-duplicate pre-collapse for the near-dup queries. Dedup corpora
+    * are duplicate-heavy BY DEFINITION, and word-identical documents share
+    * every band/block key, so feeding them straight into a bucket
+    * self-join makes one bucket quadratic (10⁶ identical docs → 10¹²
+    * candidate pairs before any filter). Collapsing each
+    * identical-word-sequence group to its min-doc_id representative first
+    * keeps candidate generation linear in DISTINCT content — and the
+    * doc-level answer is recovered EXACTLY by [[expandRepPairs]]:
+    * identical word sequences have identical shingle sets, hence
+    * jaccard 1 within a group (passes any threshold) and identical
+    * minhash signatures / band keys / block keys, hence cross-group
+    * candidacy and similarity equal to their representatives'. All joins
+    * here are doc-level (narrow rows, one per document) — the expensive
+    * shingle stream is only ever built for representatives.
+    * Returns (gk, doc_id, rep) for docs with ≥ `minWords` words. */
+  private def exactGroups(d: DataFrame, minWords: Int): DataFrame = {
+    val keyed = d.where(size(words(col("text"))) >= minWords)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", words(col("text")))).as("gk"))
+    val reps = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
+    keyed.join(reps, "gk")
+  }
+
+  /** Degenerate-input guard for bucket self-joins: buckets larger than
+    * `graft.dedup.maxBucket` (default 2000 — far above anything real
+    * data produces AFTER exact-duplicate collapse, so oracle parity at
+    * the test SFs is unaffected) are DROPPED from candidate generation,
+    * loudly: the skip count and largest bucket land in
+    * [[graft.tools.DedupGuard]] and a WARN log line. The size scan is
+    * rep-level (a few rows per representative doc) — the one extra
+    * eager job costs far less than the quadratic join it prevents. */
+  private def capBuckets(keyed: DataFrame, keys: Seq[String],
+      s: SparkSession, what: String): DataFrame = {
+    val cap = s.conf.get("graft.dedup.maxBucket", "2000").toInt
+    val sizes = keyed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz")).cache()
+    val stats = sizes.where(col("bsz") > cap)
+      .agg(count(lit(1)).as("n"), max(col("bsz")).as("mx")).head()
+    if (stats.getLong(0) > 0)
+      graft.tools.DedupGuard.noteSkipped(
+        stats.getLong(0), stats.getLong(1), cap, what)
+    keyed.join(sizes.where(col("bsz") <= cap), keys).drop("bsz")
+  }
+
+  /** Exact recovery of the doc-level near-dup answer from rep-level
+    * pairs (see [[exactGroups]]): within an exact-dup group every pair
+    * is a duplicate with jaccard exactly 1; across groups, member
+    * similarity equals representative similarity because members share
+    * their rep's word sequence. Output is (d1, d2, jac) with d1 < d2 —
+    * identical to what the un-collapsed formulation produces. */
+  private def expandRepPairs(members: DataFrame,
+      repPairs: DataFrame): DataFrame = {
+    val within = members.as("x").join(members.as("y"),
+        col("x.gk") === col("y.gk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        lit(1.0d).as("jac"))
+    val m1 = members.select(col("rep").as("d1"), col("doc_id").as("m1"))
+    val m2 = members.select(col("rep").as("d2"), col("doc_id").as("m2"))
+    val cross = repPairs.join(m1, "d1").join(m2, "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col("jac"))
+    within.unionByName(cross)
+  }
+
   // English/Spanish/German/French stopword seeds for the n-gram-free
   // language-ID heuristic (ratio of stopword tokens per language).
   private val langs: Seq[(String, Seq[String])] = Seq(
@@ -477,10 +541,15 @@ object TextPipeline {
     // document frequency is under 10% of the corpus (integer compare —
     // df·10 < n_docs — so the threshold is SF-invariant and exactly
     // reproducible), and each document scores the fraction of its tokens
-    // that are rare. At 100 TB the document-frequency table is
-    // VOCABULARY-sized, so the rare set broadcasts and the corpus token
-    // stream never shuffles — only per-doc count pairs move (map-side
-    // combine), the q52 shape.
+    // that are rare. The broadcast side is the COMMON set (df·10 ≥
+    // n_docs): rare tokens are the Zipf TAIL — nearly the whole
+    // vocabulary — so broadcasting them would ship a vocabulary-sized
+    // table to every executor at 100 TB. The Zipf HEAD (common tokens)
+    // is small and bounded (a term needs presence in ≥10% of documents),
+    // so it broadcasts cheaply, rare ≡ not-common (every token in the
+    // stream has df ≥ 1, so absence from the common set is exactly
+    // df·10 < n_docs), and the corpus token stream never shuffles — only
+    // per-doc count pairs move (map-side combine), the q52 shape.
     "q57_rare_token_score" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -488,13 +557,13 @@ object TextPipeline {
       val dfreq = tok.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
-      val rare = dfreq.crossJoin(broadcast(nDocs))
-        .where(col("df") * 10 < col("n_docs"))
-        .select(col("term"), lit(1L).as("rare"))
-      tok.join(broadcast(rare), Seq("term"), "left")
+      val common = dfreq.crossJoin(broadcast(nDocs))
+        .where(col("df") * 10 >= col("n_docs"))
+        .select(col("term"), lit(1L).as("is_common"))
+      tok.join(broadcast(common), Seq("term"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
-          sum(coalesce(col("rare"), lit(0L))).as("n_rare"))
+          sum(when(col("is_common").isNull, 1L).otherwise(0L)).as("n_rare"))
         .select(col("doc_id"), col("n_tokens"), col("n_rare"),
           (col("n_rare").cast("double") / col("n_tokens").cast("double"))
             .as("rare_ratio"))
