@@ -30,11 +30,14 @@ object Bench {
     // A single timed pass per query is hostage to whatever the host does
     // during that one window — a shared sandbox hit a contended interval
     // and recorded 56 s for a query that runs in 2.2 s on a quiet host.
-    // Standard defense (the reference harness likewise repeats each case
-    // in fresh runs, conecta-benchmark/benchmark.py:209-234): time N
-    // passes and report the MINIMUM (the run least perturbed by external
-    // load), with the median kept alongside for honesty about variance.
+    // Defense: time N passes per query and report the MEDIAN as the
+    // headline (robust to a contended window without biasing low the way
+    // a minimum would vs a single-pass reference protocol — the reference
+    // harness times each case once per process run), keeping the sum of
+    // per-query minima alongside as the quiet-host bound.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    val effReps = if (cold) 1 else reps
     val results = selected.map { case (name, fn) =>
       // One untimed warm pass, then the timed passes: measures steady-state
       // throughput. A fresh JVM pays ~1-2 s of Janino+JIT compilation per
@@ -45,14 +48,13 @@ object Bench {
       // whose first run IS its steady state, so warm-run timing is the
       // apples-to-apples comparison; set SPARK_GRAFT_COLD=1 to time
       // first executions instead.
-      val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
       try {
         if (!cold) {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           spark.catalog.clearCache()
         }
       } catch { case _: Throwable => () }
-      val times = (1 to (if (cold) 1 else reps)).map { _ =>
+      val times = (1 to effReps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -71,15 +73,23 @@ object Bench {
         elapsed
       }.sorted
       perf.foreach(_.checkpoint(name))
-      (name, times.head, times(times.length / 2))
+      // True median: average the two middle elements for even rep counts.
+      val median =
+        if (times.length % 2 == 1) times(times.length / 2)
+        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
+      (name, times.head, median)
     }
     perf.foreach(_.finish())
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // One compact JSON line for the driver. The driver keeps only a
+    // 2000-char tail of the run's output, so the line must stay well
+    // under that: values rounded to 3 decimals, ONE per-query map
+    // (medians — the headline protocol), minima summarized as a scalar.
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, _, m) => "\"" + k + "\":" + f(m) }
       .mkString("{", ",", "}")
-    val med = results.map { case (k, _, m) => "\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$med,"reps":$reps,"sf":"$sfDir"}""")
+    val total = results.map(_._3).sum
+    val totalMin = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"total_min":${f(totalMin)},"reps":$effReps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -95,8 +95,11 @@ object TextPipeline {
   private def capBuckets(keyed: DataFrame, keys: Seq[String],
       s: SparkSession, what: String): DataFrame = {
     val cap = s.conf.get("graft.dedup.maxBucket", "2000").toInt
+    // sizes is read twice (stats scan + filter join) but is a cheap
+    // aggregate over doc-level keys — recomputing beats caching it, which
+    // would leak a cached table per invocation in a long-lived session
     val sizes = keyed.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bsz")).cache()
+      .agg(count(lit(1)).as("bsz"))
     val stats = sizes.where(col("bsz") > cap)
       .agg(count(lit(1)).as("n"), max(col("bsz")).as("mx")).head()
     if (stats.getLong(0) > 0)
@@ -228,9 +231,18 @@ object TextPipeline {
     }),
 
     // ---- q27: MinHash + LSH near-duplicate pairs -----------------------
-    // 16 perms, 4 bands × 4 rows; candidates = band-bucket join; verified
-    // with exact Jaccard ≥ 0.8 on the 3-gram shingle sets.
+    // 16 perms, 4 bands × 4 rows; candidates = band-bucket join among
+    // exact-duplicate-group REPRESENTATIVES only ([[exactGroups]] — the
+    // duplicate-heavy-input guard), buckets capped ([[capBuckets]] — the
+    // degenerate-key guard); verified with exact Jaccard ≥ 0.8 on the
+    // 3-gram shingle sets, then expanded back to the doc-level answer
+    // ([[expandRepPairs]] — exact, not approximate).
     "q27_minhash_lsh" -> ((s, dir) => {
+      val members = exactGroups(
+        Graft.parquetSource(s, dir).table("documents"), 3)
+        .cache() // doc-level narrow rows; read by 4 joins below
+      val reps = members.where(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
       // MinHash needs NO distinct(): min over a multiset equals min over
       // its support, so the previous corpus-wide distinct shuffle is
       // dropped entirely — after this, the only corpus-scale data
@@ -239,18 +251,27 @@ object TextPipeline {
       val sh = shingleRowsAll(s, dir).cache()
       // MinHash via 16 codegen'd MIN aggregates over the shingle rows
       // (map-side partial agg — the 100 TB shape), not per-element
-      // lambdas. Same arithmetic as TextFunctions.minhashes.
+      // lambdas. Same arithmetic as TextFunctions.minhashes. Computed for
+      // ALL docs (the aggregate is linear and map-side combined — cheaper
+      // than shuffling the shingle stream against the rep set), then
+      // restricted to representatives at the one-row-per-doc level before
+      // anything pairwise happens.
       val minCols = (0 until 16).map(j =>
         min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
       val mh = sh.groupBy(col("doc_id"))
         .agg(minCols.head, minCols.tail: _*)
+        .join(reps, Seq("doc_id"), "left_semi")
+        .cache() // 17 narrow cols per doc; the cap's size scan, its
+        // filter join, and both self-join sides would otherwise each
+        // re-run the 16-min aggregate over the corpus-scale shingle rows
       val bandKeys = array((0 until 4).map { b =>
         hash60(concat_ws(",",
           (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
       }: _*)
-      val banded = mh
-        .select(col("doc_id"),
-          posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+      val banded = capBuckets(
+        mh.select(col("doc_id"),
+          posexplode(bandKeys).as(Seq("band_idx", "band_key"))),
+        Seq("band_idx", "band_key"), s, "q27 LSH bands")
       val a = banded.as("a"); val b = banded.as("b")
       val cand = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -268,8 +289,9 @@ object TextPipeline {
       val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .distinct()
         .cache() // pairJaccard reads it three times (e1, e2, sizes)
-      pairJaccard(cand, candSh)
+      val repPairs = pairJaccard(cand, candSh)
         .where(col("jac") >= 0.8)
+      expandRepPairs(members, repPairs)
         .orderBy("d1", "d2")
     }),
 
@@ -573,13 +595,23 @@ object TextPipeline {
     // ---- q29: 2-gram Jaccard dedup with prefix blocking ---------------
     // Deterministic blocking key = first three words; exact Jaccard ≥ 0.5
     // within blocks only (linear-ish at scale when blocks stay small).
+    // Same guard stack as q27: exact-dup pre-collapse, capped blocks,
+    // exact doc-level recovery.
     "q29_ngram_jaccard" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
+      val members = exactGroups(d, 3)
+        .cache() // doc-level narrow rows; read by 4 joins below
       // blocking key: first three words (slice/concat_ws are plain
-      // codegen'd collection expressions, not lambda HOFs)
-      val blocks = d.where(size(words(col("text"))) >= 3)
+      // codegen'd collection expressions, not lambda HOFs), built for
+      // exact-dup-group representatives only
+      val repBlocks = d.where(size(words(col("text"))) >= 3)
         .select(col("doc_id"),
           concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"))
+        .join(members.where(col("doc_id") === col("rep"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .cache() // 2 narrow cols per doc; read by the cap's size scan,
+        // its filter join, and both self-join sides
+      val blocks = capBuckets(repBlocks, Seq("blk"), s, "q29 prefix blocks")
       val a = blocks.as("a"); val b = blocks.as("b")
       val cand = a.join(b, col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -594,8 +626,9 @@ object TextPipeline {
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .distinct()
         .cache() // pairJaccard reads it three times (e1, e2, sizes)
-      pairJaccard(cand, sh)
+      val repPairs = pairJaccard(cand, sh)
         .where(col("jac") >= 0.5)
+      expandRepPairs(members, repPairs)
         .orderBy("d1", "d2")
     })
   )

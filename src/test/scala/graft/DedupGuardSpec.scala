@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.TextPipeline
+import graft.tools.DedupGuard
+
+/** Degenerate-input behavior of the near-dup queries: dedup corpora are
+  * duplicate-heavy by definition, and a bucket self-join without guards
+  * goes quadratic on exactly the inputs dedup exists for. Two guards,
+  * both asserted here end-to-end through the real q27/q29 plans:
+  *
+  *  - exact-duplicate pre-collapse (TextPipeline.exactGroups): identical
+  *    documents never reach candidate generation — 10 000 byte-identical
+  *    docs would otherwise put ~10⁸ candidate pairs through the verify
+  *    join; collapsed, candidate generation sees ONE representative and
+  *    the (inherently quadratic, but correct) within-group answer is
+  *    reconstructed arithmetically, in bounded time.
+  *  - bucket caps (TextPipeline.capBuckets): distinct-content buckets over
+  *    `graft.dedup.maxBucket` are dropped from candidate generation,
+  *    loudly (DedupGuard counters + WARN) — never silently.
+  */
+class DedupGuardSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-guard")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Writes `texts` as a documents table in a fresh corpus dir. */
+  private def corpus(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q27: 10k identical docs complete bounded via exact-dup collapse") {
+    DedupGuard.reset()
+    val n = 10000
+    val dir = corpus(
+      Seq.fill(n)("the same exact document body repeated verbatim") ++
+        Seq("a completely different text about unrelated things entirely"))
+    val out = TextPipeline.defs("q27_minhash_lsh")(spark, dir)
+    // Every identical pair is a duplicate with jaccard exactly 1; the
+    // unrelated doc pairs with nothing.
+    assert(out.count() === n.toLong * (n - 1) / 2)
+    assert(out.where(org.apache.spark.sql.functions.col("jac") =!= 1.0d)
+      .count() === 0)
+    // The collapse — not the cap — absorbed the degenerate input.
+    assert(DedupGuard.skippedBuckets.get() === 0)
+  }
+
+  test("q29: oversized distinct-content blocks are dropped loudly") {
+    DedupGuard.reset()
+    // 50 DISTINCT documents sharing a blocking prefix (first three words):
+    // one block of 50 > cap=10 — dropped, so no candidates survive, and
+    // the drop is observable (counter + largest size).
+    val dir = corpus(
+      (0 until 50).map(i => s"common prefix words unique tail number $i"))
+    spark.conf.set("graft.dedup.maxBucket", "10")
+    try {
+      val out = TextPipeline.defs("q29_ngram_jaccard")(spark, dir)
+      assert(out.count() === 0)
+      assert(DedupGuard.skippedBuckets.get() === 1)
+      assert(DedupGuard.largestSkipped.get() === 50)
+    } finally spark.conf.unset("graft.dedup.maxBucket")
+  }
+
+  test("q27: band-bucket cap fires on real near-dup corpus when lowered") {
+    DedupGuard.reset()
+    // cap=1 makes EVERY ≥2-doc band bucket oversized: the sf0.001 corpus
+    // has genuine near-dup pairs, so candidate generation must log drops
+    // and emit nothing (no exact dups exist there to survive via the
+    // within-group path).
+    spark.conf.set("graft.dedup.maxBucket", "1")
+    try {
+      val out =
+        TextPipeline.defs("q27_minhash_lsh")(spark, "/root/testdata/sf0.001")
+      assert(out.count() === 0)
+      assert(DedupGuard.skippedBuckets.get() > 0)
+    } finally spark.conf.unset("graft.dedup.maxBucket")
+  }
+}
