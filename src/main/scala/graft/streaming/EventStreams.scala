@@ -55,10 +55,18 @@ object EventStreams {
     * day that bound is what makes exact streaming dedup feasible at all;
     * unbounded `dropDuplicates` state would grow forever. */
   def dedupedWithinWatermark(events: DataFrame, keys: Seq[String],
-      delay: String): DataFrame =
-    normalized(events)
-      .withWatermark("ts_us", delay)
-      .dropDuplicatesWithinWatermark(keys)
+      delay: String): DataFrame = {
+    val n = normalized(events)
+    // dropDuplicatesWithinWatermark rejects batch input, so batch parity
+    // dispatches to plain key-dedup — the exact batch meaning of the
+    // streaming operator: with all data at hand the watermark never
+    // expires a key mid-set, so "dedup within the watermark" degenerates
+    // to "dedup" (the streaming guarantee is dedup of pairs ≤ delay
+    // apart, with MAY-dedup beyond — batch delivers the strongest case).
+    if (n.isStreaming)
+      n.withWatermark("ts_us", delay).dropDuplicatesWithinWatermark(keys)
+    else n.dropDuplicates(keys)
+  }
 
   /** Stream-stream attribution join: each purchase joins the clicks of
     * the same user from the preceding `windowMinutes`. Both sides are
