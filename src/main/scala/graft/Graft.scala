@@ -27,6 +27,14 @@ object Graft {
     * connections — the rayon pool of postgres.rs:346-349). On Parquet
     * sources the range predicates are Catalyst filters pushed to Parquet
     * row-group stats, and the N scans read disjoint ranges.
+    *
+    * `preallocation` defaults to false here AND in [[createPartitionPlan]].
+    * The reference disagrees with itself: its `read_sql` defaults False but
+    * its `create_partition_plan` defaults True
+    * (conecta-python/conecta/__init__.py:188-190 vs 209-211). We pick the
+    * read_sql default for both — per-partition COUNT preallocation buys
+    * Spark nothing by default (executors size their own batches), so the
+    * conservative default is uniform rather than path-dependent.
     */
   def readSql(spark: SparkSession, conn: String, queries: Seq[String],
       partitionOn: Option[String] = None,

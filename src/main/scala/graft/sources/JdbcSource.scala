@@ -68,19 +68,28 @@ final class JdbcSource(val spark: SparkSession, url: String,
 
   /** Column label → database type name, from the prepared statement's
     * ResultSetMetaData — a zero-row describe, no data fetched. */
-  private def columnDbTypes(query: String): Map[String, String] = {
-    val conn = DriverManager.getConnection(url, props)
+  private[graft] def columnDbTypes(query: String): Map[String, String] =
     try {
-      val md = conn.prepareStatement(query).getMetaData
-      if (md == null) Map.empty
-      else (1 to md.getColumnCount)
-        .map(i => md.getColumnLabel(i).toLowerCase ->
-          String.valueOf(md.getColumnTypeName(i)).toLowerCase)
-        .toMap
+      val conn = DriverManager.getConnection(url, props)
+      try {
+        val md = conn.prepareStatement(query).getMetaData
+        if (md == null) Map.empty
+        else (1 to md.getColumnCount)
+          .map(i => md.getColumnLabel(i).toLowerCase ->
+            String.valueOf(md.getColumnTypeName(i)).toLowerCase)
+          .toMap
+      } finally conn.close()
     } catch {
-      case _: Exception => Map.empty // conventions are best-effort sugar
-    } finally conn.close()
-  }
+      // Conventions are best-effort sugar, but degrading must be LOUD: a
+      // flaky probe connection would otherwise silently change the schema
+      // of TIME/geo columns between runs.
+      case e: Exception =>
+        System.err.println("[graft] WARN: type-convention probe failed " +
+          s"for ${Source.sanitizeCredentials(url)} — TIME/geo conventions " +
+          "skipped this read: " +
+          Source.sanitizeCredentials(String.valueOf(e.getMessage)))
+        Map.empty
+    }
 
   private val geoTextTypes =
     Set("point", "line", "circle", "box", "lseg", "path", "polygon")

@@ -129,4 +129,20 @@ class JdbcSpec extends AnyFunSuite {
     assert(graft.sources.GraftPgDialect
       .getCatalystType(java.sql.Types.INTEGER, "int4", 0, mb).isEmpty)
   }
+
+  test("convention-probe failure degrades loudly, not silently") {
+    // A probe against a database that doesn't exist (no ;create=true)
+    // must yield no conventions AND a WARN on stderr — silent degradation
+    // would change TIME/geo column schemas between runs of a flaky
+    // connection without a trace.
+    val bad = new graft.sources.JdbcSource(spark, "jdbc:derby:memory:nope")
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    val types =
+      try bad.columnDbTypes("SELECT * FROM li")
+      finally System.setErr(old)
+    assert(types.isEmpty)
+    assert(buf.toString.contains("type-convention probe failed"))
+  }
 }
