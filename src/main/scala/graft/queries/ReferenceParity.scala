@@ -34,9 +34,12 @@ object ReferenceParity {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O1/O11: full scan through the engine (README.md:29 workload)
+    // No presentation sort: the driver compare is row-order-invariant
+    // (q54's green row is the direct evidence), so scan-shaped entries
+    // omit the global ORDER BY on both sides — the sort was the single
+    // most expensive operator in these queries and proved nothing.
     "q01_full_scan" -> ((s, dir) =>
-      Graft.readSql(s, dir, Seq("select * from lineitem"))
-        .orderBy(liKey.head, liKey.tail: _*)),
+      Graft.readSql(s, dir, Seq("select * from lineitem"))),
 
     // LIMIT passthrough (tests/test_read_sql.py:58-66)
     "q02_limit" -> ((s, dir) =>
@@ -47,15 +50,13 @@ object ReferenceParity {
     "q03_union_disjoint" -> ((s, dir) =>
       Graft.readSql(s, dir, Seq(
         "select * from lineitem where l_orderkey < 30000",
-        "select * from lineitem where l_orderkey >= 30000"))
-        .orderBy(liKey.head, liKey.tail: _*)),
+        "select * from lineitem where l_orderkey >= 30000"))),
 
     // O2-O6: engine 4-way partition on l_orderkey ≡ unpartitioned result
     // (tests/test_partition_plan.py:4-16, benchmark.py:138-144)
     "q04_partitioned_scan" -> ((s, dir) =>
       Graft.readSql(s, dir, Seq("select * from lineitem"),
-        partitionOn = Some("l_orderkey"), partitionNum = Some(4))
-        .orderBy(liKey.head, liKey.tail: _*)),
+        partitionOn = Some("l_orderkey"), partitionNum = Some(4))),
 
     // O7: MIN/MAX metadata aggregate pushdown (postgres.rs:585-592)
     "q05_minmax" -> ((s, dir) => {
@@ -81,8 +82,7 @@ object ReferenceParity {
     // single-column projection → Parquet column pruning
     // (conecta-docs arrow_backends.md:9-16)
     "q08_projection" -> ((s, dir) =>
-      Graft.readSql(s, dir, Seq("select l_orderkey from lineitem"))
-        .orderBy("l_orderkey")),
+      Graft.readSql(s, dir, Seq("select l_orderkey from lineitem"))),
 
     // O16: sqlBind parameter binding + IDENT quoting (test_bind.py:4-22)
     "q09_sql_bind" -> ((s, dir) => source(s, dir).execute(bindSpark)),
@@ -102,13 +102,13 @@ object ReferenceParity {
 
   val oracles: Map[String, String] = Map(
     "q01_full_scan" ->
-      s"SELECT * FROM lineitem ORDER BY $liKeySql",
+      "SELECT * FROM lineitem",
     "q02_limit" ->
       s"SELECT * FROM lineitem ORDER BY $liKeySql LIMIT 10",
     "q03_union_disjoint" ->
-      s"SELECT * FROM lineitem ORDER BY $liKeySql",
+      "SELECT * FROM lineitem",
     "q04_partitioned_scan" ->
-      s"SELECT * FROM lineitem ORDER BY $liKeySql",
+      "SELECT * FROM lineitem",
     "q05_minmax" ->
       ("SELECT cast(min(l_orderkey) as bigint) AS min_ok, " +
         "cast(max(l_orderkey) as bigint) AS max_ok FROM lineitem"),
@@ -119,7 +119,7 @@ object ReferenceParity {
     "q07_schema_probe" ->
       "SELECT * FROM lineitem LIMIT 0",
     "q08_projection" ->
-      "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey",
+      "SELECT l_orderkey FROM lineitem",
     "q09_sql_bind" -> bindDuck,
     "q54_scan_unsorted" -> "SELECT * FROM lineitem"
   )

@@ -120,7 +120,8 @@ object Relational {
         (col("o_orderkey") % 7).as("key_mod"),
         when(col("o_totalprice") > 250000, "high").otherwise("low")
           .as("price_band"))
-        .orderBy("o_orderkey")
+      // no presentation sort — the driver compare is row-order-invariant
+      // (q54's green row); same on the oracle side
     }),
 
     // ---- Grouping sets: ROLLUP -----------------------------------------
@@ -400,7 +401,6 @@ object Relational {
           repeat(col("o_orderstatus"), 3).as("rep"),
           instr(col("o_orderpriority"), "-").as("pos"),
           split_part(col("o_orderpriority"), lit("-"), lit(2)).as("part2"))
-        .orderBy("o_orderkey")
     }),
 
     // ---- Null semantics + date arithmetic ------------------------------
@@ -416,7 +416,6 @@ object Relational {
             col("o_orderdate").cast("date")).as("age_days"),
           add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
           last_day(col("o_orderdate").cast("date")).as("month_end"))
-        .orderBy("o_orderkey")
     }),
 
     // ---- Array aggregation with deterministic ordering -----------------
@@ -560,8 +559,7 @@ object Relational {
         |  cast(ceil(o_totalprice) as bigint) AS price_ceil,
         |  o_orderkey % 7 AS key_mod,
         |  CASE WHEN o_totalprice > 250000 THEN 'high' ELSE 'low' END AS price_band
-        |FROM orders
-        |ORDER BY o_orderkey""".stripMargin,
+        |FROM orders""".stripMargin,
 
     "q16_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
@@ -689,7 +687,7 @@ object Relational {
         |  repeat(o_orderstatus, 3) AS rep,
         |  strpos(o_orderpriority, '-') AS pos,
         |  split_part(o_orderpriority, '-', 2) AS part2
-        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
 
     "q44_null_date_semantics" ->
       """SELECT o_orderkey,
@@ -699,7 +697,7 @@ object Relational {
         |  date_diff('day', cast(o_orderdate as date), date '2026-01-01') AS age_days,
         |  cast(cast(o_orderdate as date) + interval 1 month as date) AS next_month,
         |  last_day(cast(o_orderdate as date)) AS month_end
-        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin,
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin,
 
     "q38_json_extract" ->
       """SELECT event_type, count(*) AS n,
