@@ -116,6 +116,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q57: the broadcast side is the common-token set, not the Zipf tail") {
+    // rare = df·10 < n_docs is nearly the whole vocabulary (the Zipf
+    // TAIL) — broadcasting it at 100 TB ships a vocabulary-sized table to
+    // every executor. The plan must broadcast the bounded COMMON set
+    // (is_common, df·10 ≥ n_docs) and stream the corpus tokens through a
+    // broadcast-hash join — never shuffle them for a sort-merge join.
+    val p = plan("q57_rare_token_score")
+    assert(p.contains("BroadcastHashJoin"), s"q57 lost the broadcast join:\n$p")
+    assert(p.contains("is_common"),
+      s"q57 no longer broadcasts the common set:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q57 shuffles the token stream:\n$p")
+  }
+
   test("salted join: exact row parity with the plain join, salt spreads keys") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
