@@ -128,6 +128,72 @@ object TextPipeline {
     within.unionByName(cross)
   }
 
+  /** The shared MinHash+LSH candidate/verify pipeline (q27 + q53):
+    * exact-dup collapse → 16-perm minhash over representatives → 4×4
+    * banded bucket-join (capped) → exact-Jaccard verification ≥ 0.8.
+    * Returns (members, repPairs): the exact-group membership frame (gk,
+    * doc_id, rep) and the verified representative-level pairs (d1, d2,
+    * jac). q27 expands these to the full doc-level pair answer; q53 feeds
+    * them to connected components WITHOUT expansion (star edges keep the
+    * CC input linear in duplicates). */
+  private def minhashRepPairs(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val members = exactGroups(
+      Graft.parquetSource(s, dir).table("documents"), 3)
+      .cache() // doc-level narrow rows; read by 4 joins below
+    val reps = members.where(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
+    // MinHash needs NO distinct(): min over a multiset equals min over
+    // its support, so the previous corpus-wide distinct shuffle is
+    // dropped entirely — after this, the only corpus-scale data
+    // movement in the whole query is the map-side-combined 16-min
+    // aggregate (16 longs per doc cross the wire, not the shingles).
+    val sh = shingleRowsAll(s, dir).cache()
+    // MinHash via 16 codegen'd MIN aggregates over the shingle rows
+    // (map-side partial agg — the 100 TB shape), not per-element
+    // lambdas. Same arithmetic as TextFunctions.minhashes. Computed for
+    // ALL docs (the aggregate is linear and map-side combined — cheaper
+    // than shuffling the shingle stream against the rep set), then
+    // restricted to representatives at the one-row-per-doc level before
+    // anything pairwise happens.
+    val minCols = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
+    val mh = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .join(reps, Seq("doc_id"), "left_semi")
+      .cache() // 17 narrow cols per doc; the cap's size scan, its
+      // filter join, and both self-join sides would otherwise each
+      // re-run the 16-min aggregate over the corpus-scale shingle rows
+    val bandKeys = array((0 until 4).map { b =>
+      hash60(concat_ws(",",
+        (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+    }: _*)
+    val banded = capBuckets(
+      mh.select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band_idx", "band_key"))),
+      Seq("band_idx", "band_key"), s, "q27 LSH bands")
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .cache() // referenced by candDocs AND the verify join — tiny
+    // Exact-Jaccard verification touches only CANDIDATE docs' shingles:
+    // broadcast semi-join on the tiny candidate doc set, then dedup to
+    // distinct shingle sets within those docs alone — the distinct that
+    // used to run over the whole corpus now runs over ~2×|pairs| docs.
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .distinct()
+      .cache() // pairJaccard reads it three times (e1, e2, sizes)
+    val repPairs = pairJaccard(cand, candSh)
+      .where(col("jac") >= 0.8)
+    (members, repPairs)
+  }
+
   // English/Spanish/German/French stopword seeds for the n-gram-free
   // language-ID heuristic (ratio of stopword tokens per language).
   private val langs: Seq[(String, Seq[String])] = Seq(
@@ -238,59 +304,7 @@ object TextPipeline {
     // 3-gram shingle sets, then expanded back to the doc-level answer
     // ([[expandRepPairs]] — exact, not approximate).
     "q27_minhash_lsh" -> ((s, dir) => {
-      val members = exactGroups(
-        Graft.parquetSource(s, dir).table("documents"), 3)
-        .cache() // doc-level narrow rows; read by 4 joins below
-      val reps = members.where(col("doc_id") === col("rep"))
-        .select(col("doc_id"))
-      // MinHash needs NO distinct(): min over a multiset equals min over
-      // its support, so the previous corpus-wide distinct shuffle is
-      // dropped entirely — after this, the only corpus-scale data
-      // movement in the whole query is the map-side-combined 16-min
-      // aggregate (16 longs per doc cross the wire, not the shingles).
-      val sh = shingleRowsAll(s, dir).cache()
-      // MinHash via 16 codegen'd MIN aggregates over the shingle rows
-      // (map-side partial agg — the 100 TB shape), not per-element
-      // lambdas. Same arithmetic as TextFunctions.minhashes. Computed for
-      // ALL docs (the aggregate is linear and map-side combined — cheaper
-      // than shuffling the shingle stream against the rep set), then
-      // restricted to representatives at the one-row-per-doc level before
-      // anything pairwise happens.
-      val minCols = (0 until 16).map(j =>
-        min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
-      val mh = sh.groupBy(col("doc_id"))
-        .agg(minCols.head, minCols.tail: _*)
-        .join(reps, Seq("doc_id"), "left_semi")
-        .cache() // 17 narrow cols per doc; the cap's size scan, its
-        // filter join, and both self-join sides would otherwise each
-        // re-run the 16-min aggregate over the corpus-scale shingle rows
-      val bandKeys = array((0 until 4).map { b =>
-        hash60(concat_ws(",",
-          (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
-      }: _*)
-      val banded = capBuckets(
-        mh.select(col("doc_id"),
-          posexplode(bandKeys).as(Seq("band_idx", "band_key"))),
-        Seq("band_idx", "band_key"), s, "q27 LSH bands")
-      val a = banded.as("a"); val b = banded.as("b")
-      val cand = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .cache() // referenced by candDocs AND the verify join — tiny
-      // Exact-Jaccard verification touches only CANDIDATE docs' shingles:
-      // broadcast semi-join on the tiny candidate doc set, then dedup to
-      // distinct shingle sets within those docs alone — the distinct that
-      // used to run over the whole corpus now runs over ~2×|pairs| docs.
-      val candDocs = cand.select(col("d1").as("doc_id"))
-        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-      val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        .distinct()
-        .cache() // pairJaccard reads it three times (e1, e2, sizes)
-      val repPairs = pairJaccard(cand, candSh)
-        .where(col("jac") >= 0.8)
+      val (members, repPairs) = minhashRepPairs(s, dir)
       expandRepPairs(members, repPairs)
         .orderBy("d1", "d2")
     }),
@@ -471,8 +485,19 @@ object TextPipeline {
     // transitive closure — an independent formulation of the same
     // components.
     "q53_dedup_clusters" -> ((s, dir) => {
-      val pairs = defs("q27_minhash_lsh")(s, dir)
-        .select(col("d1"), col("d2"))
+      // CC consumes the UNEXPANDED near-dup graph: verified
+      // representative pairs plus one STAR edge (member → rep) per
+      // exact-duplicate group member. Components and min labels are
+      // identical to clustering q27's expanded pair list (a group is a
+      // clique there, a star here — same reachable sets), but the edge
+      // count is |rep pairs| + |exact-dup docs|: LINEAR in duplicates,
+      // where the expanded within-group pairs are quadratic per group —
+      // exactly the blow-up the duplicate-heavy 100 TB input produces.
+      val (members, repPairs) = minhashRepPairs(s, dir)
+      val starEdges = members.where(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("d1"), col("rep").as("d2"))
+      val pairs = repPairs.select(col("d1"), col("d2"))
+        .unionByName(starEdges)
       // localCheckpoint (eager): the whole q27 pipeline — shingling,
       // minhash, LSH, Jaccard verify — runs exactly ONCE here, and the CC
       // loop below iterates over the materialized edge partitions with

@@ -59,6 +59,22 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(DedupGuard.skippedBuckets.get() === 0)
   }
 
+  test("q53: clustering a duplicate-heavy corpus stays linear (star edges)") {
+    DedupGuard.reset()
+    val n = 10000
+    val dir = corpus(
+      Seq.fill(n)("the same exact document body repeated verbatim") ++
+        Seq("a completely different text about unrelated things entirely"))
+    // CC consumes star edges (member → rep), not the n²/2 expanded pair
+    // list: one component of n docs, keep_id = min doc_id, in bounded
+    // time. (Clustering the expanded q27 output would put ~5·10⁷ edges
+    // through every propagation join here.)
+    val out = TextPipeline.defs("q53_dedup_clusters")(spark, dir)
+    val rows = out.collect()
+    assert(rows.length === n)
+    assert(rows.forall(r => r.getLong(1) === 0L && r.getLong(2) === n.toLong))
+  }
+
   test("q29: oversized distinct-content blocks are dropped loudly") {
     DedupGuard.reset()
     // 50 DISTINCT documents sharing a blocking prefix (first three words):
