@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver reads the bench/verify result from the TAIL of combined sbt
+// output and parses the bench JSON from its last line. Two settings make
+// that line reach the driver bare: StdoutOutput passes the forked JVM's
+// stdout/stderr through UNPREFIXED (the default LoggedOutput wraps every
+// line in "[info] " / "[error] ", which is not valid JSON), and
+// showSuccess := false suppresses the "[success] Total time: ..." line
+// sbt would otherwise print AFTER the program's final output.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint (verified working: no [success]
+// line follows the bench JSON).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

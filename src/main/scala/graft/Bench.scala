@@ -54,12 +54,19 @@ object Bench {
           spark.catalog.clearCache()
         }
       } catch { case _: Throwable => () }
-      val times = (1 to effReps).map { _ =>
+      // A rep that THROWS contributes no timing: a broken query must show
+      // up as "err" in the JSON, not as a near-zero elapsed time silently
+      // deflating the median and totals.
+      val times = (1 to effReps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
         val elapsed = (System.nanoTime() - t0) / 1e9
         // queries cache intermediates for their own self-joins; drop them
         // so caches don't accumulate memory pressure across the suite
@@ -70,26 +77,36 @@ object Bench {
         // measured 9 s solo vs 49-65 s at suite end). An explicit GC per
         // query keeps cleanup current — outside the timed window.
         System.gc()
-        elapsed
+        if (ok) Some(elapsed) else None
       }.sorted
       perf.foreach(_.checkpoint(name))
-      // True median: average the two middle elements for even rep counts.
-      val median =
-        if (times.length % 2 == 1) times(times.length / 2)
-        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
-      (name, times.head, median)
+      (name, times)
     }
     perf.foreach(_.finish())
     // One compact JSON line for the driver. The driver keeps only a
     // 2000-char tail of the run's output, so the line must stay well
     // under that: values rounded to 3 decimals, ONE per-query map
     // (medians — the headline protocol), minima summarized as a scalar.
+    // True median: average the two middle elements for even rep counts.
+    def median(ts: Seq[Double]): Double =
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
     def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, _, m) => "\"" + k + "\":" + f(m) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._3).sum
-    val totalMin = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"total_min":${f(totalMin)},"reps":$effReps,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.isEmpty) "\"err\"" else f(median(ts)))
+    }.mkString("{", ",", "}")
+    val done = results.filter(_._2.nonEmpty)
+    val total = done.map(r => median(r._2)).sum
+    val totalMin = done.map(_._2.head).sum
+    val nErr = results.length - done.length
+    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"total_min":${f(totalMin)},"reps":$effReps,"errs":$nErr,"sf":"$sfDir"}"""
+    // The driver parses the LAST line of the output tail, so the bare JSON
+    // must be the final thing on stdout: log level down to ERROR first
+    // (shutdown WARNs would interleave), stop Spark, THEN print. sbt-side,
+    // run/outputStrategy = StdoutOutput and showSuccess := false (build.sbt)
+    // keep the line unprefixed and unfollowed.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(json)
   }
 }

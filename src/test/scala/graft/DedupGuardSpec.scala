@@ -91,6 +91,33 @@ class DedupGuardSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.maxBucket")
   }
 
+  test("q53: 100-deep near-dup chain converges without tripping the guard") {
+    DedupGuard.reset()
+    // Sliding 41-word windows over one 440-word stream: consecutive docs
+    // share all but one word, and 3-gram-shingle Jaccard stays ≥ 0.8 up
+    // to a shift of 4 ((39−k)/(39+k) ≥ 0.8 ⟺ k ≤ 4), so the verified
+    // pair graph is a ±4-neighbor chain of 400 docs. LSH banding
+    // deterministically misses a handful of the weaker pairs (16 perms ×
+    // 4 bands; a DuckDB replay of the identical arithmetic finds 1488
+    // pairs forming chain components of 366 + 34 docs), so the pinned
+    // property is the CONVERGENCE BOUND, not single-cluster membership:
+    // a ~90-hop-diameter chain needs ~90 rounds of plain min-label
+    // propagation (the 100-round guard's territory) but O(log d) ≈ 10
+    // with the pointer-doubling accelerator.
+    val stream = (0 until 440).map(i => s"w$i")
+    val dir = corpus(
+      (0 until 400).map(i => stream.slice(i, i + 41).mkString(" ")))
+    val out = TextPipeline.defs("q53_dedup_clusters")(spark, dir)
+    val rows = out.collect()
+    assert(rows.length === 400) // every doc has ≥1 verified pair
+    // the deep chain really chained (no quadratic blow-up, no guard trip)
+    assert(rows.map(_.getLong(2)).max >= 300L)
+    // pointer doubling closed a ~90-hop diameter in logarithmic rounds —
+    // plain propagation would need one round per hop
+    assert(TextPipeline.lastCcIterations <= 20,
+      s"CC took ${TextPipeline.lastCcIterations} rounds; pointer doubling regressed")
+  }
+
   test("q27: band-bucket cap fires on real near-dup corpus when lowered") {
     DedupGuard.reset()
     // cap=1 makes EVERY ≥2-doc band bucket oversized: the sf0.001 corpus

@@ -54,6 +54,14 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("q27_minhash_lsh")
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    // The candidate bucket-join runs eagerly inside the pipeline (its
+    // result is localCheckpoint-materialized), so it no longer appears in
+    // q27's returned plan — assert on the captured physical plan instead.
+    val cp = graft.queries.TextPipeline.lastCandidatePlan
+    assert(cp.nonEmpty, "candidate plan was not captured")
+    assert(!cp.contains("CartesianProduct"), s"candidates cross-join:\n$cp")
+    assert(!cp.contains("BroadcastNestedLoopJoin"),
+      s"candidates nested-loop:\n$cp")
   }
 
   test("q30/q46: ANN top-k is a mergeable partial aggregate, not a window") {

@@ -190,4 +190,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("deduped").count() == 4)
     } finally q.stop()
   }
+
+  test("q59 oracle precondition: event_id is unique at every shipped SF") {
+    // q59's DuckDB oracle is `SELECT ... FROM events` — equivalent to the
+    // batch dropDuplicates over the replayed stream ONLY while event_id is
+    // unique in the source table. If the driver ever ships testdata with
+    // duplicate event_ids, this fails before the oracle mismatch would.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val ev = spark.read.parquet(s"/root/testdata/$sf/events.parquet")
+      val total = ev.count()
+      val distinctIds = ev.select("event_id").distinct().count()
+      assert(total === distinctIds,
+        s"$sf: ${total - distinctIds} duplicate event_id rows break q59's oracle equivalence")
+    }
+  }
 }
