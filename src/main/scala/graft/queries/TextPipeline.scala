@@ -174,9 +174,6 @@ object TextPipeline {
     * so it no longer appears in q27's returned plan). */
   @volatile private[graft] var lastCandidatePlan: String = ""
 
-  /** Rounds the last q53 connected-components loop took — test hook for
-    * the pointer-doubling convergence bound (O(log diameter)). */
-  @volatile private[graft] var lastCcIterations: Int = 0
 
   /** The shared MinHash+LSH candidate/verify pipeline (q27 + q53):
     * exact-dup collapse → 16-perm minhash over representatives → 4×4
@@ -547,18 +544,11 @@ object TextPipeline {
 
     // ---- q53: near-dup pairs → dedup clusters + canonical keep list ----
     // The step that makes pair detection actionable: connected components
-    // over the verified q27 pairs via iterative min-label propagation,
-    // then keep_id = the component's minimum doc_id. Each iteration is
-    // one equi-join + min-aggregate on the EDGE list (tiny relative to
-    // the corpus — that is the point of LSH) plus a pointer-doubling
-    // join on the label table, so the loop runs O(log diameter) times;
-    // near-dup components are shallow (pairs/stars), so 2-3 iterations
-    // converge even at 100 TB, and deep chain components stay logarithmic. The
-    // driver-side loop with a convergence count is the standard
-    // large-scale CC shape (checkpoint labels per iteration on a real
-    // cluster to truncate lineage). Oracle: a DuckDB recursive-CTE
-    // transitive closure — an independent formulation of the same
-    // components.
+    // over the verified q27 pairs ([[graft.plans.Components]] — min-label
+    // propagation with pointer doubling, O(log diameter) rounds,
+    // checkpoint-per-iteration), then keep_id = the component's minimum
+    // doc_id. Oracle: a DuckDB recursive-CTE transitive closure — an
+    // independent formulation of the same components.
     "q53_dedup_clusters" -> ((s, dir) => {
       // CC consumes the UNEXPANDED near-dup graph: verified
       // representative pairs plus one STAR edge (member → rep) per
@@ -578,68 +568,8 @@ object TextPipeline {
         .select(col("doc_id").as("d1"), col("rep").as("d2"))
       val pairs = repPairs.select(col("d1"), col("d2"))
         .unionByName(starEdges)
-      // localCheckpoint (eager): the whole q27 pipeline — shingling,
-      // minhash, LSH, Jaccard verify — runs exactly ONCE here, and the CC
-      // loop below iterates over the materialized edge partitions with
-      // lineage truncated at this point (on a real cluster this is
-      // `checkpoint()` to reliable storage; same shape). Without it every
-      // iteration's failure-recovery lineage reaches back through the full
-      // dedup pipeline and the first action re-derives it.
-      val edges = pairs.unionByName(
-        pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .localCheckpoint()
-      var labels = edges.select(col("d1").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id")).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0) {
-        // Each round combines min-label propagation (one edge hop) with
-        // POINTER DOUBLING (each label jumps to its label's own label),
-        // so label-chain lengths halve per round and a diameter-d
-        // component converges in O(log d) rounds — the PRAM pointer-
-        // jumping accelerator, same O(log) bound the large-star/
-        // small-star contraction gives. Plain propagation alone is
-        // O(d): a 400-doc sliding-window chain (diameter ~100,
-        // DedupGuardSpec) would burn one round per 4 hops and trip the
-        // bound below. The guard stays: past 100 rounds something is
-        // wrong with the input, and failing loudly beats spinning.
-        iter += 1
-        require(iter <= 100,
-          "dedup-cluster label propagation exceeded 100 iterations")
-        // self rows carry the old label through the same aggregate, so
-        // convergence needs no extra join: changed ⟺ some doc's
-        // min(neighbors+self+jump) beat its old own label
-        val prop = edges
-          .join(labels, edges("d2") === labels("doc_id"))
-          .select(edges("d1").as("doc_id"), col("lbl"), lit(0).as("self"))
-        val hop = labels.withColumn("self", lit(1)).unionByName(prop)
-          .groupBy(col("doc_id"))
-          .agg(min(col("lbl")).as("lbl"),
-            min(when(col("self") === 1, col("lbl"))).as("old"))
-        // pointer double against the CURRENT labels: lbl is always a
-        // doc_id present in `labels` (labels cover every edge endpoint
-        // and min-propagation stays inside the component), and labels
-        // only ever decrease, so jumping through the previous round's
-        // table is safe — the convergence test is unaffected because a
-        // jump that finds anything smaller also decreases `lbl` below
-        // `old`. One job materializes the iteration (checkpoint is
-        // eager) and truncates lineage; the convergence count then
-        // scans the checkpointed partitions — no recompute.
-        val jump = labels
-          .select(col("doc_id").as("via"), col("lbl").as("lbl2"))
-        val next = hop.join(jump, hop("lbl") === jump("via"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"),
-            col("old"))
-          .localCheckpoint()
-        changed = next.where(col("lbl") < col("old")).count()
-        labels = next.select(col("doc_id"), col("lbl"))
-      }
-      lastCcIterations = iter
-      val sizes = labels.groupBy(col("lbl"))
-        .agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "lbl")
-        .select(col("doc_id"), col("lbl").as("keep_id"), col("cluster_size"))
+      graft.plans.Components.keepList(pairs)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
 

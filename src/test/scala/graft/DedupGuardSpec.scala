@@ -114,8 +114,8 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).max >= 300L)
     // pointer doubling closed a ~90-hop diameter in logarithmic rounds —
     // plain propagation would need one round per hop
-    assert(TextPipeline.lastCcIterations <= 20,
-      s"CC took ${TextPipeline.lastCcIterations} rounds; pointer doubling regressed")
+    val it = graft.plans.Components.lastIterations
+    assert(it <= 20, s"CC took $it rounds; pointer doubling regressed")
   }
 
   test("q27: band-bucket cap fires on real near-dup corpus when lowered") {
