@@ -47,17 +47,30 @@ object Relational {
     // ---- Join: broadcast dims + agg (revenue by market segment) --------
     "q11_join_revenue_by_segment" -> ((s, dir) => {
       val src = Graft.parquetSource(s, dir)
-      val li = src.table("lineitem")
-      val o = src.table("orders")
-      val c = src.table("customer")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // Pre-aggregate the FACT table by its join key before the join —
+      // the per-order revenue sum is map-side combinable, so the join
+      // (and everything downstream) sees |orders| rows instead of
+      // |lineitem|, and the countDistinct Expand (which doubled every
+      // joined fact row) disappears entirely: after per-order collapse,
+      // distinct orders ≡ one plain count. Decimal sums are exact, so
+      // regrouping per-order partials per segment is bit-identical to
+      // the flat sum. At 100 TB this is THE join shape: partial
+      // aggregation is the only thing that touches fact-table volume.
+      val perOrder = src.table("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 6)) - dec(col("l_discount"))))
+          .as("rev"))
+      perOrder
+        .join(src.table("orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(src.table("customer")),
+          col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 6)) -
-            dec(col("l_discount")))).cast(DecimalType(24, 4)).cast("double")
+          sum(col("rev")).cast(DecimalType(24, 4)).cast("double")
             .as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment")
     }),
 
