@@ -42,12 +42,13 @@ object TextPipeline {
   private def shingleRowsAll(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     shingleHashRows(Graft.parquetSource(s, dir).table("documents"), n)
 
-  /** Exact Jaccard for candidate pairs via exploded intersection counts:
-    * |A∩B| from an equi-join on the shingle-hash rows, |A∪B| = n1+n2−|A∩B|.
-    * Pairs with an empty intersection drop out of the join — correct under
-    * any positive threshold. No array columns, no HOFs; the candidate set
-    * is small (that is the point of blocking), so the joins broadcast. */
-  private def pairJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+  /** Exact set-overlap counts for candidate pairs via exploded
+    * intersection counts: |A∩B| from an equi-join on the shingle-hash
+    * rows, plus both set sizes. Pairs with an empty intersection drop out
+    * of the join — correct under any positive threshold on any overlap
+    * measure. No array columns, no HOFs; the candidate set is small (that
+    * is the point of blocking), so the joins broadcast. */
+  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val e1 = sh.select(col("doc_id").as("d1"), col("h"))
     val e2 = sh.select(col("doc_id").as("d2"), col("h"))
@@ -56,10 +57,14 @@ object TextPipeline {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+  }
+
+  /** Exact Jaccard |A∩B| / (n1 + n2 − |A∩B|) over [[pairOverlap]]. */
+  private def pairJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+    pairOverlap(cand, sh)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
-  }
 
   /** Exact-duplicate pre-collapse for the near-dup queries. Dedup corpora
     * are duplicate-heavy BY DEFINITION, and word-identical documents share
@@ -129,21 +134,23 @@ object TextPipeline {
 
   /** Exact recovery of the doc-level near-dup answer from rep-level
     * pairs (see [[exactGroups]]): within an exact-dup group every pair
-    * is a duplicate with jaccard exactly 1; across groups, member
-    * similarity equals representative similarity because members share
-    * their rep's word sequence. Output is (d1, d2, jac) with d1 < d2 —
-    * identical to what the un-collapsed formulation produces. */
-  private def expandRepPairs(members: DataFrame,
-      repPairs: DataFrame): DataFrame = {
+    * is a duplicate with similarity exactly 1 (identical word sequences
+    * have identical shingle sets under every overlap measure); across
+    * groups, member similarity equals representative similarity because
+    * members share their rep's word sequence. Output is (d1, d2,
+    * <measure>) with d1 < d2 — identical to what the un-collapsed
+    * formulation produces. */
+  private def expandRepPairs(members: DataFrame, repPairs: DataFrame,
+      measure: String = "jac"): DataFrame = {
     val within = members.as("x").join(members.as("y"),
         col("x.gk") === col("y.gk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        lit(1.0d).as("jac"))
+        lit(1.0d).as(measure))
     val m1 = members.select(col("rep").as("d1"), col("doc_id").as("m1"))
     val m2 = members.select(col("rep").as("d2"), col("doc_id").as("m2"))
     val cross = repPairs.join(m1, "d1").join(m2, "d2")
       .select(least(col("m1"), col("m2")).as("d1"),
-        greatest(col("m1"), col("m2")).as("d2"), col("jac"))
+        greatest(col("m1"), col("m2")).as("d2"), col(measure))
     within.unionByName(cross)
   }
 
@@ -688,6 +695,63 @@ object TextPipeline {
       members0.unpersist(); repBlocks.unpersist(); sh.unpersist()
       expandRepPairs(members, repPairs)
         .orderBy("d1", "d2")
+    }),
+
+    // ---- q62: asymmetric containment dedup (short-doc-inside-long) -----
+    // Jaccard misses the "quote" case: a short document wholly contained
+    // in a long one has jac = |A|/|B| ≈ 0 but containment
+    // |A∩B| / min(|A|,|B|) = 1. Candidates come from RARE-GRAM blocking —
+    // two docs are compared iff they share a 5-gram that 2..8 distinct
+    // contents contain. The df ceiling is the degenerate-key guard (a
+    // boilerplate gram in a million docs generates no candidates — at
+    // most C(8,2) pairs per gram), the df floor drops singletons, and
+    // exact-dup pre-collapse keeps df counting DISTINCT content, so bulk-
+    // duplicated docs neither inflate df past the ceiling nor flood the
+    // bucket join (their answer is recovered arithmetically, as in q27).
+    // Verification is exact: containment ≥ 0.9 over the candidates'
+    // distinct 5-gram sets, built (like q27's verify) only for candidate
+    // docs — the corpus-scale shingle stream is never cached or joined.
+    "q62_containment" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val members0 = exactGroups(d, 5).cache() // doc-level narrow rows;
+        // checkpointed + unpersisted below
+      val reps = members0.where(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
+      val repDocs = d.join(broadcast(reps), Seq("doc_id"), "left_semi")
+      // distinct 5-gram rows of representatives — LAZY: consumed once by
+      // the df-filtered bucket join below (recomputing from the pruned
+      // scan beats a corpus-scale cache; the q27 lesson)
+      val sh = shingleHashRows(repDocs, 5).distinct()
+      val blockGrams = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2 && col("df") <= 8)
+        .select(col("h"))
+      val keyed = sh.join(blockGrams, "h")
+        .cache() // BOUNDED (≤ 8 rows per blocking gram — the df ceiling)
+        // and feeds both sides of the self-join; uncached, each side
+        // re-derives the whole rep shingle stream. Unpersisted below.
+      val cand = keyed.as("a").join(keyed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .localCheckpoint() // eager + tiny: read to build the candDocs
+        // broadcast AND by the verify join
+      keyed.unpersist()
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val candSh = shingleHashRows(
+          d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 5)
+        .distinct()
+        .cache() // pairOverlap reads it three times (e1, e2, sizes)
+      val repPairs = pairOverlap(cand, candSh)
+        .select(col("d1"), col("d2"),
+          (col("inter").cast("double") /
+            least(col("n1"), col("n2")).cast("double")).as("cont"))
+        .where(col("cont") >= 0.9)
+        .localCheckpoint()
+      val members = members0.localCheckpoint()
+      members0.unpersist(); candSh.unpersist()
+      expandRepPairs(members, repPairs, "cont")
+        .orderBy("d1", "d2")
     })
   )
 
@@ -956,6 +1020,60 @@ object TextPipeline {
         |FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.hs, b.hs))::double
         |    / len(list_distinct(a.hs || b.hs)) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    // Unlike q27's oracle (where collapse+expansion is invisible — band
+    // keys of identical docs coincide, so the naive formulation gives the
+    // same answer), q62's blocking df counts DISTINCT contents by design,
+    // so the oracle models the rep collapse explicitly: df over rep
+    // 5-gram sets, containment over rep pairs, then the same exact
+    // expansion (within-group pairs at 1.0, cross pairs at their reps'
+    // containment).
+    "q62_containment" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), keyed0 AS (
+        |  SELECT doc_id, md5(array_to_string(w, ' ')) gk FROM ws WHERE len(w) >= 5
+        |), reps AS (
+        |  SELECT gk, min(doc_id) rep FROM keyed0 GROUP BY gk
+        |), members AS (
+        |  SELECT keyed0.doc_id, keyed0.gk, reps.rep FROM keyed0 JOIN reps USING (gk)
+        |), sg AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-3), i ->
+        |      array_to_string(list_slice(w, i, i+4), ' '))) s
+        |    FROM ws WHERE len(w) >= 5
+        |  ) WHERE doc_id IN (SELECT rep FROM reps)
+        |), blockg AS (
+        |  SELECT h FROM (SELECT h, count(*) df FROM sg GROUP BY h)
+        |  WHERE df BETWEEN 2 AND 8
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+        |  FROM sg a JOIN sg b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  WHERE a.h IN (SELECT h FROM blockg)
+        |), sizes AS (SELECT doc_id, count(*) n FROM sg GROUP BY doc_id),
+        |rp AS (
+        |  SELECT d1, d2, i::double / least(n1.n, n2.n)::double AS cont
+        |  FROM (
+        |    SELECT d1, d2, count(*) i FROM cand
+        |    JOIN sg s1 ON s1.doc_id = d1
+        |    JOIN sg s2 ON s2.doc_id = d2 AND s1.h = s2.h
+        |    GROUP BY d1, d2
+        |  ) JOIN sizes n1 ON n1.doc_id = d1 JOIN sizes n2 ON n2.doc_id = d2
+        |  WHERE i::double / least(n1.n, n2.n)::double >= 0.9
+        |), within AS (
+        |  SELECT x.doc_id d1, y.doc_id d2, 1.0::double AS cont
+        |  FROM members x JOIN members y
+        |    ON x.gk = y.gk AND x.doc_id < y.doc_id
+        |), crossp AS (
+        |  SELECT least(m1.doc_id, m2.doc_id) d1,
+        |    greatest(m1.doc_id, m2.doc_id) d2, rp.cont
+        |  FROM rp JOIN members m1 ON m1.rep = rp.d1
+        |    JOIN members m2 ON m2.rep = rp.d2
+        |)
+        |SELECT d1, d2, cont FROM within
+        |UNION ALL SELECT d1, d2, cont FROM crossp
         |ORDER BY d1, d2""".stripMargin
   )
 }

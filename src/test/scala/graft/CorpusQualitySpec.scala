@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CorpusQuality, TextPipeline}
+
+/** Behavior tests for the corpus-quality operators (q61–q64): signal
+  * direction on constructed corpora, an INDEPENDENT JVM re-derivation of
+  * the q63 distributed prefix sum, and the containment-specific guard
+  * semantics (df-ceiling blocking, subset detection Jaccard misses). */
+class CorpusQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpus-quality")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cq").toFile.getAbsolutePath
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q61: common-token text outscores rare-token gibberish") {
+    // doc 0+1 share every token (corpus counts high); doc 2 is all
+    // singletons (every count 1 → bit-length 0 → mean_bits 0)
+    val dir = corpus(Seq(
+      "alpha beta gamma delta alpha beta",
+      "alpha beta gamma delta gamma delta",
+      "unique1 unique2 unique3 unique4"))
+    val rows = CorpusQuality.defs("q61_unigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // every doc-0/1 token has corpus count 3 (floor(log2) = 1 bit) while
+    // doc 2's singletons all quantize to 0 bits
+    assert(rows(2L) === 0.0d)
+    assert(rows(0L) === 1.0d && rows(1L) === 1.0d)
+  }
+
+  test("q61: n_tokens equals whitespace word count") {
+    val dir = corpus(Seq("a b c d", "x y"))
+    val got = CorpusQuality.defs("q61_unigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 4L, 1L -> 2L))
+  }
+
+  test("q63: sharded prefix sum == independent single-threaded cumsum") {
+    // Re-derive the kept set with plain JVM code — MessageDigest md5,
+    // Regex token count, a sort, and a running total. Any drift in the
+    // shard decomposition (offsets, shard order vs hash order, window
+    // frame) breaks this equality.
+    val md = MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val tokRe = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]".r
+    val texts = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ordered = texts
+      .map { case (id, t) => (id, tokRe.findAllIn(t).size.toLong, h60(t)) }
+      .sortBy { case (id, _, h) => (h, id) }
+    var cum = 0L
+    val expect = ordered.flatMap { case (id, n, _) =>
+      cum += n
+      if (cum <= 10000L) Some((id, n, cum)) else None
+    }.toSeq
+    val got = CorpusQuality.defs("q63_token_budget")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("q64: re-crawled content scores zero novelty, fresh content one") {
+    val dir = corpus(Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "the quick brown fox jumps over the lazy dog today", // re-crawl
+      "completely fresh material nobody has ever written before"))
+    val rows = CorpusQuality.defs("q64_novelty")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(0L) === 1.0d) // first occurrence of every gram
+    assert(rows(1L) === 0.0d) // every gram seen in doc 0
+    assert(rows(2L) === 1.0d)
+  }
+
+  test("q62: detects a short doc contained in a long one (jaccard-blind)") {
+    // B is a contiguous 8-word slice of 40-word A: containment
+    // |B∩A|/|B| = 1.0 while jaccard is ~4/36 ≈ 0.11 — far below any
+    // near-dup threshold. The shared 5-grams have df = 2 (rare), so the
+    // pair blocks together.
+    val a = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val b = (10 until 18).map(i => s"tok$i").mkString(" ")
+    val c = (100 until 140).map(i => s"other$i").mkString(" ")
+    val dir = corpus(Seq(a, b, c))
+    val rows = TextPipeline.defs("q62_containment")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 0L && rows.head.getLong(1) === 1L)
+    assert(rows.head.getDouble(2) === 1.0d)
+  }
+
+  test("q62: boilerplate grams above the df ceiling generate no pairs") {
+    // Nine distinct docs share one 5-gram prefix (df = 9 > 8): the gram
+    // is blocked from candidate generation, and the tails share nothing,
+    // so no pairs emerge — the degenerate-key guard, expressed as a df
+    // ceiling instead of a bucket cap.
+    val dir = corpus((0 until 9).map(i =>
+      s"shared boiler plate gram here tail$i word$i extra$i more$i end$i"))
+    assert(TextPipeline.defs("q62_containment")(spark, dir).count() === 0)
+  }
+
+  test("q62: bulk-duplicated docs are recovered via the group path") {
+    // 100 identical docs + one containing superset doc: df counting
+    // DISTINCT contents keeps the shared grams at df = 2 (rep + superset),
+    // so the cross pair is found AND the 100·99/2 within-group pairs are
+    // reconstructed arithmetically — candidate generation saw ONE rep.
+    val base = (0 until 10).map(i => s"dup$i").mkString(" ")
+    val sup = base + " plus extra trailing words here"
+    val dir = corpus(Seq.fill(100)(base) :+ sup)
+    val out = TextPipeline.defs("q62_containment")(spark, dir)
+    // 4950 within-group + 100 cross pairs (each dup vs the superset)
+    assert(out.count() === 5050L)
+    assert(out.where(org.apache.spark.sql.functions.col("cont") =!= 1.0d)
+      .count() === 0)
+  }
+}

@@ -137,6 +137,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"q57 shuffles the token stream:\n$p")
   }
 
+  test("q63: running sum windows on shard partitions, never one global") {
+    // An empty windowspecdefinition() partition clause would pull every
+    // row through ONE window task — the global-cumsum trap the two-level
+    // prefix sum exists to avoid. The partition-by-shard window plus
+    // broadcast offset join is the required shape.
+    val p = plan("q63_token_budget")
+    assert(p.contains("windowspecdefinition(shard"),
+      s"q63 window no longer partitions by shard:\n$p")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastExchange"),
+      s"q63 offset join stopped broadcasting:\n$p")
+  }
+
+  test("q61/q64: corpus-quality aggregates keep map-side combine") {
+    for (q <- Seq("q61_unigram_surprisal", "q64_novelty")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("salted join: exact row parity with the plain join, salt spreads keys") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
