@@ -106,6 +106,105 @@ object CorpusQuality {
         .orderBy("cum", "doc_id")
     }),
 
+    // ---- q65: TF-IDF cosine similarity search over shingle features ----
+    // "Find related documents" over text alone (no embedding table): each
+    // document is a sparse vector of 3-gram-shingle features weighted by
+    // tf × idf. Weights are INTEGERS — idf quantizes to bit-lengths
+    // (bitlen(n_docs) − bitlen(df)), the q61 trick — so dot products and
+    // norms are exact integer sums at any partitioning, and the cosine is
+    // deterministic double arithmetic over exact integers (sqrt/×/÷ in a
+    // fixed order). Candidates come from rare-feature blocking (df 2..8 —
+    // the q62 guard: a feature in a million docs generates no candidates);
+    // dot/norm vectors are built for candidate docs only (broadcast
+    // semi-join), so the corpus-scale feature stream is never cached and
+    // never self-joined. Complements q31/q46 (embedding ANN) and the
+    // dedup family: this is discovery ("what overlaps doc X"), ranked by
+    // a weighted measure that downweights boilerplate grams.
+    "q65_tfidf_similarity" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val tf = shingleHashRows(d, 3)
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+      // The df table IS the idf model — the artifact every TF-IDF system
+      // materializes once and reuses (a production deployment writes it
+      // to a side table; in-session it caches). Without it, each of its
+      // three consumers (rare filter, keyed join, weight join) re-runs
+      // the corpus-wide feature aggregation. Vocab-sized, not
+      // corpus-sized; unpersisted before returning.
+      val stats = tf.groupBy(col("h")).agg(count(lit(1)).as("df")).cache()
+      val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val keyed = tf
+        .join(stats.where(col("df") >= 2 && col("df") <= 8).select(col("h")),
+          "h")
+        .select(col("doc_id"), col("h"))
+        .cache() // BOUNDED (≤ 8 rows per rare feature) and feeds both
+        // sides of the self-join; unpersisted after cand materializes
+      val cand = keyed.as("a").join(keyed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+        .localCheckpoint()
+      keyed.unpersist()
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      // FULL weighted vectors (every feature, not just rare ones) of
+      // candidate docs only — norms need the whole vector
+      val wC = tf.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .join(stats, "h")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("h"),
+          (col("tf") * (length(bin(col("n_docs"))) - length(bin(col("df")))))
+            .as("w"))
+        .cache() // candidate-bounded; read by nrm + both dot sides
+      val nrm = wC.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("nrm"))
+      val e1 = wC.select(col("doc_id").as("d1"), col("h"), col("w").as("w1"))
+      val e2 = wC.select(col("doc_id").as("d2"), col("h"), col("w").as("w2"))
+      val scored = cand.join(e1, "d1").join(e2, Seq("d2", "h"))
+        .groupBy(col("d1"), col("d2")).agg(sum(col("w1") * col("w2")).as("dot"))
+        .join(nrm.select(col("doc_id").as("d1"), col("nrm").as("nrm1")), "d1")
+        .join(nrm.select(col("doc_id").as("d2"), col("nrm").as("nrm2")), "d2")
+        .select(col("d1"), col("d2"),
+          (col("dot").cast("double") / (sqrt(col("nrm1")) * sqrt(col("nrm2"))))
+            .as("cos"))
+        .where(col("cos") >= 0.5)
+        .localCheckpoint() // eager: allows unpersisting wC + stats NOW
+      wC.unpersist(); stats.unpersist()
+      scored.orderBy("d1", "d2")
+    }),
+
+    // ---- q66: C4-style composite quality filter ------------------------
+    // The heuristic keep/drop battery of C4/Gopher-style pipelines as one
+    // single-pass, fully codegen'd projection: length bounds, mean word
+    // length bounds, punctuation ceiling, stopword-density floor, each
+    // reported as its own flag (so downstream can audit WHY a doc
+    // dropped) plus the conjunction. The stopword count is a regex
+    // extract (codegen'd) rather than a lambda-HOF token fold — the
+    // no-interpreted-HOFs-on-hot-paths house rule. Scale: a pure map —
+    // no shuffle at all except the presentation sort.
+    "q66_quality_filter" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val nw = wordCount(col("text"))
+      val swr = size(regexp_extract_all(col("text"),
+          lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
+        nw.cast("double")
+      d.select(col("doc_id"), nw.as("n_words"),
+          punctRatio(col("text")).as("punct_ratio"),
+          meanWordLen(col("text")).as("mean_word_len"),
+          swr.as("stopword_ratio"))
+        .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+          col("mean_word_len"), col("stopword_ratio"),
+          (col("n_words") >= 20 && col("n_words") <= 1000)
+            .cast("int").as("pass_len"),
+          (col("mean_word_len") >= 3.0d && col("mean_word_len") <= 5.0d)
+            .cast("int").as("pass_mwl"),
+          (col("punct_ratio") <= 0.3d).cast("int").as("pass_punct"),
+          (col("stopword_ratio") >= 0.02d).cast("int").as("pass_stop"))
+        .withColumn("keep",
+          (col("pass_len") === 1 && col("pass_mwl") === 1 &&
+            col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q64: first-occurrence novelty ---------------------------------
     // Fraction of a document's distinct 3-gram shingles whose FIRST
     // occurrence (minimum doc_id over the corpus) is this document. A
@@ -163,6 +262,67 @@ object CorpusQuality {
         |)
         |SELECT doc_id, n_tokens, cum FROM cums
         |WHERE cum <= 10000 ORDER BY cum, doc_id""".stripMargin,
+
+    "q65_tfidf_similarity" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), occ AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+        |      array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3
+        |  )
+        |), tf AS (
+        |  SELECT doc_id, h, count(*)::bigint AS tf FROM occ GROUP BY doc_id, h
+        |), stats AS (
+        |  SELECT h, count(*)::bigint AS df FROM tf GROUP BY h
+        |), nd AS (SELECT count(DISTINCT doc_id)::bigint AS n_docs FROM documents),
+        |w AS (
+        |  SELECT doc_id, h, tf * (length(bin(n_docs)) - length(bin(df))) AS w
+        |  FROM tf JOIN stats USING (h) CROSS JOIN nd
+        |), nrm AS (SELECT doc_id, sum(w*w)::bigint AS nrm FROM w GROUP BY doc_id),
+        |rare AS (SELECT h FROM stats WHERE df BETWEEN 2 AND 8),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+        |  FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  WHERE a.h IN (SELECT h FROM rare)
+        |), dotp AS (
+        |  SELECT d1, d2, sum(w1.w * w2.w)::bigint AS dot
+        |  FROM cand JOIN w w1 ON w1.doc_id = d1
+        |  JOIN w w2 ON w2.doc_id = d2 AND w2.h = w1.h
+        |  GROUP BY d1, d2
+        |)
+        |SELECT d1, d2, dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) AS cos
+        |FROM dotp JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
+        |WHERE dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q66_quality_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::int AS n_words,
+        |    CASE WHEN length(text) > 0
+        |      THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::double / length(text)
+        |      ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |      THEN length(regexp_replace(text, '\s+', '', 'g'))::double
+        |           / len(regexp_split_to_array(trim(text), '\s+'))
+        |      ELSE 0.0 END AS mean_word_len,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))::double
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |  FROM documents
+        |), flags AS (
+        |  SELECT doc_id, n_words, punct_ratio, mean_word_len, stopword_ratio,
+        |    CASE WHEN n_words >= 20 AND n_words <= 1000 THEN 1 ELSE 0 END::int AS pass_len,
+        |    CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 5.0 THEN 1 ELSE 0 END::int AS pass_mwl,
+        |    CASE WHEN punct_ratio <= 0.3 THEN 1 ELSE 0 END::int AS pass_punct,
+        |    CASE WHEN stopword_ratio >= 0.02 THEN 1 ELSE 0 END::int AS pass_stop
+        |  FROM base
+        |)
+        |SELECT *,
+        |  CASE WHEN pass_len = 1 AND pass_mwl = 1 AND pass_punct = 1
+        |    AND pass_stop = 1 THEN 1 ELSE 0 END::int AS keep
+        |FROM flags ORDER BY doc_id""".stripMargin,
 
     "q64_novelty" ->
       """WITH ws AS (

@@ -119,6 +119,54 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(TextPipeline.defs("q62_containment")(spark, dir).count() === 0)
   }
 
+  test("q65: overlapping docs score high, disjoint docs produce no pair") {
+    // a and b share a 40-word run (38 shared shingles at df=2, weight
+    // bitlen(8)−bitlen(2)=2 each) plus 5-word unique tails; six disjoint
+    // filler docs raise n_docs to 8 so the quantized idf is non-zero
+    // (with n_docs=3 the shared features would weigh bitlen(3)−bitlen(2)
+    // = 0 and the pair would vanish — the idf floor is corpus-relative).
+    // Expected cos = (38·4) / (38·4 + 7·9) ≈ 0.707; no other doc pair
+    // shares any feature.
+    val shared = (0 until 40).map(i => s"sh$i").mkString(" ")
+    val a = shared + " " + (0 until 5).map(i => s"a$i").mkString(" ")
+    val b = shared + " " + (0 until 5).map(i => s"b$i").mkString(" ")
+    val fillers = (0 until 6).map(f =>
+      (0 until 10).map(i => s"f${f}x$i").mkString(" "))
+    val dir = corpus(Seq(a, b) ++ fillers)
+    val rows = CorpusQuality.defs("q65_tfidf_similarity")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 0L && rows.head.getLong(1) === 1L)
+    val cos = rows.head.getDouble(2)
+    assert(cos > 0.5d && cos <= 1.0d)
+  }
+
+  test("q65: features above the df ceiling generate no candidates") {
+    // nine docs sharing every shingle (identical) → all features have
+    // df = 9 > 8 → blocked, no pairs (the similarity-search guard; the
+    // DEDUP family owns bulk-duplicate recovery)
+    val dir = corpus(Seq.fill(9)((0 until 10).map(i => s"x$i").mkString(" ")))
+    assert(CorpusQuality.defs("q65_tfidf_similarity")(spark, dir)
+      .count() === 0)
+  }
+
+  test("q65: leaves no cached tables behind") {
+    spark.catalog.clearCache()
+    CorpusQuality.defs("q65_tfidf_similarity")(
+      spark, "/root/testdata/sf0.001").count()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("q66: every flag fails somewhere and keep is their conjunction") {
+    val rows = CorpusQuality.defs("q66_quality_filter")(
+        spark, "/root/testdata/sf0.01").collect()
+    val keep = rows.map(r => r.getInt(9))
+    assert(keep.contains(1) && keep.contains(0), "filter must discriminate")
+    rows.foreach { r =>
+      val conj = r.getInt(5) * r.getInt(6) * r.getInt(7) * r.getInt(8)
+      assert(conj === r.getInt(9), s"keep != conjunction for ${r.getLong(0)}")
+    }
+  }
+
   test("q62: bulk-duplicated docs are recovered via the group path") {
     // 100 identical docs + one containing superset doc: df counting
     // DISTINCT contents keeps the shared grams at df = 2 (rep + superset),
