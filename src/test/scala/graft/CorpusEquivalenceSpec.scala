@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CorpusQuality, TextPipeline}
+
+/** Generator-driven equivalence for the corpus-quality operators: a
+  * brute-force single-threaded Scala reimplementation (including the
+  * rare-gram blocking model, where blocking is part of the operator's
+  * definition) must agree with the distributed plans on arbitrary
+  * small-vocab corpora — a THIRD formulation, independent of both the
+  * Spark plans and the DuckDB oracles. Small vocabularies force heavy
+  * shingle overlap, duplicate documents, and boundary df values, the
+  * regimes where blocking/collapse bugs would hide. */
+class CorpusEquivalenceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpus-equiv")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val P = 2147483647L
+
+  private def h60(s: String): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+  }
+
+  private def toks(t: String): Array[String] = t.trim.split("\\s+")
+
+  /** Distinct n-gram shingle hashes, docs with ≥ n words only —
+    * mirrors TextFunctions.shingleHashRows ∘ distinct. */
+  private def shingleSet(t: String, n: Int): Set[Long] = {
+    val w = toks(t)
+    if (w.length < n) Set.empty
+    else w.sliding(n).map(g => h60(g.mkString(" ")) % P).toSet
+  }
+
+  /** n-gram shingle hash multiset (with multiplicity). */
+  private def shingleBag(t: String, n: Int): Map[Long, Long] = {
+    val w = toks(t)
+    if (w.length < n) Map.empty
+    else w.sliding(n).map(g => h60(g.mkString(" ")) % P).toSeq
+      .groupBy(identity).map { case (h, occ) => h -> occ.size.toLong }
+  }
+
+  private def bitlen(c: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(c)
+
+  private def corpus(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-equiv").toFile.getAbsolutePath
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // Small vocabulary → heavy overlap, duplicate docs, boundary df values.
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
+
+  private def corpusGen(minDocs: Int, maxDocs: Int): Gen[Seq[String]] = for {
+    nDocs <- Gen.chooseNum(minDocs, maxDocs)
+    docs <- Gen.listOfN(nDocs, for {
+      n <- Gen.chooseNum(3, 20)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" "))
+  } yield docs
+
+  private def sampled(minDocs: Int, maxDocs: Int, rounds: Int): Seq[Seq[String]] =
+    (0 until rounds).flatMap(i =>
+      corpusGen(minDocs, maxDocs).apply(Gen.Parameters.default, Seed(11L + i)))
+
+  test("q64 novelty == brute-force first-occurrence computation") {
+    for (texts <- sampled(8, 25, 4)) {
+      val sets = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t, 3) }
+        .filter(_._2.nonEmpty)
+      val firstOwner = sets.flatMap { case (id, hs) => hs.map(_ -> id) }
+        .groupBy(_._1).map { case (h, owns) => h -> owns.map(_._2).min }
+      val expect = sets.map { case (id, hs) =>
+        val novel = hs.count(h => firstOwner(h) == id).toLong
+        id -> ((hs.size.toLong, novel, novel.toDouble / hs.size.toDouble))
+      }.toMap
+      val got = CorpusQuality.defs("q64_novelty")(spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got === expect)
+    }
+  }
+
+  test("q61 surprisal == brute-force quantized-LM computation") {
+    for (texts <- sampled(8, 25, 4)) {
+      val perDoc = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> toks(t).toSeq.groupBy(identity)
+          .map { case (w, occ) => w -> occ.size.toLong }
+      }
+      val lm = perDoc.flatMap(_._2).groupBy(_._1)
+        .map { case (w, ks) => w -> ks.map(_._2).sum }
+      val expect = perDoc.map { case (id, tfm) =>
+        val n = tfm.values.sum
+        val bits = tfm.map { case (w, k) => k * (bitlen(lm(w)) - 1) }.sum
+        id -> ((n, bits, bits.toDouble / n.toDouble))
+      }.toMap
+      val got = CorpusQuality.defs("q61_unigram_surprisal")(
+          spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got === expect)
+    }
+  }
+
+  test("q62 containment == brute-force collapse+blocking+expansion") {
+    for (texts <- sampled(10, 30, 4)) {
+      // exact-group collapse on ≥5-word docs
+      val keyed = texts.zipWithIndex.collect {
+        case (t, i) if toks(t).length >= 5 =>
+          (i.toLong, toks(t).mkString(" "))
+      }
+      val rep = keyed.groupBy(_._2).map { case (gk, ms) =>
+        gk -> ms.map(_._1).min
+      }
+      val members = keyed.map { case (id, gk) => (id, gk, rep(gk)) }
+      val reps = members.collect { case (id, _, r) if id == r => id }.toSet
+      val sets = members.collect { case (id, _, r) if id == r =>
+        id -> shingleSet(texts(id.toInt), 5)
+      }.toMap
+      // rare-gram blocking over rep sets
+      val df = sets.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+        .groupBy(_._1).map { case (h, o) => h -> o.size }
+      val rare = df.collect { case (h, d) if d >= 2 && d <= 8 => h }.toSet
+      val repIds = reps.toSeq.sorted
+      val repPairs = (for {
+        a <- repIds; b <- repIds if a < b
+        shared = sets(a) & sets(b)
+        if shared.exists(rare)
+        cont = shared.size.toDouble /
+          math.min(sets(a).size, sets(b).size).toDouble
+        if cont >= 0.9
+      } yield (a, b, cont))
+      // expansion: within-group pairs at 1.0, cross pairs at rep cont
+      val byRep = members.groupBy(_._3).map { case (r, ms) =>
+        r -> ms.map(_._1).sorted
+      }
+      val within = byRep.values.flatMap(ms =>
+        for (x <- ms; y <- ms if x < y) yield (x, y, 1.0d))
+      val cross = repPairs.flatMap { case (r1, r2, c) =>
+        for (m1 <- byRep(r1); m2 <- byRep(r2))
+          yield (math.min(m1, m2), math.max(m1, m2), c)
+      }
+      val expect = (within ++ cross).toSet
+      val got = TextPipeline.defs("q62_containment")(spark, corpus(texts))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expect)
+    }
+  }
+
+  test("q65 tfidf similarity == brute-force sparse-vector computation") {
+    for (texts <- sampled(10, 30, 4)) {
+      val bags = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleBag(t, 3) }
+        .filter(_._2.nonEmpty)
+      val nDocs = texts.length.toLong // countDistinct(doc_id) — all docs
+      val df = bags.flatMap { case (id, b) => b.keys.map(_ -> id) }
+        .groupBy(_._1).map { case (h, o) => h -> o.size.toLong }
+      val w = bags.map { case (id, b) =>
+        id -> b.map { case (h, tf) =>
+          h -> tf * (bitlen(nDocs) - bitlen(df(h)))
+        }
+      }.toMap
+      val nrm = w.map { case (id, v) => id -> v.values.map(x => x * x).sum }
+      val rare = df.collect { case (h, d) if d >= 2 && d <= 8 => h }.toSet
+      val ids = bags.map(_._1).sorted
+      val expect = (for {
+        a <- ids; b <- ids if a < b
+        shared = w(a).keySet & w(b).keySet
+        if shared.exists(rare)
+        dot = shared.toSeq.map(h => w(a)(h) * w(b)(h)).sum
+        cos = dot.toDouble / (math.sqrt(nrm(a).toDouble) *
+          math.sqrt(nrm(b).toDouble))
+        if cos >= 0.5
+      } yield (a, b, cos)).toSet
+      val got = CorpusQuality.defs("q65_tfidf_similarity")(
+          spark, corpus(texts))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expect)
+    }
+  }
+}
