@@ -73,20 +73,36 @@ object CorpusQuality {
     // shard by the TOP bits of the hash (shard order ≡ hash order, so
     // shards are contiguous ranges of the global order), cumsum within
     // each shard at full parallelism, then add per-shard offsets computed
-    // from the 32-row shard-total frame — metadata-grade driver work, the
-    // only part that is not shard-parallel. No task ever holds more than
-    // its shard; the window's partition count scales with the shard
-    // count, not with 1.
+    // from the ≤nShards-row shard-total frame — metadata-grade driver
+    // work, the only part that is not shard-parallel.
+    //
+    // Budget pruning: the driver already holds every shard's starting
+    // offset, and offsets are monotone in shard id, so shards whose
+    // offset exceeds the budget are dropped BEFORE the window — every
+    // row there has cum ≥ offset > budget, so the answer is
+    // bit-identical. With a 10k-token budget over a 100 TB corpus the
+    // sort/cumsum therefore runs over ~one shard, not the whole corpus
+    // (a window filter cannot be pushed by Catalyst — the pruning has to
+    // happen at plan-construction time, which the collected totals make
+    // free). Shard count is `graft.budget.shards` (rounded up to a power
+    // of two, default = defaultParallelism), so each shard holds
+    // corpus/n — pick n so a shard fits a task at the deployment's
+    // scale; the budget itself is `graft.budget.tokens`.
     "q63_token_budget" -> ((s, dir) => {
-      val budget = 10000L
-      val nShards = 32
+      val budget = s.conf.get("graft.budget.tokens", "10000").toLong
+      val nShards = { // next power of two ⇒ the shard key is a bit-prefix
+        val want = s.conf.get("graft.budget.shards",
+          s.sparkContext.defaultParallelism.toString).toInt.max(1)
+        Integer.highestOneBit(want * 2 - 1)
+      }
+      val shardBits = Integer.numberOfTrailingZeros(nShards)
       val d = Graft.parquetSource(s, dir).table("documents")
       val base = d.select(col("doc_id"),
           bpeTokenCount(col("text")).cast("long").as("n_tokens"),
           hash60(col("text")).as("h"))
-        // hash60 is 60 bits; the top 5 bits are monotone in h, so
+        // hash60 is 60 bits; the top shardBits bits are monotone in h, so
         // (shard, h, doc_id) order ≡ global (h, doc_id) order
-        .withColumn("shard", shiftright(col("h"), 55))
+        .withColumn("shard", shiftright(col("h"), 60 - shardBits))
       val totals = base.groupBy(col("shard"))
         .agg(sum(col("n_tokens")).as("t"))
         .collect() // ≤ nShards rows — metadata, same grain as O7's
@@ -94,12 +110,16 @@ object CorpusQuality {
       val offsets = (0 until nShards).map { sh =>
         (sh.toLong, (0 until sh).map(p => totals.getOrElse(p.toLong, 0L)).sum)
       }
+      // offsets are monotone ⇒ budget-reachable shards are a prefix
+      val kept = offsets.filter(_._2 <= budget)
+      val maxShard = kept.map(_._1).max // shard 0 has offset 0 ≤ budget
       import s.implicits._
-      val offDf = offsets.toDF("shard", "off")
+      val offDf = kept.toDF("shard", "off")
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.join(broadcast(offDf), "shard")
+      base.where(col("shard") <= maxShard)
+        .join(broadcast(offDf), "shard")
         .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
         .where(col("cum") <= budget)
         .select(col("doc_id"), col("n_tokens"), col("cum"))

@@ -169,6 +169,41 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q63 token budget == brute-force global cumsum at any shard count") {
+    // The distributed answer must be shard-count-invariant (shards are
+    // contiguous hash ranges, so the per-shard cumsum + offset equals the
+    // global cumsum) and budget pruning must be invisible (dropped shards
+    // contribute no qualifying rows). Budget 150 forces a real cutoff on
+    // these small corpora; shard counts 1/4/16 exercise the degenerate
+    // single-shard case, the pruned case, and mostly-empty shards.
+    def bpeCount(t: String): Long =
+      "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]".r.findAllIn(t).length.toLong
+    for (texts <- sampled(8, 25, 3)) {
+      val budget = 150L
+      val expect = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, bpeCount(t), h60(t)) }
+        .sortBy { case (id, _, h) => (h, id) }
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n, _)) =>
+          (id, n, cum + n)
+        }.drop(1)
+        .takeWhile(_._3 <= budget)
+      val dir = corpus(texts)
+      spark.conf.set("graft.budget.tokens", budget.toString)
+      try {
+        for (shards <- Seq(1, 4, 16)) {
+          spark.conf.set("graft.budget.shards", shards.toString)
+          val got = CorpusQuality.defs("q63_token_budget")(spark, dir)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          assert(got === expect, s"shards=$shards")
+        }
+      } finally {
+        spark.conf.unset("graft.budget.tokens")
+        spark.conf.unset("graft.budget.shards")
+      }
+    }
+  }
+
   test("q65 tfidf similarity == brute-force sparse-vector computation") {
     for (texts <- sampled(10, 30, 4)) {
       val bags = texts.zipWithIndex

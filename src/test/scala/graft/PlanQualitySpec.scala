@@ -148,6 +148,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") ||
       p.contains("BroadcastExchange"),
       s"q63 offset join stopped broadcasting:\n$p")
+    // Budget pruning: shards whose driver-computed offset exceeds the
+    // budget are filtered out BEFORE the window (Catalyst cannot push a
+    // filter through a window itself), and the shard predicate reaches
+    // the scan as a DataFilter — so a 10k-token answer over a 100 TB
+    // corpus sorts/cumsums ~one shard, not the corpus.
+    assert("""Filter \(shiftright\(graft_hash60""".r.findFirstIn(p).isDefined,
+      s"q63 lost the budget shard-pruning filter below the window:\n$p")
   }
 
   test("q61/q64: corpus-quality aggregates keep map-side combine") {
