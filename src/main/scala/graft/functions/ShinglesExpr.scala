@@ -40,7 +40,18 @@ case class ShinglesExpr(text: Expression, n: Expression)
     val t = text.eval(input)
     if (t == null) Nil
     else {
-      val ws = t.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+      // Tokenization must match TextFunctions.words — i.e. Spark's
+      // `split(trim(c), "\s+")` — EXACTLY, or the generator and the HOF
+      // formulation diverge on whitespace-edged text: Spark's trim
+      // strips U+0020 only (Java String.trim strips all control chars
+      // ≤ U+0020, so a leading tab would tokenize differently), and
+      // Spark's split keeps trailing empty fields (Java's default
+      // limit-0 split drops them).
+      val str = t.asInstanceOf[UTF8String].toString
+      var b = 0; var e = str.length
+      while (b < e && str.charAt(b) == ' ') b += 1
+      while (e > b && str.charAt(e - 1) == ' ') e -= 1
+      val ws = str.substring(b, e).split("\\s+", -1)
       if (ws.length < nVal) Nil
       else (0 to ws.length - nVal).map { i =>
         InternalRow(UTF8String.fromString(

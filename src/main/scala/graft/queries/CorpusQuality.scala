@@ -147,26 +147,19 @@ object CorpusQuality {
         .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
       // The df table IS the idf model — the artifact every TF-IDF system
       // materializes once and reuses (a production deployment writes it
-      // to a side table; in-session it caches). Without it, each of its
-      // three consumers (rare filter, keyed join, weight join) re-runs
-      // the corpus-wide feature aggregation. Vocab-sized, not
-      // corpus-sized; unpersisted before returning.
-      val stats = tf.groupBy(col("h")).agg(count(lit(1)).as("df")).cache()
-      val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
-      val keyed = tf
-        .join(stats.where(col("df") >= 2 && col("df") <= 8).select(col("h")),
-          "h")
-        .select(col("doc_id"), col("h"))
-        .cache() // BOUNDED (≤ 8 rows per rare feature) and feeds both
-        // sides of the self-join; unpersisted after cand materializes
-      val cand = keyed.as("a").join(keyed.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      // as a parquet side-table and reads it back; in-session,
+      // localCheckpoint). Without materialization, each of its three
+      // consumers (rare filter, candidate join, weight join) re-runs the
+      // corpus-wide feature aggregation. One row per DISTINCT shingle —
+      // and distinct shingles, unlike a word vocabulary (Heaps-law
+      // sublinear), grow ~linearly with corpus size, so this is
+      // corpus-growth data that must NEVER be `.cache()`d: checkpoint
+      // blocks live on executor disk, lineage-truncated, freed on GC.
+      val stats = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .localCheckpoint()
-      keyed.unpersist()
-      val candDocs = cand.select(col("d1").as("doc_id"))
-        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val (cand, candDocs) =
+        TextPipeline.rareFeatureCandidates(tf, stats, 2, 8)
       // FULL weighted vectors (every feature, not just rare ones) of
       // candidate docs only — norms need the whole vector
       val wC = tf.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
@@ -183,12 +176,19 @@ object CorpusQuality {
         .groupBy(col("d1"), col("d2")).agg(sum(col("w1") * col("w2")).as("dot"))
         .join(nrm.select(col("doc_id").as("d1"), col("nrm").as("nrm1")), "d1")
         .join(nrm.select(col("doc_id").as("d2"), col("nrm").as("nrm2")), "d2")
+        // zero-norm guard: a doc whose every feature has weight 0
+        // (possible when bitlen(n_docs) == bitlen(df) throughout) would
+        // make cos = 0/0 = NaN, and Spark's NaN ordering treats NaN as
+        // largest — `cos >= 0.5` would PASS, diverging from IEEE (the
+        // brute-force formulation) and DuckDB. Excluded explicitly, and
+        // identically in the oracle.
+        .where(col("nrm1") > 0 && col("nrm2") > 0)
         .select(col("d1"), col("d2"),
           (col("dot").cast("double") / (sqrt(col("nrm1")) * sqrt(col("nrm2"))))
             .as("cos"))
         .where(col("cos") >= 0.5)
-        .localCheckpoint() // eager: allows unpersisting wC + stats NOW
-      wC.unpersist(); stats.unpersist()
+        .localCheckpoint() // eager: allows unpersisting wC NOW
+      wC.unpersist()
       scored.orderBy("d1", "d2")
     }),
 
@@ -314,7 +314,8 @@ object CorpusQuality {
         |)
         |SELECT d1, d2, dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) AS cos
         |FROM dotp JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
-        |WHERE dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) >= 0.5
+        |WHERE n1.nrm > 0 AND n2.nrm > 0
+        |  AND dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
     "q66_quality_filter" ->

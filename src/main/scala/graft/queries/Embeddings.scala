@@ -77,6 +77,11 @@ object Embeddings {
 
   private[graft] def clearAnnMemo(): Unit = annMemo.clear()
 
+  /** Physical plan of q46's last cell-assignment aggregate, captured for
+    * plan-quality tests (the assignment runs eagerly inside the
+    * localCheckpoint, so it no longer appears in q46's returned plan). */
+  @volatile private[graft] var lastCellPlan: String = ""
+
   /** Hyperplane-LSH near-duplicate pairs (v1, v2, cos ≥ 0.45): band
     * bucket-join candidates over 16 sign bits, exact cosine verification.
     * Runs EAGERLY — the returned frame is localCheckpoint-materialized
@@ -174,7 +179,7 @@ object Embeddings {
       // The ordering key (sim, -cid) is unique per group (cids differ), so
       // the argmax is deterministic and identical to the oracle's
       // `ORDER BY sim DESC, cid` ranking.
-      val cells = e.join(broadcast(cents), lit(true))
+      val cellsLazy = e.join(broadcast(cents), lit(true))
         .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
           (dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
             .as("sim"))
@@ -183,7 +188,13 @@ object Embeddings {
           struct(col("sim"), (-col("cid")).as("nc"))).as("r"))
         .select(col("vec_id"), col("r.v").as("v"), col("r.nrm").as("nrm"),
           col("r.cid").as("cell"))
-        .cache()
+      lastCellPlan = cellsLazy.queryExecution.executedPlan.toString
+      val cells = cellsLazy
+        .localCheckpoint() // feeds q/probes/scored — materialized, but
+        // via checkpoint, never `.cache()`: one row per CORPUS vector
+        // (with the vector payload), the corpus-growth storage class
+        // SCALE.md forbids caching. At the 100 TB design point this
+        // frame is instead the physically cell-partitioned table itself.
       // queries probe their 2 nearest cells (5×16 rows — trivial window)
       val q = cells.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),

@@ -59,6 +59,38 @@ object TextPipeline {
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
   }
 
+  /** Candidate pairs from rare-feature blocking — the shared seam of the
+    * blocked-verify family (q62 containment, q65 TF-IDF similarity):
+    * features with document frequency in [lo, hi] are the blocking keys;
+    * two docs become a candidate pair iff they share one. The df ceiling
+    * is the degenerate-key guard (a boilerplate feature present in a
+    * million docs generates NO candidates — any feature yields at most
+    * C(hi, 2) pairs), the floor drops singletons. `keyed` feeds both
+    * sides of the self-join so it must be materialized — via
+    * localCheckpoint, never `.cache()`: its row count is bounded per
+    * feature but grows linearly with distinct corpus content, the
+    * storage class SCALE.md forbids caching (checkpoint blocks live on
+    * executor disk, lineage-truncated, freed on GC — the memory-pressure
+    * window of the self-join never competes with the executor heap).
+    * Returns (cand, candDocs), cand eagerly checkpointed. */
+  private[queries] def rareFeatureCandidates(features: DataFrame,
+      dfTable: DataFrame, lo: Int, hi: Int): (DataFrame, DataFrame) = {
+    val keyed = features.join(
+        dfTable.where(col("df") >= lo && col("df") <= hi).select(col("h")),
+        "h")
+      .select(col("doc_id"), col("h"))
+      .localCheckpoint()
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+      .localCheckpoint() // eager + tiny: read to build the candDocs
+      // broadcast AND by the verify join
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    (cand, candDocs)
+  }
+
   /** Exact Jaccard |A∩B| / (n1 + n2 − |A∩B|) over [[pairOverlap]]. */
   private def pairJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
     pairOverlap(cand, sh)
@@ -722,22 +754,8 @@ object TextPipeline {
       // the df-filtered bucket join below (recomputing from the pruned
       // scan beats a corpus-scale cache; the q27 lesson)
       val sh = shingleHashRows(repDocs, 5).distinct()
-      val blockGrams = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2 && col("df") <= 8)
-        .select(col("h"))
-      val keyed = sh.join(blockGrams, "h")
-        .cache() // BOUNDED (≤ 8 rows per blocking gram — the df ceiling)
-        // and feeds both sides of the self-join; uncached, each side
-        // re-derives the whole rep shingle stream. Unpersisted below.
-      val cand = keyed.as("a").join(keyed.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
-        .localCheckpoint() // eager + tiny: read to build the candDocs
-        // broadcast AND by the verify join
-      keyed.unpersist()
-      val candDocs = cand.select(col("d1").as("doc_id"))
-        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val dfT = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val (cand, candDocs) = rareFeatureCandidates(sh, dfT, 2, 8)
       val candSh = shingleHashRows(
           d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 5)
         .distinct()

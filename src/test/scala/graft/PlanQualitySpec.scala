@@ -85,8 +85,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q46 plans more than the constant-size probe window:\n$p46")
     assert(p46.contains("partial_topkagg") || p46.contains("TopKAgg"),
       s"q46 lost the mergeable top-k aggregate:\n$p46")
-    assert(p46.contains("partial_max_by") || p46.contains("max_by"),
-      s"q46 cell assignment lost the map-side argmax:\n$p46")
+    // Cell assignment runs eagerly inside the localCheckpoint (the
+    // cells frame is corpus-growth data, materialized via checkpoint,
+    // never cached), so its max_by aggregate is asserted on the
+    // captured physical plan instead of the returned one.
+    val cp = graft.queries.Embeddings.lastCellPlan
+    assert(cp.nonEmpty, "q46 cell-assignment plan was not captured")
+    assert(cp.contains("partial_max_by") || cp.contains("max_by"),
+      s"q46 cell assignment lost the map-side argmax:\n$cp")
   }
 
   test("q54: unsorted scan plans as a bare columnar read — no exchange, no sort") {

@@ -37,7 +37,13 @@ class TextEquivalenceSpec extends AnyFunSuite {
     n <- Gen.chooseNum(0, 40)
     ws <- Gen.listOfN(n, wordGen)
     sep <- Gen.oneOf(" ", "  ", " \t ")
-  } yield ws.mkString(sep)
+    // whitespace-EDGED text is where tokenizations diverge: Spark's trim
+    // strips U+0020 only, so a leading tab/newline survives and yields an
+    // empty first token, and trailing separators yield a trailing empty
+    // token (split limit -1). Every formulation must agree on these.
+    pre <- Gen.oneOf("", " ", "\t", "\n ", "  \t")
+    post <- Gen.oneOf("", " ", "\t ", " \n", "\t")
+  } yield pre + ws.mkString(sep) + post
 
   private def docsDf(texts: Seq[String]) = {
     import spark.implicits._
