@@ -214,6 +214,28 @@ object TextPipeline {
   @volatile private[graft] var lastCandidatePlan: String = ""
 
 
+  /** Banded MinHash signatures of a `doc_id`/`text` frame: one row per
+    * (doc_id, band_idx, band_key), 4 bands × 4 rows over 16 permutations
+    * — the LSH index layout shared by q27's in-session pipeline and
+    * q67's persisted signature artifact. MinHash needs NO distinct():
+    * min over a multiset equals min over its support. The 16 mins are
+    * codegen'd MIN aggregates over the shingle rows (map-side partial
+    * agg — the 100 TB shape), not per-element lambdas; only 16 longs
+    * per doc cross the wire, never the shingles. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val minCols = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
+    val bandKeys = array((0 until 4).map { b =>
+      hash60(concat_ws(",",
+        (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+    }: _*)
+    shingleHashRows(docs, 3)
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+  }
+
   /** The shared MinHash+LSH candidate/verify pipeline (q27 + q53):
     * exact-dup collapse → 16-perm minhash over representatives → 4×4
     * banded bucket-join (capped) → exact-Jaccard verification ≥ 0.8.
@@ -249,26 +271,12 @@ object TextPipeline {
     // (the rep set is bounded by distinct content, not corpus size, but
     // only runtime stats know by how much).
     val repDocs = d.join(broadcast(reps), Seq("doc_id"), "left_semi")
-    // MinHash needs NO distinct(): min over a multiset equals min over
-    // its support. MinHash via 16 codegen'd MIN aggregates over the
-    // shingle rows (map-side partial agg — the 100 TB shape), not
-    // per-element lambdas; same arithmetic as TextFunctions.minhashes.
-    // Only 16 longs per rep cross the wire, never the shingles.
-    val minCols = (0 until 16).map(j =>
-      min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
-    val mh = shingleHashRows(repDocs, 3)
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .cache() // 17 narrow cols per rep; the cap's size job and both
-      // self-join sides would otherwise each re-run the 16-min aggregate
-      // over the rep shingle stream
-    val bandKeys = array((0 until 4).map { b =>
-      hash60(concat_ws(",",
-        (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
-    }: _*)
     val banded = capBuckets(
-      mh.select(col("doc_id"),
-        posexplode(bandKeys).as(Seq("band_idx", "band_key"))),
+      minhashBands(repDocs)
+        .localCheckpoint(), // 3 narrow cols × 4 rows per rep; the cap's
+      // size job and both self-join sides would otherwise each re-run
+      // the 16-min aggregate over the rep shingle stream. Checkpoint,
+      // not cache: rep count grows with distinct corpus content.
       Seq("band_idx", "band_key"), s, "q27 LSH bands")
     val a = banded.as("a"); val b = banded.as("b")
     val candLazy = a.join(b,
@@ -294,9 +302,40 @@ object TextPipeline {
       .where(col("jac") >= 0.8)
       .localCheckpoint()
     val members = members0.localCheckpoint()
-    members0.unpersist(); mh.unpersist(); candSh.unpersist()
+    members0.unpersist(); candSh.unpersist()
     (members, repPairs)
   }
+
+  /** Session-level registry of persisted banded-signature artifacts —
+    * the production shape of incremental dedup: the corpus's LSH index
+    * (doc_id, band_idx, band_key) is WRITTEN ONCE as a parquet
+    * side-table and every subsequent crawl batch dedups against the
+    * artifact without re-shingling the old corpus. Keyed by (session,
+    * dir, cut) so a fresh JVM rebuilds (stale-data safe — the artifact
+    * derives from the current table state) while reruns within a
+    * session reuse the file. Lives under java.io.tmpdir at a
+    * content-determined name; a real deployment points this at the
+    * warehouse path next to the corpus snapshot. */
+  private val sigIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), String]()
+
+  private def signatureIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    sigIndexMemo.computeIfAbsent((s, dir, cut), { _ =>
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_sig_index_" + java.security.MessageDigest
+          .getInstance("MD5").digest(s"$dir#$cut".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).getAbsolutePath
+      val d = Graft.parquetSource(s, dir).table("documents")
+      minhashBands(d.where(col("doc_id") < cut))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  /** Physical plan of q67's last candidate bucket-join, captured for the
+    * plan test that proves the old-corpus side reads the artifact (no
+    * shingle generator above that scan). */
+  @volatile private[graft] var lastIncrementalPlan: String = ""
 
   // English/Spanish/German/French stopword seeds for the n-gram-free
   // language-ID heuristic (ratio of stopword tokens per language).
@@ -770,6 +809,53 @@ object TextPipeline {
       members0.unpersist(); candSh.unpersist()
       expandRepPairs(members, repPairs, "cont")
         .orderBy("d1", "d2")
+    }),
+
+    // ---- q67: incremental dedup against a persisted signature index ----
+    // The production 100 TB shape of the near-dup family: a full-corpus
+    // re-dedup per crawl batch re-shingles and re-minhashes 100 TB to
+    // answer a question about the new 0.1%. Instead the corpus's banded
+    // MinHash signatures are a PERSISTED parquet side-table
+    // ([[signatureIndex]], built once per corpus snapshot); each new
+    // batch (here: the top ~20% of doc ids, a data-relative cut exact in
+    // both engines) is shingled/minhashed ALONE, bucket-joined against
+    // the artifact ∪ its own bands (old-old pairs are excluded — they
+    // were reported when the old corpus was deduped), and verified with
+    // exact Jaccard over candidate docs only. Work scales with
+    // |batch| + |candidates|, never with the old corpus: the only
+    // old-corpus reads are the artifact scan and the verify's
+    // candidate-pruned shingle pass. The bucket join is capBuckets-
+    // guarded; the batch is NOT exact-collapsed (batches are small by
+    // definition — the guard covers the degenerate case).
+    "q67_incremental_dedup" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = d.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+      val idx = s.read.parquet(signatureIndex(s, dir, cut))
+      val deltaBands = minhashBands(d.where(col("doc_id") >= cut))
+        .localCheckpoint() // probe side AND part of the build side; also
+        // keeps the candidate plan free of the batch's shingle generator
+      val allBands = capBuckets(idx.unionByName(deltaBands),
+        Seq("band_idx", "band_key"), s, "q67 incremental bands")
+      val candLazy = allBands.as("a").join(deltaBands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      lastIncrementalPlan = candLazy.queryExecution.executedPlan.toString
+      val cand = candLazy.localCheckpoint() // eager + tiny: read to
+        // build the candDocs broadcast AND by the verify join
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val candSh = shingleHashRows(
+          d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 3)
+        .distinct()
+        .cache() // pairJaccard reads it three times (e1, e2, sizes)
+      val out = pairJaccard(cand, candSh)
+        .where(col("jac") >= 0.8)
+        .localCheckpoint()
+      candSh.unpersist()
+      out.orderBy("d1", "d2")
     })
   )
 
@@ -803,9 +889,10 @@ object TextPipeline {
     s"CASE $arms\n    ELSE 'und' END"
   }
 
-  /** q27's full oracle SQL — also embedded as the `pairs` CTE of q53's
-    * recursive-CTE connected-components oracle. */
-  private val minhashPairsSql: String =
+  /** Shared DuckDB CTEs: 16-perm MinHash + 4×4 banded keys over the
+    * distinct-shingle sets — the prefix of q27's pipeline and of q67's
+    * incremental formulation. */
+  private val minhashEbCte: String =
     shingleCte(3) +
       """, mh AS (
         |  SELECT doc_id, hs, list_transform(range(0, 16),
@@ -816,18 +903,29 @@ object TextPipeline {
         |    unnest(list_transform(range(0, 4), b ->
         |      ('0x' || substr(md5(array_to_string(list_slice(m, b*4+1, b*4+4), ',')),1,15))::bigint)) band_key
         |  FROM mh
-        |), cand AS (
+        |)""".stripMargin
+
+  /** Exact-Jaccard verification over a `cand(d1, d2)` CTE — the shared
+    * tail of the MinHash formulations. */
+  private val jaccardVerifyTail: String =
+    """SELECT d1, d2,
+      |  len(list_intersect(s1.hs, s2.hs))::double
+      |    / len(list_distinct(s1.hs || s2.hs)) AS jac
+      |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+      |WHERE len(list_intersect(s1.hs, s2.hs))::double
+      |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
+  /** q27's full oracle SQL — also embedded as the `pairs` CTE of q53's
+    * recursive-CTE connected-components oracle. */
+  private val minhashPairsSql: String =
+    minhashEbCte +
+      """, cand AS (
         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
         |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
         |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |)
-        |SELECT d1, d2,
-        |  len(list_intersect(s1.hs, s2.hs))::double
-        |    / len(list_distinct(s1.hs || s2.hs)) AS jac
-        |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
-        |WHERE len(list_intersect(s1.hs, s2.hs))::double
-        |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
-        |ORDER BY d1, d2""".stripMargin
+        |""".stripMargin + jaccardVerifyTail
 
   val oracles: Map[String, String] = Map(
     "q23_text_stats" ->
@@ -1092,6 +1190,22 @@ object TextPipeline {
         |)
         |SELECT d1, d2, cont FROM within
         |UNION ALL SELECT d1, d2, cont FROM crossp
-        |ORDER BY d1, d2""".stripMargin
+        |ORDER BY d1, d2""".stripMargin,
+
+    // The oracle recomputes every signature from scratch (it has no
+    // artifact); equivalence holds because the artifact rows ARE the
+    // same banded-minhash computation over doc_id < cut, and the
+    // candidate restriction `b.doc_id >= cut` (with d1 < d2) selects
+    // exactly the pairs that involve ≥1 batch document.
+    "q67_incremental_dedup" ->
+      (minhashEbCte +
+        """, cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+          |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          |  WHERE b.doc_id >= (SELECT c FROM cut)
+          |)
+          |""".stripMargin + jaccardVerifyTail)
   )
 }

@@ -163,6 +163,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q63 lost the budget shard-pruning filter below the window:\n$p")
   }
 
+  test("q67: old-corpus candidates read the signature artifact, never re-shingle") {
+    // The incremental-dedup contract: candidate generation must not
+    // touch old-corpus text at all — the old side is a parquet scan of
+    // the persisted banded-signature index, and the batch side is a
+    // checkpointed band frame; no shingle generator may appear anywhere
+    // in the candidate join. (The verify stage re-shingles CANDIDATE
+    // docs only, which is a different plan.)
+    plan("q67_incremental_dedup") // force planning; captures the cand plan
+    val cp = graft.queries.TextPipeline.lastIncrementalPlan
+    assert(cp.nonEmpty, "q67 candidate plan was not captured")
+    assert(cp.contains("graft_sig_index"),
+      s"q67 old side does not read the signature artifact:\n$cp")
+    assert(!cp.toLowerCase.contains("shingles"),
+      s"q67 candidate generation re-shingles a corpus side:\n$cp")
+    assert(!cp.contains("CartesianProduct") &&
+      !cp.contains("BroadcastNestedLoopJoin"),
+      s"q67 candidates degenerate to an all-pairs join:\n$cp")
+  }
+
   test("q61/q64: corpus-quality aggregates keep map-side combine") {
     for (q <- Seq("q61_unigram_surprisal", "q64_novelty")) {
       val p = plan(q)
