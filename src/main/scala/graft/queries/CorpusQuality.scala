@@ -225,6 +225,85 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // ---- q68: repeated-passage (boilerplate) detection -----------------
+    // The C4/RefinedWeb "line dedup" step adapted to unstructured text:
+    // documents are cut into fixed 10-word passages (deterministic
+    // segmentation — no layout dependence), and a passage is boilerplate
+    // when ≥3 DISTINCT documents contain it (navigation chrome, cookie
+    // banners, templated footers). Output is the per-document audit:
+    // passage count, boilerplate count, ratio — the signal the cleaning
+    // pass drops segments by.
+    //
+    // Scale shape: segmentation is a pure map (index explode + slice —
+    // no lambda HOFs); the df table keys on md5-derived passage hashes
+    // (uniform, map-side-combinable count over the distinct (doc, h)
+    // pairs); the per-occurrence join keys on the same uniform hash.
+    // The boilerplate set grows with corpus content, so it is JOINED on
+    // the hash (shuffle on uniform keys), never broadcast — the q57
+    // lesson inverted: here the frequent set is the unbounded one.
+    "q68_passage_dedup" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val segs = d.select(col("doc_id"), words(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(0, (size(ws) + 9) div 10 - 1)")).as("i"))
+        .select(col("doc_id"),
+          hash60(concat_ws(" ",
+            slice(col("ws"), col("i") * 10 + 1, lit(10)))).as("h"))
+      val dfT = segs.distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      segs.join(dfT, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"))
+        .select(col("doc_id"), col("n_segs"), col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_segs").cast("double"))
+            .as("boiler_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- q69: incremental LM scoring against a persisted model ---------
+    // The scoring-side counterpart of q67's incremental dedup: q61
+    // rebuilds its unigram LM from the full corpus every run, but a
+    // production pipeline scores each new crawl batch against the LM of
+    // the EXISTING corpus — persisted once as a parquet side-table
+    // ([[graft.sources.SideTable]]), read back at scoring time. The
+    // batch (doc_id ≥ the q67 cut) is tokenized and pre-aggregated to
+    // (doc, term, k) alone; the old corpus contributes only the
+    // artifact scan. Out-of-vocabulary tokens are reported as their own
+    // signal (n_oov — high OOV = topic/language drift or gibberish);
+    // mean_bits averages over in-vocab tokens with the same integer
+    // bit-length quantization as q61 (cross-engine exact).
+    "q69_incremental_lm_score" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = d.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+      val lmPath = graft.sources.SideTable.ensure(
+          s, "lm_model", s"$dir#$cut") {
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut)
+          .select(explode(words(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      }
+      val lm = s.read.parquet(lmPath)
+      val inv = col("n_tokens") - col("n_oov")
+      d.where(col("doc_id") >= cut)
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("k"))
+        .join(lm, Seq("term"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_tokens"),
+          sum(when(col("c").isNull, col("k")).otherwise(0L)).as("n_oov"),
+          sum(when(col("c").isNotNull,
+            col("k") * (length(bin(col("c"))) - 1)).otherwise(0L))
+            .as("sum_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("sum_bits"),
+          when(inv > 0, col("sum_bits").cast("double") / inv.cast("double"))
+            .otherwise(lit(0.0d)).as("mean_bits"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q64: first-occurrence novelty ---------------------------------
     // Fraction of a document's distinct 3-gram shingles whose FIRST
     // occurrence (minimum doc_id over the corpus) is this document. A
@@ -344,6 +423,48 @@ object CorpusQuality {
         |  CASE WHEN pass_len = 1 AND pass_mwl = 1 AND pass_punct = 1
         |    AND pass_stop = 1 THEN 1 ELSE 0 END::int AS keep
         |FROM flags ORDER BY doc_id""".stripMargin,
+
+    "q68_passage_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), segs AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(list_slice(w, i*10+1, i*10+10), ' ')),1,15))::bigint AS h
+        |  FROM (SELECT doc_id, w, unnest(range(0, (len(w)+9)//10)) AS i FROM ws)
+        |), df AS (
+        |  SELECT h, count(DISTINCT doc_id) AS df FROM segs GROUP BY h
+        |)
+        |SELECT segs.doc_id, count(*) AS n_segs,
+        |  sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END)::bigint AS n_boiler,
+        |  sum(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END)::double / count(*)
+        |    AS boiler_ratio
+        |FROM segs JOIN df USING (h)
+        |GROUP BY segs.doc_id ORDER BY segs.doc_id""".stripMargin,
+
+    // The oracle recomputes the LM from scratch over doc_id < cut (it
+    // has no artifact); equivalence holds because the artifact rows ARE
+    // that aggregation, persisted.
+    "q69_incremental_lm_score" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), lm AS (
+        |  SELECT term, count(*)::bigint AS c FROM tok
+        |  WHERE doc_id < (SELECT c FROM cut) GROUP BY term
+        |), delta AS (
+        |  SELECT doc_id, term, count(*) AS k FROM tok
+        |  WHERE doc_id >= (SELECT c FROM cut) GROUP BY doc_id, term
+        |)
+        |SELECT doc_id, sum(k)::bigint AS n_tokens,
+        |  sum(CASE WHEN c IS NULL THEN k ELSE 0 END)::bigint AS n_oov,
+        |  sum(CASE WHEN c IS NOT NULL THEN k * (length(bin(c)) - 1) ELSE 0 END)::bigint AS sum_bits,
+        |  CASE WHEN sum(CASE WHEN c IS NOT NULL THEN k ELSE 0 END) > 0
+        |    THEN sum(CASE WHEN c IS NOT NULL THEN k * (length(bin(c)) - 1) ELSE 0 END)::double
+        |         / sum(CASE WHEN c IS NOT NULL THEN k ELSE 0 END)::double
+        |    ELSE 0.0 END AS mean_bits
+        |FROM delta LEFT JOIN lm USING (term)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q64_novelty" ->
       """WITH ws AS (

@@ -306,31 +306,17 @@ object TextPipeline {
     (members, repPairs)
   }
 
-  /** Session-level registry of persisted banded-signature artifacts —
-    * the production shape of incremental dedup: the corpus's LSH index
-    * (doc_id, band_idx, band_key) is WRITTEN ONCE as a parquet
-    * side-table and every subsequent crawl batch dedups against the
-    * artifact without re-shingling the old corpus. Keyed by (session,
-    * dir, cut) so a fresh JVM rebuilds (stale-data safe — the artifact
-    * derives from the current table state) while reruns within a
-    * session reuse the file. Lives under java.io.tmpdir at a
-    * content-determined name; a real deployment points this at the
-    * warehouse path next to the corpus snapshot. */
-  private val sigIndexMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), String]()
-
+  /** The persisted banded-signature artifact behind q67 — the
+    * production shape of incremental dedup: the corpus's LSH index
+    * (doc_id, band_idx, band_key) is written once per corpus snapshot
+    * via [[graft.sources.SideTable]] and every subsequent crawl batch
+    * dedups against the artifact without re-shingling the old corpus. */
   private def signatureIndex(s: SparkSession, dir: String,
       cut: Long): String =
-    sigIndexMemo.computeIfAbsent((s, dir, cut), { _ =>
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_sig_index_" + java.security.MessageDigest
-          .getInstance("MD5").digest(s"$dir#$cut".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString).getAbsolutePath
+    graft.sources.SideTable.ensure(s, "sig_index", s"$dir#$cut") {
       val d = Graft.parquetSource(s, dir).table("documents")
       minhashBands(d.where(col("doc_id") < cut))
-        .write.mode("overwrite").parquet(path)
-      path
-    })
+    }
 
   /** Physical plan of q67's last candidate bucket-join, captured for the
     * plan test that proves the old-corpus side reads the artifact (no

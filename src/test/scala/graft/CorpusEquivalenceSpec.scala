@@ -204,6 +204,65 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q68 passage dedup == brute-force 10-word-chunk df computation") {
+    for (texts0 <- sampled(8, 25, 3)) {
+      // force real boilerplate: duplicate one doc 3× so its passages
+      // cross the df ≥ 3 threshold
+      val texts = texts0 ++ Seq(texts0.head, texts0.head)
+      val segHashes = texts.zipWithIndex.map { case (t, i) =>
+        val w = toks(t)
+        i.toLong -> (0 until (w.length + 9) / 10).map(k =>
+          h60(w.slice(k * 10, k * 10 + 10).mkString(" ")))
+      }
+      val df = segHashes.flatMap { case (id, hs) => hs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (h, o) => h -> o.size }
+      val expect = segHashes.map { case (id, hs) =>
+        val boiler = hs.count(h => df(h) >= 3).toLong
+        id -> ((hs.size.toLong, boiler,
+          boiler.toDouble / hs.size.toDouble))
+      }.toMap
+      val got = CorpusQuality.defs("q68_passage_dedup")(spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got === expect)
+      assert(got.values.exists(_._2 > 0), "no boilerplate exercised")
+    }
+  }
+
+  test("q69 incremental LM score == brute-force old-corpus LM, with OOV") {
+    for (texts0 <- sampled(8, 25, 3)) {
+      // sentinel doc at the highest doc_id: lands in the batch and
+      // carries out-of-vocabulary terms, exercising the n_oov path
+      val texts = texts0 :+ "qoph resh shin tav alpha beta"
+      val cut = (texts.length - 1).toLong * 4 / 5
+      val lm = texts.zipWithIndex.filter(_._2 < cut)
+        .flatMap(t => toks(t._1)).groupBy(identity)
+        .map { case (w, occ) => w -> occ.size.toLong }
+      val expect = texts.zipWithIndex.filter(_._2 >= cut)
+        .map { case (t, i) =>
+          val tfm = toks(t).toSeq.groupBy(identity)
+            .map { case (w, occ) => w -> occ.size.toLong }
+          val n = tfm.values.sum
+          val oov = tfm.collect { case (w, k) if !lm.contains(w) => k }.sum
+          val bits = tfm.collect { case (w, k) if lm.contains(w) =>
+            k * (bitlen(lm(w)) - 1)
+          }.sum
+          val mean = if (n - oov > 0) bits.toDouble / (n - oov).toDouble
+            else 0.0d
+          i.toLong -> ((n, oov, bits, mean))
+        }.toMap
+      val got = CorpusQuality.defs("q69_incremental_lm_score")(
+          spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(got === expect)
+      assert(got.values.exists(_._2 > 0), "no OOV exercised")
+    }
+  }
+
   test("q65 tfidf similarity == brute-force sparse-vector computation") {
     for (texts <- sampled(10, 30, 4)) {
       val bags = texts.zipWithIndex

@@ -182,12 +182,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q67 candidates degenerate to an all-pairs join:\n$cp")
   }
 
-  test("q61/q64: corpus-quality aggregates keep map-side combine") {
-    for (q <- Seq("q61_unigram_surprisal", "q64_novelty")) {
+  test("q61/q64/q68: corpus-quality aggregates keep map-side combine") {
+    for (q <- Seq("q61_unigram_surprisal", "q64_novelty",
+        "q68_passage_dedup")) {
       val p = plan(q)
       assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
       assert(!p.contains("CartesianProduct"), q)
     }
+  }
+
+  test("q69: scoring reads the LM artifact; only the batch touches documents") {
+    // The incremental-scoring contract: the old corpus contributes ONLY
+    // the persisted LM side-table scan — the documents table is read
+    // once, with the batch cut pushed to the scan, and no second
+    // corpus-wide aggregation appears above it.
+    val p = plan("q69_incremental_lm_score")
+    assert(p.contains("graft_lm_model"),
+      s"q69 does not read the persisted LM artifact:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      s"q69 reads the documents table more than once:\n$p")
+    assert(p.contains("GreaterThanOrEqual(doc_id"),
+      s"q69 batch cut is not pushed to the documents scan:\n$p")
   }
 
   test("salted join: exact row parity with the plain join, salt spreads keys") {
