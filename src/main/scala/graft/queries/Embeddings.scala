@@ -215,6 +215,35 @@ object Embeddings {
           (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
             .as("cos"))
       topkPerQuery(scored, 5)
+    }),
+
+    // ---- q70: ANN recall audit — IVF vs exact ground truth -------------
+    // "Measure, don't guess" as an operator: recall@5 of the q46 IVF
+    // search against the q30 exact brute-force ranking, per query
+    // vector. Production ANN deployments run exactly this audit on a
+    // sampled query set after every index (re)build — the knob that
+    // justifies nprobe/cell-count choices with a number instead of a
+    // hunch. Composes the two existing pipelines (both mergeable-top-k,
+    // no new corpus-scale work: the audit's own joins touch ≤ k rows
+    // per query); the recall denominator is the fixed k, so a query
+    // whose probed cells miss everything still reports (as 0), via the
+    // left join against the exact side's query set.
+    "q70_ann_recall" -> ((s, dir) => {
+      val exact = defs("q30_cosine_topk")(s, dir)
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint() // ≤ 5 rows per query; read by hits AND qids
+      val approx = defs("q46_ivf_ann")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
+            .as("recall"))
+        .orderBy("q_id")
     })
   )
 
@@ -263,20 +292,23 @@ object Embeddings {
          |WHERE ${duckCos("e1.v", "e1.nrm", "e2.v", "e2.nrm")} >= 0.45
          |ORDER BY v1, v2""".stripMargin
 
+  /** q30's full oracle SQL — also the `exact` CTE of q70's recall audit. */
+  private lazy val cosineTopkSql: String =
+    baseCte +
+      s""", q AS (SELECT vec_id q_id, v qv, nrm qn FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id, ${duckCos("q.qv", "q.qn", "e.v", "e.nrm")} AS cos
+         |  FROM e JOIN q ON e.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM scored
+         |)
+         |SELECT q_id, vec_id, cos, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q30_cosine_topk" ->
-      (baseCte +
-        s""", q AS (SELECT vec_id q_id, v qv, nrm qn FROM e WHERE vec_id < 5),
-           |scored AS (
-           |  SELECT q.q_id, e.vec_id, ${duckCos("q.qv", "q.qn", "e.v", "e.nrm")} AS cos
-           |  FROM e JOIN q ON e.vec_id <> q.q_id
-           |), ranked AS (
-           |  SELECT q_id, vec_id, cos,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
-           |  FROM scored
-           |)
-           |SELECT q_id, vec_id, cos, rank FROM ranked
-           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
+    "q30_cosine_topk" -> cosineTopkSql,
 
     "q31_ann_lsh" -> annPairsSql,
 
@@ -292,7 +324,26 @@ object Embeddings {
          |  count(DISTINCT b) AS cluster_size
          |FROM reach GROUP BY a ORDER BY a""".stripMargin,
 
-    "q46_ivf_ann" ->
+    "q46_ivf_ann" -> ivfAnnSql,
+
+    "q70_ann_recall" ->
+      s"""WITH exact AS ($cosineTopkSql),
+         |approx AS ($ivfAnnSql),
+         |qids AS (SELECT DISTINCT q_id FROM exact),
+         |hits AS (
+         |  SELECT e.q_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx a
+         |    ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |  WHERE e.rank <= 5
+         |  GROUP BY e.q_id
+         |)
+         |SELECT q_id, coalesce(n_hit, 0)::bigint AS n_hit,
+         |  coalesce(n_hit, 0)::double / 5 AS recall
+         |FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
+  )
+
+  /** q46's full oracle SQL — also the `approx` CTE of q70. */
+  private lazy val ivfAnnSql: String =
       (baseCte +
         s""", cents AS (SELECT vec_id cid, v cv, nrm cn FROM e WHERE vec_id < 16),
            |assign AS (
@@ -321,5 +372,4 @@ object Embeddings {
            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
            |  FROM scored
            |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
-  )
 }
