@@ -262,6 +262,70 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // ---- q71: content-defined chunk dedup (shift-robust passages) ------
+    // q68's fixed 10-word windows break under a single-word insertion:
+    // every downstream passage shifts and nothing matches. Content-
+    // defined chunking (the dedup-storage/rsync idea) cuts at words
+    // whose hash ≡ 0 (mod 16) instead — boundaries move WITH the
+    // content, so an edit disturbs only the chunk it touches and
+    // duplicated passages re-align immediately after. Chunks are
+    // fingerprinted with the q25 rolling hash computed positionally
+    // (Σ h_i·31^(n−1−i) mod p — codegen'd SUM, no lambda fold), a chunk
+    // is duplicated when ≥2 distinct docs contain it, and the per-doc
+    // audit mirrors q68. Scale shape: boundary flags and chunk ids are
+    // per-doc windows (bounded by doc length, evenly distributed); the
+    // df join keys on the uniform fingerprint hash; everything
+    // map-side-combines. Expected chunk length is the boundary modulus
+    // (16 words) — the resolution/robustness knob.
+    "q71_cdc_chunks" -> ((s, dir) => {
+      val maxW = 8192
+      val pows = {
+        val a = new Array[Long](maxW); a(0) = 1L
+        for (i <- 1 until maxW) a(i) = a(i - 1) * 31L % HashP
+        a.toSeq
+      }
+      val powArr = typedLit(pows)
+      val d = Graft.parquetSource(s, dir).table("documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val tok = d
+        .select(col("doc_id"),
+          posexplode(words(col("text"))).as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"),
+          pmod(hash60(col("w")), lit(HashP)).as("h"),
+          when(pmod(hash60(col("w")), lit(16L)) === 0, 1L).otherwise(0L)
+            .as("b"))
+      val wCh = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wIn = Window.partitionBy(col("doc_id"), col("chunk"))
+        .orderBy(col("pos"))
+      val wN = Window.partitionBy(col("doc_id"), col("chunk"))
+      val chunkHash = tok
+        .withColumn("chunk", sum(col("b")).over(wCh))
+        .withColumn("rn", row_number().over(wIn))
+        .withColumn("n", count(lit(1)).over(wN))
+        .select(col("doc_id"), col("chunk"),
+          // exponent n − rn, 1-based table index n − rn + 1; docs past
+          // the power table fail loudly (the fingerprintRows contract)
+          when(col("n") <= maxW,
+            pmod(col("h") * element_at(powArr,
+              (col("n") - col("rn") + 1).cast("int")), lit(HashP)))
+            .otherwise(raise_error(concat(
+              lit(s"q71 supports at most $maxW words per chunk; doc "),
+              col("doc_id"), lit(" has "), col("n")))).as("term"))
+        .groupBy(col("doc_id"), col("chunk"))
+        .agg(pmod(sum(col("term")), lit(HashP)).as("ch"))
+      val dfT = chunkHash.select(col("doc_id"), col("ch")).distinct()
+        .groupBy(col("ch")).agg(count(lit(1)).as("df"))
+      chunkHash.join(dfT, "ch")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_chunks").cast("double"))
+            .as("dup_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q69: incremental LM scoring against a persisted model ---------
     // The scoring-side counterpart of q67's incremental dedup: q61
     // rebuilds its unigram LM from the full corpus every run, but a
@@ -440,6 +504,41 @@ object CorpusQuality {
         |    AS boiler_ratio
         |FROM segs JOIN df USING (h)
         |GROUP BY segs.doc_id ORDER BY segs.doc_id""".stripMargin,
+
+    // Chunk fingerprint: the positional power-sum Spark computes equals
+    // the sequential fold (acc·31 + h) mod p — the q25 equivalence —
+    // expressed here as list_reduce over the chunk's ordered hashes.
+    "q71_cdc_chunks" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i, w[i] AS wd
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM ws)
+        |), tk AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(wd),1,15))::bigint % 2147483647 AS h,
+        |    CASE WHEN ('0x' || substr(md5(wd),1,15))::bigint % 16 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tok
+        |), ch AS (
+        |  SELECT doc_id, i, h,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS chunk
+        |  FROM tk
+        |), chash AS (
+        |  SELECT doc_id, chunk,
+        |    list_reduce(list_prepend(0::bigint, list(h ORDER BY i)),
+        |      (acc, x) -> (acc * 31 + x) % 2147483647) AS ch
+        |  FROM ch GROUP BY doc_id, chunk
+        |), df AS (
+        |  SELECT ch, count(DISTINCT doc_id) AS df FROM chash GROUP BY ch
+        |)
+        |SELECT chash.doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::bigint AS n_dup,
+        |  sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::double / count(*)
+        |    AS dup_ratio
+        |FROM chash JOIN df USING (ch)
+        |GROUP BY chash.doc_id ORDER BY chash.doc_id""".stripMargin,
 
     // The oracle recomputes the LM from scratch over doc_id < cut (it
     // has no artifact); equivalence holds because the artifact rows ARE

@@ -263,6 +263,52 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force CDC chunking: boundary at hash60(w) % 16 == 0, chunk
+    * fingerprint = sequential (acc·31 + h mod p) fold. */
+  private def cdcChunks(t: String): Seq[Long] = {
+    val w = toks(t)
+    val bounds = w.map(x => h60(x) % 16 == 0)
+    val chunks = scala.collection.mutable.ArrayBuffer[List[Long]]()
+    var cur = List.empty[Long]
+    for (j <- w.indices) {
+      if (bounds(j) && cur.nonEmpty) { chunks += cur.reverse; cur = Nil }
+      cur = (h60(w(j)) % P) :: cur
+    }
+    if (cur.nonEmpty) chunks += cur.reverse
+    chunks.toSeq.map(_.foldLeft(0L)((acc, h) => (acc * 31 + h) % P))
+  }
+
+  test("q71 cdc chunks == brute force, and chunking is shift-robust") {
+    for (texts0 <- sampled(8, 20, 3)) {
+      // duplicate the longest doc, and append a SHIFTED copy (one word
+      // prepended): fixed windows would mismatch every passage of the
+      // shifted copy, CDC must still share every chunk after the edit
+      val donor = texts0.maxBy(t => toks(t).length)
+      val texts = texts0 ++ Seq(donor, "inserted " + donor)
+      val perDoc = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> cdcChunks(t)
+      }
+      val df = perDoc.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (h, o) => h -> o.size }
+      val expect = perDoc.map { case (id, cs) =>
+        val dup = cs.count(c => df(c) >= 2).toLong
+        id -> ((cs.size.toLong, dup, dup.toDouble / cs.size.toDouble))
+      }.toMap
+      val got = CorpusQuality.defs("q71_cdc_chunks")(spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got === expect)
+      // the shift-robustness claim itself: the shifted copy still shares
+      // all but at most its first chunk (the one the edit touched) with
+      // the duplicate — under 10-word fixed windows a 1-word prepend
+      // realigns nothing (unless the inserted word lands on a boundary)
+      val shifted = got(texts.length - 1L)
+      assert(shifted._2 >= shifted._1 - 1,
+        s"CDC lost alignment after a 1-word insertion: $shifted")
+    }
+  }
+
   test("q65 tfidf similarity == brute-force sparse-vector computation") {
     for (texts <- sampled(10, 30, 4)) {
       val bags = texts.zipWithIndex
