@@ -118,6 +118,24 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(it <= 20, s"CC took $it rounds; pointer doubling regressed")
   }
 
+  test("q67: bulk-duplicated corpus trips the band cap loudly, never quadratically") {
+    DedupGuard.reset()
+    // q67 deliberately has no exact-dup collapse (crawl batches are
+    // small by definition), so the capBuckets guard is its ONLY defense
+    // against a bulk-duplicated corpus: 3001 identical docs share every
+    // band key, making each of the 4 band buckets 3001 > cap=2000 —
+    // they must be dropped loudly (4 skipped keys) instead of putting
+    // ~2400×601×4 pairs through the verify join.
+    val n = 3001
+    val dir = corpus(
+      Seq.fill(n)("the same exact document body repeated verbatim") ++
+        Seq("a completely different text about unrelated things entirely"))
+    val out = TextPipeline.defs("q67_incremental_dedup")(spark, dir)
+    assert(out.count() === 0)
+    assert(DedupGuard.skippedBuckets.get() === 4)
+    assert(DedupGuard.largestSkipped.get() === n.toLong)
+  }
+
   test("q27: band-bucket cap fires on real near-dup corpus when lowered") {
     DedupGuard.reset()
     // cap=1 makes EVERY ≥2-doc band bucket oversized: the sf0.001 corpus
