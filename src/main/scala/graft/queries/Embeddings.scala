@@ -84,10 +84,14 @@ object Embeddings {
 
   /** Hyperplane-LSH near-duplicate pairs (v1, v2, cos ≥ 0.45): band
     * bucket-join candidates over 16 sign bits, exact cosine verification.
-    * Runs EAGERLY — the returned frame is localCheckpoint-materialized
-    * and both cached intermediates are unpersisted before returning. */
+    * Runs EAGERLY — the returned frame and both reused intermediates are
+    * localCheckpoint-materialized (checkpoint blocks free on GC), so no
+    * cached tables are left behind. */
   private def computeAnnPairs(s: SparkSession, dir: String): DataFrame = {
-    val e = normalized(s, dir).cache()
+    val e = normalized(s, dir)
+      .localCheckpoint() // one row per corpus vector (payload included)
+      // — corpus-growth, so checkpoint, never cache; read by the band
+      // derivation and both verify sides
     // sign(dot(v/‖v‖, p)) = sign(dot(v, p)) since ‖v‖ > 0 — the raw
     // dot skips normalization entirely (oracle computes the same)
     val bits: Seq[org.apache.spark.sql.Column] = planes.map { p =>
@@ -99,7 +103,9 @@ object Embeddings {
     }: _*)
     val keyed = e.select(col("vec_id"),
       posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-      .cache() // 16 hyperplane folds per row; compute once per side
+      .localCheckpoint() // 16 hyperplane folds per row, computed once
+      // for both self-join sides; 4 narrow rows per corpus vector —
+      // the checkpoint class, not the cache class
     val a = keyed.as("a"); val b = keyed.as("b")
     val cand = a.join(b,
       col("a.band_idx") === col("b.band_idx") &&
@@ -117,7 +123,6 @@ object Embeddings {
           .as("cos"))
       .where(col("cos") >= 0.45)
       .localCheckpoint()
-    e.unpersist(); keyed.unpersist()
     pairs
   }
 

@@ -252,10 +252,11 @@ object TextPipeline {
   private def computeRepPairs(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val d = Graft.parquetSource(s, dir).table("documents")
-    val members0 = exactGroups(d, 3)
-      .cache() // doc-level narrow rows; read by the joins below, then
-      // checkpointed and unpersisted before returning
-    val reps = members0.where(col("doc_id") === col("rep"))
+    val members = exactGroups(d, 3)
+      .localCheckpoint() // one narrow row per doc — corpus-growth, so
+      // checkpoint (executor disk), never cache; read by reps here and
+      // by expandRepPairs/q53 via the memo
+    val reps = members.where(col("doc_id") === col("rep"))
       .select(col("doc_id"))
     // Representative restriction BEFORE shingling: only rep documents are
     // ever shingled or minhashed — non-reps contribute nothing pairwise
@@ -301,8 +302,7 @@ object TextPipeline {
     val repPairs = pairJaccard(cand, candSh)
       .where(col("jac") >= 0.8)
       .localCheckpoint()
-    val members = members0.localCheckpoint()
-    members0.unpersist(); candSh.unpersist()
+    candSh.unpersist()
     (members, repPairs)
   }
 
@@ -716,18 +716,20 @@ object TextPipeline {
     // exact doc-level recovery.
     "q29_ngram_jaccard" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val members0 = exactGroups(d, 3)
-        .cache() // doc-level narrow rows; checkpointed + unpersisted below
+      val members = exactGroups(d, 3)
+        .localCheckpoint() // one narrow row per doc — corpus-growth, so
+        // checkpoint, never cache; read below and by the expansion
       // blocking key: first three words (slice/concat_ws are plain
       // codegen'd collection expressions, not lambda HOFs), built for
       // exact-dup-group representatives only
       val repBlocks = d.where(size(words(col("text"))) >= 3)
         .select(col("doc_id"),
           concat_ws(" ", slice(words(col("text")), 1, 3)).as("blk"))
-        .join(members0.where(col("doc_id") === col("rep"))
+        .join(members.where(col("doc_id") === col("rep"))
           .select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .cache() // 2 narrow cols per rep; read by the cap's size job
-        // and both self-join sides
+        .localCheckpoint() // 2 narrow cols per rep (rep count grows
+        // with distinct content — checkpoint class); read by the cap's
+        // size job and both self-join sides
       val blocks = capBuckets(repBlocks, Seq("blk"), s, "q29 prefix blocks")
       val a = blocks.as("a"); val b = blocks.as("b")
       val cand = a.join(b, col("a.blk") === col("b.blk") &&
@@ -746,10 +748,9 @@ object TextPipeline {
         .cache() // pairJaccard reads it three times (e1, e2, sizes)
       val repPairs = pairJaccard(cand, sh)
         .where(col("jac") >= 0.5)
-        .localCheckpoint() // eager: allows unpersisting the caches NOW —
+        .localCheckpoint() // eager: allows unpersisting the cache NOW —
         // a long-lived session accumulates no cached tables from q29
-      val members = members0.localCheckpoint()
-      members0.unpersist(); repBlocks.unpersist(); sh.unpersist()
+      sh.unpersist()
       expandRepPairs(members, repPairs)
         .orderBy("d1", "d2")
     }),
@@ -770,9 +771,10 @@ object TextPipeline {
     // docs — the corpus-scale shingle stream is never cached or joined.
     "q62_containment" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val members0 = exactGroups(d, 5).cache() // doc-level narrow rows;
-        // checkpointed + unpersisted below
-      val reps = members0.where(col("doc_id") === col("rep"))
+      val members = exactGroups(d, 5)
+        .localCheckpoint() // one narrow row per doc — corpus-growth, so
+        // checkpoint, never cache; read below and by the expansion
+      val reps = members.where(col("doc_id") === col("rep"))
         .select(col("doc_id"))
       val repDocs = d.join(broadcast(reps), Seq("doc_id"), "left_semi")
       // distinct 5-gram rows of representatives — LAZY: consumed once by
@@ -791,8 +793,7 @@ object TextPipeline {
             least(col("n1"), col("n2")).cast("double")).as("cont"))
         .where(col("cont") >= 0.9)
         .localCheckpoint()
-      val members = members0.localCheckpoint()
-      members0.unpersist(); candSh.unpersist()
+      candSh.unpersist()
       expandRepPairs(members, repPairs, "cont")
         .orderBy("d1", "d2")
     }),
