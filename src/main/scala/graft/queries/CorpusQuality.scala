@@ -368,6 +368,39 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // ---- q72: incremental novelty against a persisted gram set ---------
+    // The crawl-triage metric: what fraction of each new batch document
+    // is content the corpus has never seen? q64 answers it corpus-wide
+    // (first occurrence by doc_id); the production shape answers it
+    // INCREMENTALLY — the old corpus's distinct 3-gram hash set persists
+    // as a side-table ([[graft.sources.SideTable]]) and each batch doc
+    // left-joins its distinct grams against it. Only the batch is ever
+    // shingled; the artifact join keys on the uniform gram hash (at the
+    // design point the artifact additionally compiles to a bloom/filter
+    // index — the parquet set is its exact reference form). Completes
+    // the incremental family: dedup (q67), LM scoring (q69), novelty.
+    "q72_incremental_novelty" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = d.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+      val gramPath = graft.sources.SideTable.ensure(
+          s, "gram_set", s"$dir#$cut") {
+        shingleHashRows(
+            Graft.parquetSource(s, dir).table("documents")
+              .where(col("doc_id") < cut), 3)
+          .select(col("h")).distinct()
+      }
+      val old = s.read.parquet(gramPath).withColumn("seen", lit(1))
+      shingleHashRows(d.where(col("doc_id") >= cut), 3).distinct()
+        .join(old, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))
+        .select(col("doc_id"), col("n_grams"), col("n_new"),
+          (col("n_new").cast("double") / col("n_grams").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q64: first-occurrence novelty ---------------------------------
     // Fraction of a document's distinct 3-gram shingles whose FIRST
     // occurrence (minimum doc_id over the corpus) is this document. A
@@ -564,6 +597,26 @@ object CorpusQuality {
         |    ELSE 0.0 END AS mean_bits
         |FROM delta LEFT JOIN lm USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q72_incremental_novelty" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), sg AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+        |      array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3
+        |  )
+        |), old AS (SELECT DISTINCT h FROM sg WHERE doc_id < (SELECT c FROM cut)),
+        |delta AS (SELECT doc_id, h FROM sg WHERE doc_id >= (SELECT c FROM cut))
+        |SELECT delta.doc_id, count(*) AS n_grams,
+        |  sum(CASE WHEN old.h IS NULL THEN 1 ELSE 0 END)::bigint AS n_new,
+        |  sum(CASE WHEN old.h IS NULL THEN 1 ELSE 0 END)::double / count(*)
+        |    AS novelty
+        |FROM delta LEFT JOIN old ON delta.h = old.h
+        |GROUP BY delta.doc_id ORDER BY delta.doc_id""".stripMargin,
 
     "q64_novelty" ->
       """WITH ws AS (

@@ -309,6 +309,30 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q72 incremental novelty == brute-force old-gram-set computation") {
+    for (texts <- sampled(10, 30, 3)) {
+      val cut = (texts.length - 1).toLong * 4 / 5
+      val oldSet = texts.zipWithIndex.filter(_._2 < cut)
+        .flatMap(t => shingleSet(t._1, 3)).toSet
+      val expect = texts.zipWithIndex.filter(_._2 >= cut)
+        .flatMap { case (t, i) =>
+          val hs = shingleSet(t, 3)
+          if (hs.isEmpty) None
+          else {
+            val nw = hs.count(h => !oldSet(h)).toLong
+            Some(i.toLong -> ((hs.size.toLong, nw,
+              nw.toDouble / hs.size.toDouble)))
+          }
+        }.toMap
+      val got = CorpusQuality.defs("q72_incremental_novelty")(
+          spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got === expect)
+    }
+  }
+
   test("q65 tfidf similarity == brute-force sparse-vector computation") {
     for (texts <- sampled(10, 30, 4)) {
       val bags = texts.zipWithIndex

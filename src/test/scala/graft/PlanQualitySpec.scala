@@ -191,18 +191,22 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("q69: scoring reads the LM artifact; only the batch touches documents") {
-    // The incremental-scoring contract: the old corpus contributes ONLY
-    // the persisted LM side-table scan — the documents table is read
-    // once, with the batch cut pushed to the scan, and no second
-    // corpus-wide aggregation appears above it.
-    val p = plan("q69_incremental_lm_score")
-    assert(p.contains("graft_lm_model"),
-      s"q69 does not read the persisted LM artifact:\n$p")
-    assert("documents\\.parquet".r.findAllIn(p).size == 1,
-      s"q69 reads the documents table more than once:\n$p")
-    assert(p.contains("GreaterThanOrEqual(doc_id"),
-      s"q69 batch cut is not pushed to the documents scan:\n$p")
+  test("q69/q72: incremental scoring reads artifacts; only the batch touches documents") {
+    // The incremental contract: the old corpus contributes ONLY the
+    // persisted side-table scan — the documents table is read once,
+    // with the batch cut pushed to the scan, and no corpus-wide
+    // re-aggregation appears above it.
+    for ((q, artifact) <- Seq(
+        "q69_incremental_lm_score" -> "graft_lm_model",
+        "q72_incremental_novelty" -> "graft_gram_set")) {
+      val p = plan(q)
+      assert(p.contains(artifact),
+        s"$q does not read the persisted artifact:\n$p")
+      assert("documents\\.parquet".r.findAllIn(p).size == 1,
+        s"$q reads the documents table more than once:\n$p")
+      assert(p.contains("GreaterThanOrEqual(doc_id"),
+        s"$q batch cut is not pushed to the documents scan:\n$p")
+    }
   }
 
   test("salted join: exact row parity with the plain join, salt spreads keys") {
