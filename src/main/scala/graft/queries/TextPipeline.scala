@@ -222,16 +222,22 @@ object TextPipeline {
     * codegen'd MIN aggregates over the shingle rows (map-side partial
     * agg — the 100 TB shape), not per-element lambdas; only 16 longs
     * per doc cross the wire, never the shingles. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+  /** 16-permutation MinHash signatures (doc_id, m0..m15) — the signature
+    * stage shared by [[minhashBands]] and q73's fidelity audit. */
+  private def minhashSignatures(docs: DataFrame): DataFrame = {
     val minCols = (0 until 16).map(j =>
       min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
+    shingleHashRows(docs, 3)
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+  }
+
+  private def minhashBands(docs: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map { b =>
       hash60(concat_ws(",",
         (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
     }: _*)
-    shingleHashRows(docs, 3)
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    minhashSignatures(docs)
       .select(col("doc_id"),
         posexplode(bandKeys).as(Seq("band_idx", "band_key")))
   }
@@ -843,6 +849,36 @@ object TextPipeline {
         .localCheckpoint()
       candSh.unpersist()
       out.orderBy("d1", "d2")
+    }),
+
+    // ---- q73: MinHash estimate fidelity audit --------------------------
+    // The dedup-side sibling of q70's ANN recall audit: for every
+    // verified near-dup pair, the Jaccard ESTIMATE the 16-component
+    // signatures imply (matching components / 16) next to the exact
+    // value — the number that justifies permutation count and band
+    // layout (estimate variance shrinks as 1/√k). Consumes the session
+    // pair memo like q53; signatures are recomputed for PAIR docs only
+    // (a semi-join-pruned scan, bounded by the verified-pair volume),
+    // so the audit never re-shingles the corpus.
+    "q73_minhash_est_audit" -> ((s, dir) => {
+      val pair = pairMemo.computeIfAbsent(
+        memoKey(s, dir), _ => computeRepPairs(s, dir))
+      val pairs = expandRepPairs(pair._1, pair._2)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val pairDocs = pairs.select(col("d1").as("doc_id"))
+        .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+      val mh = minhashSignatures(
+          d.join(broadcast(pairDocs), Seq("doc_id"), "left_semi"))
+        .localCheckpoint() // pair-doc-bounded; read by both join sides
+      val est = (0 until 16).map(j =>
+        when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      pairs.join(mh.as("a"), col("a.doc_id") === col("d1"))
+        .join(mh.as("b"), col("b.doc_id") === col("d2"))
+        .select(col("d1"), col("d2"), col("jac"),
+          (est.cast("double") / lit(16.0d)).as("est_jac"))
+        .withColumn("abs_err", abs(col("jac") - col("est_jac")))
+        .orderBy("d1", "d2")
     })
   )
 
@@ -1184,6 +1220,28 @@ object TextPipeline {
     // same banded-minhash computation over doc_id < cut, and the
     // candidate restriction `b.doc_id >= cut` (with d1 < d2) selects
     // exactly the pairs that involve ≥1 batch document.
+    // Same candidate/verify arithmetic as q27's oracle, extended with
+    // the signature-implied estimate per surviving pair.
+    "q73_minhash_est_audit" ->
+      (minhashEbCte +
+        """, cand AS (
+          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+          |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          |)
+          |SELECT d1, d2,
+          |  len(list_intersect(s1.hs, s2.hs))::double
+          |    / len(list_distinct(s1.hs || s2.hs)) AS jac,
+          |  len(list_filter(range(0, 16), j -> m1.m[j+1] = m2.m[j+1]))::double / 16 AS est_jac,
+          |  abs(len(list_intersect(s1.hs, s2.hs))::double
+          |    / len(list_distinct(s1.hs || s2.hs))
+          |    - len(list_filter(range(0, 16), j -> m1.m[j+1] = m2.m[j+1]))::double / 16) AS abs_err
+          |FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+          |  JOIN mh m1 ON m1.doc_id = d1 JOIN mh m2 ON m2.doc_id = d2
+          |WHERE len(list_intersect(s1.hs, s2.hs))::double
+          |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
+          |ORDER BY d1, d2""".stripMargin),
+
     "q67_incremental_dedup" ->
       (minhashEbCte +
         """, cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),

@@ -136,6 +136,21 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(DedupGuard.largestSkipped.get() === n.toLong)
   }
 
+  test("q73: exact-dup group pairs audit at estimate exactly 1.0") {
+    // Identical word sequences have identical signatures, so the
+    // expanded within-group pairs must report est_jac = jac = 1.0 with
+    // zero error — the signature-identity half of the expandRepPairs
+    // exactness argument, observable through the audit.
+    val dir = corpus(
+      Seq.fill(5)("one exact duplicate body shared by the whole group") ++
+        Seq("a completely different text about unrelated things entirely"))
+    val rows = TextPipeline.defs("q73_minhash_est_audit")(spark, dir)
+      .collect()
+    assert(rows.length === 10) // C(5,2)
+    assert(rows.forall(r => r.getDouble(2) === 1.0d &&
+      r.getDouble(3) === 1.0d && r.getDouble(4) === 0.0d))
+  }
+
   test("q27: band-bucket cap fires on real near-dup corpus when lowered") {
     DedupGuard.reset()
     // cap=1 makes EVERY ≥2-doc band bucket oversized: the sf0.001 corpus
