@@ -250,6 +250,9 @@ object CorpusQuality {
         .select(col("doc_id"),
           hash60(concat_ws(" ",
             slice(col("ws"), col("i") * 10 + 1, lit(10)))).as("h"))
+        .localCheckpoint() // one narrow row per passage occurrence
+        // (corpus-growth — checkpoint class); feeds both the df
+        // aggregate and the per-occurrence flagging join
       val dfT = segs.distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
       segs.join(dfT, "h")
@@ -314,6 +317,10 @@ object CorpusQuality {
               col("doc_id"), lit(" has "), col("n")))).as("term"))
         .groupBy(col("doc_id"), col("chunk"))
         .agg(pmod(sum(col("term")), lit(HashP)).as("ch"))
+        .localCheckpoint() // one narrow row per chunk (corpus-growth —
+        // checkpoint class); feeds BOTH the df aggregate and the
+        // occurrence join — unmaterialized, each side re-runs the
+        // token explode plus three window shuffles
       val dfT = chunkHash.select(col("doc_id"), col("ch")).distinct()
         .groupBy(col("ch")).agg(count(lit(1)).as("df"))
       chunkHash.join(dfT, "ch")

@@ -864,6 +864,7 @@ object TextPipeline {
       val pair = pairMemo.computeIfAbsent(
         memoKey(s, dir), _ => computeRepPairs(s, dir))
       val pairs = expandRepPairs(pair._1, pair._2)
+        .localCheckpoint() // tiny; read by pairDocs AND the final join
       val d = Graft.parquetSource(s, dir).table("documents")
       val pairDocs = pairs.select(col("d1").as("doc_id"))
         .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
