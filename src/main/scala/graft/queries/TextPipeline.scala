@@ -880,6 +880,37 @@ object TextPipeline {
           (est.cast("double") / lit(16.0d)).as("est_jac"))
         .withColumn("abs_err", abs(col("jac") - col("est_jac")))
         .orderBy("d1", "d2")
+    }),
+
+    // ---- q74: quality-canonical dedup keep list ------------------------
+    // q53 keeps each cluster's MINIMUM doc_id — simple, but production
+    // pipelines keep the BEST member (longest, cleanest; dropping a rich
+    // original in favor of a truncated mirror copy is a real data-loss
+    // mode). Same connected components (session pair memo + star
+    // edges), then a per-cluster argmax by (n_words, lowest doc_id as
+    // tiebreak) — one map-side-combinable max_by over a scalar
+    // composite key (n_words·2^40 − doc_id; both factors bounded far
+    // below the shift, and the key is unique per doc, so the argmax is
+    // deterministic under any partitioning — the q46 discipline).
+    "q74_quality_keep" -> ((s, dir) => {
+      val (members, repPairs) = pairMemo.computeIfAbsent(
+        memoKey(s, dir), _ => computeRepPairs(s, dir))
+      val starEdges = members.where(col("doc_id") =!= col("rep"))
+        .select(col("doc_id").as("d1"), col("rep").as("d2"))
+      val pairs = repPairs.select(col("d1"), col("d2"))
+        .unionByName(starEdges)
+      val comp = graft.plans.Components.keepList(pairs)
+        .select(col("id").as("doc_id"), col("keep_id").as("cluster_id"))
+      val nw = Graft.parquetSource(s, dir).table("documents")
+        .select(col("doc_id"), wordCount(col("text")).cast("long").as("n_words"))
+      comp.join(nw, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            col("n_words") * lit(1099511627776L) - col("doc_id"))
+            .as("keep_id"),
+          max(col("n_words")).as("keep_n_words"))
+        .orderBy("cluster_id")
     })
   )
 
@@ -1221,6 +1252,28 @@ object TextPipeline {
     // same banded-minhash computation over doc_id < cut, and the
     // candidate restriction `b.doc_id >= cut` (with d1 < d2) selects
     // exactly the pairs that involve ≥1 batch document.
+    // Same components as q53's oracle, then a per-cluster quality
+    // argmax over the identical scalar composite key.
+    "q74_quality_keep" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |nw AS (
+         |  SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_words
+         |  FROM documents
+         |)
+         |SELECT cluster_id, count(*) AS n_members,
+         |  max_by(comp.doc_id, n_words * 1099511627776 - comp.doc_id) AS keep_id,
+         |  max(n_words) AS keep_n_words
+         |FROM comp JOIN nw ON nw.doc_id = comp.doc_id
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
     // Same candidate/verify arithmetic as q27's oracle, extended with
     // the signature-implied estimate per surviving pair.
     "q73_minhash_est_audit" ->
