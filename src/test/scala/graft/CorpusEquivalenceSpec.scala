@@ -333,6 +333,57 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  /** Brute-force 16-perm MinHash + 4×4 band keys — mirrors
+    * TextFunctions.minhashes / lshBandKeys arithmetic exactly. */
+  private def minhash16(hs: Set[Long]): Seq[Long] =
+    (0 until 16).map(j => hs.map(h => (2 * j + 3) * h + j * j + 1).map(_ % P).min)
+
+  private def bandKeys16(m: Seq[Long]): Set[(Int, Long)] =
+    (0 until 4).map(b => b -> h60(m.slice(b * 4, b * 4 + 4).mkString(","))).toSet
+
+  test("q74 quality keep == brute-force LSH + union-find + quality argmax") {
+    // A third formulation of the full MinHash family (candidates,
+    // verify, components, canonical pick), independent of both the
+    // Spark plans and the DuckDB oracles. Duplicated + edited donors
+    // guarantee real clusters on every generated corpus.
+    for (texts0 <- sampled(8, 20, 3)) {
+      val donor = texts0.maxBy(t => toks(t).length)
+      val texts = texts0 ++ Seq(donor, donor, donor + " extraword")
+      val sets = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t, 3) }
+        .filter(_._2.nonEmpty).toMap
+      val bands = sets.map { case (id, hs) => id -> bandKeys16(minhash16(hs)) }
+      val ids = sets.keys.toSeq.sorted
+      val pairs = for {
+        a <- ids; b <- ids if a < b
+        if (bands(a) & bands(b)).nonEmpty
+        jac = (sets(a) & sets(b)).size.toDouble /
+          (sets(a) | sets(b)).size.toDouble
+        if jac >= 0.8
+      } yield (a, b)
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      for ((a, b) <- pairs) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      def nWords(id: Long): Long = toks(texts(id.toInt)).length.toLong
+      val expect = ids.filter(inPairs).groupBy(find).map { case (root, ms) =>
+        val best = ms.maxBy(m => (nWords(m), -m))
+        root -> ((ms.size.toLong, best, ms.map(nWords).max))
+      }
+      val got = TextPipeline.defs("q74_quality_keep")(spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got === expect)
+      assert(expect.nonEmpty, "no clusters exercised")
+    }
+  }
+
   test("q65 tfidf similarity == brute-force sparse-vector computation") {
     for (texts <- sampled(10, 30, 4)) {
       val bags = texts.zipWithIndex
