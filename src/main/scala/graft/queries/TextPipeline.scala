@@ -882,6 +882,36 @@ object TextPipeline {
         .orderBy("d1", "d2")
     }),
 
+    // ---- q75: verbatim-span decontamination flags ----------------------
+    // The GPT-3-style exact-window check next to q52's overlap RATIO: a
+    // training doc is flagged when it contains a VERBATIM n-token run
+    // from the eval set (doc_id < 20), probed at two window sizes
+    // (8 and 16 — the doubling ladder; production pipelines use 13/32,
+    // scaled here to the synthetic doc lengths). An 8-gram hit with no
+    // 16-gram hit is phrase-level quotation; a 16-gram hit is verbatim
+    // copying — the flags feed different remediation (mask vs drop).
+    // Scale shape: per window size, the eval side's distinct gram set
+    // broadcasts (tiny vs the corpus — the q52 argument) and the train
+    // gram stream flows through a broadcast-hash left join into a
+    // map-side-combinable per-doc MAX; the corpus never shuffles.
+    "q75_verbatim_contamination" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      def flags(n: Int, name: String): DataFrame = {
+        val g = shingleHashRows(d, n).distinct()
+        val ev = g.where(col("doc_id") < 20).select(col("h")).distinct()
+          .withColumn("hit", lit(1))
+        g.where(col("doc_id") >= 20)
+          .join(broadcast(ev), Seq("h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(max(coalesce(col("hit"), lit(0))).as(name))
+      }
+      flags(8, "hit8")
+        .join(flags(16, "hit16"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("hit8").cast("int").as("hit8"),
+          coalesce(col("hit16"), lit(0)).cast("int").as("hit16"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q74: quality-canonical dedup keep list ------------------------
     // q53 keeps each cluster's MINIMUM doc_id — simple, but production
     // pipelines keep the BEST member (longest, cleanest; dropping a rich
@@ -1252,6 +1282,40 @@ object TextPipeline {
     // same banded-minhash computation over doc_id < cut, and the
     // candidate restriction `b.doc_id >= cut` (with d1 < d2) selects
     // exactly the pairs that involve ≥1 batch document.
+    // A doc with ≥8 words but <16 has 8-gram rows and no 16-gram rows —
+    // the left join keeps it with hit16 = 0, identically in both
+    // engines.
+    "q75_verbatim_contamination" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), g8 AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-6), i ->
+        |      array_to_string(list_slice(w, i, i+7), ' '))) s
+        |    FROM ws WHERE len(w) >= 8
+        |  )
+        |), g16 AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-14), i ->
+        |      array_to_string(list_slice(w, i, i+15), ' '))) s
+        |    FROM ws WHERE len(w) >= 16
+        |  )
+        |), e8 AS (SELECT DISTINCT h FROM g8 WHERE doc_id < 20),
+        |e16 AS (SELECT DISTINCT h FROM g16 WHERE doc_id < 20),
+        |t8 AS (
+        |  SELECT g8.doc_id, max(CASE WHEN e8.h IS NOT NULL THEN 1 ELSE 0 END) AS hit8
+        |  FROM g8 LEFT JOIN e8 ON g8.h = e8.h WHERE g8.doc_id >= 20 GROUP BY g8.doc_id
+        |), t16 AS (
+        |  SELECT g16.doc_id, max(CASE WHEN e16.h IS NOT NULL THEN 1 ELSE 0 END) AS hit16
+        |  FROM g16 LEFT JOIN e16 ON g16.h = e16.h WHERE g16.doc_id >= 20 GROUP BY g16.doc_id
+        |)
+        |SELECT t8.doc_id, t8.hit8::int AS hit8,
+        |  coalesce(t16.hit16, 0)::int AS hit16
+        |FROM t8 LEFT JOIN t16 ON t16.doc_id = t8.doc_id
+        |ORDER BY t8.doc_id""".stripMargin,
+
     // Same components as q53's oracle, then a per-cluster quality
     // argmax over the identical scalar composite key.
     "q74_quality_keep" ->

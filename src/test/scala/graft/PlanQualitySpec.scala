@@ -124,10 +124,12 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("q52: eval-set side broadcasts; the corpus is not shuffled for the join") {
-    val p = plan("q52_contamination")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"))
+  test("q52/q75: eval-set side broadcasts; the corpus is not shuffled for the join") {
+    for (q <- Seq("q52_contamination", "q75_verbatim_contamination")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
   }
 
   test("q57: the broadcast side is the common-token set, not the Zipf tail") {
