@@ -113,7 +113,7 @@ object TextPipeline {
     * here are doc-level (narrow rows, one per document) — the expensive
     * shingle stream is only ever built for representatives.
     * Returns (gk, doc_id, rep) for docs with ≥ `minWords` words. */
-  private def exactGroups(d: DataFrame, minWords: Int): DataFrame = {
+  private[queries] def exactGroups(d: DataFrame, minWords: Int): DataFrame = {
     val keyed = d.where(size(words(col("text"))) >= minWords)
       .select(col("doc_id"),
         md5(concat_ws(" ", words(col("text")))).as("gk"))
@@ -172,7 +172,7 @@ object TextPipeline {
     * members share their rep's word sequence. Output is (d1, d2,
     * <measure>) with d1 < d2 — identical to what the un-collapsed
     * formulation produces. */
-  private def expandRepPairs(members: DataFrame, repPairs: DataFrame,
+  private[queries] def expandRepPairs(members: DataFrame, repPairs: DataFrame,
       measure: String = "jac"): DataFrame = {
     val within = members.as("x").join(members.as("y"),
         col("x.gk") === col("y.gk") && col("x.doc_id") < col("y.doc_id"))
@@ -214,16 +214,13 @@ object TextPipeline {
   @volatile private[graft] var lastCandidatePlan: String = ""
 
 
-  /** Banded MinHash signatures of a `doc_id`/`text` frame: one row per
-    * (doc_id, band_idx, band_key), 4 bands × 4 rows over 16 permutations
-    * — the LSH index layout shared by q27's in-session pipeline and
-    * q67's persisted signature artifact. MinHash needs NO distinct():
-    * min over a multiset equals min over its support. The 16 mins are
-    * codegen'd MIN aggregates over the shingle rows (map-side partial
-    * agg — the 100 TB shape), not per-element lambdas; only 16 longs
-    * per doc cross the wire, never the shingles. */
   /** 16-permutation MinHash signatures (doc_id, m0..m15) — the signature
-    * stage shared by [[minhashBands]] and q73's fidelity audit. */
+    * stage shared by [[minhashBands]] and q73's fidelity audit. MinHash
+    * needs NO distinct(): min over a multiset equals min over its
+    * support. The 16 mins are codegen'd MIN aggregates over the shingle
+    * rows (map-side partial agg — the 100 TB shape), not per-element
+    * lambdas; only 16 longs per doc cross the wire, never the
+    * shingles. */
   private def minhashSignatures(docs: DataFrame): DataFrame = {
     val minCols = (0 until 16).map(j =>
       min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
@@ -232,6 +229,10 @@ object TextPipeline {
       .agg(minCols.head, minCols.tail: _*)
   }
 
+  /** Banded MinHash signatures of a `doc_id`/`text` frame: one row per
+    * (doc_id, band_idx, band_key), 4 bands × 4 rows over 16 permutations
+    * — the LSH index layout shared by q27's in-session pipeline and
+    * q67's persisted signature artifact. */
   private def minhashBands(docs: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map { b =>
       hash60(concat_ws(",",
@@ -918,10 +919,14 @@ object TextPipeline {
     // original in favor of a truncated mirror copy is a real data-loss
     // mode). Same connected components (session pair memo + star
     // edges), then a per-cluster argmax by (n_words, lowest doc_id as
-    // tiebreak) — one map-side-combinable max_by over a scalar
-    // composite key (n_words·2^40 − doc_id; both factors bounded far
-    // below the shift, and the key is unique per doc, so the argmax is
-    // deterministic under any partitioning — the q46 discipline).
+    // tiebreak) — one map-side-combinable max_by over a STRUCT key
+    // (n_words DESC, doc_id ASC via negation): struct ordering is
+    // lexicographic, so no arithmetic composite is needed and the key
+    // stays deterministic at ANY n_words/doc_id magnitude. (The earlier
+    // scalar key n_words·2^40 − doc_id silently flipped the keep choice
+    // once n_words ≥ 2^23 — a ~50 MB document, reachable in an
+    // uncapped 100 TB crawl.) The key is unique per doc, so the argmax
+    // is deterministic under any partitioning — the q46 discipline.
     "q74_quality_keep" -> ((s, dir) => {
       val (members, repPairs) = pairMemo.computeIfAbsent(
         memoKey(s, dir), _ => computeRepPairs(s, dir))
@@ -937,7 +942,7 @@ object TextPipeline {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           max_by(col("doc_id"),
-            col("n_words") * lit(1099511627776L) - col("doc_id"))
+            struct(col("n_words"), negate(col("doc_id"))))
             .as("keep_id"),
           max(col("n_words")).as("keep_n_words"))
         .orderBy("cluster_id")
@@ -1317,7 +1322,9 @@ object TextPipeline {
         |ORDER BY t8.doc_id""".stripMargin,
 
     // Same components as q53's oracle, then a per-cluster quality
-    // argmax over the identical scalar composite key.
+    // argmax — DuckDB's ordered-aggregate `first(x ORDER BY ...)` is
+    // the lexicographic (n_words DESC, doc_id ASC) argmax that Spark's
+    // struct-keyed max_by computes.
     "q74_quality_keep" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
          |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
@@ -1333,7 +1340,7 @@ object TextPipeline {
          |  FROM documents
          |)
          |SELECT cluster_id, count(*) AS n_members,
-         |  max_by(comp.doc_id, n_words * 1099511627776 - comp.doc_id) AS keep_id,
+         |  first(comp.doc_id ORDER BY n_words DESC, comp.doc_id ASC) AS keep_id,
          |  max(n_words) AS keep_n_words
          |FROM comp JOIN nw ON nw.doc_id = comp.doc_id
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,

@@ -136,6 +136,30 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(DedupGuard.largestSkipped.get() === n.toLong)
   }
 
+  test("q74: keep choice is exact at doc_id magnitudes past 2^40") {
+    // The retired scalar argmax key (n_words·2^40 − doc_id) broke once
+    // doc_id crossed 2^40: with doc_id_B = 2^40 + doc_id_A + 1 and one
+    // extra word, B's key collapsed to nA·2^40 − doc_id_A − 1 — BELOW
+    // A's — silently keeping the shorter doc. The struct-ordered key
+    // has no arithmetic to overflow: the longer doc must win.
+    import spark.implicits._
+    val base = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val dir = Files.createTempDirectory("graft-dedup").toFile.getAbsolutePath
+    Seq(
+      (7L, base), // 20 words
+      (1099511627784L + 1L, base + " extraword"), // 2^40 + 8 + 1; 21 words
+      (9L, "a completely different text about unrelated things entirely"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextPipeline.defs("q74_quality_keep")(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 7L) // cluster_id = min doc_id
+    assert(rows.head.getLong(1) === 2L)
+    assert(rows.head.getLong(2) === 1099511627785L,
+      "argmax kept the shorter doc — the overflow regression")
+    assert(rows.head.getLong(3) === 21L)
+  }
+
   test("q73: exact-dup group pairs audit at estimate exactly 1.0") {
     // Identical word sequences have identical signatures, so the
     // expanded within-group pairs must report est_jac = jac = 1.0 with
