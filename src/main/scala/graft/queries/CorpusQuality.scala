@@ -89,10 +89,15 @@ object CorpusQuality {
     // corpus/n — pick n so a shard fits a task at the deployment's
     // scale; the budget itself is `graft.budget.tokens`.
     "q63_token_budget" -> ((s, dir) => {
-      val budget = s.conf.get("graft.budget.tokens", "10000").toLong
+      // negative budgets clamp to 0 (empty result) rather than leaving
+      // the kept-shard prefix empty and crashing the max below; the
+      // shard conf is bounded before the power-of-two rounding so
+      // want*2-1 cannot overflow Int
+      val budget = s.conf.get("graft.budget.tokens", "10000").toLong.max(0L)
       val nShards = { // next power of two ⇒ the shard key is a bit-prefix
         val want = s.conf.get("graft.budget.shards",
-          s.sparkContext.defaultParallelism.toString).toInt.max(1)
+          s.sparkContext.defaultParallelism.toString).toInt
+          .max(1).min(1 << 24)
         Integer.highestOneBit(want * 2 - 1)
       }
       val shardBits = Integer.numberOfTrailingZeros(nShards)
@@ -133,17 +138,32 @@ object CorpusQuality {
     // (bitlen(n_docs) − bitlen(df)), the q61 trick — so dot products and
     // norms are exact integer sums at any partitioning, and the cosine is
     // deterministic double arithmetic over exact integers (sqrt/×/÷ in a
-    // fixed order). Candidates come from rare-feature blocking (df 2..8 —
-    // the q62 guard: a feature in a million docs generates no candidates);
-    // dot/norm vectors are built for candidate docs only (broadcast
-    // semi-join), so the corpus-scale feature stream is never cached and
-    // never self-joined. Complements q31/q46 (embedding ANN) and the
-    // dedup family: this is discovery ("what overlaps doc X"), ranked by
-    // a weighted measure that downweights boilerplate grams.
+    // fixed order). The TF-IDF MODEL is built over DISTINCT CONTENT
+    // (exact-dup groups collapse to min-id representatives first, the
+    // q62 shape): df counts distinct contents and n_docs counts
+    // representatives, so a doc mirrored ≥9 times can no longer push
+    // every gram it contains past the df≤8 ceiling and suppress
+    // unrelated candidate pairs (the r7 recall loss, now closed). The
+    // doc-level answer is recovered exactly by expandRepPairs — within-
+    // group pairs at cos 1.0 (identical vectors), cross pairs at their
+    // representatives' cosine. Candidates come from rare-feature
+    // blocking (df 2..8 — the q62 guard: a feature in a million docs
+    // generates no candidates); dot/norm vectors are built for candidate
+    // reps only (broadcast semi-join), so the corpus-scale feature
+    // stream is never cached and never self-joined. Complements q31/q46
+    // (embedding ANN) and the dedup family: this is discovery ("what
+    // overlaps doc X"), ranked by a weighted measure that downweights
+    // boilerplate grams.
     "q65_tfidf_similarity" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val tf = shingleHashRows(d, 3)
+      val members = TextPipeline.exactGroups(d, 3)
+        .localCheckpoint() // one narrow row per doc — corpus-growth, so
+        // checkpoint, never cache; read by reps and the final expansion
+      val reps = members.where(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
+      val repDocs = d.join(broadcast(reps), Seq("doc_id"), "left_semi")
+      val tf = shingleHashRows(repDocs, 3)
         .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
       // tf is deliberately LAZY despite three consumers (df model,
       // candidate features, weight build): materializing it was
@@ -164,11 +184,11 @@ object CorpusQuality {
       // blocks live on executor disk, lineage-truncated, freed on GC.
       val stats = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
         .localCheckpoint()
-      val nDocs = d.select(countDistinct(col("doc_id")).as("n_docs"))
+      val nDocs = reps.select(count(lit(1)).as("n_docs"))
       val (cand, candDocs) =
         TextPipeline.rareFeatureCandidates(tf, stats, 2, 8)
       // FULL weighted vectors (every feature, not just rare ones) of
-      // candidate docs only — norms need the whole vector
+      // candidate reps only — norms need the whole vector
       val wC = tf.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .join(stats, "h")
         .crossJoin(broadcast(nDocs))
@@ -196,7 +216,8 @@ object CorpusQuality {
         .where(col("cos") >= 0.5)
         .localCheckpoint() // eager: allows unpersisting wC NOW
       wC.unpersist()
-      scored.orderBy("d1", "d2")
+      TextPipeline.expandRepPairs(members, scored, "cos")
+        .orderBy("d1", "d2")
     }),
 
     // ---- q66: C4-style composite quality filter ------------------------
@@ -251,7 +272,12 @@ object CorpusQuality {
     "q68_passage_dedup" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val segs = d.select(col("doc_id"), words(col("text")).as("ws"))
+      // NULL-text guard: under spark.sql.legacy.sizeOfNull=true a NULL
+      // text makes size(ws) = -1 and sequence(0, -1) DESCENDS, emitting
+      // two phantom passages the DuckDB oracle doesn't have; the filter
+      // keeps both engines at zero rows for NULL docs under any conf
+      val segs = d.where(col("text").isNotNull)
+        .select(col("doc_id"), words(col("text")).as("ws"))
         .select(col("doc_id"), col("ws"),
           explode(expr("sequence(0, (size(ws) + 9) div 10 - 1)")).as("i"))
         .select(col("doc_id"),
@@ -473,20 +499,31 @@ object CorpusQuality {
         |SELECT doc_id, n_tokens, cum FROM cums
         |WHERE cum <= 10000 ORDER BY cum, doc_id""".stripMargin,
 
+    // Mirrors the engine's rep collapse: the TF-IDF model (tf, df,
+    // n_docs) is computed over exact-dup-group REPRESENTATIVES, then the
+    // doc-level answer is reconstructed exactly (within-group pairs at
+    // cos 1.0, cross pairs at their reps' cosine) — the q62 oracle
+    // pattern.
     "q65_tfidf_similarity" ->
       """WITH ws AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), keyed0 AS (
+        |  SELECT doc_id, md5(array_to_string(w, ' ')) gk FROM ws WHERE len(w) >= 3
+        |), reps AS (
+        |  SELECT gk, min(doc_id) rep FROM keyed0 GROUP BY gk
+        |), members AS (
+        |  SELECT keyed0.doc_id, keyed0.gk, reps.rep FROM keyed0 JOIN reps USING (gk)
         |), occ AS (
         |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
         |      array_to_string(list_slice(w, i, i+2), ' '))) s
         |    FROM ws WHERE len(w) >= 3
-        |  )
+        |  ) WHERE doc_id IN (SELECT rep FROM reps)
         |), tf AS (
         |  SELECT doc_id, h, count(*)::bigint AS tf FROM occ GROUP BY doc_id, h
         |), stats AS (
         |  SELECT h, count(*)::bigint AS df FROM tf GROUP BY h
-        |), nd AS (SELECT count(DISTINCT doc_id)::bigint AS n_docs FROM documents),
+        |), nd AS (SELECT count(*)::bigint AS n_docs FROM reps),
         |w AS (
         |  SELECT doc_id, h, tf * (length(bin(n_docs)) - length(bin(df))) AS w
         |  FROM tf JOIN stats USING (h) CROSS JOIN nd
@@ -501,11 +538,23 @@ object CorpusQuality {
         |  FROM cand JOIN w w1 ON w1.doc_id = d1
         |  JOIN w w2 ON w2.doc_id = d2 AND w2.h = w1.h
         |  GROUP BY d1, d2
+        |), rp AS (
+        |  SELECT d1, d2, dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) AS cos
+        |  FROM dotp JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
+        |  WHERE n1.nrm > 0 AND n2.nrm > 0
+        |    AND dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) >= 0.5
+        |), within AS (
+        |  SELECT x.doc_id d1, y.doc_id d2, 1.0::double AS cos
+        |  FROM members x JOIN members y
+        |    ON x.gk = y.gk AND x.doc_id < y.doc_id
+        |), crossp AS (
+        |  SELECT least(m1.doc_id, m2.doc_id) d1,
+        |    greatest(m1.doc_id, m2.doc_id) d2, rp.cos
+        |  FROM rp JOIN members m1 ON m1.rep = rp.d1
+        |    JOIN members m2 ON m2.rep = rp.d2
         |)
-        |SELECT d1, d2, dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) AS cos
-        |FROM dotp JOIN nrm n1 ON n1.doc_id = d1 JOIN nrm n2 ON n2.doc_id = d2
-        |WHERE n1.nrm > 0 AND n2.nrm > 0
-        |  AND dot::double / (sqrt(n1.nrm) * sqrt(n2.nrm)) >= 0.5
+        |SELECT d1, d2, cos FROM within
+        |UNION ALL SELECT d1, d2, cos FROM crossp
         |ORDER BY d1, d2""".stripMargin,
 
     "q66_quality_filter" ->

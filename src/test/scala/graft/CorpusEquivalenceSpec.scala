@@ -384,12 +384,27 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
-  test("q65 tfidf similarity == brute-force sparse-vector computation") {
-    for (texts <- sampled(10, 30, 4)) {
-      val bags = texts.zipWithIndex
-        .map { case (t, i) => i.toLong -> shingleBag(t, 3) }
-        .filter(_._2.nonEmpty)
-      val nDocs = texts.length.toLong // countDistinct(doc_id) — all docs
+  test("q65 tfidf similarity == brute-force rep-collapsed computation") {
+    // The TF-IDF model is defined over DISTINCT CONTENT: exact-dup
+    // groups collapse to min-id representatives, df/n_docs count reps,
+    // and the doc-level answer is reconstructed (within-group pairs at
+    // cos 1.0, cross pairs at their reps' cosine). The appended donor
+    // copies force the regime the collapse exists for: a content
+    // mirrored ≥9 times used to push every gram it contains past the
+    // df≤8 ceiling, suppressing unrelated candidate pairs.
+    for (texts0 <- sampled(10, 30, 4)) {
+      val donor = texts0.maxBy(t => toks(t).length)
+      val texts = texts0 ++ Seq.fill(9)(donor)
+      val eligible = texts.zipWithIndex.collect {
+        case (t, i) if toks(t).length >= 3 => i.toLong -> toks(t).mkString(" ")
+      }
+      val groups = eligible.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+      val members = groups.flatMap(g => g.map(_ -> g.min)).toMap
+      val repIds = groups.map(_.min).toSet
+      val bags = eligible.collect { case (id, _) if repIds(id) =>
+        id -> shingleBag(texts(id.toInt), 3)
+      }
+      val nDocs = repIds.size.toLong // n_docs counts representatives
       val df = bags.flatMap { case (id, b) => b.keys.map(_ -> id) }
         .groupBy(_._1).map { case (h, o) => h -> o.size.toLong }
       val w = bags.map { case (id, b) =>
@@ -400,20 +415,30 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
       val nrm = w.map { case (id, v) => id -> v.values.map(x => x * x).sum }
       val rare = df.collect { case (h, d) if d >= 2 && d <= 8 => h }.toSet
       val ids = bags.map(_._1).sorted
-      val expect = (for {
+      val repPairs = for {
         a <- ids; b <- ids if a < b
         shared = w(a).keySet & w(b).keySet
         if shared.exists(rare)
+        if nrm(a) > 0 && nrm(b) > 0
         dot = shared.toSeq.map(h => w(a)(h) * w(b)(h)).sum
         cos = dot.toDouble / (math.sqrt(nrm(a).toDouble) *
           math.sqrt(nrm(b).toDouble))
         if cos >= 0.5
-      } yield (a, b, cos)).toSet
+      } yield (a, b, cos)
+      val byRep = groups.map(g => g.min -> g).toMap
+      val within = groups.flatMap(g =>
+        for { a <- g; b <- g if a < b } yield (a, b, 1.0d))
+      val cross = repPairs.flatMap { case (ra, rb, cos) =>
+        for { a <- byRep(ra); b <- byRep(rb) }
+          yield (math.min(a, b), math.max(a, b), cos)
+      }
+      val expect = (within ++ cross).toSet
       val got = CorpusQuality.defs("q65_tfidf_similarity")(
           spark, corpus(texts))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(got === expect)
+      assert(within.nonEmpty, "no dup groups exercised")
     }
   }
 }

@@ -140,13 +140,40 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(cos > 0.5d && cos <= 1.0d)
   }
 
-  test("q65: features above the df ceiling generate no candidates") {
-    // nine docs sharing every shingle (identical) → all features have
-    // df = 9 > 8 → blocked, no pairs (the similarity-search guard; the
-    // DEDUP family owns bulk-duplicate recovery)
+  test("q65: bulk-duplicated docs are recovered via the group path") {
+    // nine identical docs collapse to ONE representative before the df
+    // model (df counts distinct contents, so their grams sit at df = 1,
+    // below the floor — no candidate work at all), and the 36
+    // within-group pairs are reconstructed arithmetically at cos 1.0.
+    // Before the collapse these docs pushed every gram to df = 9 > 8,
+    // which not only hid the group but suppressed any UNRELATED pair
+    // sharing those grams — the r7 recall loss.
     val dir = corpus(Seq.fill(9)((0 until 10).map(i => s"x$i").mkString(" ")))
-    assert(CorpusQuality.defs("q65_tfidf_similarity")(spark, dir)
+    val out = CorpusQuality.defs("q65_tfidf_similarity")(spark, dir)
+    assert(out.count() === 36)
+    assert(out.where(org.apache.spark.sql.functions.col("cos") =!= 1.0d)
       .count() === 0)
+  }
+
+  test("q65: a 9x-mirrored doc no longer suppresses unrelated pairs") {
+    // a/b share a rare 40-word run; c is mirrored 9 times and ALSO
+    // contains that run. Under raw-doc df the shared grams sat at
+    // df = 11 > 8 — no candidates, no (a,b) pair. Rep-collapsed, df = 3
+    // (a, b, rep-of-c): the run blocks, and all pairs among {a, b, c…}
+    // emerge.
+    val shared = (0 until 40).map(i => s"sh$i").mkString(" ")
+    val a = shared + " " + (0 until 5).map(i => s"a$i").mkString(" ")
+    val b = shared + " " + (0 until 5).map(i => s"b$i").mkString(" ")
+    val c = shared + " " + (0 until 5).map(i => s"c$i").mkString(" ")
+    val fillers = (0 until 6).map(f =>
+      (0 until 10).map(i => s"f${f}x$i").mkString(" "))
+    val dir = corpus(Seq(a, b) ++ Seq.fill(9)(c) ++ fillers)
+    val out = CorpusQuality.defs("q65_tfidf_similarity")(spark, dir)
+      .collect()
+    // (a,b) + a×9 c-copies + b×9 c-copies + C(9,2) within the c group
+    assert(out.length === 1 + 9 + 9 + 36)
+    val ab = out.filter(r => r.getLong(0) === 0L && r.getLong(1) === 1L)
+    assert(ab.length === 1, "the suppressed unrelated pair must reappear")
   }
 
   test("q65: leaves no cached tables behind") {
