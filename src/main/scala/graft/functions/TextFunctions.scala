@@ -150,6 +150,27 @@ object TextFunctions {
       .select(col("doc_id"), pmod(hash60(col("s")), lit(HashP)).as("h"))
   }
 
+  /** Shingle hashes at TWO window sizes from one corpus pass, via the
+    * native [[DualShinglesExpr]] generator: (doc_id, h1, h2) with one
+    * row per `n1`-gram position; `h2` is null at positions with no full
+    * `n2`-gram (`n1 < n2`). The multi-window-probe primitive (q75):
+    * two [[shingleHashRows]] passes would scan and re-tokenize the
+    * corpus once per window size. */
+  def dualShingleHashRows(docs: DataFrame, n1: Int, n2: Int): DataFrame = {
+    import org.apache.spark.sql.GraftArrowBridge.{column, expression}
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    spread
+      .select(col("doc_id"),
+        column(DualShinglesExpr(expression(col("text")),
+          expression(lit(n1)), expression(lit(n2))))
+          .as(Seq("s1", "s2")))
+      .select(col("doc_id"),
+        pmod(hash60(col("s1")), lit(HashP)).as("h1"),
+        when(col("s2").isNotNull, pmod(hash60(col("s2")), lit(HashP)))
+          .as("h2"))
+  }
+
   /** k MinHash signatures over a distinct-hash set: permutation j is
     * h -> ((2j+3)·h + j²+1) mod p. Products stay < 2^36 (h < p ≈ 2^31,
     * a_j ≤ 33) — no Long overflow. */

@@ -823,7 +823,7 @@ object TextPipeline {
     // definition — the guard covers the degenerate case).
     "q67_incremental_dedup" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val cut = d.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+      val cut = BatchCut.cut(s, d)
       val idx = s.read.parquet(signatureIndex(s, dir, cut))
       val deltaBands = minhashBands(d.where(col("doc_id") >= cut))
         .localCheckpoint() // probe side AND part of the build side; also
@@ -891,25 +891,35 @@ object TextPipeline {
     // scaled here to the synthetic doc lengths). An 8-gram hit with no
     // 16-gram hit is phrase-level quotation; a 16-gram hit is verbatim
     // copying — the flags feed different remediation (mask vs drop).
-    // Scale shape: per window size, the eval side's distinct gram set
-    // broadcasts (tiny vs the corpus — the q52 argument) and the train
-    // gram stream flows through a broadcast-hash left join into a
-    // map-side-combinable per-doc MAX; the corpus never shuffles.
+    // Scale shape: ONE corpus pass feeds both window sizes — the dual
+    // generator emits each position's 8-gram hash next to its (nullable)
+    // 16-gram hash, so the train side is a single documents scan instead
+    // of one per window (at 100 TB the second full-corpus tokenize/scan
+    // pass was real money; plan-pinned single-scan). Each eval set's
+    // distinct gram hashes broadcast (tiny vs the corpus — the q52
+    // argument) and the train stream flows through two broadcast-hash
+    // left joins into one map-side-combinable per-doc MAX pair; the
+    // corpus never shuffles. No distinct() on the train stream: MAX
+    // over duplicated gram rows equals MAX over their support, so the
+    // dedup shuffle the per-window formulation paid is dropped too.
     "q75_verbatim_contamination" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      def flags(n: Int, name: String): DataFrame = {
-        val g = shingleHashRows(d, n).distinct()
-        val ev = g.where(col("doc_id") < 20).select(col("h")).distinct()
-          .withColumn("hit", lit(1))
-        g.where(col("doc_id") >= 20)
-          .join(broadcast(ev), Seq("h"), "left")
-          .groupBy(col("doc_id"))
-          .agg(max(coalesce(col("hit"), lit(0))).as(name))
-      }
-      flags(8, "hit8")
-        .join(flags(16, "hit16"), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("hit8").cast("int").as("hit8"),
-          coalesce(col("hit16"), lit(0)).cast("int").as("hit16"))
+      val ev = dualShingleHashRows(d.where(col("doc_id") < 20), 8, 16)
+        .localCheckpoint() // tiny (eval slice, predicate-pruned scan);
+        // read twice to build the two broadcast sets
+      val ev8 = ev.select(col("h1").as("h8")).distinct()
+        .withColumn("hit8m", lit(1)).localCheckpoint()
+      val ev16 = ev.where(col("h2").isNotNull)
+        .select(col("h2").as("h16")).distinct()
+        .withColumn("hit16m", lit(1)).localCheckpoint()
+      dualShingleHashRows(d.where(col("doc_id") >= 20), 8, 16)
+        .select(col("doc_id"), col("h1").as("h8"), col("h2").as("h16"))
+        .join(broadcast(ev8), Seq("h8"), "left")
+        .join(broadcast(ev16), Seq("h16"), "left") // null h16 keys match
+        // nothing — exactly the "no 16-gram at this position" semantics
+        .groupBy(col("doc_id"))
+        .agg(max(coalesce(col("hit8m"), lit(0))).cast("int").as("hit8"),
+          max(coalesce(col("hit16m"), lit(0))).cast("int").as("hit16"))
         .orderBy("doc_id")
     }),
 

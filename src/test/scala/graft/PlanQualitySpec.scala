@@ -130,6 +130,13 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.contains("BroadcastHashJoin"), q)
       assert(!p.contains("SortMergeJoin"), q)
     }
+    // q75 probes TWO window sizes (8/16) but must pay ONE corpus pass:
+    // the dual generator feeds both flag joins from a single documents
+    // scan (the eval sets are checkpointed, so only the train side
+    // reads parquet in the final plan).
+    val p75 = plan("q75_verbatim_contamination")
+    assert("documents\\.parquet".r.findAllIn(p75).size == 1,
+      s"q75 reads the corpus more than once:\n$p75")
   }
 
   test("q57: the broadcast side is the common-token set, not the Zipf tail") {

@@ -126,6 +126,29 @@ class TextEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("dual-window generator == two single-window shingle passes") {
+    // The q75 single-scan primitive: one DualShinglesExpr pass must
+    // emit exactly the rows of a ShinglesExpr(n1) pass (h1, with
+    // multiplicity) and a ShinglesExpr(n2) pass (non-null h2, with
+    // multiplicity). n1 ≥ 3 so shingleHashRows' ≥3-word filter cannot
+    // diverge from the generator's ≥n1-word contract.
+    val docs = docsDf(samples(textGen, 120))
+    for ((n1, n2) <- Seq((3, 5), (8, 16))) {
+      def bag(rows: Seq[(Long, Long)]) =
+        rows.groupBy(identity).view.mapValues(_.length).toMap
+      val dual = dualShingleHashRows(docs, n1, n2).collect()
+      val got1 = bag(dual.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val got2 = bag(dual.filter(!_.isNullAt(2))
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq)
+      val want1 = bag(shingleHashRows(docs, n1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      val want2 = bag(shingleHashRows(docs, n2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      assert(got1 == want1, s"h1 stream diverges at n1=$n1")
+      assert(got2 == want2, s"h2 stream diverges at n2=$n2")
+    }
+  }
+
   test("fingerprintRows fails loudly past the power-table cap") {
     val big = docsDf(Seq(Seq.fill(8200)("w").mkString(" ")))
     val e = intercept[Exception](fingerprintRows(big).collect())
