@@ -380,7 +380,7 @@ object CorpusQuality {
     // bit-length quantization as q61 (cross-engine exact).
     "q69_incremental_lm_score" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val cut = d.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+      val cut = BatchCut.cut(s, d)
       val lmPath = graft.sources.SideTable.ensure(
           s, "lm_model", s"$dir#$cut") {
         Graft.parquetSource(s, dir).table("documents")
@@ -421,7 +421,7 @@ object CorpusQuality {
     // the incremental family: dedup (q67), LM scoring (q69), novelty.
     "q72_incremental_novelty" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val cut = d.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0)
+      val cut = BatchCut.cut(s, d)
       val gramPath = graft.sources.SideTable.ensure(
           s, "gram_set", s"$dir#$cut") {
         shingleHashRows(

@@ -183,6 +183,17 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("incremental cut: graft.batch.cut pins the batch boundary") {
+    // The shared seam of q67/q69/q72: unset, the data-relative default
+    // (top ~20% of doc ids); set, a deployment-pinned crawl boundary.
+    import spark.implicits._
+    val d = Seq((1L, "a"), (100L, "b")).toDF("doc_id", "text")
+    assert(graft.queries.BatchCut.cut(spark, d) === 80L)
+    spark.conf.set("graft.batch.cut", "42")
+    try assert(graft.queries.BatchCut.cut(spark, d) === 42L)
+    finally spark.conf.unset("graft.batch.cut")
+  }
+
   test("q66: every flag fails somewhere and keep is their conjunction") {
     val rows = CorpusQuality.defs("q66_quality_filter")(
         spark, "/root/testdata/sf0.01").collect()
