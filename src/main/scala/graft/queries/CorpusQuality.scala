@@ -382,7 +382,7 @@ object CorpusQuality {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
       val lmPath = graft.sources.SideTable.ensure(
-          s, "lm_model", s"$dir#$cut") {
+          s, "lm_model", s"$dir#$cut", Some(s"$dir/documents.parquet")) {
         Graft.parquetSource(s, dir).table("documents")
           .where(col("doc_id") < cut)
           .select(explode(words(col("text"))).as("term"))
@@ -423,7 +423,7 @@ object CorpusQuality {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
       val gramPath = graft.sources.SideTable.ensure(
-          s, "gram_set", s"$dir#$cut") {
+          s, "gram_set", s"$dir#$cut", Some(s"$dir/documents.parquet")) {
         shingleHashRows(
             Graft.parquetSource(s, dir).table("documents")
               .where(col("doc_id") < cut), 3)

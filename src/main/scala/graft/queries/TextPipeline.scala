@@ -320,7 +320,8 @@ object TextPipeline {
     * dedups against the artifact without re-shingling the old corpus. */
   private def signatureIndex(s: SparkSession, dir: String,
       cut: Long): String =
-    graft.sources.SideTable.ensure(s, "sig_index", s"$dir#$cut") {
+    graft.sources.SideTable.ensure(s, "sig_index", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
       val d = Graft.parquetSource(s, dir).table("documents")
       minhashBands(d.where(col("doc_id") < cut))
     }

@@ -1,45 +1,166 @@
 package graft.sources
 
-import java.io.File
+import java.io.{File, PrintWriter}
 import java.security.MessageDigest
-import java.util.concurrent.ConcurrentHashMap
+import java.util.UUID
+import java.util.concurrent.{ConcurrentHashMap, ExecutionException, FutureTask}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Session-scoped registry of PERSISTED parquet side-tables ("artifacts")
-  * — the mechanism behind the incremental operators (q67's banded
-  * signature index, q69's unigram-LM model): derived corpus state is
-  * written ONCE per corpus snapshot and subsequent queries read the
+/** Registry of PERSISTED parquet side-tables ("artifacts") — the
+  * mechanism behind the incremental operators (q67's banded signature
+  * index, q69's unigram-LM model, q72's gram set): derived corpus state
+  * is written ONCE per corpus snapshot and subsequent queries read the
   * artifact instead of re-deriving it from 100 TB of text.
   *
-  * Build-once semantics are per (session, name, key): a fresh JVM
-  * rebuilds (stale-data safe — artifacts derive from the current table
-  * state, and the build is the legitimate first-run cost of an
-  * incremental pipeline), reruns within a session reuse the file. The
-  * session key is reference-identity, the
-  * [[graft.sources.ParquetSource]] view-memo convention. Paths are
-  * content-determined (md5 of the key) under `graft.artifacts.dir`
-  * (default java.io.tmpdir); a real deployment points that conf at the
-  * warehouse path next to the corpus snapshot.
+  * Lifecycle:
+  *  - '''identity''' — an artifact is keyed by (name, logical key,
+  *    optional DATA fingerprint). The fingerprint hashes the source
+  *    files' names/sizes/mtimes, so an in-place rewrite of the corpus
+  *    that keeps `max(doc_id)` unchanged gets a NEW artifact instead of
+  *    silently serving a stale one.
+  *  - '''build-once''' — per (session, full key), builds are memoized as
+  *    [[FutureTask]]s: `computeIfAbsent` only CREATES the task (cheap,
+  *    inside the map's bin lock); the Spark job runs outside the lock,
+  *    so concurrent `ensure` calls for different keys never serialize
+  *    behind one build. A failed build is evicted so the next call can
+  *    retry.
+  *  - '''cross-JVM reuse''' — artifact dirs carry a `_graft_manifest
+  *    .json` (key, row count, build timestamp; `_`-prefixed, so parquet
+  *    readers ignore it). A fresh JVM finding a manifest whose key
+  *    matches reuses the files instead of rebuilding — the persisted
+  *    semantics an incremental pipeline wants. Writes go to a unique
+  *    temp dir and RENAME into place, so two JVMs racing the same build
+  *    never interleave files; the loser discards its copy.
+  *  - '''refresh''' — `graft.artifacts.refresh=true` forces a rebuild
+  *    (memo evicted, on-disk dir replaced). Set it transiently for
+  *    maintenance; every `ensure` under it rebuilds.
+  *  - '''append''' — [[append]] adds rows to a built artifact and
+  *    updates its manifest: the crawl loop (score a batch against the
+  *    gram-set artifact, then union the batch's grams into it).
+  *    Single-writer semantics — the caller serializes appends.
+  *
+  * Paths are content-determined (md5 of the full key) under
+  * `graft.artifacts.dir` (default java.io.tmpdir); a real deployment
+  * points that conf at the warehouse path next to the corpus snapshot.
   */
 object SideTable {
 
   private val memo =
-    new ConcurrentHashMap[(SparkSession, String, String), String]()
+    new ConcurrentHashMap[(SparkSession, String), FutureTask[String]]()
+
+  private def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Cheap data fingerprint of a file or directory tree: sorted
+    * relative names + sizes + mtimes, hashed. Metadata-only — never
+    * reads file contents. */
+  def fingerprint(dataPath: String): String = {
+    def walk(f: File, prefix: String): Seq[String] =
+      if (f.isFile) Seq(s"$prefix${f.getName}:${f.length}:${f.lastModified}")
+      else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .sortBy(_.getName)
+        .flatMap(c => walk(c, s"$prefix${f.getName}/"))
+    md5hex(walk(new File(dataPath), "").mkString("|"))
+  }
+
+  private def fullKey(key: String, dataPath: Option[String]): String =
+    dataPath.fold(key)(p => s"$key@${fingerprint(p)}")
+
+  private def manifestFile(dir: File) = new File(dir, "_graft_manifest.json")
+
+  private def writeManifest(dir: File, name: String, key: String,
+      rows: Long): Unit = {
+    val w = new PrintWriter(manifestFile(dir), "UTF-8")
+    try w.print(
+      s"""{"name": "$name", "key_md5": "${md5hex(key)}", "rows": $rows, """ +
+        s""""built_at_ms": ${System.currentTimeMillis()}}""")
+    finally w.close()
+  }
+
+  /** (key_md5, rows, built_at_ms) from an artifact dir's manifest. */
+  def manifest(path: String): Option[(String, Long, Long)] = {
+    val f = manifestFile(new File(path))
+    if (!f.isFile) None
+    else {
+      val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val re = """"key_md5": "([0-9a-f]+)", "rows": (\d+), "built_at_ms": (\d+)""".r
+      re.findFirstMatchIn(txt).map(m =>
+        (m.group(1), m.group(2).toLong, m.group(3).toLong))
+    }
+  }
+
+  private def isValid(dir: File, key: String): Boolean =
+    dir.isDirectory &&
+      manifest(dir.getAbsolutePath).exists(_._1 == md5hex(key))
+
+  private def deleteTree(f: File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete()
+  }
 
   /** Returns the path of artifact `name` for `key`, building and
-    * writing it via `build` exactly once per session. */
-  def ensure(s: SparkSession, name: String, key: String)
-      (build: => DataFrame): String =
-    memo.computeIfAbsent((s, name, key), { _ =>
-      val root = s.conf.get("graft.artifacts.dir",
-        sys.props("java.io.tmpdir"))
-      val digest = MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      val path = new File(root, s"graft_${name}_$digest").getAbsolutePath
-      build.write.mode("overwrite").parquet(path)
-      path
-    })
+    * writing it via `build` at most once per (session, key, data
+    * fingerprint) — and, via the manifest, at most once per key ACROSS
+    * sessions sharing `graft.artifacts.dir`. Pass `dataPath` (the
+    * source table file/dir) to fold the data fingerprint into the
+    * identity. */
+  def ensure(s: SparkSession, name: String, key: String,
+      dataPath: Option[String] = None)(build: => DataFrame): String = {
+    val fk = fullKey(key, dataPath)
+    val refresh =
+      s.conf.get("graft.artifacts.refresh", "false").toBoolean
+    if (refresh) memo.remove((s, s"$name#$fk"))
+    val task = memo.computeIfAbsent((s, s"$name#$fk"),
+      _ => new FutureTask[String](() => buildAt(s, name, fk, refresh, build)))
+    task.run() // no-op if another thread is already running it
+    try task.get()
+    catch {
+      case e: ExecutionException =>
+        memo.remove((s, s"$name#$fk"), task) // allow retry after failure
+        throw e.getCause
+    }
+  }
+
+  private def buildAt(s: SparkSession, name: String, fk: String,
+      refresh: Boolean, build: => DataFrame): String = {
+    val root = new File(s.conf.get("graft.artifacts.dir",
+      sys.props("java.io.tmpdir")))
+    val digest = md5hex(fk)
+    val dest = new File(root, s"graft_${name}_$digest")
+    if (!refresh && isValid(dest, fk)) return dest.getAbsolutePath
+    val tmp = new File(root, s"graft_${name}_$digest.tmp-${UUID.randomUUID}")
+    build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val rows = s.read.parquet(tmp.getAbsolutePath).count()
+    writeManifest(tmp, name, fk, rows)
+    if (refresh && dest.exists()) deleteTree(dest)
+    if (!tmp.renameTo(dest)) {
+      // another JVM renamed first; its artifact is equivalent — keep it
+      if (isValid(dest, fk)) deleteTree(tmp)
+      else throw new IllegalStateException(
+        s"side-table rename failed and $dest is not a valid artifact")
+    }
+    dest.getAbsolutePath
+  }
+
+  /** Appends `delta` to an already-ensured artifact and updates its
+    * manifest row count — the incremental-maintenance path (e.g. after
+    * scoring a crawl batch against q72's gram-set artifact, the batch's
+    * new grams union into it so the next batch sees them). The caller
+    * must have called [[ensure]] with the same identity in this
+    * session, and serializes appends (single crawl-loop writer). */
+  def append(s: SparkSession, name: String, key: String,
+      dataPath: Option[String] = None)(delta: DataFrame): String = {
+    val fk = fullKey(key, dataPath)
+    val task = memo.get((s, s"$name#$fk"))
+    require(task != null,
+      s"append on side-table $name before ensure() in this session")
+    val path = task.get()
+    delta.write.mode("append").parquet(path)
+    val rows = s.read.parquet(path).count()
+    writeManifest(new File(path), name, fk, rows)
+    path
+  }
 
   private[graft] def clear(): Unit = memo.clear()
 

@@ -7,9 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.SideTable
 
-/** Contract of the persisted-artifact registry behind q67/q69: an
-  * artifact is built exactly once per (session, name, key), its path is
-  * content-determined, and distinct keys get distinct artifacts. */
+/** Contract of the persisted-artifact registry behind q67/q69/q72: an
+  * artifact is built exactly once per (session, name, key, data
+  * fingerprint), its path is content-determined, a manifest records its
+  * identity and row count (enabling cross-JVM reuse), `graft.artifacts
+  * .refresh` forces a rebuild, and `append` evolves a built artifact —
+  * the crawl loop. */
 class SideTableSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -19,35 +22,171 @@ class SideTableSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Runs `body` with artifacts rooted in a fresh temp dir — stale
+    * artifacts from earlier JVMs must not satisfy this JVM's builds. */
+  private def freshRoot[A](body: => A): A = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-artifacts").toFile.getAbsolutePath
+    spark.conf.set("graft.artifacts.dir", root)
+    try body finally spark.conf.unset("graft.artifacts.dir")
+  }
+
   test("ensure() builds once per key, reuses within the session") {
     import spark.implicits._
-    val builds = new AtomicInteger(0)
-    def build = {
-      builds.incrementAndGet()
-      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    freshRoot {
+      val builds = new AtomicInteger(0)
+      def build = {
+        builds.incrementAndGet()
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      }
+      val p1 = SideTable.ensure(spark, "spec_probe", "k1")(build)
+      val p2 = SideTable.ensure(spark, "spec_probe", "k1")(build)
+      assert(p1 === p2)
+      assert(builds.get() === 1, "second ensure() re-built the artifact")
+      assert(spark.read.parquet(p1).count() === 2)
+      // a different key is a different artifact, built separately
+      val p3 = SideTable.ensure(spark, "spec_probe", "k2")(build)
+      assert(p3 !== p1)
+      assert(builds.get() === 2)
     }
-    val p1 = SideTable.ensure(spark, "spec_probe", "k1")(build)
-    val p2 = SideTable.ensure(spark, "spec_probe", "k1")(build)
-    assert(p1 === p2)
-    assert(builds.get() === 1, "second ensure() re-built the artifact")
-    assert(spark.read.parquet(p1).count() === 2)
-    // a different key is a different artifact, built separately
-    val p3 = SideTable.ensure(spark, "spec_probe", "k2")(build)
-    assert(p3 !== p1)
-    assert(builds.get() === 2)
   }
 
   test("paths are content-determined and respect graft.artifacts.dir") {
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-artifacts").toFile.getAbsolutePath
-    spark.conf.set("graft.artifacts.dir", root)
-    try {
+    freshRoot {
+      val root = spark.conf.get("graft.artifacts.dir")
       val p = SideTable.ensure(spark, "spec_rooted", "k1") {
         Seq((1L, "a")).toDF("id", "v")
       }
       assert(p.startsWith(root), s"artifact $p not under $root")
       assert(new java.io.File(p).exists())
-    } finally spark.conf.unset("graft.artifacts.dir")
+    }
+  }
+
+  test("manifest records identity + row count; a fresh session reuses the files") {
+    import spark.implicits._
+    freshRoot {
+      val builds = new AtomicInteger(0)
+      def build = {
+        builds.incrementAndGet()
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      }
+      val p = SideTable.ensure(spark, "spec_manifest", "k1")(build)
+      val m = SideTable.manifest(p)
+      assert(m.isDefined, "no manifest written")
+      assert(m.get._2 === 3L, "manifest row count wrong")
+      assert(m.get._3 > 0L)
+      // simulate a fresh JVM: the in-memory memo is gone but the files
+      // and manifest survive — ensure() must reuse, not rebuild
+      SideTable.clear()
+      val p2 = SideTable.ensure(spark, "spec_manifest", "k1")(build)
+      assert(p2 === p)
+      assert(builds.get() === 1, "fresh session re-built a valid artifact")
+    }
+  }
+
+  test("data fingerprint: rewriting the source table changes the identity") {
+    import spark.implicits._
+    freshRoot {
+      val data = java.nio.file.Files
+        .createTempDirectory("graft-src").toFile.getAbsolutePath
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$data/documents.parquet")
+      val builds = new AtomicInteger(0)
+      def build = {
+        builds.incrementAndGet()
+        spark.read.parquet(s"$data/documents.parquet")
+      }
+      val src = Some(s"$data/documents.parquet")
+      val p1 = SideTable.ensure(spark, "spec_fp", "k", src)(build)
+      assert(builds.get() === 1)
+      // in-place rewrite that keeps the logical key identical: without
+      // the fingerprint this silently served the stale artifact
+      Thread.sleep(1100) // parquet mtime granularity can be 1 s
+      Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$data/documents.parquet")
+      val p2 = SideTable.ensure(spark, "spec_fp", "k", src)(build)
+      assert(p2 !== p1, "stale artifact served after source rewrite")
+      assert(builds.get() === 2)
+      assert(spark.read.parquet(p2).count() === 2)
+    }
+  }
+
+  test("graft.artifacts.refresh forces a rebuild in place") {
+    import spark.implicits._
+    freshRoot {
+      val builds = new AtomicInteger(0)
+      var rows = Seq((1L, "a"))
+      def build = {
+        builds.incrementAndGet()
+        rows.toDF("id", "v")
+      }
+      val p1 = SideTable.ensure(spark, "spec_refresh", "k")(build)
+      assert(spark.read.parquet(p1).count() === 1)
+      rows = Seq((1L, "a"), (2L, "b"))
+      spark.conf.set("graft.artifacts.refresh", "true")
+      try {
+        val p2 = SideTable.ensure(spark, "spec_refresh", "k")(build)
+        assert(p2 === p1, "refresh must rebuild IN PLACE")
+        assert(builds.get() === 2)
+        assert(spark.read.parquet(p2).count() === 2)
+        assert(SideTable.manifest(p2).get._2 === 2L)
+      } finally spark.conf.unset("graft.artifacts.refresh")
+    }
+  }
+
+  test("append evolves a built artifact and updates its manifest") {
+    import spark.implicits._
+    freshRoot {
+      val p = SideTable.ensure(spark, "spec_append", "k") {
+        Seq((1L, "a")).toDF("id", "v")
+      }
+      assert(SideTable.manifest(p).get._2 === 1L)
+      val p2 = SideTable.append(spark, "spec_append", "k") {
+        Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+      }
+      assert(p2 === p)
+      assert(spark.read.parquet(p).count() === 3)
+      assert(SideTable.manifest(p).get._2 === 3L)
+      // the crawl-loop read-back: the next batch sees appended rows
+      assert(spark.read.parquet(p).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("append before ensure fails loudly") {
+    import spark.implicits._
+    freshRoot {
+      val e = intercept[IllegalArgumentException] {
+        SideTable.append(spark, "spec_orphan", "k") {
+          Seq((1L, "a")).toDF("id", "v")
+        }
+      }
+      assert(e.getMessage.contains("before ensure"))
+    }
+  }
+
+  test("concurrent ensure calls for the same key build once") {
+    import spark.implicits._
+    freshRoot {
+      val builds = new AtomicInteger(0)
+      def build = {
+        builds.incrementAndGet()
+        Thread.sleep(300) // widen the race window
+        Seq((1L, "a")).toDF("id", "v")
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = (0 until 4).map(_ =>
+          new java.util.concurrent.Callable[String] {
+            def call(): String =
+              SideTable.ensure(spark, "spec_conc", "k")(build)
+          }).asJava
+        val paths = pool.invokeAll(tasks).asScala.map(_.get()).toSet
+        assert(paths.size === 1)
+        assert(builds.get() === 1, "racing ensure() calls built twice")
+      } finally pool.shutdown()
+    }
   }
 }
