@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -853,6 +853,83 @@ object TextPipeline {
       out.orderBy("d1", "d2")
     }),
 
+    // ---- q76: streaming incremental dedup (the crawl-ingest loop) ------
+    // q67's batch shape as the Structured Streaming deployment it exists
+    // for: crawl batches ARRIVE as a stream, and each micro-batch is
+    // deduped inside `foreachBatch` against the persisted signature
+    // artifact PLUS the bands of every earlier micro-batch — the state
+    // a real ingest loop maintains by appending each batch's bands to
+    // the artifact after scoring ([[graft.sources.SideTable.append]] is
+    // that path; here the accumulation stays in-session so reruns are
+    // idempotent). Pairs between two stream docs in DIFFERENT
+    // micro-batches are found when the later one arrives (feed order =
+    // doc_id order), so the union of per-epoch outputs equals q67's
+    // one-shot answer EXACTLY — the batch-parity property the oracle
+    // (q67's SQL verbatim) certifies, and StreamingSpec pins the
+    // cross-micro-batch case specifically. Per epoch the work is
+    // |micro-batch| + |candidates|, the q67 scale argument unchanged;
+    // the driver-side id collect is the MemoryStream harness seam
+    // (bounded by |batch|; a deployment's source is Kafka/files).
+    "q76_stream_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val idx = s.read.parquet(signatureIndex(s, dir, cut))
+      val ids = d.where(col("doc_id") >= cut).select(col("doc_id"))
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val chunks =
+        if (ids.isEmpty) Seq.empty
+        else ids.grouped(math.max(1, (ids.length + 3) / 4)).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      @volatile var seen: DataFrame = idx
+      val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val query = ms.toDF().toDF("doc_id").writeStream
+        .outputMode("append")
+        .foreachBatch { (epochIds: Dataset[Row], _: Long) =>
+          val epochDocs =
+            d.join(broadcast(epochIds), Seq("doc_id"), "left_semi")
+          val deltaBands = minhashBands(epochDocs).localCheckpoint()
+          val allBands = capBuckets(seen.unionByName(deltaBands),
+            Seq("band_idx", "band_key"), s, "q76 incremental bands")
+          val cand = allBands.as("a").join(deltaBands.as("b"),
+              col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_key") === col("b.band_key") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .distinct()
+            .localCheckpoint()
+          val candDocs = cand.select(col("d1").as("doc_id"))
+            .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+          val candSh = shingleHashRows(
+              d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 3)
+            .distinct()
+            .cache() // pairJaccard reads it three times (e1, e2, sizes)
+          val pairs = pairJaccard(cand, candSh)
+            .where(col("jac") >= 0.8)
+            .localCheckpoint()
+          candSh.unpersist()
+          acc += pairs
+          seen = seen.unionByName(deltaBands) // artifact-append stand-in
+          ()
+        }
+        .start()
+      try chunks.foreach { c => ms.addData(c); query.processAllAvailable() }
+      finally query.stop()
+      acc.reduceOption(_ unionByName _)
+        .getOrElse(s.createDataFrame(
+          s.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("d1",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("d2",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jac",
+              org.apache.spark.sql.types.DoubleType)))))
+        .orderBy("d1", "d2")
+    }),
+
     // ---- q73: MinHash estimate fidelity audit --------------------------
     // The dedup-side sibling of q70's ANN recall audit: for every
     // verified near-dup pair, the Jaccard ESTIMATE the 16-component
@@ -1378,15 +1455,21 @@ object TextPipeline {
           |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
           |ORDER BY d1, d2""".stripMargin),
 
-    "q67_incremental_dedup" ->
-      (minhashEbCte +
-        """, cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
-          |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
-          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-          |  WHERE b.doc_id >= (SELECT c FROM cut)
-          |)
-          |""".stripMargin + jaccardVerifyTail)
+    "q67_incremental_dedup" -> incrementalDedupSql,
+
+    // q76 is q67's answer computed by the micro-batched streaming loop —
+    // batch parity is the whole claim, so the oracle is q67's verbatim.
+    "q76_stream_incremental_dedup" -> incrementalDedupSql
   )
+
+  private lazy val incrementalDedupSql: String =
+    minhashEbCte +
+      """, cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+        |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |  WHERE b.doc_id >= (SELECT c FROM cut)
+        |)
+        |""".stripMargin + jaccardVerifyTail
 }

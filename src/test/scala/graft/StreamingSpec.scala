@@ -191,6 +191,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q76: micro-batched crawl loop == one-shot incremental dedup") {
+    // Corpus: ids 0..14 are the old corpus (cut = 19*4 div 5 = 15),
+    // ids 15..19 the crawl batch, streamed in micro-batches of ≤2
+    // ([15,16], [17,18], [19]). Doc 16 duplicates old doc 3 (found via
+    // the ARTIFACT), doc 19 duplicates doc 15 — a pair whose members
+    // arrive in DIFFERENT micro-batches, findable only if the loop
+    // carries earlier batches' bands forward (the accumulated-state /
+    // artifact-append semantics). Both answers must coincide exactly.
+    import spark.implicits._
+    import graft.queries.TextPipeline
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-q76").toFile.getAbsolutePath
+    def words(tag: String) =
+      (0 until 12).map(i => s"$tag$i").mkString(" ")
+    val docs = (0L until 20L).map {
+      case 16L => 16L -> words("old3x")   // dup of doc 3
+      case 19L => 19L -> words("batch15") // dup of doc 15
+      case 15L => 15L -> words("batch15")
+      case 3L  => 3L -> words("old3x")
+      case i   => i -> words(s"filler${i}u")
+    }
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val oneShot = TextPipeline.defs("q67_incremental_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = TextPipeline.defs("q76_stream_incremental_dedup")(
+        spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === oneShot)
+    assert(streamed.contains((3L, 16L, 1.0d)), "artifact pair missed")
+    assert(streamed.contains((15L, 19L, 1.0d)),
+      "cross-micro-batch pair missed — earlier bands not carried forward")
+  }
+
   test("q59 oracle precondition: event_id is unique at every shipped SF") {
     // q59's DuckDB oracle is `SELECT ... FROM events` — equivalent to the
     // batch dropDuplicates over the replayed stream ONLY while event_id is
