@@ -88,48 +88,8 @@ object CorpusQuality {
     // of two, default = defaultParallelism), so each shard holds
     // corpus/n — pick n so a shard fits a task at the deployment's
     // scale; the budget itself is `graft.budget.tokens`.
-    "q63_token_budget" -> ((s, dir) => {
-      // negative budgets clamp to 0 (empty result) rather than leaving
-      // the kept-shard prefix empty and crashing the max below; the
-      // shard conf is bounded before the power-of-two rounding so
-      // want*2-1 cannot overflow Int
-      val budget = s.conf.get("graft.budget.tokens", "10000").toLong.max(0L)
-      val nShards = { // next power of two ⇒ the shard key is a bit-prefix
-        val want = s.conf.get("graft.budget.shards",
-          s.sparkContext.defaultParallelism.toString).toInt
-          .max(1).min(1 << 24)
-        Integer.highestOneBit(want * 2 - 1)
-      }
-      val shardBits = Integer.numberOfTrailingZeros(nShards)
-      val d = Graft.parquetSource(s, dir).table("documents")
-      val base = d.select(col("doc_id"),
-          bpeTokenCount(col("text")).cast("long").as("n_tokens"),
-          hash60(col("text")).as("h"))
-        // hash60 is 60 bits; the top shardBits bits are monotone in h, so
-        // (shard, h, doc_id) order ≡ global (h, doc_id) order
-        .withColumn("shard", shiftright(col("h"), 60 - shardBits))
-      val totals = base.groupBy(col("shard"))
-        .agg(sum(col("n_tokens")).as("t"))
-        .collect() // ≤ nShards rows — metadata, same grain as O7's
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val offsets = (0 until nShards).map { sh =>
-        (sh.toLong, (0 until sh).map(p => totals.getOrElse(p.toLong, 0L)).sum)
-      }
-      // offsets are monotone ⇒ budget-reachable shards are a prefix
-      val kept = offsets.filter(_._2 <= budget)
-      val maxShard = kept.map(_._1).max // shard 0 has offset 0 ≤ budget
-      import s.implicits._
-      val offDf = kept.toDF("shard", "off")
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.where(col("shard") <= maxShard)
-        .join(broadcast(offDf), "shard")
-        .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
-        .where(col("cum") <= budget)
-        .select(col("doc_id"), col("n_tokens"), col("cum"))
-        .orderBy("cum", "doc_id")
-    }),
+    "q63_token_budget" -> ((s, dir) =>
+      tokenBudget(s, Graft.parquetSource(s, dir).table("documents"))),
 
     // ---- q65: TF-IDF cosine similarity search over shingle features ----
     // "Find related documents" over text alone (no embedding table): each
@@ -441,6 +401,27 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // ---- q77: the curation pipeline, composed --------------------------
+    // A production training-mix build runs quality filter → dedup keep
+    // list → token budget as ONE job, not three exports: q66's keep
+    // predicate drops low-quality docs, q74's quality-canonical keep
+    // list drops every near-dup cluster member except its best doc
+    // (clusters computed ONCE via the session pair memo — the
+    // single-derivation property the memo/artifact seams exist for,
+    // counter-pinned in PlanQualitySpec), and the survivors flow into
+    // q63's sharded token-budget cut. Composition is by DataFrame: the
+    // filter is a codegen predicate on the scan, the drop list is a
+    // tiny broadcast anti-join, and the budget stage sees only
+    // survivors — no re-derivation, no intermediate materialization
+    // beyond what the component operators already own.
+    "q77_curation_pipeline" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val survivors = d.where(qualityKeepCond)
+        .join(TextPipeline.qualityDropList(s, dir), Seq("doc_id"),
+          "left_anti")
+      tokenBudget(s, survivors)
+    }),
+
     // ---- q64: first-occurrence novelty ---------------------------------
     // Fraction of a document's distinct 3-gram shingles whose FIRST
     // occurrence (minimum doc_id over the corpus) is this document. A
@@ -465,6 +446,66 @@ object CorpusQuality {
         .orderBy("doc_id")
     })
   )
+
+  /** q66's keep conjunction as one predicate over raw `text` — shared
+    * by q77's survivor filter (the oracle embeds the identical SQL). */
+  private def qualityKeepCond: org.apache.spark.sql.Column = {
+    val nw = wordCount(col("text"))
+    val swr = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
+      nw.cast("double")
+    nw >= 20 && nw <= 1000 &&
+      meanWordLen(col("text")) >= 3.0d && meanWordLen(col("text")) <= 5.0d &&
+      punctRatio(col("text")) <= 0.3d && swr >= 0.02d
+  }
+
+  /** q63's deterministic global token-budget cut over an arbitrary
+    * `doc_id`/`text` frame — the two-level distributed prefix sum (see
+    * the q63 entry's comment for the full scale argument). Budget and
+    * shard count come from `graft.budget.tokens`/`graft.budget.shards`;
+    * shards whose driver-computed offset exceeds the budget are pruned
+    * before the window. */
+  private def tokenBudget(s: SparkSession, docs: DataFrame): DataFrame = {
+    // negative budgets clamp to 0 (empty result) rather than leaving
+    // the kept-shard prefix empty and crashing the max below; the
+    // shard conf is bounded before the power-of-two rounding so
+    // want*2-1 cannot overflow Int
+    val budget = s.conf.get("graft.budget.tokens", "10000").toLong.max(0L)
+    val nShards = { // next power of two ⇒ the shard key is a bit-prefix
+      val want = s.conf.get("graft.budget.shards",
+        s.sparkContext.defaultParallelism.toString).toInt
+        .max(1).min(1 << 24)
+      Integer.highestOneBit(want * 2 - 1)
+    }
+    val shardBits = Integer.numberOfTrailingZeros(nShards)
+    val base = docs.select(col("doc_id"),
+        bpeTokenCount(col("text")).cast("long").as("n_tokens"),
+        hash60(col("text")).as("h"))
+      // hash60 is 60 bits; the top shardBits bits are monotone in h, so
+      // (shard, h, doc_id) order ≡ global (h, doc_id) order
+      .withColumn("shard", shiftright(col("h"), 60 - shardBits))
+    val totals = base.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect() // ≤ nShards rows — metadata, same grain as O7's
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nShards).map { sh =>
+      (sh.toLong, (0 until sh).map(p => totals.getOrElse(p.toLong, 0L)).sum)
+    }
+    // offsets are monotone ⇒ budget-reachable shards are a prefix
+    val kept = offsets.filter(_._2 <= budget)
+    val maxShard = kept.map(_._1).max // shard 0 has offset 0 ≤ budget
+    import s.implicits._
+    val offDf = kept.toDF("shard", "off")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.where(col("shard") <= maxShard)
+      .join(broadcast(offDf), "shard")
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
+      .where(col("cum") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum"))
+      .orderBy("cum", "doc_id")
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -697,6 +738,70 @@ object CorpusQuality {
         |  sum(CASE WHEN fo.fo = sg.doc_id THEN 1 ELSE 0 END)::double
         |    / count(*)::double AS novelty
         |FROM sg JOIN fo USING (h)
-        |GROUP BY sg.doc_id ORDER BY sg.doc_id""".stripMargin
+        |GROUP BY sg.doc_id ORDER BY sg.doc_id""".stripMargin,
+
+    // The composition chained as CTEs: q74's components + argmax keep
+    // (drop = non-keep cluster members), q66's keep conjunction, then
+    // q63's global cumsum over the survivors.
+    "q77_curation_pipeline" ->
+      s"""WITH RECURSIVE pairs AS (${TextPipeline.minhashPairsSql}),
+         |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |),
+         |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |nww AS (
+         |  SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS n_words
+         |  FROM documents
+         |),
+         |keepq AS (
+         |  SELECT cluster_id,
+         |    first(comp.doc_id ORDER BY n_words DESC, comp.doc_id ASC) AS keep_id
+         |  FROM comp JOIN nww ON nww.doc_id = comp.doc_id
+         |  GROUP BY cluster_id
+         |),
+         |dropset AS (
+         |  SELECT comp.doc_id FROM comp JOIN keepq USING (cluster_id)
+         |  WHERE comp.doc_id <> keepq.keep_id
+         |),
+         |qual AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      len(regexp_split_to_array(trim(text), '\\s+'))::int AS n_words,
+         |      CASE WHEN length(text) > 0
+         |        THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::double / length(text)
+         |        ELSE 0.0 END AS punct_ratio,
+         |      CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+         |        THEN length(regexp_replace(text, '\\s+', '', 'g'))::double
+         |             / len(regexp_split_to_array(trim(text), '\\s+'))
+         |        ELSE 0.0 END AS mean_word_len,
+         |      len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b'))::double
+         |        / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+         |    FROM documents)
+         |  WHERE n_words BETWEEN 20 AND 1000
+         |    AND mean_word_len BETWEEN 3.0 AND 5.0
+         |    AND punct_ratio <= 0.3 AND stopword_ratio >= 0.02
+         |),
+         |surv AS (
+         |  SELECT doc_id, text FROM qual
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
+         |),
+         |base AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))::bigint AS n_tokens,
+         |    ('0x' || substr(md5(text),1,15))::bigint AS h
+         |  FROM surv
+         |),
+         |cums AS (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY h, doc_id
+         |      ROWS UNBOUNDED PRECEDING)::bigint AS cum
+         |  FROM base
+         |)
+         |SELECT doc_id, n_tokens, cum FROM cums
+         |WHERE cum <= 10000 ORDER BY cum, doc_id""".stripMargin
   )
 }

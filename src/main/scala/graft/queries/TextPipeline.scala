@@ -208,6 +208,12 @@ object TextPipeline {
   private def memoKey(s: SparkSession, dir: String) =
     (s, dir, s.conf.get("graft.dedup.maxBucket", "2000").toInt)
 
+  /** Times [[computeRepPairs]] actually ran — the plan-pin counter for
+    * the single-derivation property: memo consumers (q53/q73/q74/q77)
+    * must never re-run the LSH pipeline within a session. */
+  private[graft] val repPairComputes =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Physical plan of the last LSH candidate bucket-join, captured for
     * plan-quality tests (the join runs eagerly inside [[computeRepPairs]],
     * so it no longer appears in q27's returned plan). */
@@ -258,6 +264,7 @@ object TextPipeline {
     * cached tables from this pipeline. */
   private def computeRepPairs(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
+    repPairComputes.incrementAndGet()
     val d = Graft.parquetSource(s, dir).table("documents")
     val members = exactGroups(d, 3)
       .localCheckpoint() // one narrow row per doc — corpus-growth, so
@@ -1015,27 +1022,50 @@ object TextPipeline {
     // once n_words ≥ 2^23 — a ~50 MB document, reachable in an
     // uncapped 100 TB crawl.) The key is unique per doc, so the argmax
     // is deterministic under any partitioning — the q46 discipline.
-    "q74_quality_keep" -> ((s, dir) => {
-      val (members, repPairs) = pairMemo.computeIfAbsent(
-        memoKey(s, dir), _ => computeRepPairs(s, dir))
-      val starEdges = members.where(col("doc_id") =!= col("rep"))
-        .select(col("doc_id").as("d1"), col("rep").as("d2"))
-      val pairs = repPairs.select(col("d1"), col("d2"))
-        .unionByName(starEdges)
-      val comp = graft.plans.Components.keepList(pairs)
-        .select(col("id").as("doc_id"), col("keep_id").as("cluster_id"))
-      val nw = Graft.parquetSource(s, dir).table("documents")
-        .select(col("doc_id"), wordCount(col("text")).cast("long").as("n_words"))
-      comp.join(nw, "doc_id")
+    "q74_quality_keep" -> ((s, dir) =>
+      clusterComp(s, dir).join(wordCounts(s, dir), "doc_id")
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           max_by(col("doc_id"),
             struct(col("n_words"), negate(col("doc_id"))))
             .as("keep_id"),
           max(col("n_words")).as("keep_n_words"))
-        .orderBy("cluster_id")
-    })
+        .orderBy("cluster_id"))
   )
+
+  /** (doc_id, cluster_id) for every near-dup cluster member — the
+    * connected components over the session pair memo plus star edges,
+    * shared by q74's keep list and q77's drop set. */
+  private def clusterComp(s: SparkSession, dir: String): DataFrame = {
+    val (members, repPairs) = pairMemo.computeIfAbsent(
+      memoKey(s, dir), _ => computeRepPairs(s, dir))
+    val starEdges = members.where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("d1"), col("rep").as("d2"))
+    val pairs = repPairs.select(col("d1"), col("d2"))
+      .unionByName(starEdges)
+    graft.plans.Components.keepList(pairs)
+      .select(col("id").as("doc_id"), col("keep_id").as("cluster_id"))
+  }
+
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    Graft.parquetSource(s, dir).table("documents")
+      .select(col("doc_id"), wordCount(col("text")).cast("long").as("n_words"))
+
+  /** doc_ids the quality-canonical keep list (q74) DROPS: every cluster
+    * member except its cluster's best doc (longest, lowest-id tiebreak).
+    * The q77 curation pipeline anti-joins this; unclustered docs are
+    * untouched. Memo consumer — never re-derives the pair set. */
+  private[graft] def qualityDropList(s: SparkSession,
+      dir: String): DataFrame = {
+    val comp = clusterComp(s, dir)
+    val keep = comp.join(wordCounts(s, dir), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("n_words"), negate(col("doc_id")))).as("keep_id"))
+    comp.join(keep, "cluster_id")
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -1094,9 +1124,9 @@ object TextPipeline {
       |    / len(list_distinct(s1.hs || s2.hs)) >= 0.8
       |ORDER BY d1, d2""".stripMargin
 
-  /** q27's full oracle SQL — also embedded as the `pairs` CTE of q53's
-    * recursive-CTE connected-components oracle. */
-  private val minhashPairsSql: String =
+  /** q27's full oracle SQL — also embedded as the `pairs` CTE of the
+    * q53/q74 connected-components oracles and q77's curation oracle. */
+  private[queries] val minhashPairsSql: String =
     minhashEbCte +
       """, cand AS (
         |  SELECT DISTINCT a.doc_id d1, b.doc_id d2

@@ -194,6 +194,26 @@ class CorpusQualitySpec extends AnyFunSuite {
     finally spark.conf.unset("graft.batch.cut")
   }
 
+  test("q77: output passes the filter, skips dropped dups, respects the budget") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val out = CorpusQuality.defs("q77_curation_pipeline")(spark, dir)
+      .collect()
+    assert(out.nonEmpty, "curation pipeline produced an empty mix")
+    val keepIds = CorpusQuality.defs("q66_quality_filter")(spark, dir)
+      .where(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => keepIds(r.getLong(0))),
+      "a doc failing the quality filter reached the mix")
+    val drops = TextPipeline.qualityDropList(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !drops(r.getLong(0))),
+      "a dropped near-dup member reached the mix")
+    val cums = out.map(_.getLong(2))
+    assert(cums.forall(_ <= 10000L))
+    assert(cums.sameElements(cums.sorted), "cumsum not monotone in output order")
+  }
+
   test("q66: every flag fails somewhere and keep is their conjunction") {
     val rows = CorpusQuality.defs("q66_quality_filter")(
         spark, "/root/testdata/sf0.01").collect()

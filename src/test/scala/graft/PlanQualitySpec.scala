@@ -218,6 +218,18 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q77: composition reuses the session pair set — no re-derivation") {
+    // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
+    // keep list → budget) must consume the session's pair set, never
+    // re-run the LSH pipeline. Counter-pinned: computeRepPairs
+    // increments per actual derivation.
+    SparkEntry.queries("q74_quality_keep")(spark, dir).count() // fill memo
+    val n = graft.queries.TextPipeline.repPairComputes.get()
+    SparkEntry.queries("q77_curation_pipeline")(spark, dir).count()
+    assert(graft.queries.TextPipeline.repPairComputes.get() === n,
+      "q77 re-ran the LSH pair derivation")
+  }
+
   test("salted join: exact row parity with the plain join, salt spreads keys") {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
