@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions.expr
   */
 object BatchCut {
 
-  def cut(s: SparkSession, d: DataFrame): Long =
+  def cut(s: SparkSession, d: DataFrame, idCol: String = "doc_id"): Long =
     s.conf.getOption("graft.batch.cut").map(_.toLong).getOrElse(
-      d.agg(expr("(max(doc_id) * 4) div 5")).head().getLong(0))
+      d.agg(expr(s"(max($idCol) * 4) div 5")).head().getLong(0))
 }

@@ -82,6 +82,11 @@ object Embeddings {
     * localCheckpoint, so it no longer appears in q46's returned plan). */
   @volatile private[graft] var lastCellPlan: String = ""
 
+  /** Physical plan of q78's last index-probe join, captured for the
+    * plan test that proves the cell-partitioned artifact scan is
+    * partition-pruned to the probed cells. */
+  @volatile private[graft] var lastIncrementalAnnPlan: String = ""
+
   /** Hyperplane-LSH near-duplicate pairs (v1, v2, cos ≥ 0.45): band
     * bucket-join candidates over 16 sign bits, exact cosine verification.
     * Runs EAGERLY — the returned frame and both reused intermediates are
@@ -222,6 +227,69 @@ object Embeddings {
       topkPerQuery(scored, 5)
     }),
 
+    // ---- q78: incremental ANN — batch searches a persisted IVF index ---
+    // The embedding-side member of the incremental family (q67 dedup,
+    // q69 LM, q72 novelty): a production vector store does NOT rebuild
+    // its index per crawl batch — the old corpus's IVF index (vector,
+    // norm, nearest-centroid cell) persists as a parquet side-table
+    // PARTITIONED BY CELL ([[graft.sources.SideTable]] with
+    // partitionBy), and each new batch vector searches it for its top-5
+    // old neighbors: assign the batch to its 2 nearest cells against
+    // the PERSISTED centroids (read from the artifact — vec_id < 16
+    // rows carry their own vectors), then score only the probed cells.
+    // The cell is a real DIRECTORY partition, so the probe join prunes
+    // the index scan to the probed cells' files (Spark's dynamic
+    // partition pruning — the 2/16ths-of-the-corpus read q46's comment
+    // promises, made physical). Only the batch touches the embeddings
+    // table (cut pushed to the scan, plan-pinned); batch-proportional
+    // broadcast of the probe set is the test-scale shape — a 100 TB
+    // deployment shuffles probes by cell instead, same pruned scan.
+    "q78_incremental_ann" -> ((s, dir) => {
+      val cut = BatchCut.cut(s,
+        Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
+      val idxPath = graft.sources.SideTable.ensure(s, "ivf_index",
+          s"$dir#$cut", Some(s"$dir/embeddings.parquet"), Seq("cell")) {
+        val old = normalized(s, dir).where(col("vec_id") < cut)
+        val cents = old.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        old.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+            (dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+              .as("sim"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("v"), col("nrm"), col("cid")),
+            struct(col("sim"), (-col("cid")).as("nc"))).as("r"))
+          .select(col("vec_id"), col("r.v").as("v"),
+            col("r.nrm").as("nrm"), col("r.cid").cast("int").as("cell"))
+      }
+      val idx = s.read.parquet(idxPath)
+      val cents = idx.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        .localCheckpoint() // 16 rows; read by the probe ranking
+      val batch = normalized(s, dir).where(col("vec_id") >= cut)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("qsim").desc, col("cid"))
+      val probes = batch.join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("qv"), col("qn"), col("cid"),
+          (dotNative(col("qv"), col("cv")) / (col("qn") * col("cn")))
+            .as("qsim"))
+        .withColumn("rnk", row_number().over(wProbe))
+        .where(col("rnk") <= 2)
+        .select(col("q_id"), col("qv"), col("qn"),
+          col("cid").cast("int").as("cell"))
+      val scoredLazy = idx.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"),
+          (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+            .as("cos"))
+      lastIncrementalAnnPlan =
+        scoredLazy.queryExecution.executedPlan.toString
+      topkPerQuery(scoredLazy, 5)
+    }),
+
     // ---- q70: ANN recall audit — IVF vs exact ground truth -------------
     // "Measure, don't guess" as an operator: recall@5 of the q46 IVF
     // search against the q30 exact brute-force ranking, per query
@@ -330,6 +398,41 @@ object Embeddings {
          |FROM reach GROUP BY a ORDER BY a""".stripMargin,
 
     "q46_ivf_ann" -> ivfAnnSql,
+
+    // The oracle rebuilds the old-corpus IVF index from scratch (it has
+    // no artifact); equivalence holds because the artifact rows ARE that
+    // assignment, persisted cell-partitioned.
+    "q78_incremental_ann" ->
+      (baseCte +
+        s""", cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+           |old AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut)),
+           |cents AS (SELECT vec_id cid, v cv, nrm cn FROM old WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, v, nrm, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ${duckCos("v", "nrm", "cv", "cn")} DESC, cid) rnk
+           |  FROM old CROSS JOIN cents
+           |), cells AS (
+           |  SELECT vec_id, v, nrm, cid AS cell FROM assign WHERE rnk = 1
+           |), q AS (
+           |  SELECT vec_id q_id, v qv, nrm qn FROM e
+           |  WHERE vec_id >= (SELECT c FROM cut)
+           |), probes AS (
+           |  SELECT q_id, qv, qn, cell FROM (
+           |    SELECT q.q_id, q.qv, q.qn, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${duckCos("q.qv", "q.qn", "c.cv", "c.cn")} DESC, c.cid) rnk
+           |    FROM q CROSS JOIN cents c
+           |  ) WHERE rnk <= 2
+           |), scored AS (
+           |  SELECT p.q_id, s.vec_id, ${duckCos("p.qv", "p.qn", "s.v", "s.nrm")} AS cos
+           |  FROM probes p JOIN cells s ON s.cell = p.cell
+           |)
+           |SELECT q_id, vec_id, cos, rank FROM (
+           |  SELECT q_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+           |  FROM scored
+           |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
     "q70_ann_recall" ->
       s"""WITH exact AS ($cosineTopkSql),

@@ -106,13 +106,15 @@ object SideTable {
     * source table file/dir) to fold the data fingerprint into the
     * identity. */
   def ensure(s: SparkSession, name: String, key: String,
-      dataPath: Option[String] = None)(build: => DataFrame): String = {
+      dataPath: Option[String] = None, partitionBy: Seq[String] = Nil)
+      (build: => DataFrame): String = {
     val fk = fullKey(key, dataPath)
     val refresh =
       s.conf.get("graft.artifacts.refresh", "false").toBoolean
     if (refresh) memo.remove((s, s"$name#$fk"))
     val task = memo.computeIfAbsent((s, s"$name#$fk"),
-      _ => new FutureTask[String](() => buildAt(s, name, fk, refresh, build)))
+      _ => new FutureTask[String](() =>
+        buildAt(s, name, fk, refresh, partitionBy, build)))
     task.run() // no-op if another thread is already running it
     try task.get()
     catch {
@@ -123,14 +125,17 @@ object SideTable {
   }
 
   private def buildAt(s: SparkSession, name: String, fk: String,
-      refresh: Boolean, build: => DataFrame): String = {
+      refresh: Boolean, partitionBy: Seq[String],
+      build: => DataFrame): String = {
     val root = new File(s.conf.get("graft.artifacts.dir",
       sys.props("java.io.tmpdir")))
     val digest = md5hex(fk)
     val dest = new File(root, s"graft_${name}_$digest")
     if (!refresh && isValid(dest, fk)) return dest.getAbsolutePath
     val tmp = new File(root, s"graft_${name}_$digest.tmp-${UUID.randomUUID}")
-    build.write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val w = build.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.getAbsolutePath)
     val rows = s.read.parquet(tmp.getAbsolutePath).count()
     writeManifest(tmp, name, fk, rows)
     if (refresh && dest.exists()) deleteTree(dest)

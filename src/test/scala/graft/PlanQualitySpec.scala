@@ -218,6 +218,27 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q78: probe join dynamically partition-prunes the IVF artifact") {
+    // The incremental-ANN contract: the old corpus contributes ONLY the
+    // cell-partitioned artifact, and the probe join must prune that
+    // scan to the probed cells' DIRECTORIES (dynamic partition pruning
+    // from the broadcast probe side) — the "read 2/16ths of the corpus"
+    // promise made physical. The batch cut must reach the embeddings
+    // scan as a pushed filter, and the embeddings table is read only
+    // for the batch.
+    val p = plan("q78_incremental_ann")
+    assert("embeddings\\.parquet".r.findAllIn(p).size <= 2, // probe side
+      s"q78 scans embeddings beyond the batch/probe derivation:\n$p")
+    val cp = graft.queries.Embeddings.lastIncrementalAnnPlan
+    assert(cp.nonEmpty, "q78 probe-join plan was not captured")
+    assert(cp.contains("graft_ivf_index"),
+      s"q78 does not read the persisted IVF artifact:\n$cp")
+    assert(cp.contains("dynamicpruningexpression(cell"),
+      s"q78 probe join lost dynamic partition pruning:\n$cp")
+    assert(cp.contains("GreaterThanOrEqual(vec_id"),
+      s"q78 batch cut is not pushed to the embeddings scan:\n$cp")
+  }
+
   test("q77: composition reuses the session pair set — no re-derivation") {
     // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
     // keep list → budget) must consume the session's pair set, never
