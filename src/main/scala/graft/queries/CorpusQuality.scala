@@ -416,9 +416,13 @@ object CorpusQuality {
     // beyond what the component operators already own.
     "q77_curation_pipeline" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
+      val drop = TextPipeline.qualityDropList(s, dir)
+        .localCheckpoint() // tiny (cluster members only); the budget
+        // stage consumes the survivor frame twice (shard totals + the
+        // window pass), so the argmax/anti-join build side must not
+        // re-derive per pass
       val survivors = d.where(qualityKeepCond)
-        .join(TextPipeline.qualityDropList(s, dir), Seq("doc_id"),
-          "left_anti")
+        .join(drop, Seq("doc_id"), "left_anti")
       tokenBudget(s, survivors)
     }),
 

@@ -836,7 +836,19 @@ object TextPipeline {
       val deltaBands = minhashBands(d.where(col("doc_id") >= cut))
         .localCheckpoint() // probe side AND part of the build side; also
         // keeps the candidate plan free of the batch's shingle generator
-      val allBands = capBuckets(idx.unionByName(deltaBands),
+      // Only band keys PRESENT IN THE BATCH can produce candidates (the
+      // probe side has no other keys), so the artifact contributes just
+      // the collision-relevant rows: a broadcast-semi-filtered scan —
+      // no shuffle-aggregate of the full index — and the bucket cap
+      // sizes only those keys. Keys untouched by the batch drop out
+      // before any join, exactly as they would have after it.
+      val deltaKeys = deltaBands
+        .select(col("band_idx"), col("band_key")).distinct()
+      val relevant = idx
+        .join(broadcast(deltaKeys), Seq("band_idx", "band_key"),
+          "left_semi")
+        .unionByName(deltaBands)
+      val allBands = capBuckets(relevant,
         Seq("band_idx", "band_key"), s, "q67 incremental bands")
       val candLazy = allBands.as("a").join(deltaBands.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -873,9 +885,13 @@ object TextPipeline {
     // doc_id order), so the union of per-epoch outputs equals q67's
     // one-shot answer EXACTLY — the batch-parity property the oracle
     // (q67's SQL verbatim) certifies, and StreamingSpec pins the
-    // cross-micro-batch case specifically. Per epoch the work is
-    // |micro-batch| + |candidates|, the q67 scale argument unchanged;
-    // the driver-side id collect is the MemoryStream harness seam
+    // cross-micro-batch case specifically. Per epoch the work is one
+    // broadcast-semi-filtered scan of the accumulated index (only the
+    // epoch's own band keys can collide — the q67 relevance
+    // restriction; bucketing the artifact by band_key turns even that
+    // scan into a pruned read, the documented deployment shape) plus
+    // |micro-batch| + |candidates| for banding and verify. The
+    // driver-side id collect is the MemoryStream harness seam
     // (bounded by |batch|; a deployment's source is Kafka/files).
     "q76_stream_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -898,7 +914,17 @@ object TextPipeline {
           val epochDocs =
             d.join(broadcast(epochIds), Seq("doc_id"), "left_semi")
           val deltaBands = minhashBands(epochDocs).localCheckpoint()
-          val allBands = capBuckets(seen.unionByName(deltaBands),
+          // the q67 relevance restriction, per epoch: only the epoch's
+          // own band keys can collide, so the seen side contributes a
+          // broadcast-semi-filtered scan — never a per-epoch
+          // shuffle-aggregate of the whole accumulated index
+          val deltaKeys = deltaBands
+            .select(col("band_idx"), col("band_key")).distinct()
+          val relevant = seen
+            .join(broadcast(deltaKeys), Seq("band_idx", "band_key"),
+              "left_semi")
+            .unionByName(deltaBands)
+          val allBands = capBuckets(relevant,
             Seq("band_idx", "band_key"), s, "q76 incremental bands")
           val cand = allBands.as("a").join(deltaBands.as("b"),
               col("a.band_idx") === col("b.band_idx") &&
@@ -935,6 +961,59 @@ object TextPipeline {
             org.apache.spark.sql.types.StructField("jac",
               org.apache.spark.sql.types.DoubleType)))))
         .orderBy("d1", "d2")
+    }),
+
+    // ---- q79: incremental crawl triage (exact / near / novel) ----------
+    // The first routing decision a crawl pipeline makes per batch doc:
+    // EXACT re-crawl of known content (drop, bump a counter), NEAR
+    // duplicate (route to canonicalization), or NOVEL (ingest). Both
+    // signals come from persisted artifacts: exact = membership of the
+    // doc's content key (md5 of the word sequence) in the old corpus's
+    // distinct-key side-table; near = membership in the q67 incremental
+    // pair set (vs the signature artifact ∪ earlier batch docs — a
+    // batch doc duplicating only another batch doc triages 'near').
+    // Precedence exact > near > novel, mirrored in the oracle. Scale
+    // shape: the content-key artifact is corpus-growth so it is NEVER
+    // broadcast — the tiny batch key set broadcasts against the
+    // artifact scan (left-semi), and the surviving ≤|batch| hit keys
+    // broadcast back; work ∝ one narrow artifact scan + |batch| (a
+    // deployment additionally buckets or bloom-compiles the key
+    // artifact to skip the scan).
+    "q79_incremental_triage" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val keyPath = graft.sources.SideTable.ensure(s, "content_keys",
+          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut && col("text").isNotNull)
+          .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
+          .distinct()
+      }
+      val oldKeys = s.read.parquet(keyPath)
+      val pairs = defs("q67_incremental_dedup")(s, dir)
+        .localCheckpoint() // tiny; read for both pair sides
+      val nearDocs = pairs.select(col("d1").as("doc_id"))
+        .unionByName(pairs.select(col("d2").as("doc_id")))
+        .where(col("doc_id") >= cut).distinct()
+        .withColumn("near_hit", lit(1))
+      val batchKeys = d.where(col("doc_id") >= cut && col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", words(col("text")))).as("gk"))
+        .localCheckpoint() // |batch| rows; read by the hit-key semi-join
+        // AND the final classification join
+      val hitKeys = oldKeys
+        .join(broadcast(batchKeys.select(col("gk")).distinct()),
+          Seq("gk"), "left_semi")
+        .withColumn("exact_hit", lit(1))
+        .localCheckpoint() // ≤ |batch| rows — broadcastable by construction
+      batchKeys
+        .join(broadcast(hitKeys), Seq("gk"), "left")
+        .join(broadcast(nearDocs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_hit") === 1, "exact")
+            .when(col("near_hit") === 1, "near")
+            .otherwise("novel").as("triage"))
+        .orderBy("doc_id")
     }),
 
     // ---- q73: MinHash estimate fidelity audit --------------------------
@@ -1489,7 +1568,38 @@ object TextPipeline {
 
     // q76 is q67's answer computed by the micro-batched streaming loop —
     // batch parity is the whole claim, so the oracle is q67's verbatim.
-    "q76_stream_incremental_dedup" -> incrementalDedupSql
+    "q76_stream_incremental_dedup" -> incrementalDedupSql,
+
+    // The oracle recomputes both membership sets from scratch (it has
+    // no artifacts): old content keys over doc_id < cut, and q67's
+    // pair SQL as a nested CTE (the q53 embedding pattern). Precedence
+    // exact > near > novel matches the engine's `when` chain.
+    "q79_incremental_triage" ->
+      s"""WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+         |keys AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')) gk
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |oldk AS (
+         |  SELECT DISTINCT gk FROM keys WHERE doc_id < (SELECT c FROM cut)
+         |),
+         |p67 AS ($incrementalDedupSql),
+         |near AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT d1 AS doc_id FROM p67
+         |    UNION ALL SELECT d2 FROM p67
+         |  ) WHERE doc_id >= (SELECT c FROM cut)
+         |)
+         |SELECT k.doc_id,
+         |  CASE WHEN oldk.gk IS NOT NULL THEN 'exact'
+         |       WHEN near.doc_id IS NOT NULL THEN 'near'
+         |       ELSE 'novel' END AS triage
+         |FROM keys k
+         |LEFT JOIN oldk ON k.gk = oldk.gk
+         |LEFT JOIN near ON near.doc_id = k.doc_id
+         |WHERE k.doc_id >= (SELECT c FROM cut)
+         |ORDER BY k.doc_id""".stripMargin
   )
 
   private lazy val incrementalDedupSql: String =

@@ -160,6 +160,30 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(rows.head.getLong(3) === 21L)
   }
 
+  test("q79: batch docs triage to exact / near / novel") {
+    // ids 0..14 old corpus (cut = 19*4 div 5 = 15), 15..19 the batch:
+    // 15 is a byte-identical re-crawl of old doc 2 (→ exact, even
+    // though it also pairs in q67 — precedence), 16 is old doc 3 plus
+    // one appended word (jaccard 18/19 → near), 17–19 are fresh
+    // content (→ novel).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-triage").toFile.getAbsolutePath
+    def text(tag: String) = (0 until 20).map(i => s"$tag$i").mkString(" ")
+    val docs = (0L until 20L).map {
+      case 15L => 15L -> text("old2w")
+      case 16L => 16L -> (text("old3w") + " appended")
+      case 2L  => 2L -> text("old2w")
+      case 3L  => 3L -> text("old3w")
+      case i   => i -> text(s"fill${i}z")
+    }
+    docs.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextPipeline.defs("q79_incremental_triage")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(15L -> "exact", 16L -> "near",
+      17L -> "novel", 18L -> "novel", 19L -> "novel"))
+  }
+
   test("q73: exact-dup group pairs audit at estimate exactly 1.0") {
     // Identical word sequences have identical signatures, so the
     // expanded within-group pairs must report est_jac = jac = 1.0 with
