@@ -87,6 +87,111 @@ object Embeddings {
     * partition-pruned to the probed cells. */
   @volatile private[graft] var lastIncrementalAnnPlan: String = ""
 
+  /** Physical plan of q80's last centroid-update aggregate, captured for
+    * the plan test that proves the (cid, i) sum combines map-side. */
+  @volatile private[graft] var lastKmUpdatePlan: String = ""
+
+  /** Physical plan of q80's last (final) assignment pass — the argmax
+    * runs eagerly inside the localCheckpoint, so it is asserted on this
+    * capture, not on q80's returned plan. */
+  @volatile private[graft] var lastKmAssignPlan: String = ""
+
+  // ------------------------------------------------------- k-means (q80)
+
+  private val KmK = 8
+  private val KmIters = 3
+  private val SemTau = 0.45
+
+  /** Fixed-point scale (2^20) for centroid accumulation. Multiplying a
+    * double by a power of two is EXACT in binary floating point (no
+    * rounding step), and `floor` of a double is exact — so
+    * `floor(x * 2^20)` is a deterministic integer in every engine, and
+    * summing those integers is order-independent. This is what makes a
+    * DISTRIBUTED k-means bit-stable: the naive centroid mean sums doubles
+    * in partition order (nondeterministic under re-planning); the
+    * fixed-point sum is an exact bigint reduction, and the final
+    * `(sum / n) / 2^20` division is a fixed two-op IEEE sequence. The
+    * 2^-20 centroid quantization (~1e-6) is far below the data's own
+    * noise floor and is part of the operator's defined semantics —
+    * mirrored exactly by the DuckDB oracle. */
+  private val FpScale = 1048576.0d
+
+  /** Nearest-centroid score: argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2); the
+    * dot form skips the per-pair ‖v‖² term (constant within a vector's
+    * argmax) so assignment is one codegen dot per (vector, centroid). */
+  private def kmScore(v: org.apache.spark.sql.Column,
+      cv: org.apache.spark.sql.Column,
+      cn: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dotNative(v, cv) - (lit(0.5d) * (cn * cn))
+
+  /** One Lloyd assignment pass: corpus × broadcast(k centroids), then a
+    * map-side-combinable max_by argmax (ties → lowest cid; the (score,
+    * −cid) key is unique per group, so the argmax is deterministic and
+    * identical to the oracle's `ORDER BY score DESC, cid`). */
+  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        kmScore(col("v"), col("cv"), col("cn")).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("cid"), col("score")),
+        struct(col("score"), (-col("cid")).as("nc"))).as("r"))
+      .select(col("vec_id"), col("r.v").as("v"), col("r.nrm").as("nrm"),
+        col("r.cid").as("cid"), col("r.score").as("score"))
+
+  /** One Lloyd update pass: posexplode to (cid, i, x), exact fixed-point
+    * sums on k·dim keys (map-side combine reduces every task to ≤ k·dim
+    * rows before the shuffle — shuffle volume is independent of corpus
+    * size), then rebuild each centroid array in component order. An
+    * empty cluster simply drops out of the centroid table (deterministic;
+    * the oracle's GROUP BY does the same). */
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(sum(floor(col("x") * lit(FpScale)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("i").as("i"),
+        ((col("s").cast("double") / col("n").cast("double")) / lit(FpScale))
+          .as("c")))).as("ps"))
+      .select(col("cid"), transform(col("ps"), p => p.getField("c")).as("cv"))
+      .select(col("cid"), col("cv"),
+        sqrt(dotNative(col("cv"), col("cv"))).as("cn"))
+
+  /** Session memo of the final k-means frame (vec_id, cluster, score, v,
+    * nrm), keyed by (session, dir) — q80 (the CLUSTERING) always
+    * recomputes and refreshes; q81 (the dedup CONSUMER) reuses the
+    * session's last run, same convention as [[annMemo]]. */
+  private val kmMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def clearKmMemo(): Unit = kmMemo.clear()
+
+  private[graft] def kmMemoSize: Int = kmMemo.size
+
+  /** Deterministic distributed Lloyd's: init = the k lowest vec_ids'
+    * vectors (at 100 TB: a deterministic hash-sample instead), then
+    * [[KmIters]] × (assign → fixed-point update). Every per-iteration
+    * frame is either k rows (centroids, localCheckpoint-materialized so
+    * iteration N+1's plan doesn't re-derive N) or corpus-growth
+    * (checkpoint class, never `.cache()`). */
+  private def computeKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(s, dir).localCheckpoint()
+    var cents = e.where(col("vec_id") < KmK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+      .localCheckpoint()
+    (1 to KmIters).foreach { _ =>
+      val upd = kmUpdate(kmAssign(e, cents))
+      lastKmUpdatePlan = upd.queryExecution.executedPlan.toString
+      cents = upd.localCheckpoint()
+    }
+    val fin = kmAssign(e, cents)
+      .select(col("vec_id"), col("cid").as("cluster"), col("score"),
+        col("v"), col("nrm"))
+    lastKmAssignPlan = fin.queryExecution.executedPlan.toString
+    fin.localCheckpoint()
+  }
+
   /** Hyperplane-LSH near-duplicate pairs (v1, v2, cos ≥ 0.45): band
     * bucket-join candidates over 16 sign bits, exact cosine verification.
     * Runs EAGERLY — the returned frame and both reused intermediates are
@@ -317,6 +422,113 @@ object Embeddings {
           (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
             .as("recall"))
         .orderBy("q_id")
+    }),
+
+    // ---- q80: deterministic distributed k-means (Lloyd's) --------------
+    // The clustering member of the embedding family: k=8, 3 iterations,
+    // deterministic init (k lowest vec_ids), FIXED-POINT centroid
+    // accumulation (see [[FpScale]]) so the result is bit-stable under
+    // any partitioning — the property that makes a distributed k-means
+    // oracle-checkable at all. Per iteration: one broadcast of k
+    // centroids + one shuffle of ≤ k·dim·tasks partial-sum rows; corpus
+    // rows never shuffle. At 100 TB this is the standard pre-step for
+    // cluster-based curation (SemDeDup, cluster-balanced sampling).
+    "q80_kmeans" -> ((s, dir) => {
+      val km = computeKmeans(s, dir)
+      kmMemo.put((s, dir), km)
+      km.select(col("vec_id"), col("cluster"), col("score"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- q81: SemDeDup — within-cluster semantic dedup -----------------
+    // Semantic near-dup pruning as in the SemDeDup recipe: after
+    // clustering, a vector is DROPPED if its cluster holds an
+    // earlier-id vector with cosine ≥ τ (greedy keep-first — one
+    // representative per ε-ball, not connected components; q60 is the
+    // CC member). Pairwise work is bounded PER CLUSTER: the candidate
+    // join's equi-key is the cluster id, so complexity is Σ|cluster|²,
+    // controlled at scale by growing k with the corpus (k ∝ N keeps
+    // expected cluster size constant — the SemDeDup deployment knob).
+    // Clusters come from the session memo when q80 already ran.
+    "q81_semdedup" -> ((s, dir) => {
+      val km = kmMemo.computeIfAbsent((s, dir),
+        _ => computeKmeans(s, dir))
+      val a = km.select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      val b = km.select(col("vec_id").as("b_id"), col("cluster"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val dom = a.join(b, Seq("cluster"))
+        .where(col("b_id") < col("vec_id") &&
+          (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
+            >= lit(SemTau))
+        .groupBy(col("vec_id")).agg(min(col("b_id")).as("dropped_by"))
+      km.select(col("vec_id"), col("cluster"))
+        .join(dom, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          col("dropped_by").isNull.as("kept"), col("dropped_by"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- q82: int8 quantization audit — recall + worst-case error ------
+    // "Measure, don't guess" for index compression (q70's sibling): each
+    // vector is symmetrically quantized to the int8 grid (per-vector
+    // max-abs scale; floor(x·s + 0.5) so rounding is an exact floor,
+    // identical in every engine), the top-5 search runs ENTIRELY on
+    // quantized values, and the audit reports recall@5 against the
+    // exact ranking plus the worst |quantized − exact| cosine error
+    // among retrieved neighbors (max, not mean — order-free, so
+    // deterministic without a sorted fold). Deployment story: the
+    // quantized corpus persists as int8 (16× smaller than the double
+    // vectors searched here), the audit is what justifies switching
+    // the fleet to it. Quantization is one pass; the search hot path
+    // stays the codegen dot fold.
+    "q82_quantized_ann" -> ((s, dir) => {
+      val e = normalized(s, dir)
+        .localCheckpoint() // read by the quantizer AND the exact-error join
+      val qz = e.select(col("vec_id"), col("v"),
+          array_max(transform(col("v"), x => abs(x))).as("mx"))
+        .where(col("mx") > 0) // zero vectors have no quantization scale
+        .select(col("vec_id"),
+          transform(col("v"),
+            x => floor((x * (lit(127.0d) / col("mx"))) + lit(0.5d))
+              .cast("double")).as("qv"))
+        .select(col("vec_id"), col("qv"),
+          sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
+        .localCheckpoint() // quantized index: both search sides
+      val qq = qz.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+          col("qn").as("qqn"))
+      val qtop = topkPerQuery(
+        qz.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (dotNative(col("qqv"), col("qv")) / (col("qqn") * col("qn")))
+              .as("cos")), 5)
+        .localCheckpoint() // ≤ 5 rows per query; read by hits AND errs
+      val e1 = e.select(col("vec_id").as("q_id"), col("v").as("x1"),
+        col("nrm").as("nr1"))
+      val e2 = e.select(col("vec_id"), col("v").as("x2"),
+        col("nrm").as("nr2"))
+      val errs = qtop.join(e1, "q_id").join(e2, "vec_id")
+        .select(col("q_id"),
+          abs(col("cos") - (dotNative(col("x1"), col("x2"))
+            / (col("nr1") * col("nr2")))).as("err"))
+        .groupBy(col("q_id")).agg(max(col("err")).as("max_abs_err"))
+      val exact = defs("q30_cosine_topk")(s, dir)
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
+      val hits = exact
+        .join(qtop.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .join(errs, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
+            .as("recall"),
+          col("max_abs_err"))
+        .orderBy("q_id")
     })
   )
 
@@ -380,8 +592,111 @@ object Embeddings {
          |SELECT q_id, vec_id, cos, rank FROM ranked
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Score with the same op order as [[kmScore]]. */
+  private def kmScoreSql(v: String, cv: String, cn: String): String =
+    s"(${duckDot(v, cv)} - (0.5 * ($cn * $cn)))"
+
+  /** The k-means iteration chain c0 → (a/u/c)1..KmIters, appended to
+    * [[baseCte]] — the same init, assignment ranking, and fixed-point
+    * update arithmetic as the Spark side, op for op. */
+  private lazy val kmCtes: String = {
+    val init = s", c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn " +
+      s"FROM e WHERE vec_id < $KmK)"
+    val iters = (1 to KmIters).map { it =>
+      val prev = s"c${it - 1}"
+      s""", a$it AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${kmScoreSql("e.v", "c.cv", "c.cn")} DESC, c.cid) rnk
+         |    FROM e CROSS JOIN $prev c
+         |  ) WHERE rnk = 1
+         |), u$it AS (
+         |  SELECT cid, i, sum(floor(v[i] * $FpScale)::bigint) s, count(*) n
+         |  FROM a$it CROSS JOIN range(1, ${Dim + 1}) t(i)
+         |  GROUP BY cid, i
+         |), c$it AS (
+         |  SELECT cid, cv,
+         |    sqrt(list_reduce(list_prepend(0.0::double, list_transform(cv, x -> x*x)), (acc, x) -> acc + x)) cn
+         |  FROM (
+         |    SELECT cid, list(((s::double / n::double) / $FpScale) ORDER BY i) cv
+         |    FROM u$it GROUP BY cid
+         |  )
+         |)""".stripMargin
+    }.mkString
+    init + iters
+  }
+
+  /** The final assignment select against c<KmIters> — q80's body, also
+    * the `asg` CTE of q81. */
+  private lazy val kmFinalSql: String =
+    s"""SELECT vec_id, cid AS cluster, score FROM (
+       |  SELECT e.vec_id, c.cid, ${kmScoreSql("e.v", "c.cv", "c.cn")} AS score,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${kmScoreSql("e.v", "c.cv", "c.cn")} DESC, c.cid) rnk
+       |  FROM e CROSS JOIN c$KmIters c
+       |) WHERE rnk = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> cosineTopkSql,
+
+    "q80_kmeans" ->
+      (baseCte + kmCtes + "\n" + kmFinalSql + " ORDER BY vec_id"),
+
+    "q81_semdedup" ->
+      (baseCte + kmCtes +
+        s""", asg AS (
+           |$kmFinalSql
+           |), dom AS (
+           |  SELECT a.vec_id, min(b.vec_id) AS dropped_by
+           |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+           |  WHERE ${duckCos("ea.v", "ea.nrm", "eb.v", "eb.nrm")} >= $SemTau
+           |  GROUP BY a.vec_id
+           |)
+           |SELECT asg.vec_id, asg.cluster,
+           |  (d.dropped_by IS NULL) AS kept, d.dropped_by
+           |FROM asg LEFT JOIN dom d ON d.vec_id = asg.vec_id
+           |ORDER BY asg.vec_id""".stripMargin),
+
+    "q82_quantized_ann" ->
+      (baseCte +
+        s""", qz0 AS (
+           |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM e
+           |), qz AS (
+           |  SELECT vec_id,
+           |    list_transform(v, x -> floor((x * (127.0 / mx)) + 0.5)::double) qv
+           |  FROM qz0 WHERE mx > 0
+           |), qn AS (
+           |  SELECT vec_id, qv, sqrt(${duckDot("qv", "qv")}) qn FROM qz
+           |), qq AS (SELECT vec_id q_id, qv qqv, qn qqn FROM qn WHERE vec_id < 5),
+           |qscored AS (
+           |  SELECT q_id, qn.vec_id, (${duckDot("qqv", "qv")} / (qqn * qn.qn)) AS cos
+           |  FROM qn JOIN qq ON qn.vec_id <> qq.q_id
+           |), qtop AS (
+           |  SELECT q_id, vec_id, cos FROM (
+           |    SELECT q_id, vec_id, cos,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+           |    FROM qscored
+           |  ) WHERE rank <= 5
+           |), errs AS (
+           |  SELECT t.q_id,
+           |    max(abs(t.cos - ${duckCos("e1.v", "e1.nrm", "e2.v", "e2.nrm")})) max_abs_err
+           |  FROM qtop t JOIN e e1 ON e1.vec_id = t.q_id
+           |    JOIN e e2 ON e2.vec_id = t.vec_id
+           |  GROUP BY t.q_id
+           |), exact AS ($cosineTopkSql),
+           |qids AS (SELECT DISTINCT q_id FROM exact),
+           |hits AS (
+           |  SELECT e.q_id, count(*) AS n_hit
+           |  FROM exact e JOIN qtop t ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+           |  WHERE e.rank <= 5
+           |  GROUP BY e.q_id
+           |)
+           |SELECT q_id, coalesce(n_hit, 0)::bigint AS n_hit,
+           |  coalesce(n_hit, 0)::double / 5 AS recall, max_abs_err
+           |FROM qids LEFT JOIN hits USING (q_id) LEFT JOIN errs USING (q_id)
+           |ORDER BY q_id""".stripMargin),
 
     "q31_ann_lsh" -> annPairsSql,
 

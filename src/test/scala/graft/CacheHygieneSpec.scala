@@ -27,7 +27,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   test("near-dup queries leave no cached tables behind") {
     for (q <- Seq("q27_minhash_lsh", "q28_simhash", "q29_ngram_jaccard",
         "q53_dedup_clusters", "q31_ann_lsh", "q60_embedding_dedup",
-        "q62_containment", "q67_incremental_dedup")) {
+        "q62_containment", "q67_incremental_dedup",
+        "q80_kmeans", "q81_semdedup", "q82_quantized_ann")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

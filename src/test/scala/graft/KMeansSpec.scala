@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Embeddings
+
+/** Third-formulation equivalence for the clustering family: a
+  * single-threaded Scala reimplementation of deterministic Lloyd's (the
+  * same init, score formula, fixed-point centroid arithmetic, and IEEE
+  * left-fold op order) must agree BIT-FOR-BIT with the distributed q80
+  * plan — independent of both the Spark plan and the DuckDB oracle.
+  * q81's greedy keep-first rule is re-derived the same way. The
+  * bit-equality assertion is the point: it proves the fixed-point
+  * accumulation really does make the distributed centroid means exact,
+  * not approximately reproducible. */
+class KMeansSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val K = 8
+  private val Iters = 3
+  private val S = 1048576.0d
+  private val Tau = 0.45d
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-kmeans")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Strict left-fold dot — the op order of DotProductExpr. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0d; var i = 0
+    while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def load(): Array[(Long, Array[Double])] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+
+  /** (vec_id, cluster, score) after Iters fixed-point Lloyd rounds, plus
+    * the vector and its norm for the semdedup re-derivation. */
+  private def bruteKmeans(vs: Array[(Long, Array[Double])])
+      : Array[(Long, Long, Double, Array[Double], Double)] = {
+    val dim = vs.head._2.length
+    def assign(cents: Seq[(Long, Array[Double], Double)]) =
+      vs.map { case (id, v) =>
+        val (cid, sc) = cents
+          .map { case (c, cv, cn) => (c, dot(v, cv) - (0.5d * (cn * cn))) }
+          .maxBy { case (c, s) => (s, -c) }
+        (id, cid, sc, v)
+      }
+    var cents: Seq[(Long, Array[Double], Double)] =
+      vs.filter(_._1 < K).map { case (id, v) =>
+        (id, v, math.sqrt(dot(v, v)))
+      }.toSeq
+    for (_ <- 1 to Iters) {
+      cents = assign(cents).groupBy(_._2).toSeq.map { case (cid, rows) =>
+        val n = rows.length
+        val cv = Array.tabulate(dim) { i =>
+          val s = rows.map(r => math.floor(r._4(i) * S).toLong).sum
+          (s.toDouble / n.toDouble) / S
+        }
+        (cid, cv, math.sqrt(dot(cv, cv)))
+      }
+    }
+    assign(cents).map { case (id, cid, sc, v) =>
+      (id, cid, sc, v, math.sqrt(dot(v, v)))
+    }
+  }
+
+  test("q80 assignments and scores match brute-force Lloyd's bit-for-bit") {
+    val brute = bruteKmeans(load())
+      .map { case (id, cid, sc, _, _) => (id, cid, sc) }.sortBy(_._1)
+    val got = SparkEntry.queries("q80_kmeans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === brute.length)
+    got.zip(brute).foreach { case (g, b) =>
+      assert(g === b, s"assignment diverged at vec_id ${b._1}")
+    }
+  }
+
+  test("q81 keep decisions match the brute-force greedy keep-first rule") {
+    val km = bruteKmeans(load())
+    val byCluster = km.groupBy(_._2)
+    val brute = km.map { case (id, cid, _, v, nrm) =>
+      val dom = byCluster(cid)
+        .filter { case (bid, _, _, bv, bn) =>
+          bid < id && dot(v, bv) / (nrm * bn) >= Tau
+        }
+      val droppedBy =
+        if (dom.isEmpty) None else Some(dom.map(_._1).min)
+      (id, cid, droppedBy.isEmpty, droppedBy)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q81_semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.length === brute.length)
+    got.zip(brute).foreach { case (g, b) =>
+      assert(g === b, s"keep decision diverged at vec_id ${b._1}")
+    }
+  }
+
+  test("q82 recall is well-formed and quantization error is small") {
+    val rows = SparkEntry.queries("q82_quantized_ann")(spark, dir)
+      .collect()
+    assert(rows.length === 5) // one audit row per query vector
+    rows.foreach { r =>
+      val nHit = r.getLong(1); val recall = r.getDouble(2)
+      assert(nHit >= 0 && nHit <= 5)
+      assert(recall === nHit.toDouble / 5.0d)
+      // int8 keeps ~7 significant bits: cosine error stays ~1e-3
+      assert(r.getDouble(3) >= 0.0d && r.getDouble(3) < 0.05d,
+        s"quantization error implausibly large: ${r.getDouble(3)}")
+    }
+  }
+
+  test("q81 reuses the session's q80 clustering (memo populated)") {
+    Embeddings.clearKmMemo()
+    assert(Embeddings.kmMemoSize === 0)
+    SparkEntry.queries("q80_kmeans")(spark, dir).count()
+    assert(Embeddings.kmMemoSize === 1)
+    SparkEntry.queries("q81_semdedup")(spark, dir).count()
+    assert(Embeddings.kmMemoSize === 1)
+    Embeddings.clearKmMemo()
+  }
+}

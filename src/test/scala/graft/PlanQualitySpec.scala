@@ -239,6 +239,34 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q78 batch cut is not pushed to the embeddings scan:\n$cp")
   }
 
+  test("q80: centroid update combines map-side; assignment is an argmax") {
+    val p = plan("q80_kmeans")
+    assert(!p.contains("Window"), s"q80 plans a window:\n$p")
+    // final assignment (runs eagerly inside the localCheckpoint):
+    // max_by partial aggregate over broadcast centroids, never a
+    // corpus-wide window
+    val ap = graft.queries.Embeddings.lastKmAssignPlan
+    assert(ap.nonEmpty, "q80 assignment plan was not captured")
+    assert(ap.contains("partial_max_by") || ap.contains("max_by"),
+      s"q80 assignment lost the map-side argmax:\n$ap")
+    assert(!ap.contains("Window"), s"q80 assignment plans a window:\n$ap")
+    // centroid update (runs eagerly inside the per-iteration
+    // localCheckpoint): the (cid, i) fixed-point sums must combine
+    // map-side, so shuffle volume is ≤ k·dim rows per task regardless
+    // of corpus size
+    val up = graft.queries.Embeddings.lastKmUpdatePlan
+    assert(up.nonEmpty, "q80 centroid-update plan was not captured")
+    assert(up.contains("partial_sum"),
+      s"q80 centroid update lost map-side combine:\n$up")
+  }
+
+  test("q81: within-cluster pairing is an equi-join on the cluster key") {
+    val p = plan("q81_semdedup")
+    assert(!p.contains("CartesianProduct"), s"q81 cross-joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q81 nested-loops the corpus:\n$p")
+  }
+
   test("q77: composition reuses the session pair set — no re-derivation") {
     // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
     // keep list → budget) must consume the session's pair set, never
