@@ -29,6 +29,33 @@ import graft.functions.TextFunctions._
   */
 object CorpusQuality {
 
+  /** q66's C4-style flag battery with the `source` column carried
+    * through — one single-pass, fully codegen'd projection shared by
+    * q66 (per-doc audit, drops `source`) and q84 (per-source report).
+    * The stopword count is a regex extract (codegen'd) rather than a
+    * lambda-HOF token fold — the no-interpreted-HOFs house rule. */
+  private def qualityFlags(d: DataFrame): DataFrame = {
+    val nw = wordCount(col("text"))
+    val swr = size(regexp_extract_all(col("text"),
+        lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
+      nw.cast("double")
+    d.select(col("doc_id"), col("source"), nw.as("n_words"),
+        punctRatio(col("text")).as("punct_ratio"),
+        meanWordLen(col("text")).as("mean_word_len"),
+        swr.as("stopword_ratio"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("punct_ratio"), col("mean_word_len"), col("stopword_ratio"),
+        (col("n_words") >= 20 && col("n_words") <= 1000)
+          .cast("int").as("pass_len"),
+        (col("mean_word_len") >= 3.0d && col("mean_word_len") <= 5.0d)
+          .cast("int").as("pass_mwl"),
+        (col("punct_ratio") <= 0.3d).cast("int").as("pass_punct"),
+        (col("stopword_ratio") >= 0.02d).cast("int").as("pass_stop"))
+      .withColumn("keep",
+        (col("pass_len") === 1 && col("pass_mwl") === 1 &&
+          col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q61: unigram-LM surprisal (quantized perplexity proxy) --------
@@ -189,29 +216,10 @@ object CorpusQuality {
     // extract (codegen'd) rather than a lambda-HOF token fold — the
     // no-interpreted-HOFs-on-hot-paths house rule. Scale: a pure map —
     // no shuffle at all except the presentation sort.
-    "q66_quality_filter" -> ((s, dir) => {
-      val d = Graft.parquetSource(s, dir).table("documents")
-      val nw = wordCount(col("text"))
-      val swr = size(regexp_extract_all(col("text"),
-          lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
-        nw.cast("double")
-      d.select(col("doc_id"), nw.as("n_words"),
-          punctRatio(col("text")).as("punct_ratio"),
-          meanWordLen(col("text")).as("mean_word_len"),
-          swr.as("stopword_ratio"))
-        .select(col("doc_id"), col("n_words"), col("punct_ratio"),
-          col("mean_word_len"), col("stopword_ratio"),
-          (col("n_words") >= 20 && col("n_words") <= 1000)
-            .cast("int").as("pass_len"),
-          (col("mean_word_len") >= 3.0d && col("mean_word_len") <= 5.0d)
-            .cast("int").as("pass_mwl"),
-          (col("punct_ratio") <= 0.3d).cast("int").as("pass_punct"),
-          (col("stopword_ratio") >= 0.02d).cast("int").as("pass_stop"))
-        .withColumn("keep",
-          (col("pass_len") === 1 && col("pass_mwl") === 1 &&
-            col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
-        .orderBy("doc_id")
-    }),
+    "q66_quality_filter" -> ((s, dir) =>
+      qualityFlags(Graft.parquetSource(s, dir).table("documents"))
+        .drop("source")
+        .orderBy("doc_id")),
 
     // ---- q68: repeated-passage (boilerplate) detection -----------------
     // The C4/RefinedWeb "line dedup" step adapted to unstructured text:
@@ -448,6 +456,53 @@ object CorpusQuality {
           (col("n_novel").cast("double") / col("n_sh").cast("double"))
             .as("novelty"))
         .orderBy("doc_id")
+    }),
+
+    // ---- q84: per-source curation report → mixing weights --------------
+    // The domain-reputation step of RefinedWeb/DCLM-style pipelines:
+    // aggregate each source's measured curation signals — exact-dup
+    // rate (q26's content groups) and quality-keep rate (q66's flag
+    // battery) — into ONE report row per source, plus a sampling
+    // weight ∝ the source's GOOD docs (kept ∧ non-duplicate), the
+    // number q47's weighted mixer consumes as its rate input. Scale:
+    // two map-side-combinable aggregations (content groups; per-source
+    // counts — |sources| rows), one ≤|sources|-row frame joined against
+    // a broadcast 1-row total. Every rate is exact-integer counts until
+    // one final double division, so the report is bit-stable — a
+    // corpus-wide weight can't be "approximately" reproducible when
+    // reruns must produce identical mixes.
+    "q84_source_report" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val flags = qualityFlags(d)
+        .select(col("doc_id"), col("source"), col("keep"))
+      // exact-dup membership (docs under 3 words have no group → never
+      // duplicates, same convention as the q27/q62 family)
+      val members = TextPipeline.exactGroups(d, 3)
+        .select(col("doc_id"), col("rep"))
+      val agg = flags.join(members, Seq("doc_id"), "left")
+        .select(col("source"), col("keep"),
+          (col("rep").isNotNull && col("doc_id") =!= col("rep"))
+            .cast("int").as("is_dup"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).cast("long").as("n_dup"),
+          sum(col("keep")).cast("long").as("n_keep"),
+          sum((col("keep") === 1 && col("is_dup") === 0).cast("int"))
+            .cast("long").as("n_good"))
+        .localCheckpoint() // ≤ |sources| rows; read by the total AND
+        // the report projection
+      val tot = agg.agg(sum(col("n_good")).cast("long").as("total_good"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          col("n_keep"), col("n_good"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"),
+          (col("n_keep").cast("double") / col("n_docs").cast("double"))
+            .as("keep_rate"),
+          when(col("total_good") > 0,
+            col("n_good").cast("double") / col("total_good").cast("double"))
+            .otherwise(lit(0.0d)).as("weight"))
+        .orderBy("source")
     })
   )
 
@@ -806,6 +861,52 @@ object CorpusQuality {
          |  FROM base
          |)
          |SELECT doc_id, n_tokens, cum FROM cums
-         |WHERE cum <= 10000 ORDER BY cum, doc_id""".stripMargin
+         |WHERE cum <= 10000 ORDER BY cum, doc_id""".stripMargin,
+
+    "q84_source_report" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::int AS n_words,
+        |    CASE WHEN length(text) > 0
+        |      THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::double / length(text)
+        |      ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |      THEN length(regexp_replace(text, '\s+', '', 'g'))::double
+        |           / len(regexp_split_to_array(trim(text), '\s+'))
+        |      ELSE 0.0 END AS mean_word_len,
+        |    len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))::double
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |  FROM documents
+        |), flags AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN n_words >= 20 AND n_words <= 1000
+        |      AND mean_word_len >= 3.0 AND mean_word_len <= 5.0
+        |      AND punct_ratio <= 0.3 AND stopword_ratio >= 0.02
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM base
+        |), grp AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY gk) AS rep FROM (
+        |    SELECT doc_id,
+        |      md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) gk
+        |    FROM documents
+        |    WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        |  )
+        |), j AS (
+        |  SELECT f.source, f.keep,
+        |    CASE WHEN g.rep IS NOT NULL AND f.doc_id <> g.rep
+        |      THEN 1 ELSE 0 END AS is_dup
+        |  FROM flags f LEFT JOIN grp g ON g.doc_id = f.doc_id
+        |), agg AS (
+        |  SELECT source, count(*)::bigint AS n_docs,
+        |    sum(is_dup)::bigint AS n_dup, sum(keep)::bigint AS n_keep,
+        |    sum(CASE WHEN keep = 1 AND is_dup = 0 THEN 1 ELSE 0 END)::bigint AS n_good
+        |  FROM j GROUP BY source
+        |), tot AS (SELECT sum(n_good)::bigint AS total_good FROM agg)
+        |SELECT source, n_docs, n_dup, n_keep, n_good,
+        |  n_dup::double / n_docs::double AS dup_rate,
+        |  n_keep::double / n_docs::double AS keep_rate,
+        |  CASE WHEN total_good > 0 THEN n_good::double / total_good::double
+        |    ELSE 0.0 END AS weight
+        |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin
   )
 }

@@ -529,6 +529,29 @@ object Embeddings {
             .as("recall"),
           col("max_abs_err"))
         .orderBy("q_id")
+    }),
+
+    // ---- q85: cluster-balanced sampling --------------------------------
+    // The step the SemDeDup recipe runs AFTER clustering: cap each
+    // semantic cluster at k representatives (deterministic content-hash
+    // rank, the q40 discipline — stable under repartitioning, unlike
+    // rand()) so mega-clusters can't dominate the training mix while
+    // tail clusters survive intact. Per-cluster top-k is the mergeable
+    // [[graft.functions.TopK]] aggregate — k rows shuffle per (cluster,
+    // task) — never a `row_number()` window sorting whole clusters
+    // inside single tasks (a mega-cluster IS the straggler case this
+    // guards). Clusters come from the session memo when q80 already
+    // ran.
+    "q85_cluster_sample" -> ((s, dir) => {
+      val km = kmMemo.computeIfAbsent((s, dir),
+        _ => computeKmeans(s, dir))
+      val scored = km.select(col("cluster").as("q_id"), col("vec_id"),
+        (-(graft.functions.TextFunctions.hash60(
+            col("vec_id").cast("string")) % lit(2147483647L))
+          .cast("double")).as("cos"))
+      topkPerQuery(scored, 10)
+        .select(col("q_id").as("cluster"), col("vec_id"), col("rank"))
+        .orderBy("cluster", "rank")
     })
   )
 
@@ -642,6 +665,19 @@ object Embeddings {
 
     "q80_kmeans" ->
       (baseCte + kmCtes + "\n" + kmFinalSql + " ORDER BY vec_id"),
+
+    "q85_cluster_sample" ->
+      (baseCte + kmCtes +
+        s""", asg AS (
+           |$kmFinalSql
+           |), ranked AS (
+           |  SELECT cluster, vec_id,
+           |    row_number() OVER (PARTITION BY cluster
+           |      ORDER BY (('0x' || substr(md5(vec_id::varchar),1,15))::bigint % 2147483647), vec_id) rank
+           |  FROM asg
+           |)
+           |SELECT cluster, vec_id, rank FROM ranked
+           |WHERE rank <= 10 ORDER BY cluster, rank""".stripMargin),
 
     "q81_semdedup" ->
       (baseCte + kmCtes +

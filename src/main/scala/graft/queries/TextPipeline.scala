@@ -219,6 +219,11 @@ object TextPipeline {
     * so it no longer appears in q27's returned plan). */
   @volatile private[graft] var lastCandidatePlan: String = ""
 
+  /** Physical plan of q83's last candidate join, captured for the plan
+    * test that proves the eval bands broadcast (the train corpus's
+    * bands never shuffle for candidate generation). */
+  @volatile private[graft] var lastDecontamPlan: String = ""
+
 
   /** 16-permutation MinHash signatures (doc_id, m0..m15) — the signature
     * stage shared by [[minhashBands]] and q73's fidelity audit. MinHash
@@ -1109,7 +1114,56 @@ object TextPipeline {
             struct(col("n_words"), negate(col("doc_id"))))
             .as("keep_id"),
           max(col("n_words")).as("keep_n_words"))
-        .orderBy("cluster_id"))
+        .orderBy("cluster_id")),
+
+    // ---- q83: cross-corpus near-dup decontamination --------------------
+    // The third decontamination member: q52 catches quote-level 5-gram
+    // overlap RATIOS, q75 verbatim 8/16-token spans — this one catches
+    // REWRITES: whole-document near-duplicates of an eval doc (MinHash
+    // 3-gram jaccard ≥ 0.5) that exact-window methods miss entirely.
+    // Eval docs (doc_id < 20, the q52 convention) are banded and
+    // BROADCAST (a production eval suite is ~1e5 docs → MBs of bands),
+    // so the train corpus computes signatures (16 longs/doc, map-side
+    // combined — shingles never cross the wire) and bucket-joins
+    // against the broadcast without shuffling; degenerate eval band
+    // keys are capped loudly ([[capBuckets]] on the TINY side — the
+    // only side whose bucket size multiplies the candidate count);
+    // exact-Jaccard verification touches candidate docs' shingles only.
+    // Per flagged train doc: match count + the best-matching eval doc
+    // (deterministic (jac, −eval_id) argmax).
+    "q83_neardup_decontam" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val evBands = capBuckets(
+        minhashBands(d.where(col("doc_id") < 20))
+          .localCheckpoint(), // tiny: the cap's size job + the join
+        Seq("band_idx", "band_key"), s, "q83 eval bands")
+        .select(col("doc_id").as("eval_id"),
+          col("band_idx"), col("band_key"))
+      val candLazy = minhashBands(d.where(col("doc_id") >= 20))
+        .join(broadcast(evBands), Seq("band_idx", "band_key"))
+        .select(col("doc_id").as("d1"), col("eval_id").as("d2"))
+        .distinct()
+      lastDecontamPlan = candLazy.queryExecution.executedPlan.toString
+      val cand = candLazy
+        .localCheckpoint() // tiny: read for candDocs AND the verify join
+      val candDocs = cand.select(col("d1").as("doc_id"))
+        .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+      val candSh = shingleHashRows(
+          d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 3)
+        .distinct()
+        .cache() // pairJaccard reads it three times (e1, e2, sizes)
+      val ver = pairJaccard(cand, candSh)
+        .where(col("jac") >= 0.5d)
+        .localCheckpoint() // candidate-bounded; read twice below
+      candSh.unpersist()
+      ver.groupBy(col("d1"))
+        .agg(count(lit(1)).as("n_matches"),
+          max_by(struct(col("d2"), col("jac")),
+            struct(col("jac"), (-col("d2")).as("nd"))).as("r"))
+        .select(col("d1").as("doc_id"), col("n_matches"),
+          col("r.d2").as("best_eval_id"), col("r.jac").as("best_jac"))
+        .orderBy("doc_id")
+    })
   )
 
   /** (doc_id, cluster_id) for every near-dup cluster member — the
@@ -1599,7 +1653,34 @@ object TextPipeline {
          |LEFT JOIN oldk ON k.gk = oldk.gk
          |LEFT JOIN near ON near.doc_id = k.doc_id
          |WHERE k.doc_id >= (SELECT c FROM cut)
-         |ORDER BY k.doc_id""".stripMargin
+         |ORDER BY k.doc_id""".stripMargin,
+
+    "q83_neardup_decontam" ->
+      (minhashEbCte +
+        """, cand AS (
+          |  SELECT DISTINCT b.doc_id AS d1, a.doc_id AS d2
+          |  FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+          |    AND a.band_key = b.band_key
+          |  WHERE a.doc_id < 20 AND b.doc_id >= 20
+          |), ver AS (
+          |  SELECT d1, d2,
+          |    len(list_intersect(s1.hs, s2.hs))::double
+          |      / len(list_distinct(s1.hs || s2.hs)) AS jac
+          |  FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+          |  WHERE len(list_intersect(s1.hs, s2.hs))::double
+          |      / len(list_distinct(s1.hs || s2.hs)) >= 0.5
+          |), ranked AS (
+          |  SELECT d1, d2, jac,
+          |    row_number() OVER (PARTITION BY d1 ORDER BY jac DESC, d2) rnk
+          |  FROM ver
+          |)
+          |SELECT v.d1 AS doc_id, c.n_matches, r.d2 AS best_eval_id,
+          |  r.jac AS best_jac
+          |FROM (SELECT DISTINCT d1 FROM ver) v
+          |JOIN (SELECT d1, count(*)::bigint AS n_matches
+          |      FROM ver GROUP BY d1) c ON c.d1 = v.d1
+          |JOIN ranked r ON r.d1 = v.d1 AND r.rnk = 1
+          |ORDER BY doc_id""".stripMargin)
   )
 
   private lazy val incrementalDedupSql: String =

@@ -28,7 +28,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     for (q <- Seq("q27_minhash_lsh", "q28_simhash", "q29_ngram_jaccard",
         "q53_dedup_clusters", "q31_ann_lsh", "q60_embedding_dedup",
         "q62_containment", "q67_incremental_dedup",
-        "q80_kmeans", "q81_semdedup", "q82_quantized_ann")) {
+        "q80_kmeans", "q81_semdedup", "q82_quantized_ann",
+        "q83_neardup_decontam", "q85_cluster_sample")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

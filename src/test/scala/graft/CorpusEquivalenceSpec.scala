@@ -441,4 +441,112 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
       assert(within.nonEmpty, "no dup groups exercised")
     }
   }
+
+  /** Banded MinHash keys of a shingle set — the engine's 16-perm / 4×4
+    * layout (band_key = h60 of the comma-joined band mins). */
+  private def bandKeys(hs: Set[Long]): Set[(Int, Long)] = {
+    val m = (0 until 16).map(j =>
+      hs.map(h => (h * (2 * j + 3) + (j * j + 1)) % P).min)
+    (0 until 4).map(b =>
+      b -> h60((0 until 4).map(r => m(b * 4 + r)).mkString(","))).toSet
+  }
+
+  test("q83 decontam == brute-force cross-corpus minhash computation") {
+    // ≥ 22 docs so both the eval (id < 20) and train (id ≥ 20) sides
+    // are populated; the appended eval copies guarantee verified
+    // matches (jac 1.0) so the aggregation path is exercised, not just
+    // the empty case.
+    for (texts0 <- sampled(22, 30, 4)) {
+      val texts = texts0 ++ texts0.take(2)
+      val sets = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> shingleSet(t, 3) }
+        .filter(_._2.nonEmpty).toMap
+      val ev = sets.collect { case (id, hs) if id < 20 => id -> bandKeys(hs) }
+      val tr = sets.collect { case (id, hs) if id >= 20 => id -> bandKeys(hs) }
+      val ver = for {
+        (tid, tb) <- tr.toSeq
+        (eid, ebb) <- ev.toSeq
+        if (tb & ebb).nonEmpty
+        inter = (sets(tid) & sets(eid)).size
+        jac = inter.toDouble / (sets(tid) | sets(eid)).size.toDouble
+        if jac >= 0.5
+      } yield (tid, eid, jac)
+      val expect = ver.groupBy(_._1).map { case (tid, ms) =>
+        val best = ms.maxBy { case (_, eid, jac) => (jac, -eid) }
+        tid -> ((ms.size.toLong, best._2, best._3))
+      }
+      val got = TextPipeline.defs("q83_neardup_decontam")(
+          spark, corpus(texts))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      assert(got === expect)
+      assert(expect.nonEmpty, "no cross matches exercised")
+    }
+  }
+
+  test("q84 source report == brute-force per-source aggregation") {
+    import spark.implicits._
+    // stopword-bearing vocab + 15..30-word docs straddle every q66
+    // bound; appended duplicates exercise the dup-rate path.
+    val vocabQ = Vector("the", "a", "of", "and", "is", "alpha", "beta",
+      "gamma", "delta", "epsilon", "zeta", "koala")
+    val gen = for {
+      nDocs <- Gen.chooseNum(12, 24)
+      docs <- Gen.listOfN(nDocs, for {
+        n <- Gen.chooseNum(15, 30)
+        ws <- Gen.listOfN(n, Gen.oneOf(vocabQ))
+      } yield ws.mkString(" "))
+    } yield docs
+    val rounds = (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(47L + i)))
+    for (texts0 <- rounds) {
+      val texts = texts0 ++ texts0.take(3)
+      val rows = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, s"src${i % 3}")
+      }
+      val dir = Files.createTempDirectory("graft-equiv")
+        .toFile.getAbsolutePath
+      rows.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val stop = Set("the", "a", "of", "and", "is")
+      def keep(t: String): Int = {
+        val w = toks(t); val n = w.length
+        val punct = t.count(c =>
+          !(c.isLetterOrDigit || c.isWhitespace)).toDouble /
+          (if (t.nonEmpty) t.length else 1)
+        val mwl = t.count(!_.isWhitespace).toDouble / n
+        val swr = w.count(stop).toDouble / n
+        if (n >= 20 && n <= 1000 && mwl >= 3.0 && mwl <= 5.0 &&
+          punct <= 0.3 && swr >= 0.02) 1 else 0
+      }
+      val eligible = rows.collect {
+        case (id, t, _) if toks(t).length >= 3 =>
+          id -> toks(t).mkString(" ")
+      }
+      val rep = eligible.groupBy(_._2).values
+        .flatMap(g => g.map(_._1 -> g.map(_._1).min)).toMap
+      val perSrc = rows.groupBy(_._3).toSeq.map { case (src, rs) =>
+        val nDocs = rs.size.toLong
+        val nDup = rs.count(r => rep.get(r._1).exists(_ != r._1)).toLong
+        val nKeep = rs.map(r => keep(r._2).toLong).sum
+        val nGood = rs.count(r =>
+          keep(r._2) == 1 && !rep.get(r._1).exists(_ != r._1)).toLong
+        (src, nDocs, nDup, nKeep, nGood)
+      }
+      val totalGood = perSrc.map(_._5).sum
+      val expect = perSrc.map { case (src, nd, du, ke, go) =>
+        src -> ((nd, du, ke, go,
+          du.toDouble / nd.toDouble, ke.toDouble / nd.toDouble,
+          if (totalGood > 0) go.toDouble / totalGood.toDouble else 0.0d))
+      }.toMap
+      val got = CorpusQuality.defs("q84_source_report")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7)))).toMap
+      assert(got === expect)
+      assert(expect.values.exists(_._2 > 0), "no duplicates exercised")
+    }
+  }
 }

@@ -120,6 +120,25 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q85 sample matches the brute-force per-cluster hash ranking") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .substring(0, 15), 16)
+    }
+    val brute = bruteKmeans(load())
+      .groupBy(_._2).toSeq.flatMap { case (cid, rows) =>
+        rows.map(_._1)
+          .sortBy(id => (h60(id.toString) % 2147483647L, id))
+          .take(10).zipWithIndex
+          .map { case (id, i) => (cid, id, i + 1) }
+      }.sortBy(t => (t._1, t._3))
+    val got = SparkEntry.queries("q85_cluster_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === brute)
+  }
+
   test("q81 reuses the session's q80 clustering (memo populated)") {
     Embeddings.clearKmMemo()
     assert(Embeddings.kmMemoSize === 0)

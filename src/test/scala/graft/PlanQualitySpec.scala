@@ -239,6 +239,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q78 batch cut is not pushed to the embeddings scan:\n$cp")
   }
 
+  test("q83: eval bands broadcast — train bands never shuffle to pair up") {
+    plan("q83_neardup_decontam")
+    val cp = graft.queries.TextPipeline.lastDecontamPlan
+    assert(cp.nonEmpty, "q83 candidate plan was not captured")
+    assert(cp.contains("BroadcastHashJoin"),
+      s"q83 candidates don't broadcast the eval side:\n$cp")
+    assert(!cp.contains("SortMergeJoin"),
+      s"q83 shuffles the train bands to join:\n$cp")
+    assert(!cp.contains("CartesianProduct") &&
+      !cp.contains("BroadcastNestedLoopJoin"),
+      s"q83 candidates degenerate to all-pairs:\n$cp")
+  }
+
   test("q80: centroid update combines map-side; assignment is an argmax") {
     val p = plan("q80_kmeans")
     assert(!p.contains("Window"), s"q80 plans a window:\n$p")
