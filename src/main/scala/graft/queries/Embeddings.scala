@@ -96,6 +96,11 @@ object Embeddings {
     * capture, not on q80's returned plan. */
   @volatile private[graft] var lastKmAssignPlan: String = ""
 
+  /** Physical plan of q86's last batch assignment, captured for the
+    * plan test that proves the batch assigns against the persisted
+    * centroid artifact with no per-batch Lloyd iteration. */
+  @volatile private[graft] var lastIncrementalAssignPlan: String = ""
+
   // ------------------------------------------------------- k-means (q80)
 
   private val KmK = 8
@@ -174,8 +179,10 @@ object Embeddings {
     * frame is either k rows (centroids, localCheckpoint-materialized so
     * iteration N+1's plan doesn't re-derive N) or corpus-growth
     * (checkpoint class, never `.cache()`). */
-  private def computeKmeans(s: SparkSession, dir: String): DataFrame = {
-    val e = normalized(s, dir).localCheckpoint()
+  /** [[KmIters]] Lloyd rounds over `e` → the final k-row centroid table
+    * (cid, cv, cn). Shared by q80 (in-session clustering) and q86 (the
+    * centroid ARTIFACT build over the old corpus). */
+  private def kmeansCentroids(e: DataFrame): DataFrame = {
     var cents = e.where(col("vec_id") < KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))
@@ -185,6 +192,12 @@ object Embeddings {
       lastKmUpdatePlan = upd.queryExecution.executedPlan.toString
       cents = upd.localCheckpoint()
     }
+    cents
+  }
+
+  private def computeKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = normalized(s, dir).localCheckpoint()
+    val cents = kmeansCentroids(e)
     val fin = kmAssign(e, cents)
       .select(col("vec_id"), col("cid").as("cluster"), col("score"),
         col("v"), col("nrm"))
@@ -531,6 +544,37 @@ object Embeddings {
         .orderBy("q_id")
     }),
 
+    // ---- q86: incremental cluster assignment vs persisted centroids ----
+    // The clustering member of the incremental-artifact family (q67
+    // signatures, q69 LM, q72 gram set, q78 IVF index, q79 pair index):
+    // a production pipeline does NOT re-run Lloyd's per crawl batch —
+    // the old corpus's converged centroids (k rows) persist once per
+    // snapshot as a parquet side-table, and each new embedding batch is
+    // ASSIGNED against the artifact: one broadcast of k rows + one
+    // map-side argmax over the batch, zero old-corpus reads (plan-pinned:
+    // batch cut pushed to the embeddings scan; no Lloyd iteration — no
+    // centroid-update aggregate — appears in the per-batch plan). The
+    // per-batch `score` stream is the drift signal: a falling batch-mean
+    // score means new content no longer fits the old semantic cells and
+    // it's time to rebuild the artifact.
+    "q86_incremental_assign" -> ((s, dir) => {
+      val cut = BatchCut.cut(s,
+        Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
+      val path = graft.sources.SideTable.ensure(s, "km_centroids",
+          s"$dir#$cut", Some(s"$dir/embeddings.parquet")) {
+        kmeansCentroids(
+          normalized(s, dir).where(col("vec_id") < cut).localCheckpoint())
+      }
+      val cents = s.read.parquet(path)
+      val batch = normalized(s, dir).where(col("vec_id") >= cut)
+      val asgLazy = kmAssign(batch, cents)
+      lastIncrementalAssignPlan =
+        asgLazy.queryExecution.executedPlan.toString
+      asgLazy.select(col("vec_id"), col("cid").as("cluster"),
+          col("score"))
+        .orderBy("vec_id")
+    }),
+
     // ---- q85: cluster-balanced sampling --------------------------------
     // The step the SemDeDup recipe runs AFTER clustering: cap each
     // semantic cluster at k representatives (deterministic content-hash
@@ -619,12 +663,14 @@ object Embeddings {
   private def kmScoreSql(v: String, cv: String, cn: String): String =
     s"(${duckDot(v, cv)} - (0.5 * ($cn * $cn)))"
 
-  /** The k-means iteration chain c0 → (a/u/c)1..KmIters, appended to
-    * [[baseCte]] — the same init, assignment ranking, and fixed-point
-    * update arithmetic as the Spark side, op for op. */
-  private lazy val kmCtes: String = {
+  /** The k-means iteration chain c0 → (a/u/c)1..KmIters over source
+    * relation `src` — the same init, assignment ranking, and
+    * fixed-point update arithmetic as the Spark side, op for op.
+    * `src` is "e" for the full-corpus clustering (q80/q81/q85) and the
+    * old-corpus CTE for q86's artifact rebuild. */
+  private def kmCtesFrom(src: String): String = {
     val init = s", c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn " +
-      s"FROM e WHERE vec_id < $KmK)"
+      s"FROM $src WHERE vec_id < $KmK)"
     val iters = (1 to KmIters).map { it =>
       val prev = s"c${it - 1}"
       s""", a$it AS (
@@ -632,7 +678,7 @@ object Embeddings {
          |    SELECT e.vec_id, e.v, c.cid,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${kmScoreSql("e.v", "c.cv", "c.cn")} DESC, c.cid) rnk
-         |    FROM e CROSS JOIN $prev c
+         |    FROM $src e CROSS JOIN $prev c
          |  ) WHERE rnk = 1
          |), u$it AS (
          |  SELECT cid, i, sum(floor(v[i] * $FpScale)::bigint) s, count(*) n
@@ -650,21 +696,37 @@ object Embeddings {
     init + iters
   }
 
-  /** The final assignment select against c<KmIters> — q80's body, also
-    * the `asg` CTE of q81. */
-  private lazy val kmFinalSql: String =
+  private lazy val kmCtes: String = kmCtesFrom("e")
+
+  /** The final assignment of relation `src` against c<KmIters>. */
+  private def kmFinalFrom(src: String): String =
     s"""SELECT vec_id, cid AS cluster, score FROM (
        |  SELECT e.vec_id, c.cid, ${kmScoreSql("e.v", "c.cv", "c.cn")} AS score,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${kmScoreSql("e.v", "c.cv", "c.cn")} DESC, c.cid) rnk
-       |  FROM e CROSS JOIN c$KmIters c
+       |  FROM $src e CROSS JOIN c$KmIters c
        |) WHERE rnk = 1""".stripMargin
+
+  /** q80's body, also the `asg` CTE of q81/q85. */
+  private lazy val kmFinalSql: String = kmFinalFrom("e")
 
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> cosineTopkSql,
 
     "q80_kmeans" ->
       (baseCte + kmCtes + "\n" + kmFinalSql + " ORDER BY vec_id"),
+
+    // The oracle rebuilds the old-corpus clustering from scratch (it
+    // has no artifact); equivalence holds because the artifact rows ARE
+    // those converged centroids, persisted.
+    "q86_incremental_assign" ->
+      (baseCte +
+        """, cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+          |old AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin +
+        kmCtesFrom("old") + "\n" +
+        kmFinalFrom(
+          "(SELECT vec_id, v, nrm FROM e WHERE vec_id >= (SELECT c FROM cut))") +
+        " ORDER BY vec_id"),
 
     "q85_cluster_sample" ->
       (baseCte + kmCtes +

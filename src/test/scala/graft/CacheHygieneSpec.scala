@@ -29,7 +29,8 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q53_dedup_clusters", "q31_ann_lsh", "q60_embedding_dedup",
         "q62_containment", "q67_incremental_dedup",
         "q80_kmeans", "q81_semdedup", "q82_quantized_ann",
-        "q83_neardup_decontam", "q85_cluster_sample")) {
+        "q83_neardup_decontam", "q85_cluster_sample",
+        "q86_incremental_assign")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -43,36 +43,44 @@ class KMeansSpec extends AnyFunSuite {
       .map(r => (r.getLong(0),
         r.getSeq[Float](1).map(_.toDouble).toArray))
 
-  /** (vec_id, cluster, score) after Iters fixed-point Lloyd rounds, plus
-    * the vector and its norm for the semdedup re-derivation. */
-  private def bruteKmeans(vs: Array[(Long, Array[Double])])
-      : Array[(Long, Long, Double, Array[Double], Double)] = {
+  private def assignTo(vs: Array[(Long, Array[Double])],
+      cents: Seq[(Long, Array[Double], Double)]) =
+    vs.map { case (id, v) =>
+      val (cid, sc) = cents
+        .map { case (c, cv, cn) => (c, dot(v, cv) - (0.5d * (cn * cn))) }
+        .maxBy { case (c, s) => (s, -c) }
+      (id, cid, sc, v)
+    }
+
+  /** Final centroids after Iters fixed-point Lloyd rounds over `vs`. */
+  private def bruteCentroids(vs: Array[(Long, Array[Double])])
+      : Seq[(Long, Array[Double], Double)] = {
     val dim = vs.head._2.length
-    def assign(cents: Seq[(Long, Array[Double], Double)]) =
-      vs.map { case (id, v) =>
-        val (cid, sc) = cents
-          .map { case (c, cv, cn) => (c, dot(v, cv) - (0.5d * (cn * cn))) }
-          .maxBy { case (c, s) => (s, -c) }
-        (id, cid, sc, v)
-      }
     var cents: Seq[(Long, Array[Double], Double)] =
       vs.filter(_._1 < K).map { case (id, v) =>
         (id, v, math.sqrt(dot(v, v)))
       }.toSeq
     for (_ <- 1 to Iters) {
-      cents = assign(cents).groupBy(_._2).toSeq.map { case (cid, rows) =>
-        val n = rows.length
-        val cv = Array.tabulate(dim) { i =>
-          val s = rows.map(r => math.floor(r._4(i) * S).toLong).sum
-          (s.toDouble / n.toDouble) / S
+      cents = assignTo(vs, cents).groupBy(_._2).toSeq
+        .map { case (cid, rows) =>
+          val n = rows.length
+          val cv = Array.tabulate(dim) { i =>
+            val s = rows.map(r => math.floor(r._4(i) * S).toLong).sum
+            (s.toDouble / n.toDouble) / S
+          }
+          (cid, cv, math.sqrt(dot(cv, cv)))
         }
-        (cid, cv, math.sqrt(dot(cv, cv)))
-      }
     }
-    assign(cents).map { case (id, cid, sc, v) =>
+    cents
+  }
+
+  /** (vec_id, cluster, score) after Iters fixed-point Lloyd rounds, plus
+    * the vector and its norm for the semdedup re-derivation. */
+  private def bruteKmeans(vs: Array[(Long, Array[Double])])
+      : Array[(Long, Long, Double, Array[Double], Double)] =
+    assignTo(vs, bruteCentroids(vs)).map { case (id, cid, sc, v) =>
       (id, cid, sc, v, math.sqrt(dot(v, v)))
     }
-  }
 
   test("q80 assignments and scores match brute-force Lloyd's bit-for-bit") {
     val brute = bruteKmeans(load())
@@ -137,6 +145,17 @@ class KMeansSpec extends AnyFunSuite {
     val got = SparkEntry.queries("q85_cluster_sample")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(got.toSeq === brute)
+  }
+
+  test("q86 batch assignment matches brute-force old-corpus Lloyd's") {
+    val vs = load()
+    val cut = vs.map(_._1).max * 4 / 5
+    val cents = bruteCentroids(vs.filter(_._1 < cut))
+    val expect = assignTo(vs.filter(_._1 >= cut), cents)
+      .map { case (id, cid, sc, _) => (id, cid, sc) }.sortBy(_._1)
+    val got = SparkEntry.queries("q86_incremental_assign")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === expect.toSeq)
   }
 
   test("q81 reuses the session's q80 clustering (memo populated)") {

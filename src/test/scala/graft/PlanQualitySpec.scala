@@ -252,6 +252,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q83 candidates degenerate to all-pairs:\n$cp")
   }
 
+  test("q86: batch assigns against the centroid artifact — no Lloyd re-run") {
+    val p = plan("q86_incremental_assign")
+    assert("embeddings\\.parquet".r.findAllIn(p).size <= 1,
+      s"q86 reads embeddings beyond the batch:\n$p")
+    val cp = graft.queries.Embeddings.lastIncrementalAssignPlan
+    assert(cp.nonEmpty, "q86 assignment plan was not captured")
+    assert(cp.contains("graft_km_centroids"),
+      s"q86 does not read the persisted centroid artifact:\n$cp")
+    assert(cp.contains("GreaterThanOrEqual(vec_id"),
+      s"q86 batch cut is not pushed to the embeddings scan:\n$cp")
+    // the clustering ran at artifact-build time: the per-batch plan must
+    // contain NO centroid-update stage (fixed-point sums / posexplode)
+    assert(!cp.contains("partial_sum") && !cp.contains("posexplode"),
+      s"q86 re-runs a Lloyd update per batch:\n$cp")
+  }
+
   test("q80: centroid update combines map-side; assignment is an argmax") {
     val p = plan("q80_kmeans")
     assert(!p.contains("Window"), s"q80 plans a window:\n$p")
