@@ -9,7 +9,7 @@ import graft.queries.TextPipeline
   * that cache intermediates for their own internal self-joins: the
   * near-dup pipelines materialize reusable results via localCheckpoint
   * (RDD blocks freed when the frame is GC'd) and unpersist every cached
-  * frame before returning. Without this, a Verify-style 59-query loop or
+  * frame before returning. Without this, a Verify-style 86-query loop or
   * a user session piles cached tables up until LRU eviction starts
   * thrashing executor memory. */
 class CacheHygieneSpec extends AnyFunSuite {
