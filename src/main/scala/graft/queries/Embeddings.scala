@@ -162,6 +162,20 @@ object Embeddings {
       .select(col("cid"), col("cv"),
         sqrt(dotNative(col("cv"), col("cv"))).as("cn"))
 
+  /** [[kmAssign]] without the vector payload: only (vec_id, cid, score)
+    * cross the argmax shuffle — the per-batch hot-path shape for q86,
+    * which discards v/nrm (q80's loop keeps [[kmAssign]] because the
+    * update step consumes v downstream). */
+  private def kmAssignSlim(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("cid"),
+        kmScore(col("v"), col("cv"), col("cn")).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("score")),
+        struct(col("score"), (-col("cid")).as("nc"))).as("r"))
+      .select(col("vec_id"), col("r.cid").as("cid"),
+        col("r.score").as("score"))
+
   /** Session memo of the final k-means frame (vec_id, cluster, score, v,
     * nrm), keyed by (session, dir) — q80 (the CLUSTERING) always
     * recomputes and refreshes; q81 (the dedup CONSUMER) reuses the
@@ -173,28 +187,32 @@ object Embeddings {
 
   private[graft] def kmMemoSize: Int = kmMemo.size
 
-  /** Deterministic distributed Lloyd's: init = the k lowest vec_ids'
-    * vectors (at 100 TB: a deterministic hash-sample instead), then
-    * [[KmIters]] × (assign → fixed-point update). Every per-iteration
-    * frame is either k rows (centroids, localCheckpoint-materialized so
-    * iteration N+1's plan doesn't re-derive N) or corpus-growth
-    * (checkpoint class, never `.cache()`). */
   /** [[KmIters]] Lloyd rounds over `e` → the final k-row centroid table
-    * (cid, cv, cn). Shared by q80 (in-session clustering) and q86 (the
-    * centroid ARTIFACT build over the old corpus). */
-  private def kmeansCentroids(e: DataFrame): DataFrame = {
+    * (cid, cv, cn). Shared by q80 (in-session clustering, which captures
+    * the update plan for PlanQualitySpec) and q86 (the centroid ARTIFACT
+    * build over the old corpus — `capture = false` so the artifact build
+    * can't clobber q80's pinned capture). */
+  private def kmeansCentroids(e: DataFrame,
+      capture: Boolean = true): DataFrame = {
     var cents = e.where(col("vec_id") < KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))
       .localCheckpoint()
     (1 to KmIters).foreach { _ =>
       val upd = kmUpdate(kmAssign(e, cents))
-      lastKmUpdatePlan = upd.queryExecution.executedPlan.toString
+      if (capture)
+        lastKmUpdatePlan = upd.queryExecution.executedPlan.toString
       cents = upd.localCheckpoint()
     }
     cents
   }
 
+  /** Deterministic distributed Lloyd's: init = the k lowest vec_ids'
+    * vectors (at 100 TB: a deterministic hash-sample instead), then
+    * [[KmIters]] × (assign → fixed-point update). Every per-iteration
+    * frame is either k rows (centroids, localCheckpoint-materialized so
+    * iteration N+1's plan doesn't re-derive N) or corpus-growth
+    * (checkpoint class, never `.cache()`). */
   private def computeKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = normalized(s, dir).localCheckpoint()
     val cents = kmeansCentroids(e)
@@ -560,14 +578,19 @@ object Embeddings {
     "q86_incremental_assign" -> ((s, dir) => {
       val cut = BatchCut.cut(s,
         Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
+      // clustering params belong to the artifact's identity: a KmK /
+      // KmIters / FpScale change must rebuild, not silently serve
+      // centroids computed under the old parameters
       val path = graft.sources.SideTable.ensure(s, "km_centroids",
-          s"$dir#$cut", Some(s"$dir/embeddings.parquet")) {
+          s"$dir#$cut#k$KmK-i$KmIters-s${FpScale.toLong}",
+          Some(s"$dir/embeddings.parquet")) {
         kmeansCentroids(
-          normalized(s, dir).where(col("vec_id") < cut).localCheckpoint())
+          normalized(s, dir).where(col("vec_id") < cut).localCheckpoint(),
+          capture = false)
       }
       val cents = s.read.parquet(path)
       val batch = normalized(s, dir).where(col("vec_id") >= cut)
-      val asgLazy = kmAssign(batch, cents)
+      val asgLazy = kmAssignSlim(batch, cents)
       lastIncrementalAssignPlan =
         asgLazy.queryExecution.executedPlan.toString
       asgLazy.select(col("vec_id"), col("cid").as("cluster"),
