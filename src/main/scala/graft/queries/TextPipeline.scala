@@ -268,7 +268,7 @@ object TextPipeline {
     * unpersisted before returning — a long-lived session accumulates no
     * cached tables from this pipeline. */
   private def computeRepPairs(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String, minJac: Double = 0.8): (DataFrame, DataFrame) = {
     repPairComputes.incrementAndGet()
     val d = Graft.parquetSource(s, dir).table("documents")
     val members = exactGroups(d, 3)
@@ -319,7 +319,7 @@ object TextPipeline {
       .distinct()
       .cache() // pairJaccard reads it three times (e1, e2, sizes)
     val repPairs = pairJaccard(cand, candSh)
-      .where(col("jac") >= 0.8)
+      .where(col("jac") >= minJac)
       .localCheckpoint()
     candSh.unpersist()
     (members, repPairs)
@@ -1163,6 +1163,27 @@ object TextPipeline {
         .select(col("d1").as("doc_id"), col("n_matches"),
           col("r.d2").as("best_eval_id"), col("r.jac").as("best_jac"))
         .orderBy("doc_id")
+    }),
+
+    // ---- q87: dedup threshold-sensitivity audit ------------------------
+    // "Measure, don't guess" for the jaccard cutoff itself (the q70/q73/
+    // q82 audit family): the SAME candidate generation as q27 (rep
+    // collapse, banded buckets, caps) verified with NO threshold, then
+    // histogrammed by floor(jac·10) — the pair-volume-vs-threshold curve
+    // a pipeline owner reads before pinning 0.8. LSH candidate recall is
+    // band-layout-bound, so the curve is exact for every threshold the
+    // bands can see (pairs below the bands' collision floor are absent
+    // by design — the same blind spot q73 quantifies from the other
+    // side). Rep-level pairs, deliberately unexpanded: the tuning signal
+    // is distinct-content pair volume, not duplicate-group multiplicity.
+    // Runs the detector pipeline fresh (threshold 0) and leaves the
+    // session memo's ≥ 0.8 contract untouched.
+    "q87_dedup_threshold_audit" -> ((s, dir) => {
+      val pairs = computeRepPairs(s, dir, minJac = 0.0d)._2
+      pairs.select(floor(col("jac") * lit(10.0d)).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")
     })
   )
 
@@ -1680,7 +1701,29 @@ object TextPipeline {
           |JOIN (SELECT d1, count(*)::bigint AS n_matches
           |      FROM ver GROUP BY d1) c ON c.d1 = v.d1
           |JOIN ranked r ON r.d1 = v.d1 AND r.rnk = 1
-          |ORDER BY doc_id""".stripMargin)
+          |ORDER BY doc_id""".stripMargin),
+
+    "q87_dedup_threshold_audit" ->
+      (minhashEbCte +
+        """, reps AS (
+          |  SELECT doc_id FROM (
+          |    SELECT doc_id, min(doc_id) OVER (
+          |      PARTITION BY md5(array_to_string(w, ' '))) rep
+          |    FROM ws WHERE len(w) >= 3
+          |  ) WHERE doc_id = rep
+          |), ebr AS (SELECT eb.* FROM eb JOIN reps USING (doc_id)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id d1, b.doc_id d2
+          |  FROM ebr a JOIN ebr b ON a.band_idx = b.band_idx
+          |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          |), ver AS (
+          |  SELECT d1, d2,
+          |    len(list_intersect(s1.hs, s2.hs))::double
+          |      / len(list_distinct(s1.hs || s2.hs)) AS jac
+          |  FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
+          |)
+          |SELECT floor(jac * 10.0)::bigint AS bin, count(*)::bigint AS n_pairs
+          |FROM ver GROUP BY bin ORDER BY bin""".stripMargin)
   )
 
   private lazy val incrementalDedupSql: String =
