@@ -29,28 +29,34 @@ import graft.functions.TextFunctions._
   */
 object CorpusQuality {
 
-  /** q66's C4-style flag battery with the `source` column carried
-    * through — one single-pass, fully codegen'd projection shared by
-    * q66 (per-doc audit, drops `source`) and q84 (per-source report).
-    * The stopword count is a regex extract (codegen'd) rather than a
-    * lambda-HOF token fold — the no-interpreted-HOFs house rule. */
-  private def qualityFlags(d: DataFrame): DataFrame = {
+  /** q66's C4-style flag battery — one single-pass, fully codegen'd
+    * projection shared by q66 (per-doc audit) and q84 (per-source
+    * report, `withSource = true`). `source` is only selected when
+    * asked for, so q66 keeps its original contract: any frame with
+    * (doc_id, text) works. The stopword count is a regex extract
+    * (codegen'd) rather than a lambda-HOF token fold — the
+    * no-interpreted-HOFs house rule. */
+  private def qualityFlags(d: DataFrame,
+      withSource: Boolean = false): DataFrame = {
     val nw = wordCount(col("text"))
     val swr = size(regexp_extract_all(col("text"),
         lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
       nw.cast("double")
-    d.select(col("doc_id"), col("source"), nw.as("n_words"),
+    val keyCols =
+      if (withSource) Seq(col("doc_id"), col("source"))
+      else Seq(col("doc_id"))
+    d.select(keyCols ++ Seq(nw.as("n_words"),
         punctRatio(col("text")).as("punct_ratio"),
         meanWordLen(col("text")).as("mean_word_len"),
-        swr.as("stopword_ratio"))
-      .select(col("doc_id"), col("source"), col("n_words"),
+        swr.as("stopword_ratio")): _*)
+      .select(keyCols ++ Seq(col("n_words"),
         col("punct_ratio"), col("mean_word_len"), col("stopword_ratio"),
         (col("n_words") >= 20 && col("n_words") <= 1000)
           .cast("int").as("pass_len"),
         (col("mean_word_len") >= 3.0d && col("mean_word_len") <= 5.0d)
           .cast("int").as("pass_mwl"),
         (col("punct_ratio") <= 0.3d).cast("int").as("pass_punct"),
-        (col("stopword_ratio") >= 0.02d).cast("int").as("pass_stop"))
+        (col("stopword_ratio") >= 0.02d).cast("int").as("pass_stop")): _*)
       .withColumn("keep",
         (col("pass_len") === 1 && col("pass_mwl") === 1 &&
           col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
@@ -218,7 +224,6 @@ object CorpusQuality {
     // no shuffle at all except the presentation sort.
     "q66_quality_filter" -> ((s, dir) =>
       qualityFlags(Graft.parquetSource(s, dir).table("documents"))
-        .drop("source")
         .orderBy("doc_id")),
 
     // ---- q68: repeated-passage (boilerplate) detection -----------------
@@ -473,7 +478,7 @@ object CorpusQuality {
     // reruns must produce identical mixes.
     "q84_source_report" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-      val flags = qualityFlags(d)
+      val flags = qualityFlags(d, withSource = true)
         .select(col("doc_id"), col("source"), col("keep"))
       // exact-dup membership (docs under 3 words have no group → never
       // duplicates, same convention as the q27/q62 family)

@@ -472,12 +472,16 @@ object Embeddings {
     }),
 
     // ---- q81: SemDeDup — within-cluster semantic dedup -----------------
-    // Semantic near-dup pruning as in the SemDeDup recipe: after
-    // clustering, a vector is DROPPED if its cluster holds an
-    // earlier-id vector with cosine ≥ τ (greedy keep-first — one
-    // representative per ε-ball, not connected components; q60 is the
-    // CC member). Pairwise work is bounded PER CLUSTER: the candidate
-    // join's equi-key is the cluster id, so complexity is Σ|cluster|²,
+    // Semantic near-dup pruning with the published SemDeDup drop rule:
+    // after clustering, a vector is DROPPED if its cluster holds ANY
+    // earlier-id vector with cosine ≥ τ — whether or not that neighbor
+    // itself survived. On a similarity chain (1~2, 2~3, 1≁3) this
+    // drops BOTH 2 and 3: deliberate, matching the reference SemDeDup
+    // implementation (one matrix pass, no transitivity bookkeeping);
+    // a pipeline that needs every dropped doc to have a KEPT
+    // near-duplicate uses q60's connected-components member instead.
+    // Pairwise work is bounded PER CLUSTER: the candidate join's
+    // equi-key is the cluster id, so complexity is Σ|cluster|²,
     // controlled at scale by growing k with the corpus (k ∝ N keeps
     // expected cluster size constant — the SemDeDup deployment knob).
     // Clusters come from the session memo when q80 already ran.
@@ -508,8 +512,8 @@ object Embeddings {
     // exact ranking plus the worst |quantized − exact| cosine error
     // among retrieved neighbors (max, not mean — order-free, so
     // deterministic without a sorted fold). Deployment story: the
-    // quantized corpus persists as int8 (16× smaller than the double
-    // vectors searched here), the audit is what justifies switching
+    // quantized corpus persists as int8 (8× smaller than the double
+    // vectors searched here, 4× vs float32), the audit is what justifies switching
     // the fleet to it. Quantization is one pass; the search hot path
     // stays the codegen dot fold.
     "q82_quantized_ann" -> ((s, dir) => {
@@ -543,8 +547,17 @@ object Embeddings {
           abs(col("cos") - (dotNative(col("x1"), col("x2"))
             / (col("nr1") * col("nr2")))).as("err"))
         .groupBy(col("q_id")).agg(max(col("err")).as("max_abs_err"))
-      val exact = defs("q30_cosine_topk")(s, dir)
-        .where(col("rank") <= 5)
+      // exact ground truth from the SAME checkpointed corpus frame —
+      // q30's formula verbatim, but without re-deriving the
+      // normalization pass its def would run fresh
+      val eq = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val exact = topkPerQuery(
+          e.join(broadcast(eq), col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+                .as("cos")), 5)
         .select(col("q_id"), col("vec_id"))
         .localCheckpoint()
       val hits = exact
