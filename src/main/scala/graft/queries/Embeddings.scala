@@ -103,9 +103,24 @@ object Embeddings {
 
   // ------------------------------------------------------- k-means (q80)
 
-  private val KmK = 8
-  private val KmIters = 3
-  private val SemTau = 0.45
+  /** Defaults for the clustering family — the values the static DuckDB
+    * oracles are written against. The confs are the DEPLOYMENT knobs:
+    * SemDeDup's scale rule is k ∝ N (constant expected cluster size, so
+    * q81's Σ|cluster|² pairwise work stays linear in the corpus), which
+    * makes k a per-corpus parameter, never a constant, at 100 TB. A
+    * non-default value changes the operator's defined answer — the
+    * driver's oracle harness runs at the defaults; KMeansSpec covers the
+    * conf-driven variants against the brute-force reimplementation. */
+  private val KmKDefault = 8
+  private val KmItersDefault = 3
+  private val SemTauDefault = 0.45
+
+  private[graft] def kmK(s: SparkSession): Int =
+    s.conf.get("graft.kmeans.k", KmKDefault.toString).toInt
+  private[graft] def kmIters(s: SparkSession): Int =
+    s.conf.get("graft.kmeans.iters", KmItersDefault.toString).toInt
+  private[graft] def semTau(s: SparkSession): Double =
+    s.conf.get("graft.semdedup.tau", SemTauDefault.toString).toDouble
 
   /** Fixed-point scale (2^20) for centroid accumulation. Multiplying a
     * double by a power of two is EXACT in binary floating point (no
@@ -177,28 +192,33 @@ object Embeddings {
         col("r.score").as("score"))
 
   /** Session memo of the final k-means frame (vec_id, cluster, score, v,
-    * nrm), keyed by (session, dir) — q80 (the CLUSTERING) always
-    * recomputes and refreshes; q81 (the dedup CONSUMER) reuses the
+    * nrm), keyed by (session, dir, k, iters) — the inputs that determine
+    * the clustering, so a conf change can never serve a memo entry
+    * computed under the old parameters. q80 (the CLUSTERING) always
+    * recomputes and refreshes; q81/q85 (the CONSUMERS) reuse the
     * session's last run, same convention as [[annMemo]]. */
   private val kmMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+    (SparkSession, String, Int, Int), DataFrame]()
+
+  private def kmMemoKey(s: SparkSession, dir: String) =
+    (s, dir, kmK(s), kmIters(s))
 
   private[graft] def clearKmMemo(): Unit = kmMemo.clear()
 
   private[graft] def kmMemoSize: Int = kmMemo.size
 
-  /** [[KmIters]] Lloyd rounds over `e` → the final k-row centroid table
+  /** `iters` Lloyd rounds over `e` → the final k-row centroid table
     * (cid, cv, cn). Shared by q80 (in-session clustering, which captures
     * the update plan for PlanQualitySpec) and q86 (the centroid ARTIFACT
     * build over the old corpus — `capture = false` so the artifact build
     * can't clobber q80's pinned capture). */
-  private def kmeansCentroids(e: DataFrame,
+  private def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
       capture: Boolean = true): DataFrame = {
-    var cents = e.where(col("vec_id") < KmK)
+    var cents = e.where(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))
       .localCheckpoint()
-    (1 to KmIters).foreach { _ =>
+    (1 to iters).foreach { _ =>
       val upd = kmUpdate(kmAssign(e, cents))
       if (capture)
         lastKmUpdatePlan = upd.queryExecution.executedPlan.toString
@@ -209,13 +229,13 @@ object Embeddings {
 
   /** Deterministic distributed Lloyd's: init = the k lowest vec_ids'
     * vectors (at 100 TB: a deterministic hash-sample instead), then
-    * [[KmIters]] × (assign → fixed-point update). Every per-iteration
+    * `iters` × (assign → fixed-point update). Every per-iteration
     * frame is either k rows (centroids, localCheckpoint-materialized so
     * iteration N+1's plan doesn't re-derive N) or corpus-growth
     * (checkpoint class, never `.cache()`). */
   private def computeKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = normalized(s, dir).localCheckpoint()
-    val cents = kmeansCentroids(e)
+    val cents = kmeansCentroids(e, kmK(s), kmIters(s))
     val fin = kmAssign(e, cents)
       .select(col("vec_id"), col("cid").as("cluster"), col("score"),
         col("v"), col("nrm"))
@@ -466,7 +486,7 @@ object Embeddings {
     // cluster-based curation (SemDeDup, cluster-balanced sampling).
     "q80_kmeans" -> ((s, dir) => {
       val km = computeKmeans(s, dir)
-      kmMemo.put((s, dir), km)
+      kmMemo.put(kmMemoKey(s, dir), km)
       km.select(col("vec_id"), col("cluster"), col("score"))
         .orderBy("vec_id")
     }),
@@ -483,18 +503,27 @@ object Embeddings {
     // Pairwise work is bounded PER CLUSTER: the candidate join's
     // equi-key is the cluster id, so complexity is Σ|cluster|²,
     // controlled at scale by growing k with the corpus (k ∝ N keeps
-    // expected cluster size constant — the SemDeDup deployment knob).
-    // Clusters come from the session memo when q80 already ran.
+    // expected cluster size constant — the SemDeDup deployment knob,
+    // `graft.kmeans.k`). Against the degenerate case that knob can't
+    // anticipate — one semantic mega-cluster — the capBuckets guard
+    // drops clusters over `graft.semdedup.maxCluster` from pairwise
+    // candidate generation LOUDLY (DedupGuard counters + WARN; their
+    // members surface as kept, never silently quadratic). Clusters come
+    // from the session memo when q80 already ran.
     "q81_semdedup" -> ((s, dir) => {
-      val km = kmMemo.computeIfAbsent((s, dir),
+      val km = kmMemo.computeIfAbsent(kmMemoKey(s, dir),
         _ => computeKmeans(s, dir))
-      val a = km.select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-      val b = km.select(col("vec_id").as("b_id"), col("cluster"),
+      val capped = TextPipeline.capBuckets(
+        km.select(col("vec_id"), col("cluster"), col("v"), col("nrm")),
+        Seq("cluster"), s, "q81 semdedup clusters",
+        "graft.semdedup.maxCluster")
+      val a = capped
+      val b = capped.select(col("vec_id").as("b_id"), col("cluster"),
         col("v").as("bv"), col("nrm").as("bn"))
       val dom = a.join(b, Seq("cluster"))
         .where(col("b_id") < col("vec_id") &&
           (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
-            >= lit(SemTau))
+            >= lit(semTau(s)))
         .groupBy(col("vec_id")).agg(min(col("b_id")).as("dropped_by"))
       km.select(col("vec_id"), col("cluster"))
         .join(dom, Seq("vec_id"), "left")
@@ -591,15 +620,16 @@ object Embeddings {
     "q86_incremental_assign" -> ((s, dir) => {
       val cut = BatchCut.cut(s,
         Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
-      // clustering params belong to the artifact's identity: a KmK /
-      // KmIters / FpScale change must rebuild, not silently serve
+      // clustering params belong to the artifact's identity: a k /
+      // iters / FpScale change must rebuild, not silently serve
       // centroids computed under the old parameters
+      val k = kmK(s); val it = kmIters(s)
       val path = graft.sources.SideTable.ensure(s, "km_centroids",
-          s"$dir#$cut#k$KmK-i$KmIters-s${FpScale.toLong}",
+          s"$dir#$cut#k$k-i$it-s${FpScale.toLong}",
           Some(s"$dir/embeddings.parquet")) {
         kmeansCentroids(
           normalized(s, dir).where(col("vec_id") < cut).localCheckpoint(),
-          capture = false)
+          k, it, capture = false)
       }
       val cents = s.read.parquet(path)
       val batch = normalized(s, dir).where(col("vec_id") >= cut)
@@ -623,7 +653,7 @@ object Embeddings {
     // guards). Clusters come from the session memo when q80 already
     // ran.
     "q85_cluster_sample" -> ((s, dir) => {
-      val km = kmMemo.computeIfAbsent((s, dir),
+      val km = kmMemo.computeIfAbsent(kmMemoKey(s, dir),
         _ => computeKmeans(s, dir))
       val scored = km.select(col("cluster").as("q_id"), col("vec_id"),
         (-(graft.functions.TextFunctions.hash60(
@@ -699,15 +729,15 @@ object Embeddings {
   private def kmScoreSql(v: String, cv: String, cn: String): String =
     s"(${duckDot(v, cv)} - (0.5 * ($cn * $cn)))"
 
-  /** The k-means iteration chain c0 → (a/u/c)1..KmIters over source
+  /** The k-means iteration chain c0 → (a/u/c)1..KmItersDefault over source
     * relation `src` — the same init, assignment ranking, and
     * fixed-point update arithmetic as the Spark side, op for op.
     * `src` is "e" for the full-corpus clustering (q80/q81/q85) and the
     * old-corpus CTE for q86's artifact rebuild. */
   private def kmCtesFrom(src: String): String = {
     val init = s", c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn " +
-      s"FROM $src WHERE vec_id < $KmK)"
-    val iters = (1 to KmIters).map { it =>
+      s"FROM $src WHERE vec_id < $KmKDefault)"
+    val iters = (1 to KmItersDefault).map { it =>
       val prev = s"c${it - 1}"
       s""", a$it AS (
          |  SELECT vec_id, v, cid FROM (
@@ -734,13 +764,13 @@ object Embeddings {
 
   private lazy val kmCtes: String = kmCtesFrom("e")
 
-  /** The final assignment of relation `src` against c<KmIters>. */
+  /** The final assignment of relation `src` against c<KmItersDefault>. */
   private def kmFinalFrom(src: String): String =
     s"""SELECT vec_id, cid AS cluster, score FROM (
        |  SELECT e.vec_id, c.cid, ${kmScoreSql("e.v", "c.cv", "c.cn")} AS score,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${kmScoreSql("e.v", "c.cv", "c.cn")} DESC, c.cid) rnk
-       |  FROM $src e CROSS JOIN c$KmIters c
+       |  FROM $src e CROSS JOIN c$KmItersDefault c
        |) WHERE rnk = 1""".stripMargin
 
   /** q80's body, also the `asg` CTE of q81/q85. */
@@ -785,7 +815,7 @@ object Embeddings {
            |  SELECT a.vec_id, min(b.vec_id) AS dropped_by
            |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
            |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-           |  WHERE ${duckCos("ea.v", "ea.nrm", "eb.v", "eb.nrm")} >= $SemTau
+           |  WHERE ${duckCos("ea.v", "ea.nrm", "eb.v", "eb.nrm")} >= $SemTauDefault
            |  GROUP BY a.vec_id
            |)
            |SELECT asg.vec_id, asg.cluster,

@@ -138,10 +138,16 @@ object TextPipeline {
     * broadcast anti-join on the collected list; should an adversarial
     * input produce more oversized keys than `graft.dedup.maxOversizedKeys`
     * (default 10k — remember each IS a >cap-doc bucket), the guard stays
-    * distributed: anti-join against the oversized-key frame itself. */
-  private def capBuckets(keyed: DataFrame, keys: Seq[String],
-      s: SparkSession, what: String): DataFrame = {
-    val cap = s.conf.get("graft.dedup.maxBucket", "2000").toInt
+    * distributed: anti-join against the oversized-key frame itself.
+    *
+    * `capConf` names the cap's conf key — the banded/blocked joins share
+    * `graft.dedup.maxBucket`; q81's cluster-keyed join has its own knob
+    * (`graft.semdedup.maxCluster`) because cluster size is controlled by
+    * a different deployment lever (k ∝ N) than bucket size. */
+  private[queries] def capBuckets(keyed: DataFrame, keys: Seq[String],
+      s: SparkSession, what: String,
+      capConf: String = "graft.dedup.maxBucket"): DataFrame = {
+    val cap = s.conf.get(capConf, "2000").toInt
     val maxKeys = s.conf.get("graft.dedup.maxOversizedKeys", "10000").toInt
     val oversized = keyed.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))

@@ -199,6 +199,41 @@ class DedupGuardSpec extends AnyFunSuite {
       r.getDouble(3) === 1.0d && r.getDouble(4) === 0.0d))
   }
 
+  test("q81: a semantic mega-cluster drops from pairing loudly, never quadratically") {
+    DedupGuard.reset()
+    // q81's pairwise join is bounded per cluster; the deployment lever is
+    // k ∝ N, and graft.semdedup.maxCluster is the backstop for the
+    // degenerate case that lever can't anticipate (one semantic
+    // mega-cluster). sf0.001 has 500 vectors over k=8 clusters (~62
+    // each), so cap=10 makes real clusters oversized: they must drop
+    // from candidate generation LOUDLY, their members surfacing as kept
+    // — never a silent Σ|cluster|² blow-up, never lost rows.
+    val dir = "/root/testdata/sf0.001"
+    val dflt = graft.queries.Embeddings.defs("q81_semdedup")(spark, dir)
+      .collect()
+    assert(dflt.exists(!_.getBoolean(2))) // default run has real drops
+    assert(DedupGuard.skippedBuckets.get() === 0) // ...without capping
+    spark.conf.set("graft.semdedup.maxCluster", "10")
+    try {
+      val rows = graft.queries.Embeddings.defs("q81_semdedup")(spark, dir)
+        .collect()
+      assert(rows.length === dflt.length) // every member still reports
+      assert(DedupGuard.skippedBuckets.get() > 0)
+      val big = dflt.groupBy(_.getLong(1)).filter(_._2.length > 10).keySet
+      assert(big.nonEmpty)
+      // dropped clusters: all members kept (no pair evidence remains)
+      rows.filter(r => big(r.getLong(1))).foreach { r =>
+        assert(r.getBoolean(2) && r.isNullAt(3),
+          s"vec ${r.getLong(0)} in a dropped cluster was not kept")
+      }
+      // clusters within the cap keep their exact default-run answer
+      def small(a: Array[org.apache.spark.sql.Row]) = a
+        .filter(r => !big(r.getLong(1)))
+        .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+      assert(small(rows) === small(dflt))
+    } finally spark.conf.unset("graft.semdedup.maxCluster")
+  }
+
   test("q27: band-bucket cap fires on real near-dup corpus when lowered") {
     DedupGuard.reset()
     // cap=1 makes EVERY ≥2-doc band bucket oversized: the sf0.001 corpus

@@ -52,15 +52,16 @@ class KMeansSpec extends AnyFunSuite {
       (id, cid, sc, v)
     }
 
-  /** Final centroids after Iters fixed-point Lloyd rounds over `vs`. */
-  private def bruteCentroids(vs: Array[(Long, Array[Double])])
+  /** Final centroids after `iters` fixed-point Lloyd rounds over `vs`. */
+  private def bruteCentroids(vs: Array[(Long, Array[Double])],
+      k: Int = K, iters: Int = Iters)
       : Seq[(Long, Array[Double], Double)] = {
     val dim = vs.head._2.length
     var cents: Seq[(Long, Array[Double], Double)] =
-      vs.filter(_._1 < K).map { case (id, v) =>
+      vs.filter(_._1 < k).map { case (id, v) =>
         (id, v, math.sqrt(dot(v, v)))
       }.toSeq
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       cents = assignTo(vs, cents).groupBy(_._2).toSeq
         .map { case (cid, rows) =>
           val n = rows.length
@@ -74,13 +75,29 @@ class KMeansSpec extends AnyFunSuite {
     cents
   }
 
-  /** (vec_id, cluster, score) after Iters fixed-point Lloyd rounds, plus
-    * the vector and its norm for the semdedup re-derivation. */
-  private def bruteKmeans(vs: Array[(Long, Array[Double])])
+  /** (vec_id, cluster, score) after `iters` fixed-point Lloyd rounds,
+    * plus the vector and its norm for the semdedup re-derivation. */
+  private def bruteKmeans(vs: Array[(Long, Array[Double])],
+      k: Int = K, iters: Int = Iters)
       : Array[(Long, Long, Double, Array[Double], Double)] =
-    assignTo(vs, bruteCentroids(vs)).map { case (id, cid, sc, v) =>
+    assignTo(vs, bruteCentroids(vs, k, iters)).map { case (id, cid, sc, v) =>
       (id, cid, sc, v, math.sqrt(dot(v, v)))
     }
+
+  /** q81's greedy keep-first rule over a brute clustering at `tau`. */
+  private def bruteSemdedup(km: Array[(Long, Long, Double, Array[Double],
+      Double)], tau: Double): Array[(Long, Long, Boolean, Option[Long])] = {
+    val byCluster = km.groupBy(_._2)
+    km.map { case (id, cid, _, v, nrm) =>
+      val dom = byCluster(cid)
+        .filter { case (bid, _, _, bv, bn) =>
+          bid < id && dot(v, bv) / (nrm * bn) >= tau
+        }
+      val droppedBy =
+        if (dom.isEmpty) None else Some(dom.map(_._1).min)
+      (id, cid, droppedBy.isEmpty, droppedBy)
+    }.sortBy(_._1)
+  }
 
   test("q80 assignments and scores match brute-force Lloyd's bit-for-bit") {
     val brute = bruteKmeans(load())
@@ -94,23 +111,43 @@ class KMeansSpec extends AnyFunSuite {
   }
 
   test("q81 keep decisions match the brute-force greedy keep-first rule") {
-    val km = bruteKmeans(load())
-    val byCluster = km.groupBy(_._2)
-    val brute = km.map { case (id, cid, _, v, nrm) =>
-      val dom = byCluster(cid)
-        .filter { case (bid, _, _, bv, bn) =>
-          bid < id && dot(v, bv) / (nrm * bn) >= Tau
-        }
-      val droppedBy =
-        if (dom.isEmpty) None else Some(dom.map(_._1).min)
-      (id, cid, droppedBy.isEmpty, droppedBy)
-    }.sortBy(_._1)
+    val brute = bruteSemdedup(bruteKmeans(load()), Tau)
     val got = SparkEntry.queries("q81_semdedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
     assert(got.length === brute.length)
     got.zip(brute).foreach { case (g, b) =>
       assert(g === b, s"keep decision diverged at vec_id ${b._1}")
+    }
+  }
+
+  test("q80/q81 honor graft.kmeans.* and graft.semdedup.tau confs") {
+    // The deployment knobs (k ∝ N is the SemDeDup scale rule) must
+    // change the computed answer, reproduce the brute-force
+    // reimplementation at the SAME parameters, and never serve a memo
+    // entry computed under different ones.
+    Embeddings.clearKmMemo()
+    spark.conf.set("graft.kmeans.k", "4")
+    spark.conf.set("graft.kmeans.iters", "2")
+    spark.conf.set("graft.semdedup.tau", "0.6")
+    try {
+      val km = bruteKmeans(load(), k = 4, iters = 2)
+      val brute = km.map { case (id, cid, sc, _, _) => (id, cid, sc) }
+        .sortBy(_._1)
+      val got = SparkEntry.queries("q80_kmeans")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq === brute.toSeq)
+      assert(got.map(_._2).distinct.length <= 4) // really k=4 clusters
+      val bruteKeep = bruteSemdedup(km, 0.6d)
+      val gotKeep = SparkEntry.queries("q81_semdedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      assert(gotKeep.toSeq === bruteKeep.toSeq)
+    } finally {
+      spark.conf.unset("graft.kmeans.k")
+      spark.conf.unset("graft.kmeans.iters")
+      spark.conf.unset("graft.semdedup.tau")
+      Embeddings.clearKmMemo()
     }
   }
 
