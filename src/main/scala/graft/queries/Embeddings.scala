@@ -91,6 +91,11 @@ object Embeddings {
     * the plan test that proves the (cid, i) sum combines map-side. */
   @volatile private[graft] var lastKmUpdatePlan: String = ""
 
+  /** Physical plan of q80's last init hash-sample, captured for the plan
+    * test that proves seeding is a per-task top-k merge, not a global
+    * sort. */
+  @volatile private[graft] var lastKmInitPlan: String = ""
+
   /** Physical plan of q80's last (final) assignment pass — the argmax
     * runs eagerly inside the localCheckpoint, so it is asserted on this
     * capture, not on q80's returned plan. */
@@ -214,10 +219,25 @@ object Embeddings {
     * can't clobber q80's pinned capture). */
   private def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
       capture: Boolean = true): DataFrame = {
-    var cents = e.where(col("vec_id") < k)
+    // Deterministic hash-sampled init: the k rows with the smallest
+    // (hash60(vec_id) mod 2^31−1, vec_id) rank — a uniform, seedless
+    // sample of the whole corpus (the q40/q85 content-hash discipline,
+    // bit-identical in the oracle). The k-lowest-ids init this replaces
+    // is a locality trap at 100 TB: the lowest ids all live in the
+    // oldest crawl shard, so every seed came from one slice of the
+    // distribution. orderBy+limit plans as TakeOrderedAndProject — each
+    // task keeps its own k best rows and one merge of |tasks|·k rows
+    // follows; never a global sort, never a window.
+    val initLazy = e
+      .orderBy((graft.functions.TextFunctions.hash60(
+          col("vec_id").cast("string")) % lit(2147483647L)).asc,
+        col("vec_id"))
+      .limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"),
         col("nrm").as("cn"))
-      .localCheckpoint()
+    if (capture)
+      lastKmInitPlan = initLazy.queryExecution.executedPlan.toString
+    var cents = initLazy.localCheckpoint()
     (1 to iters).foreach { _ =>
       val upd = kmUpdate(kmAssign(e, cents))
       if (capture)
@@ -227,8 +247,8 @@ object Embeddings {
     cents
   }
 
-  /** Deterministic distributed Lloyd's: init = the k lowest vec_ids'
-    * vectors (at 100 TB: a deterministic hash-sample instead), then
+  /** Deterministic distributed Lloyd's: init = a seedless uniform
+    * hash-sample of k vectors (see [[kmeansCentroids]]), then
     * `iters` × (assign → fixed-point update). Every per-iteration
     * frame is either k rows (centroids, localCheckpoint-materialized so
     * iteration N+1's plan doesn't re-derive N) or corpus-growth
@@ -623,9 +643,11 @@ object Embeddings {
       // clustering params belong to the artifact's identity: a k /
       // iters / FpScale change must rebuild, not silently serve
       // centroids computed under the old parameters
+      // ("-hinit" = the hash-sampled init generation: an init-scheme
+      // change redefines the centroids, so it must version the identity)
       val k = kmK(s); val it = kmIters(s)
       val path = graft.sources.SideTable.ensure(s, "km_centroids",
-          s"$dir#$cut#k$k-i$it-s${FpScale.toLong}",
+          s"$dir#$cut#k$k-i$it-s${FpScale.toLong}-hinit",
           Some(s"$dir/embeddings.parquet")) {
         kmeansCentroids(
           normalized(s, dir).where(col("vec_id") < cut).localCheckpoint(),
@@ -735,8 +757,16 @@ object Embeddings {
     * `src` is "e" for the full-corpus clustering (q80/q81/q85) and the
     * old-corpus CTE for q86's artifact rebuild. */
   private def kmCtesFrom(src: String): String = {
-    val init = s", c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn " +
-      s"FROM $src WHERE vec_id < $KmKDefault)"
+    // init: the same hash-sampled top-k as the Spark side — md5-based
+    // hash60 mod 2^31−1, vec_id tiebreak (the q85 ranking expression)
+    val init =
+      s""", c0 AS (
+         |  SELECT vec_id AS cid, v AS cv, nrm AS cn FROM (
+         |    SELECT vec_id, v, nrm, row_number() OVER (ORDER BY
+         |      (('0x' || substr(md5(vec_id::varchar),1,15))::bigint % 2147483647), vec_id) rnk
+         |    FROM $src
+         |  ) WHERE rnk <= $KmKDefault
+         |)""".stripMargin
     val iters = (1 to KmItersDefault).map { it =>
       val prev = s"c${it - 1}"
       s""", a$it AS (

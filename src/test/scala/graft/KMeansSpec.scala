@@ -30,6 +30,14 @@ class KMeansSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** First 15 hex chars of md5 as a long — the hash60 primitive. */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+  }
+
   /** Strict left-fold dot — the op order of DotProductExpr. */
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var acc = 0.0d; var i = 0
@@ -57,10 +65,10 @@ class KMeansSpec extends AnyFunSuite {
       k: Int = K, iters: Int = Iters)
       : Seq[(Long, Array[Double], Double)] = {
     val dim = vs.head._2.length
+    // hash-sampled init: k smallest (h60(id) mod 2^31−1, id) ranks
     var cents: Seq[(Long, Array[Double], Double)] =
-      vs.filter(_._1 < k).map { case (id, v) =>
-        (id, v, math.sqrt(dot(v, v)))
-      }.toSeq
+      vs.sortBy(t => (h60(t._1.toString) % 2147483647L, t._1)).take(k)
+        .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }.toSeq
     for (_ <- 1 to iters) {
       cents = assignTo(vs, cents).groupBy(_._2).toSeq
         .map { case (cid, rows) =>
@@ -166,12 +174,6 @@ class KMeansSpec extends AnyFunSuite {
   }
 
   test("q85 sample matches the brute-force per-cluster hash ranking") {
-    def h60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      java.lang.Long.parseLong(
-        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          .substring(0, 15), 16)
-    }
     val brute = bruteKmeans(load())
       .groupBy(_._2).toSeq.flatMap { case (cid, rows) =>
         rows.map(_._1)

@@ -287,6 +287,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(up.nonEmpty, "q80 centroid-update plan was not captured")
     assert(up.contains("partial_sum"),
       s"q80 centroid update lost map-side combine:\n$up")
+    // init hash-sample: a per-task top-k merge, never a global sort
+    val ip = graft.queries.Embeddings.lastKmInitPlan
+    assert(ip.nonEmpty, "q80 init plan was not captured")
+    assert(ip.contains("TakeOrderedAndProject"),
+      s"q80 init seeding lost the per-task top-k shape:\n$ip")
   }
 
   test("q81: within-cluster pairing is an equi-join on the cluster key") {
