@@ -417,9 +417,12 @@ object Embeddings {
     // the index scan to the probed cells' files (Spark's dynamic
     // partition pruning — the 2/16ths-of-the-corpus read q46's comment
     // promises, made physical). Only the batch touches the embeddings
-    // table (cut pushed to the scan, plan-pinned); batch-proportional
-    // broadcast of the probe set is the test-scale shape — a 100 TB
-    // deployment shuffles probes by cell instead, same pruned scan.
+    // table (cut pushed to the scan, plan-pinned). Two probe-join modes,
+    // `graft.ann.broadcastProbes` (both plan-pinned, both the same
+    // pruned scan): true (default) broadcasts the probe set — right
+    // while probes fit a broadcast; false shuffles probes by cell with a
+    // static isin partition prune — the 100 TB shape once the batch
+    // outgrows broadcasting.
     "q78_incremental_ann" -> ((s, dir) => {
       val cut = BatchCut.cut(s,
         Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
@@ -457,10 +460,33 @@ object Embeddings {
         .where(col("rnk") <= 2)
         .select(col("q_id"), col("qv"), col("qn"),
           col("cid").cast("int").as("cell"))
-      val scoredLazy = idx.join(broadcast(probes), "cell")
-        .select(col("q_id"), col("vec_id"),
-          (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
-            .as("cos"))
+      val scoredLazy =
+        if (s.conf.get("graft.ann.broadcastProbes", "true").toBoolean)
+          idx.join(broadcast(probes), "cell")
+            .select(col("q_id"), col("vec_id"),
+              (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+                .as("cos"))
+        else {
+          // 100 TB mode: probes SHUFFLE by cell instead of broadcasting —
+          // a batch-proportional probe set outgrows a broadcast long
+          // before the index does. The probed-CELL list stays bounded by
+          // the quantizer codebook (nlist: 16 here, thousands in a
+          // deployment), so collecting it is a metadata-grain probe (the
+          // capBuckets class), and the isin predicate prunes the
+          // cell-partitioned artifact scan STATICALLY — the same
+          // pruned-directories read as the broadcast mode's dynamic
+          // pruning, minus the broadcast. The checkpoint keeps the probe
+          // derivation out of both join inputs (cells collect + join
+          // would otherwise derive it twice).
+          val p = probes.localCheckpoint()
+          val cells = p.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).sorted
+          idx.where(col("cell").isin(cells: _*))
+            .join(p.hint("shuffle_hash"), Seq("cell"))
+            .select(col("q_id"), col("vec_id"),
+              (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+                .as("cos"))
+        }
       lastIncrementalAnnPlan =
         scoredLazy.queryExecution.executedPlan.toString
       topkPerQuery(scoredLazy, 5)

@@ -239,6 +239,37 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q78 batch cut is not pushed to the embeddings scan:\n$cp")
   }
 
+  test("q78 shuffle-probe mode: same answer, statically pruned scan, no broadcast") {
+    // graft.ann.broadcastProbes=false is the 100 TB mode: probes shuffle
+    // by cell (a batch-proportional probe set outgrows a broadcast), the
+    // probed-cell list prunes the cell-partitioned artifact scan
+    // STATICALLY, and the answer is bit-identical to the default mode.
+    val dflt = plan("q78_incremental_ann") // capture default first
+    assert(dflt.nonEmpty)
+    val expect = SparkEntry.queries("q78_incremental_ann")(spark, dir)
+      .collect().map(_.toSeq)
+    spark.conf.set("graft.ann.broadcastProbes", "false")
+    try {
+      val got = SparkEntry.queries("q78_incremental_ann")(spark, dir)
+        .collect().map(_.toSeq)
+      assert(got.toSeq === expect.toSeq,
+        "shuffle-probe mode changed the q78 answer")
+      val cp = graft.queries.Embeddings.lastIncrementalAnnPlan
+      assert(cp.contains("graft_ivf_index"),
+        s"q78 shuffle mode does not read the persisted IVF artifact:\n$cp")
+      assert(cp.contains("ShuffledHashJoin"),
+        s"q78 shuffle mode lost the shuffle-hash probe join:\n$cp")
+      assert(!cp.contains("BroadcastHashJoin"),
+        s"q78 shuffle mode still broadcasts:\n$cp")
+      // (INSET is Spark's rendering of a long isin list; at sf0.001 the
+      // 101-query batch probes every cell, so the list is all 16 — the
+      // pinned property is the static prune's SHAPE on the scan)
+      assert(cp.contains("PartitionFilters: [cell") &&
+        (cp.contains("INSET") || cp.contains(" IN (")),
+        s"q78 shuffle mode lost the static cell partition prune:\n$cp")
+    } finally spark.conf.unset("graft.ann.broadcastProbes")
+  }
+
   test("q83: eval bands broadcast — train bands never shuffle to pair up") {
     plan("q83_neardup_decontam")
     val cp = graft.queries.TextPipeline.lastDecontamPlan
