@@ -349,6 +349,14 @@ object TextPipeline {
     * shingle generator above that scan). */
   @volatile private[graft] var lastIncrementalPlan: String = ""
 
+  /** Post-append row count of q76's accumulated-state artifact after
+    * each epoch — the observable behind StreamingSpec's pin that the
+    * artifact really grows per epoch (i.e. the state transition is the
+    * side-table append, not an in-session union chain). */
+  private[graft] val streamSeenRows =
+    new java.util.concurrent.atomic.AtomicReference[Vector[Long]](
+      Vector.empty)
+
   // English/Spanish/German/French stopword seeds for the n-gram-free
   // language-ID heuristic (ratio of stopword tokens per language).
   private val langs: Seq[(String, Seq[String])] = Seq(
@@ -886,17 +894,24 @@ object TextPipeline {
     // ---- q76: streaming incremental dedup (the crawl-ingest loop) ------
     // q67's batch shape as the Structured Streaming deployment it exists
     // for: crawl batches ARRIVE as a stream, and each micro-batch is
-    // deduped inside `foreachBatch` against the persisted signature
-    // artifact PLUS the bands of every earlier micro-batch — the state
-    // a real ingest loop maintains by appending each batch's bands to
-    // the artifact after scoring ([[graft.sources.SideTable.append]] is
-    // that path; here the accumulation stays in-session so reruns are
-    // idempotent). Pairs between two stream docs in DIFFERENT
-    // micro-batches are found when the later one arrives (feed order =
-    // doc_id order), so the union of per-epoch outputs equals q67's
-    // one-shot answer EXACTLY — the batch-parity property the oracle
-    // (q67's SQL verbatim) certifies, and StreamingSpec pins the
-    // cross-micro-batch case specifically. Per epoch the work is one
+    // deduped inside `foreachBatch` against the accumulated-state
+    // side-table — a per-run artifact seeded from the persisted
+    // signature index, into which each epoch's bands are
+    // [[graft.sources.SideTable.append]]ed AFTER scoring. `seen` is
+    // therefore always a plain parquet scan of the artifact: the
+    // per-epoch plan is CONSTANT in epoch count (the r8 in-session
+    // union chain grew linearly — epoch N's plan re-derived every
+    // earlier epoch's union node). The seed build runs under a
+    // transient refresh, so a rerun starts from the pre-stream state —
+    // reruns are idempotent and bench reps don't compound state; a real
+    // deployment that wants to RESUME accumulation keeps the artifact
+    // and skips the refresh (the continuation `ensure` is a manifest
+    // hit). Pairs between two stream docs in DIFFERENT micro-batches
+    // are found when the later one arrives (feed order = doc_id
+    // order), so the union of per-epoch outputs equals q67's one-shot
+    // answer EXACTLY — the batch-parity property the oracle (q67's SQL
+    // verbatim) certifies, and StreamingSpec pins the cross-micro-batch
+    // case specifically. Per epoch the work is one
     // broadcast-semi-filtered scan of the accumulated index (only the
     // epoch's own band keys can collide — the q67 relevance
     // restriction; bucketing the artifact by band_key turns even that
@@ -910,18 +925,30 @@ object TextPipeline {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
       val idx = s.read.parquet(signatureIndex(s, dir, cut))
+      val seenKey = s"$dir#$cut#stream"
+      val dataPath = Some(s"$dir/documents.parquet")
+      val prevRefresh = s.conf.getOption("graft.artifacts.refresh")
+      s.conf.set("graft.artifacts.refresh", "true")
+      val seenPath =
+        try graft.sources.SideTable.ensure(s, "stream_seen", seenKey,
+          dataPath) { idx }
+        finally prevRefresh.fold(s.conf.unset("graft.artifacts.refresh"))(
+          v => s.conf.set("graft.artifacts.refresh", v))
+      streamSeenRows.set(Vector.empty)
       val ids = d.where(col("doc_id") >= cut).select(col("doc_id"))
         .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val nEpochs = s.conf.get("graft.stream.epochs", "4").toInt
       val chunks =
         if (ids.isEmpty) Seq.empty
-        else ids.grouped(math.max(1, (ids.length + 3) / 4)).toSeq
+        else ids.grouped(
+          math.max(1, (ids.length + nEpochs - 1) / nEpochs)).toSeq
       val ms = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Long]
-      @volatile var seen: DataFrame = idx
       val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       val query = ms.toDF().toDF("doc_id").writeStream
         .outputMode("append")
         .foreachBatch { (epochIds: Dataset[Row], _: Long) =>
+          val seen = s.read.parquet(seenPath)
           val epochDocs =
             d.join(broadcast(epochIds), Seq("doc_id"), "left_semi")
           val deltaBands = minhashBands(epochDocs).localCheckpoint()
@@ -955,7 +982,13 @@ object TextPipeline {
             .localCheckpoint()
           candSh.unpersist()
           acc += pairs
-          seen = seen.unionByName(deltaBands) // artifact-append stand-in
+          // the crawl-loop state transition: this epoch's bands join the
+          // accumulated index, visible to every later epoch's scan
+          graft.sources.SideTable.append(s, "stream_seen", seenKey,
+            dataPath)(deltaBands)
+          streamSeenRows.updateAndGet(_ :+
+            graft.sources.SideTable.manifest(seenPath)
+              .map(_._2).getOrElse(-1L))
           ()
         }
         .start()

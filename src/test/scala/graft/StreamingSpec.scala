@@ -225,6 +225,41 @@ class StreamingSpec extends AnyFunSuite {
       "cross-micro-batch pair missed — earlier bands not carried forward")
   }
 
+  test("q76: accumulated state is the side-table artifact, growing per epoch") {
+    // The crawl loop's state transition must be SideTable.append — so
+    // the per-epoch plan reads ONE artifact scan and stays constant-size
+    // in epoch count — not the r8 in-session union chain (whose plan
+    // grew linearly). Pinned via the post-append manifest row counts: at
+    // 8 epochs over sf0.001 every epoch's append must strictly grow the
+    // artifact. A rerun must start over from the pre-stream seed (the
+    // transient-refresh idempotence contract): identical answer,
+    // identical growth trajectory — NOT a second accumulation on top.
+    import graft.queries.TextPipeline
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("graft.stream.epochs", "8")
+    try {
+      def run() = TextPipeline.defs("q76_stream_incremental_dedup")(
+          spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val first = run()
+      val rows1 = TextPipeline.streamSeenRows.get()
+      assert(rows1.length === 8, s"expected 8 epochs, saw ${rows1.length}")
+      assert(rows1.zip(rows1.tail).forall { case (a, b) => a < b },
+        s"artifact did not grow every epoch: $rows1")
+      val second = run()
+      val rows2 = TextPipeline.streamSeenRows.get()
+      assert(rows2 === rows1,
+        "rerun did not restart from the pre-stream artifact")
+      assert(second === first)
+      // and the streamed answer still equals the one-shot q67 pair set
+      val oneShot = TextPipeline.defs("q67_incremental_dedup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(first === oneShot)
+    } finally spark.conf.unset("graft.stream.epochs")
+  }
+
   test("q59 oracle precondition: event_id is unique at every shipped SF") {
     // q59's DuckDB oracle is `SELECT ... FROM events` — equivalent to the
     // batch dropDuplicates over the replayed stream ONLY while event_id is
