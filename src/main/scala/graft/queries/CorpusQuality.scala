@@ -388,10 +388,17 @@ object CorpusQuality {
     // INCREMENTALLY — the old corpus's distinct 3-gram hash set persists
     // as a side-table ([[graft.sources.SideTable]]) and each batch doc
     // left-joins its distinct grams against it. Only the batch is ever
-    // shingled; the artifact join keys on the uniform gram hash (at the
-    // design point the artifact additionally compiles to a bloom/filter
-    // index — the parquet set is its exact reference form). Completes
-    // the incremental family: dedup (q67), LM scoring (q69), novelty.
+    // shingled; the artifact join keys on the uniform gram hash. With
+    // `graft.artifacts.bloom=true` the artifact additionally compiles
+    // to a bloom filter ([[graft.sources.SideTable.ensureBloomOf]]):
+    // bloom-NEGATIVE grams are proven novel without touching the exact
+    // join (no false negatives), so only bloom-positives — the already-
+    // seen fraction plus an ε of false positives — reach the
+    // artifact-scan join. On a mostly-novel crawl that shrinks the
+    // join's probe side toward zero; the exact join stays the verifier
+    // for every positive, so the answer is bit-identical in both modes
+    // (CorpusEquivalenceSpec). Completes the incremental family: dedup
+    // (q67), LM scoring (q69), novelty.
     "q72_incremental_novelty" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
@@ -403,8 +410,19 @@ object CorpusQuality {
           .select(col("h")).distinct()
       }
       val old = s.read.parquet(gramPath).withColumn("seen", lit(1))
-      shingleHashRows(d.where(col("doc_id") >= cut), 3).distinct()
-        .join(old, Seq("h"), "left")
+      val sh = shingleHashRows(d.where(col("doc_id") >= cut), 3).distinct()
+      val flagged =
+        if (s.conf.get("graft.artifacts.bloom", "false").toBoolean) {
+          val bf = graft.sources.SideTable.ensureBloomOf(s, "gram_set",
+            s"$dir#$cut", Some(s"$dir/documents.parquet"), gramPath, "h")
+          val probed = sh.withColumn("maybe",
+            graft.functions.Bloom.mightContain(bf, col("h")))
+          probed.where(col("maybe")).drop("maybe")
+            .join(old, Seq("h"), "left")
+            .unionByName(probed.where(!col("maybe")).drop("maybe")
+              .withColumn("seen", lit(null).cast("int")))
+        } else sh.join(old, Seq("h"), "left")
+      flagged
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_new"))

@@ -1020,9 +1020,13 @@ object TextPipeline {
     // shape: the content-key artifact is corpus-growth so it is NEVER
     // broadcast — the tiny batch key set broadcasts against the
     // artifact scan (left-semi), and the surviving ≤|batch| hit keys
-    // broadcast back; work ∝ one narrow artifact scan + |batch| (a
-    // deployment additionally buckets or bloom-compiles the key
-    // artifact to skip the scan).
+    // broadcast back; work ∝ one narrow artifact scan + |batch|. With
+    // `graft.artifacts.bloom=true` the key artifact also compiles to a
+    // bloom filter: bloom-negative batch keys are proven novel and drop
+    // from the semi-join probe before it runs (no false negatives), so
+    // a mostly-novel batch sends a near-empty probe set; positives
+    // still verify against the exact artifact scan, keeping the answer
+    // bit-identical in both modes (CorpusEquivalenceSpec).
     "q79_incremental_triage" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
@@ -1045,9 +1049,15 @@ object TextPipeline {
           md5(concat_ws(" ", words(col("text")))).as("gk"))
         .localCheckpoint() // |batch| rows; read by the hit-key semi-join
         // AND the final classification join
+      val bkeys = batchKeys.select(col("gk")).distinct()
+      val probeKeys =
+        if (s.conf.get("graft.artifacts.bloom", "false").toBoolean) {
+          val bf = graft.sources.SideTable.ensureBloomOf(s, "content_keys",
+            s"$dir#$cut", Some(s"$dir/documents.parquet"), keyPath, "gk")
+          bkeys.where(graft.functions.Bloom.mightContain(bf, col("gk")))
+        } else bkeys
       val hitKeys = oldKeys
-        .join(broadcast(batchKeys.select(col("gk")).distinct()),
-          Seq("gk"), "left_semi")
+        .join(broadcast(probeKeys), Seq("gk"), "left_semi")
         .withColumn("exact_hit", lit(1))
         .localCheckpoint() // ≤ |batch| rows — broadcastable by construction
       batchKeys

@@ -148,6 +148,32 @@ object SideTable {
     dest.getAbsolutePath
   }
 
+  /** Bloom-compiled companion of an exact membership artifact (built
+    * when `graft.artifacts.bloom=true`): ONE row holding a serialized
+    * bloom filter over `keyCol` of the artifact at `exactPath`,
+    * persisted as `<name>_bloom` under the same key/data identity —
+    * rebuilt exactly when the exact artifact is. Sized at 16 bits per
+    * key (false-positive rate ≈ 5·10⁻⁴), capped by
+    * `graft.artifacts.bloomMaxBits`. Returns the filter BYTES: the
+    * 1-row collect is the bounded-metadata grain, and the caller probes
+    * rows via [[graft.functions.Bloom.mightContain]] — negatives skip
+    * exact verification (no false negatives), positives still verify
+    * against the exact artifact. */
+  def ensureBloomOf(s: SparkSession, name: String, key: String,
+      dataPath: Option[String], exactPath: String,
+      keyCol: String): Array[Byte] = {
+    val path = ensure(s, s"${name}_bloom", key, dataPath) {
+      import org.apache.spark.sql.functions.col
+      val exact = s.read.parquet(exactPath)
+      val n = math.max(exact.count(), 1L)
+      val maxBits = s.conf.get("graft.artifacts.bloomMaxBits",
+        (1L << 27).toString).toLong
+      val bits = math.min(math.max(n * 16L, 64L), maxBits)
+      exact.agg(graft.functions.Bloom.agg(col(keyCol), n, bits).as("bf"))
+    }
+    s.read.parquet(path).head().getAs[Array[Byte]](0)
+  }
+
   /** Appends `delta` to an already-ensured artifact and updates its
     * manifest row count — the incremental-maintenance path (e.g. after
     * scoring a crawl batch against q72's gram-set artifact, the batch's

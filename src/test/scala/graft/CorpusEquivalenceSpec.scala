@@ -333,6 +333,43 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q72/q79 bloom mode: same answers; bloom has no false negatives") {
+    // graft.artifacts.bloom=true compiles the membership artifacts
+    // (q72's gram set, q79's content keys) into bloom filters that
+    // PRUNE the exact joins: a negative probe proves non-membership
+    // (novel) and skips verification, a positive probe still verifies
+    // against the exact artifact — so both modes must agree
+    // bit-for-bit. The no-false-negative half of that argument is also
+    // pinned directly: every key actually in the exact artifact must
+    // probe bloom-positive.
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = "/root/testdata/sf0.001"
+    def run72() = CorpusQuality.defs("q72_incremental_novelty")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    def run79() = TextPipeline.defs("q79_incremental_triage")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val exact72 = run72(); val exact79 = run79()
+    spark.conf.set("graft.artifacts.bloom", "true")
+    try {
+      assert(run72() === exact72, "bloom mode changed the q72 answer")
+      assert(run79() === exact79, "bloom mode changed the q79 answer")
+      val cut = spark.read.parquet(s"$dir/documents.parquet")
+        .agg(expr("max(doc_id)*4 div 5")).head().getLong(0)
+      val gramPath = graft.sources.SideTable.ensure(spark, "gram_set",
+          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
+        graft.functions.TextFunctions.shingleHashRows(
+            spark.read.parquet(s"$dir/documents.parquet")
+              .where(col("doc_id") < cut), 3)
+          .select(col("h")).distinct()
+      }
+      val bf = graft.sources.SideTable.ensureBloomOf(spark, "gram_set",
+        s"$dir#$cut", Some(s"$dir/documents.parquet"), gramPath, "h")
+      val misses = spark.read.parquet(gramPath)
+        .where(!graft.functions.Bloom.mightContain(bf, col("h"))).count()
+      assert(misses === 0L, s"$misses artifact keys probed bloom-negative")
+    } finally spark.conf.unset("graft.artifacts.bloom")
+  }
+
   /** Brute-force 16-perm MinHash + 4×4 band keys — mirrors
     * TextFunctions.minhashes / lshBandKeys arithmetic exactly. */
   private def minhash16(hs: Set[Long]): Seq[Long] =
