@@ -187,8 +187,12 @@ object SideTable {
     require(task != null,
       s"append on side-table $name before ensure() in this session")
     val path = task.get()
+    // count the DELTA, not the artifact: re-counting the whole artifact
+    // per append is a full scan that grows with every epoch of a crawl
+    // loop — the manifest row count is the running sum instead
+    val deltaRows = delta.count()
     delta.write.mode("append").parquet(path)
-    val rows = s.read.parquet(path).count()
+    val rows = manifest(path).map(_._2).getOrElse(0L) + deltaRows
     writeManifest(new File(path), name, fk, rows)
     path
   }
