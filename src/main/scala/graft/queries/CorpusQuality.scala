@@ -432,6 +432,78 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // ---- q89: bloom-compilation audit — measured FP rate vs exact sets -
+    // "Measure, don't guess" for the graft.artifacts.bloom knob (the
+    // q70/q73/q82/q87 discipline applied to membership compilation):
+    // for each bloom-compiled membership artifact (q72's gram set,
+    // q79's content keys), probe EVERY batch key and report the exact,
+    // engine-independent set cardinalities (keys, probes, seen, novel)
+    // plus a per-engine accuracy boolean — the q35 sketch convention:
+    // Spark certifies its measured false-positive rate among
+    // TRUE-NOVEL probes stays under 1% (the 16-bit/key sizing predicts
+    // ~5·10⁻⁴; a broken filter reads ~100%), DuckDB's exact path is
+    // trivially true. The FP count itself is engine-specific state and
+    // deliberately not a column. Deterministic: the filter's bit
+    // pattern is a pure function of the key set and sizing, so the
+    // boolean cannot flap between runs.
+    "q89_bloom_audit" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val dataPath = Some(s"$dir/documents.parquet")
+      val gramPath = graft.sources.SideTable.ensure(
+          s, "gram_set", s"$dir#$cut", dataPath) {
+        shingleHashRows(
+            Graft.parquetSource(s, dir).table("documents")
+              .where(col("doc_id") < cut), 3)
+          .select(col("h")).distinct()
+      }
+      val gramBf = graft.sources.SideTable.ensureBloomOf(s, "gram_set",
+        s"$dir#$cut", dataPath, gramPath, "h")
+      val keyPath = graft.sources.SideTable.ensure(s, "content_keys",
+          s"$dir#$cut", dataPath) {
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut && col("text").isNotNull)
+          .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
+          .distinct()
+      }
+      val keyBf = graft.sources.SideTable.ensureBloomOf(s, "content_keys",
+        s"$dir#$cut", dataPath, keyPath, "gk")
+      // one audit row: (exact cardinalities, Spark's FP-bound boolean);
+      // the two 1-row aggregates join as broadcast 1×1 frames
+      def audit(name: String, exact: DataFrame, keyCol: String,
+          probes: DataFrame, bf: Array[Byte]): DataFrame = {
+        val flagged = probes
+          .withColumn("maybe",
+            graft.functions.Bloom.mightContain(bf, col(keyCol)))
+          .join(exact.withColumn("present", lit(1)), Seq(keyCol), "left")
+        val stats = flagged.agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("present") === 1, 1L).otherwise(0L)).as("n_seen"),
+          sum(when(col("present").isNull && col("maybe"), 1L)
+            .otherwise(0L)).as("n_fp"))
+        val keys = exact.agg(count(lit(1)).as("n_keys"))
+        stats.join(broadcast(keys), lit(true))
+          .select(lit(name).as("artifact"), col("n_keys"),
+            col("n_probes"), col("n_seen"),
+            (col("n_probes") - col("n_seen")).as("n_novel"),
+            (when(col("n_probes") - col("n_seen") === 0, lit(true))
+              .otherwise((col("n_fp").cast("double") /
+                (col("n_probes") - col("n_seen")).cast("double"))
+                <= lit(0.01d)))
+              .as("fp_within_bound"))
+      }
+      val gramProbes = shingleHashRows(d.where(col("doc_id") >= cut), 3)
+        .select(col("h")).distinct()
+      val keyProbes = d.where(col("doc_id") >= cut && col("text").isNotNull)
+        .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
+        .distinct()
+      audit("content_keys", s.read.parquet(keyPath), "gk", keyProbes,
+          keyBf)
+        .unionByName(audit("gram_set", s.read.parquet(gramPath), "h",
+          gramProbes, gramBf))
+        .orderBy("artifact")
+    }),
+
     // ---- q77: the curation pipeline, composed --------------------------
     // A production training-mix build runs quality filter → dedup keep
     // list → token budget as ONE job, not three exports: q66's keep
@@ -803,6 +875,49 @@ object CorpusQuality {
         |    AS novelty
         |FROM delta LEFT JOIN old ON delta.h = old.h
         |GROUP BY delta.doc_id ORDER BY delta.doc_id""".stripMargin,
+
+    // q89: exact cardinalities compared directly; each engine certifies
+    // its own membership filter (the q35 sketch convention — DuckDB's
+    // exact path has zero false positives by construction)
+    "q89_bloom_audit" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |), sg AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+        |      array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3
+        |  )
+        |),
+        |g_old AS (SELECT DISTINCT h FROM sg WHERE doc_id < (SELECT c FROM cut)),
+        |g_new AS (SELECT DISTINCT h FROM sg WHERE doc_id >= (SELECT c FROM cut)),
+        |keys AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) gk
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |k_old AS (SELECT DISTINCT gk FROM keys WHERE doc_id < (SELECT c FROM cut)),
+        |k_new AS (SELECT DISTINCT gk FROM keys WHERE doc_id >= (SELECT c FROM cut))
+        |SELECT * FROM (
+        |  SELECT 'content_keys' AS artifact,
+        |    (SELECT count(*) FROM k_old)::bigint AS n_keys,
+        |    (SELECT count(*) FROM k_new)::bigint AS n_probes,
+        |    (SELECT count(*) FROM k_new JOIN k_old USING (gk))::bigint AS n_seen,
+        |    ((SELECT count(*) FROM k_new)
+        |      - (SELECT count(*) FROM k_new JOIN k_old USING (gk)))::bigint AS n_novel,
+        |    true AS fp_within_bound
+        |  UNION ALL
+        |  SELECT 'gram_set',
+        |    (SELECT count(*) FROM g_old)::bigint,
+        |    (SELECT count(*) FROM g_new)::bigint,
+        |    (SELECT count(*) FROM g_new JOIN g_old USING (h))::bigint,
+        |    ((SELECT count(*) FROM g_new)
+        |      - (SELECT count(*) FROM g_new JOIN g_old USING (h)))::bigint,
+        |    true
+        |) ORDER BY artifact""".stripMargin,
 
     "q64_novelty" ->
       """WITH ws AS (

@@ -106,6 +106,12 @@ object Embeddings {
     * centroid artifact with no per-batch Lloyd iteration. */
   @volatile private[graft] var lastIncrementalAssignPlan: String = ""
 
+  /** Physical plan of q88's last batch-vs-members dedup join, captured
+    * for the plan test that proves the batch broadcasts against the
+    * cluster-partitioned member artifact (dynamic partition pruning)
+    * with no per-batch Lloyd iteration. */
+  @volatile private[graft] var lastIncrementalSemPlan: String = ""
+
   // ------------------------------------------------------- k-means (q80)
 
   /** Defaults for the clustering family — the values the static DuckDB
@@ -689,6 +695,84 @@ object Embeddings {
         .orderBy("vec_id")
     }),
 
+    // ---- q88: incremental SemDeDup — batch vs persisted cluster members
+    // Completes the incremental family's semantic-dedup member (q67 is
+    // its MinHash sibling): a crawl batch must not re-cluster — or
+    // re-pair — the old corpus to learn which of ITS vectors are
+    // semantic duplicates. Two artifacts persist per corpus snapshot,
+    // both keyed by the full clustering identity: the converged
+    // centroids (shared with q86) and `sem_members` — the old corpus's
+    // assignment WITH vector payload, PARTITIONED BY CLUSTER. Per
+    // batch: one k-row broadcast assigns the batch (no Lloyd
+    // iteration — plan-pinned), then the SemDeDup drop rule runs
+    // against (a) the member artifact — batch side broadcast, and the
+    // cluster-partitioned scan statically pruned to the batch's
+    // cluster list (≤ k values, a metadata-grain collect — the q78
+    // shuffle-mode discipline, deterministic where DPP's benefit
+    // heuristic is not) — and (b) earlier-id batch mates (a
+    // |batch|-bounded self-join). Old members all precede the
+    // batch (ids < cut), matching q81's earlier-id semantics; the
+    // member side is capBuckets-guarded by graft.semdedup.maxCluster.
+    // The oracle re-derives the old clustering from scratch —
+    // equivalence holds because the artifacts ARE that converged
+    // state, persisted.
+    "q88_incremental_semdedup" -> ((s, dir) => {
+      val cut = BatchCut.cut(s,
+        Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
+      val k = kmK(s); val it = kmIters(s)
+      val ident = s"$dir#$cut#k$k-i$it-s${FpScale.toLong}-hinit"
+      val dataPath = Some(s"$dir/embeddings.parquet")
+      val centPath = graft.sources.SideTable.ensure(s, "km_centroids",
+          ident, dataPath) {
+        kmeansCentroids(
+          normalized(s, dir).where(col("vec_id") < cut).localCheckpoint(),
+          k, it, capture = false)
+      }
+      val cents = s.read.parquet(centPath)
+      val memPath = graft.sources.SideTable.ensure(s, "sem_members",
+          ident, dataPath, Seq("cluster")) {
+        kmAssign(
+            normalized(s, dir).where(col("vec_id") < cut).localCheckpoint(),
+            cents)
+          .select(col("vec_id"), col("cid").cast("int").as("cluster"),
+            col("v"), col("nrm"))
+      }
+      val members = s.read.parquet(memPath)
+      val batchAsg = kmAssign(
+          normalized(s, dir).where(col("vec_id") >= cut), cents)
+        .select(col("vec_id"), col("cid").cast("int").as("cluster"),
+          col("v"), col("nrm"))
+        .localCheckpoint() // |batch| rows; read as the broadcast probe,
+        // the earlier-id batch mate side, and the final output spine
+      val b = batchAsg.select(col("vec_id").as("b_id"), col("cluster"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      val bClusters = batchAsg.select(col("cluster")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val cappedMembers = TextPipeline.capBuckets(
+        members.where(col("cluster").isin(bClusters: _*)), Seq("cluster"),
+        s, "q88 semdedup clusters", "graft.semdedup.maxCluster")
+      val domOldLazy = cappedMembers.join(broadcast(b), Seq("cluster"))
+        .where(col("vec_id") < col("b_id") &&
+          (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
+            >= lit(semTau(s)))
+        .select(col("b_id"), col("vec_id"))
+      lastIncrementalSemPlan =
+        domOldLazy.queryExecution.executedPlan.toString
+      val domBatch = batchAsg.join(b, Seq("cluster"))
+        .where(col("vec_id") < col("b_id") &&
+          (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
+            >= lit(semTau(s)))
+        .select(col("b_id"), col("vec_id"))
+      val dom = domOldLazy.unionByName(domBatch)
+        .groupBy(col("b_id")).agg(min(col("vec_id")).as("dropped_by"))
+        .withColumnRenamed("b_id", "vec_id")
+      batchAsg.select(col("vec_id"), col("cluster").cast("long"))
+        .join(dom, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          col("dropped_by").isNull.as("kept"), col("dropped_by"))
+        .orderBy("vec_id")
+    }),
+
     // ---- q85: cluster-balanced sampling --------------------------------
     // The step the SemDeDup recipe runs AFTER clustering: cap each
     // semantic cluster at k representatives (deterministic content-hash
@@ -878,6 +962,34 @@ object Embeddings {
            |  (d.dropped_by IS NULL) AS kept, d.dropped_by
            |FROM asg LEFT JOIN dom d ON d.vec_id = asg.vec_id
            |ORDER BY asg.vec_id""".stripMargin),
+
+    // The oracle rebuilds the old-corpus clustering and membership from
+    // scratch (it has no artifacts); equivalence holds because the
+    // centroid and member artifacts ARE that converged state, persisted.
+    "q88_incremental_semdedup" ->
+      (baseCte +
+        """, cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+          |old AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin +
+        kmCtesFrom("old") +
+        s""", asg_old AS (
+           |${kmFinalFrom("old")}
+           |), asg_b AS (
+           |${kmFinalFrom(
+              "(SELECT vec_id, v, nrm FROM e WHERE vec_id >= (SELECT c FROM cut))")}
+           |), mem AS (
+           |  SELECT vec_id, cluster FROM asg_old
+           |  UNION ALL
+           |  SELECT vec_id, cluster FROM asg_b
+           |), dom AS (
+           |  SELECT b.vec_id AS vid, min(a.vec_id) AS dropped_by
+           |  FROM asg_b b JOIN mem a ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+           |  WHERE ${duckCos("ea.v", "ea.nrm", "eb.v", "eb.nrm")} >= $SemTauDefault
+           |  GROUP BY b.vec_id
+           |)
+           |SELECT b.vec_id, b.cluster, (d.dropped_by IS NULL) AS kept, d.dropped_by
+           |FROM asg_b b LEFT JOIN dom d ON d.vid = b.vec_id
+           |ORDER BY b.vec_id""".stripMargin),
 
     "q82_quantized_ann" ->
       (baseCte +

@@ -30,7 +30,8 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q62_containment", "q67_incremental_dedup",
         "q80_kmeans", "q81_semdedup", "q82_quantized_ann",
         "q83_neardup_decontam", "q85_cluster_sample",
-        "q86_incremental_assign", "q87_dedup_threshold_audit")) {
+        "q86_incremental_assign", "q87_dedup_threshold_audit",
+        "q88_incremental_semdedup", "q89_bloom_audit")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

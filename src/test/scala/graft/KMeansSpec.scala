@@ -186,6 +186,34 @@ class KMeansSpec extends AnyFunSuite {
     assert(got.toSeq === brute)
   }
 
+  test("q88 incremental semdedup matches the brute-force drop rule") {
+    // Old corpus clustered alone (the artifact state); batch assigned to
+    // those centroids; a batch vector drops if ANY same-cluster
+    // earlier-id vector (old member or earlier batch mate) has cosine
+    // ≥ τ — q81's matrix-pass rule extended incrementally.
+    val vs = load()
+    val cut = vs.map(_._1).max * 4 / 5
+    val cents = bruteCentroids(vs.filter(_._1 < cut))
+    val oldAsg = assignTo(vs.filter(_._1 < cut), cents)
+    val batchAsg = assignTo(vs.filter(_._1 >= cut), cents)
+    val all = (oldAsg ++ batchAsg).map { case (id, cid, _, v) =>
+      (id, cid, v, math.sqrt(dot(v, v)))
+    }
+    val byCluster = all.groupBy(_._2)
+    val expect = batchAsg.map { case (id, cid, _, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      val dom = byCluster(cid).filter { case (aid, _, av, an) =>
+        aid < id && dot(v, av) / (nrm * an) >= Tau
+      }
+      val droppedBy = if (dom.isEmpty) None else Some(dom.map(_._1).min)
+      (id, cid, droppedBy.isEmpty, droppedBy)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q88_incremental_semdedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(got.toSeq === expect.toSeq)
+  }
+
   test("q86 batch assignment matches brute-force old-corpus Lloyd's") {
     val vs = load()
     val cut = vs.map(_._1).max * 4 / 5

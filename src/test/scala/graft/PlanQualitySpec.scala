@@ -299,6 +299,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q86 re-runs a Lloyd update per batch:\n$cp")
   }
 
+  test("q88: batch broadcasts against the cluster-pruned member artifact — no Lloyd re-run") {
+    val p = plan("q88_incremental_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"q88 degenerates:\n$p")
+    val cp = graft.queries.Embeddings.lastIncrementalSemPlan
+    assert(cp.nonEmpty, "q88 member-join plan was not captured")
+    assert(cp.contains("graft_sem_members"),
+      s"q88 does not read the persisted member artifact:\n$cp")
+    assert(cp.contains("BroadcastHashJoin"),
+      s"q88 does not broadcast the batch side:\n$cp")
+    assert(!cp.contains("SortMergeJoin"),
+      s"q88 shuffles the member artifact to pair up:\n$cp")
+    assert(cp.contains("PartitionFilters: [cluster") &&
+      (cp.contains("INSET") || cp.contains(" IN (")),
+      s"q88 member scan lost the static cluster partition prune:\n$cp")
+    // clustering ran at artifact-build time: no centroid-update stage
+    // (fixed-point sums / posexplode) may appear per batch
+    assert(!cp.contains("partial_sum") && !cp.contains("posexplode"),
+      s"q88 re-runs a Lloyd update per batch:\n$cp")
+  }
+
   test("q80: centroid update combines map-side; assignment is an argmax") {
     val p = plan("q80_kmeans")
     assert(!p.contains("Window"), s"q80 plans a window:\n$p")
