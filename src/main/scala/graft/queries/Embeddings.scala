@@ -528,11 +528,14 @@ object Embeddings {
     }),
 
     // ---- q80: deterministic distributed k-means (Lloyd's) --------------
-    // The clustering member of the embedding family: k=8, 3 iterations,
-    // deterministic init (k lowest vec_ids), FIXED-POINT centroid
-    // accumulation (see [[FpScale]]) so the result is bit-stable under
-    // any partitioning — the property that makes a distributed k-means
-    // oracle-checkable at all. Per iteration: one broadcast of k
+    // The clustering member of the embedding family: k and the
+    // iteration count are confs (`graft.kmeans.k` / `graft.kmeans
+    // .iters`, folded into the memo and artifact identities),
+    // deterministic hash-sample init (the hash60-ranked top-k — see
+    // [[kmeansCentroids]]), FIXED-POINT centroid accumulation (see
+    // [[FpScale]]) so the result is bit-stable under any partitioning —
+    // the property that makes a distributed k-means oracle-checkable at
+    // all. Per iteration: one broadcast of k
     // centroids + one shuffle of ≤ k·dim·tasks partial-sum rows; corpus
     // rows never shuffle. At 100 TB this is the standard pre-step for
     // cluster-based curation (SemDeDup, cluster-balanced sampling).
@@ -711,8 +714,10 @@ object Embeddings {
     // shuffle-mode discipline, deterministic where DPP's benefit
     // heuristic is not) — and (b) earlier-id batch mates (a
     // |batch|-bounded self-join). Old members all precede the
-    // batch (ids < cut), matching q81's earlier-id semantics; the
-    // member side is capBuckets-guarded by graft.semdedup.maxCluster.
+    // batch (ids < cut), matching q81's earlier-id semantics; both
+    // candidate sides pass through ONE capBuckets guard on the
+    // cluster's combined size (graft.semdedup.maxCluster), so a
+    // mega-cluster's batch vectors surface as kept, exactly as in q81.
     // The oracle re-derives the old clustering from scratch —
     // equivalence holds because the artifacts ARE that converged
     // state, persisted.
@@ -748,22 +753,28 @@ object Embeddings {
         col("v").as("bv"), col("nrm").as("bn"))
       val bClusters = batchAsg.select(col("cluster")).distinct()
         .collect().map(_.getInt(0)).sorted
-      val cappedMembers = TextPipeline.capBuckets(
-        members.where(col("cluster").isin(bClusters: _*)), Seq("cluster"),
+      // earlier-id candidates = old members (cluster-pruned artifact
+      // scan) ∪ earlier batch mates — ONE frame, so the capBuckets
+      // guard sees each cluster's COMBINED size and an over-cap cluster
+      // generates no pairs from EITHER side: its batch vectors surface
+      // as kept, exactly q81's capped-cluster semantics (the join's
+      // equi-key is the cluster id, so dropping a cluster from the
+      // candidate side removes every pair it would have produced)
+      val earlier = members
+        .where(col("cluster").isin(bClusters: _*))
+        .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+        .unionByName(batchAsg
+          .select(col("vec_id"), col("cluster"), col("v"), col("nrm")))
+      val capped = TextPipeline.capBuckets(earlier, Seq("cluster"),
         s, "q88 semdedup clusters", "graft.semdedup.maxCluster")
-      val domOldLazy = cappedMembers.join(broadcast(b), Seq("cluster"))
+      val domLazy = capped.join(broadcast(b), Seq("cluster"))
         .where(col("vec_id") < col("b_id") &&
           (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
             >= lit(semTau(s)))
         .select(col("b_id"), col("vec_id"))
       lastIncrementalSemPlan =
-        domOldLazy.queryExecution.executedPlan.toString
-      val domBatch = batchAsg.join(b, Seq("cluster"))
-        .where(col("vec_id") < col("b_id") &&
-          (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
-            >= lit(semTau(s)))
-        .select(col("b_id"), col("vec_id"))
-      val dom = domOldLazy.unionByName(domBatch)
+        domLazy.queryExecution.executedPlan.toString
+      val dom = domLazy
         .groupBy(col("b_id")).agg(min(col("vec_id")).as("dropped_by"))
         .withColumnRenamed("b_id", "vec_id")
       batchAsg.select(col("vec_id"), col("cluster").cast("long"))

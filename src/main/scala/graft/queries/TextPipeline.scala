@@ -908,7 +908,8 @@ object TextPipeline {
     // q67's batch shape as the Structured Streaming deployment it exists
     // for: crawl batches ARRIVE as a stream, and each micro-batch is
     // deduped inside `foreachBatch` against the accumulated-state
-    // side-table — a per-run artifact seeded from the persisted
+    // side-table — a per-run artifact (application id in its identity,
+    // dropped when the stream ends) seeded from the persisted
     // signature index, into which each epoch's bands are
     // [[graft.sources.SideTable.append]]ed AFTER scoring. `seen` is
     // therefore always a plain parquet scan of the artifact: the
@@ -938,7 +939,11 @@ object TextPipeline {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
       val idx = s.read.parquet(signatureIndex(s, dir, cut))
-      val seenKey = s"$dir#$cut#stream"
+      // the accumulated state is PER-RUN (seeded, appended to, then
+      // dropped below) — fold the application id into its identity so
+      // two JVMs sharing graft.artifacts.dir never seed/append/delete
+      // each other's in-flight stream state
+      val seenKey = s"$dir#$cut#stream#${s.sparkContext.applicationId}"
       val dataPath = Some(s"$dir/documents.parquet")
       val prevRefresh = s.conf.getOption("graft.artifacts.refresh")
       s.conf.set("graft.artifacts.refresh", "true")
@@ -1009,7 +1014,12 @@ object TextPipeline {
         }
         .start()
       try chunks.foreach { c => ms.addData(c); query.processAllAvailable() }
-      finally query.stop()
+      finally {
+        query.stop()
+        // per-run state ends with the run; every per-epoch result is
+        // already localCheckpoint'd, so nothing re-reads the artifact
+        graft.sources.SideTable.drop(s, "stream_seen", seenKey, dataPath)
+      }
       acc.reduceOption(_ unionByName _)
         .getOrElse(s.createDataFrame(
           s.sparkContext.emptyRDD[Row],

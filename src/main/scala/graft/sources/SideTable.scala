@@ -35,10 +35,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - '''refresh''' — `graft.artifacts.refresh=true` forces a rebuild
   *    (memo evicted, on-disk dir replaced). Set it transiently for
   *    maintenance; every `ensure` under it rebuilds.
-  *  - '''append''' — [[append]] adds rows to a built artifact and
-  *    updates its manifest: the crawl loop (score a batch against the
-  *    gram-set artifact, then union the batch's grams into it).
-  *    Single-writer semantics — the caller serializes appends.
+  *  - '''append''' — [[append]] adds rows to a built artifact, updates
+  *    its manifest, and drops the artifact's bloom companion (stale
+  *    filters would have false negatives): the crawl loop (score a
+  *    batch against the gram-set artifact, then union the batch's
+  *    grams into it). Single-writer semantics — the caller serializes
+  *    appends.
   *
   * Paths are content-determined (md5 of the full key) under
   * `graft.artifacts.dir` (default java.io.tmpdir); a real deployment
@@ -152,25 +154,42 @@ object SideTable {
     * when `graft.artifacts.bloom=true`): ONE row holding a serialized
     * bloom filter over `keyCol` of the artifact at `exactPath`,
     * persisted as `<name>_bloom` under the same key/data identity —
-    * rebuilt exactly when the exact artifact is. Sized at 16 bits per
+    * rebuilt exactly when the exact artifact is, and dropped by
+    * [[append]] (a filter compiled from pre-append rows would have
+    * false NEGATIVES for the appended keys). Sized at 16 bits per
     * key (false-positive rate ≈ 5·10⁻⁴), capped by
-    * `graft.artifacts.bloomMaxBits`. Returns the filter BYTES: the
-    * 1-row collect is the bounded-metadata grain, and the caller probes
-    * rows via [[graft.functions.Bloom.mightContain]] — negatives skip
-    * exact verification (no false negatives), positives still verify
-    * against the exact artifact. */
+    * `graft.artifacts.bloomMaxBits`; the key count comes from the
+    * artifact's manifest, never a second full scan. Returns the filter
+    * BYTES: the 1-row collect is the bounded-metadata grain, and the
+    * caller probes rows via [[graft.functions.Bloom.mightContain]] —
+    * negatives skip exact verification (no false negatives), positives
+    * still verify against the exact artifact. */
   def ensureBloomOf(s: SparkSession, name: String, key: String,
       dataPath: Option[String], exactPath: String,
       keyCol: String): Array[Byte] = {
-    val path = ensure(s, s"${name}_bloom", key, dataPath) {
-      import org.apache.spark.sql.functions.col
-      val exact = s.read.parquet(exactPath)
-      val n = math.max(exact.count(), 1L)
-      val maxBits = s.conf.get("graft.artifacts.bloomMaxBits",
-        (1L << 27).toString).toLong
-      val bits = math.min(math.max(n * 16L, 64L), maxBits)
-      exact.agg(graft.functions.Bloom.agg(col(keyCol), n, bits).as("bf"))
-    }
+    val n = math.max(manifest(exactPath).map(_._2)
+      .getOrElse(s.read.parquet(exactPath).count()), 1L)
+    val maxBits = s.conf.get("graft.artifacts.bloomMaxBits",
+      (1L << 27).toString).toLong
+    val bits = math.min(math.max(n * 16L, 64L), maxBits)
+    // `BloomFilterAggregate` silently clamps its size arguments to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2^26) and
+    // .maxNumItems (4·10⁶) — below the documented bloomMaxBits cap, so
+    // past ~4M keys the 16-bits/key sizing would quietly degrade.
+    // Raise both for the duration of the build (analysis and the write
+    // job both run inside `ensure`), restore after.
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = Seq(bitsConf, itemsConf).map(c => c -> s.conf.getOption(c))
+    s.conf.set(bitsConf, math.max(bits, 1L << 26).toString)
+    s.conf.set(itemsConf, math.max(n, 4000000L).toString)
+    val path =
+      try ensure(s, s"${name}_bloom", key, dataPath) {
+        import org.apache.spark.sql.functions.col
+        s.read.parquet(exactPath)
+          .agg(graft.functions.Bloom.agg(col(keyCol), n, bits).as("bf"))
+      } finally prev.foreach { case (c, v) =>
+        v.fold(s.conf.unset(c))(s.conf.set(c, _)) }
     s.read.parquet(path).head().getAs[Array[Byte]](0)
   }
 
@@ -192,9 +211,34 @@ object SideTable {
     // loop — the manifest row count is the running sum instead
     val deltaRows = delta.count()
     delta.write.mode("append").parquet(path)
-    val rows = manifest(path).map(_._2).getOrElse(0L) + deltaRows
+    // a lost/unparseable manifest falls back to a true recount — never
+    // to 0, which would silently reset the running sum to the delta
+    val rows = manifest(path).map(_._2 + deltaRows)
+      .getOrElse(s.read.parquet(path).count())
     writeManifest(new File(path), name, fk, rows)
+    // the artifact's contents changed under an UNCHANGED identity: a
+    // bloom companion compiled from the pre-append rows would have
+    // false negatives for the appended keys, breaking the contract its
+    // callers rely on to skip exact verification — drop it so the next
+    // ensureBloomOf recompiles from the updated artifact (same
+    // single-writer scope as the append itself)
+    invalidate(s, s"${name}_bloom", fk)
     path
+  }
+
+  /** Deletes artifact `name` for the given identity — on disk and from
+    * this session's memo; a no-op if absent. The lifecycle end for
+    * PER-RUN artifacts (q76's accumulated stream state). */
+  def drop(s: SparkSession, name: String, key: String,
+      dataPath: Option[String] = None): Unit =
+    invalidate(s, name, fullKey(key, dataPath))
+
+  private def invalidate(s: SparkSession, name: String, fk: String): Unit = {
+    memo.remove((s, s"$name#$fk"))
+    val root = new File(s.conf.get("graft.artifacts.dir",
+      sys.props("java.io.tmpdir")))
+    val dir = new File(root, s"graft_${name}_${md5hex(fk)}")
+    if (dir.exists()) deleteTree(dir)
   }
 
   private[graft] def clear(): Unit = memo.clear()

@@ -234,6 +234,33 @@ class DedupGuardSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.semdedup.maxCluster")
   }
 
+  test("q88: the cap covers BOTH candidate sides — batch mates included") {
+    DedupGuard.reset()
+    // q88's earlier-id candidates (old members ∪ earlier batch mates)
+    // pass through ONE capBuckets guard on the cluster's combined size:
+    // an over-cap cluster generates no pairs from either side, so its
+    // batch vectors surface as kept — q81's capped-cluster semantics,
+    // with no silently-unguarded batch self-join left behind. cap=1
+    // makes every ≥2-member cluster oversized: the drops must be loud
+    // and the whole batch must report kept.
+    val dir = "/root/testdata/sf0.001"
+    val dflt = graft.queries.Embeddings
+      .defs("q88_incremental_semdedup")(spark, dir).collect()
+    assert(dflt.exists(!_.getBoolean(2))) // default run has real drops
+    assert(DedupGuard.skippedBuckets.get() === 0) // ...without capping
+    spark.conf.set("graft.semdedup.maxCluster", "1")
+    try {
+      val rows = graft.queries.Embeddings
+        .defs("q88_incremental_semdedup")(spark, dir).collect()
+      assert(rows.length === dflt.length) // every batch vec still reports
+      assert(DedupGuard.skippedBuckets.get() > 0)
+      rows.foreach { r =>
+        assert(r.getBoolean(2) && r.isNullAt(3),
+          s"vec ${r.getLong(0)} dropped by a capped cluster's pair")
+      }
+    } finally spark.conf.unset("graft.semdedup.maxCluster")
+  }
+
   test("q27: band-bucket cap fires on real near-dup corpus when lowered") {
     DedupGuard.reset()
     // cap=1 makes EVERY ≥2-doc band bucket oversized: the sf0.001 corpus

@@ -154,6 +154,53 @@ class SideTableSpec extends AnyFunSuite {
     }
   }
 
+  test("append invalidates the bloom companion — no stale false negatives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    freshRoot {
+      val p = SideTable.ensure(spark, "spec_bloomsync", "k") {
+        Seq(1L, 2L).toDF("id")
+      }
+      def contains(bf: Array[Byte], v: Long): Boolean =
+        Seq(v).toDF("id")
+          .select(graft.functions.Bloom.mightContain(bf, col("id")))
+          .head().getBoolean(0)
+      val sizingConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val before = spark.conf.getOption(sizingConf)
+      val bf1 = SideTable.ensureBloomOf(spark, "spec_bloomsync", "k",
+        None, p, "id")
+      assert(contains(bf1, 1L) && contains(bf1, 2L))
+      // the sizing-conf raise around the build must not leak into the
+      // session
+      assert(spark.conf.getOption(sizingConf) === before)
+      SideTable.append(spark, "spec_bloomsync", "k") { Seq(99L).toDF("id") }
+      // a stale companion would probe 99 negative and its caller would
+      // skip the exact join — the no-false-negative contract violated;
+      // append must have dropped it so this recompiles
+      val bf2 = SideTable.ensureBloomOf(spark, "spec_bloomsync", "k",
+        None, p, "id")
+      assert(contains(bf2, 99L),
+        "appended key probes negative: bloom companion is stale")
+    }
+  }
+
+  test("drop deletes the artifact on disk and from the session memo") {
+    import spark.implicits._
+    freshRoot {
+      val builds = new AtomicInteger
+      def build() = SideTable.ensure(spark, "spec_drop", "k") {
+        builds.incrementAndGet()
+        Seq(1L).toDF("id")
+      }
+      val p = build()
+      assert(new java.io.File(p).isDirectory)
+      SideTable.drop(spark, "spec_drop", "k")
+      assert(!new java.io.File(p).exists())
+      assert(build() === p && builds.get() === 2,
+        "post-drop ensure must rebuild, not serve the stale memo")
+    }
+  }
+
   test("append before ensure fails loudly") {
     import spark.implicits._
     freshRoot {
