@@ -126,12 +126,19 @@ object Embeddings {
   private val KmItersDefault = 3
   private val SemTauDefault = 0.45
 
+  private val RerankCDefault = 20
+  private val OodTauDefault = 0.12
+
   private[graft] def kmK(s: SparkSession): Int =
     s.conf.get("graft.kmeans.k", KmKDefault.toString).toInt
   private[graft] def kmIters(s: SparkSession): Int =
     s.conf.get("graft.kmeans.iters", KmItersDefault.toString).toInt
   private[graft] def semTau(s: SparkSession): Double =
     s.conf.get("graft.semdedup.tau", SemTauDefault.toString).toDouble
+  private[graft] def rerankC(s: SparkSession): Int =
+    s.conf.get("graft.ann.rerankCandidates", RerankCDefault.toString).toInt
+  private[graft] def oodTau(s: SparkSession): Double =
+    s.conf.get("graft.ood.tau", OodTauDefault.toString).toDouble
 
   /** Fixed-point scale (2^20) for centroid accumulation. Multiplying a
     * double by a power of two is EXACT in binary floating point (no
@@ -659,6 +666,102 @@ object Embeddings {
         .orderBy("q_id")
     }),
 
+    // ---- q90: two-stage ANN — quantized candidates, exact re-rank ------
+    // The deployment retrieval shape q82's audit justifies: stage 1
+    // searches ONLY the int8-quantized index — at 100 TB the sole
+    // full-corpus pass, over vectors 8× smaller than the doubles — for
+    // `graft.ann.rerankCandidates` (default 20) candidates per query;
+    // stage 2 fetches EXACT vectors for the candidates alone (their
+    // ≤ C·|queries| ids broadcast against the corpus scan as a
+    // semi-join — the corpus never shuffles) and re-ranks by exact
+    // cosine to the final top-5. Quantization can still cost recall
+    // (bounded by C; q82 measures it) but never ranking error: the
+    // output order is exact cosine over the candidate set.
+    "q90_rerank_ann" -> ((s, dir) => {
+      val e = normalized(s, dir)
+        .localCheckpoint() // read by the quantizer AND the re-rank fetch
+      val qz = e.select(col("vec_id"), col("v"),
+          array_max(transform(col("v"), x => abs(x))).as("mx"))
+        .where(col("mx") > 0)
+        .select(col("vec_id"),
+          transform(col("v"),
+            x => floor((x * (lit(127.0d) / col("mx"))) + lit(0.5d))
+              .cast("double")).as("qv"))
+        .select(col("vec_id"), col("qv"),
+          sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
+      val qq = qz.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+          col("qn").as("qqn"))
+        .localCheckpoint() // tiny; probe side of the stage-1 scan
+      val cand = topkPerQuery(
+          qz.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              (dotNative(col("qqv"), col("qv")) / (col("qqn") * col("qn")))
+                .as("cos")), rerankC(s))
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint() // ≤ C·|q| rows; the fetch probe + re-rank spine
+      val fetch = e.join(
+        broadcast(cand.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi") // exact payload for candidates ONLY
+      val eq = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("ev"),
+          col("nrm").as("en"))
+      val scored = cand
+        .join(fetch, Seq("vec_id"))
+        .join(broadcast(eq), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dotNative(col("ev"), col("v")) / (col("en") * col("nrm")))
+            .as("cos"))
+      topkPerQuery(scored, 5)
+    }),
+
+    // ---- q91: batch out-of-distribution audit vs persisted centroids --
+    // The ingest drift monitor a crawl pipeline runs BEFORE committing a
+    // batch: how well does new content fit the OLD corpus's semantic
+    // geometry? Fit = max cosine to any persisted centroid (a cosine
+    // notion — the embedding-dedup family's metric — distinct from
+    // q86's Euclidean assignment); a batch vector with fit below
+    // `graft.ood.tau` (default 0.12) is out-of-distribution. Per
+    // centroid: n_batch, n_ood, ood_rate, min_fit — a rising ood_rate,
+    // or one cluster's collapsing min_fit, is the rebuild-the-artifact
+    // signal q86's per-vector score stream aggregates to at the
+    // decision grain. Cost per batch: one k-row broadcast + a map-side
+    // argmax over the batch, zero old-corpus reads; the report is
+    // ≤ k rows.
+    "q91_batch_ood" -> ((s, dir) => {
+      val cut = BatchCut.cut(s,
+        Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
+      val k = kmK(s); val it = kmIters(s)
+      val path = graft.sources.SideTable.ensure(s, "km_centroids",
+          s"$dir#$cut#k$k-i$it-s${FpScale.toLong}-hinit",
+          Some(s"$dir/embeddings.parquet")) {
+        kmeansCentroids(
+          normalized(s, dir).where(col("vec_id") < cut).localCheckpoint(),
+          k, it, capture = false)
+      }
+      val cents = s.read.parquet(path)
+      val fit = normalized(s, dir).where(col("vec_id") >= cut)
+        .join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("cid"),
+          (dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+            .as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cid"), col("cos")),
+          struct(col("cos"), (-col("cid")).as("nc"))).as("r"))
+        .select(col("vec_id"), col("r.cid").as("cluster"),
+          col("r.cos").as("fit"))
+      fit.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_batch"),
+          sum(when(col("fit") < lit(oodTau(s)), 1L).otherwise(0L))
+            .as("n_ood"),
+          min(col("fit")).as("min_fit"))
+        .select(col("cluster"), col("n_batch"), col("n_ood"),
+          (col("n_ood").cast("double") / col("n_batch").cast("double"))
+            .as("ood_rate"),
+          col("min_fit"))
+        .orderBy("cluster")
+    }),
+
     // ---- q86: incremental cluster assignment vs persisted centroids ----
     // The clustering member of the incremental-artifact family (q67
     // signatures, q69 LM, q72 gram set, q78 IVF index, q79 pair index):
@@ -1040,6 +1143,67 @@ object Embeddings {
            |  coalesce(n_hit, 0)::double / 5 AS recall, max_abs_err
            |FROM qids LEFT JOIN hits USING (q_id) LEFT JOIN errs USING (q_id)
            |ORDER BY q_id""".stripMargin),
+
+    // Stage 1 is q82's quantized search widened to C candidates; stage 2
+    // re-ranks the candidate set by exact cosine.
+    "q90_rerank_ann" ->
+      (baseCte +
+        s""", qz0 AS (
+           |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM e
+           |), qz AS (
+           |  SELECT vec_id,
+           |    list_transform(v, x -> floor((x * (127.0 / mx)) + 0.5)::double) qv
+           |  FROM qz0 WHERE mx > 0
+           |), qn AS (
+           |  SELECT vec_id, qv, sqrt(${duckDot("qv", "qv")}) qn FROM qz
+           |), qq AS (SELECT vec_id q_id, qv qqv, qn qqn FROM qn WHERE vec_id < 5),
+           |qscored AS (
+           |  SELECT q_id, qn.vec_id, (${duckDot("qqv", "qv")} / (qqn * qn.qn)) AS cos
+           |  FROM qn JOIN qq ON qn.vec_id <> qq.q_id
+           |), cand AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+           |    FROM qscored
+           |  ) WHERE rnk <= $RerankCDefault
+           |), q AS (SELECT vec_id q_id, v ev, nrm en FROM e WHERE vec_id < 5),
+           |rer AS (
+           |  SELECT c.q_id, c.vec_id,
+           |    (${duckDot("q.ev", "e.v")} / (q.en * e.nrm)) AS cos
+           |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+           |    JOIN q ON q.q_id = c.q_id
+           |)
+           |SELECT q_id, vec_id, cos, rank FROM (
+           |  SELECT q_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+           |  FROM rer
+           |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // The oracle rebuilds the old-corpus centroids from scratch (it has
+    // no artifact); fit = max cosine to any centroid, ties → lowest cid
+    // (the Spark side's max_by key struct mirrors ORDER BY cos DESC, cid).
+    "q91_batch_ood" ->
+      (baseCte +
+        """, cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+          |old AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin +
+        kmCtesFrom("old") +
+        s""", fit AS (
+           |  SELECT vec_id, cid, cos FROM (
+           |    SELECT b.vec_id, c.cid,
+           |      ${duckCos("b.v", "b.nrm", "c.cv", "c.cn")} AS cos,
+           |      row_number() OVER (PARTITION BY b.vec_id
+           |        ORDER BY ${duckCos("b.v", "b.nrm", "c.cv", "c.cn")} DESC, c.cid) rnk
+           |    FROM (SELECT vec_id, v, nrm FROM e
+           |          WHERE vec_id >= (SELECT c FROM cut)) b
+           |      CROSS JOIN c$KmItersDefault c
+           |  ) WHERE rnk = 1
+           |)
+           |SELECT cid AS cluster, count(*)::bigint AS n_batch,
+           |  sum(CASE WHEN cos < $OodTauDefault THEN 1 ELSE 0 END)::bigint AS n_ood,
+           |  (sum(CASE WHEN cos < $OodTauDefault THEN 1 ELSE 0 END)::double
+           |    / count(*)::double) AS ood_rate,
+           |  min(cos) AS min_fit
+           |FROM fit GROUP BY cid ORDER BY cluster""".stripMargin),
 
     "q31_ann_lsh" -> annPairsSql,
 

@@ -9,7 +9,7 @@ import graft.queries.TextPipeline
   * that cache intermediates for their own internal self-joins: the
   * near-dup pipelines materialize reusable results via localCheckpoint
   * (RDD blocks freed when the frame is GC'd) and unpersist every cached
-  * frame before returning. Without this, a Verify-style 86-query loop or
+  * frame before returning. Without this, a Verify-style 91-query loop or
   * a user session piles cached tables up until LRU eviction starts
   * thrashing executor memory. */
 class CacheHygieneSpec extends AnyFunSuite {
@@ -31,7 +31,8 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q80_kmeans", "q81_semdedup", "q82_quantized_ann",
         "q83_neardup_decontam", "q85_cluster_sample",
         "q86_incremental_assign", "q87_dedup_threshold_audit",
-        "q88_incremental_semdedup", "q89_bloom_audit")) {
+        "q88_incremental_semdedup", "q89_bloom_audit",
+        "q90_rerank_ann", "q91_batch_ood")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -173,6 +173,59 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q90 re-rank matches the brute two-stage retrieval") {
+    // Stage 1: top-20 candidates by quantized cosine (q82's grid);
+    // stage 2: exact-cosine re-rank of the candidate set to top-5.
+    // Ties break to the lower vec_id on both stages, mirroring the
+    // TopK aggregate's (score DESC, id ASC) order.
+    val vs = load()
+    val exact = vs.toMap
+    val qz = vs.flatMap { case (id, v) =>
+      val mx = v.map(math.abs).max
+      if (mx <= 0) None
+      else {
+        val qv = v.map(x => math.floor((x * (127.0d / mx)) + 0.5d))
+        Some((id, qv, math.sqrt(dot(qv, qv))))
+      }
+    }
+    val expect = qz.filter(_._1 < 5).sortBy(_._1)
+      .flatMap { case (qid, qqv, qqn) =>
+        val cand = qz.filter(_._1 != qid)
+          .map { case (id, qv, qn) => (id, dot(qqv, qv) / (qqn * qn)) }
+          .sortBy { case (id, cos) => (-cos, id) }.take(20).map(_._1)
+        val ev = exact(qid); val en = math.sqrt(dot(ev, ev))
+        cand.map { id =>
+          val v = exact(id)
+          (id, dot(ev, v) / (en * math.sqrt(dot(v, v))))
+        }.sortBy { case (id, cos) => (-cos, id) }.take(5).zipWithIndex
+          .map { case ((id, cos), i) => (qid, id, cos, i + 1) }
+      }
+    val got = SparkEntry.queries("q90_rerank_ann")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("q91 OOD audit matches the brute-force max-cosine fit") {
+    val vs = load()
+    val cut = vs.map(_._1).max * 4 / 5
+    val cents = bruteCentroids(vs.filter(_._1 < cut))
+    val fits = vs.filter(_._1 >= cut).map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      cents.map { case (c, cv, cn) => (c, dot(v, cv) / (nrm * cn)) }
+        .maxBy { case (c, s) => (s, -c) }
+    }
+    val expect = fits.groupBy(_._1).toSeq.map { case (cid, xs) =>
+      val nOod = xs.count(_._2 < 0.12d).toLong
+      (cid, xs.length.toLong, nOod,
+        nOod.toDouble / xs.length.toDouble, xs.map(_._2).min)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q91_batch_ood")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === expect)
+  }
+
   test("q85 sample matches the brute-force per-cluster hash ranking") {
     val brute = bruteKmeans(load())
       .groupBy(_._2).toSeq.flatMap { case (cid, rows) =>

@@ -320,6 +320,30 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q88 re-runs a Lloyd update per batch:\n$cp")
   }
 
+  test("q90: stage-2 fetch is a broadcast semi-join — the corpus never shuffles") {
+    val p = plan("q90_rerank_ann")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("SortMergeJoin"), s"q90 shuffles to re-rank:\n$p")
+    // exact vectors are fetched for candidate ids only: the ≤ C·|q| id
+    // set broadcasts against the corpus scan, never the reverse
+    assert(p.contains("LeftSemi"),
+      s"q90 exact fetch lost the candidate semi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q90 re-rank joins are not broadcast:\n$p")
+  }
+
+  test("q91: OOD audit reads the centroid artifact; batch cut reaches the scan") {
+    val p = plan("q91_batch_ood")
+    assert(p.contains("graft_km_centroids"),
+      s"q91 does not read the persisted centroid artifact:\n$p")
+    assert(p.contains("GreaterThanOrEqual(vec_id"),
+      s"q91 batch cut not pushed to the embeddings scan:\n$p")
+    // clustering ran at artifact-build time: no Lloyd update per batch
+    assert(!p.contains("posexplode"), s"q91 re-runs a Lloyd update:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("max_by"),
+      s"q91 fit argmax lost map-side combine:\n$p")
+  }
+
   test("q80: centroid update combines map-side; assignment is an argmax") {
     val p = plan("q80_kmeans")
     assert(!p.contains("Window"), s"q80 plans a window:\n$p")
