@@ -525,7 +525,8 @@ object CorpusQuality {
         // window pass), so the argmax/anti-join build side must not
         // re-derive per pass
       val survivors = d.where(qualityKeepCond)
-        .join(drop, Seq("doc_id"), "left_anti")
+        .join(broadcast(drop), Seq("doc_id"), "left_anti") // the corpus
+        // never shuffles to drop cluster members
       tokenBudget(s, survivors)
     }),
 
@@ -598,6 +599,45 @@ object CorpusQuality {
             col("n_good").cast("double") / col("total_good").cast("double"))
             .otherwise(lit(0.0d)).as("weight"))
         .orderBy("source")
+    }),
+
+    // ---- q93: curation provenance ledger -------------------------------
+    // "Why is my document (not) in the training set?" — the per-doc
+    // lineage row a data owner asks for and a compliance review
+    // requires. One row per corpus doc: the FIRST pipeline stage that
+    // decided its fate, in q77's exact stage order — 'quality' (fails
+    // q66's keep conjunction), 'near_dup' (on q74's quality-canonical
+    // drop list), 'budget' (survived both, cut by q63's token budget),
+    // or 'kept'. Composition mirrors q77 exactly (same predicate, same
+    // memo-backed drop list, same budget stage over the same survivor
+    // frame), so ledger['kept'] IS q77's output set — the audit and the
+    // artifact cannot drift apart. Scale: one corpus scan labeled by a
+    // codegen predicate + two joins — the drop list is cluster-member-
+    // bounded (broadcast), the budget keep list is budget-bounded, not
+    // corpus-bounded (a trillion-token budget at 100 TB outgrows the
+    // hint: drop it and AQE plans the join; the ledger is still one
+    // shuffle of the thin 2-col frame at worst).
+    "q93_curation_ledger" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val drop = TextPipeline.qualityDropList(s, dir)
+        .withColumn("near_dup", lit(1))
+        .localCheckpoint() // cluster-member-bounded; read twice (the
+        // survivor anti-join and the ledger label join)
+      val survivors = d.where(qualityKeepCond)
+        .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      val kept = tokenBudget(s, survivors)
+        .select(col("doc_id"), lit(1).as("in_budget"))
+      d.select(col("doc_id"),
+          coalesce(qualityKeepCond, lit(false)).as("q"))
+        .join(broadcast(drop.select(col("doc_id"), col("near_dup"))),
+          Seq("doc_id"), "left")
+        .join(broadcast(kept), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("q"), lit("quality"))
+            .when(col("near_dup").isNotNull, lit("near_dup"))
+            .when(col("in_budget").isNull, lit("budget"))
+            .otherwise(lit("kept")).as("outcome"))
+        .orderBy("doc_id")
     })
   )
 
@@ -941,6 +981,32 @@ object CorpusQuality {
     // (drop = non-keep cluster members), q66's keep conjunction, then
     // q63's global cumsum over the survivors.
     "q77_curation_pipeline" ->
+      (curationCtes +
+        """
+          |SELECT doc_id, n_tokens, cum FROM cums
+          |WHERE cum <= 10000 ORDER BY cum, doc_id""".stripMargin),
+
+    // The ledger reuses q77's CTE chain verbatim: outcome = the first
+    // stage (quality → near_dup → budget) that dropped the doc.
+    "q93_curation_ledger" ->
+      (curationCtes +
+        """
+          |SELECT d.doc_id,
+          |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM qual) THEN 'quality'
+          |       WHEN d.doc_id IN (SELECT doc_id FROM dropset) THEN 'near_dup'
+          |       WHEN d.doc_id NOT IN (SELECT doc_id FROM cums WHERE cum <= 10000)
+          |         THEN 'budget'
+          |       ELSE 'kept' END AS outcome
+          |FROM documents d ORDER BY doc_id""".stripMargin),
+
+    "q84_source_report" -> sourceReportSql
+  )
+
+  /** The q77 curation chain as shared CTEs (pairs → components → drop
+    * set → quality filter → survivors → budget cumsum) — the tail
+    * differs per consumer: q77 emits the kept rows, q93 the per-doc
+    * ledger. */
+  private lazy val curationCtes: String =
       s"""WITH RECURSIVE pairs AS (${TextPipeline.minhashPairsSql}),
          |edges AS (SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs),
          |reach(a, b) AS (
@@ -997,11 +1063,9 @@ object CorpusQuality {
          |    sum(n_tokens) OVER (ORDER BY h, doc_id
          |      ROWS UNBOUNDED PRECEDING)::bigint AS cum
          |  FROM base
-         |)
-         |SELECT doc_id, n_tokens, cum FROM cums
-         |WHERE cum <= 10000 ORDER BY cum, doc_id""".stripMargin,
+         |)""".stripMargin
 
-    "q84_source_report" ->
+  private lazy val sourceReportSql: String =
       """WITH base AS (
         |  SELECT doc_id, source,
         |    len(regexp_split_to_array(trim(text), '\s+'))::int AS n_words,
@@ -1046,5 +1110,4 @@ object CorpusQuality {
         |  CASE WHEN total_good > 0 THEN n_good::double / total_good::double
         |    ELSE 0.0 END AS weight
         |FROM agg CROSS JOIN tot ORDER BY source""".stripMargin
-  )
 }

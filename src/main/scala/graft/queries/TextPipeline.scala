@@ -1259,6 +1259,93 @@ object TextPipeline {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("bin")
+    }),
+
+    // ---- q92: deterministic epoch shuffle → shard manifest -------------
+    // The training-order step after curation: every pretraining epoch
+    // needs a reproducible GLOBAL shuffle of the corpus into ordered
+    // shards, re-randomizable per epoch by a seed — with no rand()
+    // (restart kills it) and no global sort materialized on one node.
+    // The shuffle key is hash60(text # seed): changing
+    // `graft.shuffle.seed` re-permutes the corpus; the same seed is
+    // bit-reproducible at any parallelism. Shard = the key's top bits
+    // (the q63 bit-prefix trick), so shards are CONTIGUOUS hash ranges:
+    // the 100 TB realization is repartitionByRange(h) +
+    // sortWithinPartitions — one shuffle, no driver sort, and
+    // (shard, h, doc_id) order ≡ the global (h, doc_id) order. The
+    // MANIFEST this query emits never even needs the sort: count / token
+    // sum / order-extremal docs (min_by/max_by on the (h, doc_id) key)
+    // / content checksum are all map-side-combinable aggregates — the
+    // audit row a trainer checks against yesterday's epoch before
+    // launching. 'first_doc'/'last_doc' pin the realized order's
+    // endpoints; the checksum pins membership.
+    "q92_shuffle_manifest" -> ((s, dir) => {
+      val seed = s.conf.get("graft.shuffle.seed", "0")
+      val nShards = { // next power of two ⇒ shard key is a bit-prefix
+        val want = s.conf.get("graft.shuffle.shards", "16").toInt
+          .max(1).min(1 << 24)
+        Integer.highestOneBit(want * 2 - 1)
+      }
+      val bits = Integer.numberOfTrailingZeros(nShards)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      d.select(col("doc_id"),
+          bpeTokenCount(col("text")).cast("long").as("n_tokens"),
+          hash60(concat_ws("#", col("text"), lit(seed))).as("h"))
+        .withColumn("shard", shiftright(col("h"), 60 - bits))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min_by(col("doc_id"), struct(col("h"), col("doc_id")))
+            .as("first_doc"),
+          max_by(col("doc_id"), struct(col("h"), col("doc_id")))
+            .as("last_doc"),
+          sum(pmod(col("h"), lit(1000003L))).as("checksum"))
+        .orderBy("shard")
+    }),
+
+    // ---- q94: cross-source duplication attribution ---------------------
+    // Crawl forensics over the verified near-dup graph: which SOURCE
+    // pairs duplicate each other, and how much of the corpus's total
+    // duplication each pair explains — the mirror-detection /
+    // who-copies-whom report a crawl operator reads next to q84's
+    // per-source reputation (a source whose duplication concentrates
+    // against ONE partner is a mirror; spread evenly, boilerplate).
+    // Memo consumer: the verified pair set comes from the session's
+    // single LSH derivation (never re-derived — the q53/q73/q74
+    // counter-pinned contract). Sources are fetched for PAIR ENDPOINTS
+    // only — the pair-doc id set broadcasts against the corpus's thin
+    // (doc_id, source) projection as a semi-join, the corpus never
+    // shuffles — then the unordered (src_a ≤ src_b) labeling
+    // aggregates to ≤ |sources|² rows. Exact-integer counts until the
+    // one final share division (the q84 bit-stability discipline).
+    "q94_source_attribution" -> ((s, dir) => {
+      val pair = pairMemo.computeIfAbsent(
+        memoKey(s, dir), _ => computeRepPairs(s, dir))
+      val pairs = expandRepPairs(pair._1, pair._2)
+        .select(col("d1"), col("d2"))
+        .localCheckpoint() // pair-bounded; read by pairDocs AND the label join
+      val pairDocs = pairs.select(col("d1").as("doc_id"))
+        .unionByName(pairs.select(col("d2").as("doc_id"))).distinct()
+      val srcs = Graft.parquetSource(s, dir).table("documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+        .localCheckpoint() // pair-doc-bounded; both label-join sides
+      val agg = pairs
+        .join(srcs.select(col("doc_id").as("d1"), col("source").as("sa")),
+          Seq("d1"))
+        .join(srcs.select(col("doc_id").as("d2"), col("source").as("sb")),
+          Seq("d2"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint() // ≤ |sources|² rows; read by total AND report
+      val tot = agg.agg(sum(col("n_pairs")).cast("long").as("total_pairs"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("src_a"), col("src_b"), col("n_pairs"),
+          (col("n_pairs").cast("double") / col("total_pairs").cast("double"))
+            .as("pair_share"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -1798,7 +1885,38 @@ object TextPipeline {
           |  FROM cand JOIN sh s1 ON s1.doc_id = d1 JOIN sh s2 ON s2.doc_id = d2
           |)
           |SELECT floor(jac * 10.0)::bigint AS bin, count(*)::bigint AS n_pairs
-          |FROM ver GROUP BY bin ORDER BY bin""".stripMargin)
+          |FROM ver GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // Default confs mirrored: seed "0", 16 shards (top 4 of 60 hash
+    // bits). concat_ws skips NULL text in both engines, so NULL-text
+    // docs land in the seed-only key's shard, tie-broken by doc_id.
+    "q92_shuffle_manifest" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::bigint AS n_tokens,
+        |    ('0x' || substr(md5(concat_ws('#', text, '0')),1,15))::bigint AS h
+        |  FROM documents
+        |), shd AS (SELECT *, h >> 56 AS shard FROM base)
+        |SELECT shard, count(*)::bigint AS n_docs, sum(n_tokens)::bigint AS sum_tokens,
+        |  first(doc_id ORDER BY h, doc_id) AS first_doc,
+        |  last(doc_id ORDER BY h, doc_id) AS last_doc,
+        |  sum(h % 1000003)::bigint AS checksum
+        |FROM shd GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q94_source_attribution" ->
+      (s"""WITH pairs AS ($minhashPairsSql),
+         |lab AS (
+         |  SELECT least(a.source, b.source) src_a,
+         |    greatest(a.source, b.source) src_b
+         |  FROM pairs p JOIN documents a ON a.doc_id = p.d1
+         |    JOIN documents b ON b.doc_id = p.d2
+         |), agg AS (
+         |  SELECT src_a, src_b, count(*)::bigint AS n_pairs
+         |  FROM lab GROUP BY src_a, src_b
+         |)
+         |SELECT src_a, src_b, n_pairs,
+         |  n_pairs::double / (SELECT sum(n_pairs) FROM agg)::double AS pair_share
+         |FROM agg ORDER BY src_a, src_b""".stripMargin)
   )
 
   private lazy val incrementalDedupSql: String =

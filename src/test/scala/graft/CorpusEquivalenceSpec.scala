@@ -204,6 +204,54 @@ class CorpusEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("q92 shard manifest == brute global order at any shard count; seed re-permutes") {
+    // The manifest must equal the brute-force single-threaded shuffle
+    // (shards are contiguous hash-prefix ranges of the global
+    // (h, doc_id) order) at every shard count, be bit-identical on
+    // rerun, and genuinely re-permute when the seed changes.
+    def bpeCount(t: String): Long =
+      "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]".r.findAllIn(t).length.toLong
+    def brute(texts: Seq[String], seed: String,
+        want: Int): Seq[(Long, Long, Long, Long, Long, Long)] = {
+      val bits = Integer.numberOfTrailingZeros(
+        Integer.highestOneBit(want * 2 - 1))
+      texts.zipWithIndex
+        .map { case (t, i) =>
+          (i.toLong, bpeCount(t), h60(t + "#" + seed)) }
+        .groupBy { case (_, _, h) => h >>> (60 - bits) }
+        .toSeq.map { case (shard, rows) =>
+          val ord = rows.sortBy { case (id, _, h) => (h, id) }
+          (shard, rows.size.toLong, rows.map(_._2).sum,
+            ord.head._1, ord.last._1, rows.map(_._3 % 1000003L).sum)
+        }.sortBy(_._1)
+    }
+    for (texts <- sampled(8, 25, 3)) {
+      val dir = corpus(texts)
+      def run(): Seq[(Long, Long, Long, Long, Long, Long)] =
+        TextPipeline.defs("q92_shuffle_manifest")(spark, dir)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      try {
+        for (seed <- Seq("0", "7"); shards <- Seq(1, 4, 16)) {
+          spark.conf.set("graft.shuffle.seed", seed)
+          spark.conf.set("graft.shuffle.shards", shards.toString)
+          assert(run() === brute(texts, seed, shards),
+            s"seed=$seed shards=$shards")
+        }
+        spark.conf.set("graft.shuffle.shards", "16")
+        spark.conf.set("graft.shuffle.seed", "0")
+        val m0 = run()
+        assert(run() === m0, "same seed must be bit-identical on rerun")
+        spark.conf.set("graft.shuffle.seed", "7")
+        assert(run() !== m0, "a new seed must re-permute the corpus")
+      } finally {
+        spark.conf.unset("graft.shuffle.seed")
+        spark.conf.unset("graft.shuffle.shards")
+      }
+    }
+  }
+
   test("q68 passage dedup == brute-force 10-word-chunk df computation") {
     for (texts0 <- sampled(8, 25, 3)) {
       // force real boilerplate: duplicate one doc 3× so its passages

@@ -377,6 +377,46 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q81 nested-loops the corpus:\n$p")
   }
 
+  test("q92: manifest is one map-side-combinable pass — no window, no join") {
+    val p = plan("q92_shuffle_manifest")
+    assert(!p.contains("Window"), s"q92 plans a window:\n$p")
+    assert(!p.contains("Join"), s"q92 plans a join:\n$p")
+    assert(p.contains("partial_min_by") && p.contains("partial_max_by"),
+      s"q92 order-extremal docs lost map-side combine:\n$p")
+  }
+
+  test("q93: ledger labels via broadcast joins — the corpus never shuffles to join") {
+    val p = plan("q93_curation_ledger")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q93 shuffles the corpus to label it:\n$p")
+    // executedPlan.toString prints the join type after the keys, so
+    // assert the pieces: every join is a BroadcastHashJoin, and the
+    // drop-list anti-join is among them
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"q93 drop-list anti-join is not broadcast:\n$p")
+  }
+
+  test("q93/q94 consume the session pair set — no re-derivation") {
+    SparkEntry.queries("q74_quality_keep")(spark, dir).count() // fill memo
+    val n = graft.queries.TextPipeline.repPairComputes.get()
+    SparkEntry.queries("q93_curation_ledger")(spark, dir).count()
+    SparkEntry.queries("q94_source_attribution")(spark, dir).count()
+    assert(graft.queries.TextPipeline.repPairComputes.get() === n,
+      "q93/q94 re-ran the LSH pair derivation")
+  }
+
+  test("q94: attribution never sort-merges; share division is one broadcast total") {
+    // the label joins run eagerly inside the checkpointed agg frame
+    // (their broadcast discipline is covered by the memo-counter test
+    // and the oracle); the final plan must show only the ≤|sources|²
+    // report frame crossed with the broadcast 1-row total
+    val p = plan("q94_source_attribution")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q94 shuffles to label pairs:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q94 share total is not a broadcast 1-row frame:\n$p")
+  }
+
   test("q77: composition reuses the session pair set — no re-derivation") {
     // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
     // keep list → budget) must consume the session's pair set, never
