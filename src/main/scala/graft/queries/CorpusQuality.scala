@@ -638,8 +638,112 @@ object CorpusQuality {
             .when(col("in_budget").isNull, lit("budget"))
             .otherwise(lit("kept")).as("outcome"))
         .orderBy("doc_id")
+    }),
+
+    // ---- q95: incremental per-source reputation ------------------------
+    // q84's report as the crawl loop maintains it: the old corpus's
+    // per-source counters (n_docs/n_dup/n_keep/n_good — exact integers,
+    // so they MERGE exactly) persist as a ≤|sources|-row side-table,
+    // and each batch contributes only its own deltas — quality flags
+    // are per-doc local, and a batch doc is a duplicate iff a
+    // same-content-key doc with a smaller id exists, i.e. its key is in
+    // the old corpus's key artifact (q79's "content_keys" table,
+    // SHARED: same name + identity ⇒ built once per snapshot for both
+    // operators) or an earlier batch doc has the key. Old docs' dup
+    // status never changes when a batch arrives (group reps are minimal
+    // ids), so counter merging is associative and the merged report is
+    // BIT-IDENTICAL to q84's batch-unaware recompute — which is exactly
+    // what the oracle asserts. Scale: zero old-corpus document reads
+    // (one ≤|sources|-row counter read + one narrow key-artifact scan
+    // probed by the broadcast batch key set — the q79 membership
+    // discipline), then |batch|-proportional flag/delta work.
+    "q95_incremental_source_report" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val cPath = graft.sources.SideTable.ensure(s, "src_counters",
+          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
+        val old = d.where(col("doc_id") < cut)
+        val flags = qualityFlags(old, withSource = true)
+          .select(col("doc_id"), col("source"), col("keep"))
+        val members = TextPipeline.exactGroups(old, 3)
+          .select(col("doc_id"), col("rep"))
+        flags.join(members, Seq("doc_id"), "left")
+          .select(col("source"), col("keep"),
+            (col("rep").isNotNull && col("doc_id") =!= col("rep"))
+              .cast("int").as("is_dup"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("is_dup")).cast("long").as("n_dup"),
+            sum(col("keep")).cast("long").as("n_keep"),
+            sum((col("keep") === 1 && col("is_dup") === 0).cast("int"))
+              .cast("long").as("n_good"))
+      }
+      val keyPath = graft.sources.SideTable.ensure(s, "content_keys",
+          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
+        d.where(col("doc_id") < cut && col("text").isNotNull)
+          .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
+          .distinct()
+      }
+      val batch = d.where(col("doc_id") >= cut)
+      val bkeys = batch.where(size(words(col("text"))) >= 3)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", words(col("text")))).as("gk"))
+        .localCheckpoint() // |batch| rows; probe build, first-id agg,
+        // and the dup-flag join all read it
+      // batch keys broadcast against the artifact scan, never the
+      // reverse; hits are ≤ |batch| by construction
+      val hitKeys = s.read.parquet(keyPath)
+        .join(broadcast(bkeys.select(col("gk")).distinct()),
+          Seq("gk"), "left_semi")
+        .withColumn("old_hit", lit(1))
+      val firstIds = bkeys.groupBy(col("gk"))
+        .agg(min(col("doc_id")).as("first_id"))
+      val bdup = bkeys
+        .join(broadcast(hitKeys), Seq("gk"), "left")
+        .join(broadcast(firstIds), Seq("gk"))
+        .select(col("doc_id"),
+          (col("old_hit").isNotNull || col("doc_id") > col("first_id"))
+            .cast("int").as("is_dup"))
+      val deltas = qualityFlags(batch, withSource = true)
+        .select(col("doc_id"), col("source"), col("keep"))
+        .join(broadcast(bdup), Seq("doc_id"), "left")
+        .select(col("source"), col("keep"),
+          coalesce(col("is_dup"), lit(0)).as("is_dup"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).cast("long").as("n_dup"),
+          sum(col("keep")).cast("long").as("n_keep"),
+          sum((col("keep") === 1 && col("is_dup") === 0).cast("int"))
+            .cast("long").as("n_good"))
+      lastIncrementalSrcPlan = deltas.queryExecution.executedPlan.toString
+      val merged = s.read.parquet(cPath).unionByName(deltas)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_dup")).cast("long").as("n_dup"),
+          sum(col("n_keep")).cast("long").as("n_keep"),
+          sum(col("n_good")).cast("long").as("n_good"))
+        .localCheckpoint() // ≤ |sources| rows; read by total AND report
+      val tot = merged.agg(sum(col("n_good")).cast("long")
+        .as("total_good"))
+      merged.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          col("n_keep"), col("n_good"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"),
+          (col("n_keep").cast("double") / col("n_docs").cast("double"))
+            .as("keep_rate"),
+          when(col("total_good") > 0,
+            col("n_good").cast("double") / col("total_good").cast("double"))
+            .otherwise(lit(0.0d)).as("weight"))
+        .orderBy("source")
     })
   )
+
+  /** Physical plan of q95's last batch-delta derivation, captured for
+    * the plan test that proves the batch probes the content-key
+    * artifact (never a full-corpus re-group) and the batch cut reaches
+    * the documents scan. */
+  @volatile private[graft] var lastIncrementalSrcPlan: String = ""
 
   /** q66's keep conjunction as one predicate over raw `text` — shared
     * by q77's survivor filter (the oracle embeds the identical SQL). */
@@ -999,7 +1103,11 @@ object CorpusQuality {
           |       ELSE 'kept' END AS outcome
           |FROM documents d ORDER BY doc_id""".stripMargin),
 
-    "q84_source_report" -> sourceReportSql
+    "q84_source_report" -> sourceReportSql,
+
+    // The incremental path must be indistinguishable from the
+    // batch-unaware recompute: same oracle as q84.
+    "q95_incremental_source_report" -> sourceReportSql
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

@@ -33,7 +33,8 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q86_incremental_assign", "q87_dedup_threshold_audit",
         "q88_incremental_semdedup", "q89_bloom_audit",
         "q90_rerank_ann", "q91_batch_ood", "q92_shuffle_manifest",
-        "q93_curation_ledger", "q94_source_attribution")) {
+        "q93_curation_ledger", "q94_source_attribution",
+        "q95_incremental_source_report")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -194,6 +194,26 @@ class CorpusQualitySpec extends AnyFunSuite {
     finally spark.conf.unset("graft.batch.cut")
   }
 
+  test("q95: incremental report equals q84 at any batch cut") {
+    // Counter merging must be batch-boundary-invariant: wherever the
+    // snapshot/batch line falls, artifact counters + batch deltas have
+    // to reproduce the batch-unaware q84 report bit-for-bit (group reps
+    // are minimal ids, so an old doc's dup status can never be changed
+    // by a later batch).
+    val dir = "/root/testdata/sf0.001"
+    val expect = CorpusQuality.defs("q84_source_report")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    for (cut <- Seq("10", "37", "49")) {
+      spark.conf.set("graft.batch.cut", cut)
+      try {
+        val got = CorpusQuality
+          .defs("q95_incremental_source_report")(spark, dir)
+          .collect().map(_.toSeq).toSeq
+        assert(got === expect, s"cut=$cut")
+      } finally spark.conf.unset("graft.batch.cut")
+    }
+  }
+
   test("q77: output passes the filter, skips dropped dups, respects the budget") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"

@@ -417,6 +417,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q94 share total is not a broadcast 1-row frame:\n$p")
   }
 
+  test("q95: batch deltas probe the key artifact; merge reads no documents") {
+    val p = plan("q95_incremental_source_report")
+    // the merged report joins two ≤|sources|-row count frames with a
+    // broadcast 1-row total — no document scan may survive to it
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext,
+      s"q95 report re-reads the corpus:\n$p")
+    val cp = graft.queries.CorpusQuality.lastIncrementalSrcPlan
+    assert(cp.nonEmpty, "q95 delta plan was not captured")
+    assert(cp.contains("graft_content_keys"),
+      s"q95 does not probe the persisted content-key artifact:\n$cp")
+    assert(cp.contains("GreaterThanOrEqual(doc_id"),
+      s"q95 batch cut is not pushed to the documents scan:\n$cp")
+    assert("documents\\.parquet".r.findAllIn(cp).size <= 1,
+      s"q95 deltas read documents beyond the batch flags scan:\n$cp")
+    assert(!cp.contains("SortMergeJoin"),
+      s"q95 membership joins are not broadcast:\n$cp")
+  }
+
   test("q77: composition reuses the session pair set — no re-derivation") {
     // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
     // keep list → budget) must consume the session's pair set, never
