@@ -106,6 +106,11 @@ object Embeddings {
     * centroid artifact with no per-batch Lloyd iteration. */
   @volatile private[graft] var lastIncrementalAssignPlan: String = ""
 
+  /** Physical plan of q97's last assignment+occupancy aggregate (it runs
+    * eagerly inside the localCheckpoint), captured for the plan test
+    * that proves both aggregates combine map-side. */
+  @volatile private[graft] var lastIvfBalancePlan: String = ""
+
   /** Physical plan of q88's last batch-vs-members dedup join, captured
     * for the plan test that proves the batch broadcasts against the
     * cluster-partitioned member artifact (dynamic partition pruning)
@@ -762,6 +767,98 @@ object Embeddings {
         .orderBy("cluster")
     }),
 
+    // ---- q96: within-cluster hard-negative mining ----------------------
+    // The contrastive-training data op: for every vector, its HARDEST
+    // negative — the highest-cosine neighbor with a DIFFERENT label —
+    // restricted to the vector's own k-means cluster. The restriction is
+    // the scale design, not a shortcut: a cluster is exactly where the
+    // confusable different-label neighbors live (the ones a contrastive
+    // loss learns from), and it bounds the pairwise work to Σ|cluster|²
+    // under the same capBuckets guard as q81, with k ∝ N keeping the
+    // expected cluster size constant. Labels reach the memo'd cluster
+    // frame via one narrow co-partitioned join on vec_id; the per-anchor
+    // argmax is a map-side max_by (ties → lowest neg_id, mirroring the
+    // oracle's ORDER BY cos DESC, vec_id), never a window over the pair
+    // set. Anchors whose cluster holds no other label stay in the output
+    // with NULLs — a training pipeline must know which anchors lack
+    // in-cluster negatives and need a global fallback round.
+    "q96_hard_negatives" -> ((s, dir) => {
+      val km = kmMemo.computeIfAbsent(kmMemoKey(s, dir),
+        _ => computeKmeans(s, dir))
+      val labels = Graft.parquetSource(s, dir).table("embeddings")
+        .select(col("vec_id"), col("label"))
+      val m = km.select(col("vec_id"), col("cluster"), col("v"),
+          col("nrm"))
+        .join(labels, Seq("vec_id"))
+      val capped = TextPipeline.capBuckets(m, Seq("cluster"), s,
+        "q96 hard-negative clusters", "graft.semdedup.maxCluster")
+      val b = capped.select(col("vec_id").as("b_id"), col("cluster"),
+        col("label").as("b_label"), col("v").as("bv"),
+        col("nrm").as("bn"))
+      val neg = capped.join(b, Seq("cluster"))
+        .where(col("b_id") =!= col("vec_id") &&
+          col("b_label") =!= col("label"))
+        .select(col("vec_id"), col("b_id"),
+          (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
+            .as("cos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("b_id"), col("cos")),
+          struct(col("cos"), (-col("b_id")).as("nb"))).as("r"))
+        .select(col("vec_id"), col("r.b_id").as("neg_id"),
+          col("r.cos").as("neg_cos"))
+      km.select(col("vec_id"), col("cluster"))
+        .join(labels, Seq("vec_id"))
+        .join(neg, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("label"),
+          col("neg_id"), col("neg_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- q97: IVF cell-balance audit -----------------------------------
+    // Index-health op for the q46/q78 IVF family, in the q70/q73/q87
+    // audit-the-approximation discipline: per coarse cell, occupancy and
+    // load factor. At 100 TB the cell is the table's PHYSICAL partition
+    // key, so this histogram IS the file-size layout: a cell at load
+    // factor L makes every probe that touches it read L× the ideal
+    // partition — the number that says "re-train the codebook (nlist ∝
+    // N)" before hot cells turn probes into near-full scans. Empty cells
+    // are real rows (n_vecs = 0): a dead centroid wastes a partition
+    // slot and a probe candidate. Exact-integer counts; the only doubles
+    // are the two final divisions, in a fixed op order mirrored by the
+    // oracle.
+    "q97_ivf_balance" -> ((s, dir) => {
+      val e = normalized(s, dir)
+      val cents = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      // q46's exact assignment rule (argmax cosine, ties → lowest cid)
+      // as the same map-side-combinable max_by
+      val occLazy = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("cid"),
+          (dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+            .as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("sim"), (-col("cid")).as("nc")))
+          .as("cell"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      lastIvfBalancePlan = occLazy.queryExecution.executedPlan.toString
+      val occ = occLazy
+        .localCheckpoint() // ≤ nlist rows; read by the total AND the report
+      val tot = occ.agg(sum(col("n_vecs")).cast("long").as("total"))
+      cents.select(col("cid").as("cell"))
+        .join(broadcast(occ), Seq("cell"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("cell"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"), col("total"))
+        .select(col("cell"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("total").cast("double"))
+            .as("frac"),
+          ((col("n_vecs").cast("double") / col("total").cast("double"))
+            * lit(16.0d)).as("load_factor"))
+        .orderBy("cell")
+    }),
+
     // ---- q86: incremental cluster assignment vs persisted centroids ----
     // The clustering member of the incremental-artifact family (q67
     // signatures, q69 LM, q72 gram set, q78 IVF index, q79 pair index):
@@ -1204,6 +1301,48 @@ object Embeddings {
            |    / count(*)::double) AS ood_rate,
            |  min(cos) AS min_fit
            |FROM fit GROUP BY cid ORDER BY cluster""".stripMargin),
+
+    "q96_hard_negatives" ->
+      (baseCte + kmCtes +
+        s""", asg AS (
+           |$kmFinalSql
+           |), lab AS (SELECT vec_id, label FROM embeddings),
+           |neg AS (
+           |  SELECT vec_id, b_id AS neg_id, cos AS neg_cos FROM (
+           |    SELECT a.vec_id, b.vec_id AS b_id,
+           |      ${duckCos("ea.v", "ea.nrm", "eb.v", "eb.nrm")} AS cos,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${duckCos("ea.v", "ea.nrm", "eb.v", "eb.nrm")} DESC, b.vec_id) rnk
+           |    FROM asg a JOIN asg b ON a.cluster = b.cluster
+           |      AND b.vec_id <> a.vec_id
+           |    JOIN lab la ON la.vec_id = a.vec_id
+           |    JOIN lab lb ON lb.vec_id = b.vec_id AND lb.label <> la.label
+           |    JOIN e ea ON ea.vec_id = a.vec_id
+           |    JOIN e eb ON eb.vec_id = b.vec_id
+           |  ) WHERE rnk = 1
+           |)
+           |SELECT a.vec_id, a.cluster, la.label, n.neg_id, n.neg_cos
+           |FROM asg a JOIN lab la ON la.vec_id = a.vec_id
+           |LEFT JOIN neg n ON n.vec_id = a.vec_id
+           |ORDER BY a.vec_id""".stripMargin),
+
+    "q97_ivf_balance" ->
+      (baseCte +
+        s""", cents AS (SELECT vec_id cid, v cv, nrm cn FROM e WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT vec_id, cid,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY ${duckCos("v", "nrm", "cv", "cn")} DESC, cid) rnk
+           |  FROM e CROSS JOIN cents
+           |), cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rnk = 1),
+           |occ AS (SELECT cell, count(*)::bigint n_vecs FROM cells GROUP BY cell),
+           |tot AS (SELECT count(*)::bigint total FROM cells)
+           |SELECT c.cid AS cell, coalesce(o.n_vecs, 0)::bigint AS n_vecs,
+           |  (coalesce(o.n_vecs, 0)::double / t.total::double) AS frac,
+           |  ((coalesce(o.n_vecs, 0)::double / t.total::double) * 16.0)
+           |    AS load_factor
+           |FROM cents c LEFT JOIN occ o ON o.cell = c.cid CROSS JOIN tot t
+           |ORDER BY cell""".stripMargin),
 
     "q31_ann_lsh" -> annPairsSql,
 

@@ -708,6 +708,51 @@ object TextPipeline {
         .limit(30)
     }),
 
+    // ---- q98: vocabulary-growth (Heaps-law) audit ----------------------
+    // The tokenizer-sizing op: how fast does the vocabulary grow as the
+    // corpus accretes? The corpus splits into 4 equal doc_id quartiles
+    // (the crawl-order proxy — doc_id is ingest order) and every term is
+    // charged to the quartile where it FIRST appears, so cumulative
+    // vocab_size at quartile Q is exact without ever re-scanning prefix
+    // Q's documents: first-seen = min(quartile) per term is ONE map-side
+    // combinable groupBy over the token stream (quartile is monotone in
+    // doc_id, so min(quartile) ≡ quartile(min doc_id)), vs the naive
+    // per-prefix count(DISTINCT term) which rescans O(prefixes·corpus).
+    // A flattening new_terms column is the "vocab saturated" signal; a
+    // linear one means the tokenizer's vocab budget is undersized for
+    // the incoming distribution. Everything is exact integers; the ≤
+    // 4-row cumulative window is report-grain, never corpus-grain.
+    "q98_vocab_growth" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val mxF = d.agg(max(col("doc_id")).as("mx"))
+      val db = d.crossJoin(broadcast(mxF))
+        .select(col("doc_id"), col("text"),
+          (expr("(doc_id * 4) div (mx + 1)").cast("int") + lit(1))
+            .as("quartile"))
+      val first = db
+        .select(col("quartile"), explode(words(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(min(col("quartile")).as("quartile"))
+      val newTerms = first.groupBy(col("quartile"))
+        .agg(count(lit(1)).as("new_terms"))
+      val docStats = db.groupBy(col("quartile"))
+        .agg(count(lit(1)).as("d_docs"),
+          sum(when(col("text").isNull, lit(0))
+            .otherwise(size(words(col("text"))))).cast("long")
+            .as("d_tokens"))
+      val w = Window.orderBy("quartile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docStats.join(newTerms, Seq("quartile"), "left")
+        .select(col("quartile"), col("d_docs"), col("d_tokens"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .select(col("quartile"),
+          sum(col("d_docs")).over(w).cast("long").as("n_docs"),
+          sum(col("d_tokens")).over(w).cast("long").as("n_tokens"),
+          sum(col("new_terms")).over(w).cast("long").as("vocab_size"),
+          col("new_terms"))
+        .orderBy("quartile")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -1625,6 +1670,37 @@ object TextPipeline {
         |FROM tok GROUP BY term
         |HAVING count(DISTINCT doc_id) >= 5
         |ORDER BY df DESC, term LIMIT 30""".stripMargin,
+
+    "q98_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |db AS (
+        |  SELECT doc_id, text,
+        |    (((doc_id * 4) // (m + 1)) + 1)::int AS quartile
+        |  FROM documents CROSS JOIN mx
+        |), tok AS (
+        |  SELECT quartile,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM db
+        |), first AS (
+        |  SELECT term, min(quartile) AS quartile FROM tok GROUP BY term
+        |), nt AS (
+        |  SELECT quartile, count(*)::bigint AS new_terms
+        |  FROM first GROUP BY quartile
+        |), ds AS (
+        |  SELECT quartile, count(*)::bigint AS d_docs,
+        |    sum(coalesce(len(regexp_split_to_array(trim(text), '\s+')), 0))::bigint
+        |      AS d_tokens
+        |  FROM db GROUP BY quartile
+        |)
+        |SELECT d.quartile,
+        |  (sum(d.d_docs) OVER w)::bigint AS n_docs,
+        |  (sum(d.d_tokens) OVER w)::bigint AS n_tokens,
+        |  (sum(coalesce(n.new_terms, 0)) OVER w)::bigint AS vocab_size,
+        |  coalesce(n.new_terms, 0)::bigint AS new_terms
+        |FROM ds d LEFT JOIN nt n ON n.quartile = d.quartile
+        |WINDOW w AS (ORDER BY d.quartile
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY d.quartile""".stripMargin,
 
     "q57_rare_token_score" ->
       """WITH tok AS (

@@ -278,6 +278,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(got.toSeq === expect.toSeq)
   }
 
+  test("q96 negatives are in-cluster, different-label, null only when impossible") {
+    // Internal consistency of the hard-negative output, independent of
+    // the oracle: a non-null negative must live in the anchor's cluster
+    // with a different label; a NULL is legitimate ONLY when the
+    // anchor's whole cluster shares its label.
+    val out = SparkEntry.queries("q96_hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val label = out.map(r => r._1 -> r._3).toMap
+    val byCluster = out.groupBy(_._2)
+    for ((vid, cid, lab, neg) <- out) neg match {
+      case Some(nid) =>
+        assert(cluster(nid) === cid, s"negative of $vid is out of cluster")
+        assert(label(nid) !== lab, s"negative of $vid shares label $lab")
+      case None =>
+        assert(byCluster(cid).forall(_._3 == lab),
+          s"anchor $vid has an eligible negative but mined NULL")
+    }
+  }
+
   test("q81 reuses the session's q80 clustering (memo populated)") {
     Embeddings.clearKmMemo()
     assert(Embeddings.kmMemoSize === 0)

@@ -435,6 +435,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q95 membership joins are not broadcast:\n$cp")
   }
 
+  test("q96: within-cluster pairing is an equi-join; the argmax is map-side") {
+    val p = plan("q96_hard_negatives")
+    assert(!p.contains("CartesianProduct"), s"q96 cross-joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q96 nested-loops the corpus:\n$p")
+    assert(!p.contains("Window"), s"q96 ranks pairs with a window:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"q96 hard-negative argmax lost map-side combine:\n$p")
+  }
+
+  test("q97: assignment and occupancy combine map-side — no corpus window") {
+    val p = plan("q97_ivf_balance")
+    assert(!p.contains("Window"), s"q97 plans a window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q97 report joins are not broadcast:\n$p")
+    // the corpus-grain work (assignment argmax + occupancy count) runs
+    // eagerly inside the localCheckpoint — assert the captured plan
+    val cp = graft.queries.Embeddings.lastIvfBalancePlan
+    assert(cp.nonEmpty, "q97 occupancy plan was not captured")
+    assert(!cp.contains("Window"), s"q97 assignment uses a window:\n$cp")
+    assert(cp.contains("partial_max_by"),
+      s"q97 cell assignment lost map-side combine:\n$cp")
+    assert(cp.contains("partial_count"),
+      s"q97 occupancy lost map-side combine:\n$cp")
+  }
+
+  test("q98: first-seen terms combine map-side; the only window is report-grain") {
+    val p = plan("q98_vocab_growth")
+    assert(p.contains("partial_min"),
+      s"q98 first-seen lost map-side combine:\n$p")
+    // exactly ONE Window operator — the ≤4-row cumulative report, never
+    // a corpus-grain rank
+    assert(p.split("\n").count(_.contains("Window [")) == 1,
+      s"q98 plans more than the report-grain window:\n$p")
+  }
+
   test("q77: composition reuses the session pair set — no re-derivation") {
     // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
     // keep list → budget) must consume the session's pair set, never
