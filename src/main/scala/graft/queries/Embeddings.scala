@@ -859,6 +859,58 @@ object Embeddings {
         .orderBy("cell")
     }),
 
+    // ---- q99: in-cluster triplet mining (anchor, hard pos, hard neg) ---
+    // The complete contrastive-training example assembler, one step up
+    // from q96: per anchor, BOTH the hardest negative (highest-cosine
+    // different-label cluster mate — q96's rule) and the hardest
+    // positive (LOWEST-cosine same-label cluster mate: the positive the
+    // loss gains most from pulling in). Both argmaxes run in ONE pass
+    // over the same capped pair frame — a conditional ordering key per
+    // aggregate (NULL key rows are skipped by max_by, so each aggregate
+    // sees only its side's pairs) — so the triplet table costs exactly
+    // one Σ|cluster|² sweep under the q81 capBuckets guard, not two.
+    // NULL pos/neg columns mark anchors whose cluster lacks a same- or
+    // different-label mate (the fallback-round signal, as in q96).
+    "q99_triplet_mining" -> ((s, dir) => {
+      val km = kmMemo.computeIfAbsent(kmMemoKey(s, dir),
+        _ => computeKmeans(s, dir))
+      val labels = Graft.parquetSource(s, dir).table("embeddings")
+        .select(col("vec_id"), col("label"))
+      val m = km.select(col("vec_id"), col("cluster"), col("v"),
+          col("nrm"))
+        .join(labels, Seq("vec_id"))
+      val capped = TextPipeline.capBuckets(m, Seq("cluster"), s,
+        "q99 triplet clusters", "graft.semdedup.maxCluster")
+      val b = capped.select(col("vec_id").as("b_id"), col("cluster"),
+        col("label").as("b_label"), col("v").as("bv"),
+        col("nrm").as("bn"))
+      val pairs = capped.join(b, Seq("cluster"))
+        .where(col("b_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("label"), col("b_id"), col("b_label"),
+          (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
+            .as("cos"))
+      // hard positive: min cos, ties → lowest b_id ⇒ key (−cos, −b_id);
+      // hard negative: max cos, ties → lowest b_id ⇒ key (cos, −b_id);
+      // a NULL key (wrong-label side) drops the row from that aggregate
+      val mined = pairs.groupBy(col("vec_id"))
+        .agg(
+          max_by(struct(col("b_id"), col("cos")),
+            when(col("b_label") === col("label"),
+              struct((-col("cos")).as("k"), (-col("b_id")).as("nb"))))
+            .as("p"),
+          max_by(struct(col("b_id"), col("cos")),
+            when(col("b_label") =!= col("label"),
+              struct(col("cos").as("k"), (-col("b_id")).as("nb"))))
+            .as("n"))
+      km.select(col("vec_id"), col("cluster"))
+        .join(labels, Seq("vec_id"))
+        .join(mined, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("label"),
+          col("p.b_id").as("pos_id"), col("p.cos").as("pos_cos"),
+          col("n.b_id").as("neg_id"), col("n.cos").as("neg_cos"))
+        .orderBy("vec_id")
+    }),
+
     // ---- q86: incremental cluster assignment vs persisted centroids ----
     // The clustering member of the incremental-artifact family (q67
     // signatures, q69 LM, q72 gram set, q78 IVF index, q79 pair index):
@@ -1323,6 +1375,40 @@ object Embeddings {
            |)
            |SELECT a.vec_id, a.cluster, la.label, n.neg_id, n.neg_cos
            |FROM asg a JOIN lab la ON la.vec_id = a.vec_id
+           |LEFT JOIN neg n ON n.vec_id = a.vec_id
+           |ORDER BY a.vec_id""".stripMargin),
+
+    "q99_triplet_mining" ->
+      (baseCte + kmCtes +
+        s""", asg AS (
+           |$kmFinalSql
+           |), lab AS (SELECT vec_id, label FROM embeddings),
+           |pr AS (
+           |  SELECT a.vec_id, la.label, b.vec_id AS b_id, lb.label AS b_label,
+           |    ${duckCos("ea.v", "ea.nrm", "eb.v", "eb.nrm")} AS cos
+           |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+           |    AND b.vec_id <> a.vec_id
+           |  JOIN lab la ON la.vec_id = a.vec_id
+           |  JOIN lab lb ON lb.vec_id = b.vec_id
+           |  JOIN e ea ON ea.vec_id = a.vec_id
+           |  JOIN e eb ON eb.vec_id = b.vec_id
+           |), pos AS (
+           |  SELECT vec_id, b_id AS pos_id, cos AS pos_cos FROM (
+           |    SELECT vec_id, b_id, cos, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos ASC, b_id) rnk
+           |    FROM pr WHERE b_label = label
+           |  ) WHERE rnk = 1
+           |), neg AS (
+           |  SELECT vec_id, b_id AS neg_id, cos AS neg_cos FROM (
+           |    SELECT vec_id, b_id, cos, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, b_id) rnk
+           |    FROM pr WHERE b_label <> label
+           |  ) WHERE rnk = 1
+           |)
+           |SELECT a.vec_id, a.cluster, la.label,
+           |  p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+           |FROM asg a JOIN lab la ON la.vec_id = a.vec_id
+           |LEFT JOIN pos p ON p.vec_id = a.vec_id
            |LEFT JOIN neg n ON n.vec_id = a.vec_id
            |ORDER BY a.vec_id""".stripMargin),
 

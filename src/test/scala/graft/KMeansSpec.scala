@@ -299,6 +299,35 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("q99 triplets are in-cluster, label-consistent, and agree with q96") {
+    // The triplet table's negative side must be EXACTLY q96's mining
+    // (same rule, same tie-break), and the positive side must be an
+    // in-cluster same-label mate — with NULL only when the cluster
+    // truly lacks one.
+    val t = SparkEntry.queries("q99_triplet_mining")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))),
+        if (r.isNullAt(5)) None else Some((r.getLong(5), r.getDouble(6)))))
+    val q96 = SparkEntry.queries("q96_hard_negatives")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+      .toMap
+    val cluster = t.map(r => r._1 -> r._2).toMap
+    val label = t.map(r => r._1 -> r._3).toMap
+    val byCluster = t.groupBy(_._2)
+    for ((vid, cid, lab, pos, neg) <- t) {
+      assert(neg === q96(vid), s"q99 negative for $vid diverges from q96")
+      pos match {
+        case Some((pid, _)) =>
+          assert(cluster(pid) === cid, s"positive of $vid out of cluster")
+          assert(label(pid) === lab, s"positive of $vid wrong label")
+        case None =>
+          assert(byCluster(cid).count(_._3 == lab) == 1,
+            s"anchor $vid has an eligible positive but mined NULL")
+      }
+    }
+  }
+
   test("q81 reuses the session's q80 clustering (memo populated)") {
     Embeddings.clearKmMemo()
     assert(Embeddings.kmMemoSize === 0)

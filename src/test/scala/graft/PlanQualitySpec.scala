@@ -445,6 +445,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q96 hard-negative argmax lost map-side combine:\n$p")
   }
 
+  test("q99: one pair sweep mines both sides — equi-join, no window") {
+    val p = plan("q99_triplet_mining")
+    assert(!p.contains("CartesianProduct"), s"q99 cross-joins:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q99 nested-loops the corpus:\n$p")
+    assert(!p.contains("Window"), s"q99 ranks pairs with a window:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"q99 triplet argmaxes lost map-side combine:\n$p")
+    // BOTH argmaxes ride the same aggregate — the pair frame is swept
+    // once, not once per side
+    assert(p.split("\n").count(_.contains("partial_max_by")) == 1,
+      s"q99 sweeps the pair frame more than once:\n$p")
+  }
+
   test("q97: assignment and occupancy combine map-side — no corpus window") {
     val p = plan("q97_ivf_balance")
     assert(!p.contains("Window"), s"q97 plans a window:\n$p")
