@@ -736,6 +736,50 @@ object CorpusQuality {
             col("n_good").cast("double") / col("total_good").cast("double"))
             .otherwise(lit(0.0d)).as("weight"))
         .orderBy("source")
+    }),
+
+    // ---- q100: dataset card --------------------------------------------
+    // The publish-the-datasheet op: ONE row summarizing the corpus for a
+    // dataset card — sizes (docs, tokens, chars, vocabulary), diversity
+    // (sources, languages), and health (exact-dup rate, quality keep
+    // rate), each reusing the exact semantics of its dedicated operator
+    // (dup = q26/q84's rep rule, keep = q66's flag battery, vocab =
+    // q56's term stream) so the card can never disagree with the
+    // operators it summarizes. Scale: four independent corpus-linear
+    // aggregates, each collapsing to ≤1 row BEFORE the broadcast
+    // crossJoins compose the card; exact integers until three final
+    // divisions in a fixed op order. At 100 TB this is the cheap job you
+    // run on every published snapshot.
+    "q100_dataset_card" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val docStats = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        coalesce(sum(when(col("text").isNull, lit(0))
+          .otherwise(size(words(col("text"))))), lit(0)).cast("long")
+          .as("n_tokens"),
+        coalesce(sum(coalesce(length(col("text")), lit(0))), lit(0))
+          .cast("long").as("n_chars"))
+      val dup = TextPipeline.exactGroups(d, 3)
+        .select(col("doc_id"), col("rep"))
+        .agg(coalesce(sum((col("doc_id") =!= col("rep")).cast("int")),
+          lit(0)).cast("long").as("n_dup"))
+      val keep = qualityFlags(d)
+        .agg(coalesce(sum(col("keep")), lit(0)).cast("long").as("n_keep"))
+      val vocab = d.select(explode(words(col("text"))).as("term"))
+        .agg(countDistinct(col("term")).as("vocab_size"))
+      docStats.crossJoin(broadcast(dup)).crossJoin(broadcast(keep))
+        .crossJoin(broadcast(vocab))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_chars"), col("vocab_size"),
+          col("n_dup"), col("n_keep"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"),
+          (col("n_keep").cast("double") / col("n_docs").cast("double"))
+            .as("keep_rate"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("tokens_per_doc"))
     })
   )
 
@@ -1107,7 +1151,59 @@ object CorpusQuality {
 
     // The incremental path must be indistinguishable from the
     // batch-unaware recompute: same oracle as q84.
-    "q95_incremental_source_report" -> sourceReportSql
+    "q95_incremental_source_report" -> sourceReportSql,
+
+    "q100_dataset_card" ->
+      """WITH ds AS (
+        |  SELECT count(*)::bigint AS n_docs,
+        |    count(DISTINCT source)::bigint AS n_sources,
+        |    count(DISTINCT lang)::bigint AS n_langs,
+        |    coalesce(sum(coalesce(
+        |      len(regexp_split_to_array(trim(text), '\s+')), 0)), 0)::bigint
+        |      AS n_tokens,
+        |    coalesce(sum(coalesce(length(text), 0)), 0)::bigint AS n_chars
+        |  FROM documents
+        |), dup AS (
+        |  SELECT coalesce(sum(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END), 0)::bigint
+        |    AS n_dup
+        |  FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY gk) AS rep FROM (
+        |      SELECT doc_id,
+        |        md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) gk
+        |      FROM documents
+        |      WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+        |    )
+        |  )
+        |), kp AS (
+        |  SELECT coalesce(sum(CASE WHEN n_words >= 20 AND n_words <= 1000
+        |      AND mean_word_len >= 3.0 AND mean_word_len <= 5.0
+        |      AND punct_ratio <= 0.3 AND stopword_ratio >= 0.02
+        |      THEN 1 ELSE 0 END), 0)::bigint AS n_keep
+        |  FROM (
+        |    SELECT len(regexp_split_to_array(trim(text), '\s+'))::int AS n_words,
+        |      CASE WHEN length(text) > 0
+        |        THEN length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::double / length(text)
+        |        ELSE 0.0 END AS punct_ratio,
+        |      CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+        |        THEN length(regexp_replace(text, '\s+', '', 'g'))::double
+        |             / len(regexp_split_to_array(trim(text), '\s+'))
+        |        ELSE 0.0 END AS mean_word_len,
+        |      len(regexp_extract_all(text, '\b(the|a|of|and|is)\b'))::double
+        |        / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+        |    FROM documents
+        |  )
+        |), vc AS (
+        |  SELECT count(DISTINCT term)::bigint AS vocab_size FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents
+        |  )
+        |)
+        |SELECT n_docs, n_sources, n_langs, n_tokens, n_chars, vocab_size,
+        |  n_dup, n_keep,
+        |  n_dup::double / n_docs::double AS dup_rate,
+        |  n_keep::double / n_docs::double AS keep_rate,
+        |  n_tokens::double / n_docs::double AS tokens_per_doc
+        |FROM ds CROSS JOIN dup CROSS JOIN kp CROSS JOIN vc""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

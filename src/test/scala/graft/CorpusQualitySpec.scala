@@ -214,6 +214,21 @@ class CorpusQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q100: card totals equal the q84 report's column sums") {
+    // The card must never disagree with the operators it summarizes:
+    // n_docs / n_dup / n_keep are the q84 per-source report's column
+    // sums, and n_sources its row count.
+    val dir = "/root/testdata/sf0.001"
+    val card = CorpusQuality.defs("q100_dataset_card")(spark, dir)
+      .collect()(0)
+    val rep = CorpusQuality.defs("q84_source_report")(spark, dir)
+      .collect()
+    assert(card.getLong(0) === rep.map(_.getLong(1)).sum, "n_docs")
+    assert(card.getLong(6) === rep.map(_.getLong(2)).sum, "n_dup")
+    assert(card.getLong(7) === rep.map(_.getLong(3)).sum, "n_keep")
+    assert(card.getLong(1) === rep.length.toLong, "n_sources")
+  }
+
   test("q77: output passes the filter, skips dropped dups, respects the budget") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"

@@ -485,6 +485,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q98 plans more than the report-grain window:\n$p")
   }
 
+  test("q100: card aggregates combine map-side; no corpus window") {
+    val p = plan("q100_dataset_card")
+    assert(!p.contains("CartesianProduct"), s"q100 cross-joins corpus frames:\n$p")
+    assert(!p.contains("Window"), s"q100 plans a window:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"q100 aggregates lost map-side combine:\n$p")
+  }
+
   test("q77: composition reuses the session pair set — no re-derivation") {
     // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
     // keep list → budget) must consume the session's pair set, never
