@@ -780,6 +780,49 @@ object CorpusQuality {
             .as("keep_rate"),
           (col("n_tokens").cast("double") / col("n_docs").cast("double"))
             .as("tokens_per_doc"))
+    }),
+
+    // ---- q101: incremental vocabulary vs persisted term artifact -------
+    // q98's growth audit as the crawl loop maintains it (the incremental
+    // family's tokenizer member, next to q67/q69/q72/q78/q95): the old
+    // corpus's distinct terms persist once per snapshot as a side-table,
+    // and each batch reports how many genuinely-new terms it adds — the
+    // "is my tokenizer's vocab budget still sized right?" number, per
+    // batch, with ZERO old-corpus document reads. Membership follows the
+    // q79/q95 discipline: the batch's (small) distinct-term set
+    // broadcasts against the narrow artifact scan, never the reverse;
+    // hits are ≤ |batch terms| by construction. The oracle is the
+    // strongest equivalence available: a batch-UNAWARE single pass over
+    // the whole token stream (first-seen + batch-membership per term)
+    // must reproduce the artifact-path counts exactly, at any cut —
+    // vocab_size = n_old + n_new is then the same number q98/q56 see.
+    "q101_incremental_vocab" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val termPath = graft.sources.SideTable.ensure(s, "vocab_terms",
+          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
+        d.where(col("doc_id") < cut)
+          .select(explode(words(col("text"))).as("term")).distinct()
+      }
+      val old = s.read.parquet(termPath)
+      val btermsLazy = d.where(col("doc_id") >= cut)
+        .select(explode(words(col("text"))).as("term")).distinct()
+      val bterms = btermsLazy.localCheckpoint() // ≤ |batch vocab| rows;
+        // read by the probe, the anti-join, and the batch count
+      val hits = old.join(broadcast(bterms), Seq("term"), "left_semi")
+      val newTermsLazy = bterms
+        .join(broadcast(hits), Seq("term"), "left_anti")
+      lastIncrementalVocabPlan =
+        btermsLazy.queryExecution.executedPlan.toString +
+          "\n-- probe --\n" +
+          newTermsLazy.queryExecution.executedPlan.toString
+      val nOld = old.agg(count(lit(1)).as("n_old_terms"))
+      val nBatch = bterms.agg(count(lit(1)).as("n_batch_terms"))
+      val nNew = newTermsLazy.agg(count(lit(1)).as("n_new_terms"))
+      nOld.crossJoin(broadcast(nBatch)).crossJoin(broadcast(nNew))
+        .select(col("n_old_terms"), col("n_batch_terms"),
+          col("n_new_terms"),
+          (col("n_old_terms") + col("n_new_terms")).as("vocab_size"))
     })
   )
 
@@ -788,6 +831,13 @@ object CorpusQuality {
     * artifact (never a full-corpus re-group) and the batch cut reaches
     * the documents scan. */
   @volatile private[graft] var lastIncrementalSrcPlan: String = ""
+
+  /** Physical plans of q101's batch-term derivation and artifact probe
+    * (batch scan + anti-join run eagerly via the localCheckpoint seam),
+    * captured for the plan test that proves the cut is pushed to the
+    * documents scan and membership probes the persisted term artifact
+    * with broadcast joins only. */
+  @volatile private[graft] var lastIncrementalVocabPlan: String = ""
 
   /** q66's keep conjunction as one predicate over raw `text` — shared
     * by q77's survivor filter (the oracle embeds the identical SQL). */
@@ -1203,7 +1253,30 @@ object CorpusQuality {
         |  n_dup::double / n_docs::double AS dup_rate,
         |  n_keep::double / n_docs::double AS keep_rate,
         |  n_tokens::double / n_docs::double AS tokens_per_doc
-        |FROM ds CROSS JOIN dup CROSS JOIN kp CROSS JOIN vc""".stripMargin
+        |FROM ds CROSS JOIN dup CROSS JOIN kp CROSS JOIN vc""".stripMargin,
+
+    // The batch-unaware recompute: ONE pass over the token stream
+    // derives per-term first-seen + batch membership — it must equal
+    // the artifact path's counts exactly, at any cut.
+    "q101_incremental_vocab" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), agg AS (
+        |  SELECT term, min(doc_id) AS first_id,
+        |    max(CASE WHEN doc_id >= (SELECT c FROM cut) THEN 1 ELSE 0 END)
+        |      AS in_batch
+        |  FROM tok GROUP BY term
+        |)
+        |SELECT
+        |  coalesce(sum(CASE WHEN first_id < (SELECT c FROM cut)
+        |    THEN 1 ELSE 0 END), 0)::bigint AS n_old_terms,
+        |  coalesce(sum(in_batch), 0)::bigint AS n_batch_terms,
+        |  coalesce(sum(CASE WHEN first_id >= (SELECT c FROM cut)
+        |    THEN 1 ELSE 0 END), 0)::bigint AS n_new_terms,
+        |  count(*)::bigint AS vocab_size
+        |FROM agg""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

@@ -35,7 +35,8 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q90_rerank_ann", "q91_batch_ood", "q92_shuffle_manifest",
         "q93_curation_ledger", "q94_source_attribution",
         "q95_incremental_source_report", "q96_hard_negatives",
-        "q97_ivf_balance", "q98_vocab_growth", "q99_triplet_mining")) {
+        "q97_ivf_balance", "q98_vocab_growth", "q99_triplet_mining",
+        "q101_incremental_vocab")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -229,6 +229,33 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(card.getLong(1) === rep.length.toLong, "n_sources")
   }
 
+  test("q101: vocab size is cut-invariant and equals the corpus distinct count") {
+    // The artifact path must reproduce the batch-unaware vocabulary at
+    // ANY cut: n_old + n_new is the same corpus-wide distinct-term
+    // count wherever the snapshot/batch line falls.
+    import org.apache.spark.sql.functions.{col, explode}
+    val dir = "/root/testdata/sf0.001"
+    val expect = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.words(col("text")))
+        .as("t"))
+      .distinct().count()
+    // cut=1 is the adversarial boundary: only doc 0 is "old", so the
+    // batch genuinely ADDS terms (14 of 31 at sf0.001) and the
+    // anti-join path is exercised with a nonzero answer
+    for (cut <- Seq("1", "10", "37", "49")) {
+      spark.conf.set("graft.batch.cut", cut)
+      try {
+        val r = CorpusQuality.defs("q101_incremental_vocab")(spark, dir)
+          .collect()(0)
+        assert(r.getLong(3) === expect, s"cut=$cut vocab_size")
+        assert(r.getLong(0) + r.getLong(2) === expect, s"cut=$cut old+new")
+        assert(r.getLong(2) <= r.getLong(1), s"cut=$cut new > batch")
+        if (cut == "1") assert(r.getLong(2) > 0,
+          "cut=1 should add genuinely new terms")
+      } finally spark.conf.unset("graft.batch.cut")
+    }
+  }
+
   test("q77: output passes the filter, skips dropped dups, respects the budget") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"

@@ -485,6 +485,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q98 plans more than the report-grain window:\n$p")
   }
 
+  test("q101: batch probes the term artifact — cut pushed, broadcast-only") {
+    val p = plan("q101_incremental_vocab")
+    // the report composes three ≤1-row counts — no document scan may
+    // survive to it (the old side reads the ARTIFACT, not the corpus)
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext,
+      s"q101 report re-reads the corpus:\n$p")
+    val cp = graft.queries.CorpusQuality.lastIncrementalVocabPlan
+    assert(cp.nonEmpty, "q101 batch/probe plan was not captured")
+    assert(cp.contains("graft_vocab_terms"),
+      s"q101 does not probe the persisted term artifact:\n$cp")
+    assert(cp.contains("GreaterThanOrEqual(doc_id"),
+      s"q101 batch cut is not pushed to the documents scan:\n$cp")
+    assert(!cp.contains("SortMergeJoin"),
+      s"q101 membership joins are not broadcast:\n$cp")
+  }
+
   test("q100: card aggregates combine map-side; no corpus window") {
     val p = plan("q100_dataset_card")
     assert(!p.contains("CartesianProduct"), s"q100 cross-joins corpus frames:\n$p")
