@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Graft
+import graft.streaming.EventStreams
 
 /** Relational capability surface (SURVEY.md §2.2) — the constructs conecta
   * pushes to the source database, executed INSIDE this engine by Catalyst:
@@ -161,11 +162,11 @@ object Relational {
     }),
 
     // ---- Events: tumbling-window aggregation (batch form) --------------
-    // events.ts is LongType nanos (TIMESTAMP(NANOS) parquet, see
-    // ParquetSource); converted explicitly to µs timestamps.
+    // events.ts normalization is type-adaptive (EventStreams.eventTime —
+    // long nanos or parquet timestamp[us], whichever the testdata ships).
     "q18_events_hourly" -> ((s, dir) => {
       val ev = Graft.parquetSource(s, dir).table("events")
-      ev.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      ev.withColumn("ts_us", EventStreams.eventTime(ev))
         .groupBy(date_trunc("hour", col("ts_us")).as("hour_ts"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_sum"))
@@ -183,8 +184,9 @@ object Relational {
     // Oracle: DuckDB's native ASOF LEFT JOIN — an independent
     // implementation of the same semantics.
     "q50_asof_join" -> ((s, dir) => {
-      val ev = Graft.parquetSource(s, dir).table("events")
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      val ev0 = Graft.parquetSource(s, dir).table("events")
+      val ev = ev0
+        .select(col("event_id"), EventStreams.eventTimeUs(ev0).as("ts_us"),
           col("user_id"), col("event_type"), col("value"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("ts_us"), lit(0).as("side"),
@@ -339,11 +341,14 @@ object Relational {
     }),
 
     // ---- Batch sessionization: gap-split via window lag + cumsum -------
-    // Identical SQL on both engines (ts is integer nanos — exact); the
-    // streaming counterpart with custom state is
+    // Identical SQL on both engines (the body works on integer µs; only
+    // the ts extraction differs per engine/type); the streaming
+    // counterpart with custom state is
     // graft.streaming.EventStreams.sessionize (StreamingSpec).
-    "q36_sessionize_batch" -> ((s, dir) =>
-      Graft.parquetSource(s, dir).execute(sessionizeSpark)),
+    "q36_sessionize_batch" -> ((s, dir) => {
+      val src = Graft.parquetSource(s, dir)
+      src.execute(sessionizeSpark(src))
+    }),
 
     // ---- Custom Aggregator: bounded top-k per group --------------------
     // Map-side-combinable k-row buffers (graft.functions.TopK) instead of
@@ -466,9 +471,10 @@ object Relational {
   )
 
   /** 30-minute-gap sessionization over integer-µs timestamps. The body is
-    * identical on both engines; only the events source differs — Spark
-    * reads parquet TIMESTAMP(NANOS) as Long nanos (nanosAsLong, truncated
-    * to µs here), DuckDB as a native µs timestamp (`epoch_us`). */
+    * identical on both engines; only the ts-extraction prelude differs —
+    * Spark's is type-adaptive (long nanos vs parquet timestamp[us], see
+    * EventStreams.eventTime), DuckDB's is `epoch_us` on the native µs
+    * timestamp. */
   private def sessionizeSqlFor(eventsRel: String): String =
     s"""WITH e0 AS (
       |  SELECT user_id, $eventsRel
@@ -489,7 +495,13 @@ object Relational {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
-  private val sessionizeSpark = sessionizeSqlFor("ts div 1000 AS ts FROM events")
+  private def sessionizeSpark(src: graft.sources.ParquetSource): String = {
+    val tsExpr = src.table("events").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000 AS ts"
+      case _ => "unix_micros(cast(ts as timestamp)) AS ts"
+    }
+    sessionizeSqlFor(s"$tsExpr FROM events")
+  }
   private val sessionizeDuck = sessionizeSqlFor("epoch_us(ts) AS ts FROM events")
 
   private val cteExistsSql: String =

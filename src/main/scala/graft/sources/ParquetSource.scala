@@ -33,10 +33,12 @@ final class ParquetSource(val spark: SparkSession, dir: String) extends Source {
     * names, matching the driver's DuckDB oracle table names. Always
     * replaces, so switching scale-factor directories in one session works.
     *
-    * TIMESTAMP(NANOS) parquet columns (the testdata `events.ts`) are not
-    * representable in Spark's TimestampType (µs); `nanosAsLong` reads them
-    * as LongType nanoseconds-since-epoch, which queries convert explicitly
-    * (e.g. `timestamp_micros(ts div 1000)`). */
+    * TIMESTAMP(NANOS) parquet columns (the pre-round-9 testdata
+    * `events.ts`) are not representable in Spark's TimestampType (µs);
+    * `nanosAsLong` reads them as LongType nanoseconds-since-epoch. The
+    * conf is a no-op on µs-typed files (the current testdata), and query
+    * code adapts to whichever type the footer declares
+    * (EventStreams.eventTime). */
   def registerAll(): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tables.foreach { case (name, path) =>

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming surface over the `events` stream shape
   * (TESTDATA.md; SURVEY.md §2.2 "Streaming" row — out of reference scope,
@@ -21,8 +22,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** Raw event row after timestamp normalization (events.ts is Long nanos
-    * in the driver parquet; µs precision is Spark's native resolution). */
+  /** Raw event row after timestamp normalization (`eventTime`; µs
+    * precision is Spark's native resolution). */
   case class Event(ts_us: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
@@ -33,9 +34,36 @@ object EventStreams {
   // and reads this class reflectively.
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
 
-  /** Normalize the raw events table (ts Long nanos → µs timestamp). */
+  /** Event-time of the raw `ts` column as a µs TimestampType Column,
+    * adaptive to how the source materialized it:
+    *  - LongType: nanos-since-epoch (a TIMESTAMP(NANOS) parquet read under
+    *    `nanosAsLong`, or a synthetic test stream) — truncated to µs;
+    *  - TIMESTAMP_NTZ: parquet `timestamp[us]` without UTC adjustment (the
+    *    driver testdata shape since round 9) — cast in the UTC session, so
+    *    wall-clock == instant, matching DuckDB's `epoch_us` on that file;
+    *  - TimestampType: already the target grain.
+    * Every engine/oracle comparison on events flows through this (or
+    * `eventTimeUs`), so a future testdata re-type breaks ONE function. */
+  def eventTime(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case LongType         => expr("timestamp_micros(ts div 1000)")
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampType    => col("ts")
+      case dt => throw new IllegalArgumentException(
+        s"unsupported events.ts type $dt (expected long nanos or timestamp)")
+    }
+
+  /** Same instant as µs-since-epoch Long — the cross-engine-safe grain
+    * used where results carry raw event times. */
+  def eventTimeUs(events: DataFrame): Column =
+    events.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(eventTime(events))
+    }
+
+  /** Normalize the raw events table: attach `ts_us` (µs timestamp). */
   def normalized(events: DataFrame): DataFrame =
-    events.withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+    events.withColumn("ts_us", eventTime(events))
 
   /** Tumbling 1-hour windowed counts per event type with a 1-hour
     * watermark — the canonical readStream → window agg shape. */
