@@ -274,4 +274,31 @@ class StreamingSpec extends AnyFunSuite {
         s"$sf: ${total - distinctIds} duplicate event_id rows break q59's oracle equivalence")
     }
   }
+
+  test("eventTime: long-nanos, NTZ, and timestamp inputs agree on the instant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    // the same instant three ways, matching the three testdata eras:
+    // long nanos (nanosAsLong era), TIMESTAMP_NTZ (parquet timestamp[us],
+    // round 9+), and plain TimestampType
+    val instant = Timestamp.valueOf("2026-03-05 07:30:15.123456")
+    val us = instant.getTime * 1000L + 456 // .123456 → µs component
+    val asLong = Seq((1L, us * 1000L)).toDF("event_id", "ts")
+    val asTs = Seq((1L, instant)).toDF("event_id", "ts")
+    val asNtz = asTs.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    val got = Seq(asLong, asNtz, asTs).map { df =>
+      df.select(unix_micros(EventStreams.eventTime(df)).as("t"),
+        EventStreams.eventTimeUs(df).as("t2")).head()
+    }
+    got.foreach { r =>
+      assert(r.getLong(0) === us, "eventTime instant drifted")
+      assert(r.getLong(1) === us, "eventTimeUs instant drifted")
+    }
+    // the real parquet table flows through the same helper
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val n = EventStreams.normalized(ev)
+    assert(n.schema("ts_us").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(n.select(col("ts_us")).where(col("ts_us").isNull).count() === 0)
+  }
 }
