@@ -823,6 +823,104 @@ object CorpusQuality {
         .select(col("n_old_terms"), col("n_batch_terms"),
           col("n_new_terms"),
           (col("n_old_terms") + col("n_new_terms")).as("vocab_size"))
+    }),
+
+    // ---- q102: BM25 ranked retrieval ----------------------------------
+    // Query-set retrieval over the corpus — "find the k most relevant
+    // documents for each query" — the retrieval primitive RAG pipelines
+    // and dedup-by-retrieval workflows sit on, complementing q65 (TF-IDF
+    // cosine SIMILARITY between documents) with a proper ranked-retrieval
+    // scoring function. Queries are a deterministic hash sample of the
+    // corpus itself (the q39/q52 discipline — no rand()); terms are word
+    // 3-gram shingle hashes (the q65 feature space: on a small-vocabulary
+    // corpus unigram df saturates and every idf would be 0).
+    //
+    // Scoring is REAL BM25 (k1=1.2, b=0.75) made bit-exact across
+    // engines: with k1=6/5 and b=3/4, the per-term score
+    //   idf · tf'(k1+1) / (tf' + k1(1−b+b·dl/avgdl)),  avgdl = T/N
+    // multiplies through to the integer ratio
+    //   idf · 22·tf'·T / (10·T·tf' + 3·T + 9·dl·N)
+    // which both engines evaluate as exact integer floor-division scaled
+    // to parts-per-million (DECIMAL(38,0) here, HUGEINT in DuckDB — no
+    // bigint overflow at any corpus size; the quotient itself is ≤
+    // idf·2.2·10⁶, far under 2^53). idf is the house integer-log2
+    // surrogate bitlen(N)−bitlen(df) (q65's grade — no transcendentals
+    // anywhere, so no libm divergence), and tf saturates at 15 (BM25's
+    // k1-saturation made explicit). Per-(query,doc) scores are then
+    // SUMS OF INTEGERS — order-free, partition-invariant, exactly equal
+    // to the oracle's.
+    //
+    // Scale shape: the query set is a broadcast-sized sample; candidate
+    // generation joins query terms to the corpus posting lists ONLY for
+    // df-capped terms (`graft.bm25.dfCap`) — the WAND-style upper-bound
+    // prune: a term in half the corpus contributes ~nothing to BM25 (idf
+    // ≈ 0) but would drag the whole corpus into the join. Scoring work
+    // is candidate-bounded (|cand| · |query dl| worst case), and the
+    // final top-k rides the mergeable TopK aggregate — k rows per query
+    // cross the wire, never a per-query sort of the corpus. At
+    // deployment, tf/stats/dl/tot persist as a SideTable inverted-index
+    // artifact bucketed by `h` (the q78 IVF discipline applied to text);
+    // per-batch retrieval then reads only the probed buckets.
+    "q102_bm25_retrieval" -> ((s, dir) => {
+      val dfCap = s.conf.getOption("graft.bm25.dfCap").map(_.toInt)
+        .getOrElse(16)
+      val k = s.conf.getOption("graft.bm25.k").map(_.toInt).getOrElse(10)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val tf = shingleHashRows(d, 3)
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // six consumers (dl/stats/tot/query terms/
+        // posting join/scoring join) — unlike q65's three-consumer tf,
+        // re-deriving the shingle stream per consumer measured slower
+        // than one executor-disk checkpoint here
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .localCheckpoint() // the df model — reused by prune + scoring
+      val tot = tf.agg(sum(col("tf")).as("t_tok"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      val queries = d.where(pmod(hash60(col("text")), lit(20)) === 0)
+        .select(col("doc_id"))
+        .join(tf.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_semi") // only docs that produced shingles can retrieve
+        .localCheckpoint() // ~5% of docs — broadcast-sized
+      val qtf = tf.join(broadcast(queries), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("query_id"), col("h"))
+        .localCheckpoint() // query-side term lists, |queries|·dl rows
+      val cand = qtf
+        .join(stats.where(col("df") <= dfCap).select(col("h")), "h")
+        .join(tf.select(col("doc_id"), col("h")), "h")
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+        .distinct()
+        .localCheckpoint() // df-cap-bounded: ≤ |query terms| · dfCap
+      val contrib = cand
+        .join(qtf, Seq("query_id"))
+        .join(tf, Seq("doc_id", "h"))
+        .join(stats, "h")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .select(col("query_id"), col("doc_id"),
+          (length(bin(col("n_docs"))) - length(bin(col("df")))).as("idf"),
+          least(col("tf"), lit(15)).as("tfp"),
+          col("t_tok"), col("n_docs"), col("dl"))
+        .select(col("query_id"), col("doc_id"),
+          expr("""CAST((CAST(idf AS DECIMAL(38,0)) * 22 * tfp * t_tok
+                 |  * 1000000)
+                 | div (CAST(10 AS DECIMAL(38,0)) * t_tok * tfp
+                 |  + 3 * t_tok + 9 * dl * n_docs) AS BIGINT)"""
+            .stripMargin).as("ppm"))
+      val topk = udaf(new graft.functions.TopK.TopKAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+          graft.functions.TopK.Scored]())
+      contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("ppm")).as("score_ppm"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score_ppm").cast("double"), col("doc_id"),
+          lit(0L), lit(0L), lit(0L)).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+          col("r.k1").as("doc_id"),
+          col("r.score").cast("long").as("score_ppm"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1276,7 +1374,63 @@ object CorpusQuality {
         |  coalesce(sum(CASE WHEN first_id >= (SELECT c FROM cut)
         |    THEN 1 ELSE 0 END), 0)::bigint AS n_new_terms,
         |  count(*)::bigint AS vocab_size
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // Mirrors q102 op for op: same shingle hash space, same integer-ratio
+    // BM25 (HUGEINT floor-division == the engine's DECIMAL(38,0) div),
+    // same df cap and tf saturation, same (score DESC, doc_id) total
+    // order.
+    "q102_bm25_retrieval" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), occ AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+        |      array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3
+        |  )
+        |), tf AS (
+        |  SELECT doc_id, h, count(*)::bigint AS tf FROM occ GROUP BY doc_id, h
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::bigint AS dl FROM tf GROUP BY doc_id
+        |), stats AS (
+        |  SELECT h, count(*)::bigint AS df FROM tf GROUP BY h
+        |), tot AS (
+        |  SELECT sum(tf)::bigint AS t_tok,
+        |    count(DISTINCT doc_id)::bigint AS n_docs FROM tf
+        |), q AS (
+        |  SELECT d.doc_id FROM documents d
+        |  WHERE ('0x' || substr(md5(d.text),1,15))::bigint % 20 = 0
+        |    AND d.doc_id IN (SELECT doc_id FROM dl)
+        |), cand AS (
+        |  SELECT DISTINCT q.doc_id AS query_id, t2.doc_id AS doc_id
+        |  FROM q
+        |  JOIN tf t1 ON t1.doc_id = q.doc_id
+        |  JOIN stats s ON s.h = t1.h AND s.df <= 16
+        |  JOIN tf t2 ON t2.h = t1.h AND t2.doc_id <> q.doc_id
+        |), contrib AS (
+        |  SELECT c.query_id, c.doc_id,
+        |    ((length(bin(n_docs)) - length(bin(st.df)))::hugeint
+        |      * 22 * least(t2.tf, 15) * t_tok * 1000000)
+        |    // (10*t_tok*least(t2.tf,15) + 3*t_tok + 9*d.dl*n_docs) AS ppm
+        |  FROM cand c
+        |  JOIN tf tq ON tq.doc_id = c.query_id
+        |  JOIN tf t2 ON t2.doc_id = c.doc_id AND t2.h = tq.h
+        |  JOIN stats st ON st.h = tq.h
+        |  JOIN dl d ON d.doc_id = c.doc_id
+        |  CROSS JOIN tot
+        |), scored AS (
+        |  SELECT query_id, doc_id, sum(ppm)::bigint AS score_ppm
+        |  FROM contrib GROUP BY query_id, doc_id
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score_ppm,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_ppm DESC, doc_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank::bigint AS rank, doc_id, score_ppm
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

@@ -301,4 +301,77 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(out.where(org.apache.spark.sql.functions.col("cont") =!= 1.0d)
       .count() === 0)
   }
+
+  test("q102: engine BM25 equals a single-threaded reimplementation") {
+    // Independent oracle in plain Scala (no Spark, no shared code): md5
+    // hash60, 3-gram shingles, integer-ratio BM25 with BigInt floor
+    // division, (score DESC, doc_id) ranking. Proves the distributed
+    // plan computes the definition, not merely something DuckDB agrees
+    // with.
+    val dir = "/root/testdata/sf0.001"
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val shingled = docs.view.mapValues(_.trim.split("\\s+").toSeq)
+      .filter(_._2.size >= 3)
+      .mapValues(w => w.sliding(3).map(g =>
+        math.floorMod(h60(g.mkString(" ")), 2147483647L)).toSeq)
+      .toMap
+    val tf = shingled.view.mapValues(
+      _.groupBy(identity).view.mapValues(_.size.toLong).toMap).toMap
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val tTok = dl.values.sum
+    val nDocs = tf.size.toLong
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val queries = docs.keys.filter(id =>
+      math.floorMod(h60(docs(id)), 20L) == 0 && tf.contains(id))
+    val expect = queries.flatMap { qid =>
+      val cands = tf(qid).keys.filter(df(_) <= 16).toSet
+        .flatMap((h: Long) => tf.keys.filter(d =>
+          d != qid && tf(d).contains(h)))
+      val scored = cands.toSeq.map { d =>
+        // .toSeq before .map: keys is a Set, and mapping a Set of terms
+        // to scores would DEDUPLICATE equal per-term scores before the sum
+        val s = tf(qid).keys.toSeq.filter(tf(d).contains).map { h =>
+          val idf = BigInt(bitlen(nDocs) - bitlen(df(h)))
+          val tfp = math.min(tf(d)(h), 15L)
+          (idf * 22 * tfp * tTok * 1000000L) /
+            (BigInt(10) * tTok * tfp + BigInt(3) * tTok +
+              BigInt(9) * dl(d) * nDocs)
+        }.sum
+        (d, s.toLong)
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(10).zipWithIndex
+        .map { case ((d, s), i) => (qid, (i + 1).toLong, d, s) }
+    }.toSet
+    val got = CorpusQuality.defs("q102_bm25_retrieval")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(queries.nonEmpty, "sf0.001 must sample at least one query")
+    assert(got === expect)
+  }
+
+  test("q102: dfCap/k confs steer candidate breadth and list depth") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("graft.bm25.k", "3")
+    try {
+      val perQ = CorpusQuality.defs("q102_bm25_retrieval")(spark, dir)
+        .collect().groupBy(_.getLong(0))
+      assert(perQ.nonEmpty)
+      perQ.values.foreach { rows =>
+        assert(rows.length <= 3, "k conf ignored")
+        assert(rows.map(_.getLong(1)).sorted.sameElements(
+          (1L to rows.length)), "ranks not contiguous from 1")
+      }
+    } finally spark.conf.unset("graft.bm25.k")
+  }
 }

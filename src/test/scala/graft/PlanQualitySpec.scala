@@ -509,6 +509,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q100 aggregates lost map-side combine:\n$p")
   }
 
+  test("q102: retrieval top-k is the mergeable aggregate; stats broadcast") {
+    val p = plan("q102_bm25_retrieval")
+    // per-query ranking must ride the TopK aggregate — a row_number
+    // window would shuffle every scored candidate into |queries|
+    // partitions and sort inside straggler tasks
+    assert(!p.contains("Window"), s"q102 ranks with a window:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("TopKAgg"),
+      s"q102 lost the mergeable top-k aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q102 cross-joins:\n$p")
+    // the only nested-loop is the 1-row totals broadcast
+    assert(p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"q102 nested-loops beyond the 1-row totals frame:\n$p")
+  }
+
   test("q77: composition reuses the session pair set — no re-derivation") {
     // The memo/artifact seams exist so operators COMPOSE: q77 (filter →
     // keep list → budget) must consume the session's pair set, never
