@@ -921,6 +921,45 @@ object CorpusQuality {
           col("r.k1").as("doc_id"),
           col("r.score").cast("long").as("score_ppm"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- q103: bigram-LM conditional surprisal -------------------------
+    // q61's CCNet-style perplexity filter upgraded to bigram context:
+    // per-token conditional surprisal −log₂ p(w₂|w₁) with the corpus
+    // itself as the LM, in the house integer grade — p(w₂|w₁) =
+    // c(w₁w₂)/ctx(w₁) (ctx counts w₁ only where a bigram follows, so the
+    // conditional normalizes), bits = bitlen(ctx)−bitlen(c₂) =
+    // ⌊log₂ ctx⌋−⌊log₂ c₂⌋ ≥ 0. Unigram surprisal flags rare WORDS;
+    // conditional surprisal flags improbable TRANSITIONS — scrambled or
+    // machine-mangled text scores high even when every word is common,
+    // which is exactly what q61 cannot see.
+    //
+    // Scale shape: ONE corpus scan — the dual-window generator emits the
+    // unigram and bigram stream per position in a single pass (the q75
+    // discipline); everything after is three map-side-combinable
+    // aggregates over the per-doc gram frame and two narrow LM joins.
+    // Exact integers until the one final division. At deployment the
+    // ctx/bigram LM frames persist as a SideTable artifact (the q69
+    // incremental-LM discipline extends verbatim: batch docs score
+    // against the frozen LM with zero old-corpus reads).
+    "q103_bigram_surprisal" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val perDoc = dualShingleHashRows(d, 1, 2)
+        .where(col("h2").isNotNull)
+        .groupBy(col("doc_id"), col("h1"), col("h2"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint() // feeds both LM aggregates and the scoring join
+      val ctx = perDoc.groupBy(col("h1")).agg(sum(col("k")).as("c1"))
+      val big = perDoc.groupBy(col("h2")).agg(sum(col("k")).as("c2"))
+      perDoc.join(ctx, "h1").join(big, "h2")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(col("k") * (length(bin(col("c1"))) - length(bin(col("c2")))))
+            .as("sum_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+            .as("mean_bits"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1430,7 +1469,33 @@ object CorpusQuality {
         |)
         |SELECT query_id, rank::bigint AS rank, doc_id, score_ppm
         |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q103_bigram_surprisal" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), pos AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g[1]),1,15))::bigint % 2147483647 AS h1,
+        |    ('0x' || substr(md5(g[1] || ' ' || g[2]),1,15))::bigint % 2147483647 AS h2
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |      list_slice(w, i, i+1))) g
+        |    FROM ws WHERE len(w) >= 2
+        |  )
+        |), per_doc AS (
+        |  SELECT doc_id, h1, h2, count(*)::bigint AS k FROM pos GROUP BY 1, 2, 3
+        |), ctx AS (
+        |  SELECT h1, sum(k)::bigint AS c1 FROM per_doc GROUP BY h1
+        |), big AS (
+        |  SELECT h2, sum(k)::bigint AS c2 FROM per_doc GROUP BY h2
+        |)
+        |SELECT doc_id, sum(k)::bigint AS n_bigrams,
+        |  sum(k * (length(bin(c1)) - length(bin(c2))))::bigint AS sum_bits,
+        |  sum(k * (length(bin(c1)) - length(bin(c2))))::double
+        |    / sum(k)::double AS mean_bits
+        |FROM per_doc JOIN ctx USING (h1) JOIN big USING (h2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

@@ -360,6 +360,24 @@ class CorpusQualitySpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("q103: sees transition structure that unigram surprisal cannot") {
+    // Both docs have the SAME unigram multiset (8×x, 8×y) — q61 scores
+    // them identically by construction. Doc 0 alternates (only x→y and
+    // y→x transitions, each seen 14+ times corpus-wide); doc 1 blocks
+    // its tokens (adds x→x, y→y transitions seen only there). The
+    // bigram LM must separate them.
+    val dir = corpus(Seq(
+      "x y x y x y x y x y x y x y x y",
+      "x x x x y y y y x x x x y y y y"))
+    val uni = CorpusQuality.defs("q61_unigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(uni(0L) === uni(1L), "q61 should be blind to word order here")
+    val bi = CorpusQuality.defs("q103_bigram_surprisal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bi(0L) < bi(1L),
+      s"alternating text must have lower conditional surprisal: $bi")
+  }
+
   test("q102: dfCap/k confs steer candidate breadth and list depth") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("graft.bm25.k", "3")

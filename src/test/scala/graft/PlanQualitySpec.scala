@@ -509,6 +509,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q100 aggregates lost map-side combine:\n$p")
   }
 
+  test("q103: one corpus scan feeds both LM grains; aggregates combine map-side") {
+    // the dual-window generator means the documents file is read ONCE
+    // for the per-position gram stream (everything downstream reads the
+    // checkpointed per-doc frame), and the LM/scoring aggregates must
+    // keep partial (map-side) combine
+    val p = plan("q103_bigram_surprisal")
+    assert(!"documents\\.parquet".r.findAllIn(p).hasNext,
+      s"q103 re-reads the corpus after the gram checkpoint:\n$p")
+    assert(!p.contains("Window"), s"q103 plans a window:\n$p")
+    assert(p.contains("partial_sum"),
+      s"q103 aggregates lost map-side combine:\n$p")
+  }
+
   test("q102: retrieval top-k is the mergeable aggregate; stats broadcast") {
     val p = plan("q102_bm25_retrieval")
     // per-query ranking must ride the TopK aggregate — a row_number
