@@ -960,6 +960,68 @@ object CorpusQuality {
           (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
             .as("mean_bits"))
         .orderBy("doc_id")
+    }),
+
+    // ---- q104: DSIR-style importance selection -------------------------
+    // Data Selection via Importance Resampling (Xie et al. 2023): pick
+    // raw-pool documents whose hashed-feature distribution looks like a
+    // TARGET domain, by per-token LM likelihood ratio. The target is a
+    // designated source (`graft.dsir.targetSource` — the "quality domain
+    // proxy"; at deployment, a curated corpus like Wikipedia). Faithful
+    // to the paper where it matters at scale: features are HASH BUCKETS
+    // (`graft.dsir.buckets`, default 10⁴ — collisions intentional), so
+    // BOTH LMs are ≤ buckets rows REGARDLESS of corpus size and join as
+    // broadcasts; the corpus-growth per-doc frame never shuffles to meet
+    // them. The house integer grade replaces log p with bitlen: per
+    // token, bits = bitlen(ct+1) − bitlen(cr) (Laplace +1 on the target
+    // side; cr ≥ 1 since the token is in the pool). The two LM
+    // normalizers (log T_target − log T_raw) shift every per-token score
+    // by the same constant, so they are dropped — rankings are
+    // unchanged, which is all resampling consumes; absolute scores are
+    // therefore offset (typically negative when the target is much
+    // smaller than the pool). Selection = top `graft.dsir.budget` docs
+    // by mean ratio via the global mergeable TopK (budget rows cross the
+    // wire — never a corpus sort); n_tokens/sum_bits ride the Scored
+    // payload slots (doc_id is unique, so they never decide a tie).
+    "q104_dsir_selection" -> ((s, dir) => {
+      val target = s.conf.getOption("graft.dsir.targetSource")
+        .getOrElse("src0")
+      val buckets = s.conf.getOption("graft.dsir.buckets").map(_.toInt)
+        .getOrElse(10000)
+      val budget = s.conf.getOption("graft.dsir.budget").map(_.toInt)
+        .getOrElse(100)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val tok = d.select(col("doc_id"), col("source"),
+          explode(words(col("text"))).as("term"))
+        .select(col("doc_id"), col("source"),
+          pmod(hash60(col("term")), lit(buckets)).as("h"))
+      val perDoc = tok.where(col("source") =!= target)
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
+        .localCheckpoint() // feeds the raw LM and the scoring join
+      val ct = tok.where(col("source") === target)
+        .groupBy(col("h")).agg(count(lit(1)).as("ct"))
+      val cr = perDoc.groupBy(col("h")).agg(sum(col("k")).as("cr"))
+      val scored = perDoc
+        .join(broadcast(cr), "h")
+        .join(broadcast(ct), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_tokens"),
+          sum(col("k") * (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
+            length(bin(col("cr"))))).as("sum_bits"))
+        .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("score"))
+      val topk = udaf(new graft.functions.TopK.TopKAgg(budget),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+          graft.functions.TopK.Scored]())
+      scored
+        .agg(topk(col("score"), col("doc_id"), col("n_tokens"),
+          col("sum_bits"), lit(0L)).as("top"))
+        .select(posexplode(col("top")).as(Seq("i", "r")))
+        .select((col("i") + 1).cast("long").as("rank"),
+          col("r.k1").as("doc_id"), col("r.k2").as("n_tokens"),
+          col("r.k3").as("sum_bits"), col("r.score").as("score"))
+        .orderBy("rank")
     })
   )
 
@@ -1495,7 +1557,40 @@ object CorpusQuality {
         |  sum(k * (length(bin(c1)) - length(bin(c2))))::double
         |    / sum(k)::double AS mean_bits
         |FROM per_doc JOIN ctx USING (h1) JOIN big USING (h2)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q104_dsir_selection" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(t),1,15))::bigint % 10000 AS h
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |    FROM documents
+        |  )
+        |), perdoc AS (
+        |  SELECT doc_id, h, count(*)::bigint AS k FROM tok
+        |  WHERE source <> 'src0' GROUP BY doc_id, h
+        |), ct AS (
+        |  SELECT h, count(*)::bigint AS ct FROM tok
+        |  WHERE source = 'src0' GROUP BY h
+        |), cr AS (
+        |  SELECT h, sum(k)::bigint AS cr FROM perdoc GROUP BY h
+        |), scored AS (
+        |  SELECT doc_id, sum(k)::bigint AS n_tokens,
+        |    sum(k * (length(bin(coalesce(ct, 0) + 1)) - length(bin(cr))))::bigint
+        |      AS sum_bits
+        |  FROM perdoc JOIN cr USING (h) LEFT JOIN ct USING (h)
+        |  GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT doc_id, n_tokens, sum_bits,
+        |    sum_bits::double / n_tokens::double AS score,
+        |    row_number() OVER (ORDER BY sum_bits::double / n_tokens::double
+        |      DESC, doc_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT rank::bigint AS rank, doc_id, n_tokens, sum_bits, score
+        |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

@@ -378,6 +378,35 @@ class CorpusQualitySpec extends AnyFunSuite {
       s"alternating text must have lower conditional surprisal: $bi")
   }
 
+  test("q104: target-like docs outrank off-domain docs; confs steer selection") {
+    // target source docs are all "alpha"; the raw pool has one
+    // alpha-like doc and many beta docs — the alpha-like doc must rank 1
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dsir").toFile.getAbsolutePath
+    val texts = Seq.fill(5)("alpha alpha alpha alpha") ++ // target (src0)
+      Seq("alpha alpha alpha alpha") ++                    // pool, on-domain
+      Seq.fill(10)("beta beta beta beta")                  // pool, off-domain
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .withColumn("source",
+        when(col("doc_id") < 5, lit("src0")).otherwise(lit("srcX")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = CorpusQuality.defs("q104_dsir_selection")(spark, dir).collect()
+    assert(out.head.getLong(1) === 5L,
+      s"the on-domain pool doc must rank first: ${out.toSeq}")
+    assert(out.map(_.getLong(1)).toSet.intersect((0L to 4L).toSet).isEmpty,
+      "target docs must never appear in the selection")
+    spark.conf.set("graft.dsir.budget", "3")
+    try {
+      val capped = CorpusQuality.defs("q104_dsir_selection")(spark, dir)
+        .collect()
+      assert(capped.length === 3 &&
+        capped.map(_.getLong(0)).sameElements(Array(1L, 2L, 3L)))
+    } finally spark.conf.unset("graft.dsir.budget")
+  }
+
   test("q102: dfCap/k confs steer candidate breadth and list depth") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("graft.bm25.k", "3")

@@ -522,6 +522,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q103 aggregates lost map-side combine:\n$p")
   }
 
+  test("q104: both LMs broadcast; selection is the mergeable top-k") {
+    // the bucketed LMs are ≤ `graft.dsir.buckets` rows by construction —
+    // they must broadcast into the corpus-growth per-doc frame, and the
+    // budget selection must ride the TopK aggregate, not a global sort
+    val p = plan("q104_dsir_selection")
+    assert(!p.contains("SortMergeJoin"),
+      s"q104 shuffles the corpus to meet an LM:\n$p")
+    assert(!p.contains("Window"), s"q104 ranks with a window:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("TopKAgg"),
+      s"q104 lost the mergeable top-k aggregate:\n$p")
+  }
+
   test("q102: retrieval top-k is the mergeable aggregate; stats broadcast") {
     val p = plan("q102_bm25_retrieval")
     // per-query ranking must ride the TopK aggregate — a row_number
