@@ -1022,6 +1022,111 @@ object CorpusQuality {
           col("r.k1").as("doc_id"), col("r.k2").as("n_tokens"),
           col("r.k3").as("sum_bits"), col("r.score").as("score"))
         .orderBy("rank")
+    }),
+
+    // ---- q105: incremental BM25 vs persisted inverted-index artifacts --
+    // The q102 retrieval engine as the crawl loop runs it: each new batch
+    // doc retrieves its BM25 top-k from the OLD corpus, whose retrieval
+    // index persists as the four artifacts every real search system
+    // materializes — postings (doc,term,tf; PARTITIONED by term-hash
+    // bucket, the q78 IVF discipline applied to text), lexicon (df per
+    // term), doc lengths, and the 1-row collection stats. Scoring is
+    // frozen-LM semantics (old-corpus df/dl/T/N only — the q69 rule), so
+    // a batch never shifts the index's statistics between rebuilds.
+    //
+    // Per-batch cost is batch-proportional everywhere: only the batch is
+    // shingled (cut pushed to the scan); the lexicon scan is
+    // broadcast-semi-filtered by the batch's term keys (q67 discipline);
+    // candidate generation probes the bucket-partitioned postings with a
+    // broadcast join — dynamic partition pruning cuts the artifact read
+    // to the batch's rare buckets; candidate docs' full postings and dl
+    // rows arrive via candidate-bounded broadcast semi-joins. The
+    // retrieval use case: route/attribute/near-dup-check every incoming
+    // doc against the indexed corpus without touching corpus documents.
+    "q105_incremental_bm25" -> ((s, dir) => {
+      val dfCap = s.conf.getOption("graft.bm25.dfCap").map(_.toInt)
+        .getOrElse(16)
+      val k = s.conf.getOption("graft.bm25.k").map(_.toInt).getOrElse(10)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val fp = Some(s"$dir/documents.parquet")
+      val postPath = graft.sources.SideTable.ensure(s, "bm25_postings",
+          s"$dir#$cut", fp, Seq("bucket")) {
+        shingleHashRows(d.where(col("doc_id") < cut), 3)
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
+      }
+      val post = s.read.parquet(postPath)
+      // lexicon/doclen/stats derive from the postings artifact at build
+      // time (one scan each) — never from the corpus documents
+      val lexPath = graft.sources.SideTable.ensure(s, "bm25_lexicon",
+          s"$dir#$cut", fp) {
+        s.read.parquet(postPath).groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+      }
+      val dlPath = graft.sources.SideTable.ensure(s, "bm25_doclen",
+          s"$dir#$cut", fp) {
+        s.read.parquet(postPath).groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("dl"))
+      }
+      val totPath = graft.sources.SideTable.ensure(s, "bm25_stats",
+          s"$dir#$cut", fp) {
+        s.read.parquet(postPath).agg(sum(col("tf")).as("t_tok"),
+          countDistinct(col("doc_id")).as("n_docs"))
+      }
+      val qtf = shingleHashRows(d.where(col("doc_id") >= cut), 3)
+        .select(col("doc_id").as("query_id"), col("h")).distinct()
+        .localCheckpoint() // batch term lists — batch-bounded
+      val qDf = s.read.parquet(lexPath)
+        .join(broadcast(qtf.select("h").distinct()), Seq("h"), "left_semi")
+        .localCheckpoint() // ≤ |batch terms| rows
+      val rare = qtf.join(broadcast(qDf.where(col("df") <= dfCap)
+          .select("h")), Seq("h"), "left_semi")
+        .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
+      // no self-pair filter needed: query ids are ≥ cut, postings < cut
+      val cand = post.join(broadcast(rare), Seq("bucket", "h"))
+        .select(col("query_id"), col("doc_id"))
+        .distinct()
+      lastIncrementalBm25Plan = cand.queryExecution.executedPlan.toString
+      val candC = cand.localCheckpoint() // rare-df-bounded
+      val candDocs = candC.select(col("doc_id")).distinct()
+      val candPost = post
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .localCheckpoint() // candidate docs' full postings
+      val dlC = s.read.parquet(dlPath)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .localCheckpoint() // ≤ |candidate docs| rows
+      val tot = s.read.parquet(totPath)
+      val contrib = candC
+        .join(qtf, Seq("query_id"))
+        .join(candPost.select(col("doc_id"), col("h"), col("tf")),
+          Seq("doc_id", "h"))
+        .join(broadcast(qDf), Seq("h"))
+        .join(broadcast(dlC), Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .select(col("query_id"), col("doc_id"),
+          (length(bin(col("n_docs"))) - length(bin(col("df")))).as("idf"),
+          least(col("tf"), lit(15)).as("tfp"),
+          col("t_tok"), col("n_docs"), col("dl"))
+        .select(col("query_id"), col("doc_id"),
+          expr("""CAST((CAST(idf AS DECIMAL(38,0)) * 22 * tfp * t_tok
+                 |  * 1000000)
+                 | div (CAST(10 AS DECIMAL(38,0)) * t_tok * tfp
+                 |  + 3 * t_tok + 9 * dl * n_docs) AS BIGINT)"""
+            .stripMargin).as("ppm"))
+      val topk = udaf(new graft.functions.TopK.TopKAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+          graft.functions.TopK.Scored]())
+      contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("ppm")).as("score_ppm"))
+        .groupBy(col("query_id"))
+        .agg(topk(col("score_ppm").cast("double"), col("doc_id"),
+          lit(0L), lit(0L), lit(0L)).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
+        .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+          col("r.k1").as("doc_id"),
+          col("r.score").cast("long").as("score_ppm"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1037,6 +1142,13 @@ object CorpusQuality {
     * documents scan and membership probes the persisted term artifact
     * with broadcast joins only. */
   @volatile private[graft] var lastIncrementalVocabPlan: String = ""
+
+  /** Physical plan of q105's candidate probe (broadcast of the batch's
+    * rare terms against the bucket-partitioned postings artifact),
+    * captured for the plan test that proves dynamic partition pruning
+    * reaches the artifact scan and the corpus documents are never read
+    * on the index side. */
+  @volatile private[graft] var lastIncrementalBm25Plan: String = ""
 
   /** q66's keep conjunction as one predicate over raw `text` — shared
     * by q77's survivor filter (the oracle embeds the identical SQL). */
@@ -1590,7 +1702,61 @@ object CorpusQuality {
         |  FROM scored
         |)
         |SELECT rank::bigint AS rank, doc_id, n_tokens, sum_bits, score
-        |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin
+        |FROM ranked WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Batch-unaware recompute of q105: corpus = docs below the default
+    // cut, queries = the batch above it; identical integer-ratio BM25.
+    "q105_incremental_bm25" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), occ AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+        |      array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3
+        |  )
+        |), tfo AS (
+        |  SELECT doc_id, h, count(*)::bigint AS tf FROM occ
+        |  WHERE doc_id < (SELECT c FROM cut) GROUP BY doc_id, h
+        |), tfb AS (
+        |  SELECT DISTINCT doc_id, h FROM occ
+        |  WHERE doc_id >= (SELECT c FROM cut)
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::bigint AS dl FROM tfo GROUP BY doc_id
+        |), stats AS (
+        |  SELECT h, count(*)::bigint AS df FROM tfo GROUP BY h
+        |), tot AS (
+        |  SELECT sum(tf)::bigint AS t_tok,
+        |    count(DISTINCT doc_id)::bigint AS n_docs FROM tfo
+        |), cand AS (
+        |  SELECT DISTINCT b.doc_id AS query_id, t2.doc_id AS doc_id
+        |  FROM tfb b
+        |  JOIN stats s ON s.h = b.h AND s.df <= 16
+        |  JOIN tfo t2 ON t2.h = b.h
+        |), contrib AS (
+        |  SELECT c.query_id, c.doc_id,
+        |    ((length(bin(n_docs)) - length(bin(st.df)))::hugeint
+        |      * 22 * least(t2.tf, 15) * t_tok * 1000000)
+        |    // (10*t_tok*least(t2.tf,15) + 3*t_tok + 9*d.dl*n_docs) AS ppm
+        |  FROM cand c
+        |  JOIN tfb tq ON tq.doc_id = c.query_id
+        |  JOIN tfo t2 ON t2.doc_id = c.doc_id AND t2.h = tq.h
+        |  JOIN stats st ON st.h = tq.h
+        |  JOIN dl d ON d.doc_id = c.doc_id
+        |  CROSS JOIN tot
+        |), scored AS (
+        |  SELECT query_id, doc_id, sum(ppm)::bigint AS score_ppm
+        |  FROM contrib GROUP BY query_id, doc_id
+        |), ranked AS (
+        |  SELECT query_id, doc_id, score_ppm,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_ppm DESC, doc_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank::bigint AS rank, doc_id, score_ppm
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

@@ -37,7 +37,8 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q95_incremental_source_report", "q96_hard_negatives",
         "q97_ivf_balance", "q98_vocab_growth", "q99_triplet_mining",
         "q101_incremental_vocab", "q102_bm25_retrieval",
-        "q103_bigram_surprisal", "q104_dsir_selection")) {
+        "q103_bigram_surprisal", "q104_dsir_selection",
+        "q105_incremental_bm25")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

@@ -407,6 +407,30 @@ class CorpusQualitySpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dsir.budget")
   }
 
+  test("q105: batch retrieves from the old corpus only, at any cut") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    for (cut <- Seq("100", "250", "400")) {
+      spark.conf.set("graft.batch.cut", cut)
+      try {
+        val rows = CorpusQuality.defs("q105_incremental_bm25")(spark, dir)
+          .collect()
+        assert(rows.nonEmpty, s"cut=$cut produced no retrievals")
+        rows.foreach { r =>
+          assert(r.getLong(0) >= cut.toLong,
+            s"cut=$cut: query ${r.getLong(0)} is not a batch doc")
+          assert(r.getLong(2) < cut.toLong,
+            s"cut=$cut: retrieved ${r.getLong(2)} is not an old-corpus doc")
+        }
+        val perQ = rows.groupBy(_.getLong(0))
+        perQ.values.foreach { qr =>
+          assert(qr.map(_.getLong(1)).sorted.sameElements(
+            (1L to qr.length)), s"cut=$cut: ranks not contiguous")
+        }
+      } finally spark.conf.unset("graft.batch.cut")
+    }
+  }
+
   test("q102: dfCap/k confs steer candidate breadth and list depth") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("graft.bm25.k", "3")

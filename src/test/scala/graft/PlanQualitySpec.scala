@@ -522,6 +522,33 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q103 aggregates lost map-side combine:\n$p")
   }
 
+  test("q105: candidate probe partition-prunes the postings artifact") {
+    // the old corpus contributes ONLY its artifacts: candidate
+    // generation must read the bucket-partitioned postings with dynamic
+    // partition pruning from the broadcast batch-term side, and no
+    // documents scan may appear on the index side (the one documents
+    // read in the returned plan is the batch's own shingling, cut
+    // pushed)
+    val p = plan("q105_incremental_bm25")
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+      s"q105 reads corpus documents beyond the batch scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(doc_id") ||
+      !p.contains("documents.parquet"),
+      s"q105 batch cut is not pushed to the documents scan:\n$p")
+    assert(!p.contains("Window"), s"q105 ranks with a window:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("TopKAgg"),
+      s"q105 lost the mergeable top-k aggregate:\n$p")
+    val cp = graft.queries.CorpusQuality.lastIncrementalBm25Plan
+    assert(cp.nonEmpty, "q105 candidate-probe plan was not captured")
+    assert(cp.contains("graft_bm25_postings"),
+      s"q105 does not read the persisted postings artifact:\n$cp")
+    assert(cp.contains("dynamicpruningexpression(bucket"),
+      s"q105 candidate probe lost dynamic partition pruning:\n$cp")
+    assert(!cp.contains("documents.parquet") ||
+      cp.contains("GreaterThanOrEqual(doc_id"),
+      s"q105 probe side re-reads corpus documents:\n$cp")
+  }
+
   test("q104: both LMs broadcast; selection is the mergeable top-k") {
     // the bucketed LMs are ≤ `graft.dsir.buckets` rows by construction —
     // they must broadcast into the corpus-growth per-doc frame, and the
