@@ -468,22 +468,26 @@ object CorpusQuality {
       }
       val keyBf = graft.sources.SideTable.ensureBloomOf(s, "content_keys",
         s"$dir#$cut", dataPath, keyPath, "gk")
-      // one audit row: (exact cardinalities, Spark's FP-bound boolean);
-      // the two 1-row aggregates join as broadcast 1×1 frames
-      def audit(name: String, exact: DataFrame, keyCol: String,
+      // one audit row: (exact cardinalities, Spark's FP-bound boolean).
+      // n_keys comes from the artifact MANIFEST — these artifacts are
+      // corpus-growth, and re-counting one per audit would be the
+      // second full scan ensureBloomOf's own contract forbids (the
+      // recount fallback only fires on a lost manifest).
+      def audit(name: String, exactPath: String, keyCol: String,
           probes: DataFrame, bf: Array[Byte]): DataFrame = {
+        val exact = s.read.parquet(exactPath)
+        val nKeys = graft.sources.SideTable.manifest(exactPath).map(_._2)
+          .getOrElse(exact.count())
         val flagged = probes
           .withColumn("maybe",
             graft.functions.Bloom.mightContain(bf, col(keyCol)))
           .join(exact.withColumn("present", lit(1)), Seq(keyCol), "left")
-        val stats = flagged.agg(
-          count(lit(1)).as("n_probes"),
-          sum(when(col("present") === 1, 1L).otherwise(0L)).as("n_seen"),
-          sum(when(col("present").isNull && col("maybe"), 1L)
-            .otherwise(0L)).as("n_fp"))
-        val keys = exact.agg(count(lit(1)).as("n_keys"))
-        stats.join(broadcast(keys), lit(true))
-          .select(lit(name).as("artifact"), col("n_keys"),
+        flagged.agg(
+            count(lit(1)).as("n_probes"),
+            sum(when(col("present") === 1, 1L).otherwise(0L)).as("n_seen"),
+            sum(when(col("present").isNull && col("maybe"), 1L)
+              .otherwise(0L)).as("n_fp"))
+          .select(lit(name).as("artifact"), lit(nKeys).as("n_keys"),
             col("n_probes"), col("n_seen"),
             (col("n_probes") - col("n_seen")).as("n_novel"),
             (when(col("n_probes") - col("n_seen") === 0, lit(true))
@@ -497,10 +501,8 @@ object CorpusQuality {
       val keyProbes = d.where(col("doc_id") >= cut && col("text").isNotNull)
         .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
         .distinct()
-      audit("content_keys", s.read.parquet(keyPath), "gk", keyProbes,
-          keyBf)
-        .unionByName(audit("gram_set", s.read.parquet(gramPath), "h",
-          gramProbes, gramBf))
+      audit("content_keys", keyPath, "gk", keyProbes, keyBf)
+        .unionByName(audit("gram_set", gramPath, "h", gramProbes, gramBf))
         .orderBy("artifact")
     }),
 
@@ -892,35 +894,12 @@ object CorpusQuality {
         .select(col("query_id"), col("doc_id"))
         .distinct()
         .localCheckpoint() // df-cap-bounded: ≤ |query terms| · dfCap
-      val contrib = cand
+      bm25TopK(cand
         .join(qtf, Seq("query_id"))
         .join(tf, Seq("doc_id", "h"))
         .join(stats, "h")
         .join(dl, "doc_id")
-        .crossJoin(broadcast(tot))
-        .select(col("query_id"), col("doc_id"),
-          (length(bin(col("n_docs"))) - length(bin(col("df")))).as("idf"),
-          least(col("tf"), lit(15)).as("tfp"),
-          col("t_tok"), col("n_docs"), col("dl"))
-        .select(col("query_id"), col("doc_id"),
-          expr("""CAST((CAST(idf AS DECIMAL(38,0)) * 22 * tfp * t_tok
-                 |  * 1000000)
-                 | div (CAST(10 AS DECIMAL(38,0)) * t_tok * tfp
-                 |  + 3 * t_tok + 9 * dl * n_docs) AS BIGINT)"""
-            .stripMargin).as("ppm"))
-      val topk = udaf(new graft.functions.TopK.TopKAgg(k),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
-          graft.functions.TopK.Scored]())
-      contrib.groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("ppm")).as("score_ppm"))
-        .groupBy(col("query_id"))
-        .agg(topk(col("score_ppm").cast("double"), col("doc_id"),
-          lit(0L), lit(0L), lit(0L)).as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
-        .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
-          col("r.k1").as("doc_id"),
-          col("r.score").cast("long").as("score_ppm"))
-        .orderBy("query_id", "rank")
+        .crossJoin(broadcast(tot)), k)
     }),
 
     // ---- q103: bigram-LM conditional surprisal -------------------------
@@ -1097,36 +1076,13 @@ object CorpusQuality {
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
         .localCheckpoint() // ≤ |candidate docs| rows
       val tot = s.read.parquet(totPath)
-      val contrib = candC
+      bm25TopK(candC
         .join(qtf, Seq("query_id"))
         .join(candPost.select(col("doc_id"), col("h"), col("tf")),
           Seq("doc_id", "h"))
         .join(broadcast(qDf), Seq("h"))
         .join(broadcast(dlC), Seq("doc_id"))
-        .crossJoin(broadcast(tot))
-        .select(col("query_id"), col("doc_id"),
-          (length(bin(col("n_docs"))) - length(bin(col("df")))).as("idf"),
-          least(col("tf"), lit(15)).as("tfp"),
-          col("t_tok"), col("n_docs"), col("dl"))
-        .select(col("query_id"), col("doc_id"),
-          expr("""CAST((CAST(idf AS DECIMAL(38,0)) * 22 * tfp * t_tok
-                 |  * 1000000)
-                 | div (CAST(10 AS DECIMAL(38,0)) * t_tok * tfp
-                 |  + 3 * t_tok + 9 * dl * n_docs) AS BIGINT)"""
-            .stripMargin).as("ppm"))
-      val topk = udaf(new graft.functions.TopK.TopKAgg(k),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
-          graft.functions.TopK.Scored]())
-      contrib.groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("ppm")).as("score_ppm"))
-        .groupBy(col("query_id"))
-        .agg(topk(col("score_ppm").cast("double"), col("doc_id"),
-          lit(0L), lit(0L), lit(0L)).as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
-        .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
-          col("r.k1").as("doc_id"),
-          col("r.score").cast("long").as("score_ppm"))
-        .orderBy("query_id", "rank")
+        .crossJoin(broadcast(tot)), k)
     })
   )
 
@@ -1149,6 +1105,40 @@ object CorpusQuality {
     * reaches the artifact scan and the corpus documents are never read
     * on the index side. */
   @volatile private[graft] var lastIncrementalBm25Plan: String = ""
+
+  /** The q102/q105 shared BM25 tail: per-term integer-ppm scores summed
+    * per (query, doc), then per-query top-k via the mergeable TopK.
+    * Expects one row per shared term with columns (query_id, doc_id,
+    * df, tf, dl, t_tok, n_docs). q105's frozen-LM parity with q102
+    * DEPENDS on the scoring expression being this one definition — the
+    * ppm ratio is the k1=6/5, b=3/4 BM25 multiplied through to integers
+    * (see the q102 entry comment for the derivation). */
+  private def bm25TopK(contrib0: DataFrame, k: Int): DataFrame = {
+    val contrib = contrib0
+      .select(col("query_id"), col("doc_id"),
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).as("idf"),
+        least(col("tf"), lit(15)).as("tfp"),
+        col("t_tok"), col("n_docs"), col("dl"))
+      .select(col("query_id"), col("doc_id"),
+        expr("""CAST((CAST(idf AS DECIMAL(38,0)) * 22 * tfp * t_tok
+               |  * 1000000)
+               | div (CAST(10 AS DECIMAL(38,0)) * t_tok * tfp
+               |  + 3 * t_tok + 9 * dl * n_docs) AS BIGINT)"""
+          .stripMargin).as("ppm"))
+    val topk = udaf(new graft.functions.TopK.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        graft.functions.TopK.Scored]())
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("score_ppm").cast("double"), col("doc_id"),
+        lit(0L), lit(0L), lit(0L)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("r.k1").as("doc_id"),
+        col("r.score").cast("long").as("score_ppm"))
+      .orderBy("query_id", "rank")
+  }
 
   /** q66's keep conjunction as one predicate over raw `text` — shared
     * by q77's survivor filter (the oracle embeds the identical SQL). */

@@ -230,6 +230,30 @@ object Embeddings {
 
   private[graft] def kmMemoSize: Int = kmMemo.size
 
+  /** The labeled, cluster-capped pair scaffold shared by the
+    * contrastive-mining pair (q96, q99): session k-means join labels,
+    * capBuckets on the cluster key (`graft.semdedup.maxCluster`), and
+    * the b-aliased mate projection. ONE definition — KMeansSpec pins
+    * q99's negative side bit-identical to q96, and that equality must
+    * hold by construction, not by parallel edits. Returns
+    * (km, labels, capped, mates). */
+  private def labeledClusterPairFrames(s: SparkSession, dir: String,
+      what: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val km = kmMemo.computeIfAbsent(kmMemoKey(s, dir),
+      _ => computeKmeans(s, dir))
+    val labels = Graft.parquetSource(s, dir).table("embeddings")
+      .select(col("vec_id"), col("label"))
+    val m = km.select(col("vec_id"), col("cluster"), col("v"),
+        col("nrm"))
+      .join(labels, Seq("vec_id"))
+    val capped = TextPipeline.capBuckets(m, Seq("cluster"), s,
+      what, "graft.semdedup.maxCluster")
+    val b = capped.select(col("vec_id").as("b_id"), col("cluster"),
+      col("label").as("b_label"), col("v").as("bv"),
+      col("nrm").as("bn"))
+    (km, labels, capped, b)
+  }
+
   /** `iters` Lloyd rounds over `e` → the final k-row centroid table
     * (cid, cv, cn). Shared by q80 (in-session clustering, which captures
     * the update plan for PlanQualitySpec) and q86 (the centroid ARTIFACT
@@ -499,7 +523,7 @@ object Embeddings {
           val p = probes.localCheckpoint()
           val cells = p.select(col("cell")).distinct()
             .collect().map(_.getInt(0)).sorted
-          idx.where(col("cell").isin(cells: _*))
+          idx.where(col("cell").isin(cells.toIndexedSeq: _*))
             .join(p.hint("shuffle_hash"), Seq("cell"))
             .select(col("q_id"), col("vec_id"),
               (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
@@ -783,18 +807,8 @@ object Embeddings {
     // with NULLs — a training pipeline must know which anchors lack
     // in-cluster negatives and need a global fallback round.
     "q96_hard_negatives" -> ((s, dir) => {
-      val km = kmMemo.computeIfAbsent(kmMemoKey(s, dir),
-        _ => computeKmeans(s, dir))
-      val labels = Graft.parquetSource(s, dir).table("embeddings")
-        .select(col("vec_id"), col("label"))
-      val m = km.select(col("vec_id"), col("cluster"), col("v"),
-          col("nrm"))
-        .join(labels, Seq("vec_id"))
-      val capped = TextPipeline.capBuckets(m, Seq("cluster"), s,
-        "q96 hard-negative clusters", "graft.semdedup.maxCluster")
-      val b = capped.select(col("vec_id").as("b_id"), col("cluster"),
-        col("label").as("b_label"), col("v").as("bv"),
-        col("nrm").as("bn"))
+      val (km, labels, capped, b) =
+        labeledClusterPairFrames(s, dir, "q96 hard-negative clusters")
       val neg = capped.join(b, Seq("cluster"))
         .where(col("b_id") =!= col("vec_id") &&
           col("b_label") =!= col("label"))
@@ -872,18 +886,8 @@ object Embeddings {
     // NULL pos/neg columns mark anchors whose cluster lacks a same- or
     // different-label mate (the fallback-round signal, as in q96).
     "q99_triplet_mining" -> ((s, dir) => {
-      val km = kmMemo.computeIfAbsent(kmMemoKey(s, dir),
-        _ => computeKmeans(s, dir))
-      val labels = Graft.parquetSource(s, dir).table("embeddings")
-        .select(col("vec_id"), col("label"))
-      val m = km.select(col("vec_id"), col("cluster"), col("v"),
-          col("nrm"))
-        .join(labels, Seq("vec_id"))
-      val capped = TextPipeline.capBuckets(m, Seq("cluster"), s,
-        "q99 triplet clusters", "graft.semdedup.maxCluster")
-      val b = capped.select(col("vec_id").as("b_id"), col("cluster"),
-        col("label").as("b_label"), col("v").as("bv"),
-        col("nrm").as("bn"))
+      val (km, labels, capped, b) =
+        labeledClusterPairFrames(s, dir, "q99 triplet clusters")
       val pairs = capped.join(b, Seq("cluster"))
         .where(col("b_id") =!= col("vec_id"))
         .select(col("vec_id"), col("label"), col("b_id"), col("b_label"),
@@ -1013,7 +1017,7 @@ object Embeddings {
       // equi-key is the cluster id, so dropping a cluster from the
       // candidate side removes every pair it would have produced)
       val earlier = members
-        .where(col("cluster").isin(bClusters: _*))
+        .where(col("cluster").isin(bClusters.toIndexedSeq: _*))
         .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
         .unionByName(batchAsg
           .select(col("vec_id"), col("cluster"), col("v"), col("nrm")))

@@ -496,11 +496,9 @@ object Relational {
       |ORDER BY user_id, session_id""".stripMargin
 
   private def sessionizeSpark(src: graft.sources.ParquetSource): String = {
-    val tsExpr = src.table("events").schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => "ts div 1000 AS ts"
-      case _ => "unix_micros(cast(ts as timestamp)) AS ts"
-    }
-    sessionizeSqlFor(s"$tsExpr FROM events")
+    val tsExpr = EventStreams.eventTimeUsSql(
+      src.table("events").schema("ts").dataType)
+    sessionizeSqlFor(s"$tsExpr AS ts FROM events")
   }
   private val sessionizeDuck = sessionizeSqlFor("epoch_us(ts) AS ts FROM events")
 

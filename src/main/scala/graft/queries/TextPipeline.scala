@@ -1334,7 +1334,12 @@ object TextPipeline {
       val bits = Integer.numberOfTrailingZeros(nShards)
       val d = Graft.parquetSource(s, dir).table("documents")
       d.select(col("doc_id"),
-          bpeTokenCount(col("text")).cast("long").as("n_tokens"),
+          // NULL-text guard: legacy sizeOfNull would make size() return
+          // -1 and silently shrink the shard's token sum; DuckDB skips
+          // the NULL — 0 matches it under any conf (the q98/q100 rule)
+          when(col("text").isNull, lit(0L))
+            .otherwise(bpeTokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
           hash60(concat_ws("#", col("text"), lit(seed))).as("h"))
         .withColumn("shard", shiftright(col("h"), 60 - bits))
         .groupBy(col("shard"))

@@ -180,18 +180,27 @@ object SideTable {
     // job both run inside `ensure`), restore after.
     val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val prev = Seq(bitsConf, itemsConf).map(c => c -> s.conf.getOption(c))
-    s.conf.set(bitsConf, math.max(bits, 1L << 26).toString)
-    s.conf.set(itemsConf, math.max(n, 4000000L).toString)
-    val path =
+    // raise/restore is snapshot-based, so two concurrent builds could
+    // each snapshot the OTHER's raised value and "restore" it
+    // permanently — serialize the conf-mutating window (bloom builds
+    // are rare and memoized; the lock is uncontended in steady state)
+    val path = bloomConfLock.synchronized {
+      val prev = Seq(bitsConf, itemsConf).map(c => c -> s.conf.getOption(c))
+      s.conf.set(bitsConf, math.max(bits, 1L << 26).toString)
+      s.conf.set(itemsConf, math.max(n, 4000000L).toString)
       try ensure(s, s"${name}_bloom", key, dataPath) {
         import org.apache.spark.sql.functions.col
         s.read.parquet(exactPath)
           .agg(graft.functions.Bloom.agg(col(keyCol), n, bits).as("bf"))
       } finally prev.foreach { case (c, v) =>
         v.fold(s.conf.unset(c))(s.conf.set(c, _)) }
+    }
     s.read.parquet(path).head().getAs[Array[Byte]](0)
   }
+
+  /** Serializes the session-conf raise/restore window in
+    * [[ensureBloomOf]] (see comment there). */
+  private val bloomConfLock = new Object
 
   /** Appends `delta` to an already-ensured artifact and updates its
     * manifest row count — the incremental-maintenance path (e.g. after
@@ -206,6 +215,15 @@ object SideTable {
     require(task != null,
       s"append on side-table $name before ensure() in this session")
     val path = task.get()
+    // The artifact's contents are about to change under an UNCHANGED
+    // identity: a bloom companion compiled from the pre-append rows
+    // would have false negatives for the appended keys, breaking the
+    // contract its callers rely on to skip exact verification. Drop it
+    // BEFORE the delta lands: if this JVM dies mid-append, the residual
+    // state is exact-artifact-only (next ensureBloomOf recompiles — a
+    // benign rebuild), never a stale filter that a later session would
+    // trust via its still-valid manifest.
+    invalidate(s, s"${name}_bloom", fk)
     // count the DELTA, not the artifact: re-counting the whole artifact
     // per append is a full scan that grows with every epoch of a crawl
     // loop — the manifest row count is the running sum instead
@@ -216,13 +234,6 @@ object SideTable {
     val rows = manifest(path).map(_._2 + deltaRows)
       .getOrElse(s.read.parquet(path).count())
     writeManifest(new File(path), name, fk, rows)
-    // the artifact's contents changed under an UNCHANGED identity: a
-    // bloom companion compiled from the pre-append rows would have
-    // false negatives for the appended keys, breaking the contract its
-    // callers rely on to skip exact verification — drop it so the next
-    // ensureBloomOf recompiles from the updated artifact (same
-    // single-writer scope as the append itself)
-    invalidate(s, s"${name}_bloom", fk)
     path
   }
 

@@ -61,6 +61,19 @@ object EventStreams {
       case _        => unix_micros(eventTime(events))
     }
 
+  /** The SQL-string twin of [[eventTimeUs]], for queries composed as raw
+    * SQL over the `events` view (q36's sessionize). Lives here so a
+    * testdata re-type still changes exactly one file — both dispatches
+    * sit side by side. */
+  def eventTimeUsSql(dt: org.apache.spark.sql.types.DataType): String =
+    dt match {
+      case LongType                         => "ts div 1000"
+      case TimestampNTZType | TimestampType =>
+        "unix_micros(cast(ts as timestamp))"
+      case other => throw new IllegalArgumentException(
+        s"unsupported events.ts type $other (expected long nanos or timestamp)")
+    }
+
   /** Normalize the raw events table: attach `ts_us` (µs timestamp). */
   def normalized(events: DataFrame): DataFrame =
     events.withColumn("ts_us", eventTime(events))
