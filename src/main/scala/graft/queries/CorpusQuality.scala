@@ -952,8 +952,9 @@ object CorpusQuality {
     // BOTH LMs are ≤ buckets rows REGARDLESS of corpus size and join as
     // broadcasts; the corpus-growth per-doc frame never shuffles to meet
     // them. The house integer grade replaces log p with bitlen: per
-    // token, bits = bitlen(ct+1) − bitlen(cr) (Laplace +1 on the target
-    // side; cr ≥ 1 since the token is in the pool). The two LM
+    // token, bits = bitlen(ct+1) − bitlen(cr+1) (Laplace +1 on BOTH
+    // LMs, shared with q106 via `dsirScore`, whose frozen raw LM can
+    // genuinely miss batch features). The two LM
     // normalizers (log T_target − log T_raw) shift every per-token score
     // by the same constant, so they are dropped — rankings are
     // unchanged, which is all resampling consumes; absolute scores are
@@ -980,16 +981,7 @@ object CorpusQuality {
       val ct = tok.where(col("source") === target)
         .groupBy(col("h")).agg(count(lit(1)).as("ct"))
       val cr = perDoc.groupBy(col("h")).agg(sum(col("k")).as("cr"))
-      val scored = perDoc
-        .join(broadcast(cr), "h")
-        .join(broadcast(ct), Seq("h"), "left")
-        .groupBy(col("doc_id"))
-        .agg(sum(col("k")).as("n_tokens"),
-          sum(col("k") * (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
-            length(bin(col("cr"))))).as("sum_bits"))
-        .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
-          (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
-            .as("score"))
+      val scored = dsirScore(perDoc, ct, cr)
       val topk = udaf(new graft.functions.TopK.TopKAgg(budget),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
           graft.functions.TopK.Scored]())
@@ -1083,6 +1075,52 @@ object CorpusQuality {
         .join(broadcast(qDf), Seq("h"))
         .join(broadcast(dlC), Seq("doc_id"))
         .crossJoin(broadcast(tot)), k)
+    }),
+
+    // ---- q106: incremental DSIR scoring vs persisted LM artifacts ------
+    // q104 as the crawl loop runs it: the target and raw-pool hashed-
+    // feature LMs freeze once per corpus snapshot as two ≤ buckets-row
+    // side-tables (target source and bucket count folded into the
+    // artifact identity — the q86 rule for conf-dependent artifacts),
+    // and each incoming batch's pool docs score against them with ZERO
+    // old-corpus reads: the cut is pushed to the batch's documents scan,
+    // both LMs broadcast (plan-pinned no SortMergeJoin). Scoring is
+    // `dsirScore` — the SAME definition q104 uses — so a batch doc gets
+    // the score the full recompute would give it under the frozen LMs;
+    // frozen-LM semantics (the q69/q105 rule) mean batch composition
+    // never shifts anyone's score between snapshot rebuilds. Output is
+    // the per-doc score stream (the resampler's input), not a top-k —
+    // the batch is already the unit of work.
+    "q106_incremental_dsir" -> ((s, dir) => {
+      val target = s.conf.getOption("graft.dsir.targetSource")
+        .getOrElse("src0")
+      val buckets = s.conf.getOption("graft.dsir.buckets").map(_.toInt)
+        .getOrElse(10000)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val fp = Some(s"$dir/documents.parquet")
+      def lmOf(name: String, srcCond: org.apache.spark.sql.Column,
+          cName: String): DataFrame = {
+        val path = graft.sources.SideTable.ensure(s, name,
+            s"$dir#$cut#$target#$buckets", fp) {
+          d.where(col("doc_id") < cut && srcCond)
+            .select(col("doc_id"), explode(words(col("text"))).as("term"))
+            .select(pmod(hash60(col("term")), lit(buckets)).as("h"))
+            .groupBy(col("h")).agg(count(lit(1)).as(cName))
+        }
+        s.read.parquet(path)
+      }
+      val ct = lmOf("dsir_target_lm", col("source") === target, "ct")
+      val cr = lmOf("dsir_raw_lm", col("source") =!= target, "cr")
+      val perDoc = d
+        .where(col("doc_id") >= cut && col("source") =!= target)
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+        .select(col("doc_id"),
+          pmod(hash60(col("term")), lit(buckets)).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
+      val out = dsirScore(perDoc, ct, cr).orderBy("doc_id")
+      lastIncrementalDsirPlan = out.queryExecution.executedPlan.toString
+      out
     })
   )
 
@@ -1105,6 +1143,32 @@ object CorpusQuality {
     * reaches the artifact scan and the corpus documents are never read
     * on the index side. */
   @volatile private[graft] var lastIncrementalBm25Plan: String = ""
+
+  /** Physical plan of q106's batch scoring (the returned frame),
+    * captured for the plan test: cut pushed to the batch's documents
+    * scan, LM artifacts read (not the corpus), broadcast-only joins. */
+  @volatile private[graft] var lastIncrementalDsirPlan: String = ""
+
+  /** The q104/q106 shared DSIR scorer: per-token importance bits =
+    * bitlen(ct+1) − bitlen(cr+1) (Laplace +1 on BOTH LMs — the target
+    * side can miss pool features and, in the incremental variant, a
+    * frozen raw LM can miss batch features), summed per doc with one
+    * final division. Both LM frames are ≤ `graft.dsir.buckets` rows and
+    * join as broadcasts. ONE definition, so the incremental operator
+    * scores exactly as the full-corpus one. */
+  private def dsirScore(perDoc: DataFrame, ct: DataFrame,
+      cr: DataFrame): DataFrame =
+    perDoc
+      .join(broadcast(cr), Seq("h"), "left")
+      .join(broadcast(ct), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") *
+          (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
+           length(bin(coalesce(col("cr"), lit(0L)) + 1)))).as("sum_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+          .as("score"))
 
   /** The q102/q105 shared BM25 tail: per-term integer-ppm scores summed
     * per (query, doc), then per-query top-k via the mergeable TopK.
@@ -1680,9 +1744,9 @@ object CorpusQuality {
         |  SELECT h, sum(k)::bigint AS cr FROM perdoc GROUP BY h
         |), scored AS (
         |  SELECT doc_id, sum(k)::bigint AS n_tokens,
-        |    sum(k * (length(bin(coalesce(ct, 0) + 1)) - length(bin(cr))))::bigint
-        |      AS sum_bits
-        |  FROM perdoc JOIN cr USING (h) LEFT JOIN ct USING (h)
+        |    sum(k * (length(bin(coalesce(ct, 0) + 1))
+        |           - length(bin(coalesce(cr, 0) + 1))))::bigint AS sum_bits
+        |  FROM perdoc LEFT JOIN cr USING (h) LEFT JOIN ct USING (h)
         |  GROUP BY doc_id
         |), ranked AS (
         |  SELECT doc_id, n_tokens, sum_bits,
@@ -1746,7 +1810,40 @@ object CorpusQuality {
         |)
         |SELECT query_id, rank::bigint AS rank, doc_id, score_ppm
         |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Batch-unaware recompute of q106 under the frozen old-corpus LMs.
+    "q106_incremental_dsir" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(t),1,15))::bigint % 10000 AS h
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |    FROM documents
+        |  )
+        |), ct AS (
+        |  SELECT h, count(*)::bigint AS ct FROM tok
+        |  WHERE source = 'src0' AND doc_id < (SELECT c FROM cut)
+        |  GROUP BY h
+        |), cr AS (
+        |  SELECT h, count(*)::bigint AS cr FROM tok
+        |  WHERE source <> 'src0' AND doc_id < (SELECT c FROM cut)
+        |  GROUP BY h
+        |), perdoc AS (
+        |  SELECT doc_id, h, count(*)::bigint AS k FROM tok
+        |  WHERE source <> 'src0' AND doc_id >= (SELECT c FROM cut)
+        |  GROUP BY doc_id, h
+        |)
+        |SELECT doc_id, sum(k)::bigint AS n_tokens,
+        |  sum(k * (length(bin(coalesce(ct, 0) + 1))
+        |         - length(bin(coalesce(cr, 0) + 1))))::bigint AS sum_bits,
+        |  sum(k * (length(bin(coalesce(ct, 0) + 1))
+        |         - length(bin(coalesce(cr, 0) + 1))))::double
+        |    / sum(k)::double AS score
+        |FROM perdoc LEFT JOIN cr USING (h) LEFT JOIN ct USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

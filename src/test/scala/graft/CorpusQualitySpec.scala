@@ -431,6 +431,32 @@ class CorpusQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q106: scores only batch pool docs; bucket conf keys the artifacts") {
+    val dir = "/root/testdata/sf0.001"
+    val cut = 400L
+    spark.conf.set("graft.batch.cut", cut.toString)
+    try {
+      val base = CorpusQuality.defs("q106_incremental_dsir")(spark, dir)
+        .collect()
+      assert(base.nonEmpty)
+      base.foreach(r => assert(r.getLong(0) >= cut,
+        s"doc ${r.getLong(0)} is not a batch doc"))
+      // a different bucket count is a DIFFERENT artifact identity — the
+      // rebuilt LMs must actually be used (collisions change scores)
+      spark.conf.set("graft.dsir.buckets", "7")
+      val coarse = CorpusQuality.defs("q106_incremental_dsir")(spark, dir)
+        .collect()
+      assert(coarse.map(_.getLong(0)).toSeq ==
+        base.map(_.getLong(0)).toSeq, "doc universe must not change")
+      assert(coarse.map(_.getLong(2)).toSeq !=
+        base.map(_.getLong(2)).toSeq,
+        "7-bucket LM collisions should change at least one score")
+    } finally {
+      spark.conf.unset("graft.batch.cut")
+      spark.conf.unset("graft.dsir.buckets")
+    }
+  }
+
   test("q102: dfCap/k confs steer candidate breadth and list depth") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("graft.bm25.k", "3")

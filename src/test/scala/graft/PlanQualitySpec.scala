@@ -549,6 +549,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q105 probe side re-reads corpus documents:\n$cp")
   }
 
+  test("q106: batch scores against LM artifacts — cut pushed, broadcast-only") {
+    SparkEntry.queries("q106_incremental_dsir")(spark, dir).count()
+    val cp = graft.queries.CorpusQuality.lastIncrementalDsirPlan
+    assert(cp.nonEmpty, "q106 scoring plan was not captured")
+    assert(cp.contains("graft_dsir_target_lm") &&
+      cp.contains("graft_dsir_raw_lm"),
+      s"q106 does not read the persisted LM artifacts:\n$cp")
+    assert(cp.contains("GreaterThanOrEqual(doc_id"),
+      s"q106 batch cut is not pushed to the documents scan:\n$cp")
+    assert("documents\\.parquet".r.findAllIn(cp).size <= 1,
+      s"q106 reads corpus documents beyond the batch scan:\n$cp")
+    assert(!cp.contains("SortMergeJoin"),
+      s"q106 shuffles the batch to meet an LM:\n$cp")
+  }
+
   test("q104: both LMs broadcast; selection is the mergeable top-k") {
     // the bucketed LMs are ≤ `graft.dsir.buckets` rows by construction —
     // they must broadcast into the corpus-growth per-doc frame, and the
