@@ -1121,6 +1121,63 @@ object CorpusQuality {
       val out = dsirScore(perDoc, ct, cr).orderBy("doc_id")
       lastIncrementalDsirPlan = out.queryExecution.executedPlan.toString
       out
+    }),
+
+    // ---- q107: incremental bigram-LM scoring vs persisted LM artifacts -
+    // q103 as the crawl loop runs it — the bigram member of the
+    // frozen-LM family (q69 is the unigram one): the old corpus's
+    // context and bigram count tables persist once per snapshot, and
+    // each batch doc's conditional surprisal is computed against them
+    // with ZERO old-corpus reads. Both LM tables are distinct-gram-
+    // growth, so the scans are broadcast-semi-filtered down to the
+    // BATCH's gram keys before joining (the q67/q101 membership
+    // discipline — the artifact is never broadcast whole, never
+    // shuffled). Laplace +1 on both counts keeps the score total for
+    // batch-novel grams, and `n_oov` (transitions the frozen LM has
+    // never seen) is the drift signal that schedules the next LM
+    // rebuild — the q69 rule at bigram grain.
+    "q107_incremental_bigram_lm" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val fp = Some(s"$dir/documents.parquet")
+      def lm(name: String, gram: String, cName: String): DataFrame = {
+        val path = graft.sources.SideTable.ensure(s, name,
+            s"$dir#$cut", fp) {
+          dualShingleHashRows(d.where(col("doc_id") < cut), 1, 2)
+            .where(col("h2").isNotNull)
+            .groupBy(col(gram)).agg(count(lit(1)).as(cName))
+        }
+        s.read.parquet(path)
+      }
+      val ctx = lm("bigram_ctx_lm", "h1", "c1")
+      val big = lm("bigram_lm", "h2", "c2")
+      val batch = d.where(col("doc_id") >= cut)
+      val perDoc = dualShingleHashRows(batch, 1, 2)
+        .where(col("h2").isNotNull)
+        .groupBy(col("doc_id"), col("h1"), col("h2"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint() // batch-bounded; feeds both key sets + scoring
+      val ctxC = ctx.join(broadcast(perDoc.select("h1").distinct()),
+        Seq("h1"), "left_semi").localCheckpoint() // ≤ |batch contexts|
+      val bigC = big.join(broadcast(perDoc.select("h2").distinct()),
+        Seq("h2"), "left_semi").localCheckpoint() // ≤ |batch bigrams|
+      val out = perDoc
+        .join(broadcast(ctxC), Seq("h1"), "left")
+        .join(broadcast(bigC), Seq("h2"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).as("n_bigrams"),
+          sum(when(col("c2").isNull, col("k")).otherwise(0L)).as("n_oov"),
+          sum(col("k") *
+            (length(bin(coalesce(col("c1"), lit(0L)) + 1)) -
+             length(bin(coalesce(col("c2"), lit(0L)) + 1))))
+            .as("sum_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+          col("sum_bits"),
+          (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+            .as("mean_bits"))
+        .orderBy("doc_id")
+      lastIncrementalBigramPlan = out.queryExecution.executedPlan.toString
+      out
     })
   )
 
@@ -1148,6 +1205,11 @@ object CorpusQuality {
     * captured for the plan test: cut pushed to the batch's documents
     * scan, LM artifacts read (not the corpus), broadcast-only joins. */
   @volatile private[graft] var lastIncrementalDsirPlan: String = ""
+
+  /** Physical plan of q107's batch scoring, captured for the plan test:
+    * the returned frame reads only the checkpointed batch gram frame
+    * and the two batch-key-bounded LM slices — no corpus documents. */
+  @volatile private[graft] var lastIncrementalBigramPlan: String = ""
 
   /** The q104/q106 shared DSIR scorer: per-token importance bits =
     * bitlen(ct+1) − bitlen(cr+1) (Laplace +1 on BOTH LMs — the target
@@ -1843,6 +1905,40 @@ object CorpusQuality {
         |         - length(bin(coalesce(cr, 0) + 1))))::double
         |    / sum(k)::double AS score
         |FROM perdoc LEFT JOIN cr USING (h) LEFT JOIN ct USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Batch-unaware recompute of q107 under the frozen old-corpus LMs.
+    "q107_incremental_bigram_lm" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), pos AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(g[1]),1,15))::bigint % 2147483647 AS h1,
+        |    ('0x' || substr(md5(g[1] || ' ' || g[2]),1,15))::bigint % 2147483647 AS h2
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |      list_slice(w, i, i+1))) g
+        |    FROM ws WHERE len(w) >= 2
+        |  )
+        |), ctx AS (
+        |  SELECT h1, count(*)::bigint AS c1 FROM pos
+        |  WHERE doc_id < (SELECT c FROM cut) GROUP BY h1
+        |), big AS (
+        |  SELECT h2, count(*)::bigint AS c2 FROM pos
+        |  WHERE doc_id < (SELECT c FROM cut) GROUP BY h2
+        |), per_doc AS (
+        |  SELECT doc_id, h1, h2, count(*)::bigint AS k FROM pos
+        |  WHERE doc_id >= (SELECT c FROM cut) GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id, sum(k)::bigint AS n_bigrams,
+        |  sum(CASE WHEN c2 IS NULL THEN k ELSE 0 END)::bigint AS n_oov,
+        |  sum(k * (length(bin(coalesce(c1, 0) + 1))
+        |         - length(bin(coalesce(c2, 0) + 1))))::bigint AS sum_bits,
+        |  sum(k * (length(bin(coalesce(c1, 0) + 1))
+        |         - length(bin(coalesce(c2, 0) + 1))))::double
+        |    / sum(k)::double AS mean_bits
+        |FROM per_doc LEFT JOIN ctx USING (h1) LEFT JOIN big USING (h2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 

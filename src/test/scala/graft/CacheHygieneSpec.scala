@@ -38,7 +38,8 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q97_ivf_balance", "q98_vocab_growth", "q99_triplet_mining",
         "q101_incremental_vocab", "q102_bm25_retrieval",
         "q103_bigram_surprisal", "q104_dsir_selection",
-        "q105_incremental_bm25", "q106_incremental_dsir")) {
+        "q105_incremental_bm25", "q106_incremental_dsir",
+        "q107_incremental_bigram_lm")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

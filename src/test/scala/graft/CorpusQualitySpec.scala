@@ -457,6 +457,23 @@ class CorpusQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q107: frozen-LM scores only batch docs; OOV flags genuinely new grams") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    // cut=1: only doc 0 trains the LM, so the batch MUST contain
+    // transitions the frozen LM has never seen (nonzero n_oov) — the
+    // drift signal has to fire on genuinely novel content
+    spark.conf.set("graft.batch.cut", "1")
+    try {
+      val rows = CorpusQuality.defs("q107_incremental_bigram_lm")(
+        spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getLong(0) >= 1L))
+      assert(rows.map(_.getLong(2)).sum > 0,
+        "cut=1 batch must contain OOV transitions")
+    } finally spark.conf.unset("graft.batch.cut")
+  }
+
   test("q102: dfCap/k confs steer candidate breadth and list depth") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("graft.bm25.k", "3")

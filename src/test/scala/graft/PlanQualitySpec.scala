@@ -564,6 +564,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q106 shuffles the batch to meet an LM:\n$cp")
   }
 
+  test("q107: batch scores against bigram LM artifacts — no corpus reads") {
+    SparkEntry.queries("q107_incremental_bigram_lm")(spark, dir).count()
+    val cp = graft.queries.CorpusQuality.lastIncrementalBigramPlan
+    assert(cp.nonEmpty, "q107 scoring plan was not captured")
+    // the returned frame reads the checkpointed batch grams and the two
+    // batch-key-bounded LM slices — never documents, never a shuffle
+    // join against an artifact
+    assert(!cp.contains("documents.parquet"),
+      s"q107 scoring re-reads corpus documents:\n$cp")
+    assert(!cp.contains("SortMergeJoin"),
+      s"q107 shuffles the batch to meet an LM:\n$cp")
+    assert(cp.contains("partial_sum"),
+      s"q107 aggregates lost map-side combine:\n$cp")
+  }
+
   test("q104: both LMs broadcast; selection is the mergeable top-k") {
     // the bucketed LMs are ≤ `graft.dsir.buckets` rows by construction —
     // they must broadcast into the corpus-growth per-doc frame, and the
