@@ -1178,6 +1178,85 @@ object CorpusQuality {
         .orderBy("doc_id")
       lastIncrementalBigramPlan = out.queryExecution.executedPlan.toString
       out
+    }),
+
+    // ---- q108: BM25 df-cap recall audit --------------------------------
+    // The q70/q73/q82/q87/q89 discipline — every approximation knob gets
+    // a measured number — applied to q102/q105's one approximation: the
+    // df-capped candidate generation. For a hash-sampled query set
+    // (~1.2%), the audit scores the UNCAPPED candidate union (every doc
+    // sharing any term — affordable at the sampled-query grain, the q70
+    // trade), ranks top-10 both ways from the SAME per-pair scores
+    // (scoring is identical in both pipelines by construction — only
+    // candidacy differs), and reports overlap as recall plus the raw
+    // candidate counts, which show how hard the cap actually bit. A
+    // recall below 1.0 means score-relevant mass lives in terms with
+    // df > dfCap — the signal to raise the cap or add an impact-ordered
+    // fallback tier.
+    "q108_bm25_recall_audit" -> ((s, dir) => {
+      val dfCap = s.conf.getOption("graft.bm25.dfCap").map(_.toInt)
+        .getOrElse(16)
+      val k = 10 // fixed audit grain (matches the recall_at_10 column)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val tf = shingleHashRows(d, 3)
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      val tot = tf.agg(sum(col("tf")).as("t_tok"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      val queries = d.where(pmod(hash60(col("text")), lit(80)) === 0)
+        .select(col("doc_id"))
+        .join(tf.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_semi")
+        .localCheckpoint() // ~1.2% sample — the audit grain
+      val qtf = tf.join(broadcast(queries), Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("query_id"), col("h"))
+        .localCheckpoint()
+      val candTrue = qtf
+        .join(tf.select(col("doc_id"), col("h")), "h")
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id")).distinct()
+        .localCheckpoint() // bounded by Σ df over the sample's terms
+      val candCap = qtf
+        .join(stats.where(col("df") <= dfCap).select(col("h")), "h")
+        .join(tf.select(col("doc_id"), col("h")), "h")
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id")).distinct()
+        .localCheckpoint()
+      val contrib = candTrue
+        .join(qtf, Seq("query_id"))
+        .join(tf, Seq("doc_id", "h"))
+        .join(stats, "h")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(tot))
+        .localCheckpoint() // one derivation feeds BOTH rankings
+      val trueTop = bm25TopK(contrib, k).localCheckpoint()
+      val capTop = bm25TopK(
+        contrib.join(broadcast(candCap), Seq("query_id", "doc_id"),
+          "left_semi"), k)
+      val nTrue = candTrue.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true_cands"))
+      val nCap = candCap.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_capped_cands"))
+      val hits = trueTop
+        .join(capTop.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      queries.select(col("doc_id").as("query_id"))
+        .join(nTrue, Seq("query_id"), "left")
+        .join(nCap, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_true_cands"), lit(0L)).as("n_true_cands"),
+          coalesce(col("n_capped_cands"), lit(0L)).as("n_capped_cands"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_at_10",
+          when(col("n_true_cands") === 0, lit(1.0d))
+            .otherwise(col("n_hit").cast("double") /
+              least(lit(k.toLong), col("n_true_cands")).cast("double")))
+        .orderBy("query_id")
     })
   )
 
@@ -1939,7 +2018,88 @@ object CorpusQuality {
         |         - length(bin(coalesce(c2, 0) + 1))))::double
         |    / sum(k)::double AS mean_bits
         |FROM per_doc LEFT JOIN ctx USING (h1) LEFT JOIN big USING (h2)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors q108: same scores for both pipelines, candidacy differs.
+    "q108_bm25_recall_audit" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+        |), occ AS (
+        |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+        |      array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3
+        |  )
+        |), tf AS (
+        |  SELECT doc_id, h, count(*)::bigint AS tf FROM occ GROUP BY doc_id, h
+        |), dl AS (
+        |  SELECT doc_id, sum(tf)::bigint AS dl FROM tf GROUP BY doc_id
+        |), stats AS (
+        |  SELECT h, count(*)::bigint AS df FROM tf GROUP BY h
+        |), tot AS (
+        |  SELECT sum(tf)::bigint AS t_tok,
+        |    count(DISTINCT doc_id)::bigint AS n_docs FROM tf
+        |), q AS (
+        |  SELECT d.doc_id FROM documents d
+        |  WHERE ('0x' || substr(md5(d.text),1,15))::bigint % 80 = 0
+        |    AND d.doc_id IN (SELECT doc_id FROM dl)
+        |), cand_true AS (
+        |  SELECT DISTINCT q.doc_id AS query_id, t2.doc_id AS doc_id
+        |  FROM q JOIN tf t1 ON t1.doc_id = q.doc_id
+        |  JOIN tf t2 ON t2.h = t1.h AND t2.doc_id <> q.doc_id
+        |), cand_cap AS (
+        |  SELECT DISTINCT q.doc_id AS query_id, t2.doc_id AS doc_id
+        |  FROM q JOIN tf t1 ON t1.doc_id = q.doc_id
+        |  JOIN stats s ON s.h = t1.h AND s.df <= 16
+        |  JOIN tf t2 ON t2.h = t1.h AND t2.doc_id <> q.doc_id
+        |), contrib AS (
+        |  SELECT c.query_id, c.doc_id,
+        |    ((length(bin(n_docs)) - length(bin(st.df)))::hugeint
+        |      * 22 * least(t2.tf, 15) * t_tok * 1000000)
+        |    // (10*t_tok*least(t2.tf,15) + 3*t_tok + 9*d.dl*n_docs) AS ppm
+        |  FROM cand_true c
+        |  JOIN tf tq ON tq.doc_id = c.query_id
+        |  JOIN tf t2 ON t2.doc_id = c.doc_id AND t2.h = tq.h
+        |  JOIN stats st ON st.h = tq.h
+        |  JOIN dl d ON d.doc_id = c.doc_id
+        |  CROSS JOIN tot
+        |), scored AS (
+        |  SELECT query_id, doc_id, sum(ppm)::bigint AS score_ppm
+        |  FROM contrib GROUP BY query_id, doc_id
+        |), rt AS (
+        |  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_ppm DESC, doc_id) AS rank
+        |  FROM scored
+        |), rc AS (
+        |  SELECT s.query_id, s.doc_id,
+        |    row_number() OVER (PARTITION BY s.query_id
+        |      ORDER BY s.score_ppm DESC, s.doc_id) AS rank
+        |  FROM scored s JOIN cand_cap c
+        |    ON c.query_id = s.query_id AND c.doc_id = s.doc_id
+        |), nt AS (
+        |  SELECT query_id, count(*)::bigint AS n_true_cands
+        |  FROM cand_true GROUP BY query_id
+        |), nc AS (
+        |  SELECT query_id, count(*)::bigint AS n_capped_cands
+        |  FROM cand_cap GROUP BY query_id
+        |), hits AS (
+        |  SELECT rt.query_id, count(*)::bigint AS n_hit
+        |  FROM rt JOIN rc ON rt.query_id = rc.query_id
+        |    AND rt.doc_id = rc.doc_id
+        |  WHERE rt.rank <= 10 AND rc.rank <= 10
+        |  GROUP BY rt.query_id
+        |)
+        |SELECT q.doc_id AS query_id,
+        |  coalesce(n_true_cands, 0) AS n_true_cands,
+        |  coalesce(n_capped_cands, 0) AS n_capped_cands,
+        |  coalesce(n_hit, 0) AS n_hit,
+        |  CASE WHEN coalesce(n_true_cands, 0) = 0 THEN 1.0::double
+        |    ELSE coalesce(n_hit, 0)::double
+        |      / least(10, n_true_cands)::double END AS recall_at_10
+        |FROM q LEFT JOIN nt ON nt.query_id = q.doc_id
+        |LEFT JOIN nc ON nc.query_id = q.doc_id
+        |LEFT JOIN hits ON hits.query_id = q.doc_id
+        |ORDER BY query_id""".stripMargin
   )
 
   /** The q77 curation chain as shared CTEs (pairs → components → drop

@@ -39,7 +39,7 @@ class CacheHygieneSpec extends AnyFunSuite {
         "q101_incremental_vocab", "q102_bm25_retrieval",
         "q103_bigram_surprisal", "q104_dsir_selection",
         "q105_incremental_bm25", "q106_incremental_dsir",
-        "q107_incremental_bigram_lm")) {
+        "q107_incremental_bigram_lm", "q108_bm25_recall_audit")) {
       spark.catalog.clearCache()
       SparkEntry.queries(q)(spark, dir).count()
       assert(spark.sharedState.cacheManager.isEmpty,

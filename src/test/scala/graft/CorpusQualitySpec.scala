@@ -474,6 +474,35 @@ class CorpusQualitySpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.batch.cut")
   }
 
+  test("q108: the audit detects recall lost to the df cap") {
+    // Corpus engineered so candidacy through a COMMON gram matters: the
+    // query shares its common gram with 31 docs (df > 16 → cap drops
+    // the posting list) and a rare gram with exactly one doc. The
+    // uncapped truth has ~32 candidates; the capped pipeline sees 1 —
+    // the audit row must show the gap and recall < 1.
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    // pad the query text until the hash sampler (mod 80) selects it
+    val qBase = "c c c c q1 q2 q3"
+    val qText = Iterator.from(0).map(i => s"$qBase pad$i")
+      .find(t => math.floorMod(h60(t), 80L) == 0).get
+    val hidden = "x1 x2 c c c c x3 x4"
+    val rarePartner = "q1 q2 q3 y1 y2 y3"
+    val fillers = (0 until 30).map(i => s"f${i}a c c c c f${i}b f${i}c")
+    val dir = corpus(Seq(qText, hidden, rarePartner) ++ fillers)
+    val out = CorpusQuality.defs("q108_bm25_recall_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (nTrue, nCap, _, recall) = out(0L) // doc 0 is the crafted query
+    assert(nTrue >= 31L, s"expected ~32 true candidates, got $nTrue")
+    assert(nCap === 1L, s"the df cap should leave one candidate, got $nCap")
+    assert(recall < 1.0d, s"the audit must surface the lost recall: $recall")
+  }
+
   test("q102: dfCap/k confs steer candidate breadth and list depth") {
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("graft.bm25.k", "3")

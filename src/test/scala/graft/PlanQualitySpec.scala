@@ -579,6 +579,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q107 aggregates lost map-side combine:\n$cp")
   }
 
+  test("q108: both audit rankings ride the TopK aggregate, no window") {
+    val p = plan("q108_bm25_recall_audit")
+    assert(!p.contains("Window"), s"q108 ranks with a window:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("TopKAgg"),
+      s"q108 lost the mergeable top-k aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q108 cross-joins:\n$p")
+  }
+
   test("q104: both LMs broadcast; selection is the mergeable top-k") {
     // the bucketed LMs are ≤ `graft.dsir.buckets` rows by construction —
     // they must broadcast into the corpus-growth per-doc frame, and the
