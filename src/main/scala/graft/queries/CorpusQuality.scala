@@ -471,13 +471,14 @@ object CorpusQuality {
       // one audit row: (exact cardinalities, Spark's FP-bound boolean).
       // n_keys comes from the artifact MANIFEST — these artifacts are
       // corpus-growth, and re-counting one per audit would be the
-      // second full scan ensureBloomOf's own contract forbids (the
-      // recount fallback only fires on a lost manifest).
+      // second full scan ensureBloomOf's own contract forbids;
+      // consistentRows cross-checks the manifest's recorded file count
+      // against the directory, so a torn append (delta landed, manifest
+      // stale) triggers the recount instead of under-reporting n_keys.
       def audit(name: String, exactPath: String, keyCol: String,
           probes: DataFrame, bf: Array[Byte]): DataFrame = {
         val exact = s.read.parquet(exactPath)
-        val nKeys = graft.sources.SideTable.manifest(exactPath).map(_._2)
-          .getOrElse(exact.count())
+        val nKeys = graft.sources.SideTable.consistentRows(s, exactPath)
         val flagged = probes
           .withColumn("maybe",
             graft.functions.Bloom.mightContain(bf, col(keyCol)))

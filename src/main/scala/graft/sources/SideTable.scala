@@ -71,24 +71,77 @@ object SideTable {
 
   private def manifestFile(dir: File) = new File(dir, "_graft_manifest.json")
 
+  /** The artifact's parquet data files (recursive — partitioned layouts
+    * nest them under `col=value/` dirs); `_`/`.`-prefixed metadata files
+    * excluded, matching what parquet readers see. */
+  private def dataFiles(dir: File): Seq[File] = {
+    def walk(f: File): Seq[File] =
+      if (f.isFile)
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else Seq(f)
+      else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+    walk(dir)
+  }
+
+  /** Manifest write is temp-and-rename (atomic on POSIX), and records
+    * the data-FILE count next to the row count: a JVM dying between an
+    * append's delta write and its manifest update leaves a manifest
+    * whose file count disagrees with the directory — the torn-append
+    * signal [[consistentRows]] detects and heals with a true recount
+    * (a torn write can never be silently served as a stale row count). */
   private def writeManifest(dir: File, name: String, key: String,
-      rows: Long): Unit = {
-    val w = new PrintWriter(manifestFile(dir), "UTF-8")
+      rows: Long, files: Long, parts: Seq[String]): Unit = {
+    val tmp = new File(dir, s"._graft_manifest.${UUID.randomUUID}.tmp")
+    val w = new PrintWriter(tmp, "UTF-8")
     try w.print(
       s"""{"name": "$name", "key_md5": "${md5hex(key)}", "rows": $rows, """ +
-        s""""built_at_ms": ${System.currentTimeMillis()}}""")
+        s""""built_at_ms": ${System.currentTimeMillis()}, """ +
+        s""""files": $files, "parts": "${parts.mkString(",")}"}""")
     finally w.close()
+    if (!tmp.renameTo(manifestFile(dir)))
+      throw new IllegalStateException(
+        s"manifest rename failed under ${dir.getAbsolutePath}")
+  }
+
+  private def manifestText(path: String): Option[String] = {
+    val f = manifestFile(new File(path))
+    if (!f.isFile) None
+    else Some(scala.io.Source.fromFile(f, "UTF-8").mkString)
   }
 
   /** (key_md5, rows, built_at_ms) from an artifact dir's manifest. */
-  def manifest(path: String): Option[(String, Long, Long)] = {
-    val f = manifestFile(new File(path))
-    if (!f.isFile) None
-    else {
-      val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+  def manifest(path: String): Option[(String, Long, Long)] =
+    manifestText(path).flatMap { txt =>
       val re = """"key_md5": "([0-9a-f]+)", "rows": (\d+), "built_at_ms": (\d+)""".r
       re.findFirstMatchIn(txt).map(m =>
         (m.group(1), m.group(2).toLong, m.group(3).toLong))
+    }
+
+  /** Data-file count the manifest was written against (absent in
+    * pre-files manifests). */
+  private def manifestFiles(path: String): Option[Long] =
+    manifestText(path).flatMap(
+      """"files": (\d+)""".r.findFirstMatchIn(_).map(_.group(1).toLong))
+
+  /** Partition columns the artifact was built with (empty if none or
+    * pre-parts manifest) — what [[compact]] must preserve. */
+  private def manifestParts(path: String): Seq[String] =
+    manifestText(path).flatMap(
+        """"parts": "([^"]*)"""".r.findFirstMatchIn(_).map(_.group(1)))
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** The artifact's row count, trusting the manifest ONLY when its
+    * recorded file count matches the directory (i.e. no torn append):
+    * on mismatch — or a lost/unparseable manifest — falls back to a
+    * true recount. The metadata-grain consumers (q89's audit,
+    * [[ensureBloomOf]]'s sizing) read this instead of re-scanning a
+    * corpus-growth artifact per call. */
+  def consistentRows(s: SparkSession, path: String): Long = {
+    val nFiles = dataFiles(new File(path)).size.toLong
+    manifest(path) match {
+      case Some((_, rows, _)) if manifestFiles(path).forall(_ == nFiles) =>
+        rows
+      case _ => s.read.parquet(path).count()
     }
   }
 
@@ -139,7 +192,7 @@ object SideTable {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.getAbsolutePath)
     val rows = s.read.parquet(tmp.getAbsolutePath).count()
-    writeManifest(tmp, name, fk, rows)
+    writeManifest(tmp, name, fk, rows, dataFiles(tmp).size, partitionBy)
     if (refresh && dest.exists()) deleteTree(dest)
     if (!tmp.renameTo(dest)) {
       // another JVM renamed first; its artifact is equivalent — keep it
@@ -167,8 +220,7 @@ object SideTable {
   def ensureBloomOf(s: SparkSession, name: String, key: String,
       dataPath: Option[String], exactPath: String,
       keyCol: String): Array[Byte] = {
-    val n = math.max(manifest(exactPath).map(_._2)
-      .getOrElse(s.read.parquet(exactPath).count()), 1L)
+    val n = math.max(consistentRows(s, exactPath), 1L)
     val maxBits = s.conf.get("graft.artifacts.bloomMaxBits",
       (1L << 27).toString).toLong
     val bits = math.min(math.max(n * 16L, 64L), maxBits)
@@ -183,7 +235,13 @@ object SideTable {
     // raise/restore is snapshot-based, so two concurrent builds could
     // each snapshot the OTHER's raised value and "restore" it
     // permanently — serialize the conf-mutating window (bloom builds
-    // are rare and memoized; the lock is uncontended in steady state)
+    // are rare and memoized; the lock is uncontended in steady state).
+    // Known seam: the raised confs are SESSION-scoped, so unrelated
+    // queries running concurrently in the same session during the
+    // build window see them too and may oversize their own runtime
+    // bloom filters — benign (filters stay correct, just larger), and
+    // bounded by the rare, memoized build window; a deployment with
+    // heavy concurrent traffic would run builds on a cloned session.
     val path = bloomConfLock.synchronized {
       val prev = Seq(bitsConf, itemsConf).map(c => c -> s.conf.getOption(c))
       s.conf.set(bitsConf, math.max(bits, 1L << 26).toString)
@@ -226,15 +284,60 @@ object SideTable {
     invalidate(s, s"${name}_bloom", fk)
     // count the DELTA, not the artifact: re-counting the whole artifact
     // per append is a full scan that grows with every epoch of a crawl
-    // loop — the manifest row count is the running sum instead
+    // loop — the manifest row count is the running sum instead.
+    // consistentRows heals a previous TORN append (delta landed, JVM
+    // died before the manifest update): on a file-count mismatch it
+    // recounts instead of propagating the stale sum; a lost manifest
+    // likewise recounts — never resets the running sum to the delta.
+    val priorRows = consistentRows(s, path)
+    val parts = manifestParts(path)
     val deltaRows = delta.count()
-    delta.write.mode("append").parquet(path)
-    // a lost/unparseable manifest falls back to a true recount — never
-    // to 0, which would silently reset the running sum to the delta
-    val rows = manifest(path).map(_._2 + deltaRows)
-      .getOrElse(s.read.parquet(path).count())
-    writeManifest(new File(path), name, fk, rows)
+    // a partitioned artifact's delta must land under its partition
+    // dirs — a flat append would corrupt the layout (mixed flat +
+    // partitioned files break partition discovery); the manifest
+    // records the columns so callers don't have to re-state them
+    val w = delta.write.mode("append")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+    val dir = new File(path)
+    writeManifest(dir, name, fk, priorRows + deltaRows,
+      dataFiles(dir).size, parts)
+    // every epoch appends fresh part-files under an unchanged identity;
+    // unbounded, a long-running crawl loop turns the artifact scan
+    // seek-bound — compact once the file count crosses the conf
+    val maxFiles = s.conf.get("graft.artifacts.maxFiles", "64").toLong
+    if (dataFiles(dir).size > maxFiles) compact(s, name, fk, path)
     path
+  }
+
+  /** Rewrites an artifact in place to a bounded number of files,
+    * preserving its partition layout (repartition by the partition
+    * columns → one file per partition dir) and its manifest identity.
+    * Same single-writer contract as [[append]]; the swap is
+    * delete-then-rename like a `refresh` rebuild — a crash between the
+    * two leaves no dir and no manifest, so the next `ensure` rebuilds
+    * (never a half-compacted artifact served as valid). */
+  private def compact(s: SparkSession, name: String, fk: String,
+      path: String): Unit = {
+    val dest = new File(path)
+    val root = dest.getParentFile
+    val tmp = new File(root, s"${dest.getName}.compact-${UUID.randomUUID}")
+    val parts = manifestParts(path)
+    val df = s.read.parquet(path)
+    val target = s.conf.get("graft.artifacts.compactTargetFiles", "8")
+      .toInt.max(1)
+    val out =
+      if (parts.nonEmpty)
+        df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(target)
+    val w = out.write.mode("overwrite")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(tmp.getAbsolutePath)
+    val rows = s.read.parquet(tmp.getAbsolutePath).count()
+    writeManifest(tmp, name, fk, rows, dataFiles(tmp).size, parts)
+    deleteTree(dest)
+    if (!tmp.renameTo(dest))
+      throw new IllegalStateException(
+        s"compaction rename failed for ${dest.getAbsolutePath}")
   }
 
   /** Deletes artifact `name` for the given identity — on disk and from

@@ -47,7 +47,19 @@ object EventStreams {
   def eventTime(events: DataFrame): Column =
     events.schema("ts").dataType match {
       case LongType         => expr("timestamp_micros(ts div 1000)")
-      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampNTZType =>
+        // NTZ→TZ cast interprets the wall-clock in the SESSION timezone;
+        // the stored values are UTC instants, so a non-UTC session would
+        // silently shift every event time relative to the oracle's
+        // epoch_us. Fail loudly instead of producing shifted timestamps.
+        val tz = events.sparkSession.conf.get(
+          "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+        require(
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+          s"events.ts is TIMESTAMP_NTZ (UTC instants); casting it in a " +
+            s"non-UTC session ($tz) would shift event times — set " +
+            "spark.sql.session.timeZone=UTC")
+        col("ts").cast(TimestampType)
       case TimestampType    => col("ts")
       case dt => throw new IllegalArgumentException(
         s"unsupported events.ts type $dt (expected long nanos or timestamp)")

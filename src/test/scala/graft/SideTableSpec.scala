@@ -201,6 +201,96 @@ class SideTableSpec extends AnyFunSuite {
     }
   }
 
+  /** Parquet data files under an artifact dir (recursive, metadata
+    * excluded) — what a reader actually opens. */
+  private def dataFileCount(path: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile)
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else Seq(f)
+      else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+    walk(new java.io.File(path)).size
+  }
+
+  test("append compaction bounds the artifact's file count") {
+    import spark.implicits._
+    freshRoot {
+      spark.conf.set("graft.artifacts.maxFiles", "6")
+      spark.conf.set("graft.artifacts.compactTargetFiles", "2")
+      try {
+        val p = SideTable.ensure(spark, "spec_compact", "k") {
+          Seq((1L, "a")).toDF("id", "v").coalesce(1)
+        }
+        // a long-running crawl loop: many appends under one identity
+        (2L to 25L).foreach { i =>
+          SideTable.append(spark, "spec_compact", "k") {
+            Seq((i, s"v$i")).toDF("id", "v").coalesce(1)
+          }
+        }
+        assert(dataFileCount(p) <= 6,
+          s"file count ${dataFileCount(p)} unbounded after 24 appends")
+        // compaction must preserve every row and the manifest sum
+        assert(spark.read.parquet(p).count() === 25)
+        assert(SideTable.manifest(p).get._2 === 25L)
+        assert(spark.read.parquet(p).select("id").collect()
+          .map(_.getLong(0)).sorted.toSeq === (1L to 25L))
+      } finally {
+        spark.conf.unset("graft.artifacts.maxFiles")
+        spark.conf.unset("graft.artifacts.compactTargetFiles")
+      }
+    }
+  }
+
+  test("compaction preserves a partitioned artifact's layout") {
+    import spark.implicits._
+    freshRoot {
+      spark.conf.set("graft.artifacts.maxFiles", "4")
+      try {
+        val p = SideTable.ensure(spark, "spec_compact_part", "k",
+            partitionBy = Seq("bucket")) {
+          Seq((1L, 0), (2L, 1)).toDF("id", "bucket").coalesce(1)
+        }
+        (3L to 20L).foreach { i =>
+          SideTable.append(spark, "spec_compact_part", "k") {
+            Seq((i, (i % 2).toInt)).toDF("id", "bucket").coalesce(1)
+          }
+        }
+        // partition dirs survive the rewrite — pruning still works
+        val dirs = new java.io.File(p).listFiles().filter(_.isDirectory)
+          .map(_.getName).sorted.toSeq
+        assert(dirs === Seq("bucket=0", "bucket=1"),
+          s"partition layout lost after compaction: $dirs")
+        assert(spark.read.parquet(p).count() === 20)
+        assert(SideTable.manifest(p).get._2 === 20L)
+        // one file per partition dir after repartition-by-partition-cols
+        assert(dataFileCount(p) <= 4)
+      } finally spark.conf.unset("graft.artifacts.maxFiles")
+    }
+  }
+
+  test("consistentRows detects a torn append and recounts") {
+    import spark.implicits._
+    freshRoot {
+      val p = SideTable.ensure(spark, "spec_torn", "k") {
+        Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      }
+      assert(SideTable.consistentRows(spark, p) === 2L)
+      // simulate the crash window: delta part-files land, the JVM dies
+      // before the manifest update — the manifest row count is stale
+      Seq((3L, "c")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(p)
+      assert(SideTable.manifest(p).get._2 === 2L, "precondition: stale")
+      assert(SideTable.consistentRows(spark, p) === 3L,
+        "torn append served the stale manifest count")
+      // and a subsequent append heals the running sum from the recount
+      SideTable.append(spark, "spec_torn", "k") {
+        Seq((4L, "d")).toDF("id", "v").coalesce(1)
+      }
+      assert(SideTable.manifest(p).get._2 === 4L)
+      assert(spark.read.parquet(p).count() === 4)
+    }
+  }
+
   test("append before ensure fails loudly") {
     import spark.implicits._
     freshRoot {
