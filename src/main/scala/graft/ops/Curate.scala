@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Public curation operators: deterministic token-budget cuts, quality
+  * filtering, and hash-range splits/mixes — the "cut a training mix"
+  * family. Everything is content-hash deterministic (no rand()):
+  * reproducible at any parallelism, restartable, engine-portable.
+  */
+object Curate {
+
+  /** q66's keep conjunction as one codegen predicate over raw text —
+    * compose it into a scan filter (`docs.where(qualityKeep(col))`). */
+  def qualityKeep(text: Column): Column = {
+    val nw = wordCount(text)
+    val swr = size(regexp_extract_all(text,
+        lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
+      nw.cast("double")
+    nw >= 20 && nw <= 1000 &&
+      meanWordLen(text) >= 3.0d && meanWordLen(text) <= 5.0d &&
+      punctRatio(text) <= 0.3d && swr >= 0.02d
+  }
+
+  /** Keep only documents passing the C4-style quality battery. */
+  def qualityFilter(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.where(qualityKeep(col(textCol)))
+
+  /** Deterministic hash-range train/val/test split: appends a `split`
+    * column ("train" below `trainPct`, "val" below `trainPct+valPct`,
+    * else "test") keyed on the content hash — a document's split never
+    * changes under repartitioning or reprocessing. */
+  def hashSplit(docs: DataFrame, textCol: String = "text",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(hash60(col(textCol)), lit(100L))
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic global token-budget cut: take documents in stable
+    * content-hash order until the cumulative token count passes
+    * `budget`. Built as a two-level distributed prefix sum — shard by
+    * the top hash bits (shard order ≡ hash order), cumsum per shard at
+    * full parallelism, add per-shard offsets from the ≤ shards-row
+    * totals frame (metadata-grade driver work); shards whose offset
+    * already exceeds the budget are pruned BEFORE the window, so a
+    * small budget over a 100 TB corpus sorts ~one shard. Output:
+    * (<id>, n_tokens, cum), ordered by cum. */
+  def tokenBudget(docs: DataFrame, budget0: Long, idCol: String = "doc_id",
+      textCol: String = "text", shards0: Int = 0): DataFrame = {
+    val s = docs.sparkSession
+    // negative budgets clamp to 0 (empty result) rather than leaving
+    // the kept-shard prefix empty and crashing the max below; the
+    // shard count is bounded before the power-of-two rounding so
+    // want*2-1 cannot overflow Int
+    val budget = budget0.max(0L)
+    val nShards = { // next power of two ⇒ the shard key is a bit-prefix
+      val want = (if (shards0 > 0) shards0
+        else s.sparkContext.defaultParallelism).max(1).min(1 << 24)
+      Integer.highestOneBit(want * 2 - 1)
+    }
+    val shardBits = Integer.numberOfTrailingZeros(nShards)
+    val base = docs.select(col(idCol).as("doc_id"),
+        bpeTokenCount(col(textCol)).cast("long").as("n_tokens"),
+        hash60(col(textCol)).as("h"))
+      // hash60 is 60 bits; the top shardBits bits are monotone in h, so
+      // (shard, h, doc_id) order ≡ global (h, doc_id) order
+      .withColumn("shard", shiftright(col("h"), 60 - shardBits))
+    val totals = base.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect() // ≤ nShards rows — metadata, same grain as O7's
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nShards).map { sh =>
+      (sh.toLong, (0 until sh).map(p => totals.getOrElse(p.toLong, 0L)).sum)
+    }
+    // offsets are monotone ⇒ budget-reachable shards are a prefix
+    val kept = offsets.filter(_._2 <= budget)
+    val maxShard = kept.map(_._1).max // shard 0 has offset 0 ≤ budget
+    import s.implicits._
+    val offDf = kept.toDF("shard", "off")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.where(col("shard") <= maxShard)
+      .join(broadcast(offDf), "shard")
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
+      .where(col("cum") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("cum"))
+      .orderBy("cum", "doc_id")
+      .withColumnRenamed("doc_id", idCol)
+  }
+}

@@ -1,0 +1,254 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Public deduplication operators over arbitrary `id`/`text` frames —
+  * exact, MinHash+LSH, and SimHash, each the frame-level core the
+  * corresponding q-entries bind to (q26/q27/q28 and the q53/q67/q74
+  * consumers). Shared discipline: exact-duplicate collapse before any
+  * pairwise stage, capped bucket joins (never all-pairs), and exact
+  * verification of every candidate — the 100 TB shapes argued in
+  * SCALE.md.
+  */
+object Dedup {
+
+  private val P = HashP // 2^31-1
+
+  /** Exact dedup by normalized content hash: one row per distinct
+    * content, its lowest id as the keeper. Output: (keep_id, n_copies).
+    * Pure hash groupBy — map-side combinable, one shuffle. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        md5(lower(trim(col(textCol)))).as("dup_key"))
+      .groupBy(col("dup_key"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Exact-duplicate group membership for docs with ≥ `minWords` words:
+    * (gk, <id>, rep) — group key, member, lowest-id representative. The
+    * pre-collapse every near-dup pipeline runs first (duplicate-heavy
+    * corpora would otherwise make one LSH bucket quadratic). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWords: Int = 3): DataFrame = {
+    val keyed = docs
+      .where(size(words(col(textCol))) >= minWords)
+      .select(col(idCol).as("doc_id"),
+        md5(concat_ws(" ", words(col(textCol)))).as("gk"))
+    val reps = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
+    keyed.join(reps, "gk").withColumnRenamed("doc_id", idCol)
+  }
+
+  /** MinHash+LSH near-duplicate pairs at doc grain: 16 permutations,
+    * 4 bands × 4 rows, candidates from the banded bucket join among
+    * exact-group representatives (buckets capped via
+    * `graft.dedup.maxBucket`), verified with exact Jaccard ≥ `minJac`
+    * on 3-gram shingle sets, then expanded back to the exact doc-level
+    * answer. Output: (d1, d2, jac) with d1 < d2. */
+  def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minJac: Double = 0.8): DataFrame = {
+    val canon = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val (members, rp) = repPairs(canon, minJac)
+    expandRepPairs(members, rp)
+  }
+
+  /** SimHash near-duplicate pairs: 48-bit signatures over 3-gram
+    * shingles, candidates from an 8×6-bit chunk join (hamming ≤ 6 < 7
+    * chunks' pigeonhole bound ⇒ identical to all-pairs), output
+    * (d1, d2, ham) with d1 < d2. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val canon = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    // Three narrow codegen stages (see q28's entry comment for the
+    // full derivation): explode-then-hash shingles; explode CHUNK
+    // indices (12 × 4 bits) packing four bit-popcounts per SUM row;
+    // unpack and fold the 48 bit decisions back into the signature.
+    val exploded = shingleHashRows(canon, 3).distinct()
+    val packedBits = (0 until 4).map { k =>
+      shiftleft(((col("h") * ((col("c") * 4 + k) * 2 + 1) +
+        (col("c") * 4 + k)) % P).bitwiseAND(lit(1L)), 16 * k)
+    }.reduce(_ + _)
+    val votes = exploded
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(11))).as("c"))
+      .groupBy(col("doc_id"), col("c"))
+      .agg(sum(packedBits).as("s"), count(lit(1)).as("n"))
+    val chunkSig = (0 until 4).map { k =>
+      when(shiftright(col("s"), 16 * k).bitwiseAND(lit(0xFFFFL)) * 2
+        > col("n"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(c * 4 + $k AS INT))"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sim = votes.groupBy(col("doc_id"))
+      .agg(sum(chunkSig).as("sh"))
+      .localCheckpoint() // tiny (one row per doc); avoids recompute in
+      // the self-join without leaving a cached table behind
+    val chunks = array((0 until 8).map(c =>
+      shiftright(col("sh"), 6 * c).bitwiseAND(lit(63L))): _*)
+    val keyed = sim.select(col("doc_id"), col("sh"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk_key")))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b,
+      col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("ham"))
+      .distinct()
+      .where(col("ham") <= 6)
+  }
+
+  // ------------------------------------------------- shared internals
+  // (private[graft]: the q-entry orchestration in graft.queries builds
+  // its memoized / artifact-backed variants from the same pieces)
+
+  /** Exact set-overlap counts for candidate pairs via exploded
+    * intersection counts — no array columns, no HOFs. */
+  private[graft] def pairOverlap(cand: DataFrame,
+      sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val e1 = sh.select(col("doc_id").as("d1"), col("h"))
+    val e2 = sh.select(col("doc_id").as("d2"), col("h"))
+    cand.join(e1, "d1").join(e2, Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+  }
+
+  /** Exact Jaccard |A∩B| / (n1 + n2 − |A∩B|) over [[pairOverlap]]. */
+  private[graft] def pairJaccard(cand: DataFrame,
+      sh: DataFrame): DataFrame =
+    pairOverlap(cand, sh)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
+
+  /** Degenerate-input guard for bucket self-joins: buckets larger than
+    * the cap conf are dropped from candidate generation, loudly (count
+    * + largest land in [[graft.tools.DedupGuard]]). See the q27 entry
+    * docs for the one-bounded-job shape. */
+  private[graft] def capBuckets(keyed: DataFrame, keys: Seq[String],
+      s: SparkSession, what: String,
+      capConf: String = "graft.dedup.maxBucket"): DataFrame = {
+    val cap = s.conf.get(capConf, "2000").toInt
+    val maxKeys = s.conf.get("graft.dedup.maxOversizedKeys", "10000").toInt
+    val oversized = keyed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > cap)
+    val bad = oversized.limit(maxKeys + 1).collect()
+    if (bad.isEmpty) keyed
+    else if (bad.length <= maxKeys) {
+      graft.tools.DedupGuard.noteSkipped(
+        bad.length.toLong, bad.map(_.getLong(keys.length)).max, cap, what)
+      val badKeys = s.createDataFrame(
+          java.util.Arrays.asList(bad: _*), oversized.schema)
+        .select(keys.map(col): _*)
+      keyed.join(broadcast(badKeys), keys, "left_anti")
+    } else {
+      val stats = oversized
+        .agg(count(lit(1)).as("n"), max(col("bsz")).as("mx")).head()
+      graft.tools.DedupGuard.noteSkipped(
+        stats.getLong(0), stats.getLong(1), cap, what)
+      keyed.join(oversized.select(keys.map(col): _*), keys, "left_anti")
+    }
+  }
+
+  /** Exact recovery of the doc-level near-dup answer from rep-level
+    * pairs: within-group pairs at similarity exactly 1, cross pairs at
+    * their representatives' similarity. */
+  private[graft] def expandRepPairs(members: DataFrame,
+      repPairs: DataFrame, measure: String = "jac"): DataFrame = {
+    val within = members.as("x").join(members.as("y"),
+        col("x.gk") === col("y.gk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        lit(1.0d).as(measure))
+    val m1 = members.select(col("rep").as("d1"), col("doc_id").as("m1"))
+    val m2 = members.select(col("rep").as("d2"), col("doc_id").as("m2"))
+    val cross = repPairs.join(m1, "d1").join(m2, "d2")
+      .select(least(col("m1"), col("m2")).as("d1"),
+        greatest(col("m1"), col("m2")).as("d2"), col(measure))
+    within.unionByName(cross)
+  }
+
+  /** 16-permutation MinHash signatures (doc_id, m0..m15) — codegen'd
+    * MIN aggregates over the shingle rows, map-side partial agg; only
+    * 16 longs per doc cross the wire, never the shingles. */
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
+    val minCols = (0 until 16).map(j =>
+      min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
+    shingleHashRows(docs, 3)
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Banded MinHash signatures of a `doc_id`/`text` frame: one row per
+    * (doc_id, band_idx, band_key), 4 bands × 4 rows. */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+    val bandKeys = array((0 until 4).map { b =>
+      hash60(concat_ws(",",
+        (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
+    }: _*)
+    minhashSignatures(docs)
+      .select(col("doc_id"),
+        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+  }
+
+  /** The shared MinHash+LSH candidate/verify pipeline over a canonical
+    * `doc_id`/`text` frame: exact-dup collapse → 16-perm minhash over
+    * representatives → 4×4 banded bucket-join (capped) → exact-Jaccard
+    * verification ≥ `minJac`. Returns (members, repPairs), both
+    * localCheckpoint-materialized (see the q27 entry docs for the full
+    * scale argument; the counter/plan pins live in
+    * [[graft.queries.TextPipeline]]). */
+  private[graft] def repPairs(d: DataFrame,
+      minJac: Double = 0.8): (DataFrame, DataFrame) = {
+    val s = d.sparkSession
+    graft.queries.TextPipeline.repPairComputes.incrementAndGet()
+    val members = exactGroups(d)
+      .localCheckpoint() // one narrow row per doc — corpus-growth, so
+      // checkpoint (executor disk), never cache
+    val reps = members.where(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
+    // Representative restriction BEFORE shingling: only rep documents
+    // are ever shingled or minhashed (expandRepPairs reconstructs the
+    // rest exactly). The broadcast hint pins the small build side at
+    // test SFs; a 100 TB deployment drops the hint and lets AQE plan
+    // the semi-join.
+    val repDocs = d.join(broadcast(reps), Seq("doc_id"), "left_semi")
+    val banded = capBuckets(
+      minhashBands(repDocs)
+        .localCheckpoint(), // 3 narrow cols × 4 rows per rep; the cap's
+      // size job and both self-join sides would otherwise each re-run
+      // the 16-min aggregate over the rep shingle stream
+      Seq("band_idx", "band_key"), s, "q27 LSH bands")
+    val a = banded.as("a"); val b = banded.as("b")
+    val candLazy = a.join(b,
+      col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    graft.queries.TextPipeline.lastCandidatePlan =
+      candLazy.queryExecution.executedPlan.toString
+    val cand = candLazy
+      .localCheckpoint() // eager + tiny: read to build the candDocs
+      // broadcast AND by the verify join
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    val candSh = shingleHashRows(
+        d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 3)
+      .distinct()
+      .cache() // pairJaccard reads it three times (e1, e2, sizes)
+    val verified = pairJaccard(cand, candSh)
+      .where(col("jac") >= minJac)
+      .localCheckpoint()
+    candSh.unpersist()
+    (members, verified)
+  }
+}

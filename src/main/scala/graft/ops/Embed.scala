@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.EmbeddingFunctions.dotNative
+
+/** Public embedding operators over arbitrary `id`/`vector` frames:
+  * brute-force cosine top-k (the ANN recall baseline) and the
+  * deterministic distributed k-means behind SemDeDup/IVF. The
+  * q30/q80-family entries bind to the same cores
+  * ([[graft.queries.Embeddings]] keeps the memoized / artifact
+  * orchestration).
+  */
+object Embed {
+
+  /** (vec_id, v, nrm): id + double vector + its L2 norm. Cosines are
+    * computed as dot(a,b)/(‖a‖·‖b‖) rather than normalizing each
+    * vector up front: per-element normalization needs an interpreted
+    * lambda `transform`, while dot and norm are the native codegen
+    * [[graft.functions.DotProductExpr]]. */
+  def normalize(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    emb.repartition(s.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(dotNative(col("v"), col("v"))).as("nrm"))
+  }
+
+  /** Exact brute-force cosine top-k of `corpus` vectors per `queries`
+    * row — the baseline every ANN variant's recall is audited against
+    * (the q70 discipline). The query side broadcasts; per-query top-k
+    * rides the mergeable TopK aggregate (k·|tasks| rows shuffle,
+    * independent of corpus size — never a per-query corpus sort).
+    * Output: (q_id, vec_id, cos, rank), ordered. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    val e = normalize(corpus, idCol, vecCol)
+    val q = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)
+    val scored = e.join(broadcast(q), joinCond)
+      .select(col("q_id"), col("vec_id"),
+        (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
+    graft.queries.Embeddings.topkPerQuery(scored, k)
+  }
+
+  /** Deterministic distributed k-means (Lloyd's): seedless uniform
+    * hash-sample init, exact fixed-point centroid accumulation (bit-
+    * stable under any partitioning — see the q80 entry docs), `iters`
+    * assign/update rounds. Returns the k-row centroid table
+    * (cid, cv, cn). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.queries.Embeddings.kmeansCentroids(
+      normalize(emb, idCol, vecCol).localCheckpoint(), k, iters,
+      capture = false)
+
+  /** [[kmeansCentroids]] plus the final assignment pass. Output:
+    * (<id>, cluster, score) — score is the assignment objective
+    * v·c − ‖c‖²/2 (monotone in −‖v−c‖²). */
+  def kmeans(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = normalize(emb, idCol, vecCol).localCheckpoint()
+    val cents = graft.queries.Embeddings.kmeansCentroids(e, k, iters,
+      capture = false)
+    graft.queries.Embeddings.kmAssignSlim(e, cents)
+      .select(col("vec_id").as(idCol), col("cid").as("cluster"),
+        col("score"))
+  }
+}

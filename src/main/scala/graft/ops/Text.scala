@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Public text-analysis operators: DataFrame in, DataFrame out, column
+  * names chosen by the caller — the library surface a user points at
+  * THEIR corpus (any schema) rather than the driver testdata layout.
+  * Each op documents its output schema; per-document outputs keep the
+  * caller's id column name.
+  *
+  * All of `graft.ops` follows the engine's house rules: whole-stage
+  * codegen expressions only (no UDFs, no interpreted lambda HOFs in hot
+  * paths), integer arithmetic until a final division where determinism
+  * matters, and shuffle shapes that survive a 1000-executor cluster —
+  * see SCALE.md. The q-entries in [[graft.queries]] are thin bindings
+  * over these ops, so every operator here is covered by the DuckDB
+  * correctness oracle.
+  */
+object Text {
+
+  /** Stopword seeds per language for [[langId]]'s ratio signal. */
+  private[graft] val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "une", "et", "est", "du"))
+
+  /** Common-English character-trigram profile for [[langId]]. */
+  private[graft] val enTrigrams = Seq(
+    "the", "and", "ing", "ion", "ent", "er ", "he ", " th", "on ", "at ")
+
+  /** Per-document quality statistics — one codegen'd projection, no
+    * shuffle. Output: (<id>, n_chars, n_words, n_tokens, punct_ratio,
+    * mean_word_len). */
+  def stats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      charCount(col(textCol)).as("n_chars"),
+      wordCount(col(textCol)).as("n_words"),
+      bpeTokenCount(col(textCol)).as("n_tokens"),
+      punctRatio(col(textCol)).as("punct_ratio"),
+      meanWordLen(col(textCol)).as("mean_word_len"))
+
+  /** Stopword-ratio + character-trigram language ID with a fixed-priority
+    * argmax (en > es > de > fr on ties; "und" when no signal). Input
+    * columns other than `textCol` pass through unchanged; output appends
+    * (score_en_3g, score_<lang>..., lang_pred). Shuffles only narrow
+    * (id, trigram)/(id, token) rows; both aggregates combine map-side. */
+  def langId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    val d = docs.repartition(s.sparkContext.defaultParallelism, col(idCol))
+    val others = docs.columns.filterNot(_ == textCol).toSeq
+    val lc = lower(col(textCol))
+    // distinct() once then plain counts: two countDistinct columns would
+    // plan an Expand ×2 of the (doc, trigram) rows
+    val tgAgg = d.select(col(idCol), lc.as("lc"))
+      .where(length(col("lc")) >= 3)
+      .select(col(idCol), col("lc"),
+        explode(sequence(lit(1), length(col("lc")) - 2)).as("i"))
+      .select(col(idCol), substr(col("lc"), col("i"), lit(3)).as("tg"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tg"),
+        sum(when(col("tg").isin(enTrigrams: _*), 1L).otherwise(0L))
+          .as("n_en_tg"))
+    val swAggs = count(lit(1)).as("nw") +: langs.map { case (l, sw) =>
+      sum(when(col("w").isin(sw: _*), 1).otherwise(0)).as(s"c_$l")
+    }
+    val swAgg = d.select(col(idCol), explode(words(col(textCol))).as("w"))
+      .groupBy(col(idCol))
+      .agg(swAggs.head, swAggs.tail: _*)
+    val scored = d.select(others.map(col): _*)
+      .join(tgAgg, Seq(idCol), "left")
+      .join(swAgg, Seq(idCol), "left")
+      .select(
+        (others.map(col) ++
+          (coalesce(col("n_en_tg").cast("double") /
+            col("n_tg").cast("double"), lit(0.0d)).as("score_en_3g") +:
+            langs.map { case (l, _) =>
+              (col(s"c_$l").cast("double") / col("nw").cast("double"))
+                .as(s"score_$l")
+            })): _*)
+    val pred = langs.foldRight(lit("und"): Column) { case ((l, _), els) =>
+      val c = col(s"score_$l")
+      val beatsRest = langs.filter(_._1 != l)
+        .map(o => c >= col(s"score_${o._1}")).reduce(_ && _)
+      when(c > 0 && beatsRest, lit(l)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Order-sensitive rolling document fingerprint (polynomial hash over
+    * token hashes, mod 2^31−1) — the codegen'd positional-sum
+    * formulation of [[graft.functions.TextFunctions.fingerprint]].
+    * Output: (<id>, fp). Documents over 8192 words fail loudly. */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val s = docs.sparkSession
+    val canon = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    fingerprintRows(canon.repartition(
+        s.sparkContext.defaultParallelism, col("doc_id")))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** C4-style quality-flag battery — one single-pass, fully codegen'd
+    * projection. Output: (<id>, <extra...>, n_words, punct_ratio,
+    * mean_word_len, stopword_ratio, pass_len, pass_mwl, pass_punct,
+    * pass_stop, keep). `extra` columns (e.g. a source label) ride
+    * through for downstream grouping. */
+  def qualityFlags(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", extra: Seq[String] = Nil): DataFrame = {
+    val nw = wordCount(col(textCol))
+    val swr = size(regexp_extract_all(col(textCol),
+        lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
+      nw.cast("double")
+    val keyCols = col(idCol) +: extra.map(col)
+    docs.select(keyCols ++ Seq(nw.as("n_words"),
+        punctRatio(col(textCol)).as("punct_ratio"),
+        meanWordLen(col(textCol)).as("mean_word_len"),
+        swr.as("stopword_ratio")): _*)
+      .select(keyCols ++ Seq(col("n_words"),
+        col("punct_ratio"), col("mean_word_len"), col("stopword_ratio"),
+        (col("n_words") >= 20 && col("n_words") <= 1000)
+          .cast("int").as("pass_len"),
+        (col("mean_word_len") >= 3.0d && col("mean_word_len") <= 5.0d)
+          .cast("int").as("pass_mwl"),
+        (col("punct_ratio") <= 0.3d).cast("int").as("pass_punct"),
+        (col("stopword_ratio") >= 0.02d).cast("int").as("pass_stop")): _*)
+      .withColumn("keep",
+        (col("pass_len") === 1 && col("pass_mwl") === 1 &&
+          col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
+  }
+}

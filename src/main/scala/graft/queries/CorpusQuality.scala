@@ -37,30 +37,9 @@ object CorpusQuality {
     * (codegen'd) rather than a lambda-HOF token fold — the
     * no-interpreted-HOFs house rule. */
   private def qualityFlags(d: DataFrame,
-      withSource: Boolean = false): DataFrame = {
-    val nw = wordCount(col("text"))
-    val swr = size(regexp_extract_all(col("text"),
-        lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
-      nw.cast("double")
-    val keyCols =
-      if (withSource) Seq(col("doc_id"), col("source"))
-      else Seq(col("doc_id"))
-    d.select(keyCols ++ Seq(nw.as("n_words"),
-        punctRatio(col("text")).as("punct_ratio"),
-        meanWordLen(col("text")).as("mean_word_len"),
-        swr.as("stopword_ratio")): _*)
-      .select(keyCols ++ Seq(col("n_words"),
-        col("punct_ratio"), col("mean_word_len"), col("stopword_ratio"),
-        (col("n_words") >= 20 && col("n_words") <= 1000)
-          .cast("int").as("pass_len"),
-        (col("mean_word_len") >= 3.0d && col("mean_word_len") <= 5.0d)
-          .cast("int").as("pass_mwl"),
-        (col("punct_ratio") <= 0.3d).cast("int").as("pass_punct"),
-        (col("stopword_ratio") >= 0.02d).cast("int").as("pass_stop")): _*)
-      .withColumn("keep",
-        (col("pass_len") === 1 && col("pass_mwl") === 1 &&
-          col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
-  }
+      withSource: Boolean = false): DataFrame =
+    graft.ops.Text.qualityFlags(d, "doc_id", "text",
+      if (withSource) Seq("source") else Nil)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -864,43 +843,19 @@ object CorpusQuality {
     // deployment, tf/stats/dl/tot persist as a SideTable inverted-index
     // artifact bucketed by `h` (the q78 IVF discipline applied to text);
     // per-batch retrieval then reads only the probed buckets.
+    // Thin binding over the public op ([[graft.ops.Retrieval.bm25]] —
+    // see the op for the candidate/scoring shape): queries are a
+    // deterministic hash sample of the corpus itself (the q39/q52
+    // discipline — no rand()), so excludeSelf drops the trivial
+    // self-retrieval rows.
     "q102_bm25_retrieval" -> ((s, dir) => {
       val dfCap = s.conf.getOption("graft.bm25.dfCap").map(_.toInt)
         .getOrElse(16)
       val k = s.conf.getOption("graft.bm25.k").map(_.toInt).getOrElse(10)
       val d = Graft.parquetSource(s, dir).table("documents")
-      val tf = shingleHashRows(d, 3)
-        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // six consumers (dl/stats/tot/query terms/
-        // posting join/scoring join) — unlike q65's three-consumer tf,
-        // re-deriving the shingle stream per consumer measured slower
-        // than one executor-disk checkpoint here
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val stats = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .localCheckpoint() // the df model — reused by prune + scoring
-      val tot = tf.agg(sum(col("tf")).as("t_tok"),
-        countDistinct(col("doc_id")).as("n_docs"))
       val queries = d.where(pmod(hash60(col("text")), lit(20)) === 0)
-        .select(col("doc_id"))
-        .join(tf.select(col("doc_id")).distinct(), Seq("doc_id"),
-          "left_semi") // only docs that produced shingles can retrieve
-        .localCheckpoint() // ~5% of docs — broadcast-sized
-      val qtf = tf.join(broadcast(queries), Seq("doc_id"), "left_semi")
-        .select(col("doc_id").as("query_id"), col("h"))
-        .localCheckpoint() // query-side term lists, |queries|·dl rows
-      val cand = qtf
-        .join(stats.where(col("df") <= dfCap).select(col("h")), "h")
-        .join(tf.select(col("doc_id"), col("h")), "h")
-        .where(col("doc_id") =!= col("query_id"))
-        .select(col("query_id"), col("doc_id"))
-        .distinct()
-        .localCheckpoint() // df-cap-bounded: ≤ |query terms| · dfCap
-      bm25TopK(cand
-        .join(qtf, Seq("query_id"))
-        .join(tf, Seq("doc_id", "h"))
-        .join(stats, "h")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(tot)), k)
+        .select(col("doc_id"), col("text"))
+      graft.ops.Retrieval.bm25(d, queries, k, dfCap, excludeSelf = true)
     }),
 
     // ---- q103: bigram-LM conditional surprisal -------------------------
@@ -964,6 +919,9 @@ object CorpusQuality {
     // by mean ratio via the global mergeable TopK (budget rows cross the
     // wire — never a corpus sort); n_tokens/sum_bits ride the Scored
     // payload slots (doc_id is unique, so they never decide a tie).
+    // Thin binding over the public op ([[graft.ops.Select.dsirTopK]]):
+    // pool = every non-target source, target = the designated
+    // quality-domain source.
     "q104_dsir_selection" -> ((s, dir) => {
       val target = s.conf.getOption("graft.dsir.targetSource")
         .getOrElse("src0")
@@ -972,27 +930,10 @@ object CorpusQuality {
       val budget = s.conf.getOption("graft.dsir.budget").map(_.toInt)
         .getOrElse(100)
       val d = Graft.parquetSource(s, dir).table("documents")
-      val tok = d.select(col("doc_id"), col("source"),
-          explode(words(col("text"))).as("term"))
-        .select(col("doc_id"), col("source"),
-          pmod(hash60(col("term")), lit(buckets)).as("h"))
-      val perDoc = tok.where(col("source") =!= target)
-        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
-        .localCheckpoint() // feeds the raw LM and the scoring join
-      val ct = tok.where(col("source") === target)
-        .groupBy(col("h")).agg(count(lit(1)).as("ct"))
-      val cr = perDoc.groupBy(col("h")).agg(sum(col("k")).as("cr"))
-      val scored = dsirScore(perDoc, ct, cr)
-      val topk = udaf(new graft.functions.TopK.TopKAgg(budget),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
-          graft.functions.TopK.Scored]())
-      scored
-        .agg(topk(col("score"), col("doc_id"), col("n_tokens"),
-          col("sum_bits"), lit(0L)).as("top"))
-        .select(posexplode(col("top")).as(Seq("i", "r")))
-        .select((col("i") + 1).cast("long").as("rank"),
-          col("r.k1").as("doc_id"), col("r.k2").as("n_tokens"),
-          col("r.k3").as("sum_bits"), col("r.score").as("score"))
+      graft.ops.Select.dsirTopK(
+          d.where(col("source") =!= target),
+          d.where(col("source") === target),
+          budget, buckets = buckets)
         .orderBy("rank")
     }),
 
@@ -1300,17 +1241,7 @@ object CorpusQuality {
     * scores exactly as the full-corpus one. */
   private def dsirScore(perDoc: DataFrame, ct: DataFrame,
       cr: DataFrame): DataFrame =
-    perDoc
-      .join(broadcast(cr), Seq("h"), "left")
-      .join(broadcast(ct), Seq("h"), "left")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("k")).as("n_tokens"),
-        sum(col("k") *
-          (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
-           length(bin(coalesce(col("cr"), lit(0L)) + 1)))).as("sum_bits"))
-      .select(col("doc_id"), col("n_tokens"), col("sum_bits"),
-        (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
-          .as("score"))
+    graft.ops.Select.score(perDoc, ct, cr)
 
   /** The q102/q105 shared BM25 tail: per-term integer-ppm scores summed
     * per (query, doc), then per-query top-k via the mergeable TopK.
@@ -1319,44 +1250,13 @@ object CorpusQuality {
     * DEPENDS on the scoring expression being this one definition — the
     * ppm ratio is the k1=6/5, b=3/4 BM25 multiplied through to integers
     * (see the q102 entry comment for the derivation). */
-  private def bm25TopK(contrib0: DataFrame, k: Int): DataFrame = {
-    val contrib = contrib0
-      .select(col("query_id"), col("doc_id"),
-        (length(bin(col("n_docs"))) - length(bin(col("df")))).as("idf"),
-        least(col("tf"), lit(15)).as("tfp"),
-        col("t_tok"), col("n_docs"), col("dl"))
-      .select(col("query_id"), col("doc_id"),
-        expr("""CAST((CAST(idf AS DECIMAL(38,0)) * 22 * tfp * t_tok
-               |  * 1000000)
-               | div (CAST(10 AS DECIMAL(38,0)) * t_tok * tfp
-               |  + 3 * t_tok + 9 * dl * n_docs) AS BIGINT)"""
-          .stripMargin).as("ppm"))
-    val topk = udaf(new graft.functions.TopK.TopKAgg(k),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
-        graft.functions.TopK.Scored]())
-    contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("ppm")).as("score_ppm"))
-      .groupBy(col("query_id"))
-      .agg(topk(col("score_ppm").cast("double"), col("doc_id"),
-        lit(0L), lit(0L), lit(0L)).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
-      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
-        col("r.k1").as("doc_id"),
-        col("r.score").cast("long").as("score_ppm"))
-      .orderBy("query_id", "rank")
-  }
+  private def bm25TopK(contrib0: DataFrame, k: Int): DataFrame =
+    graft.ops.Retrieval.bm25Rank(contrib0, k)
 
   /** q66's keep conjunction as one predicate over raw `text` — shared
     * by q77's survivor filter (the oracle embeds the identical SQL). */
-  private def qualityKeepCond: org.apache.spark.sql.Column = {
-    val nw = wordCount(col("text"))
-    val swr = size(regexp_extract_all(col("text"),
-        lit("\\b(the|a|of|and|is)\\b"), lit(0))).cast("double") /
-      nw.cast("double")
-    nw >= 20 && nw <= 1000 &&
-      meanWordLen(col("text")) >= 3.0d && meanWordLen(col("text")) <= 5.0d &&
-      punctRatio(col("text")) <= 0.3d && swr >= 0.02d
-  }
+  private def qualityKeepCond: org.apache.spark.sql.Column =
+    graft.ops.Curate.qualityKeep(col("text"))
 
   /** q63's deterministic global token-budget cut over an arbitrary
     * `doc_id`/`text` frame — the two-level distributed prefix sum (see
@@ -1364,47 +1264,11 @@ object CorpusQuality {
     * shard count come from `graft.budget.tokens`/`graft.budget.shards`;
     * shards whose driver-computed offset exceeds the budget are pruned
     * before the window. */
-  private def tokenBudget(s: SparkSession, docs: DataFrame): DataFrame = {
-    // negative budgets clamp to 0 (empty result) rather than leaving
-    // the kept-shard prefix empty and crashing the max below; the
-    // shard conf is bounded before the power-of-two rounding so
-    // want*2-1 cannot overflow Int
-    val budget = s.conf.get("graft.budget.tokens", "10000").toLong.max(0L)
-    val nShards = { // next power of two ⇒ the shard key is a bit-prefix
-      val want = s.conf.get("graft.budget.shards",
-        s.sparkContext.defaultParallelism.toString).toInt
-        .max(1).min(1 << 24)
-      Integer.highestOneBit(want * 2 - 1)
-    }
-    val shardBits = Integer.numberOfTrailingZeros(nShards)
-    val base = docs.select(col("doc_id"),
-        bpeTokenCount(col("text")).cast("long").as("n_tokens"),
-        hash60(col("text")).as("h"))
-      // hash60 is 60 bits; the top shardBits bits are monotone in h, so
-      // (shard, h, doc_id) order ≡ global (h, doc_id) order
-      .withColumn("shard", shiftright(col("h"), 60 - shardBits))
-    val totals = base.groupBy(col("shard"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect() // ≤ nShards rows — metadata, same grain as O7's
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val offsets = (0 until nShards).map { sh =>
-      (sh.toLong, (0 until sh).map(p => totals.getOrElse(p.toLong, 0L)).sum)
-    }
-    // offsets are monotone ⇒ budget-reachable shards are a prefix
-    val kept = offsets.filter(_._2 <= budget)
-    val maxShard = kept.map(_._1).max // shard 0 has offset 0 ≤ budget
-    import s.implicits._
-    val offDf = kept.toDF("shard", "off")
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("h"), col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.where(col("shard") <= maxShard)
-      .join(broadcast(offDf), "shard")
-      .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
-      .where(col("cum") <= budget)
-      .select(col("doc_id"), col("n_tokens"), col("cum"))
-      .orderBy("cum", "doc_id")
-  }
+  private def tokenBudget(s: SparkSession, docs: DataFrame): DataFrame =
+    graft.ops.Curate.tokenBudget(docs,
+      s.conf.get("graft.budget.tokens", "10000").toLong,
+      shards0 = s.conf.get("graft.budget.shards",
+        s.sparkContext.defaultParallelism.toString).toInt)
 
   // ---------------------------------------------------------------- oracle
 

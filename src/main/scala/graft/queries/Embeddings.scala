@@ -37,11 +37,8 @@ object Embeddings {
     * per-row folds must spread across the full parallelism — the same
     * shape that matters on a cluster with few large input files. */
   private def normalized(s: SparkSession, dir: String): DataFrame =
-    Graft.parquetSource(s, dir).table("embeddings")
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .select(col("vec_id"), col("v"),
-        sqrt(dotNative(col("v"), col("v"))).as("nrm"))
+    graft.ops.Embed.normalize(
+      Graft.parquetSource(s, dir).table("embeddings"))
 
   /** (q_id, vec_id, cos) → top-k per q_id via the mergeable TopK
     * Aggregator: each task keeps a k-row buffer and only those k rows
@@ -51,7 +48,7 @@ object Embeddings {
     * tasks. With 5 query vectors at 100× corpus scale the window shape is
     * 5 tasks sorting everything; this shape is a partial-agg whose shuffle
     * volume is k·|tasks| rows, independent of corpus size. */
-  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topkPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopK.TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
         graft.functions.TopK.Scored]())
@@ -204,7 +201,7 @@ object Embeddings {
     * cross the argmax shuffle — the per-batch hot-path shape for q86,
     * which discards v/nrm (q80's loop keeps [[kmAssign]] because the
     * update step consumes v downstream). */
-  private def kmAssignSlim(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmAssignSlim(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("cid"),
         kmScore(col("v"), col("cv"), col("cn")).as("score"))
@@ -259,7 +256,7 @@ object Embeddings {
     * the update plan for PlanQualitySpec) and q86 (the centroid ARTIFACT
     * build over the old corpus — `capture = false` so the artifact build
     * can't clobber q80's pinned capture). */
-  private def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
+  private[graft] def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
       capture: Boolean = true): DataFrame = {
     // Deterministic hash-sampled init: the k rows with the smallest
     // (hash60(vec_id) mod 2^31−1, vec_id) rank — a uniform, seedless
@@ -352,16 +349,11 @@ object Embeddings {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q30: brute-force cosine top-10 for query vectors vec_id < 5 ---
+    // Thin binding over the public op ([[graft.ops.Embed.cosineTopK]]).
     "q30_cosine_topk" -> ((s, dir) => {
-      val e = normalized(s, dir)
-      val q = e.where(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"))
-      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
-            .as("cos"))
-      topkPerQuery(scored, 10)
+      val t = Graft.parquetSource(s, dir).table("embeddings")
+      graft.ops.Embed.cosineTopK(t, t.where(col("vec_id") < 5),
+        k = 10, excludeSelf = true)
     }),
 
     // ---- q31: hyperplane-LSH near-duplicate pairs, cosine ≥ 0.45 -------

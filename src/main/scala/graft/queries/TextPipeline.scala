@@ -48,16 +48,8 @@ object TextPipeline {
     * of the join — correct under any positive threshold on any overlap
     * measure. No array columns, no HOFs; the candidate set is small (that
     * is the point of blocking), so the joins broadcast. */
-  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val e1 = sh.select(col("doc_id").as("d1"), col("h"))
-    val e2 = sh.select(col("doc_id").as("d2"), col("h"))
-    cand.join(e1, "d1").join(e2, Seq("d2", "h"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-  }
+  private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame =
+    graft.ops.Dedup.pairOverlap(cand, sh)
 
   /** Candidate pairs from rare-feature blocking — the shared seam of the
     * blocked-verify family (q62 containment, q65 TF-IDF similarity):
@@ -93,10 +85,7 @@ object TextPipeline {
 
   /** Exact Jaccard |A∩B| / (n1 + n2 − |A∩B|) over [[pairOverlap]]. */
   private def pairJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
-    pairOverlap(cand, sh)
-      .select(col("d1"), col("d2"),
-        (col("inter").cast("double") /
-          (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
+    graft.ops.Dedup.pairJaccard(cand, sh)
 
   /** Exact-duplicate pre-collapse for the near-dup queries. Dedup corpora
     * are duplicate-heavy BY DEFINITION, and word-identical documents share
@@ -112,14 +101,10 @@ object TextPipeline {
     * candidacy and similarity equal to their representatives'. All joins
     * here are doc-level (narrow rows, one per document) — the expensive
     * shingle stream is only ever built for representatives.
-    * Returns (gk, doc_id, rep) for docs with ≥ `minWords` words. */
-  private[queries] def exactGroups(d: DataFrame, minWords: Int): DataFrame = {
-    val keyed = d.where(size(words(col("text"))) >= minWords)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", words(col("text")))).as("gk"))
-    val reps = keyed.groupBy(col("gk")).agg(min(col("doc_id")).as("rep"))
-    keyed.join(reps, "gk")
-  }
+    * Returns (gk, doc_id, rep) for docs with ≥ `minWords` words.
+    * Core: [[graft.ops.Dedup.exactGroups]]. */
+  private[queries] def exactGroups(d: DataFrame, minWords: Int): DataFrame =
+    graft.ops.Dedup.exactGroups(d, "doc_id", "text", minWords)
 
   /** Degenerate-input guard for bucket self-joins: buckets larger than
     * `graft.dedup.maxBucket` (default 2000 — far above anything real
@@ -146,29 +131,8 @@ object TextPipeline {
     * a different deployment lever (k ∝ N) than bucket size. */
   private[queries] def capBuckets(keyed: DataFrame, keys: Seq[String],
       s: SparkSession, what: String,
-      capConf: String = "graft.dedup.maxBucket"): DataFrame = {
-    val cap = s.conf.get(capConf, "2000").toInt
-    val maxKeys = s.conf.get("graft.dedup.maxOversizedKeys", "10000").toInt
-    val oversized = keyed.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") > cap)
-    val bad = oversized.limit(maxKeys + 1).collect()
-    if (bad.isEmpty) keyed
-    else if (bad.length <= maxKeys) {
-      graft.tools.DedupGuard.noteSkipped(
-        bad.length.toLong, bad.map(_.getLong(keys.length)).max, cap, what)
-      val badKeys = s.createDataFrame(
-          java.util.Arrays.asList(bad: _*), oversized.schema)
-        .select(keys.map(col): _*)
-      keyed.join(broadcast(badKeys), keys, "left_anti")
-    } else {
-      val stats = oversized
-        .agg(count(lit(1)).as("n"), max(col("bsz")).as("mx")).head()
-      graft.tools.DedupGuard.noteSkipped(
-        stats.getLong(0), stats.getLong(1), cap, what)
-      keyed.join(oversized.select(keys.map(col): _*), keys, "left_anti")
-    }
-  }
+      capConf: String = "graft.dedup.maxBucket"): DataFrame =
+    graft.ops.Dedup.capBuckets(keyed, keys, s, what, capConf)
 
   /** Exact recovery of the doc-level near-dup answer from rep-level
     * pairs (see [[exactGroups]]): within an exact-dup group every pair
@@ -177,20 +141,10 @@ object TextPipeline {
     * groups, member similarity equals representative similarity because
     * members share their rep's word sequence. Output is (d1, d2,
     * <measure>) with d1 < d2 — identical to what the un-collapsed
-    * formulation produces. */
+    * formulation produces. Core: [[graft.ops.Dedup.expandRepPairs]]. */
   private[queries] def expandRepPairs(members: DataFrame, repPairs: DataFrame,
-      measure: String = "jac"): DataFrame = {
-    val within = members.as("x").join(members.as("y"),
-        col("x.gk") === col("y.gk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-        lit(1.0d).as(measure))
-    val m1 = members.select(col("rep").as("d1"), col("doc_id").as("m1"))
-    val m2 = members.select(col("rep").as("d2"), col("doc_id").as("m2"))
-    val cross = repPairs.join(m1, "d1").join(m2, "d2")
-      .select(least(col("m1"), col("m2")).as("d1"),
-        greatest(col("m1"), col("m2")).as("d2"), col(measure))
-    within.unionByName(cross)
-  }
+      measure: String = "jac"): DataFrame =
+    graft.ops.Dedup.expandRepPairs(members, repPairs, measure)
 
   /** Session-level memo of [[computeRepPairs]] results, keyed by
     * (session, dir, bucket cap) — the inputs that determine the answer.
@@ -238,27 +192,15 @@ object TextPipeline {
     * rows (map-side partial agg — the 100 TB shape), not per-element
     * lambdas; only 16 longs per doc cross the wire, never the
     * shingles. */
-  private def minhashSignatures(docs: DataFrame): DataFrame = {
-    val minCols = (0 until 16).map(j =>
-      min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
-    shingleHashRows(docs, 3)
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-  }
+  private def minhashSignatures(docs: DataFrame): DataFrame =
+    graft.ops.Dedup.minhashSignatures(docs)
 
   /** Banded MinHash signatures of a `doc_id`/`text` frame: one row per
     * (doc_id, band_idx, band_key), 4 bands × 4 rows over 16 permutations
     * — the LSH index layout shared by q27's in-session pipeline and
     * q67's persisted signature artifact. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
-    val bandKeys = array((0 until 4).map { b =>
-      hash60(concat_ws(",",
-        (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
-    }: _*)
-    minhashSignatures(docs)
-      .select(col("doc_id"),
-        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
-  }
+  private def minhashBands(docs: DataFrame): DataFrame =
+    graft.ops.Dedup.minhashBands(docs)
 
   /** The shared MinHash+LSH candidate/verify pipeline (q27 + q53):
     * exact-dup collapse → 16-perm minhash over representatives → 4×4
@@ -274,62 +216,9 @@ object TextPipeline {
     * unpersisted before returning — a long-lived session accumulates no
     * cached tables from this pipeline. */
   private def computeRepPairs(s: SparkSession,
-      dir: String, minJac: Double = 0.8): (DataFrame, DataFrame) = {
-    repPairComputes.incrementAndGet()
-    val d = Graft.parquetSource(s, dir).table("documents")
-    val members = exactGroups(d, 3)
-      .localCheckpoint() // one narrow row per doc — corpus-growth, so
-      // checkpoint (executor disk), never cache; read by reps here and
-      // by expandRepPairs/q53 via the memo
-    val reps = members.where(col("doc_id") === col("rep"))
-      .select(col("doc_id"))
-    // Representative restriction BEFORE shingling: only rep documents are
-    // ever shingled or minhashed — non-reps contribute nothing pairwise
-    // (expandRepPairs reconstructs their pairs exactly), and on the
-    // duplicate-heavy inputs dedup exists for, shingling everything did
-    // the pipeline's most expensive work on rows the next operator
-    // discarded. This also replaces the corpus-scale shingle cache the
-    // r4/r5 advice flagged (a corpus-sized executor-disk spill at the
-    // design point): the two shingle consumers — the minhash aggregate
-    // and the verify sets — recompute from this pruned scan instead.
-    // The broadcast hint pins the small build side at test SFs; a
-    // 100 TB deployment drops the hint and lets AQE plan the semi-join
-    // (the rep set is bounded by distinct content, not corpus size, but
-    // only runtime stats know by how much).
-    val repDocs = d.join(broadcast(reps), Seq("doc_id"), "left_semi")
-    val banded = capBuckets(
-      minhashBands(repDocs)
-        .localCheckpoint(), // 3 narrow cols × 4 rows per rep; the cap's
-      // size job and both self-join sides would otherwise each re-run
-      // the 16-min aggregate over the rep shingle stream. Checkpoint,
-      // not cache: rep count grows with distinct corpus content.
-      Seq("band_idx", "band_key"), s, "q27 LSH bands")
-    val a = banded.as("a"); val b = banded.as("b")
-    val candLazy = a.join(b,
-      col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    lastCandidatePlan = candLazy.queryExecution.executedPlan.toString
-    val cand = candLazy
-      .localCheckpoint() // eager + tiny: read to build the candDocs
-      // broadcast AND by the verify join
-    // Exact-Jaccard verification touches only CANDIDATE docs' shingles:
-    // broadcast semi-join on the tiny candidate doc set, then dedup to
-    // distinct shingle sets within those docs alone.
-    val candDocs = cand.select(col("d1").as("doc_id"))
-      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
-    val candSh = shingleHashRows(
-        d.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 3)
-      .distinct()
-      .cache() // pairJaccard reads it three times (e1, e2, sizes)
-    val repPairs = pairJaccard(cand, candSh)
-      .where(col("jac") >= minJac)
-      .localCheckpoint()
-    candSh.unpersist()
-    (members, repPairs)
-  }
+      dir: String, minJac: Double = 0.8): (DataFrame, DataFrame) =
+    graft.ops.Dedup.repPairs(
+      Graft.parquetSource(s, dir).table("documents"), minJac)
 
   /** The persisted banded-signature artifact behind q67 — the
     * production shape of incremental dedup: the corpus's LSH index
@@ -357,81 +246,31 @@ object TextPipeline {
     new java.util.concurrent.atomic.AtomicReference[Vector[Long]](
       Vector.empty)
 
-  // English/Spanish/German/French stopword seeds for the n-gram-free
-  // language-ID heuristic (ratio of stopword tokens per language).
-  private val langs: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "es" -> Seq("el", "la", "de", "y", "es"),
-    "de" -> Seq("der", "die", "und", "ist", "das"),
-    "fr" -> Seq("le", "une", "et", "est", "du"))
-
-  /** Common-English character-trigram profile for the n-gram signal. */
-  private val enTrigrams = Seq(
-    "the", "and", "ing", "ion", "ent", "er ", "he ", " th", "on ", "at ")
+  // Stopword seeds / trigram profile live with the public lang-ID op;
+  // the oracle-SQL builders below reference the same single definition.
+  private def langs = graft.ops.Text.langs
+  private def enTrigrams = graft.ops.Text.enTrigrams
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q23: per-document quality statistics --------------------------
-    "q23_text_stats" -> ((s, dir) => {
-      val d = Graft.parquetSource(s, dir).table("documents")
-      d.select(
-        col("doc_id"),
-        charCount(col("text")).as("n_chars_calc"),
-        wordCount(col("text")).as("n_words"),
-        bpeTokenCount(col("text")).as("n_tokens"),
-        punctRatio(col("text")).as("punct_ratio"),
-        meanWordLen(col("text")).as("mean_word_len"))
-        .orderBy("doc_id")
-    }),
+    // Thin binding over the public op ([[graft.ops.Text.stats]]).
+    "q23_text_stats" -> ((s, dir) =>
+      graft.ops.Text.stats(
+          Graft.parquetSource(s, dir).table("documents"))
+        .withColumnRenamed("n_chars", "n_chars_calc")
+        .orderBy("doc_id")),
 
     // ---- q24: stopword-ratio language ID, fixed-priority argmax --------
+    // Thin binding over the public op ([[graft.ops.Text.langId]]): the
+    // claimed-language column rides through the op's passthrough; see
+    // the op for the codegen/distinct-once shape notes.
     "q24_lang_id" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      // Character-trigram signal as exploded rows (substr over an index
-      // explode) and stopword ratios as exploded-token aggregates — the
-      // interpreted transform/aggregate lambdas computed the same values
-      // but outside codegen (and with unstable run-to-run JIT cost).
-      val lc = lower(col("text"))
-      // distinct() once then plain counts: two countDistinct columns
-      // would plan an Expand ×2 of the (doc, trigram) rows — the distinct
-      // pair set is computed a single time and both counts are cheap
-      // map-side-combinable aggregates over it
-      val tgAgg = d.select(col("doc_id"), lc.as("lc"))
-        .where(length(col("lc")) >= 3)
-        .select(col("doc_id"), col("lc"),
-          explode(sequence(lit(1), length(col("lc")) - 2)).as("i"))
-        .select(col("doc_id"), substr(col("lc"), col("i"), lit(3)).as("tg"))
-        .distinct()
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tg"),
-          sum(when(col("tg").isin(enTrigrams: _*), 1L).otherwise(0L))
-            .as("n_en_tg"))
-      val swAggs = count(lit(1)).as("nw") +: langs.map { case (l, sw) =>
-        sum(when(col("w").isin(sw: _*), 1).otherwise(0)).as(s"c_$l")
-      }
-      val swAgg = d.select(col("doc_id"), explode(words(col("text"))).as("w"))
-        .groupBy(col("doc_id"))
-        .agg(swAggs.head, swAggs.tail: _*)
-      val scored = d.select(col("doc_id"), col("lang").as("lang_claimed"))
-        .join(tgAgg, Seq("doc_id"), "left")
-        .join(swAgg, Seq("doc_id"), "left")
-        .select(
-          (col("doc_id") +: col("lang_claimed") +:
-            coalesce(col("n_en_tg").cast("double") /
-              col("n_tg").cast("double"), lit(0.0d)).as("score_en_3g") +:
-            langs.map { case (l, _) =>
-              (col(s"c_$l").cast("double") / col("nw").cast("double"))
-                .as(s"score_$l")
-            }): _*)
-      val pred = langs.foldRight(lit("und"): Column) { case ((l, _), els) =>
-        val c = col(s"score_$l")
-        val beatsRest = langs.filter(_._1 != l)
-          .map(o => c >= col(s"score_${o._1}")).reduce(_ && _)
-        when(c > 0 && beatsRest, lit(l)).otherwise(els)
-      }
-      // foldRight gives en > es > de > fr tie priority (first wins ties).
-      scored.withColumn("lang_pred", pred).orderBy("doc_id")
+      graft.ops.Text.langId(
+          d.select(col("doc_id"), col("lang").as("lang_claimed"),
+            col("text")))
+        .orderBy("doc_id")
     }),
 
     // ---- q25: order-sensitive rolling document fingerprint -------------
@@ -442,22 +281,17 @@ object TextPipeline {
     // table) and a SUM aggregate replaces the interpreted lambda fold.
     // Commutative terms also mean map-side partial aggregation — the
     // sequential fold shape couldn't partial-agg at all.
-    "q25_fingerprint" -> ((s, dir) => {
-      val d = Graft.parquetSource(s, dir).table("documents")
-      fingerprintRows(
-        d.repartition(s.sparkContext.defaultParallelism, col("doc_id")))
-        .orderBy("doc_id")
-    }),
+    "q25_fingerprint" -> ((s, dir) =>
+      graft.ops.Text.fingerprint(
+          Graft.parquetSource(s, dir).table("documents"))
+        .orderBy("doc_id")),
 
     // ---- q26: exact dedup by normalized content hash -------------------
-    "q26_exact_dedup" -> ((s, dir) => {
-      val d = Graft.parquetSource(s, dir).table("documents")
-      d.select(col("doc_id"), md5(lower(trim(col("text")))).as("dup_key"))
-        .groupBy(col("dup_key"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"))
-        .orderBy("keep_id")
-    }),
+    // Thin binding over the public op ([[graft.ops.Dedup.exact]]).
+    "q26_exact_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.exact(
+          Graft.parquetSource(s, dir).table("documents"))
+        .orderBy("keep_id")),
 
     // ---- q27: MinHash + LSH near-duplicate pairs -----------------------
     // 16 perms, 4 bands × 4 rows; candidates = band-bucket join among
@@ -478,76 +312,23 @@ object TextPipeline {
     // ---- q28: SimHash near-duplicate pairs (banded, exact-equivalent) --
     // 48-bit simhash; join on 8 chunks of 6 bits; hamming ≤ 6 < 7 chunks'
     // pigeonhole bound ⇒ identical result to all-pairs (the oracle).
-    "q28_simhash" -> ((s, dir) => {
-      // Three narrow codegen stages instead of one 48-column aggregate:
-      // (1) explode shingles THEN hash, so md5 runs per-row inside
-      // whole-stage codegen rather than inside an interpreted HOF lambda;
-      // (2) explode CHUNK indices (12 chunks × 4 bits, not 48 single
-      // bits): each row packs its chunk's four 0/1 bit values into
-      // 16-bit fields of one long, so a plain SUM accumulates four
-      // bit-POPCOUNTS at once — sign(Σ±1) ≡ 2·count¹ > n, so counting
-      // ones loses nothing. 4× fewer exploded rows than the per-bit
-      // shape for the same per-row expression size (the tiny methods
-      // are what keep the JIT compiling them; the single 48-sum
-      // aggregate was one giant update method and ran interpreted,
-      // ~9.5 s for 260 k rows). Field overflow needs 2^16 shingles in
-      // one document — an order of magnitude above any real document.
-      // Each stage keeps map-side partial aggregation: shuffle volume is
-      // 12 longs per document, independent of shingle count — the
-      // 100 TB shape;
-      // (3) unpack counts and fold the 48 bit decisions back into the
-      // signature.
-      val exploded = shingleRows(s, dir)
-      val packedBits = (0 until 4).map { k =>
-        // bit b = 4·chunk + k of the per-shingle rehash, shifted to field k
-        shiftleft(((col("h") * ((col("c") * 4 + k) * 2 + 1) +
-          (col("c") * 4 + k)) % P).bitwiseAND(lit(1L)), 16 * k)
-      }.reduce(_ + _)
-      val votes = exploded
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0), lit(11))).as("c"))
-        .groupBy(col("doc_id"), col("c"))
-        .agg(sum(packedBits).as("s"), count(lit(1)).as("n"))
-      val chunkSig = (0 until 4).map { k =>
-        when(shiftright(col("s"), 16 * k).bitwiseAND(lit(0xFFFFL)) * 2
-          > col("n"),
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(c * 4 + $k AS INT))"))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sim = votes.groupBy(col("doc_id"))
-        .agg(sum(chunkSig).as("sh"))
-        .localCheckpoint() // tiny (one row per doc); avoids recompute in
-        // the self-join without leaving a cached table behind (blocks are
-        // freed when the frame is GC'd, vs a catalog cache entry that
-        // outlives the query in a long-lived session)
-      val chunks = array((0 until 8).map(c =>
-        shiftright(col("sh"), 6 * c).bitwiseAND(lit(63L))): _*)
-      val keyed = sim.select(col("doc_id"), col("sh"),
-        posexplode(chunks).as(Seq("chunk_idx", "chunk_key")))
-      val a = keyed.as("a"); val b = keyed.as("b")
-      a.join(b,
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk_key") === col("b.chunk_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("ham"))
-        .distinct()
-        .where(col("ham") <= 6)
-        .orderBy("d1", "d2")
-    }),
+    // Thin binding over the public op ([[graft.ops.Dedup.simhashPairs]]
+    // — see the op for the packed-vote codegen shape notes).
+    "q28_simhash" -> ((s, dir) =>
+      graft.ops.Dedup.simhashPairs(
+          Graft.parquetSource(s, dir).table("documents"))
+        .orderBy("d1", "d2")),
 
     // ---- q39: deterministic train/val/test split -----------------------
     // Hash-range assignment (80/10/10) — reproducible on any engine or
     // cluster size, unlike rand(): the split of a document never changes
     // when data is repartitioned or reprocessed. Core training-data op.
-    "q39_hash_split" -> ((s, dir) => {
-      val d = Graft.parquetSource(s, dir).table("documents")
-      val bucket = pmod(hash60(col("text")), lit(100L))
-      d.select(col("doc_id"), col("lang"),
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test").as("split"))
-        .orderBy("doc_id")
-    }),
+    // Thin binding over the public op ([[graft.ops.Curate.hashSplit]]).
+    "q39_hash_split" -> ((s, dir) =>
+      graft.ops.Curate.hashSplit(
+          Graft.parquetSource(s, dir).table("documents"))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy("doc_id")),
 
     // ---- q40: stratified sample — first k per language by hash order ---
     // Deterministic per-stratum sampling: rank by content hash (stable,

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Curate, Dedup, Embed, Retrieval, Select, Text}
+
+/** Contract of the public `graft.ops` DataFrame-in/DataFrame-out API:
+  * every operator runs against a frame with ARBITRARY column names —
+  * none of the testdata layout (`documents`/`embeddings`, `doc_id`/
+  * `text`/`vec_id`/`embedding`) is assumed. The q-entries bind the same
+  * cores to the driver testdata, so oracle parity covers the values;
+  * this spec covers the public signatures and their column-name
+  * contract.
+  */
+class OpsApiSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-api")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** A wiki-ish corpus under non-testdata column names (page_id, body). */
+  private lazy val pages = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the green forest where the small animals live and " +
+      "play all day long under a warm summer sun"),
+    (11L, "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the green forest where the small animals live and " +
+      "play all day long under a warm summer sun"), // exact dup of 10
+    (12L, "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the green forest where the small animals live and " +
+      "play all day long under a warm winter sun"), // near dup of 10
+    (13L, "completely different content about spark catalyst plans " +
+      "optimizers and shuffles with many extra words to pass length " +
+      "gates and a few more of the usual and is of a the tokens here"),
+    (14L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (15L, "zz")).toDF("page_id", "body")
+
+  test("Text.stats runs on (page_id, body)") {
+    val out = Text.stats(pages, "page_id", "body")
+    assert(out.columns.toSeq === Seq("page_id", "n_chars", "n_words",
+      "n_tokens", "punct_ratio", "mean_word_len"))
+    val r = out.where(col("page_id") === 14L).head()
+    assert(r.getAs[Int]("n_words") === 10)
+    assert(r.getAs[Double]("punct_ratio") === 0.0d)
+  }
+
+  test("Text.qualityFlags keeps prose, rejects a 2-char doc") {
+    val out = Text.qualityFlags(pages, "page_id", "body")
+    val keep = out.select(col("page_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(keep(10L) === 1)
+    assert(keep(15L) === 0, "2-char doc passed the length gate")
+  }
+
+  test("Text.langId predicts en for English prose on (page_id, body)") {
+    val out = Text.langId(pages, "page_id", "body")
+    val pred = out.select(col("page_id"), col("lang_pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) === "en")
+    assert(pred(14L) === "und", "stopword-free doc should be und")
+  }
+
+  test("Text.fingerprint is order-sensitive and keeps the id name") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "cc bb aa")).toDF("k", "txt")
+    val out = Text.fingerprint(docs, "k", "txt")
+    assert(out.columns.toSeq === Seq("k", "fp"))
+    val fps = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) !== fps(2L), "permuted doc fingerprinted identically")
+  }
+
+  test("Dedup.exact groups identical content under (page_id, body)") {
+    val out = Dedup.exact(pages, "page_id", "body")
+    val byKeep = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKeep(10L) === 2L, "exact pair 10/11 not grouped")
+    assert(byKeep(12L) === 1L)
+  }
+
+  test("Dedup.minhashPairs finds the exact and near pair, not junk") {
+    val pairs = Dedup.minhashPairs(pages, "page_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((10L, 11L)).contains(1.0d),
+      s"exact dup pair missing from $pairs")
+    assert(pairs.forall(_._3 >= 0.8d))
+    assert(!byPair.contains((10L, 13L)) && !byPair.contains((10L, 14L)),
+      "unrelated docs paired")
+  }
+
+  test("Dedup.simhashPairs pairs the exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(pages, "page_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(pairs.get((10L, 11L)).contains(0))
+    assert(!pairs.contains((10L, 14L)))
+  }
+
+  test("Retrieval.bm25 retrieves the phrase-sharing doc first") {
+    val queries = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("qid", "qtext")
+    val out = Retrieval.bm25(pages, queries, k = 3, dfCap = 16,
+      corpusIdCol = "page_id", corpusTextCol = "body",
+      queryIdCol = "qid", queryTextCol = "qtext")
+    assert(out.columns.toSeq ===
+      Seq("query_id", "rank", "doc_id", "score_ppm"))
+    val top = out.where(col("rank") === 1).head()
+    assert(top.getAs[Long]("query_id") === 100L)
+    assert(top.getAs[Long]("doc_id") === 14L,
+      "shared 3-gram shingles should retrieve page 14 first")
+  }
+
+  test("Select.dsir scores target-like docs above junk") {
+    val target = Seq((1L, "physics physics quantum quantum field theory"))
+      .toDF("pid", "content")
+    val pool = Seq(
+      (2L, "quantum field theory physics"),
+      (3L, "xqzw vbnm asdf ghjk")).toDF("pid", "content")
+    val out = Select.dsir(pool, target, "pid", "content", buckets = 1000)
+    assert(out.columns.toSeq ===
+      Seq("pid", "n_tokens", "sum_bits", "score"))
+    val scores = out.collect().map(r => r.getLong(0) -> r.getDouble(3))
+      .toMap
+    assert(scores(2L) > scores(3L),
+      s"target-like doc did not outscore junk: $scores")
+  }
+
+  test("Curate.tokenBudget matches the brute-force prefix cut") {
+    val docs = (1L to 40L)
+      .map(i => (i, s"tok$i " * (i % 5 + 1).toInt)).toDF("k", "txt")
+    val budget = 30L
+    val out = Curate.tokenBudget(docs, budget, "k", "txt", shards0 = 4)
+      .collect()
+    // brute force: global (hash, id) order, running sum, cut at budget
+    val brute = docs.select(col("k"),
+        graft.functions.TextFunctions.bpeTokenCount(col("txt"))
+          .cast("long").as("n"),
+        graft.functions.TextFunctions.hash60(col("txt")).as("h"))
+      .orderBy("h", "k").collect()
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), r) =>
+        (r.getLong(0), r.getLong(1), cum + r.getLong(1)) }
+      .drop(1).takeWhile(_._3 <= budget)
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === brute.toSeq)
+  }
+
+  test("Curate.qualityFilter + hashSplit compose on (page_id, body)") {
+    val kept = Curate.qualityFilter(pages, "body")
+    assert(kept.count() === 4) // 14 (10 words) and 15 (2 chars) fail
+    val split = Curate.hashSplit(pages, "body", 100, 0)
+    assert(split.where(col("split") === "train").count() === pages.count())
+    // determinism: same content, same split, any run
+    val s1 = Curate.hashSplit(pages, "body").select("page_id", "split")
+      .collect().toSet
+    val s2 = Curate.hashSplit(pages, "body").select("page_id", "split")
+      .collect().toSet
+    assert(s1 === s2)
+  }
+
+  test("Embed.cosineTopK ranks by cosine under (node, vec)") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("node", "vec")
+    val queries = Seq((7L, Seq(1.0f, 0.05f))).toDF("node", "vec")
+    val out = Embed.cosineTopK(corpus, queries, k = 2,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+    val ranked = out.orderBy("rank").collect()
+      .map(r => r.getAs[Long]("vec_id"))
+    assert(ranked.toSeq === Seq(1L, 2L))
+  }
+
+  test("Embed.kmeans separates two blobs under (node, vec)") {
+    val blobs = Seq(
+      (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.2f, 0.0f)),
+      (3L, Seq(9.9f, 0.2f)), (4L, Seq(0.1f, 10.0f)),
+      (5L, Seq(0.0f, 10.1f)), (6L, Seq(0.2f, 9.9f))).toDF("node", "vec")
+    val out = Embed.kmeans(blobs, k = 2, iters = 3,
+      idCol = "node", vecCol = "vec")
+    assert(out.columns.toSeq === Seq("node", "cluster", "score"))
+    val cl = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(1L) === cl(2L) && cl(2L) === cl(3L))
+    assert(cl(4L) === cl(5L) && cl(5L) === cl(6L))
+    assert(cl(1L) !== cl(4L), "blobs merged into one cluster")
+  }
+}
