@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, Hash60Expr, ShinglesExpr}
+import graft.functions.{DotProductExpr, Hash60Expr, MaxAbsExpr, QuantizeExpr, ShinglesExpr}
 
 /** SparkSessionExtensions entry point — registers graft's native Catalyst
   * expressions as SQL functions. Two deployment paths:
@@ -38,6 +38,20 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_hash60 expects 1 argument, got ${children.length}")
         Hash60Expr(children.head)
+      }),
+    (FunctionIdentifier("graft_max_abs"),
+      new ExpressionInfo(classOf[MaxAbsExpr].getName, "graft_max_abs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_max_abs expects 1 argument, got ${children.length}")
+        MaxAbsExpr(children.head)
+      }),
+    (FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[QuantizeExpr].getName, "graft_quantize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_quantize expects 2 arguments, got ${children.length}")
+        QuantizeExpr(children.head, children(1))
       }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),

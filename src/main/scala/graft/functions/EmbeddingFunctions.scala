@@ -30,6 +30,23 @@ object EmbeddingFunctions {
       org.apache.spark.sql.GraftArrowBridge.expression(a),
       org.apache.spark.sql.GraftArrowBridge.expression(b)))
 
+  /** Codegen max-abs — same semantics as
+    * `array_max(transform(a, x => abs(x)))` on NaN-free vectors but a
+    * generated Java loop (see [[MaxAbsExpr]]); the quantization scale
+    * probe of the int8 index build (q82/q90). */
+  def maxAbsNative(a: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(MaxAbsExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(a)))
+
+  /** Codegen symmetric int8 quantization — bit-identical to
+    * `transform(a, x => floor((x * (lit(127.0d) / mx)) + lit(0.5d))
+    * .cast("double"))` (see [[QuantizeExpr]]); the full-corpus stage-1
+    * pass of the quantized ANN family. */
+  def quantizeNative(a: Column, mx: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(QuantizeExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(a),
+      org.apache.spark.sql.GraftArrowBridge.expression(mx)))
+
   /** L2 norm. */
   def norm(a: Column): Column =
     sqrt(foldSum(transform(a, x => x * x)))

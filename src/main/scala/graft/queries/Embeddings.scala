@@ -114,6 +114,14 @@ object Embeddings {
     * with no per-batch Lloyd iteration. */
   @volatile private[graft] var lastIncrementalSemPlan: String = ""
 
+  /** Physical plans of q110's last stage-1 quantized probe and stage-2
+    * exact fetch, captured for the plan test that proves the stage-1
+    * scan touches only the int8 artifact (batch embeddings enter with
+    * the cut pushed; the index side never reads raw embeddings) and the
+    * exact-vector fetch is candidate-bounded (broadcast semi-join
+    * against the exact-payload artifact). */
+  @volatile private[graft] var lastIncrementalRerankPlan: String = ""
+
   // ------------------------------------------------------- k-means (q80)
 
   /** Defaults for the clustering family — the values the static DuckDB
@@ -632,12 +640,10 @@ object Embeddings {
       val e = normalized(s, dir)
         .localCheckpoint() // read by the quantizer AND the exact-error join
       val qz = e.select(col("vec_id"), col("v"),
-          array_max(transform(col("v"), x => abs(x))).as("mx"))
+          maxAbsNative(col("v")).as("mx"))
         .where(col("mx") > 0) // zero vectors have no quantization scale
         .select(col("vec_id"),
-          transform(col("v"),
-            x => floor((x * (lit(127.0d) / col("mx"))) + lit(0.5d))
-              .cast("double")).as("qv"))
+          quantizeNative(col("v"), col("mx")).as("qv"))
         .select(col("vec_id"), col("qv"),
           sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
         .localCheckpoint() // quantized index: both search sides
@@ -702,12 +708,10 @@ object Embeddings {
       val e = normalized(s, dir)
         .localCheckpoint() // read by the quantizer AND the re-rank fetch
       val qz = e.select(col("vec_id"), col("v"),
-          array_max(transform(col("v"), x => abs(x))).as("mx"))
+          maxAbsNative(col("v")).as("mx"))
         .where(col("mx") > 0)
         .select(col("vec_id"),
-          transform(col("v"),
-            x => floor((x * (lit(127.0d) / col("mx"))) + lit(0.5d))
-              .cast("double")).as("qv"))
+          quantizeNative(col("v"), col("mx")).as("qv"))
         .select(col("vec_id"), col("qv"),
           sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
       val qq = qz.where(col("vec_id") < 5)

@@ -151,6 +151,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaSql == 25.0)
   }
 
+  test("native max-abs/quantize ≡ lambda forms, bit-identical") {
+    import spark.implicits._
+    // Deterministic pseudorandom vectors across magnitudes (1e-12…1e12),
+    // signs, exact-half rounding points, and a zero vector — the codegen
+    // expressions must reproduce the interpreted HOF lambdas bit-for-bit
+    // (the q82/q90 oracle hash depends on it).
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    val vecs: Seq[Seq[Double]] = (0 until 200).map { i =>
+      val dim = 1 + (i % 9)
+      val mag = math.pow(10.0, (i % 25) - 12)
+      lcg(i * 7919L + 1).take(dim).map { r =>
+        val u = (r >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+        (u - 0.5) * 2.0 * mag
+      }.toSeq
+    } :+ Seq(0.0, 0.0) :+ Seq(63.5, -63.5, 1.0) // exact .5 grid points
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val rows = df.select(col("id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("mx_hof"),
+        EmbeddingFunctions.maxAbsNative(col("v")).as("mx_nat"))
+      .withColumn("qv_hof",
+        when(col("mx_hof") > 0, transform(col("v"),
+          x => floor((x * (lit(127.0d) / col("mx_hof"))) + lit(0.5d))
+            .cast("double"))))
+      .withColumn("qv_nat",
+        when(col("mx_nat") > 0,
+          EmbeddingFunctions.quantizeNative(col("v"), col("mx_nat"))))
+      .collect()
+    assert(rows.length == vecs.length)
+    rows.foreach { r =>
+      def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+      assert(bits(r.getDouble(2)) == bits(r.getDouble(3)),
+        s"max-abs mismatch on id ${r.getLong(0)}")
+      val (h, n) = (r.getSeq[Double](4), r.getSeq[Double](5))
+      if (h == null) assert(n == null)
+      else {
+        assert(h.length == n.length)
+        h.indices.foreach(i => assert(bits(h(i)) == bits(n(i)),
+          s"quantize mismatch on id ${r.getLong(0)} elem $i: ${h(i)} vs ${n(i)}"))
+      }
+    }
+    // empty array → null (array_max parity)
+    val empty = Seq((1L, Seq.empty[Double])).toDF("id", "v")
+      .select(EmbeddingFunctions.maxAbsNative(col("v"))).collect().head
+    assert(empty.isNullAt(0))
+    // SQL registration path
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "select graft_quantize(array(1.0D, -0.5D), graft_max_abs(array(1.0D, -0.5D)))")
+      .collect().head.getSeq[Double](0)
+    assert(viaSql == Seq(127.0, -63.0)) // floor(-63.5+0.5) = -63
+  }
+
   test("hyperplanes are deterministic ±1 and reproducible") {
     val p1 = EmbeddingFunctions.hyperplanes(16, 64)
     val p2 = EmbeddingFunctions.hyperplanes(16, 64)
