@@ -1057,6 +1057,119 @@ object Embeddings {
       topkPerQuery(scored, 10)
         .select(col("q_id").as("cluster"), col("vec_id"), col("rank"))
         .orderBy("cluster", "rank")
+    }),
+
+    // ---- q110: incremental two-stage ANN vs persisted int8 artifacts ---
+    // q90's deployment shape (the q105 four-artifact discipline applied
+    // to vectors): the retrieval index persists once per corpus snapshot
+    // as TWO cell-partitioned SideTable artifacts — the exact-payload
+    // IVF index (q78's `ivf_index`, REUSED by identity: vec_id, v, nrm,
+    // cell) and the int8 index built FROM it (`int8_index`: qv stored as
+    // array<tinyint> — genuinely 8× smaller on disk than the doubles —
+    // plus its precomputed norm; one artifact scan, the corpus
+    // embeddings are never re-read). Each new batch vector then
+    // retrieves against the frozen index with batch-proportional cost:
+    // probe 2 cells against the 16 persisted centroids, stage-1 search
+    // ONLY the probed cells of the int8 artifact (dynamic partition
+    // pruning — the sole index-side pass, over codegen-quantized
+    // values via [[graft.functions.QuantizeExpr]]), stage-2 fetch exact
+    // vectors for the ≤ C·|batch| candidates alone from the exact
+    // artifact (broadcast semi-join — candidate-bounded by
+    // construction) and re-rank by exact cosine to the final top-5.
+    // The batch's only embeddings read carries the cut pushed to the
+    // scan; the index side never touches raw embeddings (plan-pinned).
+    // Quantization costs recall only (bounded by C; q82's audit), never
+    // ranking error — the output order is exact cosine over candidates.
+    "q110_incremental_rerank_ann" -> ((s, dir) => {
+      val cut = BatchCut.cut(s,
+        Graft.parquetSource(s, dir).table("embeddings"), "vec_id")
+      val dataPath = Some(s"$dir/embeddings.parquet")
+      val idxPath = graft.sources.SideTable.ensure(s, "ivf_index",
+          s"$dir#$cut", dataPath, Seq("cell")) {
+        val old = normalized(s, dir).where(col("vec_id") < cut)
+        val cents = old.where(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        old.join(broadcast(cents), lit(true))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+            (dotNative(col("v"), col("cv")) / (col("nrm") * col("cn")))
+              .as("sim"))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("v"), col("nrm"), col("cid")),
+            struct(col("sim"), (-col("cid")).as("nc"))).as("r"))
+          .select(col("vec_id"), col("r.v").as("v"),
+            col("r.nrm").as("nrm"), col("r.cid").cast("int").as("cell"))
+      }
+      val idx = s.read.parquet(idxPath)
+      val qidxPath = graft.sources.SideTable.ensure(s, "int8_index",
+          s"$dir#$cut", dataPath, Seq("cell")) {
+        // built from the exact artifact — one scan, no embeddings read;
+        // the double grid values round-trip the tinyint cast exactly
+        s.read.parquet(idxPath)
+          .select(col("vec_id"), col("cell"), col("v"),
+            maxAbsNative(col("v")).as("mx"))
+          .where(col("mx") > 0) // zero vectors have no quantization scale
+          .select(col("vec_id"), col("cell"),
+            quantizeNative(col("v"), col("mx")).as("qvd"))
+          .select(col("vec_id"), col("cell"),
+            col("qvd").cast("array<tinyint>").as("qv8"),
+            sqrt(dotNative(col("qvd"), col("qvd"))).as("qn"))
+      }
+      val qidx = s.read.parquet(qidxPath)
+        .select(col("vec_id"), col("cell"),
+          col("qv8").cast("array<double>").as("qv"), col("qn"))
+      val cents = idx.where(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        .localCheckpoint() // 16 rows; read by the probe ranking
+      val bqLazy = normalized(s, dir).where(col("vec_id") >= cut)
+        .select(col("vec_id").as("q_id"), col("v").as("ev"),
+          col("nrm").as("en"), maxAbsNative(col("v")).as("mx"))
+        .where(col("mx") > 0)
+        .select(col("q_id"), col("ev"), col("en"),
+          quantizeNative(col("ev"), col("mx")).as("qqv"))
+        .select(col("q_id"), col("ev"), col("en"), col("qqv"),
+          sqrt(dotNative(col("qqv"), col("qqv"))).as("qqn"))
+      val bq = bqLazy
+        .localCheckpoint() // |batch| rows; probes + stage-1 + re-rank
+      val wProbe = Window.partitionBy(col("q_id"))
+        .orderBy(col("qsim").desc, col("cid"))
+      val probes = bq.join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("qqv"), col("qqn"), col("cid"),
+          (dotNative(col("ev"), col("cv")) / (col("en") * col("cn")))
+            .as("qsim"))
+        .withColumn("rnk", row_number().over(wProbe))
+        .where(col("rnk") <= 2)
+        .select(col("q_id"), col("qqv"), col("qqn"),
+          col("cid").cast("int").as("cell"))
+      // stage 1: ONLY the probed cells of the int8 artifact (DPP);
+      // no self-pair filter needed — query ids ≥ cut, index ids < cut
+      val scored1Lazy = qidx.join(broadcast(probes), "cell")
+        .select(col("q_id"), col("vec_id"),
+          (dotNative(col("qqv"), col("qv")) / (col("qqn") * col("qn")))
+            .as("cos"))
+      val cand = topkPerQuery(scored1Lazy, rerankC(s))
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint() // ≤ C·|batch| rows; fetch probe + spine
+      // stage 2: exact payload for candidates ONLY, from the exact
+      // artifact — candidate-bounded broadcast semi-join
+      val fetchLazy = idx.join(
+        broadcast(cand.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_semi")
+      lastIncrementalRerankPlan =
+        bqLazy.queryExecution.executedPlan.toString +
+          "\n-- stage1 --\n" +
+          scored1Lazy.queryExecution.executedPlan.toString +
+          "\n-- fetch --\n" +
+          fetchLazy.queryExecution.executedPlan.toString
+      val scored = cand
+        .join(fetchLazy, Seq("vec_id"))
+        .join(broadcast(bq.select(col("q_id"), col("ev"), col("en"))),
+          Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dotNative(col("ev"), col("v")) / (col("en") * col("nrm")))
+            .as("cos"))
+      topkPerQuery(scored, 5)
     })
   )
 
@@ -1321,6 +1434,70 @@ object Embeddings {
            |    (${duckDot("q.ev", "e.v")} / (q.en * e.nrm)) AS cos
            |  FROM cand c JOIN e ON e.vec_id = c.vec_id
            |    JOIN q ON q.q_id = c.q_id
+           |)
+           |SELECT q_id, vec_id, cos, rank FROM (
+           |  SELECT q_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+           |  FROM rer
+           |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // The oracle rebuilds every artifact from scratch (it has none):
+    // cells from the old slice's nearest-centroid argmax, the int8 grid
+    // from the same quantization formula, probing/candidacy/re-rank
+    // identical to q90's except candidacy is restricted to the 2 probed
+    // cells and queries are the batch slice (vec_id >= cut).
+    "q110_incremental_rerank_ann" ->
+      (baseCte +
+        s""", cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+           |old AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut)),
+           |cents AS (SELECT vec_id cid, v cv, nrm cn FROM old WHERE vec_id < 16),
+           |asg AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT o.vec_id, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY o.vec_id
+           |        ORDER BY ${duckCos("o.v", "o.nrm", "c.cv", "c.cn")} DESC, c.cid) rnk
+           |    FROM old o CROSS JOIN cents c
+           |  ) WHERE rnk = 1
+           |), qz0 AS (
+           |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) mx FROM old
+           |), qz AS (
+           |  SELECT vec_id,
+           |    list_transform(v, x -> floor((x * (127.0 / mx)) + 0.5)::double) qv
+           |  FROM qz0 WHERE mx > 0
+           |), qidx AS (
+           |  SELECT z.vec_id, a.cell, z.qv, sqrt(${duckDot("z.qv", "z.qv")}) qn
+           |  FROM qz z JOIN asg a ON a.vec_id = z.vec_id
+           |), b0 AS (
+           |  SELECT vec_id, v, nrm, list_max(list_transform(v, x -> abs(x))) mx
+           |  FROM e WHERE vec_id >= (SELECT c FROM cut)
+           |), bq0 AS (
+           |  SELECT vec_id q_id, v ev, nrm en,
+           |    list_transform(v, x -> floor((x * (127.0 / mx)) + 0.5)::double) qqv
+           |  FROM b0 WHERE mx > 0
+           |), bq AS (
+           |  SELECT q_id, ev, en, qqv, sqrt(${duckDot("qqv", "qqv")}) qqn FROM bq0
+           |), probes AS (
+           |  SELECT q_id, cell FROM (
+           |    SELECT b.q_id, c.cid AS cell,
+           |      row_number() OVER (PARTITION BY b.q_id
+           |        ORDER BY ${duckCos("b.ev", "b.en", "c.cv", "c.cn")} DESC, c.cid) rnk
+           |    FROM bq b CROSS JOIN cents c
+           |  ) WHERE rnk <= 2
+           |), s1 AS (
+           |  SELECT p.q_id, i.vec_id,
+           |    (${duckDot("b.qqv", "i.qv")} / (b.qqn * i.qn)) AS cos
+           |  FROM probes p JOIN qidx i ON i.cell = p.cell
+           |    JOIN bq b ON b.q_id = p.q_id
+           |), cand AS (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT q_id, vec_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk
+           |    FROM s1) WHERE rnk <= $RerankCDefault
+           |), rer AS (
+           |  SELECT cd.q_id, cd.vec_id,
+           |    (${duckDot("b.ev", "o.v")} / (b.en * o.nrm)) AS cos
+           |  FROM cand cd JOIN old o ON o.vec_id = cd.vec_id
+           |    JOIN bq b ON b.q_id = cd.q_id
            |)
            |SELECT q_id, vec_id, cos, rank FROM (
            |  SELECT q_id, vec_id, cos,

@@ -239,6 +239,35 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q78 batch cut is not pushed to the embeddings scan:\n$cp")
   }
 
+  test("q110: stage-1 probes only the int8 artifact; exact fetch is candidate-bounded") {
+    // The incremental two-stage contract: the batch's ONLY embeddings
+    // read carries the cut pushed to the scan; stage 1 touches the
+    // int8 artifact alone (cell-pruned via dynamic partition pruning,
+    // never raw embeddings); stage 2's exact-vector fetch is a
+    // candidate-bounded broadcast semi-join against the exact-payload
+    // artifact.
+    plan("q110_incremental_rerank_ann")
+    val cp = graft.queries.Embeddings.lastIncrementalRerankPlan
+    assert(cp.nonEmpty, "q110 plans were not captured")
+    val parts = cp.split("\n-- stage1 --\n|\n-- fetch --\n")
+    assert(parts.length == 3, s"q110 capture shape changed:\n$cp")
+    val (bp, s1p, fp) = (parts(0), parts(1), parts(2))
+    assert(bp.contains("GreaterThanOrEqual(vec_id"),
+      s"q110 batch cut is not pushed to the embeddings scan:\n$bp")
+    assert(s1p.contains("graft_int8_index"),
+      s"q110 stage 1 does not read the persisted int8 artifact:\n$s1p")
+    assert(s1p.contains("dynamicpruningexpression(cell"),
+      s"q110 stage 1 lost dynamic partition pruning:\n$s1p")
+    assert(!s1p.contains("embeddings.parquet"),
+      s"q110 stage 1 scans raw embeddings:\n$s1p")
+    assert(fp.contains("graft_ivf_index"),
+      s"q110 fetch does not read the exact-payload artifact:\n$fp")
+    assert(fp.contains("BroadcastHashJoin") && fp.contains("LeftSemi"),
+      s"q110 exact fetch is not a candidate-bounded semi-join:\n$fp")
+    assert(!fp.contains("embeddings.parquet"),
+      s"q110 fetch scans raw embeddings:\n$fp")
+  }
+
   test("q78 shuffle-probe mode: same answer, statically pruned scan, no broadcast") {
     // graft.ann.broadcastProbes=false is the 100 TB mode: probes shuffle
     // by cell (a batch-proportional probe set outgrows a broadcast), the
