@@ -171,6 +171,36 @@ object TextFunctions {
           .as("h2"))
   }
 
+  /** Uni-, bi- and tri-gram streams from ONE corpus pass, via the
+    * native [[TriShinglesExpr]] generator: one row per TOKEN position
+    * with the token itself (`term` — vocabulary/DSIR consumers need the
+    * string, not just a hash), its unigram/bigram hashes (`h1`/`h2`,
+    * the q103/q107 LM feature space) and its word-3-gram hash (`h3`,
+    * the MinHash/BM25 shingle space; null at the last two positions).
+    * The composed crawl-ingest derivation (q109): the non-null `h3`
+    * rows are exactly [[shingleHashRows]](docs, 3) and the (h1, h2)
+    * pairs are exactly [[dualShingleHashRows]](docs, 1, 2) — one batch
+    * scan replaces one scan per incremental-family member. `extra`
+    * columns (e.g. `source`) ride along per row. */
+  def triShingleHashRows(docs: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.GraftArrowBridge.{column, expression}
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    spread
+      .select((col("doc_id") +: extra.map(col)) :+
+        column(TriShinglesExpr(expression(col("text")),
+          expression(lit(1)), expression(lit(2)), expression(lit(3))))
+          .as(Seq("s1", "s2", "s3")): _*)
+      .select((col("doc_id") +: extra.map(col)) ++ Seq(
+        col("s1").as("term"),
+        pmod(hash60(col("s1")), lit(HashP)).as("h1"),
+        when(col("s2").isNotNull, pmod(hash60(col("s2")), lit(HashP)))
+          .as("h2"),
+        when(col("s3").isNotNull, pmod(hash60(col("s3")), lit(HashP)))
+          .as("h3")): _*)
+  }
+
   /** k MinHash signatures over a distinct-hash set: permutation j is
     * h -> ((2j+3)·h + j²+1) mod p. Products stay < 2^36 (h < p ≈ 2^31,
     * a_j ≤ 33) — no Long overflow. */

@@ -179,24 +179,32 @@ object Dedup {
   /** 16-permutation MinHash signatures (doc_id, m0..m15) — codegen'd
     * MIN aggregates over the shingle rows, map-side partial agg; only
     * 16 longs per doc cross the wire, never the shingles. */
-  private[graft] def minhashSignatures(docs: DataFrame): DataFrame = {
+  private[graft] def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesOf(shingleHashRows(docs, 3))
+
+  /** [[minhashSignatures]] over an ALREADY-DERIVED shingle-hash frame
+    * (doc_id, h) — the composed crawl-ingest job (q109) feeds its one
+    * shared gram pass here instead of re-shingling. */
+  private[graft] def minhashSignaturesOf(sh: DataFrame): DataFrame = {
     val minCols = (0 until 16).map(j =>
       min((col("h") * (2 * j + 3) + (j * j + 1)) % P).as(s"m$j"))
-    shingleHashRows(docs, 3)
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
   /** Banded MinHash signatures of a `doc_id`/`text` frame: one row per
     * (doc_id, band_idx, band_key), 4 bands × 4 rows. */
-  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBands(docs: DataFrame): DataFrame =
+    bandRows(minhashSignatures(docs))
+
+  /** LSH band rows (doc_id, band_idx, band_key) from a signature frame
+    * (doc_id, m0..m15) — 4 bands × 4 rows per signature. */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map { b =>
       hash60(concat_ws(",",
         (0 until 4).map(r => col(s"m${b * 4 + r}").cast("string")): _*))
     }: _*)
-    minhashSignatures(docs)
-      .select(col("doc_id"),
-        posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    sigs.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band_idx", "band_key")))
   }
 
   /** The shared MinHash+LSH candidate/verify pipeline over a canonical

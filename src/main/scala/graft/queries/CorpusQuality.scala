@@ -642,30 +642,8 @@ object CorpusQuality {
     "q95_incremental_source_report" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
-      val cPath = graft.sources.SideTable.ensure(s, "src_counters",
-          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
-        val old = d.where(col("doc_id") < cut)
-        val flags = qualityFlags(old, withSource = true)
-          .select(col("doc_id"), col("source"), col("keep"))
-        val members = TextPipeline.exactGroups(old, 3)
-          .select(col("doc_id"), col("rep"))
-        flags.join(members, Seq("doc_id"), "left")
-          .select(col("source"), col("keep"),
-            (col("rep").isNotNull && col("doc_id") =!= col("rep"))
-              .cast("int").as("is_dup"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("is_dup")).cast("long").as("n_dup"),
-            sum(col("keep")).cast("long").as("n_keep"),
-            sum((col("keep") === 1 && col("is_dup") === 0).cast("int"))
-              .cast("long").as("n_good"))
-      }
-      val keyPath = graft.sources.SideTable.ensure(s, "content_keys",
-          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
-        d.where(col("doc_id") < cut && col("text").isNotNull)
-          .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
-          .distinct()
-      }
+      val cPath = srcCounterIndex(s, dir, cut)
+      val keyPath = TextPipeline.contentKeyIndex(s, dir, cut)
       val batch = d.where(col("doc_id") >= cut)
       val bkeys = batch.where(size(words(col("text"))) >= 3)
         .select(col("doc_id"),
@@ -781,11 +759,7 @@ object CorpusQuality {
     "q101_incremental_vocab" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
-      val termPath = graft.sources.SideTable.ensure(s, "vocab_terms",
-          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
-        d.where(col("doc_id") < cut)
-          .select(explode(words(col("text"))).as("term")).distinct()
-      }
+      val termPath = vocabTermIndex(s, dir, cut)
       val old = s.read.parquet(termPath)
       val btermsLazy = d.where(col("doc_id") >= cut)
         .select(explode(words(col("text"))).as("term")).distinct()
@@ -962,31 +936,8 @@ object CorpusQuality {
       val k = s.conf.getOption("graft.bm25.k").map(_.toInt).getOrElse(10)
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
-      val fp = Some(s"$dir/documents.parquet")
-      val postPath = graft.sources.SideTable.ensure(s, "bm25_postings",
-          s"$dir#$cut", fp, Seq("bucket")) {
-        shingleHashRows(d.where(col("doc_id") < cut), 3)
-          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
-          .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
-      }
+      val (postPath, lexPath, dlPath, totPath) = bm25Index(s, dir, cut)
       val post = s.read.parquet(postPath)
-      // lexicon/doclen/stats derive from the postings artifact at build
-      // time (one scan each) — never from the corpus documents
-      val lexPath = graft.sources.SideTable.ensure(s, "bm25_lexicon",
-          s"$dir#$cut", fp) {
-        s.read.parquet(postPath).groupBy(col("h"))
-          .agg(count(lit(1)).as("df"))
-      }
-      val dlPath = graft.sources.SideTable.ensure(s, "bm25_doclen",
-          s"$dir#$cut", fp) {
-        s.read.parquet(postPath).groupBy(col("doc_id"))
-          .agg(sum(col("tf")).as("dl"))
-      }
-      val totPath = graft.sources.SideTable.ensure(s, "bm25_stats",
-          s"$dir#$cut", fp) {
-        s.read.parquet(postPath).agg(sum(col("tf")).as("t_tok"),
-          countDistinct(col("doc_id")).as("n_docs"))
-      }
       val qtf = shingleHashRows(d.where(col("doc_id") >= cut), 3)
         .select(col("doc_id").as("query_id"), col("h")).distinct()
         .localCheckpoint() // batch term lists — batch-bounded
@@ -1040,20 +991,9 @@ object CorpusQuality {
         .getOrElse(10000)
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
-      val fp = Some(s"$dir/documents.parquet")
-      def lmOf(name: String, srcCond: org.apache.spark.sql.Column,
-          cName: String): DataFrame = {
-        val path = graft.sources.SideTable.ensure(s, name,
-            s"$dir#$cut#$target#$buckets", fp) {
-          d.where(col("doc_id") < cut && srcCond)
-            .select(col("doc_id"), explode(words(col("text"))).as("term"))
-            .select(pmod(hash60(col("term")), lit(buckets)).as("h"))
-            .groupBy(col("h")).agg(count(lit(1)).as(cName))
-        }
-        s.read.parquet(path)
-      }
-      val ct = lmOf("dsir_target_lm", col("source") === target, "ct")
-      val cr = lmOf("dsir_raw_lm", col("source") =!= target, "cr")
+      val (ctPath, crPath) = dsirLmIndex(s, dir, cut, target, buckets)
+      val ct = s.read.parquet(ctPath)
+      val cr = s.read.parquet(crPath)
       val perDoc = d
         .where(col("doc_id") >= cut && col("source") =!= target)
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -1081,18 +1021,9 @@ object CorpusQuality {
     "q107_incremental_bigram_lm" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
-      val fp = Some(s"$dir/documents.parquet")
-      def lm(name: String, gram: String, cName: String): DataFrame = {
-        val path = graft.sources.SideTable.ensure(s, name,
-            s"$dir#$cut", fp) {
-          dualShingleHashRows(d.where(col("doc_id") < cut), 1, 2)
-            .where(col("h2").isNotNull)
-            .groupBy(col(gram)).agg(count(lit(1)).as(cName))
-        }
-        s.read.parquet(path)
-      }
-      val ctx = lm("bigram_ctx_lm", "h1", "c1")
-      val big = lm("bigram_lm", "h2", "c2")
+      val (ctxPath, bigPath) = bigramLmIndex(s, dir, cut)
+      val ctx = s.read.parquet(ctxPath)
+      val big = s.read.parquet(bigPath)
       val batch = d.where(col("doc_id") >= cut)
       val perDoc = dualShingleHashRows(batch, 1, 2)
         .where(col("h2").isNotNull)
@@ -1231,6 +1162,115 @@ object CorpusQuality {
     * the returned frame reads only the checkpointed batch gram frame
     * and the two batch-key-bounded LM slices — no corpus documents. */
   @volatile private[graft] var lastIncrementalBigramPlan: String = ""
+
+  // ---- persisted snapshot artifacts shared with the composed ingest --
+  // Each incremental operator's side-table builder lives HERE as one
+  // definition so the composed crawl-ingest job (q109) ensures the SAME
+  // artifact (name + identity + builder) as the standalone member —
+  // bit-identity between the composed and member paths is then by
+  // construction, not by parallel-maintained copies.
+
+  /** q95's per-source counter artifact: exact-integer n_docs/n_dup/
+    * n_keep/n_good over the old corpus, ≤ |sources| rows. */
+  private[graft] def srcCounterIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "src_counters", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      val old = Graft.parquetSource(s, dir).table("documents")
+        .where(col("doc_id") < cut)
+      val flags = qualityFlags(old, withSource = true)
+        .select(col("doc_id"), col("source"), col("keep"))
+      val members = TextPipeline.exactGroups(old, 3)
+        .select(col("doc_id"), col("rep"))
+      flags.join(members, Seq("doc_id"), "left")
+        .select(col("source"), col("keep"),
+          (col("rep").isNotNull && col("doc_id") =!= col("rep"))
+            .cast("int").as("is_dup"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup")).cast("long").as("n_dup"),
+          sum(col("keep")).cast("long").as("n_keep"),
+          sum((col("keep") === 1 && col("is_dup") === 0).cast("int"))
+            .cast("long").as("n_good"))
+    }
+
+  /** q101's distinct-term vocabulary artifact over the old corpus. */
+  private[graft] def vocabTermIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "vocab_terms", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      Graft.parquetSource(s, dir).table("documents")
+        .where(col("doc_id") < cut)
+        .select(explode(words(col("text"))).as("term")).distinct()
+    }
+
+  /** q105's four inverted-index artifacts — postings (bucket-
+    * partitioned), lexicon, doc lengths, collection stats. The lexicon/
+    * doclen/stats derive from the postings artifact at build time (one
+    * scan each) — never from the corpus documents. Returns their paths
+    * in that order. */
+  private[graft] def bm25Index(s: SparkSession, dir: String,
+      cut: Long): (String, String, String, String) = {
+    val fp = Some(s"$dir/documents.parquet")
+    val postPath = graft.sources.SideTable.ensure(s, "bm25_postings",
+        s"$dir#$cut", fp, Seq("bucket")) {
+      shingleHashRows(Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), 3)
+        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
+    }
+    val lexPath = graft.sources.SideTable.ensure(s, "bm25_lexicon",
+        s"$dir#$cut", fp) {
+      s.read.parquet(postPath).groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+    }
+    val dlPath = graft.sources.SideTable.ensure(s, "bm25_doclen",
+        s"$dir#$cut", fp) {
+      s.read.parquet(postPath).groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"))
+    }
+    val totPath = graft.sources.SideTable.ensure(s, "bm25_stats",
+        s"$dir#$cut", fp) {
+      s.read.parquet(postPath).agg(sum(col("tf")).as("t_tok"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    }
+    (postPath, lexPath, dlPath, totPath)
+  }
+
+  /** q106's frozen hashed-feature LM artifacts (target, raw) — target
+    * source and bucket count folded into the identity (the q86 rule for
+    * conf-dependent artifacts). Returns (ctPath, crPath). */
+  private[graft] def dsirLmIndex(s: SparkSession, dir: String, cut: Long,
+      target: String, buckets: Int): (String, String) = {
+    val fp = Some(s"$dir/documents.parquet")
+    def lmOf(name: String, srcCond: org.apache.spark.sql.Column,
+        cName: String): String =
+      graft.sources.SideTable.ensure(s, name,
+          s"$dir#$cut#$target#$buckets", fp) {
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut && srcCond)
+          .select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .select(pmod(hash60(col("term")), lit(buckets)).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as(cName))
+      }
+    (lmOf("dsir_target_lm", col("source") === target, "ct"),
+      lmOf("dsir_raw_lm", col("source") =!= target, "cr"))
+  }
+
+  /** q107's frozen bigram-LM artifacts (context counts, bigram counts).
+    * Returns (ctxPath, bigPath). */
+  private[graft] def bigramLmIndex(s: SparkSession, dir: String,
+      cut: Long): (String, String) = {
+    val fp = Some(s"$dir/documents.parquet")
+    def lm(name: String, gram: String, cName: String): String =
+      graft.sources.SideTable.ensure(s, name, s"$dir#$cut", fp) {
+        dualShingleHashRows(Graft.parquetSource(s, dir)
+            .table("documents").where(col("doc_id") < cut), 1, 2)
+          .where(col("h2").isNotNull)
+          .groupBy(col(gram)).agg(count(lit(1)).as(cName))
+      }
+    (lm("bigram_ctx_lm", "h1", "c1"), lm("bigram_lm", "h2", "c2"))
+  }
 
   /** The q104/q106 shared DSIR scorer: per-token importance bits =
     * bitlen(ct+1) − bitlen(cr+1) (Laplace +1 on BOTH LMs — the target

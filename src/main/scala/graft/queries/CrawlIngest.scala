@@ -1,0 +1,532 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.functions.TextFunctions._
+
+/** q109 — the composed crawl-ingest batch job: the incremental family's
+  * members (q67 dedup, q79 triage, q95 reputation flags, q101 vocabulary,
+  * q105 BM25 routing, q106 DSIR scoring, q107 bigram surprisal) run
+  * TOGETHER over one batch, the way a real ingest loop runs them. Run
+  * separately, each member re-derives its own gram stream from the same
+  * batch — seven tokenize/scan passes over identical text. Here ONE
+  * [[graft.functions.TriShinglesExpr]] pass derives the shared gram frame
+  * (unigram term + hash, bigram hash, word-3-gram hash per token
+  * position) and every member consumes a slice of it; the only other
+  * batch reads are one narrow per-doc metadata projection (content key +
+  * quality battery — whole-doc grain, not derivable from position rows)
+  * and the dedup verify's candidate-bounded re-shingle of OLD candidate
+  * docs (batch candidates reuse the gram frame).
+  *
+  * Every member scores against the SAME persisted snapshot artifacts as
+  * its standalone query (shared builder defs ⇒ shared name + identity ⇒
+  * bit-identity by construction), so q109's per-doc record columns equal
+  * the member outputs exactly — the oracle recomputes each member
+  * batch-unaware and CrawlIngestSpec pins member parity and the
+  * single-derivation plan shape.
+  *
+  * The job also FEEDS the artifacts: each run ensures the batch's delta
+  * artifacts (`sig_index_delta`, `content_keys_delta`,
+  * `vocab_terms_delta`, `bm25_postings_delta`, keyed by the same
+  * snapshot identity — memoized, so reruns are idempotent). Snapshot ∪
+  * delta is bit-equal to a from-scratch build over old+batch
+  * (spec-asserted), which is what the NEXT batch reads: at 100 TB you
+  * never rewrite the index to ingest a batch — deltas accumulate and
+  * compact into the next snapshot (the
+  * [[graft.sources.SideTable.compactIfNeeded]] discipline), while
+  * frozen-LM scoring statistics (BM25 df/dl/stats, DSIR and bigram LMs)
+  * stay pinned to the snapshot between rebuilds (the q69/q105 rule).
+  *
+  * Scale shape: work is |batch| + |candidates| everywhere — the old
+  * corpus is touched only through narrow artifact scans, every one
+  * broadcast-semi-filtered down to the batch's keys before any join
+  * (the q67/q79/q101 membership discipline); all final assembly joins
+  * are broadcasts of batch-bounded member frames onto the batch spine.
+  */
+object CrawlIngest {
+
+  /** Physical plans captured for CrawlIngestSpec: the shared gram
+    * derivation (must contain exactly ONE generator), the dedup
+    * candidate join (must contain none), and the verify's old-side
+    * re-shingle (generator allowed, but candidate-pruned with the cut
+    * pushed to the scan). */
+  @volatile private[graft] var lastIngestPlans: String = ""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_crawl_ingest" -> ((s, dir) => run(s, dir)))
+
+  private[graft] def run(s: SparkSession, dir: String): DataFrame = {
+    val target = s.conf.getOption("graft.dsir.targetSource")
+      .getOrElse("src0")
+    val buckets = s.conf.getOption("graft.dsir.buckets").map(_.toInt)
+      .getOrElse(10000)
+    val dfCap = s.conf.getOption("graft.bm25.dfCap").map(_.toInt)
+      .getOrElse(16)
+
+    val d = Graft.parquetSource(s, dir).table("documents")
+    val cut = BatchCut.cut(s, d)
+    val fp = Some(s"$dir/documents.parquet")
+
+    // ---- snapshot artifacts: the members' own builders (memoized) ----
+    val sigPath = TextPipeline.signatureIndex(s, dir, cut)
+    val keyPath = TextPipeline.contentKeyIndex(s, dir, cut)
+    val termPath = CorpusQuality.vocabTermIndex(s, dir, cut)
+    val (postPath, lexPath, dlPath, totPath) =
+      CorpusQuality.bm25Index(s, dir, cut)
+    val (ctPath, crPath) =
+      CorpusQuality.dsirLmIndex(s, dir, cut, target, buckets)
+    val (ctxPath, bigPath) = CorpusQuality.bigramLmIndex(s, dir, cut)
+
+    val batch = d.where(col("doc_id") >= cut)
+
+    // ---- per-doc metadata: ONE narrow whole-doc projection ----------
+    // content key (q79/q95's md5 of the word sequence) + the q66 flag
+    // battery; word count gates the q95 dup rule (<3-word docs never
+    // form content groups).
+    val meta = graft.ops.Text.qualityFlags(
+        batch.select(col("doc_id"), col("source"), col("text"),
+          when(col("text").isNotNull,
+            md5(concat_ws(" ", words(col("text"))))).as("gk"),
+          size(words(col("text"))).as("nw")),
+        "doc_id", "text", Seq("source", "gk", "nw"))
+      .select(col("doc_id"), col("source"), col("gk"), col("nw"),
+        col("keep"))
+      .localCheckpoint() // |batch| narrow rows; read by triage, dup
+      // flags, and the final spine
+
+    // ---- THE gram frame: ONE TriShingles generator pass -------------
+    // (doc_id, source, term, h1, h2, h3): every member's gram stream is
+    // a projection of this frame — the non-null h3 rows are exactly
+    // shingleHashRows(batch, 3), the (h1, h2) pairs exactly
+    // dualShingleHashRows(batch, 1, 2), the term column exactly the
+    // exploded word stream.
+    val gramsLazy = triShingleHashRows(batch, Seq("source"))
+    val grams = gramsLazy.localCheckpoint() // |batch tokens| rows; read
+      // by all seven members — the whole point of the composed job
+
+    // ---- vocabulary (q101) + per-doc new-term attribution -----------
+    val oldTerms = s.read.parquet(termPath)
+    val btermFirst = grams.groupBy(col("term"))
+      .agg(min(col("doc_id")).as("owner"))
+      .localCheckpoint() // ≤ |batch vocab| rows; probe + anti-join + owner
+    val termHits = oldTerms
+      .join(broadcast(btermFirst.select(col("term"))), Seq("term"),
+        "left_semi")
+    val newTerms = btermFirst
+      .join(broadcast(termHits), Seq("term"), "left_anti")
+      .localCheckpoint() // genuinely-new terms with their first batch owner
+    val perDocNew = newTerms.groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_new_terms"))
+
+    // ---- incremental near-dup (q67), batch side from the gram frame -
+    val sh3 = grams.where(col("h3").isNotNull)
+      .select(col("doc_id"), col("h3").as("h"))
+    val deltaBands = graft.ops.Dedup.bandRows(
+        graft.ops.Dedup.minhashSignaturesOf(sh3))
+      .localCheckpoint() // 4 narrow rows per batch doc
+    val idx = s.read.parquet(sigPath)
+    val deltaKeys = deltaBands
+      .select(col("band_idx"), col("band_key")).distinct()
+    val relevant = idx
+      .join(broadcast(deltaKeys), Seq("band_idx", "band_key"),
+        "left_semi")
+      .unionByName(deltaBands)
+      .localCheckpoint() // collision-relevant artifact rows only (q67)
+    val allBands = graft.ops.Dedup.capBuckets(relevant,
+      Seq("band_idx", "band_key"), s, "q109 ingest bands")
+    val candLazy = allBands.as("a").join(deltaBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val cand = candLazy.localCheckpoint()
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
+    // verify: OLD candidates re-shingle under a candidate-pruned,
+    // cut-pushed scan; BATCH candidates reuse the gram frame.
+    val candShOldLazy = shingleHashRows(
+      d.where(col("doc_id") < cut)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi"), 3)
+    val candSh = candShOldLazy
+      .unionByName(sh3.join(broadcast(candDocs), Seq("doc_id"),
+        "left_semi"))
+      .distinct()
+      .cache() // pairJaccard reads it three times (e1, e2, sizes)
+    val pairs = graft.ops.Dedup.pairJaccard(cand, candSh)
+      .where(col("jac") >= 0.8)
+      .localCheckpoint()
+    candSh.unpersist()
+    lastIngestPlans =
+      gramsLazy.queryExecution.executedPlan.toString +
+        "\n-- cand --\n" +
+        candLazy.queryExecution.executedPlan.toString +
+        "\n-- verify-old --\n" +
+        candShOldLazy.queryExecution.executedPlan.toString
+    val nearDocs = pairs.select(col("d1").as("doc_id"))
+      .unionByName(pairs.select(col("d2").as("doc_id")))
+      .where(col("doc_id") >= cut).distinct()
+      .withColumn("near_hit", lit(1))
+
+    // ---- triage (q79) + dup flags (q95) over one key probe ----------
+    val oldKeys = s.read.parquet(keyPath)
+    val batchKeys = meta.where(col("gk").isNotNull)
+      .select(col("doc_id"), col("gk"))
+    val bkeys = batchKeys.select(col("gk")).distinct()
+    val probeKeys =
+      if (s.conf.get("graft.artifacts.bloom", "false").toBoolean) {
+        val bf = graft.sources.SideTable.ensureBloomOf(s, "content_keys",
+          s"$dir#$cut", fp, keyPath, "gk")
+        bkeys.where(graft.functions.Bloom.mightContain(bf, col("gk")))
+      } else bkeys
+    val hitKeys = oldKeys
+      .join(broadcast(probeKeys), Seq("gk"), "left_semi")
+      .withColumn("exact_hit", lit(1))
+      .localCheckpoint() // ≤ |batch| rows — broadcastable by construction
+    val triage = batchKeys
+      .join(broadcast(hitKeys), Seq("gk"), "left")
+      .join(broadcast(nearDocs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_hit") === 1, "exact")
+          .when(col("near_hit") === 1, "near")
+          .otherwise("novel").as("triage"))
+    val bkeys3 = meta.where(col("nw") >= 3)
+      .select(col("doc_id"), col("gk"))
+    val firstIds = bkeys3.groupBy(col("gk"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val bdup = bkeys3
+      .join(broadcast(hitKeys), Seq("gk"), "left")
+      .join(broadcast(firstIds), Seq("gk"))
+      .select(col("doc_id"),
+        (col("exact_hit").isNotNull || col("doc_id") > col("first_id"))
+          .cast("int").as("is_dup"))
+
+    // ---- DSIR scoring (q106) against the frozen LM artifacts --------
+    val dsPerDoc = grams.where(col("source") =!= target)
+      .select(col("doc_id"),
+        pmod(hash60(col("term")), lit(buckets)).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
+    val dsir = graft.ops.Select.score(dsPerDoc,
+        s.read.parquet(ctPath), s.read.parquet(crPath))
+      .select(col("doc_id"), col("n_tokens").as("dsir_tokens"),
+        col("sum_bits").as("dsir_bits"), col("score").as("dsir_score"))
+
+    // ---- bigram surprisal (q107) against the frozen LM artifacts ----
+    val bgPerDoc = grams.where(col("h2").isNotNull)
+      .groupBy(col("doc_id"), col("h1"), col("h2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // batch-bounded; feeds both key sets + scoring
+    val ctxC = s.read.parquet(ctxPath)
+      .join(broadcast(bgPerDoc.select(col("h1")).distinct()), Seq("h1"),
+        "left_semi").localCheckpoint() // ≤ |batch contexts|
+    val bigC = s.read.parquet(bigPath)
+      .join(broadcast(bgPerDoc.select(col("h2")).distinct()), Seq("h2"),
+        "left_semi").localCheckpoint() // ≤ |batch bigrams|
+    val bigram = bgPerDoc
+      .join(broadcast(ctxC), Seq("h1"), "left")
+      .join(broadcast(bigC), Seq("h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(when(col("c2").isNull, col("k")).otherwise(0L)).as("n_oov"),
+        sum(col("k") *
+          (length(bin(coalesce(col("c1"), lit(0L)) + 1)) -
+           length(bin(coalesce(col("c2"), lit(0L)) + 1))))
+          .as("lm_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("lm_bits"),
+        (col("lm_bits").cast("double") / col("n_bigrams").cast("double"))
+          .as("lm_mean"))
+
+    // ---- BM25 top-1 routing (q105) against the index artifacts ------
+    val post = s.read.parquet(postPath)
+    val qtf = grams.where(col("h3").isNotNull)
+      .select(col("doc_id").as("query_id"), col("h3").as("h")).distinct()
+      .localCheckpoint() // batch term lists — batch-bounded
+    val qDf = s.read.parquet(lexPath)
+      .join(broadcast(qtf.select(col("h")).distinct()), Seq("h"),
+        "left_semi")
+      .localCheckpoint() // ≤ |batch terms| rows
+    val rare = qtf.join(broadcast(qDf.where(col("df") <= dfCap)
+        .select(col("h"))), Seq("h"), "left_semi")
+      .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
+    val cand105 = post.join(broadcast(rare), Seq("bucket", "h"))
+      .select(col("query_id"), col("doc_id"))
+      .distinct()
+      .localCheckpoint() // rare-df-bounded
+    val candDocs105 = cand105.select(col("doc_id")).distinct()
+    val candPost = post
+      .join(broadcast(candDocs105), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // candidate docs' full postings
+    val dlC = s.read.parquet(dlPath)
+      .join(broadcast(candDocs105), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // ≤ |candidate docs| rows
+    val top1 = graft.ops.Retrieval.bm25Rank(cand105
+        .join(qtf, Seq("query_id"))
+        .join(candPost.select(col("doc_id"), col("h"), col("tf")),
+          Seq("doc_id", "h"))
+        .join(broadcast(qDf), Seq("h"))
+        .join(broadcast(dlC), Seq("doc_id"))
+        .crossJoin(broadcast(s.read.parquet(totPath))), 1)
+      .select(col("query_id").as("doc_id"), col("doc_id").as("top1_doc"),
+        col("score_ppm").as("top1_ppm"))
+
+    // ---- feed the artifacts: the batch's delta side-tables ----------
+    // snapshot ∪ delta == a from-scratch old+batch build (spec-pinned);
+    // the next batch reads both, the next snapshot compacts them.
+    graft.sources.SideTable.ensure(s, "sig_index_delta", s"$dir#$cut",
+      fp) { deltaBands }
+    graft.sources.SideTable.ensure(s, "content_keys_delta", s"$dir#$cut",
+      fp) { bkeys.join(broadcast(hitKeys.select(col("gk"))), Seq("gk"),
+        "left_anti") }
+    graft.sources.SideTable.ensure(s, "vocab_terms_delta", s"$dir#$cut",
+      fp) { newTerms.select(col("term")) }
+    graft.sources.SideTable.ensure(s, "bm25_postings_delta",
+      s"$dir#$cut", fp, Seq("bucket")) {
+      sh3.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
+    }
+
+    // ---- the per-doc ingest record ----------------------------------
+    // spine = the batch; every member frame is batch-bounded, so every
+    // assembly join broadcasts. Members that exclude a doc (no bigrams,
+    // target-source, no retrieval candidates) contribute nulls — the
+    // same row sets as their standalone queries.
+    meta.select(col("doc_id"), col("source"), col("keep"))
+      .join(broadcast(triage), Seq("doc_id"), "left")
+      .join(broadcast(bdup), Seq("doc_id"), "left")
+      .join(broadcast(perDocNew), Seq("doc_id"), "left")
+      .join(broadcast(bigram), Seq("doc_id"), "left")
+      .join(broadcast(dsir), Seq("doc_id"), "left")
+      .join(broadcast(top1), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("triage"), col("keep"),
+        coalesce(col("is_dup"), lit(0)).cast("int").as("is_dup"),
+        coalesce(col("n_new_terms"), lit(0L)).as("n_new_terms"),
+        col("n_bigrams"), col("n_oov"), col("lm_bits"), col("lm_mean"),
+        col("dsir_tokens"), col("dsir_bits"), col("dsir_score"),
+        col("top1_doc"), col("top1_ppm"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** The composed oracle: each member's batch-unaware recompute (their
+    * own oracle CTEs, uniquely prefixed) LEFT JOINed onto the batch
+    * spine — bit-identical member semantics is the whole claim. */
+  val oracles: Map[String, String] = Map(
+    "q109_crawl_ingest" ->
+      s"""WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+         |flags AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_words >= 20 AND n_words <= 1000
+         |      AND mean_word_len >= 3.0 AND mean_word_len <= 5.0
+         |      AND punct_ratio <= 0.3 AND stopword_ratio >= 0.02
+         |      THEN 1 ELSE 0 END::int AS keep
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(regexp_split_to_array(trim(text), '\\s+'))::int AS n_words,
+         |      CASE WHEN length(text) > 0
+         |        THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::double / length(text)
+         |        ELSE 0.0 END AS punct_ratio,
+         |      CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+         |        THEN length(regexp_replace(text, '\\s+', '', 'g'))::double
+         |             / len(regexp_split_to_array(trim(text), '\\s+'))
+         |        ELSE 0.0 END AS mean_word_len,
+         |      len(regexp_extract_all(text, '\\b(the|a|of|and|is)\\b'))::double
+         |        / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio
+         |    FROM documents WHERE doc_id >= (SELECT c FROM cut)
+         |  )
+         |),
+         |keys AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')) gk
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |oldk AS (
+         |  SELECT DISTINCT gk FROM keys WHERE doc_id < (SELECT c FROM cut)
+         |),
+         |p67 AS (${TextPipeline.incrementalDedupSql}),
+         |near AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT d1 AS doc_id FROM p67
+         |    UNION ALL SELECT d2 FROM p67
+         |  ) WHERE doc_id >= (SELECT c FROM cut)
+         |),
+         |tri AS (
+         |  SELECT k.doc_id,
+         |    CASE WHEN oldk.gk IS NOT NULL THEN 'exact'
+         |         WHEN near.doc_id IS NOT NULL THEN 'near'
+         |         ELSE 'novel' END AS triage
+         |  FROM keys k
+         |  LEFT JOIN oldk ON k.gk = oldk.gk
+         |  LEFT JOIN near ON near.doc_id = k.doc_id
+         |  WHERE k.doc_id >= (SELECT c FROM cut)
+         |),
+         |grp AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY gk) AS rep FROM (
+         |    SELECT doc_id,
+         |      md5(array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ')) gk
+         |    FROM documents
+         |    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+         |  )
+         |),
+         |isdup AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id <> rep THEN 1 ELSE 0 END::int AS is_dup
+         |  FROM grp
+         |),
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents
+         |),
+         |newt AS (
+         |  SELECT term, min(doc_id) AS owner FROM tok GROUP BY term
+         |  HAVING min(doc_id) >= (SELECT c FROM cut)
+         |),
+         |nnew AS (
+         |  SELECT owner AS doc_id, count(*)::bigint AS n_new_terms
+         |  FROM newt GROUP BY owner
+         |),
+         |bgpos AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(g[1]),1,15))::bigint % 2147483647 AS h1,
+         |    ('0x' || substr(md5(g[1] || ' ' || g[2]),1,15))::bigint % 2147483647 AS h2
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+         |      list_slice(w, i, i+1))) g
+         |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+         |          FROM documents) WHERE len(w) >= 2
+         |  )
+         |),
+         |bgctx AS (
+         |  SELECT h1, count(*)::bigint AS c1 FROM bgpos
+         |  WHERE doc_id < (SELECT c FROM cut) GROUP BY h1
+         |),
+         |bgbig AS (
+         |  SELECT h2, count(*)::bigint AS c2 FROM bgpos
+         |  WHERE doc_id < (SELECT c FROM cut) GROUP BY h2
+         |),
+         |bgper AS (
+         |  SELECT doc_id, h1, h2, count(*)::bigint AS k FROM bgpos
+         |  WHERE doc_id >= (SELECT c FROM cut) GROUP BY 1, 2, 3
+         |),
+         |bg AS (
+         |  SELECT doc_id, sum(k)::bigint AS n_bigrams,
+         |    sum(CASE WHEN c2 IS NULL THEN k ELSE 0 END)::bigint AS n_oov,
+         |    sum(k * (length(bin(coalesce(c1, 0) + 1))
+         |           - length(bin(coalesce(c2, 0) + 1))))::bigint AS lm_bits,
+         |    sum(k * (length(bin(coalesce(c1, 0) + 1))
+         |           - length(bin(coalesce(c2, 0) + 1))))::double
+         |      / sum(k)::double AS lm_mean
+         |  FROM bgper LEFT JOIN bgctx USING (h1) LEFT JOIN bgbig USING (h2)
+         |  GROUP BY doc_id
+         |),
+         |dstok AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5(t),1,15))::bigint % 10000 AS h
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+         |    FROM documents
+         |  )
+         |),
+         |dsct AS (
+         |  SELECT h, count(*)::bigint AS ct FROM dstok
+         |  WHERE source = 'src0' AND doc_id < (SELECT c FROM cut) GROUP BY h
+         |),
+         |dscr AS (
+         |  SELECT h, count(*)::bigint AS cr FROM dstok
+         |  WHERE source <> 'src0' AND doc_id < (SELECT c FROM cut) GROUP BY h
+         |),
+         |dsper AS (
+         |  SELECT doc_id, h, count(*)::bigint AS k FROM dstok
+         |  WHERE source <> 'src0' AND doc_id >= (SELECT c FROM cut)
+         |  GROUP BY doc_id, h
+         |),
+         |ds AS (
+         |  SELECT doc_id, sum(k)::bigint AS dsir_tokens,
+         |    sum(k * (length(bin(coalesce(ct, 0) + 1))
+         |           - length(bin(coalesce(cr, 0) + 1))))::bigint AS dsir_bits,
+         |    sum(k * (length(bin(coalesce(ct, 0) + 1))
+         |           - length(bin(coalesce(cr, 0) + 1))))::double
+         |      / sum(k)::double AS dsir_score
+         |  FROM dsper LEFT JOIN dscr USING (h) LEFT JOIN dsct USING (h)
+         |  GROUP BY doc_id
+         |),
+         |bmocc AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+         |      array_to_string(list_slice(w, i, i+2), ' '))) s
+         |    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+         |          FROM documents) WHERE len(w) >= 3
+         |  )
+         |),
+         |bmtfo AS (
+         |  SELECT doc_id, h, count(*)::bigint AS tf FROM bmocc
+         |  WHERE doc_id < (SELECT c FROM cut) GROUP BY doc_id, h
+         |),
+         |bmtfb AS (
+         |  SELECT DISTINCT doc_id, h FROM bmocc
+         |  WHERE doc_id >= (SELECT c FROM cut)
+         |),
+         |bmdl AS (
+         |  SELECT doc_id, sum(tf)::bigint AS dl FROM bmtfo GROUP BY doc_id
+         |),
+         |bmstats AS (
+         |  SELECT h, count(*)::bigint AS df FROM bmtfo GROUP BY h
+         |),
+         |bmtot AS (
+         |  SELECT sum(tf)::bigint AS t_tok,
+         |    count(DISTINCT doc_id)::bigint AS n_docs FROM bmtfo
+         |),
+         |bmcand AS (
+         |  SELECT DISTINCT b.doc_id AS query_id, t2.doc_id AS doc_id
+         |  FROM bmtfb b
+         |  JOIN bmstats s ON s.h = b.h AND s.df <= 16
+         |  JOIN bmtfo t2 ON t2.h = b.h
+         |),
+         |bmcontrib AS (
+         |  SELECT c.query_id, c.doc_id,
+         |    ((length(bin(n_docs)) - length(bin(st.df)))::hugeint
+         |      * 22 * least(t2.tf, 15) * t_tok * 1000000)
+         |    // (10*t_tok*least(t2.tf,15) + 3*t_tok + 9*d.dl*n_docs) AS ppm
+         |  FROM bmcand c
+         |  JOIN bmtfb tq ON tq.doc_id = c.query_id
+         |  JOIN bmtfo t2 ON t2.doc_id = c.doc_id AND t2.h = tq.h
+         |  JOIN bmstats st ON st.h = tq.h
+         |  JOIN bmdl d ON d.doc_id = c.doc_id
+         |  CROSS JOIN bmtot
+         |),
+         |bmscored AS (
+         |  SELECT query_id, doc_id, sum(ppm)::bigint AS score_ppm
+         |  FROM bmcontrib GROUP BY query_id, doc_id
+         |),
+         |bmtop AS (
+         |  SELECT query_id, doc_id, score_ppm,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_ppm DESC, doc_id) AS rank
+         |  FROM bmscored
+         |),
+         |bm AS (
+         |  SELECT query_id AS doc_id, doc_id AS top1_doc,
+         |    score_ppm AS top1_ppm
+         |  FROM bmtop WHERE rank = 1
+         |)
+         |SELECT d.doc_id, d.source, tri.triage, f.keep,
+         |  coalesce(isdup.is_dup, 0)::int AS is_dup,
+         |  coalesce(nnew.n_new_terms, 0)::bigint AS n_new_terms,
+         |  bg.n_bigrams, bg.n_oov, bg.lm_bits, bg.lm_mean,
+         |  ds.dsir_tokens, ds.dsir_bits, ds.dsir_score,
+         |  bm.top1_doc, bm.top1_ppm
+         |FROM documents d
+         |LEFT JOIN tri ON tri.doc_id = d.doc_id
+         |LEFT JOIN flags f ON f.doc_id = d.doc_id
+         |LEFT JOIN isdup ON isdup.doc_id = d.doc_id
+         |LEFT JOIN nnew ON nnew.doc_id = d.doc_id
+         |LEFT JOIN bg ON bg.doc_id = d.doc_id
+         |LEFT JOIN ds ON ds.doc_id = d.doc_id
+         |LEFT JOIN bm ON bm.doc_id = d.doc_id
+         |WHERE d.doc_id >= (SELECT c FROM cut)
+         |ORDER BY d.doc_id""".stripMargin)
+}

@@ -225,12 +225,25 @@ object TextPipeline {
     * (doc_id, band_idx, band_key) is written once per corpus snapshot
     * via [[graft.sources.SideTable]] and every subsequent crawl batch
     * dedups against the artifact without re-shingling the old corpus. */
-  private def signatureIndex(s: SparkSession, dir: String,
+  private[graft] def signatureIndex(s: SparkSession, dir: String,
       cut: Long): String =
     graft.sources.SideTable.ensure(s, "sig_index", s"$dir#$cut",
         Some(s"$dir/documents.parquet")) {
       val d = Graft.parquetSource(s, dir).table("documents")
       minhashBands(d.where(col("doc_id") < cut))
+    }
+
+  /** The persisted distinct content-key artifact shared by q79's triage
+    * and q95's dup counters (same name + identity ⇒ built once per
+    * snapshot): md5 of each old-corpus doc's word sequence. */
+  private[graft] def contentKeyIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "content_keys", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      Graft.parquetSource(s, dir).table("documents")
+        .where(col("doc_id") < cut && col("text").isNotNull)
+        .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
+        .distinct()
     }
 
   /** Physical plan of q67's last candidate bucket-join, captured for the
@@ -882,13 +895,7 @@ object TextPipeline {
     "q79_incremental_triage" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
-      val keyPath = graft.sources.SideTable.ensure(s, "content_keys",
-          s"$dir#$cut", Some(s"$dir/documents.parquet")) {
-        Graft.parquetSource(s, dir).table("documents")
-          .where(col("doc_id") < cut && col("text").isNotNull)
-          .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
-          .distinct()
-      }
+      val keyPath = contentKeyIndex(s, dir, cut)
       val oldKeys = s.read.parquet(keyPath)
       val pairs = defs("q67_incremental_dedup")(s, dir)
         .localCheckpoint() // tiny; read for both pair sides
@@ -1781,7 +1788,7 @@ object TextPipeline {
          |FROM agg ORDER BY src_a, src_b""".stripMargin)
   )
 
-  private lazy val incrementalDedupSql: String =
+  private[graft] lazy val incrementalDedupSql: String =
     minhashEbCte +
       """, cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
         |cand AS (

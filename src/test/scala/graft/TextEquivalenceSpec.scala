@@ -149,6 +149,42 @@ class TextEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("tri-window generator == word explode + dual + single passes") {
+    // The q109 single-scan primitive: one TriShinglesExpr pass must
+    // emit exactly the exploded word stream (term, with multiplicity),
+    // the (h1, h2) rows of dualShingleHashRows(1, 2), and the non-null
+    // h3 rows of shingleHashRows(3) — every member of the composed
+    // ingest job reads a projection of the same frame.
+    val docs = docsDf(samples(textGen, 120))
+    def bagL(rows: Seq[(Long, Long)]) =
+      rows.groupBy(identity).view.mapValues(_.length).toMap
+    def bagS(rows: Seq[(Long, String)]) =
+      rows.groupBy(identity).view.mapValues(_.length).toMap
+    val tri = triShingleHashRows(docs).collect()
+    // term stream == explode(words) (null-text docs emit nothing)
+    val gotTerms = bagS(tri.map(r => (r.getLong(0), r.getString(1))).toSeq)
+    val wantTerms = bagS(docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    assert(gotTerms == wantTerms, "term stream diverges from words()")
+    // (h1, h2) == the dual generator at (1, 2)
+    val dual = dualShingleHashRows(docs, 1, 2).collect()
+    assert(bagL(tri.map(r => (r.getLong(0), r.getLong(2))).toSeq) ==
+      bagL(dual.map(r => (r.getLong(0), r.getLong(1))).toSeq),
+      "h1 stream diverges from the dual generator")
+    assert(bagL(tri.filter(!_.isNullAt(3))
+        .map(r => (r.getLong(0), r.getLong(3))).toSeq) ==
+      bagL(dual.filter(!_.isNullAt(2))
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq),
+      "h2 stream diverges from the dual generator")
+    // non-null h3 == the single-window 3-gram pass
+    assert(bagL(tri.filter(!_.isNullAt(4))
+        .map(r => (r.getLong(0), r.getLong(4))).toSeq) ==
+      bagL(shingleHashRows(docs, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq),
+      "h3 stream diverges from shingleHashRows(3)")
+  }
+
   test("fingerprintRows fails loudly past the power-table cap") {
     val big = docsDf(Seq(Seq.fill(8200)("w").mkString(" ")))
     val e = intercept[Exception](fingerprintRows(big).collect())
