@@ -167,6 +167,64 @@ class CrawlIngestSpec extends AnyFunSuite {
       s"verify old-side scan lost the cut pushdown:\n$verifyPlan")
   }
 
+  test("q111 equals q109 except arrival-time triage; divergence is " +
+      "exactly the earlier-side-only pair members") {
+    val stream = SparkEntry.queries("q111_stream_crawl_ingest")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(stream.keySet === out.keySet)
+    // the docs that are ONLY ever the earlier (d1) side of a verified
+    // batch-batch pair: retrospectively near (q109), novel on arrival
+    // (q111 — nothing prior duplicated them)
+    val pairs = member("q67_incremental_dedup")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cut = BatchCut.cut(spark, docs)
+    val d2s = pairs.map(_._2).toSet
+    val d1Only = pairs.filter(_._1 >= cut).map(_._1).toSet -- d2s
+    assert(d1Only.nonEmpty,
+      "testdata lost its earlier-side-only pair member — divergence " +
+        "case is vacuous")
+    out.foreach { case (id, o) =>
+      val t = stream(id)
+      val nonTriage = o.schema.fieldNames.filterNot(_ == "triage")
+      nonTriage.foreach { c =>
+        assert(o.getAs[Any](c) === t.getAs[Any](c), s"doc $id col $c")
+      }
+      val (b, a) = (o.getAs[String]("triage"), t.getAs[String]("triage"))
+      if (d1Only(id) && b == "near")
+        assert(a === "novel", s"doc $id: earlier-side-only member must " +
+          "be novel on arrival")
+      else assert(a === b, s"doc $id: triage diverged outside the " +
+        "documented case")
+    }
+  }
+
+  test("q111 finds the cross-epoch near pair (later side marked near)") {
+    // a verified batch-batch pair spanning micro-batch epochs is the
+    // case the accumulated band index exists for: the later doc must
+    // collide against bands appended by an EARLIER epoch
+    val cut = BatchCut.cut(spark, docs)
+    val ids = docs.where(col("doc_id") >= cut).select("doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    val nEpochs = spark.conf.getOption("graft.stream.epochs")
+      .map(_.toInt).getOrElse(4)
+    val chunk = math.max(1, (ids.length + nEpochs - 1) / nEpochs)
+    val epochOf = ids.zipWithIndex.map { case (id, i) => id -> i / chunk }
+      .toMap
+    val crossEpoch = member("q67_incremental_dedup")
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (d1, d2) =>
+        d1 >= cut && epochOf(d1) != epochOf(d2) }
+    assert(crossEpoch.nonEmpty,
+      "testdata lost its cross-epoch pair — the accumulated-index case " +
+        "is vacuous")
+    val stream = SparkEntry.queries("q111_stream_crawl_ingest")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("triage")).toMap
+    crossEpoch.foreach { case (_, d2) =>
+      assert(stream(d2) === "near",
+        s"doc $d2 duplicates an earlier epoch's doc but was not near")
+    }
+  }
+
   test("snapshot ∪ delta artifacts equal a from-scratch old+batch build") {
     out // force the composed run (ensures the deltas)
     val cut = BatchCut.cut(spark, docs)
