@@ -75,4 +75,38 @@ object Embed {
       .select(col("vec_id").as(idCol), col("cid").as("cluster"),
         col("score"))
   }
+
+  /** SemDeDup keep/drop labeling: k-means clusters, then an ε-ball
+    * dominance pass WITHIN each cluster — a vector is dropped iff a
+    * lower-id cluster-mate sits at cosine ≥ `tau` (one matrix pass, no
+    * transitivity bookkeeping, matching reference SemDeDup semantics —
+    * see the q81 entry docs). Pairwise work is Σ|cluster|²: grow `k`
+    * with N to hold expected cluster size constant, and the
+    * `graft.semdedup.maxCluster` session conf caps degenerate clusters
+    * LOUDLY (DedupGuard counters; capped members surface as kept).
+    * Output: (<id>, cluster, kept, dropped_by). */
+  def semdedupKeep(emb: DataFrame, k: Int, iters: Int, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    val e = normalize(emb, idCol, vecCol).localCheckpoint()
+    val cents = graft.queries.Embeddings.kmeansCentroids(e, k, iters,
+      capture = false)
+    val km = graft.queries.Embeddings.kmAssignSlim(e, cents)
+      .select(col("vec_id"), col("cid").as("cluster"))
+      .join(e, Seq("vec_id"))
+      .localCheckpoint() // cap scan + both pairwise sides + final left join
+    val capped = Dedup.capBuckets(km, Seq("cluster"), s,
+      "semdedup clusters", "graft.semdedup.maxCluster")
+    val b = capped.select(col("vec_id").as("b_id"), col("cluster"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dom = capped.join(b, Seq("cluster"))
+      .where(col("b_id") < col("vec_id") &&
+        (dotNative(col("v"), col("bv")) / (col("nrm") * col("bn")))
+          >= lit(tau))
+      .groupBy(col("vec_id")).agg(min(col("b_id")).as("dropped_by"))
+    km.select(col("vec_id"), col("cluster"))
+      .join(dom, Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cluster"),
+        col("dropped_by").isNull.as("kept"), col("dropped_by"))
+  }
 }

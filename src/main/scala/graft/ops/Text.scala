@@ -108,6 +108,55 @@ object Text {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Built-in PII detector patterns (label → regex) for [[scrub]],
+    * ordered as applied. Restricted to regex syntax with identical
+    * semantics in Java (Spark) and RE2 (the DuckDB oracle): character
+    * classes, bounded quantifiers, `\b`, non-capturing groups — no
+    * backrefs, no lookaround, no prefix-overlapping alternations. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b",
+    "phone" -> "(?:\\+?\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]?\\d{4}\\b")
+
+  /** Whole-word alternation pattern over plain-word `terms` (no regex
+    * metacharacters — validated), for blocklist [[scrub]] passes. */
+  def blocklistPattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "empty blocklist")
+    terms.foreach(t => require(t.matches("[A-Za-z0-9]+"),
+      s"blocklist term '$t' must be a plain word"))
+    terms.mkString("\\b(?:", "|", ")\\b")
+  }
+
+  /** Pattern-scrub battery — PII redaction / term-blocklist enforcement
+    * as ONE single-pass codegen'd projection (chained `regexp_replace`,
+    * per-pattern `regexp_extract_all` counts), no shuffle, no UDFs.
+    * Output: (<id>, n_<label> per pattern counted on the RAW text,
+    * n_redactions, clean_text). Patterns apply in sequence, so an
+    * earlier pattern's replacement token is never re-matched by a later
+    * pattern as long as tokens stay outside the pattern alphabets
+    * (uppercase bracketed labels vs. lowercase/digit matchers — the
+    * built-ins obey this). Null text passes through as null with zero
+    * counts. At 100 TB this is pure map-side work: the regex battery
+    * rides the scan, nothing shuffles, and filters on the count columns
+    * (e.g. `n_redactions = 0` for a strict drop policy) stay pushable. */
+  def scrub(docs: DataFrame, patterns: Seq[(String, String)] = piiPatterns,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(patterns.nonEmpty, "scrub needs at least one pattern")
+    val counts = patterns.map { case (lbl, re) =>
+      coalesce(size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("long"), lit(0L)).as(s"n_$lbl")
+    }
+    val clean = patterns.foldLeft(col(textCol)) { case (c, (lbl, re)) =>
+      regexp_replace(c, lit(re), lit(s"[${lbl.toUpperCase}]"))
+    }
+    docs.select(col(idCol) +: counts :+ clean.as("clean_text"): _*)
+      .withColumn("n_redactions",
+        patterns.map(p => col(s"n_${p._1}")).reduce(_ + _))
+      .select(col(idCol) +: patterns.map(p => col(s"n_${p._1}")) ++:
+        Seq(col("n_redactions"), col("clean_text")): _*)
+  }
+
   /** C4-style quality-flag battery — one single-pass, fully codegen'd
     * projection. Output: (<id>, <extra...>, n_words, punct_ratio,
     * mean_word_len, stopword_ratio, pass_len, pass_mwl, pass_punct,

@@ -1184,8 +1184,26 @@ object TextPipeline {
           (col("n_pairs").cast("double") / col("total_pairs").cast("double"))
             .as("pair_share"))
         .orderBy("src_a", "src_b")
+    }),
+
+    // ---- q112: PII / blocklist scrub -----------------------------------
+    // Thin binding over [[graft.ops.Text.scrub]]: the built-in PII
+    // battery (email/ssn/phone/ipv4 — structurally absent from the
+    // synthetic corpus, so those counts pin the zero case against the
+    // oracle) plus a corpus-term blocklist pass that actually fires on
+    // most documents. Pure map-side codegen'd regex work on the scan —
+    // no shuffle, no UDFs; the oracle nests the identical replace chain
+    // (patterns restricted to the Java∩RE2-identical syntax subset).
+    "q112_pii_scrub" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      graft.ops.Text.scrub(d, scrubPatterns).orderBy("doc_id")
     })
   )
+
+  /** q112's pattern battery: built-in PII plus a corpus-word blocklist. */
+  private lazy val scrubPatterns: Seq[(String, String)] =
+    graft.ops.Text.piiPatterns :+
+      ("blocked" -> graft.ops.Text.blocklistPattern(Seq("customer", "vector")))
 
   /** (doc_id, cluster_id) for every near-dup cluster member — the
     * connected components over the session pair memo plus star edges,
@@ -1785,7 +1803,22 @@ object TextPipeline {
          |)
          |SELECT src_a, src_b, n_pairs,
          |  n_pairs::double / (SELECT sum(n_pairs) FROM agg)::double AS pair_share
-         |FROM agg ORDER BY src_a, src_b""".stripMargin)
+         |FROM agg ORDER BY src_a, src_b""".stripMargin),
+
+    "q112_pii_scrub" -> {
+      val counts = scrubPatterns.map { case (l, re) =>
+        s"coalesce(len(regexp_extract_all(text, '$re')), 0)::bigint AS n_$l"
+      }
+      val clean = scrubPatterns.foldLeft("text") { case (acc, (l, re)) =>
+        s"regexp_replace($acc, '$re', '[${l.toUpperCase}]', 'g')"
+      }
+      val tot = scrubPatterns.map(p => s"n_${p._1}").mkString(" + ")
+      s"""SELECT doc_id, ${scrubPatterns.map(p => s"n_${p._1}").mkString(", ")},
+         |  ($tot)::bigint AS n_redactions, clean_text
+         |FROM (SELECT doc_id, ${counts.mkString(",\n  ")},
+         |  $clean AS clean_text FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   private[graft] lazy val incrementalDedupSql: String =

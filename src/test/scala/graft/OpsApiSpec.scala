@@ -51,6 +51,41 @@ class OpsApiSpec extends AnyFunSuite {
     assert(r.getAs[Double]("punct_ratio") === 0.0d)
   }
 
+  test("Text.scrub redacts PII and blocklist terms with exact counts") {
+    val msgs = Seq(
+      (1L, "contact me at jane.doe+x@example.co.uk or 192.168.0.1 ok"),
+      (2L, "ssn 123-45-6789 and phone +1 (415) 555-2671 appear here"),
+      (3L, "no sensitive content in this perfectly ordinary sentence"),
+      (4L, null.asInstanceOf[String])).toDF("msg_id", "content")
+    val pats = Text.piiPatterns :+
+      ("blocked" -> Text.blocklistPattern(Seq("ordinary", "sentence")))
+    val out = Text.scrub(msgs, pats, "msg_id", "content")
+    assert(out.columns.toSeq === Seq("msg_id", "n_email", "n_ssn",
+      "n_ipv4", "n_phone", "n_blocked", "n_redactions", "clean_text"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_email") === 1L)
+    assert(rows(1L).getAs[Long]("n_ipv4") === 1L)
+    assert(rows(1L).getAs[String]("clean_text") ===
+      "contact me at [EMAIL] or [IPV4] ok")
+    assert(rows(2L).getAs[Long]("n_ssn") === 1L)
+    assert(rows(2L).getAs[Long]("n_phone") === 1L)
+    assert(rows(2L).getAs[String]("clean_text") ===
+      "ssn [SSN] and phone [PHONE] appear here")
+    assert(rows(3L).getAs[Long]("n_blocked") === 2L)
+    assert(rows(3L).getAs[Long]("n_redactions") === 2L)
+    assert(rows(3L).getAs[String]("clean_text") ===
+      "no sensitive content in this perfectly [BLOCKED] [BLOCKED]")
+    assert(rows(4L).getAs[Long]("n_redactions") === 0L)
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("clean_text")))
+  }
+
+  test("Text.blocklistPattern rejects regex metacharacters") {
+    intercept[IllegalArgumentException] {
+      Text.blocklistPattern(Seq("a.b"))
+    }
+    intercept[IllegalArgumentException] { Text.blocklistPattern(Nil) }
+  }
+
   test("Text.qualityFlags keeps prose, rejects a 2-char doc") {
     val out = Text.qualityFlags(pages, "page_id", "body")
     val keep = out.select(col("page_id"), col("keep")).collect()
@@ -187,5 +222,23 @@ class OpsApiSpec extends AnyFunSuite {
     assert(cl(1L) === cl(2L) && cl(2L) === cl(3L))
     assert(cl(4L) === cl(5L) && cl(5L) === cl(6L))
     assert(cl(1L) !== cl(4L), "blobs merged into one cluster")
+  }
+
+  test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
+    val blobs = Seq(
+      (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.0f, 0.1f)), // dup of 1
+      (3L, Seq(7.0f, 7.2f)), // same half-space, far from 1 in angle
+      (4L, Seq(0.1f, 10.0f)), (5L, Seq(0.12f, 10.0f)), // dup of 4
+      (6L, Seq(-9.9f, 0.2f))).toDF("node", "vec")
+    val out = Embed.semdedupKeep(blobs, k = 2, iters = 3, tau = 0.99,
+      idCol = "node", vecCol = "vec")
+    assert(out.columns.toSeq === Seq("node", "cluster", "kept",
+      "dropped_by"))
+    val kept = out.collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept.size === 6)
+    assert(!kept(2L), "exact angular dup of node 1 survived")
+    assert(!kept(5L), "near-dup of node 4 survived")
+    assert(Seq(1L, 3L, 4L, 6L).forall(kept), "a non-dup was dropped")
   }
 }
