@@ -43,6 +43,30 @@ object Curate {
         .otherwise("test"))
   }
 
+  /** Deterministic sequence packing — the concat-and-chunk layout step
+    * of LLM pretraining: documents are content-hash-sharded, ordered
+    * deterministically within each shard (hash, then id), laid out on a
+    * per-shard token-offset axis, and assigned pack_id = start_off div
+    * `seqLen`. Each shard packs independently (one window partition =
+    * one task), so packing 100 TB is embarrassingly parallel, and the
+    * layout is reproducible from the data alone — no rand(),
+    * restart-stable. `shards` is the parallelism knob: grow it with the
+    * corpus so each packing window sorts a bounded slice. Output:
+    * (<id>, shard, n_tokens, start_off, pack_id). */
+  def pack(docs: DataFrame, seqLen: Int = 512, shards: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), bpeTokenCount(col(textCol)).as("n_tokens"),
+        hash60(col(textCol)).as("h"))
+      .withColumn("shard", col("h") % shards)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_off"),
+        expr(s"(cum - n_tokens) div $seqLen").as("pack_id"))
+  }
+
   /** Deterministic global token-budget cut: take documents in stable
     * content-hash order until the cumulative token count passes
     * `budget`. Built as a two-level distributed prefix sum — shard by

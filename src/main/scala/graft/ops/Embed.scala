@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.EmbeddingFunctions.dotNative
@@ -74,6 +75,51 @@ object Embed {
     graft.queries.Embeddings.kmAssignSlim(e, cents)
       .select(col("vec_id").as(idCol), col("cid").as("cluster"),
         col("score"))
+  }
+
+  /** Session IVF cosine top-k: a k-means codebook (`nlist` cells,
+    * deterministic — see [[kmeansCentroids]]), corpus assigned to its
+    * nearest cell, each query probing its `nprobe` nearest cells (same
+    * Euclidean assignment objective as the corpus side), exact cosine
+    * only within probed cells, mergeable per-query top-k. Recall is
+    * bounded by the probe set — audit against [[cosineTopK]], the q70
+    * discipline. Scale shape: centroids broadcast (nlist rows), the
+    * corpus shuffles once to materialize cells, probes join cell-keyed.
+    * For the crawl-loop deployment where the cell-partitioned index
+    * PERSISTS and batches probe it with dynamic partition pruning, see
+    * the q78/q110 artifact path. Output: (q_id, vec_id, cos, rank). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 2, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    val e = normalize(corpus, idCol, vecCol).localCheckpoint()
+    val cents = graft.queries.Embeddings.kmeansCentroids(e, nlist, iters,
+      capture = false)
+    val cells = graft.queries.Embeddings.kmAssignSlim(e, cents)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(e, Seq("vec_id"))
+      .localCheckpoint() // one row per corpus vector; probe-join side
+    val q = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"),
+        (dotNative(col("qv"), col("cv")) -
+          lit(0.5d) * (col("cn") * col("cn"))).as("qsim"))
+      .withColumn("rnk", row_number().over(wProbe))
+      .where(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid").as("cell"))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)
+    val scored = probes.join(cells, Seq("cell"))
+      .where(joinCond)
+      .select(col("q_id"), col("vec_id"),
+        (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
+    graft.queries.Embeddings.topkPerQuery(scored, k)
   }
 
   /** SemDeDup keep/drop labeling: k-means clusters, then an ε-ball

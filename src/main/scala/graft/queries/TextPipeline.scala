@@ -388,25 +388,14 @@ object TextPipeline {
     }),
 
     // ---- q49: deterministic sequence packing ---------------------------
-    // The concat-and-chunk packing step of LLM pretraining: documents are
-    // content-hash-sharded, ordered deterministically within each shard,
-    // and laid out on a token-offset axis; pack_id = start_offset div 512.
-    // Each shard packs independently (one window partition = one task), so
-    // packing 100 TB is embarrassingly parallel, and the layout is
-    // reproducible from the data alone — no rand(), restart-stable.
-    "q49_sequence_pack" -> ((s, dir) => {
-      val d = Graft.parquetSource(s, dir).table("documents")
-      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.select(col("doc_id"), bpeTokenCount(col("text")).as("n_tokens"),
-          hash60(col("text")).as("h"))
-        .withColumn("shard", col("h") % 32)
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          (col("cum") - col("n_tokens")).as("start_off"),
-          expr("(cum - n_tokens) div 512").as("pack_id"))
-        .orderBy("shard", "start_off", "doc_id")
-    }),
+    // Thin binding over the public op ([[graft.ops.Curate.pack]]): the
+    // concat-and-chunk packing step of LLM pretraining — see the op for
+    // the shard-parallel layout and restart-stability notes.
+    "q49_sequence_pack" -> ((s, dir) =>
+      graft.ops.Curate.pack(
+          Graft.parquetSource(s, dir).table("documents"),
+          seqLen = 512, shards = 32)
+        .orderBy("shard", "start_off", "doc_id")),
 
     // ---- q52: benchmark-contamination detection ------------------------
     // Which training documents contain eval-set 5-grams? (doc_id < 20

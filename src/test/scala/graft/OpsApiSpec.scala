@@ -224,6 +224,60 @@ class OpsApiSpec extends AnyFunSuite {
     assert(cl(1L) !== cl(4L), "blobs merged into one cluster")
   }
 
+  test("Curate.pack lays shards out contiguously from offset 0") {
+    val out = Curate.pack(pages, seqLen = 16, shards = 4,
+      idCol = "page_id", textCol = "body").cache()
+    assert(out.columns.toSeq === Seq("page_id", "shard", "n_tokens",
+      "start_off", "pack_id"))
+    assert(out.count() === 6)
+    // per shard: offsets start at 0, advance by exactly n_tokens, and
+    // pack_id is start_off div seqLen
+    out.collect().groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("start_off"))
+      assert(sorted.head.getAs[Long]("start_off") === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_off") ===
+            a.getAs[Long]("start_off") + a.getAs[Int]("n_tokens"))
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getAs[Long]("pack_id") ===
+        r.getAs[Long]("start_off") / 16))
+    }
+    out.unpersist()
+  }
+
+  test("Embed.ivfTopK retrieves the probed blob's members") {
+    val corpus = Seq(
+      (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.2f, 0.0f)),
+      (3L, Seq(9.9f, 0.2f)), (4L, Seq(0.1f, 10.0f)),
+      (5L, Seq(0.0f, 10.1f)), (6L, Seq(0.2f, 9.9f))).toDF("node", "vec")
+    val queries = Seq((100L, Seq(10.0f, 0.15f))).toDF("node", "vec")
+    // nprobe = nlist probes every cell, so IVF must equal the exact
+    // brute-force ranking bit-for-bit — tests the cell/probe plumbing
+    // without depending on where k-means splits the blobs
+    val out = Embed.ivfTopK(corpus, queries, k = 3, nlist = 2,
+      nprobe = 2, iters = 3, idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+    assert(out.columns.toSeq === Seq("q_id", "vec_id", "cos", "rank"))
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cos")))
+    val exact = Embed.cosineTopK(corpus, queries, k = 3,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("cos")))
+    assert(got.sortBy(_._2).toSeq === exact.sortBy(_._2).toSeq)
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+    // a 1-cell probe still returns k rows from whichever cell it chose
+    val narrow = Embed.ivfTopK(corpus, queries, k = 2, nlist = 2,
+      nprobe = 1, iters = 3, idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+    assert(narrow.count() <= 2)
+  }
+
   test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
     val blobs = Seq(
       (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.0f, 0.1f)), // dup of 1
