@@ -138,16 +138,20 @@ object TextFunctions {
     * repartition of raw documents (testdata is a single row group — at
     * real scale with many input files even that drops away). Expects
     * `doc_id`/`text` columns; keeps docs with ≥ 3 words; returns
-    * (doc_id, h). */
-  def shingleHashRows(docs: DataFrame, n: Int): DataFrame = {
+    * (doc_id, <extra...>, h) — `extra` columns (e.g. a source label)
+    * ride through the generator projection like
+    * [[triShingleHashRows]]'s. */
+  def shingleHashRows(docs: DataFrame, n: Int,
+      extra: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.GraftArrowBridge.{column, expression}
     val spread = docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     spread.where(size(words(col("text"))) >= 3)
-      .select(col("doc_id"),
+      .select((col("doc_id") +: extra.map(col)) :+
         column(ShinglesExpr(expression(col("text")),
-          expression(lit(n)))).as("s"))
-      .select(col("doc_id"), pmod(hash60(col("s")), lit(HashP)).as("h"))
+          expression(lit(n)))).as("s"): _*)
+      .select((col("doc_id") +: extra.map(col)) :+
+        pmod(hash60(col("s")), lit(HashP)).as("h"): _*)
   }
 
   /** Shingle hashes at TWO window sizes from one corpus pass, via the

@@ -157,6 +157,48 @@ object Text {
         Seq(col("n_redactions"), col("clean_text")): _*)
   }
 
+  /** Cross-document boilerplate scoring — the C4/RefinedWeb curation
+    * step q48 (within-doc repetition) cannot see: an n-gram is
+    * BOILERPLATE for a group (site/source/domain, `srcCol`) when it
+    * recurs across ≥ max(`minDf`, ceil(`dfFrac`·|group docs|)) distinct
+    * documents of that group — navigation chrome, footers, templates.
+    * Output: (<id>, <src>, n_grams, n_boiler, boiler_ratio) per ≥n-word
+    * document; filter on `boiler_ratio` to drop template-dominated docs.
+    *
+    * Scale shape: ONE generator pass derives distinct (doc, group, gram
+    * hash) rows; document frequencies and group sizes are map-side-
+    * combinable aggregates (group-size frame is ≤ |groups| rows and
+    * broadcasts); the boilerplate-gram set joins back group+hash-keyed
+    * (AQE broadcasts it while it fits). No all-pairs surface anywhere —
+    * cost is corpus-linear in gram rows. */
+  def boilerplate(docs: DataFrame, n: Int = 3, minDf: Int = 2,
+      dfFrac: Double = 0.05, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(n >= 1 && minDf >= 2 && dfFrac >= 0.0,
+      "need n >= 1, minDf >= 2, dfFrac >= 0")
+    val d = docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+      col(textCol).as("text"))
+    val g = shingleHashRows(d, n, Seq("src"))
+      .select(col("doc_id"), col("src"), col("h")).distinct()
+      .localCheckpoint() // corpus-growth frame read by nd, df, per-doc
+    val nd = g.select(col("src"), col("doc_id")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("nd"))
+    val dfs = g.groupBy(col("src"), col("h"))
+      .agg(count(lit(1)).as("df"))
+    val boiler = dfs.join(broadcast(nd), Seq("src"))
+      .where(col("df") >=
+        greatest(lit(minDf.toLong), ceil(col("nd") * lit(dfFrac))))
+      .select(col("src"), col("h"), lit(1).as("b"))
+    g.join(boiler, Seq("src", "h"), "left")
+      .groupBy(col("doc_id"), col("src"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("b"), lit(0))).as("n_boiler"))
+      .select(col("doc_id").as(idCol), col("src").as(srcCol),
+        col("n_grams"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_grams").cast("double"))
+          .as("boiler_ratio"))
+  }
+
   /** C4-style quality-flag battery — one single-pass, fully codegen'd
     * projection. Output: (<id>, <extra...>, n_words, punct_ratio,
     * mean_word_len, stopword_ratio, pass_len, pass_mwl, pass_punct,

@@ -1186,6 +1186,18 @@ object TextPipeline {
     "q112_pii_scrub" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       graft.ops.Text.scrub(d, scrubPatterns).orderBy("doc_id")
+    }),
+
+    // ---- q113: cross-document boilerplate scoring ----------------------
+    // Thin binding over [[graft.ops.Text.boilerplate]]: per-source
+    // recurring 3-grams (df ≥ max(2, ⌈5%·|source docs|⌉)) are template
+    // chrome; each doc reports what fraction of its distinct grams is
+    // source-boilerplate — the cross-doc signal q48's within-doc
+    // repetition and q65's pairwise similarity cannot see. See the op
+    // for the corpus-linear plan shape.
+    "q113_boilerplate" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      graft.ops.Text.boilerplate(d).orderBy("doc_id")
     })
   )
 
@@ -1807,7 +1819,35 @@ object TextPipeline {
          |FROM (SELECT doc_id, ${counts.mkString(",\n  ")},
          |  $clean AS clean_text FROM documents)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q113_boilerplate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |), sg AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(w)-1), i ->
+        |        array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3)
+        |), nd AS (
+        |  SELECT source, count(DISTINCT doc_id) nd FROM sg GROUP BY source
+        |), dfs AS (
+        |  SELECT source, h, count(*) df FROM sg GROUP BY source, h
+        |), boiler AS (
+        |  SELECT d.source, d.h FROM dfs d JOIN nd USING(source)
+        |  WHERE df >= greatest(2, ceil(nd * 0.05))
+        |)
+        |SELECT s.doc_id, s.source, count(*)::bigint AS n_grams,
+        |  sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::bigint
+        |    AS n_boiler,
+        |  sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::double
+        |    / count(*)::double AS boiler_ratio
+        |FROM sg s LEFT JOIN boiler b
+        |  ON s.source = b.source AND s.h = b.h
+        |GROUP BY s.doc_id, s.source ORDER BY s.doc_id""".stripMargin
   )
 
   private[graft] lazy val incrementalDedupSql: String =

@@ -86,6 +86,24 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Text.blocklistPattern(Nil) }
   }
 
+  test("Text.boilerplate flags cross-doc template grams per site") {
+    val sites = pages.withColumn("site",
+      when(col("page_id") <= 13L, "a").otherwise("b"))
+    val out = Text.boilerplate(sites, idCol = "page_id",
+      textCol = "body", srcCol = "site")
+    assert(out.columns.toSeq === Seq("page_id", "site", "n_grams",
+      "n_boiler", "boiler_ratio"))
+    val m = out.collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("boiler_ratio")).toMap
+    assert(m.size === 5, "the 2-word doc should fall out")
+    assert(m(10L) === 1.0, "identical twin grams must all be boilerplate")
+    assert(m(11L) === 1.0)
+    assert(m(12L) > 0.8 && m(12L) < 1.0,
+      s"near dup should be mostly boilerplate: ${m(12L)}")
+    assert(m(13L) === 0.0, "unique doc flagged as boilerplate")
+    assert(m(14L) === 0.0, "sole ≥3-word doc of its site has df=1 grams")
+  }
+
   test("Text.qualityFlags keeps prose, rejects a 2-char doc") {
     val out = Text.qualityFlags(pages, "page_id", "body")
     val keep = out.select(col("page_id"), col("keep")).collect()

@@ -102,6 +102,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q112: the scrub battery rides the scan — no exchange, codegen'd") {
+    // Text.scrub itself (the op under the q112 presentation sort) must
+    // be pure map-side work: one projection over the file scan, inside
+    // one WholeStageCodegen span, moving no data.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Text.scrub(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"scrub moves data:\n$p")
+    // executedPlan.toString marks whole-stage-codegen'd spans "*(n)"
+    assert(p.contains("*(1) Project"), s"scrub fell out of codegen:\n$p")
+    assert(p.contains("FileScan parquet"))
+  }
+
   test("q56: vocabulary is partial-agg + TakeOrdered, never a global sort") {
     val p = plan("q56_vocabulary")
     assert(p.contains("TakeOrderedAndProject"), s"q56 sorts globally:\n$p")
