@@ -1199,9 +1199,9 @@ object CorpusQuality {
       cut: Long): String =
     graft.sources.SideTable.ensure(s, "vocab_terms", s"$dir#$cut",
         Some(s"$dir/documents.parquet")) {
-      Graft.parquetSource(s, dir).table("documents")
-        .where(col("doc_id") < cut)
-        .select(explode(words(col("text"))).as("term")).distinct()
+      graft.ops.Ingest.vocabTermFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut))
     }
 
   /** q105's four inverted-index artifacts — postings (bucket-
@@ -1214,25 +1214,21 @@ object CorpusQuality {
     val fp = Some(s"$dir/documents.parquet")
     val postPath = graft.sources.SideTable.ensure(s, "bm25_postings",
         s"$dir#$cut", fp, Seq("bucket")) {
-      shingleHashRows(Graft.parquetSource(s, dir).table("documents")
-          .where(col("doc_id") < cut), 3)
-        .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
+      graft.ops.Ingest.bm25PostingsFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut))
     }
     val lexPath = graft.sources.SideTable.ensure(s, "bm25_lexicon",
         s"$dir#$cut", fp) {
-      s.read.parquet(postPath).groupBy(col("h"))
-        .agg(count(lit(1)).as("df"))
+      graft.ops.Ingest.bm25LexiconFrame(s.read.parquet(postPath))
     }
     val dlPath = graft.sources.SideTable.ensure(s, "bm25_doclen",
         s"$dir#$cut", fp) {
-      s.read.parquet(postPath).groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("dl"))
+      graft.ops.Ingest.bm25DocLenFrame(s.read.parquet(postPath))
     }
     val totPath = graft.sources.SideTable.ensure(s, "bm25_stats",
         s"$dir#$cut", fp) {
-      s.read.parquet(postPath).agg(sum(col("tf")).as("t_tok"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      graft.ops.Ingest.bm25StatsFrame(s.read.parquet(postPath))
     }
     (postPath, lexPath, dlPath, totPath)
   }
@@ -1243,18 +1239,13 @@ object CorpusQuality {
   private[graft] def dsirLmIndex(s: SparkSession, dir: String, cut: Long,
       target: String, buckets: Int): (String, String) = {
     val fp = Some(s"$dir/documents.parquet")
-    def lmOf(name: String, srcCond: org.apache.spark.sql.Column,
-        cName: String): String =
+    def lms = graft.ops.Ingest.dsirLmFrames(
+      Graft.parquetSource(s, dir).table("documents")
+        .where(col("doc_id") < cut), target, buckets)
+    def lmOf(name: String, frame: => DataFrame): String =
       graft.sources.SideTable.ensure(s, name,
-          s"$dir#$cut#$target#$buckets", fp) {
-        Graft.parquetSource(s, dir).table("documents")
-          .where(col("doc_id") < cut && srcCond)
-          .select(col("doc_id"), explode(words(col("text"))).as("term"))
-          .select(pmod(hash60(col("term")), lit(buckets)).as("h"))
-          .groupBy(col("h")).agg(count(lit(1)).as(cName))
-      }
-    (lmOf("dsir_target_lm", col("source") === target, "ct"),
-      lmOf("dsir_raw_lm", col("source") =!= target, "cr"))
+        s"$dir#$cut#$target#$buckets", fp) { frame }
+    (lmOf("dsir_target_lm", lms._1), lmOf("dsir_raw_lm", lms._2))
   }
 
   /** q107's frozen bigram-LM artifacts (context counts, bigram counts).
@@ -1262,14 +1253,12 @@ object CorpusQuality {
   private[graft] def bigramLmIndex(s: SparkSession, dir: String,
       cut: Long): (String, String) = {
     val fp = Some(s"$dir/documents.parquet")
-    def lm(name: String, gram: String, cName: String): String =
-      graft.sources.SideTable.ensure(s, name, s"$dir#$cut", fp) {
-        dualShingleHashRows(Graft.parquetSource(s, dir)
-            .table("documents").where(col("doc_id") < cut), 1, 2)
-          .where(col("h2").isNotNull)
-          .groupBy(col(gram)).agg(count(lit(1)).as(cName))
-      }
-    (lm("bigram_ctx_lm", "h1", "c1"), lm("bigram_lm", "h2", "c2"))
+    def lms = graft.ops.Ingest.bigramLmFrames(
+      Graft.parquetSource(s, dir).table("documents")
+        .where(col("doc_id") < cut))
+    def lm(name: String, frame: => DataFrame): String =
+      graft.sources.SideTable.ensure(s, name, s"$dir#$cut", fp) { frame }
+    (lm("bigram_ctx_lm", lms._1), lm("bigram_lm", lms._2))
   }
 
   /** The q104/q106 shared DSIR scorer: per-token importance bits =

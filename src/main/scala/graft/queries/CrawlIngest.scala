@@ -184,50 +184,56 @@ object CrawlIngest {
       priorShLazy.queryExecution.executedPlan.toString)
   }
 
+  /** The pure content-key membership probe: the delta's key set
+    * broadcasts against the snapshot key frame, hits broadcast back.
+    * Shared by [[keysMember]] (the artifact+bloom path) and
+    * [[graft.ops.Ingest.scoreBatch]] (caller-supplied frames). */
+  private[graft] def keyProbe(oldKeys: DataFrame,
+      probeKeys: DataFrame): DataFrame =
+    oldKeys.join(broadcast(probeKeys), Seq("gk"), "left_semi")
+      .withColumn("exact_hit", lit(1))
+      .localCheckpoint() // ≤ |delta| rows — broadcastable
+
   /** Content-key probe shared by triage (q79) and dup flags (q95):
-    * the delta's key set broadcasts against the snapshot artifact scan
-    * (bloom-pruned when compiled), hits broadcast back. */
+    * [[keyProbe]] against the snapshot artifact scan (bloom-pruned
+    * when compiled). */
   private[graft] def keysMember(s: SparkSession, dir: String, cut: Long,
       keyPath: String, bkeys: DataFrame): DataFrame = {
-    val oldKeys = s.read.parquet(keyPath)
     val probeKeys =
       if (s.conf.get("graft.artifacts.bloom", "false").toBoolean) {
         val bf = graft.sources.SideTable.ensureBloomOf(s, "content_keys",
           s"$dir#$cut", Some(s"$dir/documents.parquet"), keyPath, "gk")
         bkeys.where(graft.functions.Bloom.mightContain(bf, col("gk")))
       } else bkeys
-    oldKeys.join(broadcast(probeKeys), Seq("gk"), "left_semi")
-      .withColumn("exact_hit", lit(1))
-      .localCheckpoint() // ≤ |delta| rows — broadcastable
+    keyProbe(s.read.parquet(keyPath), probeKeys)
   }
 
-  /** DSIR member (q106 semantics) — fully lazy: both frozen LMs
-    * broadcast, no materialization until assembly. */
-  private[graft] def dsirMember(s: SparkSession, snaps: Snapshots,
+  /** DSIR member (q106 semantics) over the frozen LM frames — fully
+    * lazy: both LMs broadcast, no materialization until assembly. */
+  private[graft] def dsirMember(ct: DataFrame, cr: DataFrame,
       grams: DataFrame, target: String, buckets: Int): DataFrame = {
     val dsPerDoc = grams.where(col("source") =!= target)
       .select(col("doc_id"),
         pmod(hash60(col("term")), lit(buckets)).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("k"))
-    graft.ops.Select.score(dsPerDoc,
-        s.read.parquet(snaps.ctPath), s.read.parquet(snaps.crPath))
+    graft.ops.Select.score(dsPerDoc, ct, cr)
       .select(col("doc_id"), col("n_tokens").as("dsir_tokens"),
         col("sum_bits").as("dsir_bits"), col("score").as("dsir_score"))
   }
 
-  /** Bigram-surprisal member (q107 semantics) against the frozen LM
-    * artifacts, broadcast-semi-filtered to the delta's gram keys. */
-  private[graft] def bigramMember(s: SparkSession, snaps: Snapshots,
+  /** Bigram-surprisal member (q107 semantics) over the frozen LM
+    * frames, broadcast-semi-filtered to the delta's gram keys. */
+  private[graft] def bigramMember(ctx: DataFrame, big: DataFrame,
       grams: DataFrame): DataFrame = {
     val bgPerDoc = grams.where(col("h2").isNotNull)
       .groupBy(col("doc_id"), col("h1"), col("h2"))
       .agg(count(lit(1)).as("k"))
       .localCheckpoint() // delta-bounded; feeds both key sets + scoring
-    val ctxC = s.read.parquet(snaps.ctxPath)
+    val ctxC = ctx
       .join(broadcast(bgPerDoc.select(col("h1")).distinct()),
         Seq("h1"), "left_semi")
       .localCheckpoint() // ≤ |delta contexts|
-    val bigC = s.read.parquet(snaps.bigPath)
+    val bigC = big
       .join(broadcast(bgPerDoc.select(col("h2")).distinct()),
         Seq("h2"), "left_semi")
       .localCheckpoint() // ≤ |delta bigrams|
@@ -248,16 +254,16 @@ object CrawlIngest {
           col("n_bigrams").cast("double")).as("lm_mean"))
   }
 
-  /** BM25 top-1 routing member (q105 semantics, k=1) against the four
-    * frozen index artifacts. */
-  private[graft] def bm25Member(s: SparkSession, snaps: Snapshots,
-      grams: DataFrame, dfCap: Int): DataFrame = {
-    val post = s.read.parquet(snaps.postPath)
+  /** BM25 top-1 routing member (q105 semantics, k=1) over the four
+    * frozen index frames. */
+  private[graft] def bm25Member(post: DataFrame, lex: DataFrame,
+      dl: DataFrame, tot: DataFrame, grams: DataFrame,
+      dfCap: Int): DataFrame = {
     val qtf = grams.where(col("h3").isNotNull)
       .select(col("doc_id").as("query_id"), col("h3").as("h"))
       .distinct()
       .localCheckpoint() // delta term lists — delta-bounded
-    val qDf = s.read.parquet(snaps.lexPath)
+    val qDf = lex
       .join(broadcast(qtf.select(col("h")).distinct()), Seq("h"),
         "left_semi")
       .localCheckpoint() // ≤ |delta terms| rows
@@ -272,7 +278,7 @@ object CrawlIngest {
     val candPost = post
       .join(broadcast(candDocs105), Seq("doc_id"), "left_semi")
       .localCheckpoint() // candidate docs' full postings
-    val dlC = s.read.parquet(snaps.dlPath)
+    val dlC = dl
       .join(broadcast(candDocs105), Seq("doc_id"), "left_semi")
       .localCheckpoint() // ≤ |candidate docs| rows
     graft.ops.Retrieval.bm25Rank(cand105
@@ -281,7 +287,7 @@ object CrawlIngest {
           Seq("doc_id", "h"))
         .join(broadcast(qDf), Seq("h"))
         .join(broadcast(dlC), Seq("doc_id"))
-        .crossJoin(broadcast(s.read.parquet(snaps.totPath))), 1)
+        .crossJoin(broadcast(tot)), 1)
       .select(col("query_id").as("doc_id"),
         col("doc_id").as("top1_doc"),
         col("score_ppm").as("top1_ppm"))
@@ -397,10 +403,12 @@ object CrawlIngest {
     }
 
     // ---- DSIR (q106): fully lazy, both frozen LMs broadcast ---------
-    val dsir = dsirMember(s, snaps, grams, target, buckets)
+    val dsir = dsirMember(s.read.parquet(snaps.ctPath),
+      s.read.parquet(snaps.crPath), grams, target, buckets)
 
     // ---- bigram surprisal (q107) against the frozen LM artifacts ----
-    val fBigram = Future(bigramMember(s, snaps, grams))
+    val fBigram = Future(bigramMember(s.read.parquet(snaps.ctxPath),
+      s.read.parquet(snaps.bigPath), grams))
 
     // ---- BM25 top-1 routing (q105) against the index artifacts ------
     val fBm25 = Future {
@@ -409,7 +417,9 @@ object CrawlIngest {
         sh3.groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
           .withColumn("bucket", pmod(col("h"), lit(64)).cast("int"))
       }
-      bm25Member(s, snaps, grams, dfCap)
+      bm25Member(s.read.parquet(snaps.postPath),
+        s.read.parquet(snaps.lexPath), s.read.parquet(snaps.dlPath),
+        s.read.parquet(snaps.totPath), grams, dfCap)
     }
 
     // ---- await the members, capture the pinned plans ----------------
@@ -424,9 +434,21 @@ object CrawlIngest {
         "\n-- verify-old --\n" + verifyPlan
 
     // ---- triage (q79) + dup flags (q95) over the shared key probe ---
-    // batch semantics: BOTH sides of a verified pair triage 'near' —
-    // the retrospective whole-batch view (q111 emits the arrival-time
-    // view; see runStream).
+    val (triage, bdup) =
+      batchTriageAndDup(batchKeys, meta, hitKeys, nearDocs)
+
+    record(meta, triage, bdup, perDocNew, bigram, dsir, top1)
+      .orderBy("doc_id")
+  }
+
+  /** Batch-view triage (q79) + dup flags (q95) over the shared key
+    * probe: BOTH sides of a verified within-batch pair triage 'near' —
+    * the retrospective whole-batch view (q111 emits the arrival-time
+    * view; see runStream). Shared by [[run]] and
+    * [[graft.ops.Ingest.scoreBatch]]. */
+  private[graft] def batchTriageAndDup(batchKeys: DataFrame,
+      meta: DataFrame, hitKeys: DataFrame,
+      nearDocs: DataFrame): (DataFrame, DataFrame) = {
     val triage = batchKeys
       .join(broadcast(hitKeys), Seq("gk"), "left")
       .join(broadcast(nearDocs), Seq("doc_id"), "left")
@@ -444,9 +466,7 @@ object CrawlIngest {
       .select(col("doc_id"),
         (col("exact_hit").isNotNull || col("doc_id") > col("first_id"))
           .cast("int").as("is_dup"))
-
-    record(meta, triage, bdup, perDocNew, bigram, dsir, top1)
-      .orderBy("doc_id")
+    (triage, bdup)
   }
 
   /** q111 — the composed crawl-ingest loop as the Structured Streaming
@@ -571,9 +591,13 @@ object CrawlIngest {
               .withColumn("prior_hit", lit(1))
               .localCheckpoint())
         }
-        val dsir = dsirMember(s, snaps, grams, target, buckets)
-        val fBigram = Future(bigramMember(s, snaps, grams))
-        val fBm25 = Future(bm25Member(s, snaps, grams, dfCap))
+        val dsir = dsirMember(s.read.parquet(snaps.ctPath),
+          s.read.parquet(snaps.crPath), grams, target, buckets)
+        val fBigram = Future(bigramMember(s.read.parquet(snaps.ctxPath),
+          s.read.parquet(snaps.bigPath), grams))
+        val fBm25 = Future(bm25Member(s.read.parquet(snaps.postPath),
+          s.read.parquet(snaps.lexPath), s.read.parquet(snaps.dlPath),
+          s.read.parquet(snaps.totPath), grams, dfCap))
 
         val (newTerms, perDocNew) = Await.result(fVocab, 60.minutes)
         val (deltaBands, pairs, _, _) = Await.result(fDedup, 60.minutes)

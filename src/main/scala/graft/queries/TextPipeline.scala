@@ -230,7 +230,7 @@ object TextPipeline {
     graft.sources.SideTable.ensure(s, "sig_index", s"$dir#$cut",
         Some(s"$dir/documents.parquet")) {
       val d = Graft.parquetSource(s, dir).table("documents")
-      minhashBands(d.where(col("doc_id") < cut))
+      graft.ops.Ingest.sigBandFrame(d.where(col("doc_id") < cut))
     }
 
   /** The persisted distinct content-key artifact shared by q79's triage
@@ -240,10 +240,9 @@ object TextPipeline {
       cut: Long): String =
     graft.sources.SideTable.ensure(s, "content_keys", s"$dir#$cut",
         Some(s"$dir/documents.parquet")) {
-      Graft.parquetSource(s, dir).table("documents")
-        .where(col("doc_id") < cut && col("text").isNotNull)
-        .select(md5(concat_ws(" ", words(col("text")))).as("gk"))
-        .distinct()
+      graft.ops.Ingest.contentKeyFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut))
     }
 
   /** Physical plan of q67's last candidate bucket-join, captured for the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Curate, Dedup, Embed, Retrieval, Select, Text}
+import graft.ops.{Curate, Dedup, Embed, Ingest, Retrieval, Select, Text}
 
 /** Contract of the public `graft.ops` DataFrame-in/DataFrame-out API:
   * every operator runs against a frame with ARBITRARY column names —
@@ -294,6 +294,47 @@ class OpsApiSpec extends AnyFunSuite {
       nprobe = 1, iters = 3, idCol = "node", vecCol = "vec",
       queryIdCol = "node", queryVecCol = "vec")
     assert(narrow.count() <= 2)
+  }
+
+  test("Ingest.buildIndexes + scoreBatch run the crawl loop on (page_id, site, body)") {
+    val mk = (id: Long, site: String, body: String) => (id, site, body)
+    val old = Seq(
+      mk(1L, "wiki", "the quick brown fox jumps over the lazy dog and " +
+        "runs far away into the green forest where the small animals " +
+        "live and play all day long under a warm summer sun"),
+      mk(2L, "wiki", "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      mk(3L, "crawl", "completely different content about spark " +
+        "catalyst plans optimizers and shuffles with many extra words " +
+        "to pass length gates and a few more of the usual tokens here"))
+      .toDF("page_id", "site", "body")
+    val batch = Seq(
+      mk(10L, "crawl", "the quick brown fox jumps over the lazy dog " +
+        "and runs far away into the green forest where the small " +
+        "animals live and play all day long under a warm summer sun"),
+      mk(11L, "crawl", "entirely novel text mentioning catalyst " +
+        "optimizers briefly while adding fresh unseen vocabulary like " +
+        "zeppelin quasar nebula photon"))
+      .toDF("page_id", "site", "body")
+    val idx = Ingest.buildIndexes(old, target = "wiki", buckets = 64,
+      idCol = "page_id", textCol = "body", srcCol = "site")
+    assert(idx.contentKeys.count() === 3)
+    assert(idx.bm25Stats.count() === 1)
+    val rec = Ingest.scoreBatch(old, batch, idx, target = "wiki",
+      buckets = 64, dfCap = 16,
+      idCol = "page_id", textCol = "body", srcCol = "site")
+    assert(rec.columns.take(2).toSeq === Seq("page_id", "site"))
+    val rows = rec.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size === 2)
+    // doc 10 is a verbatim copy of old doc 1: exact triage, dup flag
+    assert(rows(10L).getAs[String]("triage") === "exact")
+    assert(rows(10L).getAs[Int]("is_dup") === 1)
+    assert(rows(10L).getAs[Long]("n_new_terms") === 0L)
+    // doc 11 is novel, owns its unseen terms, and routes to the old
+    // doc sharing its rare "catalyst optimizers" 3-gram neighborhood
+    assert(rows(11L).getAs[String]("triage") === "novel")
+    assert(rows(11L).getAs[Int]("is_dup") === 0)
+    assert(rows(11L).getAs[Long]("n_new_terms") >= 4L)
   }
 
   test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
