@@ -176,20 +176,37 @@ object Text {
       textCol: String = "text", srcCol: String = "source"): DataFrame = {
     require(n >= 1 && minDf >= 2 && dfFrac >= 0.0,
       "need n >= 1, minDf >= 2, dfFrac >= 0")
-    val d = docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
-      col(textCol).as("text"))
-    val g = shingleHashRows(d, n, Seq("src"))
-      .select(col("doc_id"), col("src"), col("h")).distinct()
+    val g = gramSetRows(docs, n, idCol, textCol, srcCol)
       .localCheckpoint() // corpus-growth frame read by nd, df, per-doc
+    boilerRatioOf(g, boilerSetOf(g, minDf, dfFrac)
+      .withColumn("b", lit(1)), idCol, srcCol)
+  }
+
+  /** Distinct (doc_id, src, h) n-gram rows — the shared gram set of
+    * [[boilerplate]], [[boilerGramFrame]] and [[boilerScore]]. */
+  private def gramSetRows(docs: DataFrame, n: Int, idCol: String,
+      textCol: String, srcCol: String): DataFrame =
+    shingleHashRows(
+        docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+          col(textCol).as("text")), n, Seq("src"))
+      .select(col("doc_id"), col("src"), col("h")).distinct()
+
+  /** The boilerplate set over a pre-derived gram frame. */
+  private def boilerSetOf(g: DataFrame, minDf: Int,
+      dfFrac: Double): DataFrame = {
     val nd = g.select(col("src"), col("doc_id")).distinct()
       .groupBy(col("src")).agg(count(lit(1)).as("nd"))
-    val dfs = g.groupBy(col("src"), col("h"))
-      .agg(count(lit(1)).as("df"))
-    val boiler = dfs.join(broadcast(nd), Seq("src"))
+    g.groupBy(col("src"), col("h")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), Seq("src"))
       .where(col("df") >=
         greatest(lit(minDf.toLong), ceil(col("nd") * lit(dfFrac))))
-      .select(col("src"), col("h"), lit(1).as("b"))
-    g.join(boiler, Seq("src", "h"), "left")
+      .select(col("src"), col("h"))
+  }
+
+  /** Per-doc ratio of grams in the (src, h, b=1) hit set. */
+  private def boilerRatioOf(g: DataFrame, hits: DataFrame,
+      idCol: String, srcCol: String): DataFrame =
+    g.join(hits, Seq("src", "h"), "left")
       .groupBy(col("doc_id"), col("src"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("b"), lit(0))).as("n_boiler"))
@@ -197,7 +214,52 @@ object Text {
         col("n_grams"), col("n_boiler"),
         (col("n_boiler").cast("double") / col("n_grams").cast("double"))
           .as("boiler_ratio"))
+
+  /** The per-group boilerplate gram set (src, h) alone — what a crawl
+    * loop PERSISTS per snapshot so batches can score against a frozen
+    * template inventory ([[boilerScore]], the q69/q105 frozen-LM
+    * discipline applied to template detection). */
+  def boilerGramFrame(docs: DataFrame, n: Int = 3, minDf: Int = 2,
+      dfFrac: Double = 0.05, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(n >= 1 && minDf >= 2 && dfFrac >= 0.0,
+      "need n >= 1, minDf >= 2, dfFrac >= 0")
+    boilerSetOf(gramSetRows(docs, n, idCol, textCol, srcCol),
+      minDf, dfFrac)
   }
+
+  /** Score a batch against a FROZEN boilerplate set ((src, h) — from
+    * [[boilerGramFrame]], usually read back from a persisted
+    * artifact): per batch doc, the fraction of its distinct grams in
+    * the frozen set. Membership discipline: the batch's gram keys
+    * broadcast against the artifact scan, hits broadcast back — the
+    * old corpus is never read, cost is batch-proportional. A source
+    * unseen at snapshot time scores 0 (no frozen inventory yet) —
+    * n_oov-style drift shows up as a new source's ratios jumping once
+    * the NEXT snapshot owns its templates. */
+  def boilerScore(batch: DataFrame, boilerSet: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val gLazy = gramSetRows(batch, n, idCol, textCol, srcCol)
+    val g = gLazy
+      .localCheckpoint() // batch-bounded; read by the key set + ratio
+    val keys = g.select(col("src"), col("h")).distinct()
+    val hitsLazy = boilerSet.select(col("src"), col("h"))
+      .join(broadcast(keys), Seq("src", "h"), "left_semi")
+      .withColumn("b", lit(1))
+    lastBoilerScorePlans =
+      gLazy.queryExecution.executedPlan.toString +
+        "\n-- hits --\n" + hitsLazy.queryExecution.executedPlan.toString
+    val hits = hitsLazy
+      .localCheckpoint() // ≤ |batch gram keys| — broadcastable
+    boilerRatioOf(g, broadcast(hits), idCol, srcCol)
+  }
+
+  /** Physical plans of [[boilerScore]]'s gram pass and artifact probe
+    * (captured pre-checkpoint), for the q114 plan pin: the only
+    * generator is the batch's own, and the old corpus contributes via
+    * the frozen-set scan alone. */
+  @volatile private[graft] var lastBoilerScorePlans: String = ""
 
   /** C4-style quality-flag battery — one single-pass, fully codegen'd
     * projection. Output: (<id>, <extra...>, n_words, punct_ratio,

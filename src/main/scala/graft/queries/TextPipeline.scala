@@ -1197,8 +1197,39 @@ object TextPipeline {
     "q113_boilerplate" -> ((s, dir) => {
       val d = Graft.parquetSource(s, dir).table("documents")
       graft.ops.Text.boilerplate(d).orderBy("doc_id")
+    }),
+
+    // ---- q114: incremental boilerplate vs persisted template grams ----
+    // q113 as the crawl loop runs it (the q69/q105 frozen-LM rule
+    // applied to template detection): the old corpus's per-source
+    // boilerplate gram set persists once per snapshot; each batch doc
+    // reports what fraction of its grams the FROZEN inventory already
+    // marks as template chrome — zero old-document reads, the batch's
+    // gram keys broadcast against the artifact scan and the hits
+    // broadcast back (the q79/q101 membership discipline). A source
+    // new since the snapshot scores 0: its ratios jumping after the
+    // next snapshot owns its templates is the rebuild-drift signal.
+    "q114_incremental_boilerplate" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val bPath = boilerGramIndex(s, dir, cut)
+      graft.ops.Text.boilerScore(d.where(col("doc_id") >= cut),
+          s.read.parquet(bPath))
+        .orderBy("doc_id")
     })
   )
+
+  /** The persisted per-source boilerplate gram artifact behind q114 —
+    * built via the SAME frame definition the public API exposes
+    * ([[graft.ops.Text.boilerGramFrame]]). */
+  private[graft] def boilerGramIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "boiler_grams", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Text.boilerGramFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut))
+    }
 
   /** q112's pattern battery: built-in PII plus a corpus-word blocklist. */
   private lazy val scrubPatterns: Seq[(String, String)] =
@@ -1846,7 +1877,40 @@ object TextPipeline {
         |    / count(*)::double AS boiler_ratio
         |FROM sg s LEFT JOIN boiler b
         |  ON s.source = b.source AND s.h = b.h
-        |GROUP BY s.doc_id, s.source ORDER BY s.doc_id""".stripMargin
+        |GROUP BY s.doc_id, s.source ORDER BY s.doc_id""".stripMargin,
+
+    "q114_incremental_boilerplate" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |), sg AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(1, len(w)-1), i ->
+        |        array_to_string(list_slice(w, i, i+2), ' '))) s
+        |    FROM ws WHERE len(w) >= 3)
+        |), old AS (
+        |  SELECT * FROM sg WHERE doc_id < (SELECT c FROM cut)
+        |), nd AS (
+        |  SELECT source, count(DISTINCT doc_id) nd FROM old GROUP BY source
+        |), dfs AS (
+        |  SELECT source, h, count(*) df FROM old GROUP BY source, h
+        |), boiler AS (
+        |  SELECT d.source, d.h FROM dfs d JOIN nd USING(source)
+        |  WHERE df >= greatest(2, ceil(nd * 0.05))
+        |), batch AS (
+        |  SELECT * FROM sg WHERE doc_id >= (SELECT c FROM cut)
+        |)
+        |SELECT b.doc_id, b.source, count(*)::bigint AS n_grams,
+        |  sum(CASE WHEN bl.h IS NOT NULL THEN 1 ELSE 0 END)::bigint
+        |    AS n_boiler,
+        |  sum(CASE WHEN bl.h IS NOT NULL THEN 1 ELSE 0 END)::double
+        |    / count(*)::double AS boiler_ratio
+        |FROM batch b LEFT JOIN boiler bl
+        |  ON b.source = bl.source AND b.h = bl.h
+        |GROUP BY b.doc_id, b.source ORDER BY b.doc_id""".stripMargin
   )
 
   private[graft] lazy val incrementalDedupSql: String =

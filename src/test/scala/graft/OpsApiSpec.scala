@@ -104,6 +104,32 @@ class OpsApiSpec extends AnyFunSuite {
     assert(m(14L) === 0.0, "sole ≥3-word doc of its site has df=1 grams")
   }
 
+  test("Text.boilerScore scores a batch against the FROZEN gram set") {
+    val sites = pages.withColumn("site",
+      when(col("page_id") <= 13L, "a").otherwise("b"))
+    val frozen = Text.boilerGramFrame(sites, idCol = "page_id",
+      textCol = "body", srcCol = "site")
+    assert(frozen.columns.toSeq === Seq("src", "h"))
+    val batch = Seq(
+      // verbatim copy of page 10 (site a): every gram is frozen chrome
+      (20L, "a", "the quick brown fox jumps over the lazy dog and " +
+        "runs far away into the green forest where the small animals " +
+        "live and play all day long under a warm summer sun"),
+      // fresh text on a known site: nothing frozen matches
+      (21L, "a", "totally original writing with no recycled template " +
+        "material at all anywhere"),
+      // site unseen at snapshot time: scores 0 by definition
+      (22L, "c", "the quick brown fox jumps over the lazy dog again"))
+      .toDF("page_id", "site", "body")
+    val out = Text.boilerScore(batch, frozen, idCol = "page_id",
+      textCol = "body", srcCol = "site")
+    val m = out.collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("boiler_ratio")).toMap
+    assert(m(20L) === 1.0, "verbatim copy of frozen template != 1.0")
+    assert(m(21L) === 0.0)
+    assert(m(22L) === 0.0, "unseen source must score 0 against a frozen set")
+  }
+
   test("Text.qualityFlags keeps prose, rejects a 2-char doc") {
     val out = Text.qualityFlags(pages, "page_id", "body")
     val keep = out.select(col("page_id"), col("keep")).collect()

@@ -204,6 +204,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"q67 candidates degenerate to an all-pairs join:\n$cp")
   }
 
+  test("q114: batch scores against the boiler artifact — old corpus never re-shingled") {
+    plan("q114_incremental_boilerplate") // force; captures the op plans
+    val p = graft.ops.Text.lastBoilerScorePlans
+    assert(p.nonEmpty, "q114 op plans were not captured")
+    val Array(gramPlan, hitsPlan) = p.split("\n-- hits --\n")
+    // the gram pass reads ONLY the cut-pushed batch slice of documents
+    assert(gramPlan.contains("GreaterThanOrEqual(doc_id"),
+      s"q114 batch cut not pushed to the documents scan:\n$gramPlan")
+    // count in the AQE final plan only (the dump repeats the initial)
+    val finalGram = gramPlan.split("== Initial Plan ==").head
+    assert("Generate".r.findAllIn(finalGram).length === 1,
+      s"q114 gram pass is not one generator:\n$finalGram")
+    // the probe reads the persisted artifact, never re-deriving it
+    assert(hitsPlan.contains("graft_boiler_grams"),
+      s"q114 probe does not read the template-gram artifact:\n$hitsPlan")
+    assert(!hitsPlan.toLowerCase.contains("shingles"),
+      s"q114 probe re-derives the boiler set from text:\n$hitsPlan")
+  }
+
   test("q61/q64/q68: corpus-quality aggregates keep map-side combine") {
     for (q <- Seq("q61_unigram_surprisal", "q64_novelty",
         "q68_passage_dedup")) {
