@@ -67,6 +67,46 @@ object Curate {
         expr(s"(cum - n_tokens) div $seqLen").as("pack_id"))
   }
 
+  /** Frozen per-shard tail offsets — what a crawl loop PERSISTS per
+    * snapshot so the next batch packs APPEND-ONLY after the existing
+    * layout ([[packAppend]]): (shard, tail), ≤ `shards` rows at any
+    * corpus size. */
+  def packTailFrame(docs: DataFrame, shards: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    docs.select(bpeTokenCount(col(textCol)).as("n_tokens"),
+        (hash60(col(textCol)) % shards).as("shard"))
+      .groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).cast("long").as("tail"))
+  }
+
+  /** Append-only packing of a batch after FROZEN per-shard tails: the
+    * snapshot's shards are never rewritten (their docs keep their
+    * offsets and pack ids — restart/resume stability), and the batch
+    * lays out in its own deterministic (hash, id) order starting at
+    * each shard's frozen tail (an empty shard starts at 0). This is
+    * deliberately NOT what [[pack]] over old∪batch would produce —
+    * re-sorting would rewrite 100 TB of settled layout to admit a
+    * batch; append-only is the deployment semantics. Output:
+    * (<id>, shard, n_tokens, start_off, pack_id). */
+  def packAppend(batch: DataFrame, tails: DataFrame, seqLen: Int = 512,
+      shards: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch.select(col(idCol), bpeTokenCount(col(textCol)).as("n_tokens"),
+        hash60(col(textCol)).as("h"))
+      .withColumn("shard", col("h") % shards)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(tails), Seq("shard"), "left")
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (coalesce(col("tail"), lit(0L)) + col("cum") - col("n_tokens"))
+          .as("start_off"),
+        expr(s"(coalesce(tail, 0) + cum - n_tokens) div $seqLen")
+          .as("pack_id"))
+  }
+
   /** Deterministic global token-budget cut: take documents in stable
     * content-hash order until the cumulative token count passes
     * `budget`. Built as a two-level distributed prefix sum — shard by

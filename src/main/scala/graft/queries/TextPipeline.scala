@@ -1216,8 +1216,38 @@ object TextPipeline {
       graft.ops.Text.boilerScore(d.where(col("doc_id") >= cut),
           s.read.parquet(bPath))
         .orderBy("doc_id")
+    }),
+
+    // ---- q115: incremental sequence packing after frozen tails --------
+    // q49 as the crawl loop runs it: the snapshot's per-shard tail
+    // offsets persist (≤ 32 rows), and each batch packs APPEND-ONLY
+    // after them — settled shards are never rewritten (their docs keep
+    // their offsets and pack ids across every ingest), the batch lays
+    // out in its own (hash, id) order from each frozen tail. The
+    // deliberate divergence from a full q49 re-run over old∪batch IS
+    // the operator's point: re-sorting rewrites 100 TB of layout to
+    // admit a batch. Batch-proportional: one batch scan + a ≤ 32-row
+    // broadcast; the old corpus contributes via the tail artifact only.
+    "q115_incremental_pack" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val tPath = packTailIndex(s, dir, cut)
+      graft.ops.Curate.packAppend(d.where(col("doc_id") >= cut),
+          s.read.parquet(tPath), seqLen = 512, shards = 32)
+        .orderBy("shard", "start_off", "doc_id")
     })
   )
+
+  /** The persisted per-shard pack-tail artifact behind q115 — built via
+    * the public frame definition ([[graft.ops.Curate.packTailFrame]]). */
+  private[graft] def packTailIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "pack_tails", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Curate.packTailFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut))
+    }
 
   /** The persisted per-source boilerplate gram artifact behind q114 —
     * built via the SAME frame definition the public API exposes
@@ -1910,7 +1940,29 @@ object TextPipeline {
         |    / count(*)::double AS boiler_ratio
         |FROM batch b LEFT JOIN boiler bl
         |  ON b.source = bl.source AND b.h = bl.h
-        |GROUP BY b.doc_id, b.source ORDER BY b.doc_id""".stripMargin
+        |GROUP BY b.doc_id, b.source ORDER BY b.doc_id""".stripMargin,
+
+    "q115_incremental_pack" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS n_tokens,
+        |    ('0x' || substr(md5(text),1,15))::bigint AS h
+        |  FROM documents
+        |), tails AS (
+        |  SELECT h % 32 AS shard, sum(n_tokens)::bigint AS tail
+        |  FROM base WHERE doc_id < (SELECT c FROM cut) GROUP BY h % 32
+        |), pos AS (
+        |  SELECT doc_id, n_tokens, h, h % 32 AS shard,
+        |    sum(n_tokens) OVER (PARTITION BY h % 32 ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::bigint AS cum
+        |  FROM base WHERE doc_id >= (SELECT c FROM cut)
+        |)
+        |SELECT p.doc_id, p.shard, p.n_tokens,
+        |  coalesce(t.tail, 0) + cum - n_tokens AS start_off,
+        |  (coalesce(t.tail, 0) + cum - n_tokens) // 512 AS pack_id
+        |FROM pos p LEFT JOIN tails t ON p.shard = t.shard
+        |ORDER BY p.shard, start_off, p.doc_id""".stripMargin
   )
 
   private[graft] lazy val incrementalDedupSql: String =

@@ -241,6 +241,37 @@ class OpsApiSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("Curate.packAppend continues each shard at its frozen tail") {
+    val tails = Curate.packTailFrame(pages, shards = 4,
+      idCol = "page_id", textCol = "body")
+    assert(tails.columns.toSeq === Seq("shard", "tail"))
+    val tailMap = tails.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Seq(
+      (30L, "brand new crawl content arriving after the snapshot"),
+      (31L, "another incoming document with different words entirely"))
+      .toDF("page_id", "body")
+    val out = Curate.packAppend(batch, tails, seqLen = 16, shards = 4,
+      idCol = "page_id", textCol = "body").collect()
+    assert(out.length === 2)
+    // per shard: the first batch doc starts exactly at the frozen tail
+    // (0 for a shard the snapshot never touched), later ones advance
+    // by n_tokens; pack_id stays start_off div seqLen
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("start_off"))
+      assert(sorted.head.getAs[Long]("start_off") ===
+        tailMap.getOrElse(sh, 0L))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_off") ===
+            a.getAs[Long]("start_off") + a.getAs[Int]("n_tokens"))
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getAs[Long]("pack_id") ===
+        r.getAs[Long]("start_off") / 16))
+    }
+  }
+
   test("Embed.cosineTopK ranks by cosine under (node, vec)") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
