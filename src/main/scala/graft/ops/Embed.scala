@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.EmbeddingFunctions.dotNative
+import graft.functions.EmbeddingFunctions.{dotNative, maxAbsNative, quantizeNative}
 
 /** Public embedding operators over arbitrary `id`/`vector` frames:
   * brute-force cosine top-k (the ANN recall baseline) and the
@@ -118,6 +118,60 @@ object Embed {
       .where(joinCond)
       .select(col("q_id"), col("vec_id"),
         (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
+    graft.queries.Embeddings.topkPerQuery(scored, k)
+  }
+
+  /** Two-stage int8-candidates / exact-re-rank cosine top-k (the q90
+    * shape as a public op): stage 1 searches ONLY the symmetric-int8
+    * quantized corpus (8× smaller than the doubles, the codegen'd
+    * [[graft.functions.QuantizeExpr]] grid) for `c` candidates per
+    * query; stage 2 fetches exact vectors for CANDIDATES ALONE
+    * (broadcast semi-join — the full-precision corpus is never scanned
+    * for scoring) and re-ranks to the final top-`k`. Recall is bounded
+    * by `c` — audit with [[cosineTopK]] (the q70/q82 discipline). Zero
+    * vectors carry no quantization scale and are excluded from stage 1
+    * (cosine against them is undefined anyway). Output:
+    * (q_id, vec_id, cos, rank). */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      c: Int = 50, idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(c >= k, s"candidate pool c=$c must be >= k=$k")
+    def quantized(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("v"),
+          maxAbsNative(col("v")).as("mx"))
+        .where(col("mx") > 0)
+        .select(col("vec_id"), quantizeNative(col("v"), col("mx")).as("qv"))
+        .select(col("vec_id"), col("qv"),
+          sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
+    val e = normalize(corpus, idCol, vecCol)
+      .localCheckpoint() // read by the quantizer AND the exact fetch
+    val qz = quantized(e)
+    val qq = quantized(normalize(queries, queryIdCol, queryVecCol))
+      .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
+        col("qn").as("qqn"))
+      .localCheckpoint() // tiny; probe side of the stage-1 scan
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)
+    val cand = graft.queries.Embeddings.topkPerQuery(
+        qz.join(broadcast(qq), joinCond)
+          .select(col("q_id"), col("vec_id"),
+            (dotNative(col("qqv"), col("qv")) / (col("qqn") * col("qn")))
+              .as("cos")), c)
+      .select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // ≤ c·|queries| rows; fetch probe + spine
+    val fetch = e.join(
+      broadcast(cand.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_semi")
+    val eq = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("ev"),
+        col("nrm").as("en"))
+    val scored = cand
+      .join(fetch, Seq("vec_id"))
+      .join(broadcast(eq), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotNative(col("ev"), col("v")) / (col("en") * col("nrm")))
           .as("cos"))
     graft.queries.Embeddings.topkPerQuery(scored, k)
   }

@@ -394,6 +394,37 @@ class OpsApiSpec extends AnyFunSuite {
     assert(rows(11L).getAs[Long]("n_new_terms") >= 4L)
   }
 
+  test("Embed.rerankTopK with c = corpus size equals the exact ranking") {
+    val corpus = Seq(
+      (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.2f, 0.0f)),
+      (3L, Seq(9.9f, 0.2f)), (4L, Seq(0.1f, 10.0f)),
+      (5L, Seq(0.0f, 10.1f)), (6L, Seq(0.2f, 9.9f))).toDF("node", "vec")
+    val queries = Seq((100L, Seq(10.0f, 0.15f))).toDF("node", "vec")
+    // candidate pool = whole corpus: stage 1 cannot lose recall, so the
+    // exact re-rank must reproduce the brute-force ranking bit-for-bit
+    val got = Embed.rerankTopK(corpus, queries, k = 3, c = 6,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    val exact = Embed.cosineTopK(corpus, queries, k = 3,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    assert(got.sortBy(_._1).toSeq === exact.sortBy(_._1).toSeq)
+    // a narrow pool still returns k exact-scored rows
+    val narrow = Embed.rerankTopK(corpus, queries, k = 2, c = 3,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+    assert(narrow.count() === 2)
+    intercept[IllegalArgumentException] {
+      Embed.rerankTopK(corpus, queries, k = 5, c = 3,
+        idCol = "node", vecCol = "vec",
+        queryIdCol = "node", queryVecCol = "vec")
+    }
+  }
+
   test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
     val blobs = Seq(
       (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.0f, 0.1f)), // dup of 1
