@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.EmbeddingFunctions.{dotNative, maxAbsNative, quantizeNative}
+import graft.functions.EmbeddingFunctions.dotNative
 
 /** Public embedding operators over arbitrary `id`/`vector` frames:
   * brute-force cosine top-k (the ANN recall baseline) and the
@@ -130,25 +130,22 @@ object Embed {
     * (broadcast semi-join — the full-precision corpus is never scanned
     * for scoring) and re-ranks to the final top-`k`. Recall is bounded
     * by `c` — audit with [[cosineTopK]] (the q70/q82 discipline). Zero
-    * vectors carry no quantization scale and are excluded from stage 1
-    * (cosine against them is undefined anyway). Output:
+    * vectors carry no quantization scale and are excluded from stage 1;
+    * for a zero QUERY vector that means NO output rows (where
+    * [[cosineTopK]] would emit NaN-cosine rows) — cosine against a
+    * zero vector is undefined either way. Output:
     * (q_id, vec_id, cos, rank). */
   def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       c: Int = 50, idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
       excludeSelf: Boolean = false): DataFrame = {
     require(c >= k, s"candidate pool c=$c must be >= k=$k")
-    def quantized(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("v"),
-          maxAbsNative(col("v")).as("mx"))
-        .where(col("mx") > 0)
-        .select(col("vec_id"), quantizeNative(col("v"), col("mx")).as("qv"))
-        .select(col("vec_id"), col("qv"),
-          sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
     val e = normalize(corpus, idCol, vecCol)
       .localCheckpoint() // read by the quantizer AND the exact fetch
-    val qz = quantized(e)
-    val qq = quantized(normalize(queries, queryIdCol, queryVecCol))
+    val nq = normalize(queries, queryIdCol, queryVecCol)
+      .localCheckpoint() // read by the quantized probe AND the re-rank
+    val qz = graft.queries.Embeddings.quantizedOf(e)
+    val qq = graft.queries.Embeddings.quantizedOf(nq)
       .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
         col("qn").as("qqn"))
       .localCheckpoint() // tiny; probe side of the stage-1 scan
@@ -164,7 +161,7 @@ object Embed {
     val fetch = e.join(
       broadcast(cand.select(col("vec_id")).distinct()),
       Seq("vec_id"), "left_semi")
-    val eq = normalize(queries, queryIdCol, queryVecCol)
+    val eq = nq
       .select(col("vec_id").as("q_id"), col("v").as("ev"),
         col("nrm").as("en"))
     val scored = cand

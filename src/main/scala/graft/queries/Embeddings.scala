@@ -61,6 +61,25 @@ object Embeddings {
       .orderBy("q_id", "rank")
   }
 
+  /** The int8 quantization pipeline shared by q82/q90/q110 and
+    * [[graft.ops.Embed.rerankTopK]] — the grid definition lives in ONE
+    * place: per-vector symmetric max-abs scale via the codegen
+    * [[graft.functions.MaxAbsExpr]]/[[graft.functions.QuantizeExpr]],
+    * zero vectors dropped (no quantization scale), quantized L2 norm
+    * attached. Input needs (vec_id, v) plus `extra` passthrough
+    * columns; output (vec_id, <extra...>, qv, qn). */
+  private[graft] def quantizedOf(e: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
+    val ex = extra.map(col)
+    e.select(col("vec_id") +: ex :+ col("v") :+
+        maxAbsNative(col("v")).as("mx"): _*)
+      .where(col("mx") > 0) // zero vectors have no quantization scale
+      .select(col("vec_id") +: ex :+
+        quantizeNative(col("v"), col("mx")).as("qv"): _*)
+      .select(col("vec_id") +: ex :+ col("qv") :+
+        sqrt(dotNative(col("qv"), col("qv"))).as("qn"): _*)
+  }
+
   /** Session-level memo of [[computeAnnPairs]] results, keyed by
     * (session, dir). Same producer/consumer convention as
     * [[TextPipeline]]'s pair memo: q31 (the DETECTOR) always recomputes
@@ -639,13 +658,7 @@ object Embeddings {
     "q82_quantized_ann" -> ((s, dir) => {
       val e = normalized(s, dir)
         .localCheckpoint() // read by the quantizer AND the exact-error join
-      val qz = e.select(col("vec_id"), col("v"),
-          maxAbsNative(col("v")).as("mx"))
-        .where(col("mx") > 0) // zero vectors have no quantization scale
-        .select(col("vec_id"),
-          quantizeNative(col("v"), col("mx")).as("qv"))
-        .select(col("vec_id"), col("qv"),
-          sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
+      val qz = quantizedOf(e)
         .localCheckpoint() // quantized index: both search sides
       val qq = qz.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
@@ -707,13 +720,7 @@ object Embeddings {
     "q90_rerank_ann" -> ((s, dir) => {
       val e = normalized(s, dir)
         .localCheckpoint() // read by the quantizer AND the re-rank fetch
-      val qz = e.select(col("vec_id"), col("v"),
-          maxAbsNative(col("v")).as("mx"))
-        .where(col("mx") > 0)
-        .select(col("vec_id"),
-          quantizeNative(col("v"), col("mx")).as("qv"))
-        .select(col("vec_id"), col("qv"),
-          sqrt(dotNative(col("qv"), col("qv"))).as("qn"))
+      val qz = quantizedOf(e)
       val qq = qz.where(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("qv").as("qqv"),
           col("qn").as("qqn"))
@@ -1105,15 +1112,10 @@ object Embeddings {
           s"$dir#$cut", dataPath, Seq("cell")) {
         // built from the exact artifact — one scan, no embeddings read;
         // the double grid values round-trip the tinyint cast exactly
-        s.read.parquet(idxPath)
-          .select(col("vec_id"), col("cell"), col("v"),
-            maxAbsNative(col("v")).as("mx"))
-          .where(col("mx") > 0) // zero vectors have no quantization scale
+        quantizedOf(s.read.parquet(idxPath)
+            .select(col("vec_id"), col("cell"), col("v")), Seq("cell"))
           .select(col("vec_id"), col("cell"),
-            quantizeNative(col("v"), col("mx")).as("qvd"))
-          .select(col("vec_id"), col("cell"),
-            col("qvd").cast("array<tinyint>").as("qv8"),
-            sqrt(dotNative(col("qvd"), col("qvd"))).as("qn"))
+            col("qv").cast("array<tinyint>").as("qv8"), col("qn"))
       }
       val qidx = s.read.parquet(qidxPath)
         .select(col("vec_id"), col("cell"),
