@@ -74,10 +74,19 @@ object Curate {
   def packTailFrame(docs: DataFrame, shards: Int = 32,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(shards > 0, "shards must be positive")
-    docs.select(bpeTokenCount(col(textCol)).as("n_tokens"),
+    // DENSE output — one row per shard 0..shards-1, 0 for untouched
+    // shards — so the frame carries its own shard count and
+    // [[packAppend]] can reject a tails frame built under a different
+    // modulus instead of silently colliding offsets
+    val s = docs.sparkSession
+    val all = s.range(shards).select(col("id").as("shard"))
+    val agg = docs
+      .select(bpeTokenCount(col(textCol)).as("n_tokens"),
         (hash60(col(textCol)) % shards).as("shard"))
       .groupBy(col("shard"))
       .agg(sum(col("n_tokens")).cast("long").as("tail"))
+    all.join(agg, Seq("shard"), "left")
+      .select(col("shard"), coalesce(col("tail"), lit(0L)).as("tail"))
   }
 
   /** Append-only packing of a batch after FROZEN per-shard tails: the
@@ -93,6 +102,13 @@ object Curate {
       shards: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    // a tails frame built under a DIFFERENT modulus would silently
+    // collide batch offsets with the settled layout; packTailFrame is
+    // dense (one row per shard), so the row count IS its modulus
+    val nTails = tails.count()
+    require(nTails == shards,
+      s"tails frame carries $nTails shards but packAppend got " +
+        s"shards=$shards — rebuild packTailFrame with the same modulus")
     val w = Window.partitionBy("shard").orderBy(col("h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     batch.select(col(idCol), bpeTokenCount(col(textCol)).as("n_tokens"),

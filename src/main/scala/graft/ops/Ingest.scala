@@ -139,7 +139,14 @@ object Ingest {
     * generator pass feeds every member (the q109 single-derivation
     * discipline); members run serially here — the q109 entry overlaps
     * them as concurrent actions, an orchestration choice, not a
-    * semantics one. */
+    * semantics one.
+    *
+    * PRECONDITION (enforced): every old id must be strictly below
+    * every batch id — the cut discipline the whole incremental family
+    * assumes (dedup candidate pairs order old-before-batch by id, and
+    * a shared id would merge two documents' shingle sets into a
+    * chimera). The check is two parquet-stats-grain min/max probes
+    * (the O7 grain), not a data scan. */
   def scoreBatch(old: DataFrame, batch: DataFrame, idx: Indexes,
       target: String, buckets: Int = 10000, dfCap: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
@@ -148,6 +155,13 @@ object Ingest {
     val s = batch.sparkSession
     val o = canon(old, idCol, textCol, srcCol)
     val b = canon(batch, idCol, textCol, srcCol)
+    val oldMax = o.agg(max(col("doc_id").cast("long"))).head()
+    val batchMin = b.agg(min(col("doc_id").cast("long"))).head()
+    if (!oldMax.isNullAt(0) && !batchMin.isNullAt(0))
+      require(oldMax.getLong(0) < batchMin.getLong(0),
+        s"scoreBatch needs every old id < every batch id (the cut " +
+          s"discipline); got max(old)=${oldMax.get(0)} >= " +
+          s"min(batch)=${batchMin.get(0)} — renumber the batch")
     val meta = CrawlIngest.metaFrame(b).localCheckpoint()
     val grams = triShingleHashRows(b, Seq("source")).localCheckpoint()
     val (_, perDocNew) = CrawlIngest.vocabMember(idx.vocabTerms, grams)

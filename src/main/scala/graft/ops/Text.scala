@@ -144,8 +144,15 @@ object Text {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(patterns.nonEmpty, "scrub needs at least one pattern")
     val counts = patterns.map { case (lbl, re) =>
-      coalesce(size(regexp_extract_all(col(textCol), lit(re), lit(0)))
-        .cast("long"), lit(0L)).as(s"n_$lbl")
+      // NULL-text guard ahead of size(): legacy sizeOfNull returns -1
+      // instead of NULL, which coalesce would pass through — the
+      // explicit when() matches the oracle's 0 under any conf (the
+      // q98/q100 rule)
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(coalesce(
+          size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+            .cast("long"), lit(0L)))
+        .as(s"n_$lbl")
     }
     val clean = patterns.foldLeft(col(textCol)) { case (c, (lbl, re)) =>
       regexp_replace(c, lit(re), lit(s"[${lbl.toUpperCase}]"))
@@ -174,8 +181,11 @@ object Text {
   def boilerplate(docs: DataFrame, n: Int = 3, minDf: Int = 2,
       dfFrac: Double = 0.05, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source"): DataFrame = {
-    require(n >= 1 && minDf >= 2 && dfFrac >= 0.0,
-      "need n >= 1, minDf >= 2, dfFrac >= 0")
+    // n >= 3: the gram stream rides shingleHashRows' >=3-word document
+    // filter, so 1/2-gram requests would silently drop 1-2-word docs
+    // from both the row set and the group sizes — reject them loudly
+    require(n >= 3 && minDf >= 2 && dfFrac >= 0.0,
+      "need n >= 3 (shingle floor), minDf >= 2, dfFrac >= 0")
     val g = gramSetRows(docs, n, idCol, textCol, srcCol)
       .localCheckpoint() // corpus-growth frame read by nd, df, per-doc
     boilerRatioOf(g, boilerSetOf(g, minDf, dfFrac)
@@ -222,8 +232,8 @@ object Text {
   def boilerGramFrame(docs: DataFrame, n: Int = 3, minDf: Int = 2,
       dfFrac: Double = 0.05, idCol: String = "doc_id",
       textCol: String = "text", srcCol: String = "source"): DataFrame = {
-    require(n >= 1 && minDf >= 2 && dfFrac >= 0.0,
-      "need n >= 1, minDf >= 2, dfFrac >= 0")
+    require(n >= 3 && minDf >= 2 && dfFrac >= 0.0,
+      "need n >= 3 (shingle floor), minDf >= 2, dfFrac >= 0")
     boilerSetOf(gramSetRows(docs, n, idCol, textCol, srcCol),
       minDf, dfFrac)
   }

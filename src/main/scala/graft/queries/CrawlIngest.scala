@@ -446,16 +446,23 @@ object CrawlIngest {
     * the retrospective whole-batch view (q111 emits the arrival-time
     * view; see runStream). Shared by [[run]] and
     * [[graft.ops.Ingest.scoreBatch]]. */
-  private[graft] def batchTriageAndDup(batchKeys: DataFrame,
-      meta: DataFrame, hitKeys: DataFrame,
-      nearDocs: DataFrame): (DataFrame, DataFrame) = {
-    val triage = batchKeys
+  /** The exact/near/novel triage labeling alone — the arrival-time
+    * (q111) and batch-view (q109) forms differ ONLY in the `nearDocs`
+    * they pass, so the CASE lives once. */
+  private[graft] def triageOf(batchKeys: DataFrame, hitKeys: DataFrame,
+      nearDocs: DataFrame): DataFrame =
+    batchKeys
       .join(broadcast(hitKeys), Seq("gk"), "left")
       .join(broadcast(nearDocs), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_hit") === 1, "exact")
           .when(col("near_hit") === 1, "near")
           .otherwise("novel").as("triage"))
+
+  private[graft] def batchTriageAndDup(batchKeys: DataFrame,
+      meta: DataFrame, hitKeys: DataFrame,
+      nearDocs: DataFrame): (DataFrame, DataFrame) = {
+    val triage = triageOf(batchKeys, hitKeys, nearDocs)
     val bkeys3 = meta.where(col("nw") >= 3)
       .select(col("doc_id"), col("gk"))
     val firstIds = bkeys3.groupBy(col("gk"))
@@ -610,13 +617,7 @@ object CrawlIngest {
         // always the delta side by construction)
         val nearDocs = pairs.select(col("d2").as("doc_id")).distinct()
           .withColumn("near_hit", lit(1))
-        val triage = batchKeys
-          .join(broadcast(hitKeys), Seq("gk"), "left")
-          .join(broadcast(nearDocs), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            when(col("exact_hit") === 1, "exact")
-              .when(col("near_hit") === 1, "near")
-              .otherwise("novel").as("triage"))
+        val triage = triageOf(batchKeys, hitKeys, nearDocs)
         val bkeys3 = meta.where(col("nw") >= 3)
           .select(col("doc_id"), col("gk"))
         val firstIds = bkeys3.groupBy(col("gk"))

@@ -1242,7 +1242,10 @@ object TextPipeline {
     * the public frame definition ([[graft.ops.Curate.packTailFrame]]). */
   private[graft] def packTailIndex(s: SparkSession, dir: String,
       cut: Long): String =
-    graft.sources.SideTable.ensure(s, "pack_tails", s"$dir#$cut",
+    // key versioned "dense": the frame definition became dense (one
+    // row per shard) so packAppend's modulus check is exact — a stale
+    // sparse artifact from the earlier definition must rebuild
+    graft.sources.SideTable.ensure(s, "pack_tails", s"$dir#$cut#dense",
         Some(s"$dir/documents.parquet")) {
       graft.ops.Curate.packTailFrame(
         Graft.parquetSource(s, dir).table("documents")
