@@ -22,9 +22,18 @@ object Embed {
     * [[graft.functions.DotProductExpr]]. */
   def normalize(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // integral ids only, checked at the API boundary: the top-k and
+    // assignment aggregates key on long ids, and letting a string id
+    // through surfaces as an opaque Catalyst UpCast failure deep in
+    // the plan instead of here
+    val idType = emb.schema(idCol).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(idType.toString),
+      s"$idCol must be an integral id column, got $idType — hash or " +
+        "zip non-integral ids to longs before calling graft.ops.Embed")
     val s = emb.sparkSession
     emb.repartition(s.sparkContext.defaultParallelism, col(idCol))
-      .select(col(idCol).as("vec_id"),
+      .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"),
         sqrt(dotNative(col("v"), col("v"))).as("nrm"))
@@ -93,12 +102,16 @@ object Embed {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
       excludeSelf: Boolean = false): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && iters >= 1,
+      s"need nlist/nprobe/iters >= 1 (got $nlist/$nprobe/$iters)")
     val e = normalize(corpus, idCol, vecCol).localCheckpoint()
     val cents = graft.queries.Embeddings.kmeansCentroids(e, nlist, iters,
       capture = false)
-    val cells = graft.queries.Embeddings.kmAssignSlim(e, cents)
-      .select(col("vec_id"), col("cid").as("cell"))
-      .join(e, Seq("vec_id"))
+    // kmAssign carries (v, nrm) through the argmax struct — no
+    // join-back, the corpus shuffles once for the assignment
+    val cells = graft.queries.Embeddings.kmAssign(e, cents)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("cid").as("cell"))
       .localCheckpoint() // one row per corpus vector; probe-join side
     val q = normalize(queries, queryIdCol, queryVecCol)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -188,9 +201,9 @@ object Embed {
     val e = normalize(emb, idCol, vecCol).localCheckpoint()
     val cents = graft.queries.Embeddings.kmeansCentroids(e, k, iters,
       capture = false)
-    val km = graft.queries.Embeddings.kmAssignSlim(e, cents)
-      .select(col("vec_id"), col("cid").as("cluster"))
-      .join(e, Seq("vec_id"))
+    val km = graft.queries.Embeddings.kmAssign(e, cents)
+      .select(col("vec_id"), col("cid").as("cluster"), col("v"),
+        col("nrm"))
       .localCheckpoint() // cap scan + both pairwise sides + final left join
     val capped = Dedup.capBuckets(km, Seq("cluster"), s,
       "semdedup clusters", "graft.semdedup.maxCluster")

@@ -195,7 +195,7 @@ object Embeddings {
     * map-side-combinable max_by argmax (ties → lowest cid; the (score,
     * −cid) key is unique per group, so the argmax is deterministic and
     * identical to the oracle's `ORDER BY score DESC, cid`). */
-  private def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         kmScore(col("v"), col("cv"), col("cn")).as("score"))
@@ -1124,14 +1124,12 @@ object Embeddings {
         .select(col("vec_id").as("cid"), col("v").as("cv"),
           col("nrm").as("cn"))
         .localCheckpoint() // 16 rows; read by the probe ranking
-      val bqLazy = normalized(s, dir).where(col("vec_id") >= cut)
-        .select(col("vec_id").as("q_id"), col("v").as("ev"),
-          col("nrm").as("en"), maxAbsNative(col("v")).as("mx"))
-        .where(col("mx") > 0)
-        .select(col("q_id"), col("ev"), col("en"),
-          quantizeNative(col("ev"), col("mx")).as("qqv"))
-        .select(col("q_id"), col("ev"), col("en"), col("qqv"),
-          sqrt(dotNative(col("qqv"), col("qqv"))).as("qqn"))
+      val bqLazy = quantizedOf(
+          normalized(s, dir).where(col("vec_id") >= cut)
+            .select(col("vec_id"), col("v"), col("v").as("ev"),
+              col("nrm").as("en")), Seq("ev", "en"))
+        .select(col("vec_id").as("q_id"), col("ev"), col("en"),
+          col("qv").as("qqv"), col("qn").as("qqn"))
       val bq = bqLazy
         .localCheckpoint() // |batch| rows; probes + stage-1 + re-rank
       val wProbe = Window.partitionBy(col("q_id"))
