@@ -47,7 +47,12 @@ object Dedup {
     * exact-group representatives (buckets capped via
     * `graft.dedup.maxBucket`), verified with exact Jaccard ≥ `minJac`
     * on 3-gram shingle sets, then expanded back to the exact doc-level
-    * answer. Output: (d1, d2, jac) with d1 < d2. */
+    * answer. Output: (d1, d2, jac) with d1 < d2.
+    *
+    * FLOOR: documents under 3 words have no 3-gram shingles and are
+    * excluded entirely — even exact copies of each other. Dedup short
+    * texts (titles, queries) with [[exact]]/[[exactGroups]], which
+    * have no shingle floor. */
   def minhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minJac: Double = 0.8): DataFrame = {
     val canon = docs.select(col(idCol).as("doc_id"),
@@ -90,8 +95,17 @@ object Dedup {
       // the self-join without leaving a cached table behind
     val chunks = array((0 until 8).map(c =>
       shiftright(col("sh"), 6 * c).bitwiseAND(lit(63L))): _*)
-    val keyed = sim.select(col("doc_id"), col("sh"),
-      posexplode(chunks).as(Seq("chunk_idx", "chunk_key")))
+    // capped like every pairwise surface in the family: a degenerate
+    // corpus (many near-identical signatures) would otherwise turn the
+    // chunk self-join quadratic; oversized buckets drop LOUDLY via
+    // DedupGuard, trading recall for boundedness exactly as q27's
+    // banded join does (the pigeonhole-exactness claim then holds for
+    // every surviving bucket)
+    val keyed = capBuckets(
+      sim.select(col("doc_id"), col("sh"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk_key"))),
+      Seq("chunk_idx", "chunk_key"), docs.sparkSession,
+      "simhash chunk buckets")
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b,
       col("a.chunk_idx") === col("b.chunk_idx") &&

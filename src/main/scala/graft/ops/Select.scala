@@ -45,7 +45,13 @@ object Select {
   /** Per-document DSIR importance scores of `pool` docs against the
     * `target` domain corpus. Output: (<id>, n_tokens, sum_bits, score)
     * — higher = more target-like. The corpus-growth pool never shuffles
-    * to meet the LMs (both broadcast). */
+    * to meet the LMs (both broadcast).
+    *
+    * Tokenization convention (shared with every DuckDB oracle in the
+    * engine): an empty/whitespace-only document splits to ONE empty
+    * token, so it scores n_tokens=1 rather than dropping out — filter
+    * such docs upstream (e.g. [[Curate.qualityFilter]] or a length
+    * predicate) if they should not compete for selection budget. */
   def dsir(pool: DataFrame, target: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", buckets: Int = 10000): DataFrame = {
     val p = pool.select(col(idCol).as("doc_id"), col(textCol).as("text"))

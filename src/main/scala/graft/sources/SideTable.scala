@@ -40,7 +40,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    filters would have false negatives): the crawl loop (score a
   *    batch against the gram-set artifact, then union the batch's
   *    grams into it). Single-writer semantics — the caller serializes
-  *    appends.
+  *    appends, AND any concurrent [[ensureBloomOf]] on the same
+  *    artifact: a bloom build racing an append could scan the
+  *    pre-append rows yet land its filter under a fresh valid
+  *    manifest AFTER append's invalidation, reintroducing the
+  *    false-negative staleness the invalidation exists to prevent.
+  *    The engine's loops obey this (q76/q111 run bloom probes and
+  *    their appends from the same serialized foreachBatch epoch).
   *
   * Paths are content-determined (md5 of the full key) under
   * `graft.artifacts.dir` (default java.io.tmpdir); a real deployment
@@ -58,12 +64,23 @@ object SideTable {
     * relative names + sizes + mtimes, hashed. Metadata-only — never
     * reads file contents. */
   def fingerprint(dataPath: String): String = {
+    val root = new File(dataPath)
+    // a missing corpus must fail loudly: hashing it to the constant
+    // md5("") would give every snapshot the same identity and serve
+    // stale artifacts as valid — the exact staleness this fingerprint
+    // exists to prevent
+    require(root.exists(),
+      s"fingerprint data path does not exist: $dataPath")
     def walk(f: File, prefix: String): Seq[String] =
       if (f.isFile) Seq(s"$prefix${f.getName}:${f.length}:${f.lastModified}")
-      else Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .sortBy(_.getName)
-        .flatMap(c => walk(c, s"$prefix${f.getName}/"))
-    md5hex(walk(new File(dataPath), "").mkString("|"))
+      else {
+        val kids = f.listFiles()
+        if (kids == null) throw new IllegalStateException(
+          s"unreadable directory in fingerprint walk: ${f.getAbsolutePath}")
+        kids.toSeq.sortBy(_.getName)
+          .flatMap(c => walk(c, s"$prefix${f.getName}/"))
+      }
+    md5hex(walk(root, "").mkString("|"))
   }
 
   private def fullKey(key: String, dataPath: Option[String]): String =
@@ -303,9 +320,19 @@ object SideTable {
       dataFiles(dir).size, parts)
     // every epoch appends fresh part-files under an unchanged identity;
     // unbounded, a long-running crawl loop turns the artifact scan
-    // seek-bound — compact once the file count crosses the conf
+    // seek-bound — compact once the file count crosses the conf.
+    // A partitioned artifact can never compact below one file per
+    // partition value, so its trigger floor rises with the leaf-dir
+    // count (else every append past |values| > maxFiles would rewrite
+    // the whole artifact without ever clearing the threshold); 2× the
+    // leaf count guarantees each compaction at least halves the files.
     val maxFiles = s.conf.get("graft.artifacts.maxFiles", "64").toLong
-    if (dataFiles(dir).size > maxFiles) compact(s, name, fk, path)
+    val files = dataFiles(dir)
+    val floor =
+      if (parts.isEmpty) maxFiles
+      else maxFiles.max(
+        2L * files.map(_.getParentFile.getAbsolutePath).distinct.size)
+    if (files.size > floor) compact(s, name, fk, path)
     path
   }
 

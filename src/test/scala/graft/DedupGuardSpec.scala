@@ -91,6 +91,26 @@ class DedupGuardSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.dedup.maxBucket")
   }
 
+  test("q28: identical-signature floods trip the simhash chunk cap loudly") {
+    DedupGuard.reset()
+    import spark.implicits._
+    // 50 near-identical documents (one trailing word varies) produce
+    // identical or near-identical 48-bit signatures, so every chunk
+    // bucket holds ~50 docs > cap=10: the self-join is dropped LOUDLY
+    // instead of materializing ~8·50²/2 rows
+    val docs = (0 until 50)
+      .map(i => (i.toLong,
+        "alpha beta gamma delta epsilon zeta eta theta anchor"))
+      .toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.maxBucket", "10")
+    try {
+      val out = graft.ops.Dedup.simhashPairs(docs)
+      assert(out.count() === 0)
+      assert(DedupGuard.skippedBuckets.get() >= 1)
+      assert(DedupGuard.largestSkipped.get() === 50)
+    } finally spark.conf.unset("graft.dedup.maxBucket")
+  }
+
   test("q53: 100-deep near-dup chain converges without tripping the guard") {
     DedupGuard.reset()
     // Sliding 41-word windows over one 440-word stream: consecutive docs
