@@ -1683,56 +1683,10 @@ object CorpusQuality {
     // same df cap and tf saturation, same (score DESC, doc_id) total
     // order.
     "q102_bm25_retrieval" ->
-      """WITH ws AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
-        |), occ AS (
-        |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
-        |      array_to_string(list_slice(w, i, i+2), ' '))) s
-        |    FROM ws WHERE len(w) >= 3
-        |  )
-        |), tf AS (
-        |  SELECT doc_id, h, count(*)::bigint AS tf FROM occ GROUP BY doc_id, h
-        |), dl AS (
-        |  SELECT doc_id, sum(tf)::bigint AS dl FROM tf GROUP BY doc_id
-        |), stats AS (
-        |  SELECT h, count(*)::bigint AS df FROM tf GROUP BY h
-        |), tot AS (
-        |  SELECT sum(tf)::bigint AS t_tok,
-        |    count(DISTINCT doc_id)::bigint AS n_docs FROM tf
-        |), q AS (
-        |  SELECT d.doc_id FROM documents d
-        |  WHERE ('0x' || substr(md5(d.text),1,15))::bigint % 20 = 0
-        |    AND d.doc_id IN (SELECT doc_id FROM dl)
-        |), cand AS (
-        |  SELECT DISTINCT q.doc_id AS query_id, t2.doc_id AS doc_id
-        |  FROM q
-        |  JOIN tf t1 ON t1.doc_id = q.doc_id
-        |  JOIN stats s ON s.h = t1.h AND s.df <= 16
-        |  JOIN tf t2 ON t2.h = t1.h AND t2.doc_id <> q.doc_id
-        |), contrib AS (
-        |  SELECT c.query_id, c.doc_id,
-        |    ((length(bin(n_docs)) - length(bin(st.df)))::hugeint
-        |      * 22 * least(t2.tf, 15) * t_tok * 1000000)
-        |    // (10*t_tok*least(t2.tf,15) + 3*t_tok + 9*d.dl*n_docs) AS ppm
-        |  FROM cand c
-        |  JOIN tf tq ON tq.doc_id = c.query_id
-        |  JOIN tf t2 ON t2.doc_id = c.doc_id AND t2.h = tq.h
-        |  JOIN stats st ON st.h = tq.h
-        |  JOIN dl d ON d.doc_id = c.doc_id
-        |  CROSS JOIN tot
-        |), scored AS (
-        |  SELECT query_id, doc_id, sum(ppm)::bigint AS score_ppm
-        |  FROM contrib GROUP BY query_id, doc_id
-        |), ranked AS (
-        |  SELECT query_id, doc_id, score_ppm,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_ppm DESC, doc_id) AS rank
-        |  FROM scored
-        |)
+      (bm25RankedCtes + """
         |SELECT query_id, rank::bigint AS rank, doc_id, score_ppm
         |FROM ranked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+        |ORDER BY query_id, rank""".stripMargin),
 
     "q103_bigram_surprisal" ->
       """WITH ws AS (
@@ -2058,6 +2012,58 @@ object CorpusQuality {
          |      ROWS UNBOUNDED PRECEDING)::bigint AS cum
          |  FROM base
          |)""".stripMargin
+
+  /** The q102 BM25 pipeline as a WITH-chain ending at `ranked` —
+    * shared by the q102 oracle and q116's negatives oracle (which
+    * filters the same ranking through the near-dup pair set). */
+  private[queries] lazy val bm25RankedCtes: String =
+    """WITH ws AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w FROM documents
+      |), occ AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s),1,15))::bigint % 2147483647 h FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i ->
+      |      array_to_string(list_slice(w, i, i+2), ' '))) s
+      |    FROM ws WHERE len(w) >= 3
+      |  )
+      |), tf AS (
+      |  SELECT doc_id, h, count(*)::bigint AS tf FROM occ GROUP BY doc_id, h
+      |), dl AS (
+      |  SELECT doc_id, sum(tf)::bigint AS dl FROM tf GROUP BY doc_id
+      |), stats AS (
+      |  SELECT h, count(*)::bigint AS df FROM tf GROUP BY h
+      |), tot AS (
+      |  SELECT sum(tf)::bigint AS t_tok,
+      |    count(DISTINCT doc_id)::bigint AS n_docs FROM tf
+      |), q AS (
+      |  SELECT d.doc_id FROM documents d
+      |  WHERE ('0x' || substr(md5(d.text),1,15))::bigint % 20 = 0
+      |    AND d.doc_id IN (SELECT doc_id FROM dl)
+      |), cand AS (
+      |  SELECT DISTINCT q.doc_id AS query_id, t2.doc_id AS doc_id
+      |  FROM q
+      |  JOIN tf t1 ON t1.doc_id = q.doc_id
+      |  JOIN stats s ON s.h = t1.h AND s.df <= 16
+      |  JOIN tf t2 ON t2.h = t1.h AND t2.doc_id <> q.doc_id
+      |), contrib AS (
+      |  SELECT c.query_id, c.doc_id,
+      |    ((length(bin(n_docs)) - length(bin(st.df)))::hugeint
+      |      * 22 * least(t2.tf, 15) * t_tok * 1000000)
+      |    // (10*t_tok*least(t2.tf,15) + 3*t_tok + 9*d.dl*n_docs) AS ppm
+      |  FROM cand c
+      |  JOIN tf tq ON tq.doc_id = c.query_id
+      |  JOIN tf t2 ON t2.doc_id = c.doc_id AND t2.h = tq.h
+      |  JOIN stats st ON st.h = tq.h
+      |  JOIN dl d ON d.doc_id = c.doc_id
+      |  CROSS JOIN tot
+      |), scored AS (
+      |  SELECT query_id, doc_id, sum(ppm)::bigint AS score_ppm
+      |  FROM contrib GROUP BY query_id, doc_id
+      |), ranked AS (
+      |  SELECT query_id, doc_id, score_ppm,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_ppm DESC, doc_id) AS rank
+      |  FROM scored
+      |)""".stripMargin
 
   private lazy val sourceReportSql: String =
       """WITH base AS (

@@ -1235,6 +1235,47 @@ object TextPipeline {
       graft.ops.Curate.packAppend(d.where(col("doc_id") >= cut),
           s.read.parquet(tPath), seqLen = 512, shards = 32)
         .orderBy("shard", "start_off", "doc_id")
+    }),
+
+    // ---- q116: BM25 hard negatives minus near-dups ---------------------
+    // The text-side sibling of q96/q99 (embedding-space contrastive
+    // mining): per sampled query doc, the top BM25 hits that are NOT
+    // near-duplicates of the query. A near-dup ranked high by BM25 is
+    // a FALSE negative — it is semantically the query — and training a
+    // retriever against it teaches the model to push true matches
+    // away; the verified near-dup pair set (q27's, from the session
+    // memo, so a mining session after a dedup pass pays the LSH
+    // pipeline once) filters the candidate list before the negatives
+    // are cut. Ranking and sample rule are exactly q102's (same ops
+    // core); the pair set broadcasts into an anti-join on the k·|q|
+    // hit spine, and the re-rank window partitions per query over ≤ k
+    // rows. Output: (query_id, neg_rank, doc_id, score_ppm).
+    "q116_bm25_negatives" -> ((s, dir) => {
+      val dfCap = s.conf.getOption("graft.bm25.dfCap").map(_.toInt)
+        .getOrElse(16)
+      val k = s.conf.getOption("graft.bm25.k").map(_.toInt).getOrElse(10)
+      val nNeg = s.conf.getOption("graft.negatives.n").map(_.toInt)
+        .getOrElse(5)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val queries = d.where(pmod(hash60(col("text")), lit(20)) === 0)
+        .select(col("doc_id"), col("text"))
+      val hits = graft.ops.Retrieval.bm25(d, queries, k, dfCap,
+          excludeSelf = true)
+        .localCheckpoint() // k·|queries| rows; anti-join spine + window
+      val (members, repPairs) = pairMemo.computeIfAbsent(
+        memoKey(s, dir), _ => computeRepPairs(s, dir))
+      val pairs = expandRepPairs(members, repPairs)
+        .select(col("d1"), col("d2"))
+      val sym = pairs.unionByName(
+          pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .select(col("d1").as("query_id"), col("d2").as("doc_id"))
+      val w = Window.partitionBy("query_id").orderBy("rank")
+      hits.join(broadcast(sym), Seq("query_id", "doc_id"), "left_anti")
+        .withColumn("neg_rank", row_number().over(w).cast("long"))
+        .where(col("neg_rank") <= nNeg)
+        .select(col("query_id"), col("neg_rank"), col("doc_id"),
+          col("score_ppm"))
+        .orderBy("query_id", "neg_rank")
     })
   )
 
@@ -1965,7 +2006,29 @@ object TextPipeline {
         |  coalesce(t.tail, 0) + cum - n_tokens AS start_off,
         |  (coalesce(t.tail, 0) + cum - n_tokens) // 512 AS pack_id
         |FROM pos p LEFT JOIN tails t ON p.shard = t.shard
-        |ORDER BY p.shard, start_off, p.doc_id""".stripMargin
+        |ORDER BY p.shard, start_off, p.doc_id""".stripMargin,
+
+    "q116_bm25_negatives" ->
+      (CorpusQuality.bm25RankedCtes +
+        s""", topk AS (
+           |  SELECT query_id, doc_id, score_ppm, rank
+           |  FROM ranked WHERE rank <= 10
+           |), nd_pairs AS ($minhashPairsSql),
+           |neg AS (
+           |  SELECT t.query_id, t.doc_id, t.score_ppm, t.rank FROM topk t
+           |  WHERE NOT EXISTS (SELECT 1 FROM nd_pairs p
+           |    WHERE (p.d1 = t.query_id AND p.d2 = t.doc_id)
+           |       OR (p.d2 = t.query_id AND p.d1 = t.doc_id))
+           |), rer AS (
+           |  SELECT query_id, doc_id, score_ppm,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY rank)
+           |      AS neg_rank
+           |  FROM neg
+           |)
+           |SELECT query_id, neg_rank::bigint AS neg_rank, doc_id,
+           |  score_ppm
+           |FROM rer WHERE neg_rank <= 5
+           |ORDER BY query_id, neg_rank""".stripMargin)
   )
 
   private[graft] lazy val incrementalDedupSql: String =
