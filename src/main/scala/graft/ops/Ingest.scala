@@ -145,8 +145,12 @@ object Ingest {
     * every batch id — the cut discipline the whole incremental family
     * assumes (dedup candidate pairs order old-before-batch by id, and
     * a shared id would merge two documents' shingle sets into a
-    * chimera). The check is two parquet-stats-grain min/max probes
-    * (the O7 grain), not a data scan. */
+    * chimera). The check compares max(old)/min(batch) on the RAW id
+    * column with Spark's `<` — the SAME ordering the pair construction
+    * uses — so caller-chosen id types (strings, decimals) are checked
+    * under their real ordering, never a silently-null long cast; null
+    * ids on either side fail outright. Still min/max-probe grain (the
+    * O7 grain), not a data scan. */
   def scoreBatch(old: DataFrame, batch: DataFrame, idx: Indexes,
       target: String, buckets: Int = 10000, dfCap: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
@@ -155,13 +159,22 @@ object Ingest {
     val s = batch.sparkSession
     val o = canon(old, idCol, textCol, srcCol)
     val b = canon(batch, idCol, textCol, srcCol)
-    val oldMax = o.agg(max(col("doc_id").cast("long"))).head()
-    val batchMin = b.agg(min(col("doc_id").cast("long"))).head()
-    if (!oldMax.isNullAt(0) && !batchMin.isNullAt(0))
-      require(oldMax.getLong(0) < batchMin.getLong(0),
+    val cut = o.agg(max(col("doc_id")).as("mx"), count(lit(1)).as("on"),
+        count(col("doc_id")).as("onid"))
+      .crossJoin(b.agg(min(col("doc_id")).as("mn"),
+        count(lit(1)).as("bn"), count(col("doc_id")).as("bnid")))
+      .select(col("mx"), col("mn"), (col("mx") < col("mn")).as("ok"),
+        (col("on") === col("onid")).as("oc"),
+        (col("bn") === col("bnid")).as("bc"))
+      .head()
+    require(cut.getAs[Boolean]("oc") && cut.getAs[Boolean]("bc"),
+      "scoreBatch found null ids — the cut discipline orders documents " +
+        "by id, so every row needs one")
+    if (!cut.isNullAt(2)) // either side empty → nothing to order
+      require(cut.getAs[Boolean]("ok"),
         s"scoreBatch needs every old id < every batch id (the cut " +
-          s"discipline); got max(old)=${oldMax.get(0)} >= " +
-          s"min(batch)=${batchMin.get(0)} — renumber the batch")
+          s"discipline); got max(old)=${cut.get(0)} >= " +
+          s"min(batch)=${cut.get(1)} — renumber the batch")
     val meta = CrawlIngest.metaFrame(b).localCheckpoint()
     val grams = triShingleHashRows(b, Seq("source")).localCheckpoint()
     val (_, perDocNew) = CrawlIngest.vocabMember(idx.vocabTerms, grams)

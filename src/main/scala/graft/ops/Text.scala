@@ -136,7 +136,15 @@ object Text {
     * earlier pattern's replacement token is never re-matched by a later
     * pattern as long as tokens stay outside the pattern alphabets
     * (uppercase bracketed labels vs. lowercase/digit matchers — the
-    * built-ins obey this). Null text passes through as null with zero
+    * built-ins obey this). Known count/replacement divergence: counts
+    * run on the RAW text while replacements chain, so a later pattern
+    * can redact a span only EXPOSED by an earlier replacement's token
+    * boundary ("a@b.co123-45-6789" → clean_text "[EMAIL][SSN]" with
+    * n_ssn = 0 — on the raw text the SSN digits sit inside a longer
+    * word, so `\b` rejects them). n_<label> is therefore "matches in
+    * the original document", a lower bound on redactions actually
+    * applied; the DuckDB oracle uses the identical construction, so
+    * parity is unaffected. Null text passes through as null with zero
     * counts. At 100 TB this is pure map-side work: the regex battery
     * rides the scan, nothing shuffles, and filters on the count columns
     * (e.g. `n_redactions = 0` for a strict drop policy) stay pushable. */
@@ -249,7 +257,18 @@ object Text {
     * the NEXT snapshot owns its templates. */
   def boilerScore(batch: DataFrame, boilerSet: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text",
-      srcCol: String = "source"): DataFrame = {
+      srcCol: String = "source"): DataFrame =
+    boilerScoreImpl(batch, boilerSet, n, idCol, textCol, srcCol,
+      capture = false)
+
+  /** [[boilerScore]] with the q114 plan-pin capture. `capture` costs
+    * two extra executedPlan compilations and a shared @volatile write,
+    * so ONLY the q114 binding/spec turns it on — production calls
+    * through the public signature never pay it (the kmeansCentroids
+    * capture-flag convention). */
+  private[graft] def boilerScoreImpl(batch: DataFrame,
+      boilerSet: DataFrame, n: Int, idCol: String, textCol: String,
+      srcCol: String, capture: Boolean): DataFrame = {
     val gLazy = gramSetRows(batch, n, idCol, textCol, srcCol)
     val g = gLazy
       .localCheckpoint() // batch-bounded; read by the key set + ratio
@@ -257,7 +276,7 @@ object Text {
     val hitsLazy = boilerSet.select(col("src"), col("h"))
       .join(broadcast(keys), Seq("src", "h"), "left_semi")
       .withColumn("b", lit(1))
-    lastBoilerScorePlans =
+    if (capture) lastBoilerScorePlans =
       gLazy.queryExecution.executedPlan.toString +
         "\n-- hits --\n" + hitsLazy.queryExecution.executedPlan.toString
     val hits = hitsLazy
@@ -265,10 +284,10 @@ object Text {
     boilerRatioOf(g, broadcast(hits), idCol, srcCol)
   }
 
-  /** Physical plans of [[boilerScore]]'s gram pass and artifact probe
-    * (captured pre-checkpoint), for the q114 plan pin: the only
-    * generator is the batch's own, and the old corpus contributes via
-    * the frozen-set scan alone. */
+  /** Physical plans of [[boilerScoreImpl]]'s gram pass and artifact
+    * probe (captured pre-checkpoint when `capture` is on), for the
+    * q114 plan pin: the only generator is the batch's own, and the old
+    * corpus contributes via the frozen-set scan alone. */
   @volatile private[graft] var lastBoilerScorePlans: String = ""
 
   /** C4-style quality-flag battery — one single-pass, fully codegen'd

@@ -1213,8 +1213,9 @@ object TextPipeline {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
       val bPath = boilerGramIndex(s, dir, cut)
-      graft.ops.Text.boilerScore(d.where(col("doc_id") >= cut),
-          s.read.parquet(bPath))
+      graft.ops.Text.boilerScoreImpl(d.where(col("doc_id") >= cut),
+          s.read.parquet(bPath), 3, "doc_id", "text", "source",
+          capture = true) // the q114 plan pin reads the capture
         .orderBy("doc_id")
     }),
 

@@ -26,6 +26,7 @@ object Geo {
   private val Point = 1
   private val LineString = 2
   private val Polygon = 3
+  private val GeometryCollection = 7
   // EWKB flag bits in the type word
   private val SridFlag = 0x20000000
   private val ZFlag = 0x80000000
@@ -35,10 +36,15 @@ object Geo {
     * point → [x,y]; linestring → [x1,y1,x2,y2,…]; polygon → exterior-ring
     * [x1,y1,…] (interior rings appended in order — ring boundaries are
     * recoverable from the closing coordinate, and the reference's polygon
-    * convention is a flat coordinate list). Z/M dimensions are rejected
-    * loudly rather than silently dropped. */
-  def decodeEwkb(bytes: Array[Byte]): Array[Double] = {
-    val buf = ByteBuffer.wrap(bytes)
+    * convention is a flat coordinate list); geometrycollection → members'
+    * coordinates concatenated in order (each member is a complete WKB
+    * geometry with its own endianness byte). Z/M dimensions are rejected
+    * loudly rather than silently dropped. Golden vectors: the reference's
+    * PostGIS test bytes (test_postgres.py:13-31, DialectConformanceSpec). */
+  def decodeEwkb(bytes: Array[Byte]): Array[Double] =
+    decodeFrom(ByteBuffer.wrap(bytes))
+
+  private def decodeFrom(buf: ByteBuffer): Array[Double] = {
     buf.order(if (buf.get() == 0) ByteOrder.BIG_ENDIAN
               else ByteOrder.LITTLE_ENDIAN)
     val typeWord = buf.getInt
@@ -57,6 +63,9 @@ object Geo {
           val n = buf.getInt
           Array.fill(n * 2)(buf.getDouble)
         }
+      case GeometryCollection =>
+        val n = buf.getInt
+        (0 until n).toArray.flatMap(_ => decodeFrom(buf))
       case other =>
         throw new IllegalArgumentException(
           s"unsupported EWKB geometry type $other")

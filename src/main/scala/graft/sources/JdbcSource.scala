@@ -43,11 +43,19 @@ final class JdbcSource(val spark: SparkSession, url: String,
 
   JdbcSource.ensureDialect()
 
+  /** PG reads resolve plain TIMESTAMP as TimestampNTZType — the
+    * reference's Timestamp(µs, no tz) convention (schema.rs:100) —
+    * while TIMESTAMPTZ stays TimestampType (the dialect pins it).
+    * Scoped to postgresql so the Derby/test paths keep Spark defaults.
+    * Asserted per type-zoo column in DialectConformanceSpec. */
+  private val preferNtz = url.startsWith("jdbc:postgresql")
+
   override def execute(query: String): DataFrame =
     applyConventions(
       spark.read.format("jdbc")
         .option("url", url)
         .option("query", query)
+        .option("preferTimestampNTZ", preferNtz)
         .load(),
       query)
 
@@ -58,8 +66,11 @@ final class JdbcSource(val spark: SparkSession, url: String,
       // single partitioned query → predicates array, 1 task per range
       val query = plan.config.queries.head
       val dbtable = s"($query) as query_inner"
+      val p = new Properties()
+      p.putAll(props)
+      p.setProperty("preferTimestampNTZ", String.valueOf(preferNtz))
       applyConventions(
-        spark.read.jdbc(url, dbtable, plan.predicates.toArray, props), query)
+        spark.read.jdbc(url, dbtable, plan.predicates.toArray, p), query)
     } else {
       // one or more unpartitioned queries → union of single-partition reads
       plan.dataQueries.map(execute).reduce(_ unionAll _)

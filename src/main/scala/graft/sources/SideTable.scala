@@ -245,37 +245,26 @@ object SideTable {
     // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (2^26) and
     // .maxNumItems (4·10⁶) — below the documented bloomMaxBits cap, so
     // past ~4M keys the 16-bits/key sizing would quietly degrade.
-    // Raise both for the duration of the build (analysis and the write
-    // job both run inside `ensure`), restore after.
-    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    // raise/restore is snapshot-based, so two concurrent builds could
-    // each snapshot the OTHER's raised value and "restore" it
-    // permanently — serialize the conf-mutating window (bloom builds
-    // are rare and memoized; the lock is uncontended in steady state).
-    // Known seam: the raised confs are SESSION-scoped, so unrelated
-    // queries running concurrently in the same session during the
-    // build window see them too and may oversize their own runtime
-    // bloom filters — benign (filters stay correct, just larger), and
-    // bounded by the rare, memoized build window; a deployment with
-    // heavy concurrent traffic would run builds on a cloned session.
-    val path = bloomConfLock.synchronized {
-      val prev = Seq(bitsConf, itemsConf).map(c => c -> s.conf.getOption(c))
-      s.conf.set(bitsConf, math.max(bits, 1L << 26).toString)
-      s.conf.set(itemsConf, math.max(n, 4000000L).toString)
-      try ensure(s, s"${name}_bloom", key, dataPath) {
-        import org.apache.spark.sql.functions.col
-        s.read.parquet(exactPath)
-          .agg(graft.functions.Bloom.agg(col(keyCol), n, bits).as("bf"))
-      } finally prev.foreach { case (c, v) =>
-        v.fold(s.conf.unset(c))(s.conf.set(c, _)) }
+    // Raise both on a CLONED session (shared SparkContext, isolated
+    // SQLConf) and build the aggregate frame there: the parent
+    // session's confs are never touched, so unrelated queries running
+    // concurrently can't observe the raised values and oversize their
+    // own runtime bloom filters, and concurrent builds need no
+    // serializing lock (each clone owns its confs). The memo/manifest
+    // identity stays keyed on the PARENT session — only the frame's
+    // analysis/execution runs under the clone.
+    val bs = s.newSession()
+    bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(bits, 1L << 26).toString)
+    bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(n, 4000000L).toString)
+    val path = ensure(s, s"${name}_bloom", key, dataPath) {
+      import org.apache.spark.sql.functions.col
+      bs.read.parquet(exactPath)
+        .agg(graft.functions.Bloom.agg(col(keyCol), n, bits).as("bf"))
     }
     s.read.parquet(path).head().getAs[Array[Byte]](0)
   }
-
-  /** Serializes the session-conf raise/restore window in
-    * [[ensureBloomOf]] (see comment there). */
-  private val bloomConfLock = new Object
 
   /** Appends `delta` to an already-ensured artifact and updates its
     * manifest row count — the incremental-maintenance path (e.g. after

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   *     BinaryType (raw EWKB), postgres.rs:243-255.
   *
   * Deliberate capability superset (SURVEY.md §1.3 "explicitly unsupported"):
-  * the reference panics on NUMERIC, TIMESTAMPTZ, INTERVAL, JSON; Spark has
-  * native types for all of them and this mapping includes them.
+  * the reference panics on NUMERIC, TIMESTAMPTZ, INTERVAL, JSON; this
+  * mapping carries all of them (INTERVAL as raw text — see the case below).
+  * Conformance with the reference's full type-zoo DDL is asserted row-by-row
+  * in DialectConformanceSpec via Spark's real JDBC schema resolution.
   */
 object TypeMapping {
 
@@ -41,7 +43,12 @@ object TypeMapping {
     case "timestamp" => TimestampNTZType
     // --- superset beyond the reference (it panics on these) ---
     case "timestamptz" | "timestamp with time zone" => TimestampType
-    case "interval" => DayTimeIntervalType()
+    // raw interval text pass-through: PG intervals mix month and
+    // day-time fields, which no single Spark interval type represents
+    // (DayTimeIntervalType would lossy-drop months) — and this matches
+    // what the JDBC read path actually materializes
+    // (DialectConformanceSpec)
+    case "interval" => StringType
     case "json" | "jsonb" => StringType
     // --- arrays (before the prefix-guarded scalars: "numeric(10,2)[]"
     //     must recurse on its element type, not parse as a decimal) ---

@@ -184,6 +184,49 @@ class SideTableSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom builds never touch the parent session's sizing confs — " +
+      "even concurrent ones (cloned-session scoping)") {
+    import spark.implicits._
+    freshRoot {
+      val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      // sentinels: any write by a build (old design: raise → restore,
+      // racy across concurrent builds) would be visible as a non-
+      // sentinel value either mid-run or after
+      spark.conf.set(bitsConf, "12345678")
+      spark.conf.set(itemsConf, "1234567")
+      try {
+        val pA = SideTable.ensure(spark, "spec_bloomiso_a", "k") {
+          Seq(1L, 2L, 3L).toDF("id") }
+        val pB = SideTable.ensure(spark, "spec_bloomiso_b", "k") {
+          Seq(7L, 8L).toDF("id") }
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val builds = Seq(
+          Future(SideTable.ensureBloomOf(spark, "spec_bloomiso_a", "k",
+            None, pA, "id")),
+          Future(SideTable.ensureBloomOf(spark, "spec_bloomiso_b", "k",
+            None, pB, "id")))
+        val Seq(bfA, bfB) = builds.map(Await.result(_, 120.seconds))
+        // mid-build and after: the parent's confs are exactly the
+        // sentinels (the clone owns the raised values)
+        assert(spark.conf.get(bitsConf) === "12345678")
+        assert(spark.conf.get(itemsConf) === "1234567")
+        def contains(bf: Array[Byte], v: Long): Boolean =
+          Seq(v).toDF("id")
+            .select(graft.functions.Bloom.mightContain(bf,
+              org.apache.spark.sql.functions.col("id")))
+            .head().getBoolean(0)
+        assert(contains(bfA, 1L) && contains(bfA, 2L) && contains(bfA, 3L))
+        assert(contains(bfB, 7L) && contains(bfB, 8L))
+      } finally {
+        spark.conf.unset(bitsConf)
+        spark.conf.unset(itemsConf)
+      }
+    }
+  }
+
   test("drop deletes the artifact on disk and from the session memo") {
     import spark.implicits._
     freshRoot {

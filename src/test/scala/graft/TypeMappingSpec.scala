@@ -46,7 +46,9 @@ class TypeMappingSpec extends AnyFunSuite {
     assert(pgTypeToSpark("numeric(12,2)") == DecimalType(12, 2))
     assert(pgTypeToSpark("numeric") == DecimalType(38, 18))
     assert(pgTypeToSpark("timestamptz") == TimestampType)
-    assert(pgTypeToSpark("interval") == DayTimeIntervalType())
+    assert(pgTypeToSpark("interval") == StringType) // raw text; PG
+    // intervals mix month + day-time fields, unrepresentable in one
+    // Spark interval type
     assert(pgTypeToSpark("jsonb") == StringType)
   }
 
@@ -89,14 +91,14 @@ class TypeMappingSpec extends AnyFunSuite {
     val supersetSupported = Seq(
       "numeric(10, 2)" -> DecimalType(10, 2),
       "numeric(12, 4)" -> DecimalType(12, 4),
-      "interval" -> DayTimeIntervalType(),
+      "interval" -> StringType,
       "json" -> StringType, "jsonb" -> StringType,
       "timestamp with time zone" -> TimestampType,
       "numeric(10, 2)[]" -> ArrayType(DecimalType(10, 2)),
       "json[]" -> ArrayType(StringType),
       "jsonb[]" -> ArrayType(StringType),
       "timestamp with time zone[]" -> ArrayType(TimestampType),
-      "interval[]" -> ArrayType(DayTimeIntervalType()))
+      "interval[]" -> ArrayType(StringType))
     for ((t, expected) <- supersetSupported)
       assert(pgTypeToSpark(t) == expected, t)
 
