@@ -186,6 +186,106 @@ object Embed {
     graft.queries.Embeddings.topkPerQuery(scored, k)
   }
 
+  /** Product-quantization (PQ) two-stage cosine top-k — the FAISS-style
+    * IVFPQ compressed-index design re-expressed as DataFrames: the
+    * vector dimension splits into `m` subspaces, each learns its own
+    * `ksub`-centroid codebook (the engine's deterministic fixed-point
+    * k-means — bit-stable under any partitioning), and every corpus
+    * vector compresses to `m` small codes. Stage 1 scans ONLY the code
+    * table with asymmetric-distance computation (ADC): per query, an
+    * `m`·`ksub`-entry partial-dot table broadcasts, each corpus row's
+    * approximate score is `m` table lookups summed in fixed expression
+    * order (bit-stable — no shuffle-order float sums), and the top-`c`
+    * candidates surface through the mergeable TopK aggregate. Stage 2
+    * fetches exact vectors for candidates ALONE (broadcast semi-join)
+    * and re-ranks to the final top-`k` by exact cosine.
+    *
+    * Scale shape (100 TB): the scanned index is `m` smallints per
+    * vector — for m=8 on 64-dim floats, 32× smaller than the raw
+    * vectors — so the stage-1 scan is bandwidth-light and embarrassingly
+    * parallel; the per-query tables are |q|·m·ksub rows (broadcast);
+    * nothing pairwise ever shuffles, and the exact corpus is touched
+    * only for ≤ c·|q| candidate rows. Compose with [[ivfTopK]]'s cell
+    * partitioning to prune the code scan itself (IVF routes, PQ
+    * compresses — orthogonal levers). Codes are learned on the RAW
+    * vectors (ADC approximates the raw dot product); ranking within a
+    * query is unaffected by the query's own norm, and stage 2 re-ranks
+    * by exact cosine, so norm spread in the corpus costs recall (tune
+    * `c`), never correctness of the surfaced ranking. Recall audits:
+    * [[cosineTopK]] ground truth (the q70 discipline).
+    * Output: (q_id, vec_id, cos, rank). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      m: Int = 4, ksub: Int = 16, iters: Int = 3, c: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(m >= 1 && ksub >= 1 && iters >= 1,
+      s"need m/ksub/iters >= 1 (got $m/$ksub/$iters)")
+    require(c >= k, s"candidate pool c=$c must be >= k=$k")
+    val e = normalize(corpus, idCol, vecCol)
+      .localCheckpoint() // codebook training + codes + exact fetch
+    // metadata-grain dimension probe; ragged vectors would slice
+    // silently wrong, so they fail here instead
+    val dims = e.agg(min(size(col("v"))).as("mn"),
+      max(size(col("v"))).as("mx")).head()
+    val dim = dims.getInt(1)
+    require(dims.getInt(0) == dim,
+      s"ragged vector lengths (${dims.getInt(0)}..$dim) — PQ needs one " +
+        "dimension")
+    require(dim % m == 0, s"m=$m must divide the vector dimension $dim")
+    val sub = dim / m
+    val q = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .localCheckpoint() // ADC tables + the exact re-rank
+    val pieces = (0 until m).map { j =>
+      val sj = e.select(col("vec_id"),
+          slice(col("v"), j * sub + 1, sub).as("v"))
+        .select(col("vec_id"), col("v"),
+          sqrt(dotNative(col("v"), col("v"))).as("nrm"))
+        .localCheckpoint() // codebook training + assignment
+      val cents = graft.queries.Embeddings.kmeansCentroids(sj, ksub,
+        iters, capture = false)
+      val codes = graft.queries.Embeddings.kmAssignSlim(sj, cents)
+        .select(col("vec_id"), col("cid").as(s"c$j"))
+        .localCheckpoint() // the compressed index slice: 1 code/vector
+      val tab = q.select(col("q_id"),
+          slice(col("qv"), j * sub + 1, sub).as("qs"))
+        .join(broadcast(cents), lit(true))
+        .select(col("q_id"), col("cid").as(s"c$j"),
+          dotNative(col("qs"), col("cv")).as(s"p$j"))
+        .localCheckpoint() // |q|·ksub rows — the ADC lookup table
+      (codes, tab)
+    }
+    // one narrow row per vector holding all m codes
+    val codesWide = pieces.map(_._1).reduce(_.join(_, Seq("vec_id")))
+      .localCheckpoint()
+    // ADC: m broadcast lookups; approx = p0 + p1 + … in FIXED order
+    val looked = pieces.zipWithIndex.foldLeft(codesWide) {
+      case (acc, ((_, tab), j)) =>
+        acc.join(broadcast(tab),
+          if (j == 0) Seq(s"c$j") else Seq(s"c$j", "q_id"))
+    }
+    val selfCond =
+      if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)
+    val approx = looked.where(selfCond)
+      .select(col("q_id"), col("vec_id"),
+        (0 until m).map(j => col(s"p$j")).reduce(_ + _).as("cos"))
+    val cand = graft.queries.Embeddings.topkPerQuery(approx, c)
+      .select(col("q_id"), col("vec_id"))
+      .localCheckpoint() // ≤ c·|q| rows; fetch probe + re-rank spine
+    val fetch = e.join(
+      broadcast(cand.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_semi")
+    val scored = cand
+      .join(fetch, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
+    graft.queries.Embeddings.topkPerQuery(scored, k)
+  }
+
   /** SemDeDup keep/drop labeling: k-means clusters, then an ε-ball
     * dominance pass WITHIN each cluster — a vector is dropped iff a
     * lower-id cluster-mate sits at cosine ≥ `tau` (one matrix pass, no

@@ -156,6 +156,12 @@ object Embeddings {
   private val SemTauDefault = 0.45
 
   private val RerankCDefault = 20
+
+  /** q117 PQ defaults: 4 subspaces × 16 centroids over Dim=64 — the
+    * oracle unrolls exactly these (conf knobs graft.pq.m/ksub exist for
+    * deployments; changing them parts ways with the oracle, like kmK). */
+  private[graft] val PqMDefault = 4
+  private[graft] val PqKsubDefault = 16
   private val OodTauDefault = 0.12
 
   private[graft] def kmK(s: SparkSession): Int =
@@ -1170,6 +1176,29 @@ object Embeddings {
           (dotNative(col("ev"), col("v")) / (col("en") * col("nrm")))
             .as("cos"))
       topkPerQuery(scored, 5)
+    }),
+
+    // ---- q117: product-quantization two-stage ANN ---------------------
+    // Thin binding over [[graft.ops.Embed.pqTopK]] — the FAISS-style
+    // compressed-index design: 4 subspace codebooks (16 centroids each,
+    // the engine's deterministic fixed-point k-means), every vector
+    // compressed to 4 codes, stage-1 ADC scan over the code table with
+    // per-query broadcast lookup tables (fixed-order partial sums, so
+    // the approximate scores are bit-stable under any partitioning),
+    // exact cosine re-rank of the top-C candidates. Same query set,
+    // depth, and output shape as q90 so the two compressed-index
+    // designs (symmetric int8 grid vs learned PQ codebooks) are
+    // directly comparable. The oracle replays codebook training,
+    // encoding, ADC, and re-rank end-to-end in SQL.
+    "q117_pq_ann" -> ((s, dir) => {
+      val m = s.conf.getOption("graft.pq.m").map(_.toInt)
+        .getOrElse(PqMDefault)
+      val ksub = s.conf.getOption("graft.pq.ksub").map(_.toInt)
+        .getOrElse(PqKsubDefault)
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      graft.ops.Embed.pqTopK(emb, emb.where(col("vec_id") < 5), k = 5,
+        m = m, ksub = ksub, iters = KmItersDefault, c = rerankC(s),
+        excludeSelf = true)
     })
   )
 
@@ -1658,6 +1687,8 @@ object Embeddings {
            |  FROM scored
            |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
+    "q117_pq_ann" -> pqAnnSql,
+
     "q70_ann_recall" ->
       s"""WITH exact AS ($cosineTopkSql),
          |approx AS ($ivfAnnSql),
@@ -1673,6 +1704,94 @@ object Embeddings {
          |  coalesce(n_hit, 0)::double / 5 AS recall
          |FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
   )
+
+  /** q117's oracle: codebook training (per-subspace unrolled k-means —
+    * the kmCtes arithmetic over vector slices), encoding (argmin
+    * assignment per subspace), the ADC stage-1 scan (per-query partial-
+    * dot lookup tables, fixed-order sum p0 + p1 + …), and the exact
+    * cosine re-rank — end-to-end in SQL, op for op with
+    * [[graft.ops.Embed.pqTopK]]. */
+  private lazy val pqAnnSql: String = {
+    val m = PqMDefault
+    val sub = Dim / m
+    val subCtes = (0 until m).map { j =>
+      val lo = j * sub + 1
+      val hi = (j + 1) * sub
+      def subNorm(v: String) =
+        s"sqrt(list_reduce(list_prepend(0.0::double, list_transform($v, x -> x*x)), (acc, x) -> acc + x))"
+      val frame =
+        s""", s$j AS (
+           |  SELECT vec_id, v[$lo:$hi] sv, ${subNorm(s"v[$lo:$hi]")} sn FROM e
+           |), s${j}c0 AS (
+           |  SELECT vec_id AS cid, sv AS cv, sn AS cn FROM (
+           |    SELECT vec_id, sv, sn, row_number() OVER (ORDER BY
+           |      (('0x' || substr(md5(vec_id::varchar),1,15))::bigint % 2147483647), vec_id) rnk
+           |    FROM s$j
+           |  ) WHERE rnk <= $PqKsubDefault
+           |)""".stripMargin
+      val iters = (1 to KmItersDefault).map { it =>
+        val prev = s"s${j}c${it - 1}"
+        s""", s${j}a$it AS (
+           |  SELECT vec_id, sv, cid FROM (
+           |    SELECT s.vec_id, s.sv, c.cid,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${kmScoreSql("s.sv", "c.cv", "c.cn")} DESC, c.cid) rnk
+           |    FROM s$j s CROSS JOIN $prev c
+           |  ) WHERE rnk = 1
+           |), s${j}u$it AS (
+           |  SELECT cid, i, sum(floor(sv[i] * $FpScale)::bigint) s, count(*) n
+           |  FROM s${j}a$it CROSS JOIN range(1, ${sub + 1}) t(i)
+           |  GROUP BY cid, i
+           |), s${j}c$it AS (
+           |  SELECT cid, cv, ${subNorm("cv")} cn
+           |  FROM (
+           |    SELECT cid, list(((s::double / n::double) / $FpScale) ORDER BY i) cv
+           |    FROM s${j}u$it GROUP BY cid
+           |  )
+           |)""".stripMargin
+      }.mkString
+      val codeAndTab =
+        s""", s${j}code AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT s.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${kmScoreSql("s.sv", "c.cv", "c.cn")} DESC, c.cid) rnk
+           |    FROM s$j s CROSS JOIN s${j}c$KmItersDefault c
+           |  ) WHERE rnk = 1
+           |), s${j}tab AS (
+           |  SELECT q.vec_id q_id, c.cid, ${duckDot(s"q.v[$lo:$hi]", "c.cv")} part
+           |  FROM e q CROSS JOIN s${j}c$KmItersDefault c WHERE q.vec_id < 5
+           |)""".stripMargin
+      frame + iters + codeAndTab
+    }.mkString
+    val partSum = (0 until m).map(j => s"t$j.part").mkString(" + ")
+    val lookupJoins = (1 until m).map(j =>
+      s"\n  JOIN s${j}code k$j ON k$j.vec_id = k0.vec_id" +
+      s"\n  JOIN s${j}tab t$j ON t$j.cid = k$j.cid AND t$j.q_id = t0.q_id")
+      .mkString
+    baseCte + subCtes +
+      s""", approx AS (
+         |  SELECT t0.q_id, k0.vec_id, ($partSum) approx
+         |  FROM s0code k0
+         |  JOIN s0tab t0 ON t0.cid = k0.cid$lookupJoins
+         |  WHERE k0.vec_id <> t0.q_id
+         |), cand AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) rnk
+         |    FROM approx
+         |  ) WHERE rnk <= $RerankCDefault
+         |), qe AS (SELECT vec_id q_id, v qv, nrm qn FROM e WHERE vec_id < 5),
+         |rer AS (
+         |  SELECT c.q_id, c.vec_id, (${duckDot("q.qv", "ee.v")} / (q.qn * ee.nrm)) AS cos
+         |  FROM cand c JOIN e ee ON ee.vec_id = c.vec_id JOIN qe q ON q.q_id = c.q_id
+         |)
+         |SELECT q_id, vec_id, cos, rank FROM (
+         |  SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+         |  FROM rer
+         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
 
   /** q46's full oracle SQL — also the `approx` CTE of q70. */
   private lazy val ivfAnnSql: String =

@@ -425,6 +425,46 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Embed.pqTopK with c = corpus size equals the exact ranking " +
+      "on (node, vec)") {
+    // two well-separated 4-dim blobs: subspace codebooks (m=2) learn
+    // each axis pair, so ADC candidate generation keeps the true
+    // neighborhood even at tiny ksub
+    val corpus = Seq(
+      (1L, Seq(10.0f, 0.1f, 0.0f, 0.1f)),
+      (2L, Seq(10.2f, 0.0f, 0.1f, 0.0f)),
+      (3L, Seq(9.9f, 0.2f, 0.0f, 0.2f)),
+      (4L, Seq(0.1f, 10.0f, 9.9f, 0.0f)),
+      (5L, Seq(0.0f, 10.1f, 10.0f, 0.1f)),
+      (6L, Seq(0.2f, 9.9f, 10.2f, 0.0f))).toDF("node", "vec")
+    val queries = Seq((100L, Seq(10.0f, 0.15f, 0.05f, 0.1f)))
+      .toDF("node", "vec")
+    // candidate pool = whole corpus: ADC cannot lose recall, so the
+    // exact re-rank must reproduce the brute-force ranking bit-for-bit
+    val got = Embed.pqTopK(corpus, queries, k = 3, m = 2, ksub = 4,
+      iters = 2, c = 6, idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    val exact = Embed.cosineTopK(corpus, queries, k = 3,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    assert(got.sortBy(_._1).toSeq === exact.sortBy(_._1).toSeq)
+    // m must divide the dimension; ragged/misaligned splits fail loudly
+    intercept[IllegalArgumentException] {
+      Embed.pqTopK(corpus, queries, k = 2, m = 3, ksub = 4, c = 3,
+        idCol = "node", vecCol = "vec",
+        queryIdCol = "node", queryVecCol = "vec")
+    }
+    intercept[IllegalArgumentException] {
+      Embed.pqTopK(corpus, queries, k = 5, c = 3,
+        idCol = "node", vecCol = "vec",
+        queryIdCol = "node", queryVecCol = "vec")
+    }
+  }
+
   test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
     val blobs = Seq(
       (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.0f, 0.1f)), // dup of 1
