@@ -43,6 +43,40 @@ object Curate {
         .otherwise("test"))
   }
 
+  /** Per-key frequency cap — the "at most n documents per domain"
+    * curation rule of web-corpus building (over-crawled domains
+    * otherwise dominate the mix): keeps a deterministic, uniform
+    * n-document sample per key, chosen by content-independent hash
+    * priority (house hash of the id — reproducible under reprocessing,
+    * no rand()). Rides the mergeable bounded TopK aggregate: map-side
+    * partial top-n per key, ≤ n·|tasks| rows shuffle per key — never
+    * the full-partition sort a `row_number() <= n` window pays, which
+    * at 100 TB is the difference between shuffling n rows per domain
+    * and sorting every row. Output: one row per KEPT document —
+    * (<key>, <id>, keep_rank), keep_rank 1..n in priority order. */
+  def capPerKey(docs: DataFrame, n: Int, keyCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"per-key cap must be >= 1 (got $n)")
+    val idType = docs.schema(idCol).dataType.toString
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(idType),
+      s"$idCol must be an integral id column, got $idType")
+    val topk = org.apache.spark.sql.functions.udaf(
+      new graft.functions.TopK.TopKAgg(n),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        graft.functions.TopK.Scored]())
+    val pri = hash60(col(idCol).cast("string")) % lit(2147483647L)
+    docs.select(col(keyCol), col(idCol).cast("long").as("__id"),
+        pri.as("__pri"))
+      // smallest priority first: TopKAgg orders score DESC, id ASC
+      .groupBy(col(keyCol))
+      .agg(topk((-col("__pri")).cast("double"), col("__id"),
+        lit(0L), lit(0L), lit(0L)).as("top"))
+      .select(col(keyCol), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col(keyCol), col("r.k1").as(idCol),
+        (col("i") + 1).cast("long").as("keep_rank"))
+  }
+
   /** Deterministic sequence packing — the concat-and-chunk layout step
     * of LLM pretraining: documents are content-hash-sharded, ordered
     * deterministically within each shard (hash, then id), laid out on a

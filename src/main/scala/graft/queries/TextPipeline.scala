@@ -1277,6 +1277,22 @@ object TextPipeline {
         .select(col("query_id"), col("neg_rank"), col("doc_id"),
           col("score_ppm"))
         .orderBy("query_id", "neg_rank")
+    }),
+
+    // ---- q118: per-domain frequency cap --------------------------------
+    // Thin binding over [[graft.ops.Curate.capPerKey]] — the "at most n
+    // docs per domain" rule that stops over-crawled domains from
+    // dominating a training mix: a deterministic hash-priority sample
+    // per source via the mergeable bounded TopK aggregate (map-side
+    // partial top-n, ≤ n rows per source cross the shuffle — never the
+    // per-key full sort a row_number window pays; q40's window form is
+    // the contrast, kept there because its per-lang k=5 output IS the
+    // window shape). Cap knob: graft.cap.perKey.
+    "q118_domain_cap" -> ((s, dir) => {
+      val n = s.conf.getOption("graft.cap.perKey").map(_.toInt)
+        .getOrElse(15)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      graft.ops.Curate.capPerKey(d, n).orderBy("source", "doc_id")
     })
   )
 
@@ -1512,6 +1528,15 @@ object TextPipeline {
         |       THEN 80 ELSE 30 END)
         |  THEN 1 ELSE 0 END)::bigint AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q118_domain_cap" ->
+      """SELECT source, doc_id, keep_rank FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (('0x' || substr(md5(doc_id::varchar),1,15))::bigint
+        |        % 2147483647), doc_id) AS keep_rank
+        |  FROM documents
+        |) WHERE keep_rank <= 15 ORDER BY source, doc_id""".stripMargin,
 
     "q52_contamination" ->
       """WITH ws AS (

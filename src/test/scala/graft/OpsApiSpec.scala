@@ -209,6 +209,34 @@ class OpsApiSpec extends AnyFunSuite {
       s"target-like doc did not outscore junk: $scores")
   }
 
+  test("Curate.capPerKey keeps a deterministic n-sample per key on " +
+      "(page_id, site)") {
+    import graft.ops.Curate
+    val d = (1L to 20L).map(i =>
+      (i, if (i <= 12) "big.com" else "small.org", s"doc $i"))
+      .toDF("page_id", "site", "body")
+    val out = Curate.capPerKey(d, 5, keyCol = "site", idCol = "page_id")
+    assert(out.columns.toSeq === Seq("site", "page_id", "keep_rank"))
+    val bySite = out.collect().groupBy(_.getString(0))
+    assert(bySite("big.com").length === 5) // capped
+    assert(bySite("small.org").length === 5) // under... 8 docs, capped to 5
+    assert(bySite.values.flatten.map(_.getAs[Long]("keep_rank")).toSeq
+      .forall(r => r >= 1 && r <= 5))
+    // deterministic: a re-run under a different partitioning keeps the
+    // same documents in the same ranks
+    val again = Curate.capPerKey(d.repartition(7), 5,
+      keyCol = "site", idCol = "page_id")
+    assert(out.orderBy("site", "page_id").collect().toSeq ===
+      again.orderBy("site", "page_id").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Curate.capPerKey(d, 0, keyCol = "site", idCol = "page_id")
+    }
+    intercept[IllegalArgumentException] {
+      Curate.capPerKey(d.withColumn("sid", col("site")), 3,
+        keyCol = "site", idCol = "sid") // non-integral id fails loudly
+    }
+  }
+
   test("Curate.tokenBudget matches the brute-force prefix cut") {
     val docs = (1L to 40L)
       .map(i => (i, s"tok$i " * (i % 5 + 1).toInt)).toDF("k", "txt")
