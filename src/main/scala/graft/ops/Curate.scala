@@ -77,6 +77,41 @@ object Curate {
         (col("i") + 1).cast("long").as("keep_rank"))
   }
 
+  /** Per-key kept-count frame — the ≤|keys|-row artifact the
+    * incremental cap ([[capPerKeyAppend]]) scores batches against:
+    * how many documents [[capPerKey]] keeps per key at the snapshot.
+    * Single definition: the q119 artifact builder ensures through this,
+    * so the public API and the verified query cannot drift. */
+  def capCounts(docs: DataFrame, n: Int, keyCol: String = "source",
+      idCol: String = "doc_id"): DataFrame =
+    capPerKey(docs, n, keyCol, idCol)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_kept"))
+
+  /** Incremental per-key cap — [[capPerKey]] as the crawl loop runs it:
+    * documents kept at the snapshot STAY kept (the q115 append-only
+    * discipline — re-running the global cap over old∪batch could evict
+    * already-committed documents, rewriting downstream state), so a
+    * batch competes only for each key's REMAINING slots: batch docs
+    * rank among themselves by the same hash priority and keep while
+    * `n_kept(old) + rank <= n`, with keep_rank continuing the
+    * snapshot's numbering. The deliberate divergence from a full
+    * re-cap is first-come-first-served across epochs (hash-uniform
+    * within each); a re-snapshot restores the uniform global sample.
+    * Cost per batch: one batch scan + a ≤|keys|-row broadcast — the
+    * old corpus contributes via the count artifact only. A key unseen
+    * at snapshot time starts at 0. Output: kept batch rows only —
+    * (<key>, <id>, keep_rank). */
+  def capPerKeyAppend(batch: DataFrame, counts: DataFrame, n: Int,
+      keyCol: String = "source", idCol: String = "doc_id"): DataFrame =
+    capPerKey(batch, n, keyCol, idCol)
+      .withColumnRenamed("keep_rank", "__brnk")
+      .join(broadcast(counts.select(col(keyCol),
+        col("n_kept").as("__base"))), Seq(keyCol), "left")
+      .withColumn("__b0", coalesce(col("__base"), lit(0L)))
+      .where(col("__b0") + col("__brnk") <= n)
+      .select(col(keyCol), col(idCol),
+        (col("__b0") + col("__brnk")).as("keep_rank"))
+
   /** Deterministic sequence packing — the concat-and-chunk layout step
     * of LLM pretraining: documents are content-hash-sharded, ordered
     * deterministically within each shard (hash, then id), laid out on a

@@ -1293,8 +1293,42 @@ object TextPipeline {
         .getOrElse(15)
       val d = Graft.parquetSource(s, dir).table("documents")
       graft.ops.Curate.capPerKey(d, n).orderBy("source", "doc_id")
+    }),
+
+    // ---- q119: incremental per-domain cap vs persisted kept-counts -----
+    // q118 as the crawl loop runs it: the snapshot's per-source kept
+    // counts persist (≤ |sources| rows); each batch competes only for
+    // the REMAINING slots per source — already-kept documents stay kept
+    // (the q115 append-only discipline; a full re-cap could evict
+    // committed docs and rewrite downstream state), batch docs rank by
+    // the same hash priority, keep_rank continues the snapshot's
+    // numbering. Batch-proportional: one batch scan + a tiny broadcast;
+    // the old corpus contributes via the count artifact only. The cap
+    // (graft.cap.perKeyIncr, default 22) sits just above the per-source
+    // old-doc count at the test cut so BOTH the saturation path and the
+    // remaining-slot path execute.
+    "q119_incremental_domain_cap" -> ((s, dir) => {
+      val n = s.conf.getOption("graft.cap.perKeyIncr").map(_.toInt)
+        .getOrElse(22)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val cPath = capCountIndex(s, dir, cut, n)
+      graft.ops.Curate.capPerKeyAppend(d.where(col("doc_id") >= cut),
+          s.read.parquet(cPath), n)
+        .orderBy("source", "doc_id")
     })
   )
+
+  /** The persisted per-source kept-count artifact behind q119 — built
+    * via the public frame definition ([[graft.ops.Curate.capCounts]]). */
+  private[graft] def capCountIndex(s: SparkSession, dir: String,
+      cut: Long, n: Int): String =
+    graft.sources.SideTable.ensure(s, "cap_counts", s"$dir#$cut#n$n",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Curate.capCounts(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), n)
+    }
 
   /** The persisted per-shard pack-tail artifact behind q115 — built via
     * the public frame definition ([[graft.ops.Curate.packTailFrame]]). */
@@ -1537,6 +1571,28 @@ object TextPipeline {
         |        % 2147483647), doc_id) AS keep_rank
         |  FROM documents
         |) WHERE keep_rank <= 15 ORDER BY source, doc_id""".stripMargin,
+
+    "q119_incremental_domain_cap" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |oldr AS (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY (('0x' || substr(md5(doc_id::varchar),1,15))::bigint
+        |      % 2147483647), doc_id) AS rnk
+        |  FROM documents WHERE doc_id < (SELECT c FROM cut)
+        |), oldc AS (
+        |  SELECT source, count(*) AS n0 FROM oldr WHERE rnk <= 22
+        |  GROUP BY source
+        |), bat AS (
+        |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+        |    ORDER BY (('0x' || substr(md5(doc_id::varchar),1,15))::bigint
+        |      % 2147483647), doc_id) AS rnk
+        |  FROM documents WHERE doc_id >= (SELECT c FROM cut)
+        |)
+        |SELECT b.source, b.doc_id,
+        |  (coalesce(o.n0, 0) + b.rnk)::bigint AS keep_rank
+        |FROM bat b LEFT JOIN oldc o USING (source)
+        |WHERE coalesce(o.n0, 0) + b.rnk <= 22
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q52_contamination" ->
       """WITH ws AS (

@@ -237,6 +237,32 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Curate.capPerKeyAppend fills only the remaining slots and " +
+      "never evicts snapshot-kept docs") {
+    import graft.ops.Curate
+    val old = (1L to 8L).map(i => (i, "big.com", s"doc $i"))
+      .toDF("page_id", "site", "body")
+    val batch = Seq((10L, "big.com", "b1"), (11L, "big.com", "b2"),
+      (12L, "big.com", "b3"), (13L, "new.org", "b4"))
+      .toDF("page_id", "site", "body")
+    val counts = Curate.capCounts(old, 10, keyCol = "site",
+      idCol = "page_id") // big.com: 8 kept of a 10-cap
+    val out = Curate.capPerKeyAppend(batch, counts, 10,
+      keyCol = "site", idCol = "page_id").collect()
+    val big = out.filter(_.getString(0) == "big.com")
+    // 2 remaining slots: exactly 2 batch docs kept, ranks continue 9, 10
+    assert(big.length === 2)
+    assert(big.map(_.getAs[Long]("keep_rank")).sorted.toSeq ===
+      Seq(9L, 10L))
+    // a key unseen at snapshot time starts from 0
+    val nw = out.filter(_.getString(0) == "new.org")
+    assert(nw.length === 1 && nw.head.getAs[Long]("keep_rank") === 1L)
+    // saturated key: no batch doc fits
+    val full = Curate.capPerKeyAppend(batch, counts, 8,
+      keyCol = "site", idCol = "page_id").collect()
+    assert(!full.exists(_.getString(0) == "big.com"))
+  }
+
   test("Curate.tokenBudget matches the brute-force prefix cut") {
     val docs = (1L to 40L)
       .map(i => (i, s"tok$i " * (i % 5 + 1).toInt)).toDF("k", "txt")
