@@ -219,13 +219,68 @@ object Embed {
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
       excludeSelf: Boolean = false): DataFrame = {
-    require(m >= 1 && ksub >= 1 && iters >= 1,
-      s"need m/ksub/iters >= 1 (got $m/$ksub/$iters)")
     require(c >= k, s"candidate pool c=$c must be >= k=$k")
     val e = normalize(corpus, idCol, vecCol)
       .localCheckpoint() // codebook training + codes + exact fetch
-    // metadata-grain dimension probe; ragged vectors would slice
-    // silently wrong, so they fail here instead
+    val sub = subDimOf(e, m)
+    val q = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .localCheckpoint() // ADC tables + the exact re-rank
+    val cb = pqCodebooksOf(e, m, sub, ksub, iters)
+    val codes = pqEncodeOf(e, cb, m).localCheckpoint()
+    pqSearchOf(codes, cb, e, q, k, c, m, sub, excludeSelf)
+  }
+
+  /** The per-subspace PQ codebook frame — (sub, cid, cv, cn), m·ksub
+    * rows: subspace `sub`'s `ksub` centroids over the corpus's
+    * `slice(v, sub·d/m+1, d/m)` subvectors, trained by the engine's
+    * deterministic fixed-point k-means. This IS the frozen-index frame
+    * definition the q120 snapshot builder persists — the session op
+    * ([[pqTopK]]) derives through the same code, so artifact and
+    * in-session answers cannot drift. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 4, ksub: Int = 16,
+      iters: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = normalize(corpus, idCol, vecCol).localCheckpoint()
+    pqCodebooksOf(e, m, subDimOf(e, m), ksub, iters)
+  }
+
+  /** PQ-encode a corpus against trained codebooks: one narrow row per
+    * vector holding all m codes — (vec_id, c0..c{m-1}), the compressed
+    * index (m·log2(ksub) bits of information per vector). */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = normalize(corpus, idCol, vecCol).localCheckpoint()
+    pqEncodeOf(e, codebooks.localCheckpoint(), m)
+  }
+
+  /** Search FROZEN PQ artifacts: ADC stage 1 over a persisted code
+    * table + codebooks, exact re-rank against a persisted exact-payload
+    * frame (vec_id, v, nrm — [[normalize]]'s layout). The incremental
+    * crawl-loop form (q120): per batch, cost is the code-table scan
+    * (m smallints/vector) + ≤ c·|queries| exact fetches — raw corpus
+    * vectors are never scanned for scoring. Output:
+    * (q_id, vec_id, cos, rank). */
+  def pqSearch(codes: DataFrame, codebooks: DataFrame, exact: DataFrame,
+      queries: DataFrame, k: Int = 10, c: Int = 50, m: Int = 4,
+      queryIdCol: String = "vec_id",
+      queryVecCol: String = "embedding"): DataFrame = {
+    require(c >= k, s"candidate pool c=$c must be >= k=$k")
+    val q = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .localCheckpoint()
+    val sub = subDimOf(q.select(col("q_id").as("vec_id"),
+      col("qv").as("v"), col("qn").as("nrm")), m)
+    pqSearchOf(codes, codebooks.localCheckpoint(), exact, q, k, c, m,
+      sub, excludeSelf = false)
+  }
+
+  /** Metadata-grain dimension probe (+ m-divides + ragged check):
+    * ragged vectors would slice silently wrong, so they fail here. */
+  private def subDimOf(e: DataFrame, m: Int): Int = {
+    require(m >= 1, s"need m >= 1 (got $m)")
     val dims = e.agg(min(size(col("v"))).as("mn"),
       max(size(col("v"))).as("mx")).head()
     val dim = dims.getInt(1)
@@ -233,36 +288,70 @@ object Embed {
       s"ragged vector lengths (${dims.getInt(0)}..$dim) — PQ needs one " +
         "dimension")
     require(dim % m == 0, s"m=$m must divide the vector dimension $dim")
-    val sub = dim / m
-    val q = normalize(queries, queryIdCol, queryVecCol)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
-      .localCheckpoint() // ADC tables + the exact re-rank
-    val pieces = (0 until m).map { j =>
-      val sj = e.select(col("vec_id"),
-          slice(col("v"), j * sub + 1, sub).as("v"))
-        .select(col("vec_id"), col("v"),
-          sqrt(dotNative(col("v"), col("v"))).as("nrm"))
-        .localCheckpoint() // codebook training + assignment
-      val cents = graft.queries.Embeddings.kmeansCentroids(sj, ksub,
-        iters, capture = false)
-      val codes = graft.queries.Embeddings.kmAssignSlim(sj, cents)
+    dim / m
+  }
+
+  /** Subspace j's (vec_id, v, nrm) slice frame off a normalized corpus. */
+  private def pqSliceOf(e: DataFrame, j: Int, sub: Int): DataFrame =
+    e.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(dotNative(col("v"), col("v"))).as("nrm"))
+
+  private def pqCodebooksOf(e: DataFrame, m: Int, sub: Int, ksub: Int,
+      iters: Int): DataFrame = {
+    require(ksub >= 1 && iters >= 1,
+      s"need ksub/iters >= 1 (got $ksub/$iters)")
+    // the m codebooks are independent small jobs — train them
+    // CONCURRENTLY (each k-means iteration is an eager checkpointed
+    // action, so serial training pays m·(iters+1) sequential job
+    // launches of mostly fixed overhead; overlapping them cut q117's
+    // wall ~2× at test SFs and the results are identical — each
+    // subspace's arithmetic is self-contained and deterministic)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = (0 until m).map { j =>
+      Future(graft.queries.Embeddings.kmeansCentroids(
+          pqSliceOf(e, j, sub).localCheckpoint(), ksub, iters,
+          capture = false)
+        .select(lit(j).as("sub"), col("cid"), col("cv"), col("cn")))
+    }
+    trained.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
+  }
+
+  private def pqEncodeOf(e: DataFrame, cb: DataFrame, m: Int): DataFrame = {
+    val sub = subDimOf(e, m)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (0 until m).map { j =>
+      // the slice feeds ONE assignment pass — no checkpoint needed
+      // (training slices checkpoint because k-means re-reads them);
+      // the m assignments are independent — overlap them like training
+      Future(graft.queries.Embeddings.kmAssignSlim(pqSliceOf(e, j, sub),
+          cb.where(col("sub") === j)
+            .select(col("cid"), col("cv"), col("cn")))
         .select(col("vec_id"), col("cid").as(s"c$j"))
-        .localCheckpoint() // the compressed index slice: 1 code/vector
-      val tab = q.select(col("q_id"),
-          slice(col("qv"), j * sub + 1, sub).as("qs"))
-        .join(broadcast(cents), lit(true))
+        .localCheckpoint()) // the compressed index slice: 1 code/vector
+    }.map(Await.result(_, Duration.Inf)).reduce(_.join(_, Seq("vec_id")))
+  }
+
+  /** ADC + exact re-rank over (codes, codebooks, exact) frames —
+    * shared by the session op and the frozen-artifact search. */
+  private def pqSearchOf(codes: DataFrame, cb: DataFrame,
+      exact: DataFrame, q: DataFrame, k: Int, c: Int, m: Int, sub: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val tabs = (0 until m).map { j =>
+      q.select(col("q_id"), slice(col("qv"), j * sub + 1, sub).as("qs"))
+        .join(broadcast(cb.where(col("sub") === j)
+          .select(col("cid"), col("cv"))), lit(true))
         .select(col("q_id"), col("cid").as(s"c$j"),
           dotNative(col("qs"), col("cv")).as(s"p$j"))
         .localCheckpoint() // |q|·ksub rows — the ADC lookup table
-      (codes, tab)
     }
-    // one narrow row per vector holding all m codes
-    val codesWide = pieces.map(_._1).reduce(_.join(_, Seq("vec_id")))
-      .localCheckpoint()
     // ADC: m broadcast lookups; approx = p0 + p1 + … in FIXED order
-    val looked = pieces.zipWithIndex.foldLeft(codesWide) {
-      case (acc, ((_, tab), j)) =>
+    val looked = tabs.zipWithIndex.foldLeft(codes) {
+      case (acc, (tab, j)) =>
         acc.join(broadcast(tab),
           if (j == 0) Seq(s"c$j") else Seq(s"c$j", "q_id"))
     }
@@ -274,12 +363,13 @@ object Embed {
     val cand = graft.queries.Embeddings.topkPerQuery(approx, c)
       .select(col("q_id"), col("vec_id"))
       .localCheckpoint() // ≤ c·|q| rows; fetch probe + re-rank spine
-    val fetch = e.join(
+    val fetch = exact.join(
       broadcast(cand.select(col("vec_id")).distinct()),
       Seq("vec_id"), "left_semi")
     val scored = cand
       .join(fetch, Seq("vec_id"))
-      .join(broadcast(q), Seq("q_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),
+        Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
           .as("cos"))

@@ -1199,8 +1199,53 @@ object Embeddings {
       graft.ops.Embed.pqTopK(emb, emb.where(col("vec_id") < 5), k = 5,
         m = m, ksub = ksub, iters = KmItersDefault, c = rerankC(s),
         excludeSelf = true)
+    }),
+
+    // ---- q120: incremental PQ ANN vs persisted codebook/code artifacts
+    // q117 as the crawl loop runs it (the q110 pattern applied to the
+    // PQ index): the old corpus's subspace codebooks (m·ksub rows) and
+    // code table (m smallints per vector — the 32×-compressed index)
+    // persist once per snapshot, plus the exact payload for the
+    // re-rank fetch; each embedding batch builds its ADC lookup tables
+    // against the FROZEN codebooks and scans only the code artifact —
+    // raw old vectors are touched for ≤ C·|batch| candidates alone.
+    // Artifacts ensure through the PUBLIC frame definitions
+    // (Embed.pqCodebooks / pqEncode / normalize), so the artifact-
+    // backed answer and a from-scratch q117-style run cannot drift.
+    "q120_incremental_pq_ann" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val cut = BatchCut.cut(s, emb, "vec_id")
+      val (cbP, codeP, exP) = pqIndex(s, dir, cut)
+      val batch = emb.where(col("vec_id") >= cut)
+      graft.ops.Embed.pqSearch(s.read.parquet(codeP),
+        s.read.parquet(cbP), s.read.parquet(exP), batch, k = 5,
+        c = rerankC(s), m = PqMDefault)
     })
   )
+
+  /** The persisted PQ snapshot artifacts behind q120 — codebooks,
+    * code table, and exact re-rank payload of the old corpus, each
+    * built via the PUBLIC frame definitions. */
+  private[graft] def pqIndex(s: SparkSession, dir: String,
+      cut: Long): (String, String, String) = {
+    import graft.sources.SideTable
+    val key = s"$dir#$cut#m$PqMDefault-k$PqKsubDefault-i$KmItersDefault" +
+      s"-s${FpScale.toLong}"
+    val fp = Some(s"$dir/embeddings.parquet")
+    def old = Graft.parquetSource(s, dir).table("embeddings")
+      .where(col("vec_id") < cut)
+    val cbP = SideTable.ensure(s, "pq_codebooks", key, fp) {
+      graft.ops.Embed.pqCodebooks(old, PqMDefault, PqKsubDefault,
+        KmItersDefault)
+    }
+    val codeP = SideTable.ensure(s, "pq_codes", key, fp) {
+      graft.ops.Embed.pqEncode(old, s.read.parquet(cbP), PqMDefault)
+    }
+    val exP = SideTable.ensure(s, "pq_exact", key, fp) {
+      graft.ops.Embed.normalize(old)
+    }
+    (cbP, codeP, exP)
+  }
 
   // ---------------------------------------------------------------- oracle
 
@@ -1689,6 +1734,8 @@ object Embeddings {
 
     "q117_pq_ann" -> pqAnnSql,
 
+    "q120_incremental_pq_ann" -> pqIncrementalSql,
+
     "q70_ann_recall" ->
       s"""WITH exact AS ($cosineTopkSql),
          |approx AS ($ivfAnnSql),
@@ -1711,7 +1758,26 @@ object Embeddings {
     * dot lookup tables, fixed-order sum p0 + p1 + …), and the exact
     * cosine re-rank — end-to-end in SQL, op for op with
     * [[graft.ops.Embed.pqTopK]]. */
-  private lazy val pqAnnSql: String = {
+  private lazy val pqAnnSql: String =
+    baseCte + pqSqlFrom("e", s"q.vec_id < 5", excludeSelf = true)
+
+  /** q120's oracle: the same end-to-end PQ replay with the codebooks
+    * and codes trained on the OLD slice and the batch as the query
+    * set — equivalence with the artifact-backed Spark run holds
+    * because the artifacts ARE these frames, persisted. */
+  private lazy val pqIncrementalSql: String =
+    baseCte +
+      """, cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+        |old AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin +
+      pqSqlFrom("old", "q.vec_id >= (SELECT c FROM cut)",
+        excludeSelf = false)
+
+  /** The PQ chain (subspace k-means → codes → ADC → re-rank) over
+    * source relation `src`, with queries = rows of `e` passing
+    * `queryPred`. Appended after [[baseCte]] (+ any extra CTEs `src`
+    * needs). */
+  private def pqSqlFrom(src: String, queryPred: String,
+      excludeSelf: Boolean): String = {
     val m = PqMDefault
     val sub = Dim / m
     val subCtes = (0 until m).map { j =>
@@ -1721,7 +1787,7 @@ object Embeddings {
         s"sqrt(list_reduce(list_prepend(0.0::double, list_transform($v, x -> x*x)), (acc, x) -> acc + x))"
       val frame =
         s""", s$j AS (
-           |  SELECT vec_id, v[$lo:$hi] sv, ${subNorm(s"v[$lo:$hi]")} sn FROM e
+           |  SELECT vec_id, v[$lo:$hi] sv, ${subNorm(s"v[$lo:$hi]")} sn FROM $src
            |), s${j}c0 AS (
            |  SELECT vec_id AS cid, sv AS cv, sn AS cn FROM (
            |    SELECT vec_id, sv, sn, row_number() OVER (ORDER BY
@@ -1760,7 +1826,7 @@ object Embeddings {
            |  ) WHERE rnk = 1
            |), s${j}tab AS (
            |  SELECT q.vec_id q_id, c.cid, ${duckDot(s"q.v[$lo:$hi]", "c.cv")} part
-           |  FROM e q CROSS JOIN s${j}c$KmItersDefault c WHERE q.vec_id < 5
+           |  FROM e q CROSS JOIN s${j}c$KmItersDefault c WHERE $queryPred
            |)""".stripMargin
       frame + iters + codeAndTab
     }.mkString
@@ -1769,19 +1835,20 @@ object Embeddings {
       s"\n  JOIN s${j}code k$j ON k$j.vec_id = k0.vec_id" +
       s"\n  JOIN s${j}tab t$j ON t$j.cid = k$j.cid AND t$j.q_id = t0.q_id")
       .mkString
-    baseCte + subCtes +
+    val selfClause =
+      if (excludeSelf) "\n  WHERE k0.vec_id <> t0.q_id" else ""
+    subCtes +
       s""", approx AS (
          |  SELECT t0.q_id, k0.vec_id, ($partSum) approx
          |  FROM s0code k0
-         |  JOIN s0tab t0 ON t0.cid = k0.cid$lookupJoins
-         |  WHERE k0.vec_id <> t0.q_id
+         |  JOIN s0tab t0 ON t0.cid = k0.cid$lookupJoins$selfClause
          |), cand AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY approx DESC, vec_id) rnk
          |    FROM approx
          |  ) WHERE rnk <= $RerankCDefault
-         |), qe AS (SELECT vec_id q_id, v qv, nrm qn FROM e WHERE vec_id < 5),
+         |), qe AS (SELECT q.vec_id q_id, q.v qv, q.nrm qn FROM e q WHERE $queryPred),
          |rer AS (
          |  SELECT c.q_id, c.vec_id, (${duckDot("q.qv", "ee.v")} / (q.qn * ee.nrm)) AS cos
          |  FROM cand c JOIN e ee ON ee.vec_id = c.vec_id JOIN qe q ON q.q_id = c.q_id

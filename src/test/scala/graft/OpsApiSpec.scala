@@ -519,6 +519,37 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Embed.pqSearch over pqCodebooks/pqEncode frames equals the " +
+      "session pqTopK") {
+    val corpus = Seq(
+      (1L, Seq(10.0f, 0.1f, 0.0f, 0.1f)),
+      (2L, Seq(10.2f, 0.0f, 0.1f, 0.0f)),
+      (3L, Seq(9.9f, 0.2f, 0.0f, 0.2f)),
+      (4L, Seq(0.1f, 10.0f, 9.9f, 0.0f)),
+      (5L, Seq(0.0f, 10.1f, 10.0f, 0.1f)),
+      (6L, Seq(0.2f, 9.9f, 10.2f, 0.0f))).toDF("node", "vec")
+    val queries = Seq((100L, Seq(10.0f, 0.15f, 0.05f, 0.1f)),
+      (101L, Seq(0.1f, 9.8f, 10.1f, 0.05f))).toDF("node", "vec")
+    // the frozen-artifact path: codebooks + codes + exact payload as
+    // standalone frames (what q120 persists), searched cold
+    val cb = Embed.pqCodebooks(corpus, m = 2, ksub = 4, iters = 2,
+      idCol = "node", vecCol = "vec")
+    val codes = Embed.pqEncode(corpus, cb, m = 2,
+      idCol = "node", vecCol = "vec")
+    assert(codes.columns.toSeq === Seq("vec_id", "c0", "c1"))
+    val exact = Embed.normalize(corpus, "node", "vec")
+    val frozen = Embed.pqSearch(codes, cb, exact, queries, k = 3,
+      c = 6, m = 2, queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).sorted
+    val session = Embed.pqTopK(corpus, queries, k = 3, m = 2, ksub = 4,
+      iters = 2, c = 6, idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).sorted
+    assert(frozen.toSeq === session.toSeq)
+  }
+
   test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
     val blobs = Seq(
       (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.0f, 0.1f)), // dup of 1
