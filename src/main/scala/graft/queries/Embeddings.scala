@@ -1201,6 +1201,32 @@ object Embeddings {
         excludeSelf = true)
     }),
 
+    // ---- q121: PQ recall audit vs exact ground truth -------------------
+    // The q70 discipline applied to the PQ index: per query, how many
+    // of the exact top-5 does the PQ two-stage retrieval surface? The
+    // honest deployment gate for q117/q120 — recall is bounded by C
+    // and ksub (quantization error in the ADC stage), and a deployment
+    // picks (m, ksub, C) by watching THIS number, not by trusting the
+    // design. Shares q30's exact ranking and q117's PQ ranking (both
+    // memoless session runs; the exact side reads ≤ 5 rows/query).
+    "q121_pq_recall" -> ((s, dir) => {
+      val exact = defs("q30_cosine_topk")(s, dir)
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint() // ≤ 5 rows per query; read by hits AND qids
+      val approx = defs("q117_pq_ann")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
+            .as("recall"))
+        .orderBy("q_id")
+    }),
+
     // ---- q120: incremental PQ ANN vs persisted codebook/code artifacts
     // q117 as the crawl loop runs it (the q110 pattern applied to the
     // PQ index): the old corpus's subspace codebooks (m·ksub rows) and
@@ -1736,6 +1762,21 @@ object Embeddings {
 
     "q120_incremental_pq_ann" -> pqIncrementalSql,
 
+    "q121_pq_recall" ->
+      s"""WITH exact AS ($cosineTopkSql),
+         |approx AS ($pqAnnSql),
+         |qids AS (SELECT DISTINCT q_id FROM exact),
+         |hits AS (
+         |  SELECT e.q_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx a
+         |    ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |  WHERE e.rank <= 5
+         |  GROUP BY e.q_id
+         |)
+         |SELECT q_id, coalesce(n_hit, 0)::bigint AS n_hit,
+         |  coalesce(n_hit, 0)::double / 5 AS recall
+         |FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin,
+
     "q70_ann_recall" ->
       s"""WITH exact AS ($cosineTopkSql),
          |approx AS ($ivfAnnSql),
@@ -1767,8 +1808,8 @@ object Embeddings {
     * because the artifacts ARE these frames, persisted. */
   private lazy val pqIncrementalSql: String =
     baseCte +
-      """, cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
-        |old AS (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin +
+      """, cut AS MATERIALIZED (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+        |old AS MATERIALIZED (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin +
       pqSqlFrom("old", "q.vec_id >= (SELECT c FROM cut)",
         excludeSelf = false)
 
@@ -1786,9 +1827,9 @@ object Embeddings {
       def subNorm(v: String) =
         s"sqrt(list_reduce(list_prepend(0.0::double, list_transform($v, x -> x*x)), (acc, x) -> acc + x))"
       val frame =
-        s""", s$j AS (
+        s""", s$j AS MATERIALIZED (
            |  SELECT vec_id, v[$lo:$hi] sv, ${subNorm(s"v[$lo:$hi]")} sn FROM $src
-           |), s${j}c0 AS (
+           |), s${j}c0 AS MATERIALIZED (
            |  SELECT vec_id AS cid, sv AS cv, sn AS cn FROM (
            |    SELECT vec_id, sv, sn, row_number() OVER (ORDER BY
            |      (('0x' || substr(md5(vec_id::varchar),1,15))::bigint % 2147483647), vec_id) rnk
@@ -1808,7 +1849,7 @@ object Embeddings {
            |  SELECT cid, i, sum(floor(sv[i] * $FpScale)::bigint) s, count(*) n
            |  FROM s${j}a$it CROSS JOIN range(1, ${sub + 1}) t(i)
            |  GROUP BY cid, i
-           |), s${j}c$it AS (
+           |), s${j}c$it AS MATERIALIZED (
            |  SELECT cid, cv, ${subNorm("cv")} cn
            |  FROM (
            |    SELECT cid, list(((s::double / n::double) / $FpScale) ORDER BY i) cv
@@ -1817,14 +1858,14 @@ object Embeddings {
            |)""".stripMargin
       }.mkString
       val codeAndTab =
-        s""", s${j}code AS (
+        s""", s${j}code AS MATERIALIZED (
            |  SELECT vec_id, cid FROM (
            |    SELECT s.vec_id, c.cid,
            |      row_number() OVER (PARTITION BY s.vec_id
            |        ORDER BY ${kmScoreSql("s.sv", "c.cv", "c.cn")} DESC, c.cid) rnk
            |    FROM s$j s CROSS JOIN s${j}c$KmItersDefault c
            |  ) WHERE rnk = 1
-           |), s${j}tab AS (
+           |), s${j}tab AS MATERIALIZED (
            |  SELECT q.vec_id q_id, c.cid, ${duckDot(s"q.v[$lo:$hi]", "c.cv")} part
            |  FROM e q CROSS JOIN s${j}c$KmItersDefault c WHERE $queryPred
            |)""".stripMargin
