@@ -265,17 +265,40 @@ object Embed {
   def pqSearch(codes: DataFrame, codebooks: DataFrame, exact: DataFrame,
       queries: DataFrame, k: Int = 10, c: Int = 50, m: Int = 4,
       queryIdCol: String = "vec_id",
-      queryVecCol: String = "embedding"): DataFrame = {
+      queryVecCol: String = "embedding"): DataFrame =
+    pqSearchImpl(codes, codebooks, exact, queries, k, c, m, queryIdCol,
+      queryVecCol, capture = false)
+
+  /** [[pqSearch]] with the q120 plan-pin capture (the boilerScore
+    * capture-flag convention: only the q120 binding/spec pays the
+    * extra plan compilations). */
+  private[graft] def pqSearchImpl(codes: DataFrame, codebooks: DataFrame,
+      exact: DataFrame, queries: DataFrame, k: Int, c: Int, m: Int,
+      queryIdCol: String, queryVecCol: String,
+      capture: Boolean): DataFrame = {
     require(c >= k, s"candidate pool c=$c must be >= k=$k")
-    val q = normalize(queries, queryIdCol, queryVecCol)
+    val qLazy = normalize(queries, queryIdCol, queryVecCol)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-      .localCheckpoint()
+    // the query scan and the codebook read truncate behind
+    // localCheckpoint below, so the plan pin captures them HERE
+    if (capture) lastPqSearchPlans =
+      qLazy.queryExecution.executedPlan.toString +
+        "\n-- codebooks --\n" +
+        codebooks.queryExecution.executedPlan.toString
+    val q = qLazy.localCheckpoint()
     val sub = subDimOf(q.select(col("q_id").as("vec_id"),
       col("qv").as("v"), col("qn").as("nrm")), m)
     pqSearchOf(codes, codebooks.localCheckpoint(), exact, q, k, c, m,
-      sub, excludeSelf = false)
+      sub, excludeSelf = false, capture = capture)
   }
+
+  /** Physical plans of the frozen-PQ search's ADC stage (lookup-table
+    * build + candidate generation) and exact fetch, captured
+    * pre-checkpoint when the capture flag is on — the q120 plan pin:
+    * stage 1 reads codebook + code artifacts only (batch cut pushed),
+    * raw vectors surface solely through the candidate-pruned fetch. */
+  @volatile private[graft] var lastPqSearchPlans: String = ""
 
   /** Metadata-grain dimension probe (+ m-divides + ragged check):
     * ragged vectors would slice silently wrong, so they fail here. */
@@ -340,15 +363,16 @@ object Embed {
     * shared by the session op and the frozen-artifact search. */
   private def pqSearchOf(codes: DataFrame, cb: DataFrame,
       exact: DataFrame, q: DataFrame, k: Int, c: Int, m: Int, sub: Int,
-      excludeSelf: Boolean): DataFrame = {
-    val tabs = (0 until m).map { j =>
+      excludeSelf: Boolean, capture: Boolean = false): DataFrame = {
+    val tabLazies = (0 until m).map { j =>
       q.select(col("q_id"), slice(col("qv"), j * sub + 1, sub).as("qs"))
         .join(broadcast(cb.where(col("sub") === j)
           .select(col("cid"), col("cv"))), lit(true))
         .select(col("q_id"), col("cid").as(s"c$j"),
           dotNative(col("qs"), col("cv")).as(s"p$j"))
-        .localCheckpoint() // |q|·ksub rows — the ADC lookup table
     }
+    val tabs = tabLazies
+      .map(_.localCheckpoint()) // |q|·ksub rows — the ADC lookup table
     // ADC: m broadcast lookups; approx = p0 + p1 + … in FIXED order
     val looked = tabs.zipWithIndex.foldLeft(codes) {
       case (acc, (tab, j)) =>
@@ -360,12 +384,16 @@ object Embed {
     val approx = looked.where(selfCond)
       .select(col("q_id"), col("vec_id"),
         (0 until m).map(j => col(s"p$j")).reduce(_ + _).as("cos"))
-    val cand = graft.queries.Embeddings.topkPerQuery(approx, c)
+    val candLazy = graft.queries.Embeddings.topkPerQuery(approx, c)
       .select(col("q_id"), col("vec_id"))
+    val cand = candLazy
       .localCheckpoint() // ≤ c·|q| rows; fetch probe + re-rank spine
     val fetch = exact.join(
       broadcast(cand.select(col("vec_id")).distinct()),
       Seq("vec_id"), "left_semi")
+    if (capture) lastPqSearchPlans +=
+      "\n-- cand --\n" + candLazy.queryExecution.executedPlan.toString +
+        "\n-- fetch --\n" + fetch.queryExecution.executedPlan.toString
     val scored = cand
       .join(fetch, Seq("vec_id"))
       .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))),

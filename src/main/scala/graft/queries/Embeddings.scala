@@ -1243,9 +1243,10 @@ object Embeddings {
       val cut = BatchCut.cut(s, emb, "vec_id")
       val (cbP, codeP, exP) = pqIndex(s, dir, cut)
       val batch = emb.where(col("vec_id") >= cut)
-      graft.ops.Embed.pqSearch(s.read.parquet(codeP),
+      graft.ops.Embed.pqSearchImpl(s.read.parquet(codeP),
         s.read.parquet(cbP), s.read.parquet(exP), batch, k = 5,
-        c = rerankC(s), m = PqMDefault)
+        c = rerankC(s), m = PqMDefault, "vec_id", "embedding",
+        capture = true) // the q120 plan pin reads the capture
     })
   )
 

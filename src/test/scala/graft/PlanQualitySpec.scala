@@ -50,6 +50,56 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_sum") || p.contains("partial_"))
   }
 
+  test("q118: the domain cap is a mergeable bounded aggregate, " +
+      "never a per-key window sort") {
+    val p = plan("q118_domain_cap")
+    // the TopK Aggregator plans as ObjectHashAggregate with a partial
+    // pass — n rows per key cross the shuffle, no Window anywhere
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), s"q118 fell back to a window sort:\n$p")
+  }
+
+  test("q119: the batch ranks via the bounded aggregate and the " +
+      "count artifact broadcasts") {
+    val p = plan("q119_incremental_domain_cap")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), s"q119 fell back to a window sort:\n$p")
+    assert(p.contains("graft_cap_counts"),
+      s"q119 does not read the persisted count artifact:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q120: stage-1 scans the persisted code artifact; exact " +
+      "payload surfaces only through the candidate-pruned fetch") {
+    plan("q120_incremental_pq_ann") // force; captures the op plans
+    val p = graft.ops.Embed.lastPqSearchPlans
+    assert(p.nonEmpty, "q120 op plans were not captured")
+    val Array(qPlan, cbPlan, candPlan, fetchPlan) =
+      p.split("\n-- (codebooks|cand|fetch) --\n")
+    // the batch is the only embeddings read, cut pushed to the scan;
+    // the ADC tables build against the frozen codebook artifact
+    assert(qPlan.contains("GreaterThanOrEqual(vec_id"),
+      s"q120 batch cut not pushed to the embeddings scan:\n$qPlan")
+    assert(cbPlan.contains("graft_pq_codebooks"),
+      s"q120 tables do not read the codebook artifact:\n$cbPlan")
+    // candidate generation scans the code artifact, nothing raw
+    assert(candPlan.contains("graft_pq_codes"),
+      s"q120 stage 1 does not read the code artifact:\n$candPlan")
+    assert(!candPlan.contains("embeddings.parquet"),
+      s"q120 stage 1 touches raw embeddings:\n$candPlan")
+    // exact payload: the persisted artifact behind a broadcast semi-join
+    assert(fetchPlan.contains("graft_pq_exact"),
+      s"q120 re-rank does not read the exact artifact:\n$fetchPlan")
+    assert(fetchPlan.contains("BroadcastHashJoin") &&
+      fetchPlan.contains("LeftSemi"), fetchPlan)
+    // the ADC table build is a DELIBERATE broadcast cross product
+    // (|q| × ksub centroid rows — bounded by construction), so the
+    // no-BNLJ rule applies to the data-scale stages only
+    Seq(candPlan, fetchPlan).foreach(pp =>
+      assert(!pp.contains("CartesianProduct") &&
+        !pp.contains("BroadcastNestedLoopJoin"), pp))
+  }
+
   test("q27: candidate generation is a bucket join, not a cross join") {
     val p = plan("q27_minhash_lsh")
     assert(!p.contains("CartesianProduct"))
