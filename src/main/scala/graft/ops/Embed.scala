@@ -300,6 +300,55 @@ object Embed {
     * raw vectors surface solely through the candidate-pruned fetch. */
   @volatile private[graft] var lastPqSearchPlans: String = ""
 
+  /** The full IVFPQ composition — IVF routes, PQ compresses, in one
+    * operator: a trained `nlist`-cell router (the engine's
+    * deterministic k-means over full vectors) assigns every corpus
+    * vector a cell; each query probes its `nprobe` best cells and the
+    * ADC stage scans ONLY the probed cells' codes. At 100 TB the two
+    * levers multiply: the scan reads nprobe/nlist of the corpus, at
+    * m smallints per vector — FAISS's billion-scale default shape,
+    * here as a declarative plan (cell-partition the persisted code
+    * table and the probe join prunes partitions, the q78/q110
+    * machinery). Recall compounds router misses with quantization
+    * misses — audit against [[cosineTopK]] like everything else.
+    * Output: (q_id, vec_id, cos, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 8, nprobe: Int = 2, m: Int = 4, ksub: Int = 16,
+      iters: Int = 3, c: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1,
+      s"need nlist/nprobe >= 1 (got $nlist/$nprobe)")
+    require(c >= k, s"candidate pool c=$c must be >= k=$k")
+    val e = normalize(corpus, idCol, vecCol)
+      .localCheckpoint() // router + codebooks + codes + exact fetch
+    val sub = subDimOf(e, m)
+    val cents = graft.queries.Embeddings.kmeansCentroids(e, nlist,
+      iters, capture = false)
+    val cells = graft.queries.Embeddings.kmAssignSlim(e, cents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val cb = pqCodebooksOf(e, m, sub, ksub, iters)
+    val codes = pqEncodeOf(e, cb, m).join(cells, Seq("vec_id"))
+      .localCheckpoint() // the cell-routed compressed index
+    val q = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .localCheckpoint() // probes + ADC tables + the exact re-rank
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("cid"),
+        (dotNative(col("qv"), col("cv")) -
+          lit(0.5d) * (col("cn") * col("cn"))).as("qsim"))
+      .withColumn("rnk", row_number().over(wProbe))
+      .where(col("rnk") <= nprobe)
+      .select(col("q_id"), col("cid").as("cell"))
+      .localCheckpoint() // nprobe rows per query
+    pqSearchOf(codes, cb, e, q, k, c, m, sub, excludeSelf,
+      probes = Some(probes))
+  }
+
   /** Metadata-grain dimension probe (+ m-divides + ragged check):
     * ragged vectors would slice silently wrong, so they fail here. */
   private def subDimOf(e: DataFrame, m: Int): Int = {
@@ -363,7 +412,8 @@ object Embed {
     * shared by the session op and the frozen-artifact search. */
   private def pqSearchOf(codes: DataFrame, cb: DataFrame,
       exact: DataFrame, q: DataFrame, k: Int, c: Int, m: Int, sub: Int,
-      excludeSelf: Boolean, capture: Boolean = false): DataFrame = {
+      excludeSelf: Boolean, capture: Boolean = false,
+      probes: Option[DataFrame] = None): DataFrame = {
     val tabLazies = (0 until m).map { j =>
       q.select(col("q_id"), slice(col("qv"), j * sub + 1, sub).as("qs"))
         .join(broadcast(cb.where(col("sub") === j)
@@ -373,11 +423,17 @@ object Embed {
     }
     val tabs = tabLazies
       .map(_.localCheckpoint()) // |q|·ksub rows — the ADC lookup table
+    // IVF routing (when probes are given): the code scan restricts to
+    // each query's probed cells BEFORE any lookup — codes must carry a
+    // `cell` column, and every later join pins q_id
+    val routed = probes.map(p =>
+      codes.join(broadcast(p), Seq("cell"))).getOrElse(codes)
     // ADC: m broadcast lookups; approx = p0 + p1 + … in FIXED order
-    val looked = tabs.zipWithIndex.foldLeft(codes) {
+    val looked = tabs.zipWithIndex.foldLeft(routed) {
       case (acc, (tab, j)) =>
         acc.join(broadcast(tab),
-          if (j == 0) Seq(s"c$j") else Seq(s"c$j", "q_id"))
+          if (j == 0 && probes.isEmpty) Seq(s"c$j")
+          else Seq(s"c$j", "q_id"))
     }
     val selfCond =
       if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)

@@ -1227,6 +1227,21 @@ object Embeddings {
         .orderBy("q_id")
     }),
 
+    // ---- q122: composed IVFPQ — the router prunes, the codes compress
+    // The full FAISS-default shape as one verified query: q46's cell
+    // routing (here TRAINED — the q80 k-means, k = graft.kmeans.k)
+    // composed with q117's PQ codes; the ADC stage scans only each
+    // query's nprobe=2 probed cells. The oracle replays router
+    // training, cell assignment, probe selection, codebooks, encoding,
+    // the probe-restricted ADC, and the exact re-rank end-to-end.
+    "q122_ivfpq_ann" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      graft.ops.Embed.ivfPqTopK(emb, emb.where(col("vec_id") < 5),
+        k = 5, nlist = kmK(s), nprobe = 2, m = PqMDefault,
+        ksub = PqKsubDefault, iters = KmItersDefault, c = rerankC(s),
+        excludeSelf = true)
+    }),
+
     // ---- q120: incremental PQ ANN vs persisted codebook/code artifacts
     // q117 as the crawl loop runs it (the q110 pattern applied to the
     // PQ index): the old corpus's subspace codebooks (m·ksub rows) and
@@ -1763,6 +1778,8 @@ object Embeddings {
 
     "q120_incremental_pq_ann" -> pqIncrementalSql,
 
+    "q122_ivfpq_ann" -> ivfPqSql,
+
     "q121_pq_recall" ->
       s"""WITH exact AS ($cosineTopkSql),
          |approx AS ($pqAnnSql),
@@ -1814,12 +1831,34 @@ object Embeddings {
       pqSqlFrom("old", "q.vec_id >= (SELECT c FROM cut)",
         excludeSelf = false)
 
+  /** q122's oracle: the PQ chain with the approx stage restricted to
+    * each query's probed cells — router trained by the standard kmCtes
+    * (k = KmKDefault), cells assigned kmFinal-style, probes = top-2
+    * cells per query by the same assignment score. */
+  private lazy val ivfPqSql: String =
+    baseCte + kmCtesFrom("e") +
+      s""", cells AS MATERIALIZED (
+         |  SELECT vec_id, cluster AS cell FROM (${kmFinalFrom("e")})
+         |), probes AS MATERIALIZED (
+         |  SELECT q_id, cid AS cell FROM (
+         |    SELECT q.vec_id q_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${kmScoreSql("q.v", "c.cv", "c.cn")} DESC, c.cid) rnk
+         |    FROM e q CROSS JOIN c$KmItersDefault c WHERE q.vec_id < 5
+         |  ) WHERE rnk <= 2
+         |)""".stripMargin +
+      pqSqlFrom("e", "q.vec_id < 5", excludeSelf = true,
+        probeJoin = "\n  JOIN cells ON cells.vec_id = k0.vec_id" +
+          "\n  JOIN probes ON probes.q_id = t0.q_id" +
+          " AND probes.cell = cells.cell")
+
   /** The PQ chain (subspace k-means → codes → ADC → re-rank) over
     * source relation `src`, with queries = rows of `e` passing
     * `queryPred`. Appended after [[baseCte]] (+ any extra CTEs `src`
-    * needs). */
+    * needs). `probeJoin` restricts the approx stage (extra JOIN
+    * clauses against k0/t0 — the IVF routing of q122). */
   private def pqSqlFrom(src: String, queryPred: String,
-      excludeSelf: Boolean): String = {
+      excludeSelf: Boolean, probeJoin: String = ""): String = {
     val m = PqMDefault
     val sub = Dim / m
     val subCtes = (0 until m).map { j =>
@@ -1883,7 +1922,7 @@ object Embeddings {
       s""", approx AS (
          |  SELECT t0.q_id, k0.vec_id, ($partSum) approx
          |  FROM s0code k0
-         |  JOIN s0tab t0 ON t0.cid = k0.cid$lookupJoins$selfClause
+         |  JOIN s0tab t0 ON t0.cid = k0.cid$lookupJoins$probeJoin$selfClause
          |), cand AS (
          |  SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,

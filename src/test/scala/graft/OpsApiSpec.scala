@@ -550,6 +550,42 @@ class OpsApiSpec extends AnyFunSuite {
     assert(frozen.toSeq === session.toSeq)
   }
 
+  test("Embed.ivfPqTopK with all cells probed and c = corpus equals " +
+      "the exact ranking") {
+    val corpus = Seq(
+      (1L, Seq(10.0f, 0.1f, 0.0f, 0.1f)),
+      (2L, Seq(10.2f, 0.0f, 0.1f, 0.0f)),
+      (3L, Seq(9.9f, 0.2f, 0.0f, 0.2f)),
+      (4L, Seq(0.1f, 10.0f, 9.9f, 0.0f)),
+      (5L, Seq(0.0f, 10.1f, 10.0f, 0.1f)),
+      (6L, Seq(0.2f, 9.9f, 10.2f, 0.0f))).toDF("node", "vec")
+    val queries = Seq((100L, Seq(10.0f, 0.15f, 0.05f, 0.1f)))
+      .toDF("node", "vec")
+    // nprobe = nlist and c = corpus: neither the router nor the
+    // candidate cut can lose recall — the composition must reproduce
+    // the brute-force ranking bit-for-bit
+    val got = Embed.ivfPqTopK(corpus, queries, k = 3, nlist = 2,
+      nprobe = 2, m = 2, ksub = 4, iters = 2, c = 6,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    val exact = Embed.cosineTopK(corpus, queries, k = 3,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos")))
+    assert(got.sortBy(_._1).toSeq === exact.sortBy(_._1).toSeq)
+    // nprobe = 1 on two far blobs: the query's own blob still surfaces
+    val routed = Embed.ivfPqTopK(corpus, queries, k = 2, nlist = 2,
+      nprobe = 1, m = 2, ksub = 4, iters = 2, c = 6,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(routed.subsetOf(Set(1L, 2L, 3L)),
+      s"nprobe=1 surfaced the wrong blob: $routed")
+  }
+
   test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
     val blobs = Seq(
       (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.0f, 0.1f)), // dup of 1
