@@ -108,6 +108,7 @@ object Bench {
         graft.queries.TextPipeline.clearPairMemo()
         graft.queries.Embeddings.clearAnnMemo()
         graft.queries.Embeddings.clearKmMemo()
+        graft.queries.Embeddings.clearPqMemo()
         graft.sources.SideTable.clear()
         System.gc()
       }
