@@ -264,18 +264,52 @@ object Embed {
     * (q_id, vec_id, cos, rank). */
   def pqSearch(codes: DataFrame, codebooks: DataFrame, exact: DataFrame,
       queries: DataFrame, k: Int = 10, c: Int = 50, m: Int = 4,
-      queryIdCol: String = "vec_id",
-      queryVecCol: String = "embedding"): DataFrame =
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      probes: Option[DataFrame] = None): DataFrame =
     pqSearchImpl(codes, codebooks, exact, queries, k, c, m, queryIdCol,
-      queryVecCol, capture = false)
+      queryVecCol, capture = false, probes = probes)
+
+  /** IVF cell assignment of a corpus against a (frozen) centroid table
+    * (cid, cv, cn) — (vec_id, cell), the routing column a persisted
+    * code table partitions by. Single definition: the q123 artifact
+    * builder and [[ivfPqTopK]]'s in-session routing share it. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.queries.Embeddings.kmAssignSlim(
+        normalize(corpus, idCol, vecCol), centroids)
+      .select(col("vec_id"), col("cid").as("cell"))
+
+  /** Each query's `nprobe` best cells against a (frozen) centroid
+    * table — (q_id, cell), the probe frame [[pqSearch]] takes to
+    * restrict the code scan (IVF routing). */
+  def cellProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int = 2, queryIdCol: String = "vec_id",
+      queryVecCol: String = "embedding"): DataFrame =
+    cellProbesOf(normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), centroids, nprobe)
+
+  private def cellProbesOf(q: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1 (got $nprobe)")
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("cid"))
+    q.join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("cid"),
+        (dotNative(col("qv"), col("cv")) -
+          lit(0.5d) * (col("cn") * col("cn"))).as("qsim"))
+      .withColumn("rnk", row_number().over(wProbe))
+      .where(col("rnk") <= nprobe)
+      .select(col("q_id"), col("cid").as("cell"))
+  }
 
   /** [[pqSearch]] with the q120 plan-pin capture (the boilerScore
     * capture-flag convention: only the q120 binding/spec pays the
     * extra plan compilations). */
   private[graft] def pqSearchImpl(codes: DataFrame, codebooks: DataFrame,
       exact: DataFrame, queries: DataFrame, k: Int, c: Int, m: Int,
-      queryIdCol: String, queryVecCol: String,
-      capture: Boolean): DataFrame = {
+      queryIdCol: String, queryVecCol: String, capture: Boolean,
+      probes: Option[DataFrame] = None): DataFrame = {
     require(c >= k, s"candidate pool c=$c must be >= k=$k")
     val qLazy = normalize(queries, queryIdCol, queryVecCol)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -290,7 +324,8 @@ object Embed {
     val sub = subDimOf(q.select(col("q_id").as("vec_id"),
       col("qv").as("v"), col("qn").as("nrm")), m)
     pqSearchOf(codes, codebooks.localCheckpoint(), exact, q, k, c, m,
-      sub, excludeSelf = false, capture = capture)
+      sub, excludeSelf = false, capture = capture,
+      probes = probes.map(_.localCheckpoint()))
   }
 
   /** Physical plans of the frozen-PQ search's ADC stage (lookup-table
@@ -335,15 +370,7 @@ object Embed {
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
       .localCheckpoint() // probes + ADC tables + the exact re-rank
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("qsim").desc, col("cid"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .select(col("q_id"), col("cid"),
-        (dotNative(col("qv"), col("cv")) -
-          lit(0.5d) * (col("cn") * col("cn"))).as("qsim"))
-      .withColumn("rnk", row_number().over(wProbe))
-      .where(col("rnk") <= nprobe)
-      .select(col("q_id"), col("cid").as("cell"))
+    val probes = cellProbesOf(q, cents, nprobe)
       .localCheckpoint() // nprobe rows per query
     pqSearchOf(codes, cb, e, q, k, c, m, sub, excludeSelf,
       probes = Some(probes))

@@ -1241,6 +1241,31 @@ object Embeddings {
         excludeSelf = true)
     }),
 
+    // ---- q123: incremental IVFPQ vs persisted router + routed codes --
+    // The last square of the retrieval matrix (session/incremental ×
+    // int8/IVF/PQ/IVFPQ): q122's composition as the crawl loop runs
+    // it. Four artifacts persist per snapshot — the router centroids
+    // (k rows), the subspace codebooks, the code table PARTITIONED BY
+    // CELL (so each batch's probe join prunes the scan to its probed
+    // cells' partitions — the q78/q110 dynamic-partition-pruning
+    // discipline applied to the compressed index), and the exact
+    // re-rank payload. Per batch: probe nprobe cells against the k-row
+    // router broadcast, ADC only the probed partitions, re-rank ≤
+    // C·|batch| exact fetches. All four artifacts ensure through
+    // PUBLIC frame definitions (kmeansCentroids / pqCodebooks /
+    // pqEncode+assignCells / normalize).
+    "q123_incremental_ivfpq" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val cut = BatchCut.cut(s, emb, "vec_id")
+      val (routerP, cbP, ccP, exP) = pqIvfIndex(s, dir, cut)
+      val batch = emb.where(col("vec_id") >= cut)
+      val probes = graft.ops.Embed.cellProbes(batch,
+        s.read.parquet(routerP), nprobe = 2)
+      graft.ops.Embed.pqSearch(s.read.parquet(ccP),
+        s.read.parquet(cbP), s.read.parquet(exP), batch, k = 5,
+        c = rerankC(s), m = PqMDefault, probes = Some(probes))
+    }),
+
     // ---- q120: incremental PQ ANN vs persisted codebook/code artifacts
     // q117 as the crawl loop runs it (the q110 pattern applied to the
     // PQ index): the old corpus's subspace codebooks (m·ksub rows) and
@@ -1292,6 +1317,39 @@ object Embeddings {
   private[graft] def clearPqMemo(): Unit = pqMemo.clear()
 
   private[graft] def pqMemoSize: Int = pqMemo.size
+
+  /** The persisted IVFPQ snapshot artifacts behind q123 — router
+    * centroids, codebooks (q120's, shared by identity), the
+    * CELL-PARTITIONED code table, and the exact payload (q120's). */
+  private[graft] def pqIvfIndex(s: SparkSession, dir: String,
+      cut: Long): (String, String, String, String) = {
+    import graft.sources.SideTable
+    val k = kmK(s)
+    val key = s"$dir#$cut#m$PqMDefault-k$PqKsubDefault-i$KmItersDefault" +
+      s"-s${FpScale.toLong}"
+    val fp = Some(s"$dir/embeddings.parquet")
+    def old = Graft.parquetSource(s, dir).table("embeddings")
+      .where(col("vec_id") < cut)
+    val routerP = SideTable.ensure(s, "pq_router", s"$key-r$k", fp) {
+      kmeansCentroids(
+        graft.ops.Embed.normalize(old).localCheckpoint(), k,
+        KmItersDefault, capture = false)
+    }
+    val cbP = SideTable.ensure(s, "pq_codebooks", key, fp) {
+      graft.ops.Embed.pqCodebooks(old, PqMDefault, PqKsubDefault,
+        KmItersDefault)
+    }
+    val ccP = SideTable.ensure(s, "pq_cellcodes", s"$key-r$k", fp,
+        partitionBy = Seq("cell")) {
+      graft.ops.Embed.pqEncode(old, s.read.parquet(cbP), PqMDefault)
+        .join(graft.ops.Embed.assignCells(old,
+          s.read.parquet(routerP)), Seq("vec_id"))
+    }
+    val exP = SideTable.ensure(s, "pq_exact", key, fp) {
+      graft.ops.Embed.normalize(old)
+    }
+    (routerP, cbP, ccP, exP)
+  }
 
   /** The persisted PQ snapshot artifacts behind q120 — codebooks,
     * code table, and exact re-rank payload of the old corpus, each
@@ -1806,6 +1864,8 @@ object Embeddings {
 
     "q120_incremental_pq_ann" -> pqIncrementalSql,
 
+    "q123_incremental_ivfpq" -> ivfPqIncrementalSql,
+
     "q122_ivfpq_ann" -> ivfPqSql,
 
     "q121_pq_recall" ->
@@ -1852,12 +1912,38 @@ object Embeddings {
     * and codes trained on the OLD slice and the batch as the query
     * set — equivalence with the artifact-backed Spark run holds
     * because the artifacts ARE these frames, persisted. */
+  // def, not val: the oracles map forces the lazy SQL vals during ITS
+  // initialization, which can precede a later-declared val's
+  private def cutOldCtes =
+    """, cut AS MATERIALIZED (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+      |old AS MATERIALIZED (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin
+
   private lazy val pqIncrementalSql: String =
-    baseCte +
-      """, cut AS MATERIALIZED (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
-        |old AS MATERIALIZED (SELECT vec_id, v, nrm FROM e WHERE vec_id < (SELECT c FROM cut))""".stripMargin +
+    baseCte + cutOldCtes +
       pqSqlFrom("old", "q.vec_id >= (SELECT c FROM cut)",
         excludeSelf = false)
+
+  /** q123's oracle: the q120 chain with the router trained on the OLD
+    * slice (kmCtes over `old`), old codes carrying their cell, and the
+    * approx stage restricted to each batch query's 2 probed cells. */
+  private lazy val ivfPqIncrementalSql: String =
+    baseCte + cutOldCtes + kmCtesFrom("old") +
+      s""", cells AS MATERIALIZED (
+         |  SELECT vec_id, cluster AS cell FROM (${kmFinalFrom("old")})
+         |), probes AS MATERIALIZED (
+         |  SELECT q_id, cid AS cell FROM (
+         |    SELECT q.vec_id q_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${kmScoreSql("q.v", "c.cv", "c.cn")} DESC, c.cid) rnk
+         |    FROM e q CROSS JOIN c$KmItersDefault c
+         |    WHERE q.vec_id >= (SELECT c FROM cut)
+         |  ) WHERE rnk <= 2
+         |)""".stripMargin +
+      pqSqlFrom("old", "q.vec_id >= (SELECT c FROM cut)",
+        excludeSelf = false,
+        probeJoin = "\n  JOIN cells ON cells.vec_id = k0.vec_id" +
+          "\n  JOIN probes ON probes.q_id = t0.q_id" +
+          " AND probes.cell = cells.cell")
 
   /** q122's oracle: the PQ chain with the approx stage restricted to
     * each query's probed cells — router trained by the standard kmCtes

@@ -586,6 +586,50 @@ class OpsApiSpec extends AnyFunSuite {
       s"nprobe=1 surfaced the wrong blob: $routed")
   }
 
+  test("Embed.pqSearch with cellProbes over frozen frames equals the " +
+      "session ivfPqTopK") {
+    val corpus = Seq(
+      (1L, Seq(10.0f, 0.1f, 0.0f, 0.1f)),
+      (2L, Seq(10.2f, 0.0f, 0.1f, 0.0f)),
+      (3L, Seq(9.9f, 0.2f, 0.0f, 0.2f)),
+      (4L, Seq(0.1f, 10.0f, 9.9f, 0.0f)),
+      (5L, Seq(0.0f, 10.1f, 10.0f, 0.1f)),
+      (6L, Seq(0.2f, 9.9f, 10.2f, 0.0f))).toDF("node", "vec")
+    val queries = Seq((100L, Seq(10.0f, 0.15f, 0.05f, 0.1f)),
+      (101L, Seq(0.1f, 9.8f, 10.1f, 0.05f))).toDF("node", "vec")
+    // the q123 artifact shapes as standalone frames: router centroids,
+    // codebooks, cell-routed codes, exact payload — searched cold
+    val e = Embed.normalize(corpus, "node", "vec")
+    val router = graft.queries.Embeddings.kmeansCentroids(
+      e.localCheckpoint(), 2, 2, capture = false)
+    val cb = Embed.pqCodebooks(corpus, m = 2, ksub = 4, iters = 2,
+      idCol = "node", vecCol = "vec")
+    val codes = Embed.pqEncode(corpus, cb, m = 2,
+        idCol = "node", vecCol = "vec")
+      .join(Embed.assignCells(corpus, router, "node", "vec"),
+        Seq("vec_id"))
+    val probes = Embed.cellProbes(queries, router, nprobe = 1,
+      queryIdCol = "node", queryVecCol = "vec")
+    val frozen = Embed.pqSearch(codes, cb, e, queries, k = 3, c = 6,
+      m = 2, queryIdCol = "node", queryVecCol = "vec",
+      probes = Some(probes))
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).sorted
+    val session = Embed.ivfPqTopK(corpus, queries, k = 3, nlist = 2,
+      nprobe = 1, m = 2, ksub = 4, iters = 2, c = 6,
+      idCol = "node", vecCol = "vec",
+      queryIdCol = "node", queryVecCol = "vec")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).sorted
+    assert(frozen.toSeq === session.toSeq)
+    // nprobe=1 routing is actually restrictive: each query surfaces
+    // only its own blob's members
+    assert(frozen.filter(_._1 == 100L).map(_._3).toSet
+      .subsetOf(Set(1L, 2L, 3L)))
+    assert(frozen.filter(_._1 == 101L).map(_._3).toSet
+      .subsetOf(Set(4L, 5L, 6L)))
+  }
+
   test("Embed.semdedupKeep drops the near-identical cluster-mate only") {
     val blobs = Seq(
       (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.0f, 0.1f)), // dup of 1
