@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
 """Build a 10x 'extra decade' documents table for the SCALE.md sweep.
 
-Tiles <src>/documents.parquet N times with disjoint doc_id ranges
-(copy i shifts ids by i * 10^ceil(log10(max_id+1))). Every word of
+Tiles <src>/documents.parquet N times with disjoint, INTERLEAVED
+doc_id ranges (copy i gets id' = id*N + i). Every word of
 copy i > 0 gets a copy tag ("word~i") so copies are DISTINCT content
 with identical per-copy statistics — the clean "10x corpus, same
 shape" scaling: term/shingle document frequencies per copy match the
@@ -55,7 +55,9 @@ def main():
         if f.endswith(".parquet") and f != "documents.parquet":
             dst = os.path.join(out, f)
             if not os.path.exists(dst):
-                os.symlink(os.path.join(src, f), dst)
+                # absolute target: a relative one would resolve against
+                # the LINK's directory and dangle for relative <src>
+                os.symlink(os.path.abspath(os.path.join(src, f)), dst)
     print(f"wrote {big.num_rows} rows (interleaved x{copies}) to {out}")
 
 

@@ -98,6 +98,8 @@ object Bench {
           s"mem=${mem}MB disk=${dsk}MB codeCache=${cc}MB " +
           s"memos=pair:${graft.queries.TextPipeline.pairMemoSize}," +
           s"km:${graft.queries.Embeddings.kmMemoSize}," +
+          s"ann:${graft.queries.Embeddings.annMemoSize}," +
+          s"pq:${graft.queries.Embeddings.pqMemoSize}," +
           s"side:${graft.sources.SideTable.size}")
       }
       // Bisect lever (SPARK_GRAFT_RESET=1): drop every session memo

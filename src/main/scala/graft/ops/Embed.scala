@@ -228,7 +228,7 @@ object Embed {
         col("nrm").as("qn"))
       .localCheckpoint() // ADC tables + the exact re-rank
     val cb = pqCodebooksOf(e, m, sub, ksub, iters)
-    val codes = pqEncodeOf(e, cb, m).localCheckpoint()
+    val codes = pqEncodeOf(e, cb, m, sub).localCheckpoint()
     pqSearchOf(codes, cb, e, q, k, c, m, sub, excludeSelf)
   }
 
@@ -252,7 +252,7 @@ object Embed {
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val e = normalize(corpus, idCol, vecCol).localCheckpoint()
-    pqEncodeOf(e, codebooks.localCheckpoint(), m)
+    pqEncodeOf(e, codebooks.localCheckpoint(), m, subDimOf(e, m))
   }
 
   /** Search FROZEN PQ artifacts: ADC stage 1 over a persisted code
@@ -364,7 +364,7 @@ object Embed {
     val cells = graft.queries.Embeddings.kmAssignSlim(e, cents)
       .select(col("vec_id"), col("cid").as("cell"))
     val cb = pqCodebooksOf(e, m, sub, ksub, iters)
-    val codes = pqEncodeOf(e, cb, m).join(cells, Seq("vec_id"))
+    val codes = pqEncodeOf(e, cb, m, sub).join(cells, Seq("vec_id"))
       .localCheckpoint() // the cell-routed compressed index
     val q = normalize(queries, queryIdCol, queryVecCol)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -382,6 +382,8 @@ object Embed {
     require(m >= 1, s"need m >= 1 (got $m)")
     val dims = e.agg(min(size(col("v"))).as("mn"),
       max(size(col("v"))).as("mx")).head()
+    require(!dims.isNullAt(1),
+      "PQ needs a non-empty vector frame (no rows to probe a dimension from)")
     val dim = dims.getInt(1)
     require(dims.getInt(0) == dim,
       s"ragged vector lengths (${dims.getInt(0)}..$dim) — PQ needs one " +
@@ -418,8 +420,8 @@ object Embed {
     trained.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
   }
 
-  private def pqEncodeOf(e: DataFrame, cb: DataFrame, m: Int): DataFrame = {
-    val sub = subDimOf(e, m)
+  private def pqEncodeOf(e: DataFrame, cb: DataFrame, m: Int,
+      sub: Int): DataFrame = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global

@@ -93,6 +93,8 @@ object Embeddings {
 
   private[graft] def clearAnnMemo(): Unit = annMemo.clear()
 
+  private[graft] def annMemoSize: Int = annMemo.size
+
   /** Physical plan of q46's last cell-assignment aggregate, captured for
     * plan-quality tests (the assignment runs eagerly inside the
     * localCheckpoint, so it no longer appears in q46's returned plan). */

@@ -252,8 +252,16 @@ object SideTable {
     // own runtime bloom filters, and concurrent builds need no
     // serializing lock (each clone owns its confs). The memo/manifest
     // identity stays keyed on the PARENT session — only the frame's
-    // analysis/execution runs under the clone.
+    // analysis/execution runs under the clone. newSession() starts
+    // from the CONTEXT defaults, not the parent's runtime SQLConf
+    // state, so the parent's settable confs are copied over first —
+    // a deployment's runtime tuning (shuffle partitions, AQE knobs)
+    // must govern the build exactly as the old in-place design did.
     val bs = s.newSession()
+    s.conf.getAll.foreach { case (ck, cv) =>
+      try bs.conf.set(ck, cv)
+      catch { case _: Exception => () } // non-settable entries skip
+    }
     bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
       math.max(bits, 1L << 26).toString)
     bs.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
