@@ -1268,6 +1268,37 @@ object Embeddings {
         c = rerankC(s), m = PqMDefault, probes = Some(probes))
     }),
 
+    // ---- q124: incremental-IVFPQ recall audit vs exact ground truth --
+    // The q70/q121 discipline applied to the deployment path: per
+    // BATCH query, how many of its exact old-corpus top-5 does q123's
+    // artifact-backed probe-restricted retrieval surface? Recall here
+    // compounds THREE cuts — router misses (nprobe), quantization
+    // misses (ksub), and the candidate cut (C) — so this is the number
+    // a crawl deployment actually watches. No session memo: q123's
+    // cost is already artifact-amortized (the SideTable manifests ARE
+    // the cross-run memo), so re-deriving it here pays only the probe
+    // + ADC + re-rank, batch-proportional by construction.
+    "q124_ivfpq_recall" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val cut = BatchCut.cut(s, emb, "vec_id")
+      val exact = graft.ops.Embed.cosineTopK(
+          emb.where(col("vec_id") < cut),
+          emb.where(col("vec_id") >= cut), k = 5)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint() // ≤ 5 rows per query; read by hits AND qids
+      val approx = defs("q123_incremental_ivfpq")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
+            .as("recall"))
+        .orderBy("q_id")
+    }),
+
     // ---- q120: incremental PQ ANN vs persisted codebook/code artifacts
     // q117 as the crawl loop runs it (the q110 pattern applied to the
     // PQ index): the old corpus's subspace codebooks (m·ksub rows) and
@@ -1868,6 +1899,20 @@ object Embeddings {
 
     "q123_incremental_ivfpq" -> ivfPqIncrementalSql,
 
+    "q124_ivfpq_recall" ->
+      s"""WITH exact AS ($exactBatchTop5Sql),
+         |approx AS ($ivfPqIncrementalSql),
+         |qids AS (SELECT DISTINCT q_id FROM exact),
+         |hits AS (
+         |  SELECT e.q_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx a
+         |    ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+         |  GROUP BY e.q_id
+         |)
+         |SELECT q_id, coalesce(n_hit, 0)::bigint AS n_hit,
+         |  coalesce(n_hit, 0)::double / 5 AS recall
+         |FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin,
+
     "q122_ivfpq_ann" -> ivfPqSql,
 
     "q121_pq_recall" ->
@@ -1924,6 +1969,18 @@ object Embeddings {
     baseCte + cutOldCtes +
       pqSqlFrom("old", "q.vec_id >= (SELECT c FROM cut)",
         excludeSelf = false)
+
+  /** q124's exact side: each batch query's brute-force cosine top-5
+    * over the old slice (the ground truth q123 is audited against). */
+  private lazy val exactBatchTop5Sql: String =
+    baseCte + cutOldCtes +
+      s"""SELECT q_id, vec_id, cos, rank FROM (
+         |  SELECT q.vec_id q_id, o.vec_id,
+         |    (${duckDot("q.v", "o.v")} / (q.nrm * o.nrm)) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (${duckDot("q.v", "o.v")} / (q.nrm * o.nrm)) DESC, o.vec_id) rank
+         |  FROM old o CROSS JOIN e q WHERE q.vec_id >= (SELECT c FROM cut)
+         |) WHERE rank <= 5""".stripMargin
 
   /** q123's oracle: the q120 chain with the router trained on the OLD
     * slice (kmCtes over `old`), old codes carrying their cell, and the
