@@ -73,7 +73,11 @@ object Curate {
       .agg(topk((-col("__pri")).cast("double"), col("__id"),
         lit(0L), lit(0L), lit(0L)).as("top"))
       .select(col(keyCol), posexplode(col("top")).as(Seq("i", "r")))
-      .select(col(keyCol), col("r.k1").as(idCol),
+      // cast the exploded id back to the INPUT id type (the TopK key is
+      // long internally) so kept ids round-trip against the source frame
+      // without implicit widening
+      .select(col(keyCol),
+        col("r.k1").cast(docs.schema(idCol).dataType).as(idCol),
         (col("i") + 1).cast("long").as("keep_rank"))
   }
 
@@ -105,8 +109,11 @@ object Curate {
       keyCol: String = "source", idCol: String = "doc_id"): DataFrame =
     capPerKey(batch, n, keyCol, idCol)
       .withColumnRenamed("keep_rank", "__brnk")
-      .join(broadcast(counts.select(col(keyCol),
-        col("n_kept").as("__base"))), Seq(keyCol), "left")
+      // null-safe (<=>) so a NULL-key domain — one group under capPerKey's
+      // groupBy — matches its counts row instead of restarting at base 0
+      // every batch and exceeding the cap across epochs
+      .join(broadcast(counts.select(col(keyCol).as("__ck"),
+        col("n_kept").as("__base"))), col(keyCol) <=> col("__ck"), "left")
       .withColumn("__b0", coalesce(col("__base"), lit(0L)))
       .where(col("__b0") + col("__brnk") <= n)
       .select(col(keyCol), col(idCol),

@@ -128,8 +128,12 @@ final class JdbcSource(val spark: SparkSession, url: String,
     * surface a native time type instead. */
   private def timeToMicros(f: StructField): Column = f.dataType match {
     case TimestampType => unix_micros(col(f.name))
-    case TimestampNTZType => unix_micros(col(f.name).cast(TimestampType))
     case LongType | IntegerType => col(f.name).cast(LongType)
+    // TimestampNTZType deliberately takes the extract path below: casting
+    // NTZ→Timestamp reinterprets the 1970-01-01 wall clock in the session
+    // timezone, which offsets the µs-since-midnight convention under any
+    // non-UTC spark.sql.session.timeZone. The wall-clock fields are
+    // timezone-independent.
     case _ =>
       ((hour(col(f.name)).cast(LongType) * 3600L +
         minute(col(f.name)).cast(LongType) * 60L) * 1000000L +

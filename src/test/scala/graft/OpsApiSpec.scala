@@ -263,6 +263,41 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!full.exists(_.getString(0) == "big.com"))
   }
 
+  test("Curate.capPerKey preserves the input id type (no silent " +
+      "widening to long)") {
+    import graft.ops.Curate
+    val d = (1 to 9).map(i => (i, s"s${i % 2}", s"d$i"))
+      .toDF("pid", "site", "body") // pid: IntegerType
+    val out = Curate.capPerKey(d, 3, keyCol = "site", idCol = "pid")
+    assert(out.schema("pid").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // kept ids equi-join back against the source frame without casts
+    assert(out.join(d, Seq("pid", "site")).count() === out.count())
+    val app = Curate.capPerKeyAppend(
+      d.where(col("pid") > 6),
+      Curate.capCounts(d.where(col("pid") <= 6), 3, "site", "pid"),
+      3, keyCol = "site", idCol = "pid")
+    assert(app.schema("pid").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("Curate.capPerKeyAppend honors the cap for a NULL key domain " +
+      "across epochs") {
+    import graft.ops.Curate
+    val old = Seq((1L, null: String), (2L, null), (3L, "a.com"))
+      .toDF("page_id", "site")
+    val counts = Curate.capCounts(old, 3, keyCol = "site",
+      idCol = "page_id") // null domain: 2 kept of a 3-cap
+    val batch = Seq((10L, null: String), (11L, null), (12L, null))
+      .toDF("page_id", "site")
+    val out = Curate.capPerKeyAppend(batch, counts, 3,
+      keyCol = "site", idCol = "page_id").collect()
+    val nullKey = out.filter(_.isNullAt(0))
+    // only ONE remaining slot — null keys must match their counts row
+    assert(nullKey.length === 1)
+    assert(nullKey.head.getAs[Long]("keep_rank") === 3L)
+  }
+
   test("Curate.tokenBudget matches the brute-force prefix cut") {
     val docs = (1L to 40L)
       .map(i => (i, s"tok$i " * (i % 5 + 1).toInt)).toDF("k", "txt")
