@@ -7,6 +7,33 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the plan down to nothing for scan-shaped queries).
   */
 object Bench {
+  /** Whole-device cumulative (sectorsRead, sectorsWritten) from
+    * /proc/diskstats — partitions are excluded so sectors aren't double
+    * counted. (0,0) when unreadable (non-Linux): deltas then read 0 and
+    * the diagnosis fields are inert, never wrong. */
+  private def diskSectors(): (Long, Long) =
+    try {
+      val dev = "^(sd[a-z]+|nvme\\d+n\\d+|vd[a-z]+|xvd[a-z]+|mmcblk\\d+)$".r
+      val sums = scala.io.Source.fromFile("/proc/diskstats").getLines()
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length >= 10 && dev.pattern.matcher(f(2)).matches())
+        .map(f => (f(5).toLong, f(9).toLong)).toSeq
+      (sums.map(_._1).sum, sums.map(_._2).sum)
+    } catch { case _: Exception => (0L, 0L) }
+
+  /** 1-minute loadavg; -1 when unreadable. */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+")(0).toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** MemAvailable in MB; -1 when unreadable. */
+  private def memAvailMb(): Long =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemAvailable:"))
+      .map(_.split("\\s+")(1).toLong / 1024).getOrElse(-1L)
+    catch { case _: Exception => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,6 +65,19 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     val effReps = if (cold) 1 else reps
+    // Self-diagnosis (file artifact only — the stdout protocol is
+    // unchanged): raw per-rep times in execution order plus per-rep
+    // whole-device disk-sector deltas and a loadavg/mem snapshot per
+    // query. Two recorded rounds running, the driver-captured totals sat
+    // ~20% above every same-protocol reproduction, concentrated in the
+    // artifact-write family — with these counters the artifact itself
+    // adjudicates "capture-window I/O contention" (high rep variance +
+    // disk counters spiking) vs "code got slower" (tight reps, uniformly
+    // up) without needing a second run to compare against.
+    val sysStart = (diskSectors(), loadAvg(), memAvailMb())
+    val diag = scala.collection.mutable.LinkedHashMap
+      .empty[String, String]
+    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = selected.map { case (name, fn) =>
       // One untimed warm pass, then the timed passes: measures steady-state
       // throughput. A fresh JVM pays ~1-2 s of Janino+JIT compilation per
@@ -57,7 +97,10 @@ object Bench {
       // A rep that THROWS contributes no timing: a broken query must show
       // up as "err" in the JSON, not as a near-zero elapsed time silently
       // deflating the median and totals.
-      val times = (1 to effReps).flatMap { _ =>
+      val qLoad = loadAvg()
+      val qMem = memAvailMb()
+      val reps0 = (1 to effReps).map { _ =>
+        val d0 = diskSectors()
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -68,6 +111,7 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val d1 = diskSectors()
         // queries cache intermediates for their own self-joins; drop them
         // so caches don't accumulate memory pressure across the suite
         spark.catalog.clearCache()
@@ -77,8 +121,18 @@ object Bench {
         // measured 9 s solo vs 49-65 s at suite end). An explicit GC per
         // query keeps cleanup current — outside the timed window.
         System.gc()
-        if (ok) Some(elapsed) else None
-      }.sorted
+        (elapsed, d1._1 - d0._1, d1._2 - d0._2, ok)
+      }
+      // diag row: raw times in EXECUTION order (the sorted view hides
+      // which rep was the outlier), per-rep disk-sector deltas (whole
+      // suite shares the device, so a spike here is contention evidence),
+      // loadavg + MemAvailable sampled at query start
+      diag(name) = "{\"t\":[" +
+        reps0.map(r => if (r._4) f(r._1) else "-1").mkString(",") +
+        "],\"rd\":[" + reps0.map(_._2).mkString(",") +
+        "],\"wr\":[" + reps0.map(_._3).mkString(",") +
+        s"""],"load":${f(qLoad)},"mem_mb":$qMem}"""
+      val times = reps0.filter(_._4).map(_._1).sorted
       perf.foreach(_.checkpoint(name))
       // Suite-aging diagnostics (SPARK_GRAFT_STORAGE=1): snapshot what
       // survives clearCache+GC after each query — persisted-RDD block
@@ -125,7 +179,6 @@ object Bench {
     def median(ts: Seq[Double]): Double =
       if (ts.length % 2 == 1) ts(ts.length / 2)
       else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
-    def f(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.isEmpty) "\"err\"" else f(median(ts)))
     }.mkString("{", ",", "}")
@@ -134,6 +187,41 @@ object Bench {
     val totalMin = done.map(_._2.head).sum
     val nErr = results.length - done.length
     val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"total_min":${f(totalMin)},"reps":$effReps,"errs":$nErr,"sf":"$sfDir"}"""
+    // Testdata digest — per-round testdata regeneration has been shown to
+    // move df-distribution-sensitive query costs, so cross-round per-query
+    // deltas need the data identity recorded WITH the numbers: row count,
+    // an order-independent first-column checksum (bit_xor of xxhash64 —
+    // no overflow, partitioning-invariant), and the file mtime per table.
+    // Computed after the timed loop so the scans can't perturb timings.
+    val digestJson = try {
+      val tables = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      tables.map { tf =>
+        val tname = tf.getName.stripSuffix(".parquet")
+        val df = spark.read.parquet(tf.getAbsolutePath)
+        val c0 = df.schema.fields.head.name
+        val r = df.selectExpr("count(1) as n",
+          s"bit_xor(xxhash64(`$c0`)) as x").head()
+        val x = if (r.isNullAt(1)) 0L else r.getLong(1)
+        s""""$tname":{"rows":${r.getLong(0)},"xor":$x,"col":"$c0"""" +
+          s""","mtime":${tf.lastModified() / 1000}}"""
+      }.mkString("{", ",", "}")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] WARN: data digest failed: $e")
+      "{}"
+    }
+    val sysEnd = (diskSectors(), loadAvg(), memAvailMb())
+    def sysJson(s: ((Long, Long), Double, Long)) =
+      s"""{"rd":${s._1._1},"wr":${s._1._2},"load":${f(s._2)},"mem_mb":${s._3}}"""
+    val diagJson = diag.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // File artifact = the stdout JSON plus the self-diagnosis sections
+    // (per-rep raw times/disk deltas, start/end system snapshots, data
+    // digest). Stdout keeps the compact driver protocol unchanged.
+    val fileJson = json.dropRight(1) +
+      s""","sys_start":${sysJson(sysStart)},"sys_end":${sysJson(sysEnd)}""" +
+      s""","reps_detail":$diagJson,"data_digest":$digestJson}"""
     // The driver keeps only a bounded tail of the combined output, so a
     // long per-query map can lose its HEAD in the captured artifact
     // (BENCH_r10 lost q01–q26 that way). Defense: also write the full
@@ -142,7 +230,7 @@ object Bench {
       "/tmp/graft_bench_" +
         sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes("UTF-8"))
+      (fileJson + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] WARN: could not write $outFile: $e") }
     // The driver parses the LAST line of the output tail, so the bare JSON
