@@ -508,6 +508,21 @@ object CrawlIngest {
     import org.apache.spark.sql.{Dataset, Row}
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // Phase timing (stderr, off by default): q111 is the bench's single
+    // most expensive line item, so its cost must be decomposable into
+    // fixed streaming overhead (snapshot ensure, state seed, stream
+    // start/stop) vs per-epoch member work — set graft.stream.timing=true.
+    val timing = s.conf.getOption("graft.stream.timing").contains("true") ||
+      sys.env.get("SPARK_GRAFT_STREAM_TIMING").contains("1")
+    def timed[T](label: String)(body: => T): T =
+      if (!timing) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[q111-timing] $label ${
+          (System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
     val target = s.conf.getOption("graft.dsir.targetSource")
       .getOrElse("src0")
     val buckets = s.conf.getOption("graft.dsir.buckets").map(_.toInt)
@@ -517,7 +532,8 @@ object CrawlIngest {
     val d = Graft.parquetSource(s, dir).table("documents")
     val cut = BatchCut.cut(s, d)
     val fp = Some(s"$dir/documents.parquet")
-    val snaps = ensureSnapshots(s, dir, cut, target, buckets)
+    val snaps = timed("ensure-snapshots")(
+      ensureSnapshots(s, dir, cut, target, buckets))
 
     // per-run accumulated state (the q76 discipline): seeded under a
     // transient refresh so reruns are idempotent, application id in the
@@ -531,7 +547,7 @@ object CrawlIngest {
       StructType(Seq(StructField(field, StringType))))
     val prevRefresh = s.conf.getOption("graft.artifacts.refresh")
     s.conf.set("graft.artifacts.refresh", "true")
-    val (seenPath, keysPath, termsPath) =
+    val (seenPath, keysPath, termsPath) = timed("seed-state") {
       try (
         graft.sources.SideTable.ensure(s, "ingest_seen", runKey, fp) {
           s.read.parquet(snaps.sigPath) },
@@ -541,6 +557,7 @@ object CrawlIngest {
           emptyOf("term") })
       finally prevRefresh.fold(s.conf.unset("graft.artifacts.refresh"))(
         v => s.conf.set("graft.artifacts.refresh", v))
+    }
 
     // the driver-side id collect is the MemoryStream harness seam
     // (bounded by |batch|; a deployment's source is Kafka/files)
@@ -553,19 +570,27 @@ object CrawlIngest {
         math.max(1, (ids.length + nEpochs - 1) / nEpochs)).toSeq
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Long]
-    val acc = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[scala.concurrent.Future[DataFrame]]
     val query = ms.toDF().toDF("doc_id").writeStream
       .outputMode("append")
-      .foreachBatch { (epochIds: Dataset[Row], _: Long) =>
+      .foreachBatch { (epochIds: Dataset[Row], epochNo: Long) =>
+        timed(s"epoch-body-$epochNo") {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.DurationInt
+        val bodyT0 = System.nanoTime()
+        def mark(l: String): Unit = if (timing)
+          System.err.println(f"[q111-timing]   +$l%-10s ${
+            (System.nanoTime() - bodyT0) / 1e9}%.3f s")
         implicit val ec: scala.concurrent.ExecutionContext = memberEc
         val epochDocs =
           d.join(broadcast(epochIds), Seq("doc_id"), "left_semi")
         val fMeta = Future(metaFrame(epochDocs).localCheckpoint())
         val grams = triShingleHashRows(epochDocs, Seq("source"))
           .localCheckpoint() // ONE generator pass per epoch
+        mark("grams")
         val meta = Await.result(fMeta, 60.minutes)
+        mark("meta")
 
         val fVocab = Future {
           // known = snapshot vocabulary ∪ terms arrived in earlier
@@ -598,8 +623,12 @@ object CrawlIngest {
               .withColumn("prior_hit", lit(1))
               .localCheckpoint())
         }
-        val dsir = dsirMember(s.read.parquet(snaps.ctPath),
+        // dsir is the one member whose core is fully lazy; checkpoint it
+        // HERE, overlapped behind the dedup critical path, so the
+        // deferred record assembly is pure broadcast composition
+        val fDsir = Future(dsirMember(s.read.parquet(snaps.ctPath),
           s.read.parquet(snaps.crPath), grams, target, buckets)
+          .localCheckpoint())
         val fBigram = Future(bigramMember(s.read.parquet(snaps.ctxPath),
           s.read.parquet(snaps.bigPath), grams))
         val fBm25 = Future(bm25Member(s.read.parquet(snaps.postPath),
@@ -607,10 +636,17 @@ object CrawlIngest {
           s.read.parquet(snaps.totPath), grams, dfCap))
 
         val (newTerms, perDocNew) = Await.result(fVocab, 60.minutes)
+        mark("vocab")
         val (deltaBands, pairs, _, _) = Await.result(fDedup, 60.minutes)
+        mark("dedup")
         val (hitKeys, priorKeys) = Await.result(fKeys, 60.minutes)
+        mark("keys")
         val bigram = Await.result(fBigram, 60.minutes)
+        mark("bigram")
         val top1 = Await.result(fBm25, 60.minutes)
+        mark("bm25")
+        val dsir = Await.result(fDsir, 60.minutes)
+        mark("dsir")
 
         // arrival-time triage: 'near' iff the doc is the LATER side of
         // a verified pair (prior = old corpus or earlier arrival; d2 is
@@ -641,20 +677,36 @@ object CrawlIngest {
             runKey, fp)(bkeys3.select(col("gk")).distinct())),
           Future(graft.sources.SideTable.append(s, "ingest_terms",
             runKey, fp)(newTerms.select(col("term")))))
-        acc += record(meta, triage, bdup, perDocNew, bigram, dsir, top1)
-          .localCheckpoint()
+        // The record frame is PURE COMPOSITION over member frames that
+        // are already localCheckpointed (or that read persistent snapshot
+        // artifacts, never the dropped per-run state), so its ~3 s
+        // assembly job does NOT have to serialize inside the epoch: it
+        // materializes on a background future that overlaps the NEXT
+        // epoch's member work, and only the final epoch's assembly is
+        // paid as a tail (measured 8.3 s -> ~5.8 s per epoch at sf0.1,
+        // q111 ~32 s -> ~27 s). The state appends stay inside the epoch
+        // barrier — later epochs read them.
+        acc += Future(record(meta, triage, bdup, perDocNew, bigram,
+          dsir, top1).localCheckpoint())
+        mark("record")
         fAppends.foreach(Await.result(_, 60.minutes))
+        mark("appends")
         ()
+        }
       }
       .start()
-    try chunks.foreach { c => ms.addData(c); query.processAllAvailable() }
-    finally {
+    try chunks.zipWithIndex.foreach { case (c, i) =>
+      timed(s"epoch-drive-$i") { ms.addData(c); query.processAllAvailable() }
+    }
+    finally timed("stop-drop") {
       query.stop()
       graft.sources.SideTable.drop(s, "ingest_seen", runKey, fp)
       graft.sources.SideTable.drop(s, "ingest_keys", runKey, fp)
       graft.sources.SideTable.drop(s, "ingest_terms", runKey, fp)
     }
-    acc.reduceOption(_ unionByName _)
+    acc.map(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration(60, "minutes")))
+      .reduceOption(_ unionByName _)
       .getOrElse {
         import org.apache.spark.sql.types._
         s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
