@@ -151,6 +151,7 @@ object Bench {
         System.err.println(s"[storage] $name rdds=${infos.length} " +
           s"mem=${mem}MB disk=${dsk}MB codeCache=${cc}MB " +
           s"memos=pair:${graft.queries.TextPipeline.pairMemoSize}," +
+          s"bpe:${graft.queries.TextPipeline.bpeMemoSize}," +
           s"km:${graft.queries.Embeddings.kmMemoSize}," +
           s"ann:${graft.queries.Embeddings.annMemoSize}," +
           s"pq:${graft.queries.Embeddings.pqMemoSize}," +
@@ -162,6 +163,7 @@ object Bench {
       // default protocol — memo reuse is intended behavior (q53/q27).
       if (sys.env.get("SPARK_GRAFT_RESET").contains("1")) {
         graft.queries.TextPipeline.clearPairMemo()
+        graft.queries.TextPipeline.clearBpeMemo()
         graft.queries.Embeddings.clearAnnMemo()
         graft.queries.Embeddings.clearKmMemo()
         graft.queries.Embeddings.clearPqMemo()

@@ -318,4 +318,114 @@ object Text {
         (col("pass_len") === 1 && col("pass_mwl") === 1 &&
           col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
   }
+
+  /** Per-word symbol string for the BPE family: characters space-joined
+    * with boundary spaces and a trailing end-of-word marker, so one
+    * merge application is a single literal `replace` (greedy
+    * left-to-right non-overlapping on both Spark and the oracle). */
+  private def symbolsOf(word: Column, endMark: String): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", "$1 "),
+      lit(endMark + " "))
+
+  /** BPE vocabulary induction — the iterative pair-merge loop every LLM
+    * tokenizer training runs (Sennrich et al., "Neural Machine
+    * Translation of Rare Words with Subword Units", arXiv:1508.07909):
+    * words split into character symbols (+ end-of-word marker);
+    * each round counts adjacent symbol pairs weighted by corpus word
+    * frequency, merges the most frequent pair everywhere, repeats.
+    *
+    * Shaped like [[graft.ops.Embed.kmeans]]: the corpus collapses to
+    * the ≤|distinct words| word-frequency table in ONE map-side
+    * combinable pass — the only corpus-scale scan; every iteration
+    * then runs on that table alone (at 100 TB the word table is
+    * millions of rows, not the corpus). Per round: pair generation is
+    * a codegen'd slice/zip explode, the count is a map-side combinable
+    * integer sum, the argmax is a TakeOrdered with a total tie-break
+    * (freq DESC, left ASC, right ASC — deterministic under any
+    * partitioning), and the merge applies as one codegen'd literal
+    * `replace` projection with the lineage checkpoint-truncated per
+    * round. The only driver-side reads are ONE row per iteration (the
+    * winning pair — metadata grain, the kmeans-centroid discipline).
+    *
+    * Output: the merge sequence (merge_rank 1.., left_sym, right_sym,
+    * pair_freq) — merge_rank-ordered; feed it to [[bpeEncode]]. Stops
+    * early when no pair remains or the best frequency drops below
+    * `minFreq`. */
+  def bpeVocab(docs: DataFrame, nMerges: Int, textCol: String = "text",
+      endMark: String = "</w>", minFreq: Long = 1L): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1 (got $nMerges)")
+    require(endMark.nonEmpty && !endMark.exists(_.isWhitespace),
+      "endMark must be non-empty and whitespace-free")
+    val spark = docs.sparkSession
+    val wordFreq = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(symbolsOf(col("word"), endMark).as("w"), col("cnt"))
+    var cur = wordFreq.localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val syms = split(trim(col("w")), " ")
+      val best = cur
+        .select(col("cnt"), explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1).as("l"),
+            slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
+      else {
+        val l = best.head.getString(0)
+        val r = best.head.getString(1)
+        val fq = best.head.getLong(2)
+        merges += ((merges.length + 1L, l, r, fq))
+        cur = cur.withColumn("w",
+            replace(col("w"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
+  }
+
+  /** Apply a trained BPE merge sequence ([[bpeVocab]] order matters) to
+    * a corpus — tokenizer inference as ONE fully codegen'd projection:
+    * the document becomes a single symbol stream (chars spaced,
+    * end-of-word marker between words) and the n merges apply as n
+    * chained literal `replace`s. No loop of actions, no shuffle, no
+    * state: at 100 TB this rides whatever scan the pipeline already
+    * pays, embarrassingly parallel per row. Within-stream safety:
+    * every word ends with the marker and no trained merge can begin
+    * with a marker-terminated symbol (such symbols never have a right
+    * neighbor during training), so merges cannot cross word
+    * boundaries in the concatenated stream.
+    *
+    * Output: (<id>, tokens — the space-joined token string — and
+    * n_tokens). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text",
+      endMark: String = "</w>"): DataFrame = {
+    require(endMark.nonEmpty && !endMark.exists(_.isWhitespace),
+      "endMark must be non-empty and whitespace-free")
+    // \u0001 marks word gaps through the char-spacing regex, then
+    // becomes the end-of-word symbol; documents are plain text so the
+    // control char cannot occur in content that words() would keep
+    val stream = concat(lit(" "),
+      replace(
+        regexp_replace(
+          replace(regexp_replace(trim(col(textCol)), "\\s+", " "),
+            lit(" "), lit("\u0001")),
+          "(.)", "$1 "),
+        lit("\u0001"), lit(endMark)),
+      lit(endMark + " "))
+    val encoded = merges.foldLeft(stream) { case (c, (l, r)) =>
+      replace(c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    docs.select(col(idCol), trim(encoded).as("tokens"))
+      .withColumn("n_tokens", size(split(col("tokens"), " ")))
+  }
 }

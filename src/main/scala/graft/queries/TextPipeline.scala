@@ -165,6 +165,31 @@ object TextPipeline {
 
   private[graft] def pairMemoSize: Int = pairMemo.size()
 
+  /** Trained BPE merge sequences per (session, dir, nMerges): q125
+    * trains, q126 encodes with the same sequence — the pairMemo
+    * discipline (a merge list is <= nMerges driver rows, metadata
+    * grain). */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(Long, String, String, Long)]]()
+
+  private[graft] def clearBpeMemo(): Unit = bpeMemo.clear()
+
+  private[graft] def bpeMemoSize: Int = bpeMemo.size()
+
+  /** Merge count of the q125/q126 bindings (and their unrolled
+    * oracles — the two MUST agree). */
+  private val BpeMerges = 24
+
+  private def bpeMergesOf(s: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] =
+    bpeMemo.computeIfAbsent((s, dir, BpeMerges), _ =>
+      graft.ops.Text.bpeVocab(
+          Graft.parquetSource(s, dir).table("documents"), BpeMerges)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+        .toSeq)
+
   private def memoKey(s: SparkSession, dir: String) =
     (s, dir, s.conf.get("graft.dedup.maxBucket", "2000").toInt)
 
@@ -533,6 +558,35 @@ object TextPipeline {
           sum(col("new_terms")).over(w).cast("long").as("vocab_size"),
           col("new_terms"))
         .orderBy("quartile")
+    }),
+
+    // ---- q125: BPE vocabulary induction (tokenizer training) -----------
+    // Thin binding over [[graft.ops.Text.bpeVocab]] — the iterative
+    // pair-merge loop of subword tokenizer training. The oracle unrolls
+    // the same loop as MATERIALIZED CTEs (the kmeans-oracle
+    // discipline); both sides share the total tie-break (freq DESC,
+    // left ASC, right ASC), so the merge sequence is byte-identical.
+    "q125_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      bpeMergesOf(s, dir)
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_freq")
+        .orderBy("merge_rank")
+    }),
+
+    // ---- q126: BPE tokenizer inference over the corpus -----------------
+    // [[graft.ops.Text.bpeEncode]] with q125's trained merges (shared
+    // via the session memo): one fully codegen'd chained-replace
+    // projection per document; output compares the token count and the
+    // md5 of the full token string, so the oracle checks the complete
+    // tokenization without array columns.
+    "q126_bpe_encode" -> ((s, dir) => {
+      val merges = bpeMergesOf(s, dir).map(m => (m._2, m._3))
+      graft.ops.Text.bpeEncode(
+          Graft.parquetSource(s, dir).table("documents"), merges)
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          md5(col("tokens")).as("tok_md5"))
+        .orderBy("doc_id")
     }),
 
     // ---- q57: rare-token quality score ---------------------------------
@@ -1463,6 +1517,73 @@ object TextPipeline {
         |)
         |""".stripMargin + jaccardVerifyTail
 
+  /** Unrolled BPE-training CTE chain (the kmeans-oracle discipline):
+    * w0 is the word-frequency symbol table (chars space-joined, end
+    * marker, boundary spaces); per merge i, m$i picks the argmax pair
+    * under the total tie-break and w$(i+1) applies it with the same
+    * greedy left-to-right literal replace the Spark op uses.
+    * MATERIALIZED throughout — DuckDB re-inlines multiply-referenced
+    * CTEs otherwise (the q120 lesson). */
+  private def bpeCtes(n: Int): String = {
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(string_split(word, ''), ' ')
+        |           || ' </w> ' AS w,
+        |         count(*)::bigint AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+        |          AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1
+        |)""".stripMargin
+    head + (0 until n).map { i =>
+      s""", m$i AS MATERIALIZED (
+         |  SELECT l, r, freq FROM (
+         |    SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::bigint AS freq
+         |    FROM (SELECT string_split(trim(w), ' ') AS s, cnt FROM w$i),
+         |         (SELECT unnest(generate_series(1, len(s)-1)) AS i)
+         |    GROUP BY 1, 2
+         |  ) ORDER BY freq DESC, l, r LIMIT 1
+         |), w${i + 1} AS MATERIALIZED (
+         |  SELECT replace(w, ' '||l||' '||r||' ', ' '||l||r||' ') AS w, cnt
+         |  FROM w$i, m$i
+         |)""".stripMargin
+    }.mkString
+  }
+
+  private def bpeVocabSql: String =
+    bpeCtes(24) + "\n" +
+      (0 until 24).map(i =>
+        s"SELECT ($i+1)::bigint AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, freq AS pair_freq FROM m$i")
+        .mkString(" UNION ALL ") +
+      "\nORDER BY merge_rank"
+
+  /** q126: the training CTEs plus a chained-replace encode over every
+    * document; LEFT JOIN ON true keeps documents intact if a merge CTE
+    * comes up empty (merge exhaustion), mirroring the Spark op's
+    * fold over however many merges were learned. */
+  private def bpeEncodeSql: String =
+    bpeCtes(24) +
+      """, e0 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    ' ' || replace(regexp_replace(replace(
+        |        regexp_replace(trim(text), '\s+', ' '), ' ', chr(1)),
+        |      '(.)', '\1 ', 'g'), chr(1), '</w>') || '</w> ' AS w
+        |  FROM documents
+        |)""".stripMargin +
+      (0 until 24).map { i =>
+        s""", e${i + 1} AS MATERIALIZED (
+           |  SELECT doc_id, CASE WHEN m.l IS NULL THEN e.w
+           |    ELSE replace(e.w, ' '||m.l||' '||m.r||' ',
+           |                 ' '||m.l||m.r||' ') END AS w
+           |  FROM e$i e LEFT JOIN m$i m ON true
+           |)""".stripMargin
+      }.mkString +
+      """
+        |SELECT doc_id,
+        |  len(string_split(trim(w), ' '))::bigint AS n_tokens,
+        |  md5(trim(w)) AS tok_md5
+        |FROM e24 ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q23_text_stats" ->
       """SELECT doc_id,
@@ -1699,6 +1820,10 @@ object TextPipeline {
         |WINDOW w AS (ORDER BY d.quartile
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY d.quartile""".stripMargin,
+
+    "q125_bpe_vocab" -> bpeVocabSql,
+
+    "q126_bpe_encode" -> bpeEncodeSql,
 
     "q57_rare_token_score" ->
       """WITH tok AS (

@@ -682,4 +682,70 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!kept(5L), "near-dup of node 4 survived")
     assert(Seq(1L, 3L, 4L, 6L).forall(kept), "a non-dup was dropped")
   }
+
+  test("Text.bpeVocab learns the canonical Sennrich merge sequence") {
+    // the worked example of the BPE paper (arXiv:1508.07909 §3.2 uses
+    // low/lower/newest/widest); expected sequence computed by an
+    // independent reference implementation with the same total
+    // tie-break (freq DESC, left ASC, right ASC)
+    val corpus = ("low " * 5 + "lower " * 2 + "newest " * 6 +
+      "widest " * 3).trim
+    val docs = Seq((1L, corpus)).toDF("doc_id", "text")
+    val out = Text.bpeVocab(docs, nMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "e", "s", 9L), (2L, "es", "t", 9L), (3L, "est", "</w>", 9L),
+      (4L, "l", "o", 7L), (5L, "lo", "w", 7L), (6L, "e", "w", 6L),
+      (7L, "ew", "est</w>", 6L), (8L, "n", "ewest</w>", 6L),
+      (9L, "low", "</w>", 5L), (10L, "d", "est</w>", 3L)))
+    // word frequency weighting: the same corpus as distinct documents
+    // per occurrence learns the same merges (weights via cnt)
+    val docs2 = corpus.split(" ").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toSeq.toDF("doc_id", "text")
+    val out2 = Text.bpeVocab(docs2, nMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out2.toSeq === out.toSeq)
+    // determinism under re-planning
+    val out3 = Text.bpeVocab(docs.repartition(7), nMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out3.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] { Text.bpeVocab(docs, 0) }
+    intercept[IllegalArgumentException] {
+      Text.bpeVocab(docs, 3, endMark = "a b")
+    }
+  }
+
+  test("Text.bpeVocab minFreq stops the loop once the best pair is " +
+      "below threshold") {
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val out = Text.bpeVocab(docs, nMerges = 50, minFreq = 2L).collect()
+    // (a,b) freq 2 merges; ab</w> freq 2 merges; everything else is 1
+    assert(out.forall(_.getLong(3) >= 2L))
+    assert(out.length === 2)
+  }
+
+  test("Text.bpeEncode applies a trained merge list as one projection " +
+      "and never crosses word boundaries") {
+    val corpus = ("low " * 5 + "lower " * 2 + "newest " * 6 +
+      "widest " * 3).trim
+    val train = Seq((1L, corpus)).toDF("doc_id", "text")
+    val merges = Text.bpeVocab(train, nMerges = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = Seq((1L, "low lower newest"), (2L, "lowest wide"))
+      .toDF("doc_id", "text")
+    val out = Text.bpeEncode(docs, merges).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    // reference-implementation expectations (word-local application)
+    assert(out(1L)._1 === "low</w> low e r </w> newest</w>")
+    assert(out(1L)._2 === 6)
+    assert(out(2L)._1 === "low est</w> w i d e </w>")
+    assert(out(2L)._2 === 7)
+    // single projection: no exchange, no generator in the plan
+    val plan = Text.bpeEncode(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bpeEncode shuffled:\n$plan")
+  }
 }
