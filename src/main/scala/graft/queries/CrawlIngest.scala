@@ -695,8 +695,21 @@ object CrawlIngest {
         }
       }
       .start()
-    try chunks.zipWithIndex.foreach { case (c, i) =>
-      timed(s"epoch-drive-$i") { ms.addData(c); query.processAllAvailable() }
+    try {
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        timed(s"epoch-drive-$i") {
+          ms.addData(c); query.processAllAvailable() }
+      }
+      // The FINAL epoch's assembly future must land BEFORE stop():
+      // memberEc's pool threads are created lazily, so threads first
+      // spawned inside a foreachBatch body inherit the streaming
+      // query's job group (thread-local Spark properties), and stop()
+      // cancels that group — an in-flight assembly job then dies with
+      // SPARK_JOB_CANCELLED (observed intermittently under full-suite
+      // load). Awaiting here is the documented final-epoch tail.
+      timed("assembly-tail")(acc.foreach(
+        scala.concurrent.Await.ready(_,
+          scala.concurrent.duration.Duration(60, "minutes"))))
     }
     finally timed("stop-drop") {
       query.stop()
