@@ -102,17 +102,39 @@ final class JdbcSource(val spark: SparkSession, url: String,
         Map.empty
     }
 
+  private def applyConventions(df: DataFrame, query: String): DataFrame = {
+    val dbTypes = columnDbTypes(query)
+    if (dbTypes.isEmpty) df
+    else JdbcSource.applyTypeConventions(df, dbTypes)
+  }
+}
+
+object JdbcSource {
+  private val dialectRegistered = new java.util.concurrent.atomic.AtomicBoolean
+
+  /** Register [[GraftPgDialect]] exactly once per JVM (registration
+    * prepends — repeated calls would shadow with duplicates). */
+  def ensureDialect(): Unit =
+    if (dialectRegistered.compareAndSet(false, true))
+      JdbcDialects.registerDialect(GraftPgDialect)
+
   private val geoTextTypes =
     Set("point", "line", "circle", "box", "lseg", "path", "polygon")
 
-  private def applyConventions(df: DataFrame, query: String): DataFrame = {
-    val dbTypes = columnDbTypes(query)
-    if (dbTypes.isEmpty) return df
+  /** The post-read type-conventions projection, split from the live
+    * metadata probe so the static PG replay (PgRowConformanceSpec) can
+    * drive the REAL projection over replayed rows: TIME → LongType µs
+    * since midnight, native geometric text forms → the documented
+    * ArrayType(Double) encodings via [[Geo.parseGeoText]]. `dbTypes` is
+    * column label → database type name (lowercase), as
+    * `columnDbTypes` probes it. */
+  private[graft] def applyTypeConventions(df: DataFrame,
+      dbTypes: Map[String, String]): DataFrame = {
     val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
       dbTypes.get(f.name.toLowerCase) match {
         case Some("time") => timeToMicros(f).as(f.name)
         case Some(t) if geoTextTypes(t) && f.dataType == StringType =>
-          JdbcSource.geoParse(t)(col(f.name)).as(f.name)
+          geoParse(t)(col(f.name)).as(f.name)
         case _ => col(f.name)
       }
     }
@@ -139,16 +161,6 @@ final class JdbcSource(val spark: SparkSession, url: String,
         minute(col(f.name)).cast(LongType) * 60L) * 1000000L +
         (expr(s"extract(SECOND FROM ${f.name})") * 1000000L).cast(LongType))
   }
-}
-
-object JdbcSource {
-  private val dialectRegistered = new java.util.concurrent.atomic.AtomicBoolean
-
-  /** Register [[GraftPgDialect]] exactly once per JVM (registration
-    * prepends — repeated calls would shadow with duplicates). */
-  def ensureDialect(): Unit =
-    if (dialectRegistered.compareAndSet(false, true))
-      JdbcDialects.registerDialect(GraftPgDialect)
 
   /** Null-safe UDF wrapper for the geometric text decoder. UDF is fine
     * here: geo columns are metadata-scale, never the 100 TB hot path. */
