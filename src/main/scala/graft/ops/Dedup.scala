@@ -117,6 +117,122 @@ object Dedup {
       .where(col("ham") <= 6)
   }
 
+  /** Exact repeated-substring extents per document — the span-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499), at word-k-gram grain: a k-gram
+    * is DUPLICATED when it occurs ≥ `minCount` times in the corpus
+    * (counting every occurrence, so within-document repetition counts
+    * like cross-document); per document, the duplicated k-gram
+    * positions merge into maximal extents (intervals [pos, pos+k−1]
+    * merged when overlapping or adjacent). Documents under `k` words
+    * are excluded (no k-gram exists). Output: (<id>, n_grams,
+    * n_dup_spans, dup_tokens, dup_ratio = dup_tokens / n_words) — the
+    * doc-level drop/trim signal span-dedup pipelines filter on.
+    *
+    * Scale shape: the positional gram stream is corpus-linear (ONE
+    * generator projection — no window sort; grams slice the per-row
+    * token array); occurrence counts are a map-side-combinable integer
+    * sum; the duplicated-gram set joins back hash-keyed (AQE
+    * broadcasts it while it fits); the extent merge is a per-document
+    * gaps-and-islands window over the HIT positions only — a subset,
+    * partitioned by doc, bounded by document length. Nothing is
+    * all-pairs; cost is corpus-linear in gram rows. */
+  def spanDups(docs: DataFrame, k: Int = 5, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    require(minCount >= 2L, s"need minCount >= 2 (got $minCount)")
+    val g = spanGramRows(docs, k, idCol, textCol)
+      .localCheckpoint() // read three times: counts, hit join, per-doc
+    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select(col("h"))
+    spanExtents(g,
+      g.join(dup, "h").select(col("doc_id"), col("pos")), k, idCol)
+  }
+
+  /** The distinct k-gram hash inventory of a corpus — what a crawl
+    * loop PERSISTS per snapshot so batches can be scored for spans
+    * already present in the corpus ([[spanDupScore]], the
+    * q69/q105/q114 frozen-artifact discipline applied to span dedup).
+    * One narrow row per distinct gram hash. */
+  def spanGramFrame(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    spanGramRows(docs, k, idCol, textCol).select(col("h")).distinct()
+  }
+
+  /** Score a batch against a FROZEN gram inventory ((h) — from
+    * [[spanGramFrame]], usually read back from a persisted artifact):
+    * per batch doc, the merged extents of k-gram spans ALREADY PRESENT
+    * in the frozen corpus — the crawl-loop form of [[spanDups]], where
+    * "duplicated" means "this text already exists in the snapshot"
+    * (df ≥ 1 in the old corpus; batch-internal repetition does NOT
+    * count — two batch docs sharing a novel span both score it fresh).
+    * Membership discipline: the batch's distinct gram keys broadcast
+    * against the artifact scan, hits broadcast back — the old corpus
+    * is never re-read, cost is batch-proportional (the boilerScore
+    * shape). Output: same schema as [[spanDups]]. */
+  def spanDupScore(batch: DataFrame, gramSet: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    val g = spanGramRows(batch, k, idCol, textCol)
+      .localCheckpoint() // batch-bounded; read by the key set, the hit
+    // join, and the per-doc stats
+    val keys = g.select(col("h")).distinct()
+    val hits = gramSet.select(col("h"))
+      .join(broadcast(keys), Seq("h"), "left_semi")
+      .localCheckpoint() // ≤ |batch gram keys| — broadcastable
+    spanExtents(g,
+      g.join(broadcast(hits), "h").select(col("doc_id"), col("pos")),
+      k, idCol)
+  }
+
+  /** Positional k-gram hash rows (doc_id, pos 1-based, h) for the span
+    * family — ONE codegen'd generator projection (tokenize, explode
+    * the position sequence, slice/concat/hash); docs under k words are
+    * excluded. Unlike [[graft.functions.TextFunctions.shingleHashRows]]
+    * this keeps positions and multiplicity — extents need both. */
+  private[graft] def spanGramRows(docs: DataFrame, k: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        pmod(hash60(concat_ws(" ", slice(col("w"), col("pos"), lit(k)))),
+          lit(P)).as("h"))
+
+  /** Per-document extent merge + stats over hit positions: intervals
+    * [pos, pos+k−1] merge when the start gap is ≤ k (overlapping or
+    * adjacent); covered tokens per island = max(pos) − min(pos) + k.
+    * `g` supplies the per-doc gram totals so unhit docs report zeros. */
+  private[graft] def spanExtents(g: DataFrame, hits: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = hits
+      .withColumn("f",
+        when(col("pos") - lag(col("pos"), 1).over(wn) <= k, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("isl", sum(col("f")).over(
+        wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ext = isl.groupBy(col("doc_id"), col("isl"))
+      .agg((max(col("pos")) - min(col("pos")) + k).as("cov"))
+    val per = ext.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("cov")).as("dup_tokens"))
+    g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("n_dup_spans"), lit(0L)).cast("long")
+          .as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          (col("n_grams") + (k - 1)).cast("double")).as("dup_ratio"))
+  }
+
   // ------------------------------------------------- shared internals
   // (private[graft]: the q-entry orchestration in graft.queries builds
   // its memoized / artifact-backed variants from the same pieces)

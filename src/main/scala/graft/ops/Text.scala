@@ -319,6 +319,56 @@ object Text {
           col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
   }
 
+  /** Sliding-window document chunking — the long-document splitting
+    * primitive of RAG indexing and fixed-context pretraining prep:
+    * each document becomes overlapping windows of `window` tokens
+    * advancing by `stride`. Chunk starts are 0, stride, 2·stride, …,
+    * up to the last start that is needed to cover the final token
+    * (⌈max(n−window, 0) / stride⌉·stride) — every token is covered,
+    * no chunk is fully contained in its predecessor, and the tail
+    * chunk may be shorter than `window` but always ends at the
+    * document's last token. Distinct from [[Curate.pack]] (cross-doc
+    * sequence packing, no overlap) and q71's content-defined chunking
+    * (boundary = content hash, variable length): here boundaries are
+    * positional and overlapping by contract, so retrieval windows
+    * stay aligned under document edits only locally.
+    *
+    * Output: (<id>, chunk_idx 0.., start_tok, n_tok, chunk_text).
+    * Documents with null/blank text produce no chunks.
+    *
+    * Scale shape: ONE fully codegen'd generator projection — tokenize,
+    * explode the ⌈n/stride⌉-element start sequence, slice — riding
+    * whatever scan the pipeline already pays; no shuffle, no state, no
+    * UDFs. Chunk rows carry only their own slice (the token array dies
+    * with the stage), so output volume is (n/stride)·window tokens per
+    * doc — the overlap factor window/stride is the only amplification,
+    * chosen by the caller. */
+  def chunk(docs: DataFrame, window: Int = 16, stride: Int = 12,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"need window >= 1 (got $window)")
+    require(stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window (got stride=$stride, window=$window)")
+    // last chunk index = ⌈max(n−window, 0)/stride⌉ as integer floor of
+    // (n−window+stride−1)/stride, clamped at 0 — double division is
+    // exact here (operands far under 2^52)
+    val lastIdx = greatest(lit(0),
+      floor((col("n") - window + (stride - 1)) / lit(stride))).cast("int")
+    docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col(idCol), col("w"), col("n"),
+        explode(sequence(lit(0), lastIdx)).as("chunk_idx"))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        least(lit(window), col("n") - col("chunk_idx") * stride)
+          .cast("long").as("n_tok"),
+        concat_ws(" ",
+          slice(col("w"), col("chunk_idx") * stride + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** Per-word symbol string for the BPE family: characters space-joined
     * with boundary spaces and a trailing end-of-word marker, so one
     * merge application is a single literal `replace` (greedy

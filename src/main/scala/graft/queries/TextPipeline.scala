@@ -589,6 +589,60 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q127: sliding-window document chunking ------------------------
+    // Thin binding over [[graft.ops.Text.chunk]] — overlapping
+    // window/stride token chunks (the RAG / fixed-context splitting
+    // primitive). Output pins position, length and the md5 of every
+    // chunk's full text, so the oracle checks the complete chunking
+    // without long string columns. Knobs: graft.chunk.window /
+    // graft.chunk.stride.
+    "q127_chunk" -> ((s, dir) => {
+      val w = s.conf.getOption("graft.chunk.window").map(_.toInt)
+        .getOrElse(16)
+      val st = s.conf.getOption("graft.chunk.stride").map(_.toInt)
+        .getOrElse(12)
+      graft.ops.Text.chunk(
+          Graft.parquetSource(s, dir).table("documents"), w, st)
+        .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+          col("n_tok"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- q128: repeated-substring extents (span-level dedup) -----------
+    // Thin binding over [[graft.ops.Dedup.spanDups]] — the Lee-et-al
+    // span dedup signal at word-5-gram grain: per document, the
+    // corpus-duplicated gram positions merged into maximal extents.
+    // Knobs: graft.span.k / graft.span.minCount.
+    "q128_span_dups" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val mc = s.conf.getOption("graft.span.minCount").map(_.toLong)
+        .getOrElse(2L)
+      graft.ops.Dedup.spanDups(
+          Graft.parquetSource(s, dir).table("documents"), k, mc)
+        .orderBy("doc_id")
+    }),
+
+    // ---- q129: incremental span scoring vs the persisted gram set ------
+    // q128 as the crawl loop runs it (the q114 frozen-artifact shape):
+    // the old corpus's distinct 5-gram inventory persists per snapshot
+    // ([[graft.ops.Dedup.spanGramFrame]]); each batch doc reports the
+    // merged extents of spans ALREADY PRESENT in the snapshot
+    // ([[graft.ops.Dedup.spanDupScore]] — batch keys broadcast against
+    // the artifact scan, hits broadcast back, zero old-document reads,
+    // batch-proportional cost). Batch-internal repetition deliberately
+    // does NOT count — novelty is judged against the committed corpus
+    // alone (two batch docs sharing a novel span both score it fresh;
+    // the NEXT snapshot owns it).
+    "q129_incremental_span_dups" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val gPath = spanGramIndex(s, dir, cut, k)
+      graft.ops.Dedup.spanDupScore(d.where(col("doc_id") >= cut),
+          s.read.parquet(gPath), k)
+        .orderBy("doc_id")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -1398,6 +1452,17 @@ object TextPipeline {
           .where(col("doc_id") < cut))
     }
 
+  /** The persisted distinct-gram-set artifact behind q129 — built via
+    * the public frame definition ([[graft.ops.Dedup.spanGramFrame]]). */
+  private[graft] def spanGramIndex(s: SparkSession, dir: String,
+      cut: Long, k: Int): String =
+    graft.sources.SideTable.ensure(s, "span_grams", s"$dir#$cut#k$k",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Dedup.spanGramFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), k)
+    }
+
   /** The persisted per-source boilerplate gram artifact behind q114 —
     * built via the SAME frame definition the public API exposes
     * ([[graft.ops.Text.boilerGramFrame]]). */
@@ -1824,6 +1889,103 @@ object TextPipeline {
     "q125_bpe_vocab" -> bpeVocabSql,
 
     "q126_bpe_encode" -> bpeEncodeSql,
+
+    "q127_chunk" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), ch AS (
+        |  SELECT doc_id, len(w)::bigint AS n, w,
+        |    unnest(range(0, greatest((len(w) - 16 + 11) // 12, 0) + 1))
+        |      AS chunk_idx
+        |  FROM ws
+        |)
+        |SELECT doc_id, chunk_idx::bigint AS chunk_idx,
+        |  (chunk_idx * 12)::bigint AS start_tok,
+        |  least(16, n - chunk_idx * 12)::bigint AS n_tok,
+        |  md5(array_to_string(w[chunk_idx*12+1 : chunk_idx*12+16], ' '))
+        |    AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q128_span_dups" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), dup AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), hits AS (
+        |  SELECT doc_id, pos FROM g JOIN dup USING (h)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      <= 5 THEN 0 ELSE 1 END AS f
+        |  FROM hits
+        |), isl2 AS (
+        |  SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM isl
+        |), ext AS (
+        |  SELECT doc_id, isl, max(pos) - min(pos) + 5 AS cov
+        |  FROM isl2 GROUP BY doc_id, isl
+        |), per AS (
+        |  SELECT doc_id, count(*)::bigint AS n_dup_spans,
+        |    sum(cov)::bigint AS dup_tokens
+        |  FROM ext GROUP BY doc_id
+        |)
+        |SELECT ws.doc_id, (len(w) - 4)::bigint AS n_grams,
+        |  coalesce(n_dup_spans, 0)::bigint AS n_dup_spans,
+        |  coalesce(dup_tokens, 0)::bigint AS dup_tokens,
+        |  coalesce(dup_tokens, 0)::double / len(w) AS dup_ratio
+        |FROM ws LEFT JOIN per USING (doc_id)
+        |WHERE len(w) >= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "q129_incremental_span_dups" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), base AS (
+        |  SELECT DISTINCT h FROM g WHERE doc_id < (SELECT c FROM cut)
+        |), hits AS (
+        |  SELECT doc_id, pos FROM g JOIN base USING (h)
+        |  WHERE doc_id >= (SELECT c FROM cut)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      <= 5 THEN 0 ELSE 1 END AS f
+        |  FROM hits
+        |), isl2 AS (
+        |  SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM isl
+        |), ext AS (
+        |  SELECT doc_id, isl, max(pos) - min(pos) + 5 AS cov
+        |  FROM isl2 GROUP BY doc_id, isl
+        |), per AS (
+        |  SELECT doc_id, count(*)::bigint AS n_dup_spans,
+        |    sum(cov)::bigint AS dup_tokens
+        |  FROM ext GROUP BY doc_id
+        |)
+        |SELECT ws.doc_id, (len(w) - 4)::bigint AS n_grams,
+        |  coalesce(n_dup_spans, 0)::bigint AS n_dup_spans,
+        |  coalesce(dup_tokens, 0)::bigint AS dup_tokens,
+        |  coalesce(dup_tokens, 0)::double / len(w) AS dup_ratio
+        |FROM ws LEFT JOIN per USING (doc_id)
+        |WHERE len(w) >= 5 AND doc_id >= (SELECT c FROM cut)
+        |ORDER BY doc_id""".stripMargin,
 
     "q57_rare_token_score" ->
       """WITH tok AS (

@@ -748,4 +748,115 @@ class OpsApiSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bpeEncode shuffled:\n$plan")
   }
+
+  test("Dedup.spanDups merges duplicated-gram positions into maximal " +
+      "extents (overlap, adjacency, within-doc repetition)") {
+    val docs = Seq(
+      // d1/d2 share the 6-word span S1..S6 → two overlapping dup
+      // 5-grams each, merging into ONE extent of 6 tokens
+      (1L, "a1 a2 S1 S2 S3 S4 S5 S6 a3 a4"),
+      (2L, "b1 b2 b3 S1 S2 S3 S4 S5 S6 b4"),
+      (3L, "z1 z2 z3 z4 z5 z6"), // fully novel → zeros
+      (4L, "too short"),          // < k words → excluded
+      // d5: the same 5-gram twice WITHIN one doc (gap 6 > k) → two
+      // separate extents; within-doc repetition counts as duplication
+      (5L, "R1 R2 R3 R4 R5 m R1 R2 R3 R4 R5"),
+      // d6/d7 share two 5-grams; in d6 they sit at gap exactly k
+      // (adjacent intervals [1,5]+[6,10] → merge to one 10-token
+      // extent), in d7 at gap k+1 (two 5-token extents)
+      (6L, "T1 T2 T3 T4 T5 U1 U2 U3 U4 U5"),
+      (7L, "T1 T2 T3 T4 T5 x U1 U2 U3 U4 U5"))
+      .toDF("page_id", "body")
+    val out = Dedup.spanDups(docs, k = 5, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 5L, 6L, 7L))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L) === ((1L, 6L, 1L, 6L, 0.6d)))
+    assert(m(2L) === ((2L, 6L, 1L, 6L, 0.6d)))
+    assert(m(3L) === ((3L, 2L, 0L, 0L, 0.0d)))
+    assert(m(5L) === ((5L, 7L, 2L, 10L, 10.0d / 11)))
+    assert(m(6L) === ((6L, 6L, 1L, 10L, 1.0d)))
+    assert(m(7L) === ((7L, 7L, 2L, 10L, 10.0d / 11)))
+    intercept[IllegalArgumentException] { Dedup.spanDups(docs, k = 1) }
+    intercept[IllegalArgumentException] {
+      Dedup.spanDups(docs, minCount = 1L)
+    }
+    // the gram generator is one projection: a single Generate riding
+    // the scan, and the only Exchange is the doc_id spread
+    val plan = Dedup.spanGramRows(docs, 5, "page_id", "body")
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding("Generate".length).count(_ == "Generate") === 1,
+      s"spanGramRows should have exactly one generator:\n$plan")
+    assert(!plan.contains("Window"),
+      s"spanGramRows must not window-sort the corpus:\n$plan")
+  }
+
+  test("Dedup.spanDupScore scores a batch against the frozen gram " +
+      "inventory only (batch-internal repetition does not count)") {
+    val base = Seq((1L, "a1 a2 S1 S2 S3 S4 S5 S6 a3 a4"))
+      .toDF("page_id", "body")
+    val inventory = Dedup.spanGramFrame(base, k = 5, idCol = "page_id",
+      textCol = "body")
+    val batch = Seq(
+      (10L, "n1 S1 S2 S3 S4 S5 S6 n2"),  // base span present → 1 extent
+      (11L, "v1 v2 v3 v4 v5 v6"),        // novel → zeros
+      // 12/13 share a NOVEL span: against the frozen set neither hits
+      (12L, "K1 K2 K3 K4 K5 w1 w2"),
+      (13L, "K1 K2 K3 K4 K5 y1 y2"))
+      .toDF("page_id", "body")
+    val out = Dedup.spanDupScore(batch, inventory, k = 5,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(10L) === ((10L, 4L, 1L, 6L, 0.75d)))
+    assert(m(11L) === ((11L, 2L, 0L, 0L, 0.0d)))
+    assert(m(12L) === ((12L, 3L, 0L, 0L, 0.0d)))
+    assert(m(13L) === ((13L, 3L, 0L, 0L, 0.0d)))
+    // spanDups over the SAME batch (session form) DOES count the
+    // batch-internal 12/13 duplication — the two forms differ exactly
+    // on novelty attribution
+    val sess = Dedup.spanDups(batch, k = 5, idCol = "page_id",
+        textCol = "body").orderBy("page_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sess(12L) === 1L && sess(13L) === 1L)
+  }
+
+  test("Text.chunk covers every token with overlapping windows and " +
+      "keeps caller column names") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")), // 30 tokens
+      (2L, "a b c"),                                  // shorter than window
+      (3L, "   "),                                    // blank: no chunks
+      (4L, null.asInstanceOf[String]))                // null: no chunks
+      .toDF("page_id", "body")
+    val out = Text.chunk(docs, window = 8, stride = 5,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.map(_._1).distinct.toSeq === Seq(1L, 2L))
+    val d1 = out.filter(_._1 == 1L)
+    // ⌈(30−8)/5⌉ = 5 → starts 0,5,10,15,20,25; tail is 5 tokens and
+    // ends exactly at token 30
+    assert(d1.map(_._3).toSeq === Seq(0L, 5L, 10L, 15L, 20L, 25L))
+    assert(d1.map(_._4).toSeq === Seq(8L, 8L, 8L, 8L, 8L, 5L))
+    assert(d1.last._3 + d1.last._4 === 30L, "tail chunk must reach the end")
+    assert(d1.head._5 === (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(d1.last._5 === (26 to 30).map(i => s"t$i").mkString(" "))
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0L, 0L, 3L, "a b c")),
+      "short doc must yield exactly one whole-doc chunk")
+    // no shuffle: chunking is one generator projection riding the scan
+    val plan = Text.chunk(docs, 8, 5, "page_id", "body")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunk shuffled:\n$plan")
+    intercept[IllegalArgumentException] { Text.chunk(docs, 0, 1) }
+    intercept[IllegalArgumentException] { Text.chunk(docs, 8, 9) }
+    intercept[IllegalArgumentException] { Text.chunk(docs, 8, 0) }
+  }
 }
