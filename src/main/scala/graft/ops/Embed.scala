@@ -186,6 +186,85 @@ object Embed {
     graft.queries.Embeddings.topkPerQuery(scored, k)
   }
 
+  /** Margin-based mutual-kNN pair mining over two embedding sides —
+    * the parallel-corpus / cross-source alignment criterion of Artetxe
+    * & Schwenk ("Margin-based Parallel Corpus Mining with Multilingual
+    * Sentence Embeddings", arXiv:1811.01136; the CCMatrix recipe):
+    * raw cosine overrates "hub" vectors that are close to everything,
+    * so each candidate pair is scored by its RATIO margin —
+    * cos(x, y) / ((mean_k cos(x, kNN_Y(x)) + mean_k cos(y, kNN_X(y))) / 2)
+    * — and a pair is emitted only when it is MUTUAL (x's top-1 in Y is
+    * y AND y's top-1 in X is x) with margin ≥ `tau`. Output: (x_id,
+    * y_id, cos, margin), at most one pair per x and per y.
+    *
+    * This form is the exact brute-force baseline ([[cosineTopK]] both
+    * directions — |X|·|Y| pair cosines, query side broadcast). At
+    * 100 TB mine through [[marginPairsOf]] instead, feeding it any
+    * retrieval op's top-k frames ([[ivfTopK]], [[pqTopK]],
+    * [[ivfPqTopK]] over persisted artifacts) — the margin criterion
+    * only needs the two top-k lists, so the ANN family's cell-pruned /
+    * compressed scans carry the mining cost, exactly like FAISS under
+    * CCMatrix. */
+  def marginPairs(x: DataFrame, y: DataFrame, k: Int = 4,
+      tau: Double = 1.05, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    marginPairsOf(
+      cosineTopK(y, x, k, idCol, vecCol, idCol, vecCol),
+      cosineTopK(x, y, k, idCol, vecCol, idCol, vecCol), k, tau)
+
+  /** [[marginPairs]] over PRECOMPUTED directional top-k frames —
+    * `xy` = X queried against corpus Y, `yx` = Y queried against
+    * corpus X, both in the retrieval-family shape (q_id, vec_id, cos,
+    * rank) with rank 1 the best (any of [[cosineTopK]] / [[ivfTopK]] /
+    * [[pqTopK]] / [[ivfPqTopK]] emits it). Ranks beyond `k` are
+    * ignored, so a deeper retrieval pass can be reused. Determinism:
+    * the k-NN mean folds the per-rank cosines in FIXED rank order (a
+    * rank-pivot aggregate, not a float `avg` whose merge order floats
+    * with partitioning), so margins are bit-stable and oracle-exact.
+    *
+    * Scale shape: means and top-1 frames are one map-side-combinable
+    * aggregate / filter over the top-k rows (≤ k·|side| rows, never
+    * the corpus); the mutual join and the two mean joins are narrow
+    * id-keyed equi-joins. Nothing here touches raw vectors — the
+    * retrieval stage already paid that cost. */
+  def marginPairsOf(xy: DataFrame, yx: DataFrame, k: Int = 4,
+      tau: Double = 1.05): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    require(tau >= 0.0, s"need tau >= 0 (got $tau)")
+    val xyC = xy.localCheckpoint() // read by the mean agg AND top-1
+    val yxC = yx.localCheckpoint()
+    val mx = knnMean(xyC, k, "x_id", "mean_x")
+    val my = knnMean(yxC, k, "y_id", "mean_y")
+    val t1x = xyC.where(col("rank") === 1)
+      .select(col("q_id").as("x_id"), col("vec_id").as("y_id"),
+        col("cos"))
+    val t1y = yxC.where(col("rank") === 1)
+      .select(col("vec_id").as("x_id"), col("q_id").as("y_id"))
+    t1x.join(t1y, Seq("x_id", "y_id"))
+      .join(mx, "x_id").join(my, "y_id")
+      .select(col("x_id"), col("y_id"), col("cos"),
+        (col("cos") / ((col("mean_x") + col("mean_y")) / 2))
+          .as("margin"))
+      .where(col("margin") >= tau)
+  }
+
+  /** Fixed-order k-NN cosine mean per query: one rank-pivot aggregate
+    * (max over the single row at each rank), then a left-to-right sum
+    * over the k pivots divided by the present count — bit-identical
+    * under any partitioning and to the oracle's identical fold. */
+  private def knnMean(topk: DataFrame, k: Int, outId: String,
+      outMean: String): DataFrame = {
+    val picks = (1 to k).map(i =>
+      max(when(col("rank") === i, col("cos"))).as(s"c$i"))
+    val total = (1 to k).map(i => coalesce(col(s"c$i"), lit(0.0d)))
+      .reduce(_ + _)
+    val n = (1 to k).map(i =>
+      when(col(s"c$i").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    topk.groupBy(col("q_id")).agg(picks.head, picks.tail: _*)
+      .select(col("q_id").as(outId), (total / n.cast("double"))
+        .as(outMean))
+  }
+
   /** Product-quantization (PQ) two-stage cosine top-k — the FAISS-style
     * IVFPQ compressed-index design re-expressed as DataFrames: the
     * vector dimension splits into `m` subspaces, each learns its own

@@ -1299,6 +1299,24 @@ object Embeddings {
         .orderBy("q_id")
     }),
 
+    // ---- q130: margin-based mutual-kNN pair mining ---------------------
+    // Thin binding over [[graft.ops.Embed.marginPairs]] — the Artetxe
+    // & Schwenk ratio-margin criterion (the CCMatrix recipe): mutual
+    // top-1 pairs between the even- and odd-id halves of the
+    // embeddings table, each pair's cosine normalized by the two
+    // sides' k-NN cosine means (hub correction), kept at margin ≥ tau.
+    // Knobs: graft.margin.k / graft.margin.tau.
+    "q130_margin_mining" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.margin.k").map(_.toInt).getOrElse(4)
+      val tau = s.conf.getOption("graft.margin.tau").map(_.toDouble)
+        .getOrElse(1.05d)
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      graft.ops.Embed.marginPairs(
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          emb.where(pmod(col("vec_id"), lit(2)) === 1), k, tau)
+        .orderBy("x_id")
+    }),
+
     // ---- q120: incremental PQ ANN vs persisted codebook/code artifacts
     // q117 as the crawl loop runs it (the q110 pattern applied to the
     // PQ index): the old corpus's subspace codebooks (m·ksub rows) and
@@ -1914,6 +1932,64 @@ object Embeddings {
          |FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin,
 
     "q122_ivfpq_ann" -> ivfPqSql,
+
+    "q130_margin_mining" ->
+      (baseCte +
+        """, x AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+          |y AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 2 = 1),
+          |sxy AS MATERIALIZED (
+          |  SELECT x.vec_id x_id, y.vec_id y_id,
+          |    (list_reduce(list_prepend(0.0::double,
+          |       list_transform(list_zip(x.v, y.v), p -> p[1]*p[2])),
+          |       (acc, x) -> acc + x) / (x.nrm * y.nrm)) AS cos
+          |  FROM x, y
+          |), rxy AS MATERIALIZED (
+          |  SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY x_id
+          |    ORDER BY cos DESC, y_id) rank
+          |  FROM sxy
+          |), ryx AS MATERIALIZED (
+          |  SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY y_id
+          |    ORDER BY cos DESC, x_id) rank
+          |  FROM sxy
+          |), mxp AS (
+          |  SELECT x_id,
+          |    max(CASE WHEN rank=1 THEN cos END) c1,
+          |    max(CASE WHEN rank=2 THEN cos END) c2,
+          |    max(CASE WHEN rank=3 THEN cos END) c3,
+          |    max(CASE WHEN rank=4 THEN cos END) c4
+          |  FROM rxy GROUP BY x_id
+          |), mx AS (
+          |  SELECT x_id, (coalesce(c1,0)+coalesce(c2,0)+coalesce(c3,0)
+          |      +coalesce(c4,0)) /
+          |    ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
+          |      + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int)::double
+          |      AS mean_x
+          |  FROM mxp
+          |), myp AS (
+          |  SELECT y_id,
+          |    max(CASE WHEN rank=1 THEN cos END) c1,
+          |    max(CASE WHEN rank=2 THEN cos END) c2,
+          |    max(CASE WHEN rank=3 THEN cos END) c3,
+          |    max(CASE WHEN rank=4 THEN cos END) c4
+          |  FROM ryx GROUP BY y_id
+          |), my AS (
+          |  SELECT y_id, (coalesce(c1,0)+coalesce(c2,0)+coalesce(c3,0)
+          |      +coalesce(c4,0)) /
+          |    ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
+          |      + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int)::double
+          |      AS mean_y
+          |  FROM myp
+          |), mut AS (
+          |  SELECT a.x_id, a.y_id, a.cos
+          |  FROM (SELECT x_id, y_id, cos FROM rxy WHERE rank=1) a
+          |  JOIN (SELECT x_id, y_id FROM ryx WHERE rank=1) b
+          |    USING (x_id, y_id)
+          |)
+          |SELECT mut.x_id, mut.y_id, mut.cos,
+          |  (mut.cos / ((mean_x + mean_y) / 2)) AS margin
+          |FROM mut JOIN mx USING (x_id) JOIN my USING (y_id)
+          |WHERE (mut.cos / ((mean_x + mean_y) / 2)) >= 1.05
+          |ORDER BY x_id""".stripMargin),
 
     "q121_pq_recall" ->
       s"""WITH exact AS ($cosineTopkSql),

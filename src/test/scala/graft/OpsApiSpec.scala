@@ -374,6 +374,44 @@ class OpsApiSpec extends AnyFunSuite {
     assert(ranked.toSeq === Seq(1L, 2L))
   }
 
+  test("Embed.marginPairs mines mutual top-1 pairs and leaves hubs " +
+      "unpaired") {
+    import math.{cos => mcos, sin => msin}
+    def v(deg: Double) = Seq(mcos(deg.toRadians).toFloat,
+      msin(deg.toRadians).toFloat)
+    // X at 0° and 90°; Y at 5°, 85°, and a 45° "hub" equally close to
+    // both X vectors — mutual-max pairing must yield exactly
+    // (x1,y11) and (x2,y12), the hub y13 stays unpaired
+    val x = Seq((1L, v(0)), (2L, v(90))).toDF("node", "vec")
+    val y = Seq((11L, v(5)), (12L, v(85)), (13L, v(45)))
+      .toDF("node", "vec")
+    val out = Embed.marginPairs(x, y, k = 2, tau = 0.0,
+        idCol = "node", vecCol = "vec")
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.map(p => (p._1, p._2)).toSeq === Seq((1L, 11L), (2L, 12L)))
+    // top-1 cosine sits above the k-NN mean by construction → margin>1
+    assert(out.forall(_._4 > 1.0d), s"margins not >1: ${out.toSeq}")
+    // a high tau drops everything
+    assert(Embed.marginPairs(x, y, k = 2, tau = 2.0,
+      idCol = "node", vecCol = "vec").count() === 0L)
+    // marginPairsOf ignores ranks beyond k: a deeper retrieval frame
+    // (k=3) fed at k=2 reproduces the k=2 mining exactly
+    val xy3 = Embed.cosineTopK(y, x, k = 3, idCol = "node",
+      vecCol = "vec", queryIdCol = "node", queryVecCol = "vec")
+    val yx3 = Embed.cosineTopK(x, y, k = 3, idCol = "node",
+      vecCol = "vec", queryIdCol = "node", queryVecCol = "vec")
+    val reused = Embed.marginPairsOf(xy3, yx3, k = 2, tau = 0.0)
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(reused.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Embed.marginPairsOf(xy3, yx3, k = 0)
+    }
+  }
+
   test("Embed.kmeans separates two blobs under (node, vec)") {
     val blobs = Seq(
       (1L, Seq(10.0f, 0.1f)), (2L, Seq(10.2f, 0.0f)),
