@@ -248,6 +248,46 @@ object Embed {
       .where(col("margin") >= tau)
   }
 
+  /** [[marginPairs]] in its crawl-batch form: mine a (small) new batch
+    * against a (large) frozen corpus — the per-crawl alignment job a
+    * deployment actually runs. Both directional top-k frames derive
+    * from ONE pair construction — the corpus scan joined against the
+    * BROADCAST batch — ranked twice (per batch vector over the corpus,
+    * per corpus vector over the batch), each ranking a mergeable
+    * map-side TopK aggregate (k·|tasks| rows shuffle, never the pair
+    * frame). The pair frame itself is never materialized: the two
+    * rankings re-run the scan (two corpus passes per batch, both
+    * embarrassingly parallel) rather than checkpointing a
+    * |corpus|·|batch| intermediate that cannot exist at 100 TB.
+    * `corpus` is typically the persisted normalized payload read back
+    * from an artifact (the q131 binding ensures it via the public
+    * [[normalize]] frame definition), so raw old embeddings are never
+    * re-read. Output: (x_id = batch id, y_id = corpus id, cos,
+    * margin), mutual top-1 only, margin ≥ `tau`. */
+  def marginPairsBatch(corpus: DataFrame, batch: DataFrame, k: Int = 4,
+      tau: Double = 1.05, idCol: String = "vec_id",
+      vecCol: String = "embedding", batchIdCol: String = "vec_id",
+      batchVecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    require(tau >= 0.0, s"need tau >= 0 (got $tau)")
+    val y = normalize(corpus, idCol, vecCol)
+    val x = normalize(batch, batchIdCol, batchVecCol)
+      .select(col("vec_id").as("x_id"), col("v").as("xv"),
+        col("nrm").as("xn"))
+      .localCheckpoint() // the broadcast side; scanned by both rankings
+    val scored = y.join(broadcast(x), lit(true))
+      .select(col("x_id"), col("vec_id").as("y_id"),
+        (dotNative(col("xv"), col("v")) / (col("xn") * col("nrm")))
+          .as("cos"))
+    val xy = graft.queries.Embeddings.topkPerQuery(
+      scored.select(col("x_id").as("q_id"), col("y_id").as("vec_id"),
+        col("cos")), k)
+    val yx = graft.queries.Embeddings.topkPerQuery(
+      scored.select(col("y_id").as("q_id"), col("x_id").as("vec_id"),
+        col("cos")), k)
+    marginPairsOf(xy, yx, k, tau)
+  }
+
   /** Fixed-order k-NN cosine mean per query: one rank-pivot aggregate
     * (max over the single row at each rank), then a left-to-right sum
     * over the k pivots divided by the present count — bit-identical

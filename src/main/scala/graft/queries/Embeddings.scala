@@ -1317,6 +1317,28 @@ object Embeddings {
         .orderBy("x_id")
     }),
 
+    // ---- q131: incremental margin mining vs the persisted payload ------
+    // q130 as the crawl loop runs it: each embedding batch mines
+    // aligned pairs against the FROZEN old corpus — the corpus side
+    // reads the persisted normalized payload (ensured via the public
+    // [[graft.ops.Embed.normalize]] frame definition, so the artifact
+    // and a from-scratch run cannot drift), the batch broadcasts, and
+    // both directional rankings are map-side TopK aggregates over the
+    // corpus scan (the |corpus|·|batch| pair frame never
+    // materializes). Same knobs as q130.
+    "q131_incremental_margin_mining" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.margin.k").map(_.toInt).getOrElse(4)
+      val tau = s.conf.getOption("graft.margin.tau").map(_.toDouble)
+        .getOrElse(1.05d)
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val cut = BatchCut.cut(s, emb, "vec_id")
+      val nP = normIndex(s, dir, cut)
+      graft.ops.Embed.marginPairsBatch(
+          s.read.parquet(nP), emb.where(col("vec_id") >= cut), k, tau,
+          idCol = "vec_id", vecCol = "v")
+        .orderBy("x_id")
+    }),
+
     // ---- q120: incremental PQ ANN vs persisted codebook/code artifacts
     // q117 as the crawl loop runs it (the q110 pattern applied to the
     // PQ index): the old corpus's subspace codebooks (m·ksub rows) and
@@ -1405,6 +1427,17 @@ object Embeddings {
   /** The persisted PQ snapshot artifacts behind q120 — codebooks,
     * code table, and exact re-rank payload of the old corpus, each
     * built via the PUBLIC frame definitions. */
+  /** The persisted normalized-payload artifact behind q131 — built via
+    * the public frame definition ([[graft.ops.Embed.normalize]]). */
+  private[graft] def normIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "norm_vecs", s"$dir#$cut",
+        Some(s"$dir/embeddings.parquet")) {
+      graft.ops.Embed.normalize(
+        Graft.parquetSource(s, dir).table("embeddings")
+          .where(col("vec_id") < cut))
+    }
+
   private[graft] def pqIndex(s: SparkSession, dir: String,
       cut: Long): (String, String, String) = {
     import graft.sources.SideTable
@@ -1933,63 +1966,9 @@ object Embeddings {
 
     "q122_ivfpq_ann" -> ivfPqSql,
 
-    "q130_margin_mining" ->
-      (baseCte +
-        """, x AS (SELECT * FROM e WHERE vec_id % 2 = 0),
-          |y AS MATERIALIZED (SELECT * FROM e WHERE vec_id % 2 = 1),
-          |sxy AS MATERIALIZED (
-          |  SELECT x.vec_id x_id, y.vec_id y_id,
-          |    (list_reduce(list_prepend(0.0::double,
-          |       list_transform(list_zip(x.v, y.v), p -> p[1]*p[2])),
-          |       (acc, x) -> acc + x) / (x.nrm * y.nrm)) AS cos
-          |  FROM x, y
-          |), rxy AS MATERIALIZED (
-          |  SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY x_id
-          |    ORDER BY cos DESC, y_id) rank
-          |  FROM sxy
-          |), ryx AS MATERIALIZED (
-          |  SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY y_id
-          |    ORDER BY cos DESC, x_id) rank
-          |  FROM sxy
-          |), mxp AS (
-          |  SELECT x_id,
-          |    max(CASE WHEN rank=1 THEN cos END) c1,
-          |    max(CASE WHEN rank=2 THEN cos END) c2,
-          |    max(CASE WHEN rank=3 THEN cos END) c3,
-          |    max(CASE WHEN rank=4 THEN cos END) c4
-          |  FROM rxy GROUP BY x_id
-          |), mx AS (
-          |  SELECT x_id, (coalesce(c1,0)+coalesce(c2,0)+coalesce(c3,0)
-          |      +coalesce(c4,0)) /
-          |    ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
-          |      + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int)::double
-          |      AS mean_x
-          |  FROM mxp
-          |), myp AS (
-          |  SELECT y_id,
-          |    max(CASE WHEN rank=1 THEN cos END) c1,
-          |    max(CASE WHEN rank=2 THEN cos END) c2,
-          |    max(CASE WHEN rank=3 THEN cos END) c3,
-          |    max(CASE WHEN rank=4 THEN cos END) c4
-          |  FROM ryx GROUP BY y_id
-          |), my AS (
-          |  SELECT y_id, (coalesce(c1,0)+coalesce(c2,0)+coalesce(c3,0)
-          |      +coalesce(c4,0)) /
-          |    ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
-          |      + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int)::double
-          |      AS mean_y
-          |  FROM myp
-          |), mut AS (
-          |  SELECT a.x_id, a.y_id, a.cos
-          |  FROM (SELECT x_id, y_id, cos FROM rxy WHERE rank=1) a
-          |  JOIN (SELECT x_id, y_id FROM ryx WHERE rank=1) b
-          |    USING (x_id, y_id)
-          |)
-          |SELECT mut.x_id, mut.y_id, mut.cos,
-          |  (mut.cos / ((mean_x + mean_y) / 2)) AS margin
-          |FROM mut JOIN mx USING (x_id) JOIN my USING (y_id)
-          |WHERE (mut.cos / ((mean_x + mean_y) / 2)) >= 1.05
-          |ORDER BY x_id""".stripMargin),
+    "q130_margin_mining" -> marginMiningSql,
+
+    "q131_incremental_margin_mining" -> marginIncrementalSql,
 
     "q121_pq_recall" ->
       s"""WITH exact AS ($cosineTopkSql),
@@ -2021,6 +2000,79 @@ object Embeddings {
          |  coalesce(n_hit, 0)::double / 5 AS recall
          |FROM qids LEFT JOIN hits USING (q_id) ORDER BY q_id""".stripMargin
   )
+
+  /** The margin-mining replay (q130/q131) over caller-supplied side
+    * CTEs: |X|x|Y| cosines, both directional rankings, the fixed-order
+    * rank-pivot k-NN means, the mutual top-1 join, and the tau cut —
+    * op for op with [[graft.ops.Embed.marginPairsOf]]. */
+  private def marginSqlFrom(xDef: String, yDef: String,
+      pre: String = ""): String =
+    baseCte + pre +
+      s""", x AS ($xDef),
+         |y AS MATERIALIZED ($yDef),
+         |sxy AS MATERIALIZED (
+         |  SELECT x.vec_id x_id, y.vec_id y_id,
+         |    (list_reduce(list_prepend(0.0::double,
+         |       list_transform(list_zip(x.v, y.v), p -> p[1]*p[2])),
+         |       (acc, x) -> acc + x) / (x.nrm * y.nrm)) AS cos
+         |  FROM x, y
+         |), rxy AS MATERIALIZED (
+         |  SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY x_id
+         |    ORDER BY cos DESC, y_id) rank
+         |  FROM sxy
+         |), ryx AS MATERIALIZED (
+         |  SELECT x_id, y_id, cos, row_number() OVER (PARTITION BY y_id
+         |    ORDER BY cos DESC, x_id) rank
+         |  FROM sxy
+         |), mxp AS (
+         |  SELECT x_id,
+         |    max(CASE WHEN rank=1 THEN cos END) c1,
+         |    max(CASE WHEN rank=2 THEN cos END) c2,
+         |    max(CASE WHEN rank=3 THEN cos END) c3,
+         |    max(CASE WHEN rank=4 THEN cos END) c4
+         |  FROM rxy GROUP BY x_id
+         |), mx AS (
+         |  SELECT x_id, (coalesce(c1,0)+coalesce(c2,0)+coalesce(c3,0)
+         |      +coalesce(c4,0)) /
+         |    ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
+         |      + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int)::double
+         |      AS mean_x
+         |  FROM mxp
+         |), myp AS (
+         |  SELECT y_id,
+         |    max(CASE WHEN rank=1 THEN cos END) c1,
+         |    max(CASE WHEN rank=2 THEN cos END) c2,
+         |    max(CASE WHEN rank=3 THEN cos END) c3,
+         |    max(CASE WHEN rank=4 THEN cos END) c4
+         |  FROM ryx GROUP BY y_id
+         |), my AS (
+         |  SELECT y_id, (coalesce(c1,0)+coalesce(c2,0)+coalesce(c3,0)
+         |      +coalesce(c4,0)) /
+         |    ((c1 IS NOT NULL)::int + (c2 IS NOT NULL)::int
+         |      + (c3 IS NOT NULL)::int + (c4 IS NOT NULL)::int)::double
+         |      AS mean_y
+         |  FROM myp
+         |), mut AS (
+         |  SELECT a.x_id, a.y_id, a.cos
+         |  FROM (SELECT x_id, y_id, cos FROM rxy WHERE rank=1) a
+         |  JOIN (SELECT x_id, y_id FROM ryx WHERE rank=1) b
+         |    USING (x_id, y_id)
+         |)
+         |SELECT mut.x_id, mut.y_id, mut.cos,
+         |  (mut.cos / ((mean_x + mean_y) / 2)) AS margin
+         |FROM mut JOIN mx USING (x_id) JOIN my USING (y_id)
+         |WHERE (mut.cos / ((mean_x + mean_y) / 2)) >= 1.05
+         |ORDER BY x_id""".stripMargin
+
+  private lazy val marginMiningSql: String = marginSqlFrom(
+    "SELECT * FROM e WHERE vec_id % 2 = 0",
+    "SELECT * FROM e WHERE vec_id % 2 = 1")
+
+  private lazy val marginIncrementalSql: String = marginSqlFrom(
+    "SELECT * FROM e WHERE vec_id >= (SELECT c FROM cut)",
+    "SELECT * FROM e WHERE vec_id < (SELECT c FROM cut)",
+    pre = ", cut AS MATERIALIZED" +
+      " (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings)")
 
   /** q117's oracle: codebook training (per-subspace unrolled k-means —
     * the kmCtes arithmetic over vector slices), encoding (argmin

@@ -410,6 +410,26 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Embed.marginPairsOf(xy3, yx3, k = 0)
     }
+    // the crawl-batch form (one corpus scan, batch broadcast) must
+    // reproduce the session form exactly on the same two sides
+    val batchForm = Embed.marginPairsBatch(y, x, k = 2, tau = 0.0,
+        idCol = "node", vecCol = "vec",
+        batchIdCol = "node", batchVecCol = "vec")
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(batchForm.toSeq === out.toSeq)
+    // and it accepts an artifact-shaped corpus frame ((vec_id, v, nrm)
+    // from Embed.normalize) via vecCol = "v" — re-deriving the norm is
+    // bit-identical
+    val artifact = Embed.normalize(y, idCol = "node", vecCol = "vec")
+    val fromArtifact = Embed.marginPairsBatch(artifact, x, k = 2,
+        tau = 0.0, idCol = "vec_id", vecCol = "v",
+        batchIdCol = "node", batchVecCol = "vec")
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(fromArtifact.toSeq === out.toSeq)
   }
 
   test("Embed.kmeans separates two blobs under (node, vec)") {
