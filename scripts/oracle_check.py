@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local dev-time replica of the driver's DuckDB correctness gate.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [queryName...]
+
+Extra names restrict the check to those queries (matching graft.Verify's
+name-restricted local-debugging form); the driver always calls with two
+arguments and checks everything.
 
 Registers each <sfDir>/<table>.parquet as a DuckDB view, runs every query in
 <verifyOutDir>/oracle_sql.json, and compares against the Spark result parquet
@@ -60,6 +64,7 @@ def normalize(tbl: pa.Table) -> pa.Table:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -68,6 +73,8 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:

@@ -186,6 +186,68 @@ object Dedup {
       k, idCol)
   }
 
+  /** ACT on [[spanDups]]'s signal: rewrite each document with its
+    * corpus-duplicated extents REMOVED — the Lee-et-al remediation
+    * (drop the repeated spans, keep the fresh text) rather than the
+    * doc-level drop a dup_ratio filter gives. Same duplication
+    * contract as [[spanDups]] (occurrence count ≥ `minCount`, merged
+    * intervals [pos, pos+k−1]); covered token positions are cut and
+    * the survivors reassemble in position order. clean_text is
+    * whitespace-NORMALIZED (tokens joined by single spaces — the
+    * words() contract); a fully-duplicated document comes out as the
+    * empty string with n_removed = n_words, ready for a length filter.
+    * Documents under `k` words carry no grams and pass through
+    * untrimmed. Output: (<id>, n_words, n_removed, clean_text).
+    *
+    * Scale shape: one tokenization pass feeds the gram stream, the
+    * token stream, and the per-doc totals (checkpoint-materialized);
+    * covered positions are an explode of HIT grams only; the cut is a
+    * narrow (doc, pos)-keyed anti-join; reassembly is a per-document
+    * sort of that document's own kept tokens (array_sort over a
+    * collect_list — bounded by document length, no corpus-wide
+    * window, no lambda HOFs: the struct-field extraction is the
+    * codegen'd GetArrayStructFields). */
+  def spanTrim(docs: DataFrame, k: Int = 5, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    require(minCount >= 2L, s"need minCount >= 2 (got $minCount)")
+    val base = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .localCheckpoint() // read by grams, tokens, and totals
+    val g = base.where(size(col("w")) >= k)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        pmod(hash60(concat_ws(" ", slice(col("w"), col("pos"), lit(k)))),
+          lit(P)).as("h"))
+      .localCheckpoint() // read by the count agg AND the hit join
+    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select(col("h"))
+    val cov = g.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
+      .distinct()
+    val tok = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
+    val kept = tok.join(cov, Seq("doc_id", "tpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("tpos").as("tpos"),
+          col("tok").as("tok")))).as("arr"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", col("arr.tok")).as("ct"))
+    base.select(col("doc_id"), size(col("w")).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        col("n_words").cast("long").as("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("ct"), lit("")).as("clean_text"))
+  }
+
   /** Positional k-gram hash rows (doc_id, pos 1-based, h) for the span
     * family — ONE codegen'd generator projection (tokenize, explode
     * the position sequence, slice/concat/hash); docs under k words are

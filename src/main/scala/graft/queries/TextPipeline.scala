@@ -643,6 +643,20 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q132: span-dedup trimming (act on q128's signal) --------------
+    // Thin binding over [[graft.ops.Dedup.spanTrim]] — rewrite every
+    // document with its corpus-duplicated extents REMOVED (the
+    // Lee-et-al remediation); fully-duplicated docs come out empty
+    // with n_removed = n_words. Same knobs as q128.
+    "q132_span_trim" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val mc = s.conf.getOption("graft.span.minCount").map(_.toLong)
+        .getOrElse(2L)
+      graft.ops.Dedup.spanTrim(
+          Graft.parquetSource(s, dir).table("documents"), k, mc)
+        .orderBy("doc_id")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -1944,6 +1958,40 @@ object TextPipeline {
         |  coalesce(dup_tokens, 0)::double / len(w) AS dup_ratio
         |FROM ws LEFT JOIN per USING (doc_id)
         |WHERE len(w) >= 5
+        |ORDER BY doc_id""".stripMargin,
+
+    "q132_span_trim" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), dup AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos + i AS tpos
+        |  FROM (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |    unnest(range(0, 5)) t(i)
+        |), tok AS (
+        |  SELECT doc_id, i AS tpos, w[i] AS tok
+        |  FROM ws, unnest(range(1, len(w) + 1)) AS t(i)
+        |), kept AS (
+        |  SELECT t.doc_id, t.tpos, t.tok
+        |  FROM tok t ANTI JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY tpos) AS ct
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT ws.doc_id, len(w)::bigint AS n_words,
+        |  (len(w) - coalesce(n_kept, 0))::bigint AS n_removed,
+        |  coalesce(ct, '') AS clean_text
+        |FROM ws LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q129_incremental_span_dups" ->

@@ -884,6 +884,37 @@ class OpsApiSpec extends AnyFunSuite {
     assert(sess(12L) === 1L && sess(13L) === 1L)
   }
 
+  test("Dedup.spanTrim removes duplicated extents and reassembles the " +
+      "survivors in position order") {
+    val docs = Seq(
+      (1L, "a1 a2 S1 S2 S3 S4 S5 S6 a3 a4"),  // span S1..S6 cut
+      (2L, "b1 b2 b3 S1 S2 S3 S4 S5 S6 b4"),
+      (3L, "z1 z2 z3 z4 z5 z6"),               // novel → untouched
+      (4L, "too short"),                        // < k words → untouched
+      (5L, "S1 S2 S3 S4 S5 S6"))                // fully duplicated → empty
+      .toDF("page_id", "body")
+    val out = Dedup.spanTrim(docs, k = 5, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L) === ((1L, 10L, 6L, "a1 a2 a3 a4")))
+    assert(m(2L) === ((2L, 10L, 6L, "b1 b2 b3 b4")))
+    assert(m(3L) === ((3L, 6L, 0L, "z1 z2 z3 z4 z5 z6")))
+    assert(m(4L) === ((4L, 2L, 0L, "too short")),
+      "sub-k docs must pass through untrimmed")
+    assert(m(5L) === ((5L, 6L, 6L, "")),
+      "a fully-duplicated doc must come out empty")
+    // trim composes with spanDups: every doc's n_removed equals its
+    // dup_tokens from the signal op under the same (k, minCount)
+    val sig = Dedup.spanDups(docs, k = 5, idCol = "page_id",
+        textCol = "body").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(sig.forall { case (id, dt) => m(id)._3 === dt })
+    intercept[IllegalArgumentException] { Dedup.spanTrim(docs, k = 1) }
+  }
+
   test("Text.chunk covers every token with overlapping windows and " +
       "keeps caller column names") {
     val docs = Seq(
