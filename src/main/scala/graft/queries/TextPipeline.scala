@@ -657,6 +657,36 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q133: incremental BPE encode vs the persisted merge table -----
+    // q126 as the crawl loop runs it (the frozen-LM/frozen-template
+    // discipline applied to the TOKENIZER): the snapshot's merge
+    // sequence persists (≤ nMerges rows, trained on the old corpus via
+    // the public [[graft.ops.Text.bpeVocab]] frame — retraining per
+    // batch would silently re-tokenize committed data); each batch doc
+    // encodes through the frozen merges as one codegen'd
+    // chained-replace projection, and FERTILITY (tokens per word) is
+    // the drift number a deployment watches — a rising batch fertility
+    // means the frozen vocabulary no longer fits the incoming
+    // distribution and the next snapshot should retrain.
+    "q133_incremental_bpe_encode" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val mP = bpeMergeIndex(s, dir, cut)
+      val merges = s.read.parquet(mP).orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val batch = d.where(col("doc_id") >= cut)
+      val nw = batch.select(col("doc_id"),
+        wordCount(col("text")).as("n_words"))
+      graft.ops.Text.bpeEncode(batch, merges)
+        .join(nw, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          md5(col("tokens")).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -1466,6 +1496,17 @@ object TextPipeline {
           .where(col("doc_id") < cut))
     }
 
+  /** The persisted BPE merge-table artifact behind q133 — built via
+    * the public frame definition ([[graft.ops.Text.bpeVocab]]). */
+  private[graft] def bpeMergeIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "bpe_merges",
+        s"$dir#$cut#n$BpeMerges", Some(s"$dir/documents.parquet")) {
+      graft.ops.Text.bpeVocab(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), BpeMerges)
+    }
+
   /** The persisted distinct-gram-set artifact behind q129 — built via
     * the public frame definition ([[graft.ops.Dedup.spanGramFrame]]). */
   private[graft] def spanGramIndex(s: SparkSession, dir: String,
@@ -1603,14 +1644,15 @@ object TextPipeline {
     * greedy left-to-right literal replace the Spark op uses.
     * MATERIALIZED throughout — DuckDB re-inlines multiply-referenced
     * CTEs otherwise (the q120 lesson). */
-  private def bpeCtes(n: Int): String = {
+  private def bpeCtes(n: Int, pre: String = "",
+      where: String = ""): String = {
     val head =
-      """WITH w0 AS MATERIALIZED (
+      s"""WITH ${pre}w0 AS MATERIALIZED (
         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ')
         |           || ' </w> ' AS w,
         |         count(*)::bigint AS cnt
-        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
-        |          AS word FROM documents)
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+        |          AS word FROM documents$where)
         |  WHERE word <> '' GROUP BY 1
         |)""".stripMargin
     head + (0 until n).map { i =>
@@ -1640,14 +1682,18 @@ object TextPipeline {
     * document; LEFT JOIN ON true keeps documents intact if a merge CTE
     * comes up empty (merge exhaustion), mirroring the Spark op's
     * fold over however many merges were learned. */
-  private def bpeEncodeSql: String =
-    bpeCtes(24) +
-      """, e0 AS MATERIALIZED (
+  /** The training CTEs plus the chained-replace encode chain up
+    * through e24 — shared by q126 (whole corpus) and q133 (frozen
+    * merges from the old slice, batch-only encode). */
+  private def bpeEncodeChain(pre: String, trainWhere: String,
+      encodeWhere: String): String =
+    bpeCtes(24, pre, trainWhere) +
+      s""", e0 AS MATERIALIZED (
         |  SELECT doc_id,
         |    ' ' || replace(regexp_replace(replace(
-        |        regexp_replace(trim(text), '\s+', ' '), ' ', chr(1)),
-        |      '(.)', '\1 ', 'g'), chr(1), '</w>') || '</w> ' AS w
-        |  FROM documents
+        |        regexp_replace(trim(text), '\\s+', ' '), ' ', chr(1)),
+        |      '(.)', '\\1 ', 'g'), chr(1), '</w>') || '</w> ' AS w
+        |  FROM documents$encodeWhere
         |)""".stripMargin +
       (0 until 24).map { i =>
         s""", e${i + 1} AS MATERIALIZED (
@@ -1656,12 +1702,37 @@ object TextPipeline {
            |                 ' '||m.l||m.r||' ') END AS w
            |  FROM e$i e LEFT JOIN m$i m ON true
            |)""".stripMargin
-      }.mkString +
+      }.mkString
+
+  private def bpeEncodeSql: String =
+    bpeEncodeChain("", "", "") +
       """
         |SELECT doc_id,
         |  len(string_split(trim(w), ' '))::bigint AS n_tokens,
         |  md5(trim(w)) AS tok_md5
         |FROM e24 ORDER BY doc_id""".stripMargin
+
+  /** q133: the q126 replay with the merge table trained on the OLD
+    * slice only and the encode restricted to the batch — fertility
+    * (tokens per word) is the drift number a tokenizer deployment
+    * watches across crawls. */
+  private def bpeIncrEncodeSql: String =
+    bpeEncodeChain(
+      "cut AS MATERIALIZED (SELECT (max(doc_id) * 4) // 5 AS c" +
+        " FROM documents), ",
+      " WHERE doc_id < (SELECT c FROM cut)",
+      " WHERE doc_id >= (SELECT c FROM cut)") +
+      """
+        |SELECT e.doc_id,
+        |  len(regexp_split_to_array(trim(d.text), '\s+'))::bigint
+        |    AS n_words,
+        |  len(string_split(trim(e.w), ' '))::bigint AS n_tokens,
+        |  len(string_split(trim(e.w), ' '))::double
+        |    / len(regexp_split_to_array(trim(d.text), '\s+'))
+        |    AS fertility,
+        |  md5(trim(e.w)) AS tok_md5
+        |FROM e24 e JOIN documents d ON d.doc_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q23_text_stats" ->
@@ -1903,6 +1974,8 @@ object TextPipeline {
     "q125_bpe_vocab" -> bpeVocabSql,
 
     "q126_bpe_encode" -> bpeEncodeSql,
+
+    "q133_incremental_bpe_encode" -> bpeIncrEncodeSql,
 
     "q127_chunk" ->
       """WITH ws AS (

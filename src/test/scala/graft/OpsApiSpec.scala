@@ -884,6 +884,32 @@ class OpsApiSpec extends AnyFunSuite {
     assert(sess(12L) === 1L && sess(13L) === 1L)
   }
 
+  test("frozen BPE merges compress trained words and leave novel words " +
+      "fragmented (the q133 fertility-drift contract)") {
+    val train = Seq((1L, ("low " * 5 + "lower " * 2 + "newest " * 6 +
+      "widest " * 3).trim)).toDF("doc_id", "text")
+    val merges = Text.bpeVocab(train, nMerges = 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val batch = Seq((10L, "low newest"), (11L, "qqqq wxyz"))
+      .toDF("doc_id", "text")
+    val enc = Text.bpeEncode(batch, merges).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // trained: low</w> newest</w> (1 token/word); novel words stay
+    // char-level (q q q q </w> = 5, w x y z </w> = 5) — fertility
+    // separates them 5x
+    assert(enc(10L) === 2, s"trained words should stay 1 token/word: $enc")
+    assert(enc(11L) === 10, s"novel words should stay char-level: $enc")
+    // boundary-sharing quirk, pinned deliberately: ADJACENT identical
+    // merged words share the single space between them, and literal
+    // replace scans resume past it — so the second 'low' keeps its
+    // split end marker. Both engines replay the identical scan, so
+    // oracle parity is unaffected (see the bpeEncode docs).
+    val adj = Text.bpeEncode(
+      Seq((12L, "low low")).toDF("doc_id", "text"), merges).head()
+    assert(adj.getString(1) === "low</w> low </w>" &&
+      adj.getInt(2) === 3)
+  }
+
   test("Dedup.spanTrim removes duplicated extents and reassembles the " +
       "survivors in position order") {
     val docs = Seq(
