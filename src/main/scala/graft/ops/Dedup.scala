@@ -172,19 +172,40 @@ object Dedup {
     * is never re-read, cost is batch-proportional (the boilerScore
     * shape). Output: same schema as [[spanDups]]. */
   def spanDupScore(batch: DataFrame, gramSet: DataFrame, k: Int = 5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spanDupScoreImpl(batch, gramSet, k, idCol, textCol, capture = false)
+
+  /** [[spanDupScore]] with the q129 plan-pin capture — `capture` costs
+    * two extra executedPlan compilations and a shared @volatile write,
+    * so ONLY the q129 binding/spec turns it on (the boilerScoreImpl
+    * capture-flag convention; production calls through the public
+    * signature never pay it). */
+  private[graft] def spanDupScoreImpl(batch: DataFrame,
+      gramSet: DataFrame, k: Int, idCol: String, textCol: String,
+      capture: Boolean): DataFrame = {
     require(k >= 2, s"need k >= 2 (got $k)")
-    val g = spanGramRows(batch, k, idCol, textCol)
+    val gLazy = spanGramRows(batch, k, idCol, textCol)
+    val g = gLazy
       .localCheckpoint() // batch-bounded; read by the key set, the hit
     // join, and the per-doc stats
     val keys = g.select(col("h")).distinct()
-    val hits = gramSet.select(col("h"))
+    val hitsLazy = gramSet.select(col("h"))
       .join(broadcast(keys), Seq("h"), "left_semi")
+    if (capture) lastSpanScorePlans =
+      gLazy.queryExecution.executedPlan.toString +
+        "\n-- hits --\n" + hitsLazy.queryExecution.executedPlan.toString
+    val hits = hitsLazy
       .localCheckpoint() // ≤ |batch gram keys| — broadcastable
     spanExtents(g,
       g.join(broadcast(hits), "h").select(col("doc_id"), col("pos")),
       k, idCol)
   }
+
+  /** Physical plans of [[spanDupScoreImpl]]'s gram pass and artifact
+    * probe (captured pre-checkpoint when `capture` is on), for the
+    * q129 plan pin: the only generator is the batch's own, and the
+    * old corpus contributes via the frozen-set scan alone. */
+  @volatile private[graft] var lastSpanScorePlans: String = ""
 
   /** ACT on [[spanDups]]'s signal: rewrite each document with its
     * corpus-duplicated extents REMOVED — the Lee-et-al remediation

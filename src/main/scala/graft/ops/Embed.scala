@@ -228,9 +228,21 @@ object Embed {
     * id-keyed equi-joins. Nothing here touches raw vectors — the
     * retrieval stage already paid that cost. */
   def marginPairsOf(xy: DataFrame, yx: DataFrame, k: Int = 4,
-      tau: Double = 1.05): DataFrame = {
+      tau: Double = 1.05): DataFrame =
+    marginPairsOfImpl(xy, yx, k, tau, capture = false)
+
+  /** [[marginPairsOf]] with the q131 plan-pin capture of the two
+    * directional ranking plans (pre-checkpoint) — `capture` costs two
+    * extra executedPlan compilations and a shared @volatile write, so
+    * ONLY the q131 binding/spec turns it on (the boilerScoreImpl
+    * capture-flag convention). */
+  private[graft] def marginPairsOfImpl(xy: DataFrame, yx: DataFrame,
+      k: Int, tau: Double, capture: Boolean): DataFrame = {
     require(k >= 1, s"need k >= 1 (got $k)")
     require(tau >= 0.0, s"need tau >= 0 (got $tau)")
+    if (capture) lastMarginPlans =
+      xy.queryExecution.executedPlan.toString +
+        "\n-- yx --\n" + yx.queryExecution.executedPlan.toString
     val xyC = xy.localCheckpoint() // read by the mean agg AND top-1
     val yxC = yx.localCheckpoint()
     val mx = knnMean(xyC, k, "x_id", "mean_x")
@@ -267,7 +279,16 @@ object Embed {
   def marginPairsBatch(corpus: DataFrame, batch: DataFrame, k: Int = 4,
       tau: Double = 1.05, idCol: String = "vec_id",
       vecCol: String = "embedding", batchIdCol: String = "vec_id",
-      batchVecCol: String = "embedding"): DataFrame = {
+      batchVecCol: String = "embedding"): DataFrame =
+    marginPairsBatchImpl(corpus, batch, k, tau, idCol, vecCol,
+      batchIdCol, batchVecCol, capture = false)
+
+  /** [[marginPairsBatch]] with the q131 plan-pin capture (see
+    * [[marginPairsOfImpl]]). */
+  private[graft] def marginPairsBatchImpl(corpus: DataFrame,
+      batch: DataFrame, k: Int, tau: Double, idCol: String,
+      vecCol: String, batchIdCol: String, batchVecCol: String,
+      capture: Boolean): DataFrame = {
     require(k >= 1, s"need k >= 1 (got $k)")
     require(tau >= 0.0, s"need tau >= 0 (got $tau)")
     val y = normalize(corpus, idCol, vecCol)
@@ -285,8 +306,14 @@ object Embed {
     val yx = graft.queries.Embeddings.topkPerQuery(
       scored.select(col("y_id").as("q_id"), col("x_id").as("vec_id"),
         col("cos")), k)
-    marginPairsOf(xy, yx, k, tau)
+    marginPairsOfImpl(xy, yx, k, tau, capture)
   }
+
+  /** Physical plans of the two directional rankings (captured
+    * pre-checkpoint when `capture` is on), for the q131 plan pin: the
+    * corpus side is the persisted payload scan with the batch
+    * broadcast against it, both rankings mergeable aggregates. */
+  @volatile private[graft] var lastMarginPlans: String = ""
 
   /** Fixed-order k-NN cosine mean per query: one rank-pivot aggregate
     * (max over the single row at each rank), then a left-to-right sum

@@ -1333,9 +1333,10 @@ object Embeddings {
       val emb = Graft.parquetSource(s, dir).table("embeddings")
       val cut = BatchCut.cut(s, emb, "vec_id")
       val nP = normIndex(s, dir, cut)
-      graft.ops.Embed.marginPairsBatch(
+      graft.ops.Embed.marginPairsBatchImpl(
           s.read.parquet(nP), emb.where(col("vec_id") >= cut), k, tau,
-          idCol = "vec_id", vecCol = "v")
+          "vec_id", "v", "vec_id", "embedding",
+          capture = true) // the q131 plan pin reads the capture
         .orderBy("x_id")
     }),
 

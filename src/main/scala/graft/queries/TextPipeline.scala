@@ -638,8 +638,9 @@ object TextPipeline {
       val d = Graft.parquetSource(s, dir).table("documents")
       val cut = BatchCut.cut(s, d)
       val gPath = spanGramIndex(s, dir, cut, k)
-      graft.ops.Dedup.spanDupScore(d.where(col("doc_id") >= cut),
-          s.read.parquet(gPath), k)
+      graft.ops.Dedup.spanDupScoreImpl(d.where(col("doc_id") >= cut),
+          s.read.parquet(gPath), k, "doc_id", "text",
+          capture = true) // the q129 plan pin reads the capture
         .orderBy("doc_id")
     }),
 

@@ -165,4 +165,56 @@ class CrawlLoopLifecycleSpec extends AnyFunSuite {
       SideTable.clear()
     }
   }
+
+  test("3 epochs of span scoring vs the appended gram-set artifact " +
+      "match a from-scratch rebuild per epoch") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft_lifecycle_span_").toFile
+    val prev = s.conf.getOption("graft.artifacts.dir")
+    s.conf.set("graft.artifacts.dir", dir.getAbsolutePath)
+    try {
+      // the gram inventory is a membership set (h rows probed with a
+      // semi-join), so the append discipline of contentKeys applies:
+      // duplicate h rows from overlapping epochs are harmless
+      val gP = SideTable.ensure(s, "lc_span", "base")(
+        graft.ops.Dedup.spanGramFrame(old, k = 5, idCol = "page_id",
+          textCol = "body"))
+      var corpus = old
+      for ((batch, k0) <- batches.zipWithIndex) {
+        val k = k0 + 1
+        val got = graft.ops.Dedup.spanDupScore(batch,
+            s.read.parquet(gP), k = 5, idCol = "page_id",
+            textCol = "body")
+          .orderBy("page_id").collect().toSeq
+        val want = graft.ops.Dedup.spanDupScore(batch,
+            graft.ops.Dedup.spanGramFrame(corpus, k = 5,
+              idCol = "page_id", textCol = "body"), k = 5,
+            idCol = "page_id", textCol = "body")
+          .orderBy("page_id").collect().toSeq
+        assert(got === want, s"epoch $k span record diverged from " +
+          "the from-scratch rebuild")
+        val ratio = got.map(r => r.getLong(0) ->
+          r.getAs[Double]("dup_ratio")).toMap
+        // epoch semantics: doc 10 copies old doc 1 verbatim (ratio 1);
+        // doc 20 copies EPOCH 1's doc 11 — dup only because epoch 1's
+        // append taught the loop about it; doc 30 shares 19 of 20
+        // words with old doc 2 (hits at gram positions 1..15 merge to
+        // one 19-token extent → 19/20)
+        if (k == 1) { assert(ratio(10L) === 1.0d)
+          assert(ratio(11L) === 0.0d) }
+        if (k == 2) { assert(ratio(20L) === 1.0d)
+          assert(ratio(21L) === 0.0d) }
+        if (k == 3) { assert(ratio(30L) === 0.95d)
+          assert(ratio(31L) === 0.0d) }
+        SideTable.append(s, "lc_span", "base")(
+          graft.ops.Dedup.spanGramFrame(batch, k = 5,
+            idCol = "page_id", textCol = "body"))
+        corpus = corpus.unionByName(batch)
+      }
+    } finally {
+      prev.fold(s.conf.unset("graft.artifacts.dir"))(
+        s.conf.set("graft.artifacts.dir", _))
+      SideTable.clear()
+    }
+  }
 }

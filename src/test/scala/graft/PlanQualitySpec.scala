@@ -800,4 +800,63 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("q127: chunking is one generator projection — no window, no " +
+      "hash shuffle (only the output order's range exchange)") {
+    val p = plan("q127_chunk")
+    assert(p.contains("Generate"), s"q127 lost its generator:\n$p")
+    assert(!p.contains("Window"), s"q127 grew a window:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q127 shuffled (chunking must ride the scan):\n$p")
+  }
+
+  test("q129: the batch generates its own grams (cut pushed) and the " +
+      "old corpus contributes via the frozen gram artifact alone") {
+    plan("q129_incremental_span_dups") // force; captures the op plans
+    val p = graft.ops.Dedup.lastSpanScorePlans
+    assert(p.nonEmpty, "q129 op plans were not captured")
+    val Array(gPlan, hitsPlan) = p.split("\n-- hits --\n")
+    assert(gPlan.contains("GreaterThanOrEqual(doc_id"),
+      s"q129 batch cut not pushed to the documents scan:\n$gPlan")
+    // an adaptive plan prints Final + Initial sections; count the
+    // generator in the executed (final) section only
+    val gFinal = gPlan.split("== Initial Plan ==").head
+    assert(gFinal.sliding("Generate".length).count(_ == "Generate") === 1,
+      s"q129 gram pass must have exactly one generator:\n$gPlan")
+    assert(hitsPlan.contains("graft_span_grams"),
+      s"q129 probe does not read the persisted gram artifact:\n$hitsPlan")
+    assert(hitsPlan.contains("BroadcastHashJoin") &&
+      hitsPlan.contains("LeftSemi"),
+      s"q129 batch keys must broadcast against the artifact scan:\n$hitsPlan")
+    assert(!hitsPlan.contains("documents.parquet"),
+      s"q129 probe re-reads raw documents:\n$hitsPlan")
+  }
+
+  test("q131: both directional rankings scan the persisted payload " +
+      "with the batch broadcast — mergeable aggregates, no window") {
+    plan("q131_incremental_margin_mining") // force; captures the plans
+    val p = graft.ops.Embed.lastMarginPlans
+    assert(p.nonEmpty, "q131 op plans were not captured")
+    val Array(xyPlan, yxPlan) = p.split("\n-- yx --\n")
+    for ((side, sp) <- Seq("xy" -> xyPlan, "yx" -> yxPlan)) {
+      assert(sp.contains("graft_norm_vecs"),
+        s"q131 $side ranking does not scan the payload artifact:\n$sp")
+      assert(sp.contains("BroadcastNestedLoopJoin"),
+        s"q131 $side ranking must broadcast the batch:\n$sp")
+      assert(sp.contains("ObjectHashAggregate"),
+        s"q131 $side ranking must be the mergeable TopK aggregate:\n$sp")
+      assert(!sp.contains("Window"),
+        s"q131 $side ranking fell back to a window sort:\n$sp")
+      assert(!sp.contains("embeddings.parquet") ||
+        sp.contains("GreaterThanOrEqual(vec_id"),
+        s"q131 $side ranking reads raw embeddings without the cut:\n$sp")
+    }
+  }
+
+  test("q132: the trim cut is an anti-join and reassembly never " +
+      "windows the corpus") {
+    val p = plan("q132_span_trim")
+    assert(p.contains("LeftAnti"), s"q132 lost the anti-join cut:\n$p")
+    assert(!p.contains("Window"), s"q132 grew a corpus window:\n$p")
+  }
 }
