@@ -269,6 +269,52 @@ object Dedup {
         coalesce(col("ct"), lit("")).as("clean_text"))
   }
 
+  /** Cross-source overlap matrix — the inter-source contamination
+    * report that drives source selection and dedup policy (two crawl
+    * dumps sharing most of their grams should not both enter a mix at
+    * full weight): for every source pair, the number of distinct
+    * word-k-grams they share and the gram-set Jaccard. Contrast with
+    * [[graft.ops.Text.boilerplate]] (WITHIN-source template
+    * detection): this measures BETWEEN-source content overlap.
+    * Output: (src1, src2, n_shared, n1, n2, jaccard) for every
+    * src1 < src2 pair — zero-overlap pairs included (the report is
+    * the full matrix).
+    *
+    * Scale shape: the distinct (source, gram) set is corpus-linear
+    * and map-side-combinable; the pair join is hash-keyed on the gram
+    * with output bounded by (grams shared) × C(|sources sharing|, 2)
+    * — |sources| is small (a mix has tens to hundreds), so the join
+    * never approaches all-pairs of DOCUMENTS; per-source set sizes
+    * are a |sources|-row frame and the full-matrix scaffold is a
+    * theta join of that tiny frame with itself. */
+  def crossSourceOverlap(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    val sg = shingleHashRows(
+        docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+          col(textCol).as("text")), k, Seq("src"))
+      .select(col("src"), col("h")).distinct()
+      .localCheckpoint() // read by sizes AND both sides of the pair join
+    val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |sources| rows; scaffold + two joins
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src1"), col("b.src").as("src2"))
+      .agg(count(lit(1)).as("n_shared"))
+    sizes.select(col("src").as("src1"), col("n").as("n1"))
+      .join(sizes.select(col("src").as("src2"), col("n").as("n2")),
+        col("src1") < col("src2"))
+      .join(shared, Seq("src1", "src2"), "left")
+      .select(col("src1"), col("src2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n1"), col("n2"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n1") + col("n2") -
+            coalesce(col("n_shared"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Positional k-gram hash rows (doc_id, pos 1-based, h) for the span
     * family — ONE codegen'd generator projection (tokenize, explode
     * the position sequence, slice/concat/hash); docs under k words are

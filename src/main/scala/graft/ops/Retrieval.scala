@@ -83,11 +83,47 @@ object Retrieval {
                | div (CAST(10 AS DECIMAL(38,0)) * t_tok * tfp
                |  + 3 * t_tok + 9 * dl * n_docs) AS BIGINT)"""
           .stripMargin).as("ppm"))
+    topkTail(contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm")), k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the hybrid-retrieval default (sparse BM25 ⊕ dense ANN): each
+    * input ranking contributes ⌊1e6 / (kRrf + rank)⌋ integer ppm per
+    * (query, doc); contributions sum; the fused order is score DESC
+    * with doc-id tie-break. Inputs are any frames carrying
+    * (query_id, doc_id, rank) with rank 1 best — the whole retrieval
+    * family emits the shape ([[bm25]], and the ANN ops after a
+    * rename). Rank-only fusion deliberately ignores the raw scores:
+    * BM25 ppm and cosine live on incomparable scales, and robustness
+    * to that is RRF's entire point. Output: (query_id, rank, doc_id,
+    * score_ppm), k rows per query.
+    *
+    * Scale shape: contributions are ≤ Σᵢ kᵢ rows per query — the
+    * retrieval stages already reduced the corpus — so fusion is a
+    * map-side-combinable integer sum plus the mergeable TopK tail;
+    * nothing here rescans anything. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k >= 1 && kRrf >= 0,
+      s"need k >= 1 and kRrf >= 0 (got k=$k, kRrf=$kRrf)")
+    val contrib = rankings.map(_.select(col("query_id"), col("doc_id"),
+        floor(lit(1000000.0d) / (lit(kRrf) + col("rank").cast("double")))
+          .cast("long").as("ppm")))
+      .reduce(_ unionByName _)
+    topkTail(contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("ppm")).as("score_ppm")), k)
+  }
+
+  /** The shared final-ranking tail over a (query_id, doc_id,
+    * score_ppm) frame: mergeable TopK aggregate, (score DESC, doc_id)
+    * total order — ONE definition for BM25 and fused rankings. */
+  private def topkTail(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new graft.functions.TopK.TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
         graft.functions.TopK.Scored]())
-    contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("ppm")).as("score_ppm"))
+    scored
       .groupBy(col("query_id"))
       .agg(topk(col("score_ppm").cast("double"), col("doc_id"),
         lit(0L), lit(0L), lit(0L)).as("top"))

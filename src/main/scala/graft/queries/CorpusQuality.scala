@@ -832,6 +832,29 @@ object CorpusQuality {
       graft.ops.Retrieval.bm25(d, queries, k, dfCap, excludeSelf = true)
     }),
 
+    // ---- q135: hybrid retrieval — RRF fusion of BM25 and dense ANN -----
+    // Thin binding over [[graft.ops.Retrieval.rrfFuse]] — the
+    // hybrid-search default: q102's sparse BM25 ranking fused with the
+    // exact dense cosine ranking over the SAME query ids (vec_id ≡
+    // doc_id in the testdata), each contributing ⌊1e6/(60+rank)⌋ ppm.
+    // Rank-only fusion is the point: ppm and cosine are incomparable
+    // scales, RRF never compares them.
+    "q135_hybrid_rrf" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.bm25.k").map(_.toInt).getOrElse(10)
+      val sparse = defs("q102_bm25_retrieval")(s, dir)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val qids = d.where(pmod(hash60(col("text")), lit(20)) === 0)
+        .select(col("doc_id").as("vec_id"))
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val dense = graft.ops.Embed.cosineTopK(emb,
+          emb.join(broadcast(qids), Seq("vec_id"), "left_semi"),
+          k, excludeSelf = true)
+        .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+          col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(sparse, dense), k)
+    }),
+
     // ---- q103: bigram-LM conditional surprisal -------------------------
     // q61's CCNet-style perplexity filter upgraded to bigram context:
     // per-token conditional surprisal −log₂ p(w₂|w₁) with the corpus
@@ -1686,6 +1709,51 @@ object CorpusQuality {
       (bm25RankedCtes + """
         |SELECT query_id, rank::bigint AS rank, doc_id, score_ppm
         |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin),
+
+    // Fused oracle: the full BM25 ranked chain plus an inline cosine
+    // chain over the same sampled query ids, both cut to rank ≤ 10,
+    // RRF-summed with the identical integer floor division.
+    "q135_hybrid_rrf" ->
+      (bm25RankedCtes + """
+        |, e0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) v
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(0.0::double,
+        |      list_transform(v, x -> x*x)), (acc, x) -> acc + x)) nrm
+        |  FROM e0
+        |), qv AS (
+        |  SELECT e.* FROM e JOIN q ON q.doc_id = e.vec_id
+        |), sxy AS (
+        |  SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+        |    (list_reduce(list_prepend(0.0::double,
+        |       list_transform(list_zip(qv.v, e.v), p -> p[1]*p[2])),
+        |       (acc, x) -> acc + x) / (qv.nrm * e.nrm)) AS cos
+        |  FROM e JOIN qv ON e.vec_id <> qv.vec_id
+        |), rankedv AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, doc_id) AS rank
+        |  FROM sxy
+        |), contribf AS (
+        |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS ppm
+        |  FROM ranked WHERE rank <= 10
+        |  UNION ALL
+        |  SELECT query_id, doc_id, 1000000 // (60 + rank) AS ppm
+        |  FROM rankedv WHERE rank <= 10
+        |), fused AS (
+        |  SELECT query_id, doc_id, sum(ppm)::bigint AS score_ppm
+        |  FROM contribf GROUP BY query_id, doc_id
+        |), franked AS (
+        |  SELECT query_id, doc_id, score_ppm,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_ppm DESC, doc_id) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, rank::bigint AS rank, doc_id, score_ppm
+        |FROM franked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin),
 
     "q103_bigram_surprisal" ->

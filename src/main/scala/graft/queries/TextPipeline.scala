@@ -688,6 +688,18 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q134: cross-source overlap matrix -----------------------------
+    // Thin binding over [[graft.ops.Dedup.crossSourceOverlap]] — the
+    // inter-source contamination report (shared distinct 5-grams and
+    // gram-set Jaccard per source pair, full matrix). Knob:
+    // graft.span.k (shared with the span family).
+    "q134_source_overlap" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      graft.ops.Dedup.crossSourceOverlap(
+          Graft.parquetSource(s, dir).table("documents"), k)
+        .orderBy("src1", "src2")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2033,6 +2045,33 @@ object TextPipeline {
         |FROM ws LEFT JOIN per USING (doc_id)
         |WHERE len(w) >= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "q134_source_overlap" ->
+      """WITH ws AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), sizes AS (
+        |  SELECT source, count(*)::bigint AS n FROM g GROUP BY source
+        |), shared AS (
+        |  SELECT a.source AS src1, b.source AS src2,
+        |    count(*)::bigint AS n_shared
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT x.source AS src1, y.source AS src2,
+        |  coalesce(n_shared, 0)::bigint AS n_shared,
+        |  x.n AS n1, y.n AS n2,
+        |  coalesce(n_shared, 0)::double /
+        |    (x.n + y.n - coalesce(n_shared, 0)) AS jaccard
+        |FROM sizes x JOIN sizes y ON x.source < y.source
+        |LEFT JOIN shared ON shared.src1 = x.source AND shared.src2 = y.source
+        |ORDER BY src1, src2""".stripMargin,
 
     "q132_span_trim" ->
       """WITH ws AS (

@@ -941,6 +941,51 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.spanTrim(docs, k = 1) }
   }
 
+  test("Dedup.crossSourceOverlap reports the full source-pair matrix " +
+      "with shared-gram Jaccard") {
+    val docs = Seq(
+      (1L, "A", "S1 S2 S3 S4 S5 x1 x2"),
+      (2L, "B", "y1 S1 S2 S3 S4 S5 y2"),
+      (3L, "C", "c1 c2 c3 c4 c5 c6"))
+      .toDF("page_id", "site", "body")
+    val out = Dedup.crossSourceOverlap(docs, k = 5, idCol = "page_id",
+        textCol = "body", srcCol = "site")
+      .orderBy("src1", "src2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // A: 3 distinct grams, B: 3, C: 2; A∩B = {S1..S5} only
+    assert(out.toSeq === Seq(
+      ("A", "B", 1L, 3L, 3L, 0.2d),
+      ("A", "C", 0L, 3L, 2L, 0.0d),
+      ("B", "C", 0L, 3L, 2L, 0.0d)),
+      "zero-overlap pairs must appear in the matrix")
+    intercept[IllegalArgumentException] {
+      Dedup.crossSourceOverlap(docs, k = 1)
+    }
+  }
+
+  test("Retrieval.rrfFuse sums reciprocal-rank ppm across rankings " +
+      "with the (score, doc) total order") {
+    val r1 = Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 5L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val r2 = Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(r1, r2), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q1 = out.filter(_._1 == 1L).map(r => (r._2, r._3, r._4))
+    // doc 2 fuses both lists (16393 + 16129); docs 1/3 one each
+    assert(q1.toSeq === Seq((1L, 2L, 32522L), (2L, 1L, 16393L),
+      (3L, 3L, 16129L)))
+    // rank-1 tie across lists breaks by doc_id ascending
+    val q2 = out.filter(_._1 == 2L).map(r => (r._2, r._3, r._4))
+    assert(q2.toSeq === Seq((1L, 4L, 16393L), (2L, 5L, 16393L)))
+    // k cuts the fused list
+    assert(Retrieval.rrfFuse(Seq(r1, r2), k = 2)
+      .where(col("query_id") === 1L).count() === 2L)
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil) }
+  }
+
   test("Text.chunk covers every token with overlapping windows and " +
       "keeps caller column names") {
     val docs = Seq(
