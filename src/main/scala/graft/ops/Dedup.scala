@@ -289,12 +289,31 @@ object Dedup {
     * theta join of that tiny frame with itself. */
   def crossSourceOverlap(docs: DataFrame, k: Int = 5,
       idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame =
+    crossSourceOverlapOf(sourceGramFrame(docs, k, idCol, textCol, srcCol))
+
+  /** The distinct (src, h) inventory of [[crossSourceOverlap]] — what
+    * a crawl loop PERSISTS and APPENDS per epoch so the matrix can be
+    * refreshed without re-reading old documents. One narrow row per
+    * (source, distinct gram). */
+  def sourceGramFrame(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
       srcCol: String = "source"): DataFrame = {
     require(k >= 2, s"need k >= 2 (got $k)")
-    val sg = shingleHashRows(
+    shingleHashRows(
         docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"),
           col(textCol).as("text")), k, Seq("src"))
       .select(col("src"), col("h")).distinct()
+  }
+
+  /** [[crossSourceOverlap]] over a pre-derived inventory frame ((src,
+    * h) — typically the persisted artifact with epoch appends).
+    * Duplicate rows are tolerated (the appended artifact need not be
+    * re-deduplicated on disk): the inventory re-distincts before
+    * counting, so an appended artifact yields the exact from-scratch
+    * matrix. */
+  def crossSourceOverlapOf(sg0: DataFrame): DataFrame = {
+    val sg = sg0.select(col("src"), col("h")).distinct()
       .localCheckpoint() // read by sizes AND both sides of the pair join
     val sizes = sg.groupBy(col("src")).agg(count(lit(1)).as("n"))
       .localCheckpoint() // |sources| rows; scaffold + two joins

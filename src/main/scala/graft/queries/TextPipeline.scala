@@ -700,6 +700,26 @@ object TextPipeline {
         .orderBy("src1", "src2")
     }),
 
+    // ---- q136: incremental source-overlap matrix -----------------------
+    // q134 as the crawl loop runs it: the per-source distinct-gram
+    // inventory persists ([[graft.ops.Dedup.sourceGramFrame]], the
+    // append-tolerated (src, h) artifact); each epoch refreshes the
+    // matrix from the artifact plus ONE batch gram pass — old
+    // documents are never re-read, and the re-distinct inside
+    // [[graft.ops.Dedup.crossSourceOverlapOf]] makes appended
+    // duplicates harmless (the lifecycle append discipline).
+    "q136_incremental_source_overlap" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val sgP = sourceGramIndex(s, dir, cut, k)
+      graft.ops.Dedup.crossSourceOverlapOf(
+          s.read.parquet(sgP).unionByName(
+            graft.ops.Dedup.sourceGramFrame(
+              d.where(col("doc_id") >= cut), k)))
+        .orderBy("src1", "src2")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -1509,6 +1529,17 @@ object TextPipeline {
           .where(col("doc_id") < cut))
     }
 
+  /** The persisted per-source gram inventory behind q136 — built via
+    * the public frame definition ([[graft.ops.Dedup.sourceGramFrame]]). */
+  private[graft] def sourceGramIndex(s: SparkSession, dir: String,
+      cut: Long, k: Int): String =
+    graft.sources.SideTable.ensure(s, "source_grams", s"$dir#$cut#k$k",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Dedup.sourceGramFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), k)
+    }
+
   /** The persisted BPE merge-table artifact behind q133 — built via
     * the public frame definition ([[graft.ops.Text.bpeVocab]]). */
   private[graft] def bpeMergeIndex(s: SparkSession, dir: String,
@@ -2056,6 +2087,46 @@ object TextPipeline {
         |      % 2147483647 AS h
         |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
         |  WHERE len(w) >= 5
+        |), sizes AS (
+        |  SELECT source, count(*)::bigint AS n FROM g GROUP BY source
+        |), shared AS (
+        |  SELECT a.source AS src1, b.source AS src2,
+        |    count(*)::bigint AS n_shared
+        |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT x.source AS src1, y.source AS src2,
+        |  coalesce(n_shared, 0)::bigint AS n_shared,
+        |  x.n AS n1, y.n AS n2,
+        |  coalesce(n_shared, 0)::double /
+        |    (x.n + y.n - coalesce(n_shared, 0)) AS jaccard
+        |FROM sizes x JOIN sizes y ON x.source < y.source
+        |LEFT JOIN shared ON shared.src1 = x.source AND shared.src2 = y.source
+        |ORDER BY src1, src2""".stripMargin,
+
+    // Incremental derivation expressed in SQL: old-slice inventory ∪
+    // batch inventory, re-distincted — the appended-artifact
+    // semantics; the resulting matrix equals q134's full-corpus one.
+    "q136_incremental_source_overlap" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents
+        |), gold AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5 AND doc_id < (SELECT c FROM cut)
+        |), gbat AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5 AND doc_id >= (SELECT c FROM cut)
+        |), g AS (
+        |  SELECT DISTINCT source, h FROM (
+        |    SELECT * FROM gold UNION ALL SELECT * FROM gbat)
         |), sizes AS (
         |  SELECT source, count(*)::bigint AS n FROM g GROUP BY source
         |), shared AS (

@@ -962,6 +962,15 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.crossSourceOverlap(docs, k = 1)
     }
+    // the inventory form tolerates appended duplicates: the artifact
+    // appended to itself yields the exact from-scratch matrix
+    val sg = Dedup.sourceGramFrame(docs, k = 5, idCol = "page_id",
+      textCol = "body", srcCol = "site")
+    val appended = Dedup.crossSourceOverlapOf(sg.unionByName(sg))
+      .orderBy("src1", "src2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(appended.toSeq === out.toSeq)
   }
 
   test("Retrieval.rrfFuse sums reciprocal-rank ppm across rankings " +
