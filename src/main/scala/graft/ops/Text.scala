@@ -369,6 +369,40 @@ object Text {
           .as("chunk_text"))
   }
 
+  /** Flesch reading-ease scoring — the classic readability signal
+    * quality-classifier stacks use as an education-level proxy:
+    * flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words), computed with the standard large-corpus heuristics made
+    * deterministic: sentences = runs of [.!?] (a terminator-free
+    * document counts as one sentence), syllables = vowel runs
+    * ([aeiouy]+ on the lowercased text — vowel-less tokens contribute
+    * 0, silent-e is not special-cased; the heuristic is documented,
+    * fixed, and identical in the oracle, which is what a FILTER
+    * threshold needs). Lower = harder text; classic prose sits
+    * 30–70, gibberish and code fall far outside. Output: (<id>,
+    * n_words, n_sents, n_syll, flesch). One codegen'd projection —
+    * no shuffle, rides the scan (the stats/qualityFlags shape). */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val nw = wordCount(col(textCol))
+    val ns = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+      lit(1))
+    val sy = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0)))
+    docs.select(col(idCol), nw.as("n_words"), ns.as("n_sents"),
+        sy.as("n_syll"))
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        col("n_sents").cast("long").as("n_sents"),
+        col("n_syll").cast("long").as("n_syll"),
+        (lit(206.835d) -
+          lit(1.015d) * (col("n_words").cast("double") /
+            col("n_sents").cast("double")) -
+          lit(84.6d) * (col("n_syll").cast("double") /
+            col("n_words").cast("double"))).as("flesch"))
+  }
+
   /** Per-word symbol string for the BPE family: characters space-joined
     * with boundary spaces and a trailing end-of-word marker, so one
     * merge application is a single literal `replace` (greedy

@@ -720,6 +720,16 @@ object TextPipeline {
         .orderBy("src1", "src2")
     }),
 
+    // ---- q137: Flesch readability scoring ------------------------------
+    // Thin binding over [[graft.ops.Text.readability]] — the classic
+    // reading-ease signal (education-level proxy) with deterministic
+    // sentence/syllable heuristics, identical in the oracle.
+    "q137_readability" -> ((s, dir) => {
+      graft.ops.Text.readability(
+          Graft.parquetSource(s, dir).table("documents"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2143,6 +2153,21 @@ object TextPipeline {
         |FROM sizes x JOIN sizes y ON x.source < y.source
         |LEFT JOIN shared ON shared.src1 = x.source AND shared.src2 = y.source
         |ORDER BY src1, src2""".stripMargin,
+
+    "q137_readability" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::bigint AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::bigint
+        |      AS n_sents,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::bigint
+        |      AS n_syll
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  (206.835 - 1.015 * (n_words::double / n_sents::double)
+        |    - 84.6 * (n_syll::double / n_words::double)) AS flesch
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q132_span_trim" ->
       """WITH ws AS (

@@ -995,6 +995,29 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil) }
   }
 
+  test("Text.readability computes Flesch reading ease with the " +
+      "documented deterministic heuristics") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),     // 6 words, 2 sents, 6 syll
+      (2L, "no terminator here at all"),     // 5 words, 1 sent (floor)
+      (3L, "zzz xxx qqq"))                   // vowel-less: 0 syllables
+      .toDF("page_id", "body")
+    val out = Text.readability(docs, "page_id", "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(1L)._2 === 6L && m(1L)._3 === 2L && m(1L)._4 === 6L)
+    assert(math.abs(m(1L)._5 -
+      (206.835d - 1.015d * 3.0d - 84.6d * 1.0d)) < 1e-12)
+    assert(m(2L)._3 === 1L, "terminator-free doc must count 1 sentence")
+    assert(m(3L)._4 === 0L, "vowel-less tokens contribute 0 syllables")
+    // one projection riding the scan: no shuffle
+    val plan = Text.readability(docs, "page_id", "body")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"readability shuffled:\n$plan")
+  }
+
   test("Text.chunk covers every token with overlapping windows and " +
       "keeps caller column names") {
     val docs = Seq(
