@@ -208,6 +208,67 @@ object Curate {
     * already exceeds the budget are pruned BEFORE the window, so a
     * small budget over a 100 TB corpus sorts ~one shard. Output:
     * (<id>, n_tokens, cum), ordered by cum. */
+  /** Per-source token budgets — the MIXTURE EXECUTOR: a training mix
+    * is specified as "so many tokens from each source", and this op
+    * cuts the corpus to exactly that spec with [[tokenBudget]]'s
+    * deterministic hash-order discipline applied per source (stable
+    * under re-crawls: a document's keep/drop decision moves only if
+    * its source's budget or the hash-earlier document set changes).
+    * Sources absent from `budgets` are dropped entirely. Output:
+    * (<id>, <src>, n_tokens, cum) with `cum` the within-source
+    * cumulative token count in (hash, id) order; cum ≤ budget(src).
+    *
+    * Scale shape: the same two-level prefix sum as [[tokenBudget]],
+    * at (source, shard) grain — ONE pass computes per-shard token
+    * totals (map-side combinable; the driver reads ≤ |budgeted
+    * sources|·shards rows, metadata grain — size `shards0` down if
+    * the budget spec is huge), shard offsets make every kept-shard
+    * window independent, and each window sorts one shard of one
+    * source. No global sort, no per-source corpus sort — the window
+    * grain is (source, shard). */
+  def sourceBudget(docs: DataFrame, budgets: Map[String, Long],
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source", shards0: Int = 0): DataFrame = {
+    require(budgets.nonEmpty, "sourceBudget needs at least one budget")
+    val s = docs.sparkSession
+    val nShards = {
+      val want = (if (shards0 > 0) shards0
+        else s.sparkContext.defaultParallelism).max(1).min(1 << 24)
+      Integer.highestOneBit(want * 2 - 1)
+    }
+    val shardBits = Integer.numberOfTrailingZeros(nShards)
+    import s.implicits._
+    val budDf = budgets.toSeq.map { case (k, v) => (k, v.max(0L)) }
+      .toDF("src", "budget")
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("src"),
+        bpeTokenCount(col(textCol)).cast("long").as("n_tokens"),
+        hash60(col(textCol)).as("h"))
+      .join(broadcast(budDf), Seq("src"))
+      .withColumn("shard", shiftright(col("h"), 60 - shardBits))
+    val totals = base.groupBy(col("src"), col("shard"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect() // ≤ |budgeted sources|·nShards rows — metadata grain
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val offsets = for {
+      src <- totals.keys.map(_._1).toSeq.distinct
+      sh <- 0 until nShards
+    } yield (src, sh.toLong,
+      (0 until sh).map(p => totals.getOrElse((src, p.toLong), 0L)).sum)
+    val kept = offsets.filter { case (src, _, off) =>
+      off <= budgets(src).max(0L)
+    }
+    val offDf = kept.toDF("src", "shard", "off")
+    val w = Window.partitionBy(col("src"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offDf), Seq("src", "shard"))
+      .withColumn("cum", sum(col("n_tokens")).over(w) + col("off"))
+      .where(col("cum") <= col("budget"))
+      .select(col("doc_id").as(idCol), col("src").as(srcCol),
+        col("n_tokens"), col("cum"))
+  }
+
   def tokenBudget(docs: DataFrame, budget0: Long, idCol: String = "doc_id",
       textCol: String = "text", shards0: Int = 0): DataFrame = {
     val s = docs.sparkSession

@@ -730,6 +730,22 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q138: per-source token budgets (the mixture executor) ---------
+    // Thin binding over [[graft.ops.Curate.sourceBudget]] — a uniform
+    // per-source budget (graft.budget.perSource, default 1000 tokens:
+    // ~half of each source at the test SFs, so the cut provably
+    // bites) applied to every source; the deployment shape passes the
+    // real mixture spec as the budgets map.
+    "q138_source_budget" -> ((s, dir) => {
+      val b = s.conf.getOption("graft.budget.perSource").map(_.toLong)
+        .getOrElse(1000L)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val srcs = d.select(col("source")).distinct()
+        .collect().map(_.getString(0)) // ≤ |sources| — metadata grain
+      graft.ops.Curate.sourceBudget(d, srcs.map(_ -> b).toMap)
+        .orderBy("source", "cum", "doc_id")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2153,6 +2169,23 @@ object TextPipeline {
         |FROM sizes x JOIN sizes y ON x.source < y.source
         |LEFT JOIN shared ON shared.src1 = x.source AND shared.src2 = y.source
         |ORDER BY src1, src2""".stripMargin,
+
+    "q138_source_budget" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::bigint AS n_tokens,
+        |    ('0x' || substr(md5(text),1,15))::bigint AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM base
+        |)
+        |SELECT doc_id, source, n_tokens, cum::bigint AS cum FROM r
+        |WHERE cum <= 1000
+        |ORDER BY source, cum, doc_id""".stripMargin,
 
     "q137_readability" ->
       """WITH base AS (

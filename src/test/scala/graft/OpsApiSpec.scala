@@ -995,6 +995,43 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil) }
   }
 
+  test("Curate.sourceBudget cuts each source to its own token budget " +
+      "in deterministic hash order") {
+    val docs = Seq(
+      (1L, "A", "one two three four five six seven eight"),
+      (2L, "A", "alpha beta gamma delta epsilon zeta"),
+      (3L, "A", "lorem ipsum dolor sit amet consectetur"),
+      (4L, "B", "big corpus line with quite a few words here"),
+      (5L, "B", "another line of text for source b"),
+      (6L, "C", "unbudgeted source never appears"))
+      .toDF("page_id", "site", "body")
+    val budgets = Map("A" -> 14L, "B" -> 1000L)
+    val out = Curate.sourceBudget(docs, budgets, idCol = "page_id",
+        textCol = "body", srcCol = "site")
+      .orderBy("site", "cum").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.forall(_._2 != "C"), "unbudgeted source leaked through")
+    val a = out.filter(_._2 == "A")
+    assert(a.nonEmpty && a.last._4 <= 14L,
+      s"source A exceeded its budget: ${a.toSeq}")
+    assert(a.size < 3, "the A budget should cut at least one doc")
+    val b = out.filter(_._2 == "B")
+    assert(b.size === 2, "source B's ample budget must keep everything")
+    // cum is the exact within-source running total in (hash, id) order
+    assert(b.map(_._3).sum === b.last._4)
+    // equivalence with the single-source op under the same budget:
+    // per-source cut == tokenBudget over that source alone
+    val aAlone = Curate.tokenBudget(
+        docs.where(col("site") === "A"), 14L,
+        idCol = "page_id", textCol = "body")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.map(r => (r._1, r._4)).toSeq === aAlone.toSeq)
+    intercept[IllegalArgumentException] {
+      Curate.sourceBudget(docs, Map.empty[String, Long])
+    }
+  }
+
   test("Text.readability computes Flesch reading ease with the " +
       "documented deterministic heuristics") {
     val docs = Seq(
