@@ -334,6 +334,43 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each window of `w`
+    * consecutive k-gram hashes, select the RIGHTMOST minimum; the
+    * distinct selected (position, hash) pairs are the document's
+    * fingerprints. Guarantees: every match of length ≥ w+k−1 tokens
+    * between two documents shares at least one fingerprint, and
+    * expected density is 2/(w+1) — the index-size lever for
+    * span-dedup/novelty artifacts (store fingerprints instead of
+    * every gram at ~w/2× fewer rows, trading detection granularity
+    * w tokens of slack). Documents under k+w−1 words have no full
+    * window and produce no fingerprints. Output: (<id>, pos, h),
+    * one row per selected fingerprint.
+    *
+    * Scale shape: gram generation is the one-generator projection of
+    * the span family; selection is a per-DOCUMENT sliding window
+    * (partition bounded by document length, positions consecutive —
+    * never a corpus-wide sort), with the rightmost-min picked in one
+    * pass via a min over (h, −pos) structs. */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    require(w >= 1, s"need w >= 1 (got $w)")
+    import org.apache.spark.sql.expressions.Window
+    val g = spanGramRows(docs, k, idCol, textCol)
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val ahead = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("ng", max(col("pos")).over(byDoc))
+      .withColumn("m",
+        min(struct(col("h").as("h"), (-col("pos")).as("np"))).over(ahead))
+      .where(col("pos") <= col("ng") - (w - 1))
+      .select(col("doc_id"), (-col("m.np")).as("pos"),
+        col("m.h").as("h"))
+      .distinct()
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Positional k-gram hash rows (doc_id, pos 1-based, h) for the span
     * family — ONE codegen'd generator projection (tokenize, explode
     * the position sequence, slice/concat/hash); docs under k words are

@@ -746,6 +746,20 @@ object TextPipeline {
         .orderBy("source", "cum", "doc_id")
     }),
 
+    // ---- q139: winnowing fingerprint selection -------------------------
+    // Thin binding over [[graft.ops.Dedup.winnow]] — the MOSS
+    // fingerprint selector: rightmost-minimum gram hash per w-window,
+    // the ~w/2× index-size lever for span/novelty artifacts (every
+    // ≥(w+k−1)-token match still shares a fingerprint). Knobs:
+    // graft.span.k / graft.winnow.w.
+    "q139_winnow" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val w = s.conf.getOption("graft.winnow.w").map(_.toInt).getOrElse(4)
+      graft.ops.Dedup.winnow(
+          Graft.parquetSource(s, dir).table("documents"), k, w)
+        .orderBy("doc_id", "pos")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2169,6 +2183,34 @@ object TextPipeline {
         |FROM sizes x JOIN sizes y ON x.source < y.source
         |LEFT JOIN shared ON shared.src1 = x.source AND shared.src2 = y.source
         |ORDER BY src1, src2""".stripMargin,
+
+    "q139_winnow" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), ng AS (
+        |  SELECT doc_id, max(pos) AS ng FROM g GROUP BY doc_id
+        |), w1 AS (
+        |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM g
+        |), sel AS (
+        |  SELECT w1.doc_id, max(g2.pos) AS pos, w1.mh AS h
+        |  FROM w1
+        |  JOIN ng ON ng.doc_id = w1.doc_id
+        |  JOIN g g2 ON g2.doc_id = w1.doc_id
+        |    AND g2.pos BETWEEN w1.pos AND w1.pos + 3 AND g2.h = w1.mh
+        |  WHERE w1.pos <= ng.ng - 3
+        |  GROUP BY w1.doc_id, w1.pos, w1.mh
+        |)
+        |SELECT DISTINCT doc_id, pos, h FROM sel
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q138_source_budget" ->
       """WITH base AS (

@@ -1032,6 +1032,37 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.winnow selects the rightmost window minimum and holds " +
+      "the coverage guarantee") {
+    // 12 tokens → 8 grams (k=5) → 5 full windows at w=4
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"),
+      (2L, "a b c d e f g h"),  // 4 grams = exactly one window
+      (3L, "too few words"))    // < k+w−1: no full window
+      .toDF("page_id", "body")
+    val out = Dedup.winnow(docs, k = 5, w = 4, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(!out.exists(_._1 == 3L), "sub-window doc produced fingerprints")
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.size === 1, "a single window must select exactly one gram")
+    // coverage: every w-window of doc 1's grams contains a selection
+    val sel1 = out.filter(_._1 == 1L).map(_._2).toSet
+    assert((1 to 5).forall(p => (p until p + 4).exists(sel1)),
+      s"a window has no fingerprint: $sel1")
+    // density: selections ≤ windows, ≥ 1
+    assert(sel1.nonEmpty && sel1.size <= 5)
+    // determinism under re-planning
+    val out2 = Dedup.winnow(docs.repartition(7), k = 5, w = 4,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out2.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] { Dedup.winnow(docs, k = 1) }
+    intercept[IllegalArgumentException] { Dedup.winnow(docs, w = 0) }
+  }
+
   test("Text.readability computes Flesch reading ease with the " +
       "documented deterministic heuristics") {
     val docs = Seq(
