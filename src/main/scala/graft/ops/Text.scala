@@ -519,4 +519,73 @@ object Text {
     docs.select(col(idCol), trim(encoded).as("tokens"))
       .withColumn("n_tokens", size(split(col("tokens"), " ")))
   }
+
+  /** Gopher-style within-document repetition signals (Rae et al.,
+    * "Scaling Language Models: Methods, Analysis & Insights from
+    * Training Gopher", arXiv:2112.11446, Table A1) at word grain —
+    * the repetition battery quality filters threshold on:
+    *
+    *   - `top<n>_frac` for each n in `ns`: the fraction of token
+    *     positions attributable to the single most frequent word
+    *     n-gram, `max_count·n / n_words`, clipped at 1.0 (overlapping
+    *     occurrences can push the product past the doc length —
+    *     "a a a a" at n=2 — and a clipped signal is what a threshold
+    *     filter wants);
+    *   - `dup<k>_frac`: the fraction of k-gram positions whose k-gram
+    *     occurs ≥ 2 times WITHIN the document (the within-doc
+    *     counterpart of [[graft.ops.Dedup.spanDups]]'s corpus-wide
+    *     signal).
+    *
+    * Documents with null/blank text are excluded (no tokens — the
+    * [[chunk]] convention); a doc shorter than n tokens scores 0.0
+    * for that n. Scale shape: each n-gram stream is ONE generator
+    * projection over the token array (corpus-linear, no window sort);
+    * grams shuffle as narrow (id, hash60) rows; both aggregation
+    * levels are map-side-combinable integer counts; the final fracs
+    * are single divisions of exact integers (bit-stable under any
+    * partitioning). Output: (<id>, n_words, top<n>_frac per n,
+    * dup<k>_frac). */
+  def repetition(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+      k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 16),
+      s"need 1 <= n <= 16 for every n in ns (got $ns)")
+    require(ns == ns.distinct && ns == ns.sorted,
+      s"ns must be distinct and ascending (got $ns)")
+    require(k >= 2 && k <= 16, s"need 2 <= k <= 16 (got $k)")
+    val base = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), words(col(textCol)).as("w"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .localCheckpoint() // read by the spine + one gram pipeline per n
+    def gramCounts(n: Int): DataFrame = base
+      .where(col("n_words") >= n)
+      .select(col(idCol), col("w"),
+        explode(sequence(lit(1), (col("n_words") - (n - 1)).cast("int")))
+          .as("i"))
+      .select(col(idCol),
+        hash60(concat_ws(" ", slice(col("w"), col("i"), lit(n)))).as("h"))
+      .groupBy(col(idCol), col("h")).agg(count(lit(1)).as("c"))
+    val spine = base.select(col(idCol), col("n_words"))
+    val withTops = ns.foldLeft(spine) { (acc, n) =>
+      acc.join(
+        gramCounts(n).groupBy(col(idCol))
+          .agg(max(col("c")).as(s"top${n}_cnt")),
+        Seq(idCol), "left")
+    }
+    val dupAgg = gramCounts(k).groupBy(col(idCol))
+      .agg(sum(col("c")).as("kg"),
+        sum(when(col("c") >= 2L, col("c")).otherwise(0L)).as("dup_cnt"))
+    val outCols =
+      col(idCol) +: col("n_words") +:
+        (ns.map { n =>
+          least(lit(1.0d), coalesce(
+            col(s"top${n}_cnt").cast("double") * n /
+              col("n_words").cast("double"), lit(0.0d)))
+            .as(s"top${n}_frac")
+        } :+
+          coalesce(col("dup_cnt").cast("double") /
+            col("kg").cast("double"), lit(0.0d)).as(s"dup${k}_frac"))
+    withTops.join(dupAgg, Seq(idCol), "left").select(outCols: _*)
+  }
 }

@@ -760,6 +760,17 @@ object TextPipeline {
         .orderBy("doc_id", "pos")
     }),
 
+    // ---- q140: Gopher repetition signals -------------------------------
+    // Thin binding over [[graft.ops.Text.repetition]] — the within-doc
+    // repetition battery (top-n-gram fraction for n=1..3, duplicated
+    // k-gram fraction) Gopher-style quality filters threshold on.
+    "q140_repetition" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      graft.ops.Text.repetition(
+          Graft.parquetSource(s, dir).table("documents"), Seq(1, 2, 3), k)
+        .orderBy("doc_id")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2211,6 +2222,59 @@ object TextPipeline {
         |)
         |SELECT DISTINCT doc_id, pos, h FROM sel
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q140_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), base AS (
+        |  SELECT doc_id, len(w)::bigint AS n_words, w FROM ws
+        |), g1 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i], ' ')),1,15))::bigint h
+        |  FROM base, unnest(range(1, len(w) + 1)) AS t(i)
+        |), a1 AS (
+        |  SELECT doc_id, max(c)::bigint AS top1_cnt
+        |  FROM (SELECT doc_id, h, count(*) c FROM g1 GROUP BY 1,2)
+        |  GROUP BY doc_id
+        |), g2 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+1], ' ')),1,15))::bigint h
+        |  FROM base, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+        |), a2 AS (
+        |  SELECT doc_id, max(c)::bigint AS top2_cnt
+        |  FROM (SELECT doc_id, h, count(*) c FROM g2 GROUP BY 1,2)
+        |  GROUP BY doc_id
+        |), g3 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+2], ' ')),1,15))::bigint h
+        |  FROM base, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3
+        |), a3 AS (
+        |  SELECT doc_id, max(c)::bigint AS top3_cnt
+        |  FROM (SELECT doc_id, h, count(*) c FROM g3 GROUP BY 1,2)
+        |  GROUP BY doc_id
+        |), g5 AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint h
+        |  FROM base, unnest(range(1, len(w) - 3)) AS t(i) WHERE len(w) >= 5
+        |), a5 AS (
+        |  SELECT doc_id, sum(c)::bigint AS kg,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::bigint AS dup_cnt
+        |  FROM (SELECT doc_id, h, count(*) c FROM g5 GROUP BY 1,2)
+        |  GROUP BY doc_id
+        |)
+        |SELECT base.doc_id, n_words,
+        |  least(1.0, coalesce(top1_cnt::double * 1 / n_words::double, 0.0))
+        |    AS top1_frac,
+        |  least(1.0, coalesce(top2_cnt::double * 2 / n_words::double, 0.0))
+        |    AS top2_frac,
+        |  least(1.0, coalesce(top3_cnt::double * 3 / n_words::double, 0.0))
+        |    AS top3_frac,
+        |  coalesce(dup_cnt::double / kg::double, 0.0) AS dup5_frac
+        |FROM base
+        |LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
+        |LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q138_source_budget" ->
       """WITH base AS (

@@ -1086,6 +1086,43 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"readability shuffled:\n$plan")
   }
 
+  test("Text.repetition scores within-doc n-gram repetition with the " +
+      "documented clipped fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),                      // top1 4/4; top2 "a a"×3 → clip
+      (2L, "x y x y x y z q r s t u"),      // 12 words, top2 "x y"×3 → 0.5
+      (3L, "one two three four"),           // all unique, < 5 words
+      (4L, "p q r s t p q r s t p q"),      // 5-gram "p q r s t" twice
+      (5L, "   "), (6L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    val out = Text.repetition(docs, Seq(1, 2, 3), k = 5,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(!m.contains(5L) && !m.contains(6L), "blank/null doc kept")
+    assert(m(1L)._3 === 1.0d, "top1 of 'a a a a' must be 1.0")
+    assert(m(1L)._4 === 1.0d, "overlapping top2 must clip at 1.0")
+    assert(m(2L)._4 === 0.5d, "'x y'x3 over 12 words = 0.5")
+    assert(m(3L)._3 === 0.25d && m(3L)._6 === 0.0d,
+      "unique words: top1 1/4, no 5-grams -> dup5 0")
+    // doc 4: 8 5-gram positions; the rotations of 'p q r s t' at
+    // pos 1..3 repeat at pos 6..8 -> 6 duplicated positions / 8
+    assert(m(4L)._6 === 0.75d, s"dup5 of doc 4: ${m(4L)._6}")
+    // determinism under re-planning
+    val out2 = Text.repetition(docs.repartition(7), Seq(1, 2, 3), k = 5,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out2.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Text.repetition(docs, Seq(2, 1), idCol = "page_id") }
+    intercept[IllegalArgumentException] {
+      Text.repetition(docs, Seq(1), k = 1, idCol = "page_id") }
+  }
+
   test("Text.chunk covers every token with overlapping windows and " +
       "keeps caller column names") {
     val docs = Seq(
