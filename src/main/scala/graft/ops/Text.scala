@@ -588,4 +588,51 @@ object Text {
             col("kg").cast("double"), lit(0.0d)).as(s"dup${k}_frac"))
     withTops.join(dupAgg, Seq(idCol), "left").select(outCols: _*)
   }
+
+  /** Corpus-level collocation mining — pointwise mutual information
+    * over adjacent word pairs (Church & Hanks, "Word Association
+    * Norms, Mutual Information, and Lexicography", Computational
+    * Linguistics 16(1), 1990), reported as the LIFT ratio
+    * p(x,y)/(p(x)·p(y)) = c_xy·N / (c_x·c_y) rather than its log:
+    * the ratio is a single IEEE division of exactly-converted
+    * integers — bit-identical across engines and partitionings —
+    * where ln() is libm-dependent (PMI = ln(lift) when a caller wants
+    * the classic units). Marginals are bigram-slot counts (c_x = x as
+    * left word, c_y = y as right word, N = total bigrams), so the
+    * contingency is self-consistent by construction.
+    *
+    * Scale shape: bigram generation is one generator projection
+    * (adjacent zip of the per-row token array — no window, no
+    * corpus sort); pair counts are ONE map-side-combinable integer
+    * sum and the ONLY corpus-scale aggregation; marginals and N
+    * derive from the pair-count table (vocabulary-bounded, far
+    * smaller than the corpus), never from a re-scan. The `minCount`
+    * floor (applied before the marginal joins) bounds the output and
+    * is also the classic PMI low-frequency-noise guard. Output:
+    * (w1, w2, c_pair, c_left, c_right, n_pairs, lift). */
+  def collocations(docs: DataFrame, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1L, s"need minCount >= 1 (got $minCount)")
+    val ws = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(words(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+    val pc = ws
+      .select(explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .localCheckpoint() // vocabulary-bounded; read by marginals, N, spine
+    val lm = pc.groupBy(col("w1")).agg(sum(col("c_pair")).as("c_left"))
+    val rm = pc.groupBy(col("w2")).agg(sum(col("c_pair")).as("c_right"))
+    val n = pc.agg(sum(col("c_pair")).as("n_pairs"))
+    pc.where(col("c_pair") >= minCount)
+      .join(lm, Seq("w1")).join(rm, Seq("w2")).crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_left"),
+        col("c_right"), col("n_pairs"),
+        ((col("c_pair").cast("double") * col("n_pairs").cast("double")) /
+          (col("c_left").cast("double") * col("c_right").cast("double")))
+          .as("lift"))
+  }
 }

@@ -771,6 +771,22 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q141: PMI collocations ----------------------------------------
+    // Thin binding over [[graft.ops.Text.collocations]] — corpus-level
+    // adjacent-pair association mining (Church-Hanks PMI, reported as
+    // the engine-exact lift ratio); top pairs by (lift DESC, w1, w2)
+    // through the TakeOrdered tail. Knobs: graft.pmi.minCount /
+    // graft.pmi.topK.
+    "q141_collocations" -> ((s, dir) => {
+      val mc = s.conf.getOption("graft.pmi.minCount").map(_.toLong)
+        .getOrElse(5L)
+      val k = s.conf.getOption("graft.pmi.topK").map(_.toInt).getOrElse(100)
+      graft.ops.Text.collocations(
+          Graft.parquetSource(s, dir).table("documents"), mc)
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(k)
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2275,6 +2291,25 @@ object TextPipeline {
         |LEFT JOIN a1 USING (doc_id) LEFT JOIN a2 USING (doc_id)
         |LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q141_collocations" ->
+      """WITH ws AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), bg AS (
+        |  SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM ws, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+        |), pc AS (
+        |  SELECT w1, w2, count(*)::bigint c_pair FROM bg GROUP BY 1, 2
+        |), lm AS (SELECT w1, sum(c_pair)::bigint c_left FROM pc GROUP BY 1),
+        |rm AS (SELECT w2, sum(c_pair)::bigint c_right FROM pc GROUP BY 1),
+        |n AS (SELECT sum(c_pair)::bigint n_pairs FROM pc)
+        |SELECT w1, w2, c_pair, c_left, c_right, n_pairs,
+        |  (c_pair::double * n_pairs::double) /
+        |    (c_left::double * c_right::double) AS lift
+        |FROM pc JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
+        |WHERE c_pair >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
 
     "q138_source_budget" ->
       """WITH base AS (

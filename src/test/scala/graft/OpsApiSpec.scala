@@ -1123,6 +1123,41 @@ class OpsApiSpec extends AnyFunSuite {
       Text.repetition(docs, Seq(1), k = 1, idCol = "page_id") }
   }
 
+  test("Text.collocations computes self-consistent bigram-slot PMI lift") {
+    val docs = Seq(
+      (1L, "new york new york city"),
+      (2L, "the new york times and the old york house"),
+      (3L, "   "), (4L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    val out = Text.collocations(docs, minCount = 1L, textCol = "body")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    // bigrams: doc1: new-york, york-new, new-york, york-city;
+    // doc2: the-new, new-york, york-times, times-and, and-the, the-old,
+    // old-york, york-house  -> N = 12
+    val ny = out(("new", "york"))
+    assert(ny._1 === 3L, "c_pair(new,york)")
+    assert(ny._2 === 3L, "c_left(new) - 'new' is left in 3 bigrams")
+    assert(ny._3 === 4L, "c_right(york) - york right of new,new,old,new")
+    assert(ny._4 === 12L, "total bigrams")
+    assert(ny._5 === (3.0d * 12.0d) / (3.0d * 4.0d), "lift exact")
+    // marginal self-consistency: sum of c_pair over each slot = marginal
+    val left = out.toSeq.groupBy(_._1._1).map { case (w, ps) =>
+      w -> ps.map(_._2._1).sum }
+    assert(left.forall { case (w, s) =>
+      out.find(_._1._1 == w).get._2._2 == s }, "left marginals consistent")
+    // determinism under re-planning
+    val a = Text.collocations(docs, 1L, "body")
+      .orderBy(col("lift").desc, col("w1"), col("w2")).collect().toSeq
+    val b = Text.collocations(docs.repartition(7), 1L, "body")
+      .orderBy(col("lift").desc, col("w1"), col("w2")).collect().toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Text.collocations(docs, 0L, "body") }
+  }
+
   test("Text.chunk covers every token with overlapping windows and " +
       "keeps caller column names") {
     val docs = Seq(
