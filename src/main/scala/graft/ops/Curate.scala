@@ -312,4 +312,46 @@ object Curate {
       .orderBy("cum", "doc_id")
       .withColumnRenamed("doc_id", idCol)
   }
+
+  /** Temperature-scaled domain mixture weights — the sampling-weight
+    * solver behind multi-source training mixes (the p_i^α
+    * renormalization of multilingual/multi-domain sampling, Conneau &
+    * Lample, "Cross-lingual Language Model Pretraining",
+    * arXiv:1901.07291 §3.1): per-key token counts c_i become weights
+    * w_i = c_i^α / Σ_j c_j^α. α=1 reproduces the natural token
+    * distribution, α→0 flattens toward uniform; α is restricted to
+    * {0, 0.5, 1} so every step stays engine-exact — c_i^0.5 is ONE
+    * IEEE sqrt (correctly rounded everywhere, unlike pow/ln), scaled
+    * by 2^20 (exact — exponent shift) and floored into a 20-bit
+    * fixed-point integer `s_fp`; the denominator is then an EXACT
+    * integer sum (no float accumulation order anywhere) and each
+    * weight one final IEEE division. General α needs pow(), whose
+    * last-ulp behavior is libm-specific — callers wanting α=0.3
+    * accept engine drift or precompute client-side.
+    *
+    * Scale shape: the per-key count is one map-side-combinable pass
+    * over the corpus; everything after runs on the ≤|keys| table.
+    * Output: (<key>, n_tokens, s_fp, weight), one row per key. */
+  def mixtureWeights(docs: DataFrame, alpha: Double = 0.5d,
+      keyCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(alpha == 0.0d || alpha == 0.5d || alpha == 1.0d,
+      s"alpha must be one of {0, 0.5, 1} for engine-exact weights " +
+        s"(got $alpha); general powers are libm-dependent")
+    val counts = docs
+      .groupBy(col(keyCol))
+      .agg(sum(bpeTokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val sfp = alpha match {
+      case 0.0d => lit(1048576L)
+      case 0.5d => floor(sqrt(col("n_tokens").cast("double")) *
+        lit(1048576L)).cast("long")
+      case _ => col("n_tokens") * lit(1048576L)
+    }
+    val scaled = counts.withColumn("s_fp", sfp)
+      .localCheckpoint() // ≤ |keys| rows; read by the total and the spine
+    val tot = scaled.agg(sum(col("s_fp")).as("tot"))
+    scaled.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("n_tokens"), col("s_fp"),
+        (col("s_fp").cast("double") / col("tot").cast("double"))
+          .as("weight"))
+  }
 }

@@ -787,6 +787,21 @@ object TextPipeline {
         .limit(k)
     }),
 
+    // ---- q142: temperature-scaled mixture weights ----------------------
+    // Thin binding over [[graft.ops.Curate.mixtureWeights]] — the
+    // c_i^alpha / sum renormalization that turns per-source token
+    // counts into sampling weights (alpha = 0.5 here: the common
+    // up-sample-the-tail temperature, engine-exact via one IEEE sqrt
+    // + 20-bit fixed point + exact integer total). Knob:
+    // graft.mix.alpha in {0, 0.5, 1}.
+    "q142_mixture_weights" -> ((s, dir) => {
+      val a = s.conf.getOption("graft.mix.alpha").map(_.toDouble)
+        .getOrElse(0.5d)
+      graft.ops.Curate.mixtureWeights(
+          Graft.parquetSource(s, dir).table("documents"), a)
+        .orderBy("source")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2310,6 +2325,18 @@ object TextPipeline {
         |FROM pc JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
         |WHERE c_pair >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "q142_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT source, sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')))::bigint AS n_tokens
+        |  FROM documents GROUP BY source
+        |), s AS (
+        |  SELECT source, n_tokens,
+        |    floor(sqrt(n_tokens::double) * 1048576)::bigint AS s_fp FROM c
+        |), t AS (SELECT sum(s_fp)::bigint AS tot FROM s)
+        |SELECT source, n_tokens, s_fp, s_fp::double / tot::double AS weight
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
 
     "q138_source_budget" ->
       """WITH base AS (

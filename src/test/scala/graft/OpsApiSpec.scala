@@ -1123,6 +1123,41 @@ class OpsApiSpec extends AnyFunSuite {
       Text.repetition(docs, Seq(1), k = 1, idCol = "page_id") }
   }
 
+  test("Curate.mixtureWeights renormalizes per-key token counts with " +
+      "exact fixed-point temperature scaling") {
+    val docs = Seq(
+      ("web", "aaaa bbbb cccc dddd"),     // 4 tokens
+      ("web", "eeee ffff gggg hhhh " * 3), // 12 tokens -> web 16
+      ("book", "aaaa bbbb cccc dddd"))     // book 4
+      .toDF("src", "body")
+    val out = Curate.mixtureWeights(docs, alpha = 0.5d,
+        keyCol = "src", textCol = "body")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("web")._2 === 16L && m("book")._2 === 4L)
+    // sqrt(16)=4, sqrt(4)=2 -> fixed-point 4·2^20, 2·2^20 -> 2/3, 1/3
+    assert(m("web")._3 === 4L * 1048576L && m("book")._3 === 2L * 1048576L)
+    assert(m("web")._4 === 4.0d / 6.0d && m("book")._4 === 2.0d / 6.0d)
+    // alpha=1 reproduces the natural distribution; alpha=0 is uniform
+    val nat = Curate.mixtureWeights(docs, 1.0d, "src", "body")
+      .orderBy("src").collect().map(r => r.getString(0) -> r.getDouble(3))
+      .toMap
+    assert(nat("web") === 16.0d / 20.0d && nat("book") === 4.0d / 20.0d)
+    val uni = Curate.mixtureWeights(docs, 0.0d, "src", "body")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(uni === Seq(0.5d, 0.5d))
+    // determinism under re-planning
+    val a = Curate.mixtureWeights(docs, 0.5d, "src", "body")
+      .orderBy("src").collect().toSeq
+    val b = Curate.mixtureWeights(docs.repartition(7), 0.5d, "src", "body")
+      .orderBy("src").collect().toSeq
+    assert(a === b)
+    intercept[IllegalArgumentException] {
+      Curate.mixtureWeights(docs, 0.3d, "src", "body") }
+  }
+
   test("Text.collocations computes self-consistent bigram-slot PMI lift") {
     val docs = Seq(
       (1L, "new york new york city"),
