@@ -802,6 +802,28 @@ object TextPipeline {
         .orderBy("source")
     }),
 
+    // ---- q143: solved-mixture pipeline (weights -> budgets -> cut) ------
+    // The full mixture pipeline as ONE composition of public ops:
+    // [[graft.ops.Curate.mixtureWeights]] SOLVES the per-source
+    // sampling weights at metadata grain (α = graft.mix.alpha), the
+    // driver turns weight·total into a tokens-per-source budget map
+    // (≤ |sources| rows — metadata grain), and
+    // [[graft.ops.Curate.sourceBudget]] EXECUTES the cut at corpus
+    // grain. Knobs: graft.mix.alpha / graft.mix.budget.
+    "q143_mixture_pipeline" -> ((s, dir) => {
+      val a = s.conf.getOption("graft.mix.alpha").map(_.toDouble)
+        .getOrElse(0.5d)
+      val total = s.conf.getOption("graft.mix.budget").map(_.toLong)
+        .getOrElse(10000L)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val budgets = graft.ops.Curate.mixtureWeights(d, a)
+        .select(col("source"),
+          floor(col("weight") * total).cast("long").as("budget"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.ops.Curate.sourceBudget(d, budgets)
+        .orderBy("source", "cum", "doc_id")
+    }),
+
     // ---- q57: rare-token quality score ---------------------------------
     // The LM-filter proxy of CCNet-style pipelines without the
     // engine-divergent log arithmetic: a token is "rare" when its corpus
@@ -2337,6 +2359,35 @@ object TextPipeline {
         |), t AS (SELECT sum(s_fp)::bigint AS tot FROM s)
         |SELECT source, n_tokens, s_fp, s_fp::double / tot::double AS weight
         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "q143_mixture_pipeline" ->
+      """WITH c AS (
+        |  SELECT source, sum(len(regexp_extract_all(text,
+        |    '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')))::bigint AS n_tokens
+        |  FROM documents GROUP BY source
+        |), s AS MATERIALIZED (
+        |  SELECT source, floor(sqrt(n_tokens::double) * 1048576)::bigint
+        |    AS s_fp FROM c
+        |), t AS (SELECT sum(s_fp)::bigint AS tot FROM s),
+        |b AS (
+        |  SELECT source,
+        |    floor((s_fp::double / tot::double) * 10000)::bigint AS budget
+        |  FROM s CROSS JOIN t
+        |), base AS (
+        |  SELECT doc_id, d.source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::bigint AS n_tokens,
+        |    ('0x' || substr(md5(text),1,15))::bigint AS h, budget
+        |  FROM documents d JOIN b USING (source)
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens, budget,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM base
+        |)
+        |SELECT doc_id, source, n_tokens, cum::bigint AS cum FROM r
+        |WHERE cum <= budget
+        |ORDER BY source, cum, doc_id""".stripMargin,
 
     "q138_source_budget" ->
       """WITH base AS (

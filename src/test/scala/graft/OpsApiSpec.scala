@@ -1158,6 +1158,33 @@ class OpsApiSpec extends AnyFunSuite {
       Curate.mixtureWeights(docs, 0.3d, "src", "body") }
   }
 
+  test("mixtureWeights -> sourceBudget composition keeps every source " +
+      "under its solved budget") {
+    val docs = Seq(
+      ("web", 1L, "aaaa bbbb cccc dddd eeee ffff"),
+      ("web", 2L, "gggg hhhh iiii jjjj kkkk llll"),
+      ("web", 3L, "mmmm nnnn oooo pppp qqqq rrrr"),
+      ("book", 4L, "ssss tttt uuuu vvvv wwww xxxx"))
+      .toDF("src", "id", "body")
+    val total = 12L
+    val w = Curate.mixtureWeights(docs, 0.5d, "src", "body")
+    val budgets = w.select(col("src"),
+        floor(col("weight") * total).cast("long").as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // web 18 tokens, book 6: sqrt-temper -> weights
+    // sqrt(18)≈4.2426, sqrt(6)≈2.4495 -> web ≈ .634, book ≈ .366
+    assert(budgets("web") === 7L && budgets("book") === 4L,
+      s"solved budgets: $budgets")
+    val kept = Curate.sourceBudget(docs, budgets, idCol = "id",
+        textCol = "body", srcCol = "src")
+      .groupBy(col("src")).agg(max(col("cum")).as("used"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.forall { case (s, used) => used <= budgets(s) },
+      s"budget exceeded: $kept vs $budgets")
+    // 6-token docs: one fits web's budget of 7; none fit book's 4
+    assert(kept("web") === 6L && !kept.contains("book"))
+  }
+
   test("Text.collocations computes self-consistent bigram-slot PMI lift") {
     val docs = Seq(
       (1L, "new york new york city"),
