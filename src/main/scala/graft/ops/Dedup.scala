@@ -371,6 +371,48 @@ object Dedup {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** The distinct winnowed-fingerprint inventory of a corpus — what a
+    * crawl loop PERSISTS per snapshot when the full gram inventory
+    * ([[spanGramFrame]]) outgrows its storage budget: ~w/2× fewer
+    * rows at w tokens of detection slack (the [[winnow]] guarantee).
+    * One narrow row per distinct selected hash. */
+  def winnowFrame(docs: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnow(docs, k, w, idCol, textCol).select(col("h")).distinct()
+
+  /** Score a batch against a FROZEN winnowed-fingerprint inventory
+    * ((h) — from [[winnowFrame]], usually read back from a persisted
+    * artifact): per batch document, its own fingerprint selection
+    * ([[winnow]] with the same k/w — selection depends only on the
+    * document, so batch fingerprints are comparable with snapshot
+    * fingerprints by construction), the count already present in the
+    * frozen set, and the hit ratio — the fingerprint-grain novelty
+    * signal (0 = fully novel; any shared span of ≥ w+k−1 tokens with
+    * the snapshot guarantees a hit). Documents without a full window
+    * (< k+w−1 words) produce no row, the [[winnow]] convention.
+    * Membership discipline: the batch's distinct fingerprint keys
+    * broadcast against the artifact scan, hits broadcast back — the
+    * old corpus is never re-read, cost is batch-proportional (the
+    * [[spanDupScore]] shape). Output: (<id>, n_fp, n_hit,
+    * hit_ratio). */
+  def winnowScore(batch: DataFrame, fpSet: DataFrame, k: Int = 5,
+      w: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val fp = winnow(batch, k, w, idCol, textCol)
+      .localCheckpoint() // batch-bounded; read by keys + per-doc stats
+    val keys = fp.select(col("h")).distinct()
+    val hits = fpSet.select(col("h"))
+      .join(broadcast(keys), Seq("h"), "left_semi")
+      .localCheckpoint() // ≤ |batch fingerprint keys| — broadcastable
+    fp.join(broadcast(hits.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col(idCol), col("n_fp"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_fp").cast("double"))
+          .as("hit_ratio"))
+  }
+
   /** Positional k-gram hash rows (doc_id, pos 1-based, h) for the span
     * family — ONE codegen'd generator projection (tokenize, explode
     * the position sequence, slice/concat/hash); docs under k words are

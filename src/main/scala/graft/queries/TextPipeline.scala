@@ -787,6 +787,26 @@ object TextPipeline {
         .limit(k)
     }),
 
+    // ---- q144: incremental winnow novelty ------------------------------
+    // The winnowed artifact actually EXERCISED: the snapshot persists
+    // only its distinct winnowed fingerprints
+    // ([[graft.ops.Dedup.winnowFrame]] — the ~w/2× smaller index
+    // q139 argues for) and each crawl batch scores its own
+    // fingerprint selection against that frozen set
+    // ([[graft.ops.Dedup.winnowScore]] — hit_ratio 0 = fully novel;
+    // any ≥(w+k−1)-token span shared with the snapshot guarantees a
+    // hit). Knobs: graft.span.k / graft.winnow.w.
+    "q144_incremental_winnow" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val w = s.conf.getOption("graft.winnow.w").map(_.toInt).getOrElse(4)
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val fpP = winnowFpIndex(s, dir, cut, k, w)
+      graft.ops.Dedup.winnowScore(
+          d.where(col("doc_id") >= cut), s.read.parquet(fpP), k, w)
+        .orderBy("doc_id")
+    }),
+
     // ---- q142: temperature-scaled mixture weights ----------------------
     // Thin binding over [[graft.ops.Curate.mixtureWeights]] — the
     // c_i^alpha / sum renormalization that turns per-source token
@@ -1655,6 +1675,18 @@ object TextPipeline {
           .where(col("doc_id") < cut), BpeMerges)
     }
 
+  /** The persisted winnowed-fingerprint artifact behind q144 — built
+    * via the public frame definition ([[graft.ops.Dedup.winnowFrame]]),
+    * the ~w/2× smaller index of the span family. */
+  private[graft] def winnowFpIndex(s: SparkSession, dir: String,
+      cut: Long, k: Int, w: Int): String =
+    graft.sources.SideTable.ensure(s, "winnow_fps", s"$dir#$cut#k$k#w$w",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Dedup.winnowFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), k, w)
+    }
+
   /** The persisted distinct-gram-set artifact behind q129 — built via
     * the public frame definition ([[graft.ops.Dedup.spanGramFrame]]). */
   private[graft] def spanGramIndex(s: SparkSession, dir: String,
@@ -2347,6 +2379,47 @@ object TextPipeline {
         |FROM pc JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN n
         |WHERE c_pair >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "q144_incremental_winnow" ->
+      """WITH cut AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+        |ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), ng AS (
+        |  SELECT doc_id, max(pos) AS ng FROM g GROUP BY doc_id
+        |), w1 AS (
+        |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |  FROM g
+        |), sel AS (
+        |  SELECT w1.doc_id, max(g2.pos) AS pos, w1.mh AS h
+        |  FROM w1
+        |  JOIN ng ON ng.doc_id = w1.doc_id
+        |  JOIN g g2 ON g2.doc_id = w1.doc_id
+        |    AND g2.pos BETWEEN w1.pos AND w1.pos + 3 AND g2.h = w1.mh
+        |  WHERE w1.pos <= ng.ng - 3
+        |  GROUP BY w1.doc_id, w1.pos, w1.mh
+        |), fp AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, pos, h FROM sel
+        |), old AS (
+        |  SELECT DISTINCT h FROM fp WHERE doc_id < (SELECT c FROM cut)
+        |), bat AS (
+        |  SELECT * FROM fp WHERE doc_id >= (SELECT c FROM cut)
+        |)
+        |SELECT bat.doc_id, count(*)::bigint AS n_fp,
+        |  sum(CASE WHEN old.h IS NOT NULL THEN 1 ELSE 0 END)::bigint
+        |    AS n_hit,
+        |  sum(CASE WHEN old.h IS NOT NULL THEN 1 ELSE 0 END)::double /
+        |    count(*)::double AS hit_ratio
+        |FROM bat LEFT JOIN old ON bat.h = old.h
+        |GROUP BY bat.doc_id
+        |ORDER BY bat.doc_id""".stripMargin,
 
     "q142_mixture_weights" ->
       """WITH c AS (

@@ -1086,6 +1086,43 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"readability shuffled:\n$plan")
   }
 
+  test("Dedup.winnowScore scores batch novelty against the frozen " +
+      "winnowed-fingerprint inventory") {
+    val snap = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("page_id", "body")
+    val fpSet = Dedup.winnowFrame(snap, k = 5, w = 4,
+      idCol = "page_id", textCol = "body")
+    val batch = Seq(
+      // exact copy of snapshot doc 1 -> every fingerprint hits
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // fully novel -> zero hits
+      (11L, "red orange yellow green blue indigo violet cyan magenta pink"),
+      // shares an 8-token (= w+k-1) span with doc 2 -> >= 1 hit
+      (12L, "zzz one two three four five six seven eight qqq rrr sss"),
+      (13L, "too short here"))
+      .toDF("page_id", "body")
+    val out = Dedup.winnowScore(batch, fpSet, k = 5, w = 4,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(!m.contains(13L), "sub-window doc must produce no row")
+    assert(m(10L)._4 === 1.0d, "exact copy must hit every fingerprint")
+    assert(m(11L)._3 === 0L && m(11L)._4 === 0.0d, "novel doc must miss")
+    assert(m(12L)._3 >= 1L,
+      s"a shared w+k-1 span must guarantee a hit: ${m(12L)}")
+    assert(out.forall(r => r._3 <= r._2), "hits cannot exceed fingerprints")
+    // determinism under re-planning
+    val out2 = Dedup.winnowScore(batch.repartition(7),
+        Dedup.winnowFrame(snap.repartition(5), 5, 4, "page_id", "body"),
+        k = 5, w = 4, idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out2.toSeq === out.toSeq)
+  }
+
   test("Text.repetition scores within-doc n-gram repetition with the " +
       "documented clipped fractions") {
     val docs = Seq(
