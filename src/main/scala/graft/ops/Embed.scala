@@ -676,4 +676,56 @@ object Embed {
       .select(col("vec_id").as(idCol), col("cluster"),
         col("dropped_by").isNull.as("kept"), col("dropped_by"))
   }
+
+  /** Exact rank-quantile L2-norm outlier flagging — the embedding-side
+    * sanity filter (degenerate/zero vectors and runaway magnitudes are
+    * the classic symptoms of failed encodes): every vector gets its
+    * EXACT global rank in the (nrm, id) total order, the bottom
+    * `loPct`% flag "low", the top (100−`hiPct`)% flag "high". Rank
+    * quantiles (not value thresholds) make the flags
+    * distribution-free and deterministic — no percentile
+    * interpolation arithmetic to drift between engines.
+    *
+    * Scale shape: the global order comes from a RANGE partitioning +
+    * per-partition window + broadcast offsets — the q63 two-level
+    * prefix discipline pointed at a sort key instead of a hash shard:
+    * one range-shuffle of narrow (id, nrm) rows, per-partition
+    * row_numbers (each window sees one partition, never the corpus),
+    * and a ≤|partitions|-row driver read for the offsets. No
+    * single-partition global window anywhere. Partition boundaries
+    * come from Spark's range sampler, but ranks are
+    * boundary-invariant (offset + within-partition position in the
+    * same total order), so the output is deterministic under any
+    * sampling. Output: (<id>, nrm, rank, flag ∈ low|keep|high). */
+  def normOutliers(emb: DataFrame, loPct: Int = 5, hiPct: Int = 95,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(loPct >= 0 && hiPct <= 100 && loPct < hiPct,
+      s"need 0 <= loPct < hiPct <= 100 (got $loPct, $hiPct)")
+    val s = emb.sparkSession
+    val np = s.sparkContext.defaultParallelism
+    val p = normalize(emb, idCol, vecCol)
+      .select(col("vec_id"), col("nrm"))
+      .repartitionByRange(np, col("nrm"), col("vec_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pins pid; read by the counts and the ranks
+    val counts = p.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ np rows
+    val n = counts.map(_._2).sum
+    val offsets = counts.sortBy(_._1)
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, c)) =>
+        (pid, acc + c, acc) }.drop(1).map(t => (t._1, t._3))
+    val nLow = n * loPct / 100
+    val nHigh = n * (100 - hiPct) / 100
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("nrm"), col("vec_id"))
+    p.join(broadcast(offDf), Seq("pid"))
+      .withColumn("rank",
+        row_number().over(w).cast("long") + col("off"))
+      .select(col("vec_id").as(idCol), col("nrm"), col("rank"),
+        when(col("rank") <= nLow, lit("low"))
+          .when(col("rank") > n - nHigh, lit("high"))
+          .otherwise(lit("keep")).as("flag"))
+  }
 }

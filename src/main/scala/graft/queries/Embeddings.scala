@@ -1306,6 +1306,21 @@ object Embeddings {
     // embeddings table, each pair's cosine normalized by the two
     // sides' k-NN cosine means (hub correction), kept at margin ≥ tau.
     // Knobs: graft.margin.k / graft.margin.tau.
+    // ---- q145: norm-quantile outlier flags -----------------------------
+    // Thin binding over [[graft.ops.Embed.normOutliers]] — the
+    // embedding sanity filter: exact global rank in the (nrm, id)
+    // total order via range partitioning + per-partition windows +
+    // broadcast offsets (the q63 two-level discipline on a sort key);
+    // bottom/top rank-quantiles flag low/high. Knobs: graft.norm.lo /
+    // graft.norm.hi (percent).
+    "q145_norm_outliers" -> ((s, dir) => {
+      val lo = s.conf.getOption("graft.norm.lo").map(_.toInt).getOrElse(5)
+      val hi = s.conf.getOption("graft.norm.hi").map(_.toInt).getOrElse(95)
+      graft.ops.Embed.normOutliers(
+          Graft.parquetSource(s, dir).table("embeddings"), lo, hi)
+        .orderBy("vec_id")
+    }),
+
     "q130_margin_mining" -> ((s, dir) => {
       val k = s.conf.getOption("graft.margin.k").map(_.toInt).getOrElse(4)
       val tau = s.conf.getOption("graft.margin.tau").map(_.toDouble)
@@ -1968,6 +1983,19 @@ object Embeddings {
     "q122_ivfpq_ann" -> ivfPqSql,
 
     "q130_margin_mining" -> marginMiningSql,
+
+    "q145_norm_outliers" ->
+      (baseCte +
+        """, r AS (
+          |  SELECT vec_id, nrm,
+          |    row_number() OVER (ORDER BY nrm, vec_id) AS rank
+          |  FROM e
+          |), n AS (SELECT count(*)::bigint AS c FROM e)
+          |SELECT vec_id, nrm, rank::bigint AS rank,
+          |  CASE WHEN rank <= c * 5 // 100 THEN 'low'
+          |       WHEN rank > c - c * 5 // 100 THEN 'high'
+          |       ELSE 'keep' END AS flag
+          |FROM r CROSS JOIN n ORDER BY vec_id""".stripMargin),
 
     "q131_incremental_margin_mining" -> marginIncrementalSql,
 

@@ -1086,6 +1086,34 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"readability shuffled:\n$plan")
   }
 
+  test("Embed.normOutliers assigns exact boundary-invariant global " +
+      "ranks and rank-quantile flags") {
+    // 20 vectors with norms 1..20 (vector (i, 0)): ranks are the ids
+    val vecs = (1 to 20).map(i => (i.toLong, Array(i.toFloat, 0.0f)))
+      .toDF("eid", "vec")
+    val out = Embed.normOutliers(vecs, loPct = 10, hiPct = 90,
+        idCol = "eid", vecCol = "vec")
+      .orderBy("eid").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.map(_._3).toSeq === (1L to 20L), "ranks must be 1..20")
+    assert(out.map(_._2).toSeq === (1 to 20).map(_.toDouble), "norms")
+    val flags = out.map(r => r._1 -> r._4).toMap
+    // n=20, lo 10% -> 2 low, hi 90% -> 2 high
+    assert(Seq(1L, 2L).forall(flags(_) == "low"))
+    assert(Seq(19L, 20L).forall(flags(_) == "high"))
+    assert((3L to 18L).forall(flags(_) == "keep"))
+    // determinism under re-planning (different partitioning/boundaries)
+    val out2 = Embed.normOutliers(vecs.repartition(7), 10, 90,
+        "eid", "vec")
+      .orderBy("eid").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getString(3)))
+    assert(out2.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Embed.normOutliers(vecs, 50, 50, "eid", "vec") }
+  }
+
   test("Dedup.winnowScore scores batch novelty against the frozen " +
       "winnowed-fingerprint inventory") {
     val snap = Seq(
