@@ -677,6 +677,50 @@ object Embed {
         col("dropped_by").isNull.as("kept"), col("dropped_by"))
   }
 
+  /** Per-dimension embedding health report — the QA pass run before
+    * trusting a vector column at scale: per coordinate, count, mean,
+    * (quantized) population variance, min/max, and a `dead` flag for
+    * constant dimensions (the classic symptom of a truncated or
+    * mis-strided encode). Exactness discipline: each component
+    * quantizes to 24-bit fixed point (`floor(x·2^24)` — double×2^24
+    * is an exponent shift, floor exact), sums and sums-of-squares
+    * accumulate as EXACT decimal(38,0) integers (no float
+    * accumulation order anywhere; |x| < 128 and n < 1e10 keep every
+    * product inside 38 digits), and mean/variance are single
+    * correctly-rounded conversions + divisions at the end — the
+    * variance is the variance OF THE QUANTIZED values (documented;
+    * quantization bias is < 2^−24·range, irrelevant for a health
+    * report and exactly reproducible in the oracle). min/max compare
+    * raw doubles (exact). Scale shape: one generator posexplode —
+    * (dim, x) rows shuffle once into a |dims|-key map-side-combinable
+    * aggregate; nothing is per-vector stateful. Output: (dim 1-based,
+    * n, mean, var_q, min_x, max_x, dead). */
+  def dimStats(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sc = 16777216.0d // 2^24
+    val sc2 = 281474976710656.0d // 2^48
+    val rows = emb
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("p", "x")))
+      .select((col("p") + 1).cast("long").as("dim"), col("x"),
+        floor(col("x") * lit(sc)).cast("long").as("xfp"))
+    rows.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xfp").cast("decimal(38,0)")).as("sfp"),
+        sum((col("xfp").cast("decimal(38,0)") *
+          col("xfp").cast("decimal(38,0)"))).as("ssq"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .select(col("dim"), col("n"),
+        (col("sfp").cast("double") / (col("n").cast("double") * sc))
+          .as("mean"),
+        ((col("n").cast("decimal(38,0)") * col("ssq") -
+          col("sfp") * col("sfp")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * sc2))
+          .as("var_q"),
+        col("min_x"), col("max_x"),
+        (col("min_x") === col("max_x")).as("dead"))
+  }
+
   /** Exact rank-quantile L2-norm outlier flagging — the embedding-side
     * sanity filter (degenerate/zero vectors and runaway magnitudes are
     * the classic symptoms of failed encodes): every vector gets its

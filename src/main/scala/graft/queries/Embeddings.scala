@@ -1306,6 +1306,17 @@ object Embeddings {
     // embeddings table, each pair's cosine normalized by the two
     // sides' k-NN cosine means (hub correction), kept at margin ≥ tau.
     // Knobs: graft.margin.k / graft.margin.tau.
+    // ---- q146: per-dimension embedding health report -------------------
+    // Thin binding over [[graft.ops.Embed.dimStats]] — per-coordinate
+    // count/mean/quantized-variance/min/max + dead-dimension flag,
+    // the vector-column QA pass (exact fixed-point + decimal
+    // accumulation; no float sum order anywhere).
+    "q146_dim_stats" -> ((s, dir) => {
+      graft.ops.Embed.dimStats(
+          Graft.parquetSource(s, dir).table("embeddings"))
+        .orderBy("dim")
+    }),
+
     // ---- q145: norm-quantile outlier flags -----------------------------
     // Thin binding over [[graft.ops.Embed.normOutliers]] — the
     // embedding sanity filter: exact global rank in the (nrm, id)
@@ -1983,6 +1994,25 @@ object Embeddings {
     "q122_ivfpq_ann" -> ivfPqSql,
 
     "q130_margin_mining" -> marginMiningSql,
+
+    "q146_dim_stats" ->
+      """WITH x AS (
+        |  SELECT t.i AS dim, embedding[t.i]::double AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |), f AS (
+        |  SELECT dim, x, floor(x * 16777216.0)::bigint AS xfp FROM x
+        |), a AS (
+        |  SELECT dim, count(*)::bigint AS n,
+        |    sum(xfp) AS sfp, sum(xfp * xfp) AS ssq,
+        |    min(x) AS min_x, max(x) AS max_x
+        |  FROM f GROUP BY dim
+        |)
+        |SELECT dim::bigint AS dim, n,
+        |  sfp::double / (n::double * 16777216.0) AS mean,
+        |  (n::HUGEINT * ssq - sfp::HUGEINT * sfp::HUGEINT)::double /
+        |    (n::double * n::double * 281474976710656.0) AS var_q,
+        |  min_x, max_x, (min_x = max_x) AS dead
+        |FROM a ORDER BY dim""".stripMargin,
 
     "q145_norm_outliers" ->
       (baseCte +

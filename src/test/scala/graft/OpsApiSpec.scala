@@ -1086,6 +1086,36 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"readability shuffled:\n$plan")
   }
 
+  test("Embed.dimStats reports exact per-dimension stats and flags " +
+      "dead dimensions") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f, 2.0f)),
+      (2L, Array(3.0f, 0.5f, -2.0f)),
+      (3L, Array(5.0f, 0.5f, 0.0f)))
+      .toDF("eid", "vec")
+    val out = Embed.dimStats(vecs, idCol = "eid", vecCol = "vec")
+      .orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall(_._2 == 3L))
+    // dim 1: values 1,3,5 -> mean 3, pop var 8/3 (exact in fixed point)
+    assert(out(0)._3 === 3.0d)
+    assert(math.abs(out(0)._4 - 8.0d / 3.0d) < 1e-12)
+    assert(out(0)._5 === 1.0d && out(0)._6 === 5.0d && !out(0)._7)
+    // dim 2 is constant -> dead, zero variance
+    assert(out(1)._7 && out(1)._4 === 0.0d && out(1)._3 === 0.5d)
+    // dim 3: mean 0, var (4+4+0)/3
+    assert(out(2)._3 === 0.0d)
+    assert(math.abs(out(2)._4 - 8.0d / 3.0d) < 1e-12)
+    // determinism under re-planning
+    val a = Embed.dimStats(vecs, "eid", "vec").orderBy("dim")
+      .collect().toSeq
+    val b = Embed.dimStats(vecs.repartition(7), "eid", "vec")
+      .orderBy("dim").collect().toSeq
+    assert(a === b)
+  }
+
   test("Embed.normOutliers assigns exact boundary-invariant global " +
       "ranks and rank-quantile flags") {
     // 20 vectors with norms 1..20 (vector (i, 0)): ranks are the ids
