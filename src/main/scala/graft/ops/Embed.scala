@@ -696,29 +696,59 @@ object Embed {
     * aggregate; nothing is per-vector stateful. Output: (dim 1-based,
     * n, mean, var_q, min_x, max_x, dead). */
   def dimStats(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    dimStatsFinalize(dimStatsFrame(emb, idCol, vecCol))
+
+  /** The MERGEABLE accumulator form of [[dimStats]] — the artifact a
+    * crawl loop persists: per dimension the raw exact state (n, sfp,
+    * ssq as decimal(38,0) fixed-point sums, raw-double min/max).
+    * Because every field is an exact integer/decimal sum or a min/max,
+    * the merge ([[dimStatsMerge]]) is associative, commutative and
+    * LOSSLESS: merging any partition of the corpus — snapshot +
+    * batches, in any order — reproduces the from-scratch frame
+    * bit-for-bit. Output: (dim, n, sfp, ssq, min_x, max_x). */
+  def dimStatsFrame(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val sc = 16777216.0d // 2^24
-    val sc2 = 281474976710656.0d // 2^48
-    val rows = emb
+    emb
       .select(posexplode(col(vecCol).cast("array<double>"))
         .as(Seq("p", "x")))
       .select((col("p") + 1).cast("long").as("dim"), col("x"),
         floor(col("x") * lit(sc)).cast("long").as("xfp"))
-    rows.groupBy(col("dim"))
+      .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
         sum(col("xfp").cast("decimal(38,0)")).as("sfp"),
         sum((col("xfp").cast("decimal(38,0)") *
           col("xfp").cast("decimal(38,0)"))).as("ssq"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"))
-      .select(col("dim"), col("n"),
-        (col("sfp").cast("double") / (col("n").cast("double") * sc))
-          .as("mean"),
-        ((col("n").cast("decimal(38,0)") * col("ssq") -
-          col("sfp") * col("sfp")).cast("double") /
-          (col("n").cast("double") * col("n").cast("double") * sc2))
-          .as("var_q"),
-        col("min_x"), col("max_x"),
-        (col("min_x") === col("max_x")).as("dead"))
+  }
+
+  /** Merge two [[dimStatsFrame]] accumulator frames (e.g. the
+    * persisted snapshot artifact + a fresh batch frame) into one —
+    * exact component-wise sums/min/max per dimension; no float
+    * arithmetic anywhere, so the result equals the from-scratch frame
+    * over the union of the inputs' rows. */
+  def dimStatsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("dim"))
+      .agg(sum(col("n")).as("n"), sum(col("sfp")).as("sfp"),
+        sum(col("ssq")).as("ssq"),
+        min(col("min_x")).as("min_x"), max(col("max_x")).as("max_x"))
+
+  /** Finalize a [[dimStatsFrame]] accumulator frame into the
+    * [[dimStats]] report shape — the only step with float division,
+    * applied once per dimension at the very end. */
+  def dimStatsFinalize(frame: DataFrame): DataFrame = {
+    val sc = 16777216.0d // 2^24
+    val sc2 = 281474976710656.0d // 2^48
+    frame.select(col("dim"), col("n"),
+      (col("sfp").cast("double") / (col("n").cast("double") * sc))
+        .as("mean"),
+      ((col("n").cast("decimal(38,0)") * col("ssq") -
+        col("sfp") * col("sfp")).cast("double") /
+        (col("n").cast("double") * col("n").cast("double") * sc2))
+        .as("var_q"),
+      col("min_x"), col("max_x"),
+      (col("min_x") === col("max_x")).as("dead"))
   }
 
   /** Exact rank-quantile L2-norm outlier flagging — the embedding-side

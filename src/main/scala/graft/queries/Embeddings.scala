@@ -1317,6 +1317,28 @@ object Embeddings {
         .orderBy("dim")
     }),
 
+    // ---- q147: incremental dim stats vs the persisted moments ---------
+    // The {session, incremental} square closed for the health report:
+    // the snapshot persists its |dims|-row EXACT accumulator frame
+    // ([[graft.ops.Embed.dimStatsFrame]] — n, sfp, ssq as
+    // decimal(38,0), raw min/max), each crawl batch computes only its
+    // own frame and merges ([[graft.ops.Embed.dimStatsMerge]]) —
+    // lossless by exactness, so epoch-N output ≡ from-scratch
+    // [[graft.ops.Embed.dimStats]] over the whole corpus bit-for-bit
+    // (OpsApiSpec pins this). Per epoch the old corpus is NEVER
+    // re-read: the artifact scan is |dims| rows, the batch pass is
+    // batch-proportional.
+    "q147_incremental_dim_stats" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val cut = BatchCut.cut(s, emb, "vec_id")
+      val frameP = dimStatsIndex(s, dir, cut)
+      graft.ops.Embed.dimStatsFinalize(
+          graft.ops.Embed.dimStatsMerge(s.read.parquet(frameP),
+            graft.ops.Embed.dimStatsFrame(
+              emb.where(col("vec_id") >= cut))))
+        .orderBy("dim")
+    }),
+
     // ---- q145: norm-quantile outlier flags -----------------------------
     // Thin binding over [[graft.ops.Embed.normOutliers]] — the
     // embedding sanity filter: exact global rank in the (nrm, id)
@@ -1456,6 +1478,19 @@ object Embeddings {
     * built via the PUBLIC frame definitions. */
   /** The persisted normalized-payload artifact behind q131 — built via
     * the public frame definition ([[graft.ops.Embed.normalize]]). */
+  /** The persisted per-dimension moments artifact behind q147 — built
+    * via the public frame definition ([[graft.ops.Embed.dimStatsFrame]]):
+    * one |dims|-row exact accumulator table (n, sfp, ssq, min, max),
+    * mergeable losslessly with any batch's frame. */
+  private[graft] def dimStatsIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "dim_stats", s"$dir#$cut",
+        Some(s"$dir/embeddings.parquet")) {
+      graft.ops.Embed.dimStatsFrame(
+        Graft.parquetSource(s, dir).table("embeddings")
+          .where(col("vec_id") < cut))
+    }
+
   private[graft] def normIndex(s: SparkSession, dir: String,
       cut: Long): String =
     graft.sources.SideTable.ensure(s, "norm_vecs", s"$dir#$cut",
@@ -2006,6 +2041,34 @@ object Embeddings {
         |    sum(xfp) AS sfp, sum(xfp * xfp) AS ssq,
         |    min(x) AS min_x, max(x) AS max_x
         |  FROM f GROUP BY dim
+        |)
+        |SELECT dim::bigint AS dim, n,
+        |  sfp::double / (n::double * 16777216.0) AS mean,
+        |  (n::HUGEINT * ssq - sfp::HUGEINT * sfp::HUGEINT)::double /
+        |    (n::double * n::double * 281474976710656.0) AS var_q,
+        |  min_x, max_x, (min_x = max_x) AS dead
+        |FROM a ORDER BY dim""".stripMargin,
+
+    // q147 mirrors the merge algebra: per-segment exact accumulators
+    // (snapshot vs batch by the vec_id cut) summed per dimension —
+    // identical by exactness to the whole-corpus pass.
+    "q147_incremental_dim_stats" ->
+      """WITH cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+        |x AS (
+        |  SELECT e.vec_id, t.i AS dim, embedding[t.i]::double AS x
+        |  FROM embeddings e, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |), f AS (
+        |  SELECT vec_id, dim, x, floor(x * 16777216.0)::bigint AS xfp
+        |  FROM x
+        |), seg AS (
+        |  SELECT (vec_id >= (SELECT c FROM cut)) AS is_batch, dim,
+        |    count(*)::bigint AS n, sum(xfp) AS sfp,
+        |    sum(xfp * xfp) AS ssq, min(x) AS min_x, max(x) AS max_x
+        |  FROM f GROUP BY 1, 2
+        |), a AS (
+        |  SELECT dim, sum(n)::bigint AS n, sum(sfp) AS sfp,
+        |    sum(ssq) AS ssq, min(min_x) AS min_x, max(max_x) AS max_x
+        |  FROM seg GROUP BY dim
         |)
         |SELECT dim::bigint AS dim, n,
         |  sfp::double / (n::double * 16777216.0) AS mean,

@@ -1116,6 +1116,32 @@ class OpsApiSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Embed.dimStatsFrame/Merge/Finalize: incremental merge equals " +
+      "the from-scratch report bit-for-bit") {
+    val vecs = (1L to 40L).map(i =>
+      (i, Array(i.toFloat / 7f, (i % 5).toFloat, -i.toFloat / 3f)))
+      .toDF("vec_id", "embedding")
+    val full = Embed.dimStats(vecs).orderBy("dim").collect().toSeq
+    // split at an arbitrary cut, in both orders, and at a second cut
+    for (cut <- Seq(13L, 32L)) {
+      val a = Embed.dimStatsFrame(vecs.where($"vec_id" < cut))
+      val b = Embed.dimStatsFrame(vecs.where($"vec_id" >= cut))
+      val m1 = Embed.dimStatsFinalize(Embed.dimStatsMerge(a, b))
+        .orderBy("dim").collect().toSeq
+      val m2 = Embed.dimStatsFinalize(Embed.dimStatsMerge(b, a))
+        .orderBy("dim").collect().toSeq
+      assert(m1 === full, s"merge(cut=$cut) != from-scratch")
+      assert(m2 === full, s"merge order mattered at cut=$cut")
+    }
+    // merged frame schema is the frame schema (re-mergeable)
+    val fa = Embed.dimStatsFrame(vecs.where($"vec_id" < 13L))
+    val fb = Embed.dimStatsFrame(vecs.where($"vec_id" >= 13L))
+    val merged = Embed.dimStatsMerge(fa, fb)
+    assert(merged.schema.fieldNames.toSeq ===
+      fa.schema.fieldNames.toSeq)
+    assert(merged.schema("sfp").dataType.typeName.startsWith("decimal"))
+  }
+
   test("Embed.normOutliers assigns exact boundary-invariant global " +
       "ranks and rank-quantile flags") {
     // 20 vectors with norms 1..20 (vector (i, 0)): ranks are the ids
