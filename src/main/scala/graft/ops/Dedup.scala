@@ -460,6 +460,72 @@ object Dedup {
           (col("n_grams") + (k - 1)).cast("double")).as("dup_ratio"))
   }
 
+  /** The staged dedup CASCADE — the production web-pipeline shape
+    * (RefinedWeb/FineWeb run exactly this order): exact dedup first
+    * (cheap hash groupBy collapses the bulk), then MinHash+LSH
+    * near-dup detection over the surviving representatives only, then
+    * connected components turn verified pairs into clusters with one
+    * canonical keeper each. Every document gets its final canonical id
+    * and the stage that removed it:
+    *
+    *   - `kept`  — the canonical document of its cluster (or untouched);
+    *   - `exact` — removed by the exact stage (byte-identical to a
+    *     lower-id document after whitespace canonicalization);
+    *   - `near`  — survived exact dedup as a representative, but its
+    *     near-dup cluster has a lower-id canonical.
+    *
+    * keep_id is the CLUSTER minimum (not the exact-group minimum), so
+    * the (doc → keep_id) mapping is the one downstream attribution
+    * joins want — every removed document points at the document that
+    * actually remains. Documents under the 3-word shingle floor pass
+    * through `kept` untouched (the [[minhashPairs]] floor: no shingle,
+    * no signature; dedup short texts with [[exact]]).
+    *
+    * Scale shape: stage order IS the scale argument — the exact
+    * collapse is one map-side-combinable hash groupBy over the full
+    * corpus, and everything pairwise (signatures, banded join, Jaccard
+    * verification) runs on representatives only, with the duplicate
+    * mass already gone; components run on the pair list via star
+    * edges (LINEAR in duplicates — never the quadratic within-group
+    * expansion); the final labeling is two narrow left joins against
+    * per-doc frames. Output: (<id>, keep_id, stage), one row per
+    * input document. */
+  def cascade(docs: DataFrame, minJac: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val canon = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val (members, rp) = repPairs(canon, minJac)
+    cascadeOf(canon.select(col("doc_id")), members, rp, idCol)
+  }
+
+  /** [[cascade]] over an ALREADY-DERIVED (members, repPairs) pipeline
+    * result — the q148 binding feeds the session memo here so a
+    * cascade after q27/q53 never re-runs the LSH pipeline (the
+    * pairs-then-clusters discipline). `ids`: one `doc_id` row per
+    * corpus document. */
+  private[graft] def cascadeOf(ids: DataFrame, members: DataFrame,
+      rp: DataFrame, idCol: String): DataFrame = {
+    // components over rep pairs + one star edge per exact-dup member:
+    // identical reachable sets to clustering the expanded doc-level
+    // pairs (a group is a clique there, a star here), at edge count
+    // |rep pairs| + |exact dups| — linear in duplicates
+    val star = members.where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("d1"), col("rep").as("d2"))
+    val comp = graft.plans.Components.keepList(
+        rp.select(col("d1"), col("d2")).unionByName(star))
+      .select(col("id").as("doc_id"), col("keep_id"))
+    val lbl = coalesce(col("keep_id"), col("doc_id"))
+    ids
+      .join(members.select(col("doc_id"), col("rep")), Seq("doc_id"),
+        "left")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), lbl.as("keep_id"),
+        when(col("rep").isNull, lit("kept")) // under the shingle floor
+          .when(col("doc_id") =!= col("rep"), lit("exact"))
+          .when(lbl < col("doc_id"), lit("near"))
+          .otherwise(lit("kept")).as("stage"))
+  }
+
   // ------------------------------------------------- shared internals
   // (private[graft]: the q-entry orchestration in graft.queries builds
   // its memoized / artifact-backed variants from the same pieces)

@@ -807,6 +807,26 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q148: the staged dedup cascade --------------------------------
+    // Thin binding over [[graft.ops.Dedup.cascadeOf]] — the full
+    // production dedup pipeline (exact → MinHash near-dup → clusters)
+    // as ONE per-document verdict: (doc_id, keep_id, stage ∈
+    // kept|exact|near). Pairs come from the session memo (the q53
+    // pairs-then-clusters discipline — the LSH pipeline runs at most
+    // once per session); components run on star edges + rep pairs,
+    // linear in duplicates. The oracle clusters the EXPANDED doc-level
+    // pair list with a recursive-CTE closure — an independent
+    // formulation whose reachable sets provably match the star form.
+    "q148_dedup_cascade" -> ((s, dir) => {
+      val (members, repPairs) = pairMemo.computeIfAbsent(
+        memoKey(s, dir), _ => computeRepPairs(s, dir))
+      graft.ops.Dedup.cascadeOf(
+          Graft.parquetSource(s, dir).table("documents")
+            .select(col("doc_id")),
+          members, repPairs, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---- q142: temperature-scaled mixture weights ----------------------
     // Thin binding over [[graft.ops.Curate.mixtureWeights]] — the
     // c_i^alpha / sum renormalization that turns per-source token
@@ -1964,6 +1984,41 @@ object TextPipeline {
         |GROUP BY dup_key ORDER BY keep_id""".stripMargin,
 
     "q27_minhash_lsh" -> minhashPairsSql,
+
+    // Independent cascade formulation: components via transitive closure
+    // over the EXPANDED doc-level pairs (within-group cliques + member
+    // pairs) — same reachable sets as the engine's star-edge form.
+    "q148_dedup_cascade" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |ws AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, md5(array_to_string(w, ' ')) gk FROM ws
+         |  WHERE len(w) >= 3
+         |), reps AS (SELECT gk, min(doc_id) rep FROM keyed GROUP BY gk),
+         |mem AS (
+         |  SELECT keyed.doc_id, reps.rep FROM keyed JOIN reps USING (gk)
+         |), edges AS (
+         |  SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), comp AS (
+         |  SELECT a AS doc_id, min(b) AS keep_id FROM reach GROUP BY a
+         |)
+         |SELECT d.doc_id,
+         |  coalesce(comp.keep_id, d.doc_id) AS keep_id,
+         |  CASE WHEN mem.rep IS NULL THEN 'kept'
+         |       WHEN d.doc_id != mem.rep THEN 'exact'
+         |       WHEN coalesce(comp.keep_id, d.doc_id) < d.doc_id
+         |         THEN 'near'
+         |       ELSE 'kept' END AS stage
+         |FROM documents d
+         |LEFT JOIN mem ON mem.doc_id = d.doc_id
+         |LEFT JOIN comp ON comp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q53_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),

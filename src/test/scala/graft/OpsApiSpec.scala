@@ -180,6 +180,23 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!pairs.contains((10L, 14L)))
   }
 
+  test("Dedup.cascade labels kept/exact/near stages with cluster keepers") {
+    val out = Dedup.cascade(pages, idCol = "page_id", textCol = "body")
+    assert(out.columns.toSeq === Seq("page_id", "keep_id", "stage"))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows(10L) === ((10L, "kept")), "cluster canonical must be kept")
+    assert(rows(11L) === ((10L, "exact")),
+      "exact dup must point at the cluster keeper, removed at stage exact")
+    assert(rows(12L) === ((10L, "near")),
+      "near dup rep must be removed at stage near with the cluster keeper")
+    assert(rows(13L) === ((13L, "kept")))
+    assert(rows(14L) === ((14L, "kept")))
+    assert(rows(15L) === ((15L, "kept")),
+      "sub-floor doc must pass through kept")
+    assert(rows.size === 6, "one verdict row per input document")
+  }
+
   test("Retrieval.bm25 retrieves the phrase-sharing doc first") {
     val queries = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("qid", "qtext")
