@@ -119,6 +119,99 @@ object Curate {
       .select(col(keyCol), col(idCol),
         (col("__b0") + col("__brnk")).as("keep_rank"))
 
+  /** Curriculum ordering — turn any per-document difficulty signal
+    * into a training order (easy → hard, Bengio et al., ICML 2009):
+    * every document gets its EXACT global difficulty rank in the
+    * (score, id) total order, NTILE-partitions into `nBuckets`
+    * curriculum stages (SQL-standard ntile: the first `N mod n`
+    * buckets take one extra row), and a deterministic WITHIN-bucket
+    * shuffle position by content-independent hash priority (the
+    * [[capPerKey]] house hash — reproducible under reprocessing, no
+    * rand(); training wants difficulty ORDER between stages but
+    * decorrelated order inside one). `ascending = false` ranks the
+    * highest score first (e.g. Flesch reading-ease, where high =
+    * easy). Null scores are the caller's to exclude — range
+    * partitioning and the oracle disagree on null order.
+    *
+    * Scale shape: both levels use the q145 two-level global-rank
+    * discipline — a range repartition on the total order, ONE
+    * per-partition window (each task sorts its own partition, never
+    * the corpus), and a metadata-grain driver read for the offsets
+    * (≤ |partitions| + `nBuckets` rows); no single-partition global
+    * window, no per-bucket giant window (a bucket at 100 TB is
+    * corpus/n — far beyond one task). Ranks and buckets are
+    * boundary-invariant (offset + within-partition position in one
+    * total order), so output is deterministic under any range
+    * sampling. Output: (<id>, <score>, rank, bucket, ord). */
+  def curriculum(scored: DataFrame, nBuckets: Int = 4,
+      scoreCol: String = "score", idCol: String = "doc_id",
+      ascending: Boolean = true): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1 (got $nBuckets)")
+    val s = scored.sparkSession
+    val np = s.sparkContext.defaultParallelism
+    val sortKey =
+      if (ascending) Seq(col("__s").asc, col("__id").asc)
+      else Seq(col("__s").desc, col("__id").asc)
+    val p = scored
+      .select(col(idCol).as("__id"), col(scoreCol).as("__s"))
+      .repartitionByRange(np, sortKey: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pins pid; read by the counts and the ranks
+    val counts = p.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ np rows
+    val n = counts.map(_._2).sum
+    val offsets = counts.sortBy(_._1)
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, c)) =>
+        (pid, acc + c, acc) }.drop(1).map(t => (t._1, t._3))
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(sortKey: _*)
+    val rem = n % nBuckets
+    val qq = n / nBuckets
+    // SQL-standard NTILE from the exact global rank: first `rem`
+    // buckets hold qq+1 rows, the rest qq (exact integer div — when
+    // qq = 0 every bucket holds ≤ 1 row and rank IS the bucket)
+    val bucket =
+      if (qq == 0L) col("rank")
+      else when(col("rank") <= rem * (qq + 1),
+          expr(s"CAST((rank - 1) div ${qq + 1} AS BIGINT) + 1"))
+        .otherwise(expr(
+          s"CAST((rank - 1 - ${rem * (qq + 1)}) div $qq AS BIGINT) + ${rem + 1}"))
+    val ranked = p.join(broadcast(offDf), Seq("pid"))
+      .withColumn("rank", row_number().over(w).cast("long") + col("off"))
+      .withColumn("bucket", bucket)
+      .withColumn("__pri",
+        hash60(col("__id").cast("string")) % lit(2147483647L))
+      .select(col("__id"), col("__s"), col("rank"), col("bucket"),
+        col("__pri"))
+    // second level: within-bucket hash-shuffle positions, same
+    // discipline keyed by (bucket, partition) — a range partition can
+    // straddle a bucket boundary, so offsets accumulate per bucket
+    val p2 = ranked
+      .repartitionByRange(np, col("bucket").asc, col("__pri").asc,
+        col("__id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts2 = p2.groupBy(col("pid"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // ≤ |partitions| + nBuckets rows (ranges are contiguous)
+    val off2 = counts2.groupBy(_._2).toSeq.flatMap { case (b, rows) =>
+      rows.sortBy(_._1)
+        .scanLeft((0, b, 0L, 0L)) { case ((_, _, acc, _), (pid, _, c)) =>
+          (pid, b, acc + c, acc) }.drop(1)
+        .map(t => (t._1, t._2, t._4))
+    }
+    val off2Df = off2.toDF("pid", "bucket", "boff")
+    val w2 = Window.partitionBy(col("pid"), col("bucket"))
+      .orderBy(col("__pri").asc, col("__id").asc)
+    p2.join(broadcast(off2Df), Seq("pid", "bucket"))
+      .withColumn("ord", row_number().over(w2).cast("long") + col("boff"))
+      .select(col("__id").as(idCol), col("__s").as(scoreCol),
+        col("rank"), col("bucket"), col("ord"))
+  }
+
   /** Deterministic sequence packing — the concat-and-chunk layout step
     * of LLM pretraining: documents are content-hash-sharded, ordered
     * deterministically within each shard (hash, then id), laid out on a

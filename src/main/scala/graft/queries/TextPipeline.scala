@@ -827,6 +827,24 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q149: curriculum ordering (difficulty stages) -----------------
+    // [[graft.ops.Curate.curriculum]] fed by the q137 readability
+    // signal (high Flesch = easy = first): exact global difficulty
+    // ranks, SQL-standard NTILE stages, and a deterministic
+    // within-bucket hash shuffle — all via the q145 two-level
+    // range-partition discipline (no single-partition window). Knob:
+    // graft.curr.buckets.
+    "q149_curriculum" -> ((s, dir) => {
+      val nb = s.conf.getOption("graft.curr.buckets").map(_.toInt)
+        .getOrElse(8)
+      graft.ops.Curate.curriculum(
+          graft.ops.Text.readability(
+              Graft.parquetSource(s, dir).table("documents"))
+            .select(col("doc_id"), col("flesch")),
+          nb, scoreCol = "flesch", idCol = "doc_id", ascending = false)
+        .orderBy("bucket", "ord")
+    }),
+
     // ---- q142: temperature-scaled mixture weights ----------------------
     // Thin binding over [[graft.ops.Curate.mixtureWeights]] — the
     // c_i^alpha / sum renormalization that turns per-source token
@@ -2548,6 +2566,34 @@ object TextPipeline {
         |  (206.835 - 1.015 * (n_words::double / n_sents::double)
         |    - 84.6 * (n_syll::double / n_words::double)) AS flesch
         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q149_curriculum" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::bigint AS nw,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::bigint
+        |      AS ns,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::bigint
+        |      AS nsy
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    (206.835 - 1.015 * (nw::double / ns::double)
+        |      - 84.6 * (nsy::double / nw::double)) AS flesch
+        |  FROM base
+        |), r AS (
+        |  SELECT doc_id, flesch,
+        |    row_number() OVER (ORDER BY flesch DESC, doc_id)::bigint
+        |      AS rank,
+        |    ntile(8) OVER (ORDER BY flesch DESC, doc_id)::bigint
+        |      AS bucket
+        |  FROM sc
+        |)
+        |SELECT doc_id, flesch, rank, bucket,
+        |  row_number() OVER (PARTITION BY bucket ORDER BY
+        |    ('0x' || substr(md5(doc_id::varchar),1,15))::bigint
+        |      % 2147483647, doc_id)::bigint AS ord
+        |FROM r ORDER BY bucket, ord""".stripMargin,
 
     "q132_span_trim" ->
       """WITH ws AS (

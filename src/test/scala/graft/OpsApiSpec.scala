@@ -315,6 +315,39 @@ class OpsApiSpec extends AnyFunSuite {
     assert(nullKey.head.getAs[Long]("keep_rank") === 3L)
   }
 
+  test("Curate.curriculum ranks by score, ntiles stages, and shuffles " +
+      "within buckets deterministically") {
+    val scored = (1L to 10L).map(i => (i, i.toDouble * 10))
+      .toDF("item", "diff")
+    val out = Curate.curriculum(scored, nBuckets = 3,
+      scoreCol = "diff", idCol = "item")
+    assert(out.columns.toSeq ===
+      Seq("item", "diff", "rank", "bucket", "ord"))
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // ascending: lowest score ranks first
+    assert(rows(1L)._1 === 1L && rows(10L)._1 === 10L)
+    // SQL-standard ntile of 10 over 3: sizes 4/3/3
+    val sizes = rows.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes === Map(1L -> 4, 2L -> 3, 3L -> 3))
+    // ord covers 1..size within each bucket
+    rows.values.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.map(_._3).toSeq.sorted ===
+        (1L to members.size.toLong))
+    }
+    // descending flips the rank order
+    val desc = Curate.curriculum(scored, nBuckets = 3,
+      scoreCol = "diff", idCol = "item", ascending = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(desc(10L) === 1L && desc(1L) === 10L)
+    // deterministic under re-evaluation
+    val again = Curate.curriculum(scored, nBuckets = 3,
+      scoreCol = "diff", idCol = "item")
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(again === rows.map { case (k, v) => k -> v._3 })
+  }
+
   test("Curate.tokenBudget matches the brute-force prefix cut") {
     val docs = (1L to 40L)
       .map(i => (i, s"tok$i " * (i % 5 + 1).toInt)).toDF("k", "txt")
