@@ -589,6 +589,76 @@ object Text {
     withTops.join(dupAgg, Seq(idCol), "left").select(outCols: _*)
   }
 
+  /** Kneser-Ney-smoothed bigram LM scoring (interpolated absolute
+    * discounting, Kneser & Ney, ICASSP 1995; Chen & Goodman 1998's
+    * formulation) — the CCNet-style perplexity quality signal with the
+    * smoothing real LM filters use (q103's raw conditional c₁₂/c₁
+    * over-trusts singleton bigrams; KN discounts every observed count
+    * by `d` and redistributes the held-out mass by CONTINUATION
+    * probability — how many distinct contexts a word follows, the
+    * "Francisco problem" fix):
+    *
+    *   p_kn(w₂|w₁) = ((c₁₂ − d) + (d · N₁₊(w₁•)) · (N₁₊(•w₂) / B)) / c₁•
+    *
+    * with B the distinct-bigram-type count. The model trains on the
+    * scored corpus itself (the q61/q103 self-scoring convention), so
+    * every document bigram has c₁₂ ≥ 1 > d. Per document:
+    * `n_bigrams`, `sum_kn20` = Σ floor(p_kn · 2²⁰) (integer fixed
+    * point — order-free, partition-invariant), `mean_kn20` as one
+    * final division; LOW mean = surprising/junk text, the filter
+    * threshold axis. Determinism: each p_kn is one fixed-shape IEEE
+    * expression over exact integers ((c₁₂−d) and d·N₁₊ exact for
+    * d = 0.75, two correctly-rounded divisions, one multiply, one
+    * add), identical in the oracle; the fixed-point floor makes the
+    * per-doc sum exact-integer.
+    *
+    * Scale shape: the bigram stream is one generator projection
+    * (adjacent zip, no window); pair counts are the only corpus-scale
+    * aggregation (map-side-combinable); marginals/B derive from the
+    * vocabulary-bounded pair table; scoring joins doc bigram TYPES
+    * (not occurrences) against the model — per-doc multiplicity `k`
+    * rides the group row, so the model join is bounded by distinct
+    * (doc, w₁, w₂) triples. Output: (<id>, n_bigrams, sum_kn20,
+    * mean_kn20). */
+  def knScore(docs: DataFrame, discount: Double = 0.75d,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(discount > 0.0d && discount < 1.0d,
+      s"need 0 < discount < 1 (got $discount)")
+    val bg = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint() // read by the model counts AND the doc scoring
+    val pc = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // vocabulary-bounded; marginals + B + scoring
+    val lm = pc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1l"))
+    val rm = pc.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val bt = pc.agg(count(lit(1)).as("bt"))
+    val d = lit(discount)
+    val pkn = ((col("c12") - d) + (d * col("n1l")) *
+      (col("n1r").cast("double") / col("bt").cast("double"))) / col("c1")
+    bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .join(pc, Seq("w1", "w2")).join(lm, Seq("w1"))
+      .join(rm, Seq("w2")).crossJoin(broadcast(bt))
+      .select(col("doc_id"), col("k"),
+        floor(pkn * lit(1048576.0d)).cast("long").as("kn20"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("kn20")).as("sum_kn20"))
+      .select(col("doc_id").as(idCol),
+        col("n_bigrams").cast("long").as("n_bigrams"),
+        col("sum_kn20").cast("long").as("sum_kn20"),
+        (col("sum_kn20").cast("double") / col("n_bigrams").cast("double"))
+          .as("mean_kn20"))
+  }
+
   /** Corpus-level collocation mining — pointwise mutual information
     * over adjacent word pairs (Church & Hanks, "Word Association
     * Norms, Mutual Information, and Lexicography", Computational

@@ -894,6 +894,23 @@ object CorpusQuality {
         .orderBy("doc_id")
     }),
 
+    // ---- q150: Kneser-Ney-smoothed bigram scoring ----------------------
+    // Thin binding over [[graft.ops.Text.knScore]] — q103's perplexity
+    // signal with the smoothing real LM quality filters use
+    // (interpolated absolute discounting + continuation probability):
+    // singleton bigrams stop dominating, productive contexts
+    // redistribute their held-out mass by how many distinct contexts a
+    // word follows. Fixed-point 2^20 scores keep the per-doc sum an
+    // exact integer. Knob: graft.kn.discount ∈ (0,1), binary-exact
+    // values only (default 0.75).
+    "q150_kn_bigram" -> ((s, dir) => {
+      val d0 = s.conf.getOption("graft.kn.discount").map(_.toDouble)
+        .getOrElse(0.75d)
+      graft.ops.Text.knScore(
+          Graft.parquetSource(s, dir).table("documents"), d0)
+        .orderBy("doc_id")
+    }),
+
     // ---- q104: DSIR-style importance selection -------------------------
     // Data Selection via Importance Resampling (Xie et al. 2023): pick
     // raw-pool documents whose hashed-feature distribution looks like a
@@ -1781,6 +1798,37 @@ object CorpusQuality {
         |    / sum(k)::double AS mean_bits
         |FROM per_doc JOIN ctx USING (h1) JOIN big USING (h2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q150_kn_bigram" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), bg AS MATERIALIZED (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM ws, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+        |), pc AS MATERIALIZED (
+        |  SELECT w1, w2, count(*)::bigint AS c12 FROM bg GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, sum(c12)::bigint AS c1, count(*)::bigint AS n1l
+        |  FROM pc GROUP BY 1
+        |), rm AS (SELECT w2, count(*)::bigint AS n1r FROM pc GROUP BY 1),
+        |bt AS (SELECT count(*)::bigint AS bt FROM pc),
+        |dp AS (
+        |  SELECT doc_id, w1, w2, count(*)::bigint AS k FROM bg
+        |  GROUP BY 1, 2, 3
+        |), sc AS (
+        |  SELECT doc_id, k,
+        |    floor((((c12 - 0.75) + (0.75 * n1l)
+        |      * (n1r::double / bt::double)) / c1) * 1048576)::bigint
+        |      AS kn20
+        |  FROM dp JOIN pc USING (w1, w2) JOIN lm USING (w1)
+        |    JOIN rm USING (w2) CROSS JOIN bt
+        |)
+        |SELECT doc_id, sum(k)::bigint AS n_bigrams,
+        |  sum(k * kn20)::bigint AS sum_kn20,
+        |  sum(k * kn20)::bigint::double / sum(k)::bigint::double
+        |    AS mean_kn20
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q104_dsir_selection" ->
       """WITH tok AS (

@@ -197,6 +197,27 @@ class OpsApiSpec extends AnyFunSuite {
     assert(rows.size === 6, "one verdict row per input document")
   }
 
+  test("Text.knScore matches the hand-built interpolated-KN model") {
+    val docs = Seq((1L, "a b a b"), (2L, "c b")).toDF("doc_id", "text")
+    val out = Text.knScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // model: pc = {(a,b):2, (b,a):1, (c,b):1}, B = 3;
+    // c1(a)=2 n1l(a)=1, c1(b)=1 n1l(b)=1, c1(c)=1 n1l(c)=1;
+    // n1r(b)=2, n1r(a)=1 — replay the engine's exact double expression
+    def kn20(c12: Long, c1: Long, n1l: Long, n1r: Long, b: Long): Long =
+      math.floor((((c12 - 0.75d) + (0.75d * n1l) * (n1r.toDouble / b)) /
+        c1) * 1048576.0d).toLong
+    val ab = kn20(2, 2, 1, 2, 3)
+    val ba = kn20(1, 1, 1, 1, 3)
+    val cb = kn20(1, 1, 1, 2, 3)
+    assert(out(1L) === ((3L, 2 * ab + ba, (2 * ab + ba) / 3.0d)))
+    assert(out(2L) === ((1L, cb, cb.toDouble)))
+    // the KN point: same raw count (c12 = 1, c1 = 1), but the bigram
+    // whose RIGHT word continues more distinct contexts scores higher
+    assert(cb > ba, "continuation probability must break the count tie")
+  }
+
   test("Retrieval.bm25 retrieves the phrase-sharing doc first") {
     val queries = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("qid", "qtext")
