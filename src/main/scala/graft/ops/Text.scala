@@ -482,18 +482,21 @@ object Text {
     * end-of-word marker between words) and the n merges apply as n
     * chained literal `replace`s. No loop of actions, no shuffle, no
     * state: at 100 TB this rides whatever scan the pipeline already
-    * pays, embarrassingly parallel per row. Within-stream safety:
-    * every word ends with the marker and no trained merge can begin
-    * with a marker-terminated symbol (such symbols never have a right
-    * neighbor during training), so merges cannot cross word
-    * boundaries in the concatenated stream. Known quirk of the
-    * single-stream literal-replace formulation: ADJACENT identical
-    * merged words share the one boundary space, and the replace scan
-    * resumes past it, so the second occurrence's merge is skipped
-    * ("low low" under a (low, </w>) merge → "low</w> low </w>"). The
-    * oracle replays the identical scan, so parity is unaffected;
-    * fertility comparisons are consistent because both snapshot and
-    * batch pay the same rule.
+    * pays, embarrassingly parallel per row. Word-boundedness: word
+    * boundaries carry TWO spaces in the internal stream (vs the
+    * single space inside a word), so a replacement consuming a
+    * word's trailing space can never eat the next word's leading
+    * space — application is word-local exactly like reference BPE
+    * encoders (per-word merge application), with no per-word lambda
+    * (the no-interpreted-HOFs house rule; a `transform` over a word
+    * array would fall out of codegen). The former single-space
+    * formulation skipped the merge of the second of two ADJACENT
+    * IDENTICAL merged words ("low low" → "low</w> low </w>"); the
+    * double boundary removes that divergence ("low low" →
+    * "low</w> low</w>"), and the boundary doubling is normalized
+    * away before output. Within a word the semantics remain greedy
+    * left-to-right non-overlapping single-pass per rule (see
+    * [[bpeVocab]]), identical in the oracle.
     *
     * Output: (<id>, tokens — the space-joined token string — and
     * n_tokens). */
@@ -503,20 +506,24 @@ object Text {
     require(endMark.nonEmpty && !endMark.exists(_.isWhitespace),
       "endMark must be non-empty and whitespace-free")
     // \u0001 marks word gaps through the char-spacing regex, then
-    // becomes the end-of-word symbol; documents are plain text so the
-    // control char cannot occur in content that words() would keep
+    // becomes the end-of-word symbol PLUS an extra space (the gap
+    // char kept its own trailing space through char-spacing, so word
+    // boundaries read "</w>  " -- double -- while in-word gaps stay
+    // single: the word-bounded guarantee); documents are plain text
+    // so the control char cannot occur in content that words() keeps
     val stream = concat(lit(" "),
       replace(
         regexp_replace(
           replace(regexp_replace(trim(col(textCol)), "\\s+", " "),
             lit(" "), lit("\u0001")),
           "(.)", "$1 "),
-        lit("\u0001"), lit(endMark)),
+        lit("\u0001"), lit(endMark + " ")),
       lit(endMark + " "))
     val encoded = merges.foldLeft(stream) { case (c, (l, r)) =>
       replace(c, lit(s" $l $r "), lit(s" $l$r "))
     }
-    docs.select(col(idCol), trim(encoded).as("tokens"))
+    docs.select(col(idCol),
+        trim(regexp_replace(encoded, " +", " ")).as("tokens"))
       .withColumn("n_tokens", size(split(col("tokens"), " ")))
   }
 
@@ -612,19 +619,32 @@ object Text {
     * add), identical in the oracle; the fixed-point floor makes the
     * per-doc sum exact-integer.
     *
-    * Scale shape: the bigram stream is one generator projection
-    * (adjacent zip, no window); pair counts are the only corpus-scale
-    * aggregation (map-side-combinable); marginals/B derive from the
+    * Scale shape (the q103 discipline): the bigram stream is one
+    * generator projection (adjacent zip, no window) that collapses
+    * straight into the per-doc TYPE frame (doc, w₁, w₂, k) — the ONE
+    * checkpointed materialization, strictly smaller than the
+    * occurrence stream; pair counts derive from it as sum(k)
+    * (map-side-combinable), so the only corpus-scale aggregation is
+    * the triple groupBy itself; marginals/B derive from the
     * vocabulary-bounded pair table; scoring joins doc bigram TYPES
     * (not occurrences) against the model — per-doc multiplicity `k`
     * rides the group row, so the model join is bounded by distinct
     * (doc, w₁, w₂) triples. Output: (<id>, n_bigrams, sum_kn20,
-    * mean_kn20). */
+    * mean_kn20).
+    *
+    * `discount` must be binary-exact (a multiple of 1/256): the
+    * determinism argument needs (c₁₂−d) and d·N₁₊ to be EXACT IEEE
+    * values, which only dyadic discounts guarantee — and the q150
+    * oracle replays the engine default, so the knob is pinned there
+    * (see the q150 binding). */
   def knScore(docs: DataFrame, discount: Double = 0.75d,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(discount > 0.0d && discount < 1.0d,
       s"need 0 < discount < 1 (got $discount)")
-    val bg = docs
+    require(discount * 256.0d == math.rint(discount * 256.0d),
+      s"discount must be binary-exact (a multiple of 1/256) so the " +
+        s"fixed-point determinism argument holds (got $discount)")
+    val tri = docs
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
       .where(size(col("w")) >= 2)
@@ -632,9 +652,11 @@ object Text {
           slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
           slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .localCheckpoint() // read by the model counts AND the doc scoring
-    val pc = bg.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint() // per-doc TYPE frame: model counts AND scoring
+    val pc = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("c12"))
       .localCheckpoint() // vocabulary-bounded; marginals + B + scoring
     val lm = pc.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1l"))
@@ -643,8 +665,7 @@ object Text {
     val d = lit(discount)
     val pkn = ((col("c12") - d) + (d * col("n1l")) *
       (col("n1r").cast("double") / col("bt").cast("double"))) / col("c1")
-    bg.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("k"))
+    tri
       .join(pc, Seq("w1", "w2")).join(lm, Seq("w1"))
       .join(rm, Seq("w2")).crossJoin(broadcast(bt))
       .select(col("doc_id"), col("k"),

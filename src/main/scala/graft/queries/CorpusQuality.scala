@@ -29,6 +29,15 @@ import graft.functions.TextFunctions._
   */
 object CorpusQuality {
 
+  /** q150's Kneser-Ney discount — the ONE definition both the engine
+    * binding and the DuckDB oracle interpolate, so the two sides
+    * cannot drift; must stay binary-exact (a multiple of 1/256,
+    * enforced by [[graft.ops.Text.knScore]]'s require). The
+    * `graft.kn.discount` session knob still exists for deployment
+    * runs, but the oracle replays THIS value — non-default knobs are
+    * not verify-gate material (documented at the binding). */
+  private val KnDiscountDefault = 0.75d
+
   /** q66's C4-style flag battery — one single-pass, fully codegen'd
     * projection shared by q66 (per-doc audit) and q84 (per-source
     * report, `withSource = true`). `source` is only selected when
@@ -902,10 +911,12 @@ object CorpusQuality {
     // redistribute their held-out mass by how many distinct contexts a
     // word follows. Fixed-point 2^20 scores keep the per-doc sum an
     // exact integer. Knob: graft.kn.discount ∈ (0,1), binary-exact
-    // values only (default 0.75).
+    // (multiple of 1/256) values only — NOTE the oracle interpolates
+    // [[KnDiscountDefault]], so a non-default knob is a deployment
+    // setting, not a verify-gate one (the oracle pin).
     "q150_kn_bigram" -> ((s, dir) => {
       val d0 = s.conf.getOption("graft.kn.discount").map(_.toDouble)
-        .getOrElse(0.75d)
+        .getOrElse(KnDiscountDefault)
       graft.ops.Text.knScore(
           Graft.parquetSource(s, dir).table("documents"), d0)
         .orderBy("doc_id")
@@ -1800,7 +1811,7 @@ object CorpusQuality {
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q150_kn_bigram" ->
-      """WITH ws AS (
+      raw"""WITH ws AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
         |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
         |), bg AS MATERIALIZED (
@@ -1818,7 +1829,7 @@ object CorpusQuality {
         |  GROUP BY 1, 2, 3
         |), sc AS (
         |  SELECT doc_id, k,
-        |    floor((((c12 - 0.75) + (0.75 * n1l)
+        |    floor((((c12 - $KnDiscountDefault) + ($KnDiscountDefault * n1l)
         |      * (n1r::double / bt::double)) / c1) * 1048576)::bigint
         |      AS kn20
         |  FROM dp JOIN pc USING (w1, w2) JOIN lm USING (w1)

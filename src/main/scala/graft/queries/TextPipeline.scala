@@ -24,6 +24,13 @@ object TextPipeline {
 
   private val P = HashP // 2^31-1
 
+  /** q149's curriculum stage count — the ONE definition both the engine
+    * binding and the DuckDB oracle interpolate (the q150 knob-pin
+    * discipline): the `graft.curr.buckets` session knob exists for
+    * deployment runs, but the oracle replays THIS value, so non-default
+    * knobs are not verify-gate material. */
+  private val CurrBucketsDefault = 8
+
   /** (doc_id, h): distinct word-n-gram shingle hashes as ROWS, with no
     * higher-order functions anywhere in the plan. Shingles are built by
     * posexploding the token stream and stitching each token to its n-1
@@ -833,10 +840,12 @@ object TextPipeline {
     // ranks, SQL-standard NTILE stages, and a deterministic
     // within-bucket hash shuffle — all via the q145 two-level
     // range-partition discipline (no single-partition window). Knob:
-    // graft.curr.buckets.
+    // graft.curr.buckets — NOTE the oracle interpolates
+    // [[CurrBucketsDefault]], so a non-default knob is a deployment
+    // setting, not a verify-gate one (the q150 oracle-pin discipline).
     "q149_curriculum" -> ((s, dir) => {
       val nb = s.conf.getOption("graft.curr.buckets").map(_.toInt)
-        .getOrElse(8)
+        .getOrElse(CurrBucketsDefault)
       graft.ops.Curate.curriculum(
           graft.ops.Text.readability(
               Graft.parquetSource(s, dir).table("documents"))
@@ -1910,7 +1919,7 @@ object TextPipeline {
         |  SELECT doc_id,
         |    ' ' || replace(regexp_replace(replace(
         |        regexp_replace(trim(text), '\\s+', ' '), ' ', chr(1)),
-        |      '(.)', '\\1 ', 'g'), chr(1), '</w>') || '</w> ' AS w
+        |      '(.)', '\\1 ', 'g'), chr(1), '</w> ') || '</w> ' AS w
         |  FROM documents$encodeWhere
         |)""".stripMargin +
       (0 until 24).map { i =>
@@ -1920,15 +1929,21 @@ object TextPipeline {
            |                 ' '||m.l||m.r||' ') END AS w
            |  FROM e$i e LEFT JOIN m$i m ON true
            |)""".stripMargin
-      }.mkString
+      }.mkString +
+      // word-bounded double boundary spaces (the engine-side contract)
+      // normalize away before token extraction
+      """, ef AS (
+        |  SELECT doc_id, trim(regexp_replace(w, ' +', ' ', 'g')) AS w
+        |  FROM e24
+        |)""".stripMargin
 
   private def bpeEncodeSql: String =
     bpeEncodeChain("", "", "") +
       """
         |SELECT doc_id,
-        |  len(string_split(trim(w), ' '))::bigint AS n_tokens,
-        |  md5(trim(w)) AS tok_md5
-        |FROM e24 ORDER BY doc_id""".stripMargin
+        |  len(string_split(w, ' '))::bigint AS n_tokens,
+        |  md5(w) AS tok_md5
+        |FROM ef ORDER BY doc_id""".stripMargin
 
   /** q133: the q126 replay with the merge table trained on the OLD
     * slice only and the encode restricted to the batch — fertility
@@ -1944,12 +1959,12 @@ object TextPipeline {
         |SELECT e.doc_id,
         |  len(regexp_split_to_array(trim(d.text), '\s+'))::bigint
         |    AS n_words,
-        |  len(string_split(trim(e.w), ' '))::bigint AS n_tokens,
-        |  len(string_split(trim(e.w), ' '))::double
+        |  len(string_split(e.w, ' '))::bigint AS n_tokens,
+        |  len(string_split(e.w, ' '))::double
         |    / len(regexp_split_to_array(trim(d.text), '\s+'))
         |    AS fertility,
-        |  md5(trim(e.w)) AS tok_md5
-        |FROM e24 e JOIN documents d ON d.doc_id = e.doc_id
+        |  md5(e.w) AS tok_md5
+        |FROM ef e JOIN documents d ON d.doc_id = e.doc_id
         |ORDER BY e.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -2568,7 +2583,7 @@ object TextPipeline {
         |FROM base ORDER BY doc_id""".stripMargin,
 
     "q149_curriculum" ->
-      """WITH base AS (
+      raw"""WITH base AS (
         |  SELECT doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+'))::bigint AS nw,
         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::bigint
@@ -2585,7 +2600,7 @@ object TextPipeline {
         |  SELECT doc_id, flesch,
         |    row_number() OVER (ORDER BY flesch DESC, doc_id)::bigint
         |      AS rank,
-        |    ntile(8) OVER (ORDER BY flesch DESC, doc_id)::bigint
+        |    ntile($CurrBucketsDefault) OVER (ORDER BY flesch DESC, doc_id)::bigint
         |      AS bucket
         |  FROM sc
         |)

@@ -970,15 +970,20 @@ class OpsApiSpec extends AnyFunSuite {
     // separates them 5x
     assert(enc(10L) === 2, s"trained words should stay 1 token/word: $enc")
     assert(enc(11L) === 10, s"novel words should stay char-level: $enc")
-    // boundary-sharing quirk, pinned deliberately: ADJACENT identical
-    // merged words share the single space between them, and literal
-    // replace scans resume past it — so the second 'low' keeps its
-    // split end marker. Both engines replay the identical scan, so
-    // oracle parity is unaffected (see the bpeEncode docs).
+    // word-boundedness (the r12→r13 fix): ADJACENT identical merged
+    // words used to share one boundary space, and the literal replace
+    // scan resumed past it — the second 'low' kept a split end marker.
+    // The double-boundary-space stream makes application word-local
+    // exactly like reference BPE encoders (see the bpeEncode docs).
     val adj = Text.bpeEncode(
       Seq((12L, "low low")).toDF("doc_id", "text"), merges).head()
-    assert(adj.getString(1) === "low</w> low </w>" &&
-      adj.getInt(2) === 3)
+    assert(adj.getString(1) === "low</w> low</w>" &&
+      adj.getInt(2) === 2)
+    // three in a row — every occurrence merges
+    val adj3 = Text.bpeEncode(
+      Seq((13L, "low low low")).toDF("doc_id", "text"), merges).head()
+    assert(adj3.getString(1) === "low</w> low</w> low</w>" &&
+      adj3.getInt(2) === 3)
   }
 
   test("Dedup.spanTrim removes duplicated extents and reassembles the " +
