@@ -155,6 +155,7 @@ object Bench {
           s"km:${graft.queries.Embeddings.kmMemoSize}," +
           s"ann:${graft.queries.Embeddings.annMemoSize}," +
           s"pq:${graft.queries.Embeddings.pqMemoSize}," +
+          s"clf:${graft.queries.Classifier.clfMemoSize}," +
           s"side:${graft.sources.SideTable.size}")
       }
       // Bisect lever (SPARK_GRAFT_RESET=1): drop every session memo
@@ -167,6 +168,7 @@ object Bench {
         graft.queries.Embeddings.clearAnnMemo()
         graft.queries.Embeddings.clearKmMemo()
         graft.queries.Embeddings.clearPqMemo()
+        graft.queries.Classifier.clearClfMemo()
         graft.sources.SideTable.clear()
         System.gc()
       }
