@@ -149,6 +149,81 @@ object Dedup {
       g.join(dup, "h").select(col("doc_id"), col("pos")), k, idCol)
   }
 
+  /** Fidelity audit of the k-gram island approximation against the
+    * Lee-et-al ExactSubstr ground truth (arXiv:2107.06499 §4.1 uses
+    * suffix arrays to find length-≥k substrings duplicated AS A UNIT;
+    * [[spanDups]] merges duplicated fixed-k grams into islands
+    * instead). The two agree EXACTLY at position grain — a duplicated
+    * m≥k substring covers its positions with duplicated k-grams, and
+    * every duplicated k-gram IS a duplicated k-substring — so the
+    * approximation's only artifact is extent ATTRIBUTION: an island
+    * can merge adjacent grams that duplicate against DIFFERENT
+    * sources, claiming a span "duplicated as a unit" when no single
+    * second copy of the whole span exists. This audit measures that
+    * directly: for every island extent, `occ` = how many times the
+    * extent's FULL token sequence occurs corpus-wide (its own
+    * occurrence included), and `exact` = occ ≥ 2 — so
+    * avg(exact) over the output is the extent-grain precision of the
+    * island approximation, and 1 − avg(exact) the rate of
+    * mixed-source merges. (Extent recall needs no query: every
+    * maximal duplicated m≥k substring lies inside some island, by the
+    * position-grain theorem — OpsApiSpec pins the coverage equality
+    * on a constructed corpus.)
+    *
+    * Output: (<id>, start_tok (1-based), n_tok, occ, exact), one row
+    * per island. Audit-grade cost (the q73 discipline — exactness
+    * over thrift, run it on samples): the ground-truth side generates
+    * every corpus window of every DISTINCT island length, i.e.
+    * |distinct lengths| extra corpus-linear generator passes, with no
+    * caps — nothing is dropped silently. */
+  def spanExtentAudit(docs: DataFrame, k: Int = 5, minCount: Long = 2L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    require(minCount >= 2L, s"need minCount >= 2 (got $minCount)")
+    val toks = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .where(size(col("w")) >= k)
+      .localCheckpoint() // feeds grams, extent-text lookup, windows
+    val g = toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        pmod(hash60(concat_ws(" ", slice(col("w"), col("pos"), lit(k)))),
+          lit(P)).as("h"))
+      .localCheckpoint() // read by counts and the hit join
+    val dup = g.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select(col("h"))
+    val ext = extentRows(
+        g.join(dup, "h").select(col("doc_id"), col("pos")), k)
+      .localCheckpoint() // read by the extent-hash join and lens
+    val exth = ext.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("start_tok"), col("n_tok"),
+        pmod(hash60(concat_ws(" ",
+            slice(col("w"), col("start_tok").cast("int"),
+              col("n_tok").cast("int")))),
+          lit(P)).as("eh"))
+    val lens = ext.select(col("n_tok").as("m")).distinct()
+    val wins = toks.join(broadcast(lens), size(col("w")) >= col("m"))
+      .select(col("m"), col("w"),
+        explode(sequence(lit(1),
+          (size(col("w")) - col("m") + 1).cast("int"))).as("i"))
+      .select(col("m"),
+        pmod(hash60(concat_ws(" ",
+            slice(col("w"), col("i"), col("m").cast("int")))),
+          lit(P)).as("h"))
+    val occ = wins.groupBy(col("m"), col("h"))
+      .agg(count(lit(1)).as("occ"))
+    exth.join(occ,
+        occ("m") === exth("n_tok") && occ("h") === exth("eh"))
+      .select(exth("doc_id").as(idCol),
+        col("start_tok").cast("long").as("start_tok"),
+        col("n_tok").cast("long").as("n_tok"),
+        col("occ").cast("long").as("occ"),
+        (col("occ") >= 2L).as("exact"))
+  }
+
   /** The distinct k-gram hash inventory of a corpus — what a crawl
     * loop PERSISTS per snapshot so batches can be scored for spans
     * already present in the corpus ([[spanDupScore]], the
@@ -435,20 +510,32 @@ object Dedup {
     * [pos, pos+k−1] merge when the start gap is ≤ k (overlapping or
     * adjacent); covered tokens per island = max(pos) − min(pos) + k.
     * `g` supplies the per-doc gram totals so unhit docs report zeros. */
-  private[graft] def spanExtents(g: DataFrame, hits: DataFrame, k: Int,
-      idCol: String): DataFrame = {
+  /** The maximal merged extents themselves — (doc_id, start_tok,
+    * n_tok) per island: intervals [pos, pos+k−1] merged when the
+    * start gap is ≤ k (overlapping or adjacent). The ONE island
+    * definition [[spanExtents]] (stats grain) and [[spanExtentAudit]]
+    * (extent grain) share. */
+  private[graft] def extentRows(hits: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wn = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val isl = hits
+    hits
       .withColumn("f",
         when(col("pos") - lag(col("pos"), 1).over(wn) <= k, lit(0L))
           .otherwise(lit(1L)))
       .withColumn("isl", sum(col("f")).over(
         wn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val ext = isl.groupBy(col("doc_id"), col("isl"))
-      .agg((max(col("pos")) - min(col("pos")) + k).as("cov"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) - min(col("pos")) + k).as("n_tok"))
+      .select(col("doc_id"), col("start_tok"), col("n_tok"))
+  }
+
+  private[graft] def spanExtents(g: DataFrame, hits: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    val ext = extentRows(hits, k)
     val per = ext.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_spans"), sum(col("cov")).as("dup_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("n_tok")).as("dup_tokens"))
     g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id").as(idCol),

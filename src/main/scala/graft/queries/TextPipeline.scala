@@ -665,6 +665,26 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q154: span-extent fidelity audit (k-gram islands vs truth) ----
+    // Thin binding over [[graft.ops.Dedup.spanExtentAudit]] — the q73
+    // discipline applied to the span family: per q128 island extent,
+    // how many times the FULL extent token sequence occurs corpus-wide
+    // (occ) and whether it is duplicated AS A UNIT (exact), i.e. the
+    // extent-grain precision of the k-gram approximation vs the
+    // Lee-et-al suffix-array ground truth. Position-grain
+    // recall/precision are exactly 1 by the covering theorem (see the
+    // op's scaladoc; OpsApiSpec pins it on a constructed corpus), so
+    // extent attribution is the one degree of freedom worth measuring.
+    // Same knobs as q128.
+    "q154_span_extent_audit" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val mc = s.conf.getOption("graft.span.minCount").map(_.toLong)
+        .getOrElse(2L)
+      graft.ops.Dedup.spanExtentAudit(
+          Graft.parquetSource(s, dir).table("documents"), k, mc)
+        .orderBy("doc_id", "start_tok")
+    }),
+
     // ---- q133: incremental BPE encode vs the persisted merge table -----
     // q126 as the crawl loop runs it (the frozen-LM/frozen-template
     // discipline applied to the TOKENIZER): the snapshot's merge
@@ -2300,6 +2320,55 @@ object TextPipeline {
         |FROM ws LEFT JOIN per USING (doc_id)
         |WHERE len(w) >= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "q154_span_extent_audit" ->
+      """WITH ws AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL
+        |), tk AS MATERIALIZED (
+        |  SELECT doc_id, w FROM ws WHERE len(w) >= 5
+        |), g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM tk, unnest(range(1, len(w) - 3)) AS t(i)
+        |), dup AS (
+        |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        |), hits AS (
+        |  SELECT doc_id, pos FROM g JOIN dup USING (h)
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      <= 5 THEN 0 ELSE 1 END AS f
+        |  FROM hits
+        |), isl2 AS (
+        |  SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM isl
+        |), ext AS MATERIALIZED (
+        |  SELECT doc_id, min(pos) AS start_tok,
+        |    max(pos) - min(pos) + 5 AS n_tok
+        |  FROM isl2 GROUP BY doc_id, isl
+        |), exth AS (
+        |  SELECT e.doc_id, e.start_tok, e.n_tok,
+        |    ('0x' || substr(md5(array_to_string(
+        |        w[e.start_tok:e.start_tok+e.n_tok-1], ' ')),1,15))::bigint
+        |      % 2147483647 AS eh
+        |  FROM ext e JOIN tk USING (doc_id)
+        |), lens AS (SELECT DISTINCT n_tok AS m FROM ext),
+        |wins AS (
+        |  SELECT l.m,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+l.m-1], ' ')),1,15))::bigint
+        |      % 2147483647 AS h
+        |  FROM tk CROSS JOIN lens l, unnest(range(1, len(w) - l.m + 2)) AS t(i)
+        |  WHERE len(w) >= l.m
+        |), occ AS (
+        |  SELECT m, h, count(*)::bigint AS occ FROM wins GROUP BY 1, 2
+        |)
+        |SELECT e.doc_id, e.start_tok::bigint AS start_tok,
+        |  e.n_tok::bigint AS n_tok, o.occ, (o.occ >= 2) AS exact
+        |FROM exth e JOIN occ o ON o.m = e.n_tok AND o.h = e.eh
+        |ORDER BY doc_id, start_tok""".stripMargin,
 
     "q134_source_overlap" ->
       """WITH ws AS (

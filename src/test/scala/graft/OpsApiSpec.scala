@@ -1450,4 +1450,133 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Text.chunk(docs, 8, 9) }
     intercept[IllegalArgumentException] { Text.chunk(docs, 8, 0) }
   }
+
+  test("Dedup.spanExtentAudit flags mixed-source island merges and " +
+      "matches brute-force position coverage (the covering theorem)") {
+    val docs = Seq(
+      // A holds spans X (shared with B) and Y (shared with C) ADJACENT:
+      // the k-gram islands merge them into one extent whose full text
+      // exists nowhere else -> exact = false (the attribution artifact)
+      (1L, "x1 x2 x3 y1 y2 y3"),
+      (2L, "b1 x1 x2 x3 b2 b3"),
+      (3L, "c1 c2 y1 y2 y3 c3"),
+      // D/E share s1..s4 as a unit -> their extents are exact
+      (4L, "d1 s1 s2 s3 s4 d2"),
+      (5L, "e1 e2 s1 s2 s3 s4"),
+      (6L, "n1 n2 n3 n4 n5 n6")) // fully novel -> no extents
+      .toDF("page_id", "body")
+    val out = Dedup.spanExtentAudit(docs, k = 3, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).toSeq === Seq((1L, 1L, 6L, 1L, false)),
+      s"A's merged island is NOT duplicated as a unit: ${out.toSeq}")
+    assert(byDoc(2L).toSeq === Seq((2L, 2L, 3L, 2L, true)))
+    assert(byDoc(3L).toSeq === Seq((3L, 3L, 3L, 2L, true)))
+    assert(byDoc(4L).toSeq === Seq((4L, 2L, 4L, 2L, true)))
+    assert(byDoc(5L).toSeq === Seq((5L, 3L, 4L, 2L, true)))
+    assert(!byDoc.contains(6L))
+    // covering theorem: island coverage == positions inside ANY
+    // duplicated window of length >= k, brute-forced here
+    val k = 3
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- toks; m <- k to w.length; i <- 0 to w.length - m)
+      winCount.updateWith(w.slice(i, i + m).mkString(" "))(
+        c => Some(c.getOrElse(0) + 1))
+    val truth = (for {
+      (id, w) <- toks.toSeq; m <- k to w.length; i <- 0 to w.length - m
+      if winCount(w.slice(i, i + m).mkString(" ")) >= 2
+      p <- i until (i + m)
+    } yield (id, (p + 1).toLong)).toSet // 1-based positions
+    val claimed = out.flatMap { case (id, st, n, _, _) =>
+      (st until st + n).map(p => (id, p))
+    }.toSet
+    assert(claimed === truth,
+      s"position coverage must equal exact-substring truth:\n" +
+        s"only-claimed=${(claimed -- truth).toSeq.sorted}\n" +
+        s"only-true=${(truth -- claimed).toSeq.sorted}")
+    intercept[IllegalArgumentException] {
+      Dedup.spanExtentAudit(docs, k = 1, idCol = "page_id",
+        textCol = "body")
+    }
+  }
+
+  test("Select.classifierTrain/classifierScore separate distinct " +
+      "vocabularies on (page_id, body, lbl) and are partition-invariant") {
+    val good = "good clean helpful prose informative article reference"
+    val bad = "spam junk casino pills lottery winner click banner"
+    val docs = ((0 until 8).map(i =>
+        (100L + i, s"$good extra$i word", 1L)) ++
+      (0 until 8).map(i => (200L + i, s"$bad extra$i word", 0L)))
+      .toDF("page_id", "body", "lbl")
+    val model = Select.classifierTrain(docs, labelCol = "lbl",
+      idCol = "page_id", textCol = "body", buckets = 512, iters = 12,
+      lr20 = 2L * 1048576L)
+    val m = model.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m.exists(_._1 == -1L), "model must carry the bias row")
+    assert(m.length <= 513)
+    val scored = Select.classifierScore(docs, model,
+        threshold20 = 524288L, idCol = "page_id", textCol = "body",
+        buckets = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val posMin = (0 until 8).map(i => scored(100L + i)).min
+    val negMax = (0 until 8).map(i => scored(200L + i)).max
+    assert(posMin > negMax,
+      s"classes must separate: pos min p20 $posMin <= neg max $negMax")
+    // partition invariance: the exact-integer training is order-free
+    val m7 = Select.classifierTrain(docs.repartition(7), "lbl",
+        "page_id", "body", 512, 12, 2L * 1048576L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(m7.sorted.toSeq === m.sorted.toSeq,
+      "model must be bit-identical under any input partitioning")
+    intercept[IllegalArgumentException] {
+      Select.classifierTrain(docs, "lbl", "page_id", "body", 512, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Select.classifierTrain(docs, "lbl", "page_id", "body", 512, 64,
+        lr20 = 1L << 30) // iters*lr20 over the zn-exactness bound
+    }
+    intercept[IllegalArgumentException] {
+      Select.classifierScore(docs, model, threshold20 = -1L,
+        idCol = "page_id", textCol = "body", buckets = 512)
+    }
+  }
+
+  test("Select.classifierScore against a frozen model is the " +
+      "incremental path: batch-only input, broadcast model join") {
+    val good = "good clean helpful prose informative article reference"
+    val bad = "spam junk casino pills lottery winner click banner"
+    val train = ((0 until 8).map(i =>
+        (100L + i, s"$good t$i", 1L)) ++
+      (0 until 8).map(i => (200L + i, s"$bad t$i", 0L)))
+      .toDF("page_id", "body", "lbl")
+    val model = Select.classifierTrain(train, "lbl", "page_id", "body",
+      512, 12, 2L * 1048576L)
+    // "frozen": the model round-trips through collected rows (what the
+    // SideTable parquet artifact stores) and scores UNSEEN batch docs
+    val frozen = model.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.toDF("h", "w20")
+    val batch = Seq((900L, s"$good fresh page"),
+      (901L, s"$bad fresh page"),
+      (902L, "entirely novel vocabulary neither class saw"))
+      .toDF("page_id", "body")
+    val out = Select.classifierScore(batch, frozen, 524288L,
+      "page_id", "body", 512)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(2), r.getBoolean(4))).toMap
+    assert(byId(900L)._1 > byId(901L)._1,
+      "frozen model must still order good above bad on unseen docs")
+    assert(byId(900L)._2 && !byId(901L)._2)
+    // the model join must broadcast — the 100 TB contract: the batch
+    // never shuffles to meet the ≤ buckets+1-row model
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge join in the scoring plan:\n$plan")
+  }
 }
