@@ -152,6 +152,7 @@ object Bench {
           s"mem=${mem}MB disk=${dsk}MB codeCache=${cc}MB " +
           s"memos=pair:${graft.queries.TextPipeline.pairMemoSize}," +
           s"bpe:${graft.queries.TextPipeline.bpeMemoSize}," +
+          s"ulm:${graft.queries.TextPipeline.ulmMemoSize}," +
           s"km:${graft.queries.Embeddings.kmMemoSize}," +
           s"ann:${graft.queries.Embeddings.annMemoSize}," +
           s"pq:${graft.queries.Embeddings.pqMemoSize}," +
@@ -165,6 +166,7 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_RESET").contains("1")) {
         graft.queries.TextPipeline.clearPairMemo()
         graft.queries.TextPipeline.clearBpeMemo()
+        graft.queries.TextPipeline.clearUlmMemo()
         graft.queries.Embeddings.clearAnnMemo()
         graft.queries.Embeddings.clearKmMemo()
         graft.queries.Embeddings.clearPqMemo()

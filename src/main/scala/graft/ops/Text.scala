@@ -527,6 +527,209 @@ object Text {
       .withColumn("n_tokens", size(split(col("tokens"), " ")))
   }
 
+  // ------------------- unigram-LM tokenizer (SentencePiece-style) ----
+
+  /** Word-frequency table (word, cnt, len) — the ONE corpus-scale pass
+    * of the unigram family (the [[bpeVocab]] discipline: everything
+    * after runs on the ≤|distinct words| table). */
+  private def ulmWordFreq(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("len", length(col("word")))
+
+  /** (piece, bits) + the unknown-char fallback cost from a (piece, n)
+    * vocabulary: bits = bitlen(T) − bitlen(n+1) with T = Σ(n+1) — the
+    * q61/q103 integer-surprisal grade with q104's Laplace +1 (so a
+    * zero-count piece stays usable at max cost). T is ONE 1-row driver
+    * probe (metadata grain). */
+  private def ulmBits(vocab: DataFrame): (DataFrame, Int) = {
+    val t = vocab.agg(sum(col("n") + 1)).head().getLong(0)
+    val mb = java.lang.Long.toBinaryString(math.max(t, 1L)).length
+    (vocab.select(col("piece"),
+      (lit(mb) - length(bin(col("n") + 1))).cast("long").as("vbits")),
+      mb)
+  }
+
+  /** Viterbi segmentation of the word table `wl` (word, cnt, len ≤
+    * maxW) under vocabulary `vocab` ((piece, n)): per word, the
+    * segmentation minimizing (Σ piece bits, piece count, backpointer)
+    * — a total integer order, so the argmin is deterministic under
+    * any partitioning. Single-character pieces fall back to the
+    * Laplace-0 cost when absent from the vocabulary, so EVERY word
+    * segments. Output: (word, cnt, path: array<string>).
+    *
+    * Scale shape: relational DP — one frame per position p holds each
+    * word's best prefix segmentation; step p is a union of ≤ maxPiece
+    * broadcast piece-lookups on dp(p−j) followed by a min(struct)
+    * aggregate (codegen'd lexicographic argmin; the winning path
+    * rides the struct, so no backtrace pass exists). Everything is
+    * VOCABULARY-bounded — ≤ maxWordLen tiny jobs per call, each
+    * checkpointed (the kmeans/bpe loop discipline), never a corpus
+    * scan. */
+  private[graft] def ulmSegment(wl: DataFrame, vocab: DataFrame,
+      maxPiece: Int): DataFrame = {
+    val spark = wl.sparkSession
+    val (vb, mb) = ulmBits(vocab)
+    val vbc = broadcast(vb.localCheckpoint())
+    val maxLenRow = wl.agg(max(col("len"))).head()
+    if (maxLenRow.isNullAt(0))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[
+          org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("word",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType)))))
+    val maxLen = maxLenRow.getInt(0)
+    val dp = new Array[DataFrame](maxLen + 1)
+    dp(0) = wl.select(col("word"), col("cnt"), col("len"),
+        lit(0L).as("bits"), lit(0L).as("np"), lit(0).as("back"),
+        array().cast("array<string>").as("path"))
+      .localCheckpoint()
+    for (p <- 1 to maxLen) {
+      val cands = (math.max(0, p - maxPiece) until p).map { j =>
+        val plen = p - j
+        val piece = col("word").substr(lit(j + 1), lit(plen))
+        val base = dp(j).where(col("len") >= p)
+        val joined =
+          if (plen == 1)
+            base.join(vbc, vbc("piece") === piece, "left")
+              .withColumn("pbits",
+                coalesce(col("vbits"), lit(mb.toLong)))
+          else
+            base.join(vbc, vbc("piece") === piece)
+              .withColumn("pbits", col("vbits"))
+        joined.select(col("word"), col("cnt"), col("len"),
+          (col("bits") + col("pbits")).as("bits"),
+          (col("np") + 1L).as("np"), lit(j).as("back"),
+          concat(col("path"), array(piece)).as("path"))
+      }.reduce(_ unionByName _)
+      dp(p) = cands.groupBy(col("word"))
+        .agg(min(struct(col("bits"), col("np"), col("back"), col("cnt"),
+          col("len"), col("path"))).as("s"))
+        .select(col("word"), col("s.cnt").as("cnt"),
+          col("s.len").as("len"), col("s.bits").as("bits"),
+          col("s.np").as("np"), col("s.back").as("back"),
+          col("s.path").as("path"))
+        .localCheckpoint()
+    }
+    (1 to maxLen).map(p => dp(p).where(col("len") === p))
+      .reduce(_ unionByName _)
+      .select(col("word"), col("cnt"), col("path"))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer induction — Kudo,
+    * "Subword Regularization" (arXiv:1804.10959), in the engine's
+    * deterministic hard-EM grade: seed the vocabulary with every
+    * ≤ maxPiece-char substring of the word table whose
+    * occurrence-weighted count ≥ minFreq (single characters always
+    * in), then `rounds` of: (E) Viterbi-segment every distinct word
+    * under the current integer piece costs ([[ulmSegment]] — hard EM,
+    * so counts stay EXACT integers where soft-EM marginals would be
+    * floats); (M) piece count = Σ word-cnt-weighted usage, prune to
+    * the `vocabSize` most frequent (count DESC, piece ASC — total
+    * order; single chars exempt so segmentation always exists).
+    * Words longer than maxWordLen are excluded from training
+    * (documented contract; [[unigramEncode]] char-splits them).
+    *
+    * Scale shape: ONE corpus-scale pass (the word-frequency collapse,
+    * the [[bpeVocab]] discipline); the seed explode, every DP step,
+    * and every M-step aggregate are vocabulary-bounded. The prune
+    * window is a single-partition row_number over the ≤|seed| count
+    * table — vocabulary grain, not corpus (the kmeans-centroid class
+    * of driver-adjacent smallness). Output: (piece, n) — the final
+    * vocabulary with its usage counts; feed to [[unigramEncode]]. */
+  def unigramVocab(docs: DataFrame, maxPiece: Int = 4,
+      minFreq: Long = 2L, rounds: Int = 2, vocabSize: Int = 1024,
+      maxWordLen: Int = 16, textCol: String = "text"): DataFrame = {
+    require(maxPiece >= 2 && maxPiece <= 8,
+      s"need 2 <= maxPiece <= 8 (got $maxPiece)")
+    require(minFreq >= 1L, s"need minFreq >= 1 (got $minFreq)")
+    require(rounds >= 1 && rounds <= 8,
+      s"need 1 <= rounds <= 8 (got $rounds)")
+    require(vocabSize >= 16, s"need vocabSize >= 16 (got $vocabSize)")
+    require(maxWordLen >= maxPiece && maxWordLen <= 32,
+      s"need maxPiece <= maxWordLen <= 32 (got $maxWordLen)")
+    val wl = ulmWordFreq(docs, textCol)
+      .where(col("len") <= maxWordLen)
+      .localCheckpoint() // the one corpus collapse; read every round
+    val sub = wl
+      .select(col("word"), col("cnt"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("i"))
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1),
+          least(lit(maxPiece), col("len") - col("i") + 1))).as("l"),
+        col("i"))
+      .select(expr("substring(word, i, l)").as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+    var vocab = sub
+      .where(col("n") >= minFreq || length(col("piece")) === 1)
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val cnts = ulmSegment(wl, vocab, maxPiece)
+        .select(explode(col("path")).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("piece"))
+      vocab = cnts
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= vocabSize || length(col("piece")) === 1)
+        .select(col("piece"), col("n"))
+        .localCheckpoint()
+    }
+    vocab
+  }
+
+  /** Tokenize a corpus under a trained unigram vocabulary ((piece, n)
+    * from [[unigramVocab]] — in-session or read back from a persisted
+    * artifact): every DISTINCT word Viterbi-segments ONCE
+    * ([[ulmSegment]] — vocabulary-bounded), words over maxWordLen
+    * char-split (the documented training-exclusion contract), and the
+    * corpus encode is then one broadcast join of the token stream
+    * against the ≤|words| segmentation table plus a per-document
+    * position-ordered reassembly (the q132 array_sort discipline —
+    * bounded by document length, no corpus window). Blank/null
+    * documents are excluded (the chunk/knScore convention). Output:
+    * (<id>, n_tokens, tokens — space-joined pieces in word order). */
+  def unigramEncode(docs: DataFrame, vocab: DataFrame,
+      maxPiece: Int = 4, maxWordLen: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxPiece >= 2 && maxPiece <= 8,
+      s"need 2 <= maxPiece <= 8 (got $maxPiece)")
+    require(maxWordLen >= maxPiece && maxWordLen <= 32,
+      s"need maxPiece <= maxWordLen <= 32 (got $maxWordLen)")
+    val wf = ulmWordFreq(docs, textCol).localCheckpoint()
+    val seg = ulmSegment(wf.where(col("len") <= maxWordLen), vocab,
+      maxPiece)
+    val wtok = seg
+      .select(col("word"), concat_ws(" ", col("path")).as("toks"),
+        size(col("path")).cast("long").as("npieces"))
+      .unionByName(wf.where(col("len") > maxWordLen)
+        .select(col("word"),
+          concat_ws(" ",
+            array_remove(split(col("word"), ""), "")).as("toks"),
+          col("len").cast("long").as("npieces")))
+      .localCheckpoint() // ≤ |distinct words| — broadcastable
+    docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("npieces")).as("n_tokens"),
+        concat_ws(" ", expr(
+          "array_sort(collect_list(struct(pos, toks))).toks"))
+          .as("tokens"))
+      .select(col("doc_id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"), col("tokens"))
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al.,
     * "Scaling Language Models: Methods, Analysis & Insights from
     * Training Gopher", arXiv:2112.11446, Table A1) at word grain —

@@ -187,6 +187,34 @@ object TextPipeline {
     * oracles — the two MUST agree). */
   private val BpeMerges = 24
 
+  /** Unigram-LM knobs of the q155/q156 bindings — interpolated into
+    * the unrolled oracles (the q150 oracle-pin discipline; the
+    * graft.ulm.* session knobs exist for deployment, non-default
+    * values are not verify-gate material). */
+  private val UlmMaxW = 16
+  private val UlmMaxP = 4
+  private val UlmMinFreq = 2L
+  private val UlmRounds = 2
+  private val UlmVSize = 1024
+
+  /** Trained unigram vocabularies per (session, dir) — ≤ vocabSize
+    * driver rows (vocabulary grain, the bpeMemo discipline): q155
+    * trains, q156 encodes with the same vocabulary. */
+  private val ulmMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(String, Long)]]()
+
+  private[graft] def clearUlmMemo(): Unit = ulmMemo.clear()
+
+  private[graft] def ulmMemoSize: Int = ulmMemo.size()
+
+  private def ulmVocabOf(s: SparkSession,
+      dir: String): Seq[(String, Long)] =
+    ulmMemo.computeIfAbsent((s, dir), _ =>
+      graft.ops.Text.unigramVocab(
+          Graft.parquetSource(s, dir).table("documents"),
+          UlmMaxP, UlmMinFreq, UlmRounds, UlmVSize, UlmMaxW)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+
   private def bpeMergesOf(s: SparkSession,
       dir: String): Seq[(Long, String, String, Long)] =
     bpeMemo.computeIfAbsent((s, dir, BpeMerges), _ =>
@@ -662,6 +690,37 @@ object TextPipeline {
         .getOrElse(2L)
       graft.ops.Dedup.spanTrim(
           Graft.parquetSource(s, dir).table("documents"), k, mc)
+        .orderBy("doc_id")
+    }),
+
+    // ---- q155: unigram-LM tokenizer induction (SentencePiece-style) ----
+    // Thin binding over [[graft.ops.Text.unigramVocab]] — hard-EM
+    // unigram LM vocabulary induction (Kudo 2018) completing the
+    // tokenizer family next to BPE (q125): substring seed, then
+    // bounded rounds of deterministic Viterbi E-steps (integer
+    // surprisal costs, total-order tie-breaks) and prune-to-size
+    // M-steps. The oracle unrolls every DP position and EM round as
+    // MATERIALIZED CTEs (the kmeans/clf oracle discipline).
+    "q155_unigram_vocab" -> ((s, dir) => {
+      import s.implicits._
+      ulmVocabOf(s, dir).toDF("piece", "n").orderBy("piece")
+    }),
+
+    // ---- q156: unigram-LM tokenizer inference ---------------------------
+    // [[graft.ops.Text.unigramEncode]] with q155's vocabulary (session
+    // memo): every DISTINCT word Viterbi-segments once
+    // (vocabulary-bounded), the corpus encode is a broadcast join of
+    // the token stream against the segmentation table + per-doc
+    // position-ordered reassembly. Output pins the complete
+    // tokenization via md5 (the q126 convention).
+    "q156_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = ulmVocabOf(s, dir).toDF("piece", "n")
+      graft.ops.Text.unigramEncode(
+          Graft.parquetSource(s, dir).table("documents"), vocab,
+          UlmMaxP, UlmMaxW)
+        .select(col("doc_id"),
+          col("n_tokens"), md5(col("tokens")).as("tok_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1957,6 +2016,103 @@ object TextPipeline {
         |  FROM e24
         |)""".stripMargin
 
+  /** Viterbi-DP CTE chain of the unigram family: dp<tag>_p per
+    * position against vocabulary CTE `vocab` ((piece, bits)) with
+    * unknown-single-char fallback cost from `vt` ((mb)); ends in
+    * seg<tag> (word, cnt, path). Reused CTEs are MATERIALIZED (the
+    * clf-oracle lesson: the chain references dp_{p−j} up to maxPiece
+    * times — default inlining would blow up exponentially). */
+  private def ulmDpCtes(tag: String, vocab: String, vt: String): String = {
+    val dp0 = s""", dp${tag}_0 AS (
+      |  SELECT word, cnt, len, 0::bigint AS bits, 0::bigint AS np,
+      |    0 AS back, []::varchar[] AS path
+      |  FROM wl)""".stripMargin
+    val steps = (1 to UlmMaxW).map { p =>
+      val cands = (math.max(0, p - UlmMaxP) until p).map { j =>
+        val plen = p - j
+        if (plen == 1)
+          s"""  SELECT d.word, d.cnt, d.len,
+             |    d.bits + coalesce(v.bits, (SELECT mb FROM $vt)) AS bits,
+             |    d.np + 1 AS np, $j AS back,
+             |    list_append(d.path, substr(d.word, ${j + 1}, 1)) AS path
+             |  FROM dp${tag}_$j d LEFT JOIN $vocab v
+             |    ON v.piece = substr(d.word, ${j + 1}, 1)
+             |  WHERE d.len >= $p""".stripMargin
+        else
+          s"""  SELECT d.word, d.cnt, d.len,
+             |    d.bits + v.bits AS bits, d.np + 1 AS np, $j AS back,
+             |    list_append(d.path, substr(d.word, ${j + 1}, $plen)) AS path
+             |  FROM dp${tag}_$j d JOIN $vocab v
+             |    ON v.piece = substr(d.word, ${j + 1}, $plen)
+             |  WHERE d.len >= $p""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s""", dp${tag}_$p AS MATERIALIZED (
+        |  SELECT word, cnt, len, bits, np, back, path FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY word
+        |      ORDER BY bits, np, back) AS rn
+        |    FROM (
+        |$cands
+        |    )
+        |  ) WHERE rn = 1)""".stripMargin
+    }.mkString
+    val segs = (1 to UlmMaxW)
+      .map(p => s"SELECT word, cnt, path FROM dp${tag}_$p WHERE len = $p")
+      .mkString(" UNION ALL ")
+    dp0 + steps + s", seg$tag AS MATERIALIZED ($segs)"
+  }
+
+  /** The unigram training chain: word table, substring seed, and
+    * UlmRounds unrolled hard-EM rounds ending in vocabulary CTEs
+    * keep<R>/vb<R>/vt<R>. */
+  private def ulmTrainCtes: String = {
+    val base = s"""WITH wf AS MATERIALIZED (
+      |  SELECT t AS word, count(*)::bigint AS cnt, length(t) AS len
+      |  FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+      |    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+      |  ) WHERE t <> '' GROUP BY t
+      |), wl AS MATERIALIZED (
+      |  SELECT word, cnt, len FROM wf WHERE len <= $UlmMaxW
+      |), sub AS (
+      |  SELECT substr(word, i, l) AS piece, sum(cnt)::bigint AS n
+      |  FROM wl CROSS JOIN range(1, ${UlmMaxW + 1}) r(i)
+      |    CROSS JOIN range(1, ${UlmMaxP + 1}) s(l)
+      |  WHERE i + l - 1 <= len
+      |  GROUP BY 1
+      |), v0 AS MATERIALIZED (
+      |  SELECT piece, n FROM sub
+      |  WHERE n >= $UlmMinFreq OR length(piece) = 1
+      |), vb0 AS MATERIALIZED (
+      |  SELECT piece, length(bin((SELECT sum(n + 1) FROM v0)))
+      |    - length(bin(n + 1)) AS bits
+      |  FROM v0
+      |), vt0 AS MATERIALIZED (
+      |  SELECT length(bin((SELECT sum(n + 1) FROM v0)))::bigint AS mb
+      |)""".stripMargin
+    val rounds = (1 to UlmRounds).map { r =>
+      ulmDpCtes(s"r$r", s"vb${r - 1}", s"vt${r - 1}") +
+        s""", cnt$r AS MATERIALIZED (
+          |  SELECT piece, sum(cnt)::bigint AS n FROM (
+          |    SELECT word, cnt, unnest(path) AS piece FROM segr$r
+          |  ) GROUP BY piece
+          |), keep$r AS MATERIALIZED (
+          |  SELECT piece, n FROM (
+          |    SELECT piece, n, row_number() OVER (ORDER BY n DESC, piece)
+          |      AS rk
+          |    FROM cnt$r
+          |  ) WHERE rk <= $UlmVSize OR length(piece) = 1
+          |), vb$r AS MATERIALIZED (
+          |  SELECT piece, length(bin((SELECT sum(n + 1) FROM keep$r)))
+          |    - length(bin(n + 1)) AS bits
+          |  FROM keep$r
+          |), vt$r AS MATERIALIZED (
+          |  SELECT length(bin((SELECT sum(n + 1) FROM keep$r)))::bigint
+          |    AS mb
+          |)""".stripMargin
+    }.mkString
+    base + rounds
+  }
+
   private def bpeEncodeSql: String =
     bpeEncodeChain("", "", "") +
       """
@@ -2320,6 +2476,34 @@ object TextPipeline {
         |FROM ws LEFT JOIN per USING (doc_id)
         |WHERE len(w) >= 5
         |ORDER BY doc_id""".stripMargin,
+
+    "q155_unigram_vocab" ->
+      (ulmTrainCtes +
+        s" SELECT piece, n FROM keep$UlmRounds ORDER BY piece"),
+
+    "q156_unigram_encode" ->
+      (ulmTrainCtes +
+        ulmDpCtes("e", s"vb$UlmRounds", s"vt$UlmRounds") +
+        s""", wtok AS MATERIALIZED (
+          |  SELECT word, array_to_string(path, ' ') AS toks,
+          |    len(path)::bigint AS npieces
+          |  FROM sege
+          |  UNION ALL
+          |  SELECT word,
+          |    array_to_string(list_filter(regexp_split_to_array(word, ''),
+          |      x -> x <> ''), ' ') AS toks,
+          |    length(word)::bigint AS npieces
+          |  FROM wf WHERE len > $UlmMaxW
+          |), dw AS (
+          |  SELECT doc_id, i AS pos, w[i] AS word FROM (
+          |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          |    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+          |  ), unnest(range(1, len(w) + 1)) AS t(i)
+          |)
+          |SELECT d.doc_id, sum(t.npieces)::bigint AS n_tokens,
+          |  md5(string_agg(t.toks, ' ' ORDER BY d.pos)) AS tok_md5
+          |FROM dw d JOIN wtok t USING (word)
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
 
     "q154_span_extent_audit" ->
       """WITH ws AS (

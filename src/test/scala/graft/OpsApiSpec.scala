@@ -1451,6 +1451,51 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Text.chunk(docs, 8, 0) }
   }
 
+  test("Text.unigramVocab learns shared morphemes and unigramEncode " +
+      "reconstructs every word losslessly (incl. novel/long words)") {
+    val corpus = ("walking talking walked talked walks talks " +
+      "jumping jumped jumps ") * 4
+    val train = Seq((1L, corpus.trim)).toDF("page_id", "body")
+    val vocab = Text.unigramVocab(train, maxPiece = 4, minFreq = 2,
+      rounds = 2, vocabSize = 64, maxWordLen = 16, textCol = "body")
+    val v = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // multi-char shared morphemes must be learned (the exact split —
+    // "walk|ing" vs "wal|king" — is a legitimate tie of the unigram
+    // objective, broken deterministically by the integer costs; don't
+    // over-pin it)
+    assert(v.contains("jump") && v.keys.count(_.length >= 3) >= 4,
+      s"shared morphemes must be learned: ${v.keys.toSeq.sorted}")
+    // partition invariance: exact-integer costs + total-order argmin
+    val v7 = Text.unigramVocab(train.repartition(7), 4, 2, 2, 64, 16,
+      "body").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v7 === v, "vocabulary must be partition-invariant")
+    // encode: every word reassembles losslessly; novel words segment
+    // via single-char fallback; >maxWordLen words char-split
+    val longWord = "x" * 20
+    val docs = Seq((10L, "walking talked zzq"), (11L, longWord))
+      .toDF("page_id", "body")
+    val out = Text.unigramEncode(docs, vocab, 4, 16, "page_id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .map(t => t._1 -> t).toMap
+    assert(out(10L)._3.replace(" ", "") === "walkingtalkedzzq",
+      s"pieces must reassemble the text: ${out(10L)}")
+    // trained words compress to 2 pieces each; the novel word zzq has
+    // no trained pieces and falls back to 3 single chars -> 7 total
+    assert(out(10L)._2 === 7L,
+      s"trained words must compress, novel words char-split: ${out(10L)}")
+    assert(out(11L)._2 === 20L && out(11L)._3 === ("x " * 19 + "x"),
+      s"over-maxWordLen words char-split: ${out(11L)}")
+    intercept[IllegalArgumentException] {
+      Text.unigramVocab(train, maxPiece = 1, textCol = "body")
+    }
+    intercept[IllegalArgumentException] {
+      Text.unigramVocab(train, rounds = 0, textCol = "body")
+    }
+    intercept[IllegalArgumentException] {
+      Text.unigramEncode(docs, vocab, 4, 33, "page_id", "body")
+    }
+  }
+
   test("Dedup.spanExtentAudit flags mixed-source island merges and " +
       "matches brute-force position coverage (the covering theorem)") {
     val docs = Seq(
