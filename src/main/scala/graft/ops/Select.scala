@@ -255,4 +255,69 @@ object Select {
       .withColumn("keep", col("p20") >= threshold20)
       .withColumnRenamed("doc_id", idCol)
   }
+
+  /** Threshold-sweep evaluation of a trained classifier — the audit
+    * companion to [[classifierScore]] (the recall-audit discipline the
+    * ANN family follows): given the scored frame (`<id>`, p20, … from
+    * [[classifierScore]]) and a labels frame (`<id>`, `<labelCol>` ∈
+    * {0,1}), emit one row per candidate threshold with the confusion
+    * matrix and integer-ppm precision/recall/F1/keep-rate. This is the
+    * curve a deployment reads to PICK threshold20 — fastText/DCLM-style
+    * filters are tuned by exactly this sweep, not by the 0.5 default.
+    *
+    * Thresholds are the `n` interior (i·2²⁰)//(n+1) grid points,
+    * i = 1..n (n = 9 → the probability deciles 0.1..0.9).
+    *
+    * 100 TB shape: the ONLY corpus-scale work is one join + one
+    * aggregate collapsing docs to the (p20, y) histogram (≤ 2·(2²⁰+1)
+    * keys at ANY corpus size — map-side combinable); the sweep itself
+    * is a broadcast nested-loop over histogram × n rows. Metrics are
+    * exact integer floor-division ppm (all terms nonnegative, so
+    * Spark's `div` ≡ DuckDB's `//`), never a double in the hash path.
+    *
+    * Output: (thr20, tp, fp, fn, tn, precision_ppm, recall_ppm,
+    * f1_ppm, keep_ppm), ordered by thr20. F1 is computed from the ppm
+    * precision/recall (the only exact-integer formulation both engines
+    * replay bit-for-bit); docs missing from `labels` are ignored
+    * (inner join — audit what you can label). */
+  def classifierEval(scored: DataFrame, labels: DataFrame,
+      nThresholds: Int = 9, idCol: String = "doc_id",
+      labelCol: String = "y"): DataFrame = {
+    require(nThresholds >= 1 && nThresholds <= 1024,
+      s"need 1 <= nThresholds <= 1024 (got $nThresholds)")
+    val spark = scored.sparkSession
+    val hist = scored.select(col(idCol).as("doc_id"), col("p20"))
+      .join(labels.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("long").as("y")), Seq("doc_id"))
+      .groupBy(col("p20"), col("y")).agg(count(lit(1)).as("c"))
+    val thr = spark.range(1, nThresholds + 1L)
+      .select(expr(s"id * ${Fp20}L div ${nThresholds + 1}").as("thr20"))
+    hist.crossJoin(broadcast(thr))
+      .groupBy(col("thr20"))
+      .agg(
+        sum(when(col("p20") >= col("thr20") && col("y") === 1L,
+          col("c")).otherwise(0L)).as("tp"),
+        sum(when(col("p20") >= col("thr20") && col("y") === 0L,
+          col("c")).otherwise(0L)).as("fp"),
+        sum(when(col("p20") < col("thr20") && col("y") === 1L,
+          col("c")).otherwise(0L)).as("fn"),
+        sum(when(col("p20") < col("thr20") && col("y") === 0L,
+          col("c")).otherwise(0L)).as("tn"))
+      .select(col("thr20"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CASE WHEN tp + fp = 0 THEN 0L" +
+          " ELSE tp * 1000000L div (tp + fp) END").as("precision_ppm"),
+        expr("CASE WHEN tp + fn = 0 THEN 0L" +
+          " ELSE tp * 1000000L div (tp + fn) END").as("recall_ppm"),
+        expr("CASE WHEN tp + fp + fn + tn = 0 THEN 0L ELSE" +
+          " (tp + fp) * 1000000L div (tp + fp + fn + tn) END")
+          .as("keep_ppm"))
+      .withColumn("f1_ppm",
+        expr("CASE WHEN precision_ppm + recall_ppm = 0 THEN 0L ELSE" +
+          " 2 * precision_ppm * recall_ppm" +
+          " div (precision_ppm + recall_ppm) END"))
+      .select(col("thr20"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"),
+        col("keep_ppm"))
+      .orderBy(col("thr20"))
+  }
 }

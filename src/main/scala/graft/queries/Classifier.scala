@@ -162,6 +162,26 @@ object Classifier {
           d.where(col("doc_id") >= cut), s.read.parquet(mPath),
           ClfThreshold20, "doc_id", "text", bucketsOf(s))
         .orderBy("doc_id")
+    }),
+
+    // ---- q158: classifier eval audit (threshold sweep) -----------------
+    // [[graft.ops.Select.classifierEval]] — the q73/q121 audit
+    // discipline applied to the classifier: score the full corpus under
+    // the q151 model (session memo — one training run feeds the whole
+    // family), label against the target source, and sweep the nine
+    // probability deciles for confusion counts + integer-ppm
+    // precision/recall/F1/keep-rate. This is the curve that PICKS
+    // threshold20 in a real deployment; on the synthetic corpus it
+    // quantifies the q152 scaladoc's "real but modest separation"
+    // claim instead of asserting it.
+    "q158_clf_eval" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val scored = graft.ops.Select.classifierScore(
+        d, modelDf(s, trainedModel(s, dir, None)),
+        ClfThreshold20, "doc_id", "text", bucketsOf(s))
+      val labels = d.select(col("doc_id"),
+        when(col("source") === tgtOf(s), 1L).otherwise(0L).as("y"))
+      graft.ops.Select.classifierEval(scored, labels)
     })
   )
 
@@ -233,9 +253,11 @@ object Classifier {
     base + iters
   }
 
-  /** The scoring tail against w<ClfIters>: tf features of
-    * `scoreWhere`-restricted docs, zn, p20/prob/keep. */
-  private def clfScoreSql(scoreWhere: String): String =
+  /** The scoring CTE chain against w<ClfIters>: tf features of
+    * `scoreWhere`-restricted docs, zn, and the `scored` CTE
+    * (doc_id, n_tokens, p20, prob, keep) shared by the q152/q153
+    * per-doc tails and the q158 eval rollup. */
+  private def clfScoreCtes(scoreWhere: String): String =
     s""", allt AS (
       |  SELECT doc_id,
       |    ('0x' || substr(md5(t),1,15))::bigint % $ClfBuckets AS h
@@ -257,17 +279,19 @@ object Classifier {
       |  FROM afeats f LEFT JOIN w$ClfIters w USING (h)
       |    JOIN ann ON ann.doc_id = f.doc_id
       |  GROUP BY f.doc_id
-      |)
-      |SELECT doc_id, n_tokens,
-      |  floor($Fp * (0.5 + 0.5 * (zn::double / $Fp40.0)
-      |    / (1.0 + abs(zn::double / $Fp40.0))))::bigint AS p20,
-      |  floor($Fp * (0.5 + 0.5 * (zn::double / $Fp40.0)
-      |    / (1.0 + abs(zn::double / $Fp40.0))))::bigint::double
-      |    / $Fp.0 AS prob,
-      |  (floor($Fp * (0.5 + 0.5 * (zn::double / $Fp40.0)
-      |    / (1.0 + abs(zn::double / $Fp40.0))))::bigint
-      |    >= $ClfThreshold20) AS keep
-      |FROM zf ORDER BY doc_id""".stripMargin
+      |), scored AS MATERIALIZED (
+      |  SELECT doc_id, n_tokens,
+      |    floor($Fp * (0.5 + 0.5 * (zn::double / $Fp40.0)
+      |      / (1.0 + abs(zn::double / $Fp40.0))))::bigint AS p20
+      |  FROM zf
+      |)""".stripMargin
+
+  private def clfScoreSql(scoreWhere: String): String =
+    clfScoreCtes(scoreWhere) +
+      s"""
+      |SELECT doc_id, n_tokens, p20, p20::double / $Fp.0 AS prob,
+      |  (p20 >= $ClfThreshold20) AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
 
   private val cutPre: String =
     "cut AS MATERIALIZED (SELECT (max(doc_id) * 4) // 5 AS c" +
@@ -284,6 +308,45 @@ object Classifier {
 
     "q153_clf_incremental_score" ->
       (clfTrainCtes(cutPre, " WHERE doc_id < (SELECT c FROM cut)") +
-        clfScoreSql(" WHERE doc_id >= (SELECT c FROM cut)"))
+        clfScoreSql(" WHERE doc_id >= (SELECT c FROM cut)")),
+
+    // lab0 (full-corpus labels) comes from the training chain; scored
+    // from the score chain — the sweep reads only the (p20, y)
+    // histogram, mirroring the op's histogram-grain design.
+    "q158_clf_eval" ->
+      (clfTrainCtes("", "") + clfScoreCtes("") +
+        s""", hist AS MATERIALIZED (
+          |  SELECT s.p20, l.y, count(*)::bigint AS c
+          |  FROM scored s JOIN lab0 l USING (doc_id) GROUP BY 1, 2
+          |), thr AS (
+          |  SELECT (i * $Fp) // 10 AS thr20 FROM range(1, 10) t(i)
+          |), conf AS (
+          |  SELECT thr20,
+          |    sum(CASE WHEN p20 >= thr20 AND y = 1 THEN c ELSE 0
+          |      END)::bigint AS tp,
+          |    sum(CASE WHEN p20 >= thr20 AND y = 0 THEN c ELSE 0
+          |      END)::bigint AS fp,
+          |    sum(CASE WHEN p20 < thr20 AND y = 1 THEN c ELSE 0
+          |      END)::bigint AS fn,
+          |    sum(CASE WHEN p20 < thr20 AND y = 0 THEN c ELSE 0
+          |      END)::bigint AS tn
+          |  FROM hist CROSS JOIN thr GROUP BY thr20
+          |), met AS (
+          |  SELECT thr20, tp, fp, fn, tn,
+          |    CASE WHEN tp + fp = 0 THEN 0
+          |      ELSE (tp * 1000000) // (tp + fp) END AS precision_ppm,
+          |    CASE WHEN tp + fn = 0 THEN 0
+          |      ELSE (tp * 1000000) // (tp + fn) END AS recall_ppm,
+          |    CASE WHEN tp + fp + fn + tn = 0 THEN 0 ELSE
+          |      ((tp + fp) * 1000000) // (tp + fp + fn + tn)
+          |    END AS keep_ppm
+          |  FROM conf
+          |)
+          |SELECT thr20, tp, fp, fn, tn, precision_ppm, recall_ppm,
+          |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0 ELSE
+          |    (2 * precision_ppm * recall_ppm)
+          |      // (precision_ppm + recall_ppm) END AS f1_ppm,
+          |  keep_ppm
+          |FROM met ORDER BY thr20""".stripMargin)
   )
 }

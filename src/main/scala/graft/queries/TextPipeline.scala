@@ -724,6 +724,34 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q157: incremental unigram encode vs the persisted vocabulary --
+    // q156 as the crawl loop runs it — the q133 discipline applied to
+    // the unigram side: the snapshot's vocabulary persists (≤ vocabSize
+    // rows via the public [[graft.ops.Text.unigramVocab]] frame;
+    // retraining per batch would silently re-tokenize committed data),
+    // each batch doc encodes through the FROZEN pieces, and fertility
+    // (tokens/word) is the drift number a deployment watches. Closes
+    // the {train, infer, incremental} triangle for BOTH tokenizer
+    // algorithms.
+    "q157_incremental_unigram_encode" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val vPath = ulmVocabIndex(s, dir, cut)
+      val batch = d.where(col("doc_id") >= cut)
+      val nw = batch
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), wordCount(col("text")).as("n_words"))
+      graft.ops.Text.unigramEncode(batch, s.read.parquet(vPath),
+          UlmMaxP, UlmMaxW)
+        .join(nw, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          md5(col("tokens")).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q154: span-extent fidelity audit (k-gram islands vs truth) ----
     // Thin binding over [[graft.ops.Dedup.spanExtentAudit]] — the q73
     // discipline applied to the span family: per q128 island extent,
@@ -1792,6 +1820,19 @@ object TextPipeline {
 
   /** The persisted BPE merge-table artifact behind q133 — built via
     * the public frame definition ([[graft.ops.Text.bpeVocab]]). */
+  /** The persisted frozen-vocabulary artifact behind q157 — built via
+    * the public op (the bpeMergeIndex discipline). */
+  private[graft] def ulmVocabIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "ulm_vocab",
+        s"$dir#$cut#p$UlmMaxP-f$UlmMinFreq-r$UlmRounds-v$UlmVSize" +
+          s"-w$UlmMaxW", Some(s"$dir/documents.parquet")) {
+      graft.ops.Text.unigramVocab(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut),
+        UlmMaxP, UlmMinFreq, UlmRounds, UlmVSize, UlmMaxW)
+    }
+
   private[graft] def bpeMergeIndex(s: SparkSession, dir: String,
       cut: Long): String =
     graft.sources.SideTable.ensure(s, "bpe_merges",
@@ -2022,11 +2063,12 @@ object TextPipeline {
     * seg<tag> (word, cnt, path). Reused CTEs are MATERIALIZED (the
     * clf-oracle lesson: the chain references dp_{p−j} up to maxPiece
     * times — default inlining would blow up exponentially). */
-  private def ulmDpCtes(tag: String, vocab: String, vt: String): String = {
+  private def ulmDpCtes(tag: String, vocab: String, vt: String,
+      wl: String = "wl"): String = {
     val dp0 = s""", dp${tag}_0 AS (
       |  SELECT word, cnt, len, 0::bigint AS bits, 0::bigint AS np,
       |    0 AS back, []::varchar[] AS path
-      |  FROM wl)""".stripMargin
+      |  FROM $wl)""".stripMargin
     val steps = (1 to UlmMaxW).map { p =>
       val cands = (math.max(0, p - UlmMaxP) until p).map { j =>
         val plen = p - j
@@ -2064,12 +2106,17 @@ object TextPipeline {
   /** The unigram training chain: word table, substring seed, and
     * UlmRounds unrolled hard-EM rounds ending in vocabulary CTEs
     * keep<R>/vb<R>/vt<R>. */
-  private def ulmTrainCtes: String = {
-    val base = s"""WITH wf AS MATERIALIZED (
+  private def ulmTrainCtes: String = ulmTrainCtesFrom("", "")
+
+  /** `pre` opens extra leading CTEs; `docWhere` restricts the TRAINING
+    * corpus (the q157 old slice, the clfTrainCtes convention). */
+  private def ulmTrainCtesFrom(pre: String, docWhere: String): String = {
+    val base = s"""WITH ${pre}wf AS MATERIALIZED (
       |  SELECT t AS word, count(*)::bigint AS cnt, length(t) AS len
       |  FROM (
       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
-      |    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND len(trim(text)) > 0$docWhere
       |  ) WHERE t <> '' GROUP BY t
       |), wl AS MATERIALIZED (
       |  SELECT word, cnt, len FROM wf WHERE len <= $UlmMaxW
@@ -2501,6 +2548,51 @@ object TextPipeline {
           |  ), unnest(range(1, len(w) + 1)) AS t(i)
           |)
           |SELECT d.doc_id, sum(t.npieces)::bigint AS n_tokens,
+          |  md5(string_agg(t.toks, ' ' ORDER BY d.pos)) AS tok_md5
+          |FROM dw d JOIN wtok t USING (word)
+          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // Trains the vocabulary on the OLD slice only; the batch's own word
+    // table drives the encode DP (the artifact rows ARE that converged
+    // vocabulary, persisted).
+    "q157_incremental_unigram_encode" ->
+      (ulmTrainCtesFrom(
+          "cut AS MATERIALIZED (SELECT (max(doc_id) * 4) // 5 AS c" +
+            " FROM documents), ",
+          " AND doc_id < (SELECT c FROM cut)") +
+        s""", wfE AS MATERIALIZED (
+          |  SELECT t AS word, count(*)::bigint AS cnt, length(t) AS len
+          |  FROM (
+          |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          |    FROM documents
+          |    WHERE text IS NOT NULL AND len(trim(text)) > 0
+          |      AND doc_id >= (SELECT c FROM cut)
+          |  ) WHERE t <> '' GROUP BY t
+          |), wlE AS MATERIALIZED (
+          |  SELECT word, cnt, len FROM wfE WHERE len <= $UlmMaxW
+          |)""".stripMargin +
+        ulmDpCtes("e", s"vb$UlmRounds", s"vt$UlmRounds", "wlE") +
+        s""", wtok AS MATERIALIZED (
+          |  SELECT word, array_to_string(path, ' ') AS toks,
+          |    len(path)::bigint AS npieces
+          |  FROM sege
+          |  UNION ALL
+          |  SELECT word,
+          |    array_to_string(list_filter(regexp_split_to_array(word, ''),
+          |      x -> x <> ''), ' ') AS toks,
+          |    length(word)::bigint AS npieces
+          |  FROM wfE WHERE len > $UlmMaxW
+          |), dw AS (
+          |  SELECT doc_id, nw, i AS pos, w[i] AS word FROM (
+          |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+          |      len(regexp_split_to_array(trim(text), '\\s+'))::bigint AS nw
+          |    FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+          |      AND doc_id >= (SELECT c FROM cut)
+          |  ), unnest(range(1, len(w) + 1)) AS t(i)
+          |)
+          |SELECT d.doc_id, max(d.nw)::bigint AS n_words,
+          |  sum(t.npieces)::bigint AS n_tokens,
+          |  sum(t.npieces)::bigint::double / max(d.nw)::double AS fertility,
           |  md5(string_agg(t.toks, ' ' ORDER BY d.pos)) AS tok_md5
           |FROM dw d JOIN wtok t USING (word)
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),

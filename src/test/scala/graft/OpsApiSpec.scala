@@ -1624,4 +1624,35 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no sort-merge join in the scoring plan:\n$plan")
   }
+
+  test("Select.classifierEval sweeps exact integer-ppm confusion " +
+      "metrics over the threshold grid and ignores unlabeled docs") {
+    val scored = Seq((100L, 1000000L), (101L, 600000L), (102L, 500000L),
+        (103L, 100000L), (104L, 300000L), (105L, 999999L))
+      .toDF("page_id", "p20")
+    val labels = Seq((100L, 1L), (101L, 1L), (102L, 0L), (103L, 0L),
+        (104L, 1L)) // 105 unlabeled — must be excluded (inner join)
+      .toDF("page_id", "gold")
+    val out = Select.classifierEval(scored, labels, nThresholds = 3,
+        idCol = "page_id", labelCol = "gold")
+    assert(out.columns.toSeq === Seq("thr20", "tp", "fp", "fn", "tn",
+      "precision_ppm", "recall_ppm", "f1_ppm", "keep_ppm"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+      r.getLong(6), r.getLong(7), r.getLong(8)))
+    // thresholds are the interior quartiles of 2^20: 262144/524288/786432
+    assert(rows.toSeq === Seq(
+      (262144L, 3L, 1L, 0L, 1L, 750000L, 1000000L, 857142L, 800000L),
+      (524288L, 2L, 0L, 1L, 2L, 1000000L, 666666L, 799999L, 400000L),
+      (786432L, 1L, 0L, 2L, 2L, 1000000L, 333333L, 499999L, 200000L)))
+    // the sweep rides the (p20, y) histogram: the only join touching
+    // threshold rows is a broadcast nested-loop at histogram grain
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"threshold sweep must broadcast over the histogram:\n$plan")
+    intercept[IllegalArgumentException] {
+      Select.classifierEval(scored, labels, nThresholds = 0,
+        idCol = "page_id", labelCol = "gold")
+    }
+  }
 }
