@@ -224,6 +224,233 @@ object Dedup {
         (col("occ") >= 2L).as("exact"))
   }
 
+  /** Exact global ordinal (1-based, dense over DISTINCT keys) of each
+    * row of `distinctKeys` in the `order` total order — the q145
+    * two-level discipline: one range shuffle, per-partition
+    * row_numbers, a ≤|partitions|-row driver read for offsets. Keys
+    * must be distinct (the callers rank DISTINCT frames), so the
+    * ordinal is dense AND boundary-invariant: offset + position in
+    * one total order, identical under any range sampling. */
+  private def globalOrdinals(distinctKeys: DataFrame,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = distinctKeys.sparkSession
+    val np = s.sparkContext.defaultParallelism
+    val p = distinctKeys.repartitionByRange(np, order: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pins pid; read by counts and ranks
+    val counts = p.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ np rows
+    val offsets = counts.sortBy(_._1)
+      .scanLeft((0, 0L, 0L)) { case ((_, acc, _), (pid, c)) =>
+        (pid, acc + c, acc) }.drop(1).map(t => (t._1, t._3))
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("pid", "off")
+    val w = Window.partitionBy(col("pid")).orderBy(order: _*)
+    p.join(broadcast(offDf), Seq("pid"))
+      .withColumn("r", row_number().over(w).cast("long") + col("off"))
+      .drop("pid", "off")
+  }
+
+  /** TRUE Lee-et-al ExactSubstr span detection (arXiv:2107.06499
+    * §4.1) — per document, every MAXIMAL span of ≥ `k` tokens whose
+    * full token sequence occurs verbatim at least twice corpus-wide,
+    * with EXACT boundaries and exact match lengths. This is the
+    * suffix-array-grade operator [[spanDups]] approximates: islands
+    * merge duplicated fixed-k grams and can over-claim extents that
+    * duplicate against DIFFERENT sources (the artifact [[
+    * spanExtentAudit]] measures); here every reported span is
+    * duplicated AS A UNIT, by construction.
+    *
+    * Algorithm — prefix doubling (Manber–Myers 1990), relationally:
+    * rank₁ = global ordinal of each token over the distinct
+    * vocabulary; rank₂ₕ = global ordinal of the (rankₕ(i),
+    * rankₕ(i+h)) pair over its distinct values (out-of-range → −1,
+    * so a shorter suffix sorts before its extensions and two
+    * suffixes share rankₕ iff their first h tokens AND truncated
+    * lengths agree — suffixes never cross document boundaries).
+    * log₂(`maxSpan`) doubling rounds build the sparse rank table;
+    * then (1) candidate positions — those with SOME ≥ k verbatim
+    * match — fall out of one duplicated-pair count at level
+    * 2^⌊log₂k⌋; (2) per distinct `maxSpan`-rank, groups of size ≥ 2
+    * match to min(`maxSpan`, remaining) immediately; (3) singleton
+    * ranks get their exact match length as the max LCP with the two
+    * ADJACENT ranks' representatives (the suffix-order property:
+    * the best match of any suffix is an order-neighbor), via the
+    * standard log₂(`maxSpan`)-round descend over the rank levels;
+    * (4) spans below `k` drop, and a per-document running-max of
+    * span ends keeps only maximal (uncontained) spans.
+    *
+    * Output: (<id>, start_tok (1-based), n_tok, clamped), one row
+    * per maximal duplicated span. `n_tok` is exact up to `maxSpan`;
+    * a span whose true match extends past `maxSpan` reports
+    * n_tok = `maxSpan` with clamped = true (a longer duplicated
+    * region appears as a chain of clamped spans, each advancing the
+    * covered end — positions covered are still exact).
+    *
+    * 100 TB shape: the most shuffle-intensive operator in the engine
+    * — deliberately, because this is ExactSubstr's price (the
+    * reference paper runs a dedicated suffix-array pipeline for it;
+    * the k-gram family [[spanDups]]/[[winnow]] is the cheap path and
+    * stays the default). Everything is bounded and corpus-linear per
+    * round: log₂(maxSpan) doubling rounds, each one self-join + one
+    * distinct + one range-shuffle ordinal over ≤ |positions| narrow
+    * rows; the retained rank levels are the log₂(maxSpan)·n-row
+    * sparse-table artifact; the descend runs log₂(maxSpan) rounds
+    * over ≤ |candidate ranks| pairs (candidates pruned FIRST, and
+    * consecutive-rank pairs where either side lacks a ≥ k match
+    * cannot reach lcp ≥ k — dropped before the descend). No
+    * all-pairs joins, no per-token iteration, no driver-side data
+    * beyond the ≤ np-row ordinal offsets. */
+  def exactSubstrSpans(docs: DataFrame, k: Int = 5, maxSpan: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    require(maxSpan >= k && maxSpan <= 1024 &&
+      Integer.bitCount(maxSpan) == 1,
+      s"maxSpan must be a power of two with k <= maxSpan <= 1024 " +
+        s"(got $maxSpan)")
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val np = s.sparkContext.defaultParallelism
+    val toks = docs.repartition(np, col(idCol))
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .where(size(col("w")) >= k)
+      .select(col("doc_id"), size(col("w")).cast("long").as("len"),
+        posexplode(col("w")).as(Seq("p", "term")))
+      .select(col("doc_id"), col("len"), col("p").cast("long").as("pos"),
+        col("term"))
+      .localCheckpoint() // feeds rank1 and the vocabulary
+    val vocab = globalOrdinals(toks.select(col("term")).distinct(),
+      Seq(col("term")))
+    var rh = toks.join(vocab, "term")
+      .select(col("doc_id"), col("len"), col("pos"), col("r"))
+      .localCheckpoint() // rank level 1
+    var levels = Map(1 -> rh)
+    val b = Integer.highestOneBit(k)
+    // (1) candidates: dup(i, k) via the (rank_b(i), rank_b(i+k−b))
+    // pair over the FULL level-b frame; every later round then prunes
+    // to the candidate neighborhood [c, c+maxSpan) — the only windows
+    // any later consumer (doubling recursion, cap groups, descend)
+    // ever reads (see scaladoc), and dup density is typically a few
+    // percent of the corpus, so the expensive high rounds shrink by
+    // that factor.
+    var cands: DataFrame = null
+    def candidatesAt(rb: DataFrame): DataFrame = {
+      val candPair = (if (b == k)
+        rb.where(col("len") - col("pos") >= k)
+          .select(col("doc_id"), col("pos"), col("r").as("c1"),
+            lit(0L).as("c2"))
+      else {
+        val second = rb.select(col("doc_id"),
+          (col("pos") - (k - b)).as("pos"), col("r").as("c2"))
+        rb.where(col("len") - col("pos") >= k)
+          .join(second, Seq("doc_id", "pos"))
+          .select(col("doc_id"), col("pos"), col("r").as("c1"),
+            col("c2"))
+      }).localCheckpoint() // read by the dup count and the semi join
+      val dupKeys = candPair.groupBy(col("c1"), col("c2"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 2)
+        .select(col("c1"), col("c2"))
+      candPair.join(dupKeys, Seq("c1", "c2"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+        .localCheckpoint() // read by the keep filter and the semi joins
+    }
+    val keepW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rangeBetween(-(maxSpan - 1).toLong, 0L)
+    var h = 1
+    while (h < maxSpan) {
+      if (h == b) {
+        cands = candidatesAt(rh)
+        rh = rh
+          .join(cands.withColumn("c", lit(1)),
+            Seq("doc_id", "pos"), "left")
+          .withColumn("keep", max(col("c")).over(keepW))
+          .where(col("keep") === 1)
+          .select(col("doc_id"), col("len"), col("pos"), col("r"))
+          .localCheckpoint() // the pruned level-b frame seeds the rest
+      }
+      val shifted = rh.select(col("doc_id"),
+        (col("pos") - h).as("pos"), col("r").as("r2"))
+      val paired = rh.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("len"), col("pos"),
+          col("r").as("r1"), coalesce(col("r2"), lit(-1L)).as("r2"))
+      val pr = globalOrdinals(
+        paired.select(col("r1"), col("r2")).distinct(),
+        Seq(col("r1"), col("r2")))
+      rh = paired.join(pr, Seq("r1", "r2"))
+        .select(col("doc_id"), col("len"), col("pos"), col("r"))
+        .localCheckpoint() // rank level 2h; truncates the round's lineage
+      h *= 2
+      levels += (h -> rh)
+    }
+    if (cands == null) cands = candidatesAt(levels(b)) // k == maxSpan
+    // (2) maxSpan-rank groups over candidate positions only (a
+    // cap-group is all-candidates or all-non — see scaladoc theorem)
+    val capRanks = levels(maxSpan)
+      .join(cands, Seq("doc_id", "pos"), "left_semi")
+      .localCheckpoint() // read by group stats and the L assembly
+    val gstats = capRanks.groupBy(col("r"))
+      .agg(count(lit(1)).as("gc"),
+        min(struct(col("doc_id"), col("pos"))).as("rep"))
+      .localCheckpoint() // read by the adjacency build and L assembly
+    // (3) LCP descend over consecutive-candidate-rank rep pairs
+    var adj = gstats.select(col("r"),
+        col("rep").getField("doc_id").as("d1"),
+        col("rep").getField("pos").as("p1"))
+      .join(gstats.select((col("r") - 1).as("r"),
+        col("rep").getField("doc_id").as("d2"),
+        col("rep").getField("pos").as("p2")), Seq("r"))
+      .withColumn("acc", lit(0L))
+      .localCheckpoint()
+    var hh = maxSpan / 2
+    while (hh >= 1) {
+      val lv = levels(hh)
+      val la = lv.select(col("doc_id").as("d1"),
+        col("pos").as("q1"), col("r").as("ra"))
+      val lb = lv.select(col("doc_id").as("d2"),
+        col("pos").as("q2"), col("r").as("rb"))
+      adj = adj
+        .withColumn("q1", col("p1") + col("acc"))
+        .withColumn("q2", col("p2") + col("acc"))
+        .join(la, Seq("d1", "q1"), "left")
+        .join(lb, Seq("d2", "q2"), "left")
+        .withColumn("acc", col("acc") +
+          when(col("ra").isNotNull && col("rb").isNotNull &&
+            col("ra") === col("rb"), hh.toLong).otherwise(0L))
+        .select(col("r"), col("d1"), col("p1"), col("d2"), col("p2"),
+          col("acc"))
+        .localCheckpoint() // log2(maxSpan) rounds; truncate each
+      hh /= 2
+    }
+    // neighbor LCP per rank: pair keyed by the LOWER rank r covers
+    // ranks r (right neighbor) and r+1 (left neighbor)
+    val lcpDf = adj.select(col("r"), col("acc").as("lcp"))
+    val nbr = lcpDf
+      .unionByName(lcpDf.select((col("r") + 1).as("r"), col("lcp")))
+      .groupBy(col("r")).agg(max(col("lcp")).as("nlcp"))
+    // (4) exact L per candidate position, then maximal spans per doc
+    val lf = capRanks
+      .join(gstats.select(col("r"), col("gc")), "r")
+      .join(nbr, Seq("r"), "left")
+      .select(col("doc_id"), col("pos"), col("len"),
+        when(col("gc") >= 2,
+          least(lit(maxSpan.toLong), col("len") - col("pos")))
+          .otherwise(coalesce(col("nlcp"), lit(0L))).as("l"))
+      .where(col("l") >= k)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // clamped ⟺ the true match may extend past maxSpan: l hit the cap
+    // AND tokens remain past it (l == maxSpan == remaining is exact —
+    // and singleton LCPs are ≤ maxSpan−1 by construction)
+    lf.withColumn("pe", max(col("pos") + col("l")).over(w))
+      .where(col("pe").isNull || col("pos") + col("l") > col("pe"))
+      .select(col("doc_id").as(idCol),
+        (col("pos") + 1L).as("start_tok"), col("l").as("n_tok"),
+        (col("l") === maxSpan.toLong &&
+          col("len") - col("pos") > maxSpan.toLong).as("clamped"))
+  }
+
   /** The distinct k-gram hash inventory of a corpus — what a crawl
     * loop PERSISTS per snapshot so batches can be scored for spans
     * already present in the corpus ([[spanDupScore]], the

@@ -192,6 +192,8 @@ object TextPipeline {
     * graft.ulm.* session knobs exist for deployment, non-default
     * values are not verify-gate material). */
   private val UlmMaxW = 16
+  /** q159 ExactSubstr match-length cap (the q128 k knob is shared). */
+  private val SubstrCap = 64
   private val UlmMaxP = 4
   private val UlmMinFreq = 2L
   private val UlmRounds = 2
@@ -769,6 +771,23 @@ object TextPipeline {
         .getOrElse(2L)
       graft.ops.Dedup.spanExtentAudit(
           Graft.parquetSource(s, dir).table("documents"), k, mc)
+        .orderBy("doc_id", "start_tok")
+    }),
+
+    // ---- q159: ExactSubstr maximal duplicated spans (suffix grade) ----
+    // Thin binding over [[graft.ops.Dedup.exactSubstrSpans]] — the
+    // TRUE Lee-et-al ExactSubstr operator (prefix-doubling suffix
+    // ranks): per document every MAXIMAL span of ≥ k tokens whose full
+    // sequence occurs verbatim ≥ 2 times corpus-wide, exact boundaries
+    // and exact lengths up to the maxSpan cap (clamped spans chain, so
+    // covered positions stay exact). The suffix-grade exact path next
+    // to the k-gram approximation (q128) its audit measures (q154).
+    "q159_exact_substr_spans" -> ((s, dir) => {
+      val k = s.conf.getOption("graft.span.k").map(_.toInt).getOrElse(5)
+      val cap = s.conf.getOption("graft.substr.maxSpan").map(_.toInt)
+        .getOrElse(SubstrCap)
+      graft.ops.Dedup.exactSubstrSpans(
+          Graft.parquetSource(s, dir).table("documents"), k, cap)
         .orderBy("doc_id", "start_tok")
     }),
 
@@ -2596,6 +2615,37 @@ object TextPipeline {
           |  md5(string_agg(t.toks, ' ' ORDER BY d.pos)) AS tok_md5
           |FROM dw d JOIN wtok t USING (word)
           |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+
+    // Ground truth for ExactSubstr is brute-forceable at oracle scale:
+    // every window of every length in [k, cap], duplicated per-length,
+    // max duplicated length per start, then the same running-max
+    // maximal filter the engine applies.
+    "q159_exact_substr_spans" ->
+      s"""WITH ws AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), dd AS (SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) >= 5),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, n, i AS s, m, array_to_string(w[i:i+m-1], ' ') AS gram
+        |  FROM dd, unnest(range(1, n + 1)) AS t(i),
+        |    unnest(range(5, ${SubstrCap + 1})) AS r(m)
+        |  WHERE i + m - 1 <= n
+        |), dupw AS (
+        |  SELECT m, gram FROM win GROUP BY m, gram HAVING count(*) >= 2
+        |), lmax AS (
+        |  SELECT win.doc_id, win.s, win.n, max(win.m)::bigint AS L
+        |  FROM win JOIN dupw d ON d.m = win.m AND d.gram = win.gram
+        |  GROUP BY win.doc_id, win.s, win.n
+        |), fin AS (
+        |  SELECT doc_id, s, n, L,
+        |    max(s + L) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |  FROM lmax
+        |)
+        |SELECT doc_id, s::bigint AS start_tok, L AS n_tok,
+        |  (L = $SubstrCap AND n - s + 1 > $SubstrCap) AS clamped
+        |FROM fin WHERE pe IS NULL OR s + L > pe
+        |ORDER BY doc_id, start_tok""".stripMargin,
 
     "q154_span_extent_audit" ->
       """WITH ws AS (

@@ -1655,4 +1655,89 @@ class OpsApiSpec extends AnyFunSuite {
         idCol = "page_id", labelCol = "gold")
     }
   }
+
+  test("Dedup.exactSubstrSpans finds maximal verbatim-duplicated " +
+      "spans with exact boundaries, matching brute force") {
+    // the spanExtentAudit corpus: doc 1's adjacent X/Y runs duplicate
+    // against DIFFERENT docs — the k-gram islands merge them into one
+    // over-claimed extent; ExactSubstr must report them as TWO spans
+    val docs = Seq(
+      (1L, "x1 x2 x3 y1 y2 y3"),
+      (2L, "b1 x1 x2 x3 b2 b3"),
+      (3L, "c1 c2 y1 y2 y3 c3"),
+      (4L, "d1 s1 s2 s3 s4 d2"),
+      (5L, "e1 e2 s1 s2 s3 s4"),
+      (6L, "n1 n2 n3 n4 n5 n6"))
+      .toDF("page_id", "body")
+    val out = Dedup.exactSubstrSpans(docs, k = 3, maxSpan = 8,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 3L, false), (1L, 4L, 3L, false), // NOT one merged span
+      (2L, 2L, 3L, false), (3L, 3L, 3L, false),
+      (4L, 2L, 4L, false), (5L, 3L, 4L, false)))
+    // brute-force cross-check: maximal duplicated spans, cap maxSpan
+    val k = 3; val cap = 8
+    val toks = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, w) <- toks; m <- k to math.min(cap, w.length);
+         i <- 0 to w.length - m)
+      winCount.updateWith(w.slice(i, i + m).mkString(" "))(
+        c => Some(c.getOrElse(0) + 1))
+    val truth = (for ((id, w) <- toks.toSeq) yield {
+      val ls = w.indices.map { i =>
+        val ms = (k to math.min(cap, w.length - i)).filter(m =>
+          winCount(w.slice(i, i + m).mkString(" ")) >= 2)
+        i -> (if (ms.isEmpty) 0 else ms.max)
+      }.filter(_._2 >= k)
+      // maximal filter: keep i where i+L exceeds every previous end
+      var best = -1
+      ls.flatMap { case (i, l) =>
+        if (i + l > best) { best = i + l; Some((id, (i + 1).toLong,
+          l.toLong)) } else None
+      }
+    }).flatten.toSet
+    assert(out.map(t => (t._1, t._2, t._3)).toSet === truth,
+      s"must equal brute-force maximal duplicated spans")
+    // partition invariance
+    val out7 = Dedup.exactSubstrSpans(docs.repartition(7), k = 3,
+        maxSpan = 8, idCol = "page_id", textCol = "body")
+      .orderBy("page_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(out7.toSeq === out.toSeq,
+      "spans must be identical under any input partitioning")
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrSpans(docs, k = 1, idCol = "page_id",
+        textCol = "body")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.exactSubstrSpans(docs, k = 3, maxSpan = 48,
+        idCol = "page_id", textCol = "body") // not a power of two
+    }
+  }
+
+  test("Dedup.exactSubstrSpans clamps at maxSpan as a covering chain " +
+      "and flags only truly-extendable spans") {
+    // two identical 6-token docs, maxSpan = 4: L(pos) = min(4, rem);
+    // the maximal chain is starts 1/2/3 with ends 5/6/7 — start 3 has
+    // rem exactly 4, so its span is EXACT (clamped = false)
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6"),
+      (2L, "c1 c2 c3 c4 c5 c6"))
+      .toDF("page_id", "body")
+    val out = Dedup.exactSubstrSpans(docs, k = 2, maxSpan = 4,
+        idCol = "page_id", textCol = "body")
+      .where(col("page_id") === 1L)
+      .orderBy("start_tok").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq((1L, 4L, true), (2L, 4L, true),
+      (3L, 4L, false)))
+    // covered positions are exact despite clamping: 1..6
+    val covered = out.flatMap { case (st, n, _) => st until st + n }.toSet
+    assert(covered === (1L to 6L).toSet)
+  }
 }
