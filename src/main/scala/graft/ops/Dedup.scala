@@ -552,9 +552,23 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("tpos"))
       .distinct()
+    trimCovered(base, cov, idCol)
+  }
+
+  /** Shared trim tail of [[spanTrim]] and [[trimSpans]]: cut the
+    * `cov` (doc_id, tpos) positions out of the tokenized `base`
+    * (doc_id, w) and reassemble survivors in position order. The cut
+    * is a narrow (doc, pos)-keyed anti-join; reassembly is a
+    * per-document sort of that document's own kept tokens (array_sort
+    * over a collect_list — bounded by document length, no corpus-wide
+    * window, no lambda HOFs: the struct-field extraction is the
+    * codegen'd GetArrayStructFields). */
+  private def trimCovered(base: DataFrame, cov: DataFrame,
+      idCol: String): DataFrame = {
     val tok = base
       .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("tpos"),
+        col("tok"))
     val kept = tok.join(cov, Seq("doc_id", "tpos"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -569,6 +583,42 @@ object Dedup {
         (col("n_words") - coalesce(col("n_kept"), lit(0L))).cast("long")
           .as("n_removed"),
         coalesce(col("ct"), lit("")).as("clean_text"))
+  }
+
+  /** ACT on an explicit span frame: rewrite each document with every
+    * token position covered by a (<id>, `startCol`, `lenCol`) span
+    * REMOVED — the generic trim that composes with any span detector.
+    * With [[exactSubstrSpans]] output this is the Lee-et-al
+    * ExactSubstr remediation at suffix grade (the released
+    * deduplicate-text-datasets tool likewise cuts EVERY occurrence of
+    * a duplicated byte range; exact boundaries mean no innocent
+    * neighbors are cut, unlike the k-gram islands, whose extents can
+    * over-claim — q154 measures that); with [[spanDups]] output it
+    * reproduces [[spanTrim]]. Same output contract as [[spanTrim]]:
+    * (<id>, n_words, n_removed, clean_text), clean_text
+    * whitespace-normalized, empty-and-null-text documents absent,
+    * documents with no spans pass through untrimmed.
+    *
+    * Scale shape: `spans` is span-grain (≪ corpus — duplicated
+    * extents only); covered positions are one explode of it, Σ n_tok
+    * rows, distinct'd on (doc, pos); then the [[trimCovered]]
+    * anti-join + per-doc reassembly. One corpus tokenization pass,
+    * checkpoint-shared by the token stream and the totals. */
+  def trimSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      startCol: String = "start_tok", lenCol: String = "n_tok")
+      : DataFrame = {
+    val base = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .localCheckpoint() // read by tokens and totals
+    val cov = spans.select(col(idCol).as("doc_id"),
+        explode(sequence(col(startCol).cast("long"),
+          col(startCol).cast("long") + col(lenCol).cast("long") - 1L))
+          .as("tpos"))
+      .distinct()
+    trimCovered(base, cov, idCol)
   }
 
   /** Cross-source overlap matrix — the inter-source contamination

@@ -730,6 +730,72 @@ object Text {
         col("n_tokens").cast("long").as("n_tokens"), col("tokens"))
   }
 
+  /** Tokenizer evaluation battery — the report a deployment reads to
+    * PICK a tokenizer (BPE vs unigram vs a retrain): corpus-level
+    * fertility (tokens per word), compression (word chars per token),
+    * type inventory actually used, and the single-character-piece
+    * rate (the char-fallback/fragmentation signal — unigram novel
+    * words char-split, BPE under-merged words stay as characters).
+    * `enc` is any encode frame carrying a space-joined `tokCol`
+    * string per document (the [[bpeEncode]]/[[unigramEncode]]
+    * contract); tokens ending in `endMark` count their symbol length
+    * without the marker. Only documents present in the non-empty
+    * `docs` base contribute (the word totals and the token totals
+    * cover the same corpus).
+    *
+    * Output: one row — (tokenizer, n_docs, n_words, n_chars,
+    * n_tokens, n_token_types, n_char_tokens, fert_ppm,
+    * chars_per_tok_ppm, char_tok_ppm), all counts exact longs and the
+    * ratios exact integer floor-division ppm. Union rows over several
+    * tokenizers for the comparison table.
+    *
+    * Scale shape: two corpus-linear explodes (words, tokens), each
+    * collapsing through map-side-combinable global aggregates; the
+    * type count is one distinct on the token column; the final join
+    * of three 1-row frames is a broadcast nested loop at metadata
+    * grain. No per-doc state survives the aggregates. */
+  def tokenizerEval(docs: DataFrame, enc: DataFrame, label: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      tokCol: String = "tokens", endMark: String = "</w>"): DataFrame = {
+    require(label.nonEmpty, "label must be non-empty")
+    val base = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .localCheckpoint() // read by the doc count and the word totals
+    val nd = base.agg(count(lit(1)).as("n_docs"))
+    val corpus = base
+      .select(explode(col("w")).as("word")).where(col("word") =!= "")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"))
+    val symLen = when(col("tok").endsWith(endMark),
+      length(col("tok")) - endMark.length).otherwise(length(col("tok")))
+    val tstats = enc
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(tokCol), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .join(base.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_token_types"),
+        sum((symLen === 1).cast("long")).as("n_char_tokens"))
+    nd.crossJoin(corpus).crossJoin(tstats)
+      .select(lit(label).as("tokenizer"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_words").cast("long").as("n_words"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_token_types").cast("long").as("n_token_types"),
+        col("n_char_tokens").cast("long").as("n_char_tokens"),
+        expr("CASE WHEN n_words = 0 THEN 0 ELSE" +
+          " n_tokens * 1000000 div n_words END").cast("long")
+          .as("fert_ppm"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE" +
+          " n_chars * 1000000 div n_tokens END").cast("long")
+          .as("chars_per_tok_ppm"),
+        expr("CASE WHEN n_tokens = 0 THEN 0 ELSE" +
+          " n_char_tokens * 1000000 div n_tokens END").cast("long")
+          .as("char_tok_ppm"))
+  }
+
   /** Gopher-style within-document repetition signals (Rae et al.,
     * "Scaling Language Models: Methods, Analysis & Insights from
     * Training Gopher", arXiv:2112.11446, Table A1) at word grain —

@@ -1740,4 +1740,74 @@ class OpsApiSpec extends AnyFunSuite {
     val covered = out.flatMap { case (st, n, _) => st until st + n }.toSet
     assert(covered === (1L to 6L).toSet)
   }
+
+  test("Text.tokenizerEval reduces any encode frame to the exact " +
+      "corpus battery") {
+    val docs = Seq((1L, "ab ab cd"), (2L, "ab x"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    // a fake encode: doc 4 is NOT in the docs base and must not count
+    val enc = Seq((1L, "ab</w> ab</w> c d</w>"), (2L, "ab</w> x</w>"),
+      (4L, "zz zz")).toDF("page_id", "tokens")
+    val out = Text.tokenizerEval(docs, enc, "toy", idCol = "page_id",
+      textCol = "body").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "toy")
+    // n_docs=2, n_words=5, n_chars=9, n_tokens=6, types=4 (ab</w>,
+    // c, d</w>, x</w>), char tokens=3 (c, d</w>, x</w> — symbol
+    // length 1 after the </w> marker), fert 6/5, cpt 9/6, char 3/6
+    assert((1 to 9).map(r.getLong) === Seq(2L, 5L, 9L, 6L, 4L, 3L,
+      1200000L, 1500000L, 500000L))
+    // partition invariance
+    val r7 = Text.tokenizerEval(docs.repartition(7), enc.repartition(5),
+      "toy", idCol = "page_id", textCol = "body").collect().head
+    assert(r7.toSeq === r.toSeq)
+    intercept[IllegalArgumentException] {
+      Text.tokenizerEval(docs, enc, "", idCol = "page_id",
+        textCol = "body")
+    }
+  }
+
+  test("Dedup.trimSpans cuts exactly the span-covered positions and " +
+      "reassembles survivors in order") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 y1 y2 y3"),
+      (2L, "b1 x1 x2 x3 b2 b3"),
+      (3L, "c1 c2 y1 y2 y3 c3"),
+      (4L, "d1 s1 s2 s3 s4 d2"),
+      (5L, "e1 e2 s1 s2 s3 s4"),
+      (6L, "n1 n2 n3 n4 n5 n6"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    val spans = Dedup.exactSubstrSpans(docs, k = 3, maxSpan = 8,
+      idCol = "page_id", textCol = "body")
+    val out = Dedup.trimSpans(docs, spans, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 6L, ""), // fully duplicated doc trims to empty
+      (2L, 6L, 3L, "b1 b2 b3"),
+      (3L, 6L, 3L, "c1 c2 c3"),
+      (4L, 6L, 4L, "d1 d2"),
+      (5L, 6L, 4L, "e1 e2"),
+      (6L, 6L, 0L, "n1 n2 n3 n4 n5 n6"))) // span-free doc untouched
+    // overlapping spans cut each covered position once (distinct'd)
+    val manual = Seq((2L, 2L, 3L), (2L, 3L, 3L))
+      .toDF("page_id", "start_tok", "n_tok")
+    val ovl = Dedup.trimSpans(docs.where(col("page_id") === 2L), manual,
+        idCol = "page_id", textCol = "body")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(ovl.toSeq === Seq((6L, 4L, "b1 b3")))
+    // partition invariance
+    val out7 = Dedup.trimSpans(docs.repartition(7),
+        spans.repartition(5), idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out7.toSeq === out.toSeq,
+      "trim must be identical under any input partitioning")
+  }
 }
