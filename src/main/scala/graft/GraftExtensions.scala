@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, Hash60Expr, MaxAbsExpr, QuantizeExpr, ShinglesExpr}
+import graft.functions.{DotProductExpr, Hash60Expr, MaxAbsExpr, QuantizeExpr, ShinglesExpr, UnaccentExpr}
 
 /** SparkSessionExtensions entry point — registers graft's native Catalyst
   * expressions as SQL functions. Two deployment paths:
@@ -52,6 +52,13 @@ object GraftExtensions {
         require(children.length == 2,
           s"graft_quantize expects 2 arguments, got ${children.length}")
         QuantizeExpr(children.head, children(1))
+      }),
+    (FunctionIdentifier("graft_unaccent"),
+      new ExpressionInfo(classOf[UnaccentExpr].getName, "graft_unaccent"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_unaccent expects 1 argument, got ${children.length}")
+        UnaccentExpr(children.head)
       }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),

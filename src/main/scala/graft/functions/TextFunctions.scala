@@ -32,6 +32,13 @@ object TextFunctions {
     org.apache.spark.sql.GraftArrowBridge.column(Hash60Expr(
       org.apache.spark.sql.GraftArrowBridge.expression(c)))
 
+  /** Accent stripping (Unicode NFD + combining-mark removal) via the
+    * native [[UnaccentExpr]] — DuckDB-equivalent: `strip_accents(s)`.
+    * Pure-ASCII rows take a byte-scan fast path with no allocation. */
+  def unaccent(c: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(UnaccentExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(c)))
+
   /** Whitespace tokenization of trimmed text. */
   def words(c: Column): Column = split(trim(c), "\\s+")
 

@@ -172,6 +172,40 @@ object Text {
         Seq(col("n_redactions"), col("clean_text")): _*)
   }
 
+  /** CC-Net-style text normalization — the canonicalization dedup
+    * pipelines run BEFORE hashing so that trivially-variant copies
+    * ("Café #1!" vs "cafe  # 2") collapse: lowercase, accent
+    * stripping (the native [[graft.functions.UnaccentExpr]] —
+    * NFD + combining-mark removal, DuckDB `strip_accents`), digits
+    * folded to `0` (CC-Net's number canonicalization: versioned or
+    * paginated copies hash together), ASCII punctuation replaced by
+    * spaces, whitespace collapsed and trimmed. Each step is
+    * independently switchable; the steps apply in that fixed order.
+    * Output: (<id>, norm_text, n_chars_raw, n_chars_norm) for every
+    * input row (null text passes through as null, the scrub
+    * convention — normalization is a projection, not a filter).
+    *
+    * Scale shape: ONE exchange-free generator-less projection riding
+    * the scan — every step is a codegen'd native expression
+    * (lower / UnaccentExpr / regexp_replace), so the whole op fuses
+    * into the scan's WholeStageCodegen span; nothing shuffles,
+    * nothing aggregates. */
+  def normalize(docs: DataFrame, lowercase: Boolean = true,
+      stripAccents: Boolean = true, digitsToZero: Boolean = true,
+      punctToSpace: Boolean = true, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    var c: Column = col(textCol)
+    if (lowercase) c = lower(c)
+    if (stripAccents) c = unaccent(c)
+    if (digitsToZero) c = regexp_replace(c, "[0-9]", "0")
+    if (punctToSpace) c = regexp_replace(c, "[!-/:-@\\[-`{-~]", " ")
+    c = trim(regexp_replace(c, "\\s+", " "))
+    docs.select(col(idCol),
+      c.as("norm_text"),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      length(c).cast("long").as("n_chars_norm"))
+  }
+
   /** Cross-document boilerplate scoring — the C4/RefinedWeb curation
     * step q48 (within-doc repetition) cannot see: an n-gram is
     * BOILERPLATE for a group (site/source/domain, `srcCol`) when it

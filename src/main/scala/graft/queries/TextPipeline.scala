@@ -833,6 +833,18 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q162: CC-Net-style dedup normalization -------------------------
+    // Thin binding over [[graft.ops.Text.normalize]] — lowercase +
+    // accent strip (the native UnaccentExpr, codegen'd) + digit fold
+    // + punct-to-space + whitespace collapse, the canonicalization
+    // hash-dedup runs first. One exchange-free projection riding the
+    // scan.
+    "q162_normalize" -> ((s, dir) => {
+      graft.ops.Text.normalize(
+          Graft.parquetSource(s, dir).table("documents"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q161: tokenizer evaluation battery (BPE vs unigram) -----------
     // The report a deployment reads to PICK a tokenizer:
     // [[graft.ops.Text.tokenizerEval]] over both trained tokenizers'
@@ -2625,6 +2637,19 @@ object TextPipeline {
     "q126_bpe_encode" -> bpeEncodeSql,
 
     "q161_tokenizer_eval" -> tokenizerEvalSql,
+
+    "q162_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(
+        |    strip_accents(lower(text)),
+        |    '[0-9]', '0', 'g'), '[!-/:-@\[-`{-~]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text,
+        |  length(text)::bigint AS n_chars_raw,
+        |  length(trim(regexp_replace(regexp_replace(regexp_replace(
+        |    strip_accents(lower(text)),
+        |    '[0-9]', '0', 'g'), '[!-/:-@\[-`{-~]', ' ', 'g'),
+        |    '\s+', ' ', 'g')))::bigint AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q133_incremental_bpe_encode" -> bpeIncrEncodeSql,
 

@@ -1741,6 +1741,39 @@ class OpsApiSpec extends AnyFunSuite {
     assert(covered === (1L to 6L).toSet)
   }
 
+  test("Text.normalize canonicalizes case, accents, digits, punct " +
+      "and whitespace; each step is switchable") {
+    val docs = Seq(
+      (1L, "Café  Déjà-Vu!"),
+      (2L, "Version 2.1 (beta)"),
+      (3L, "naïve £5 piñata"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    val out = Text.normalize(docs, idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (1L, "cafe deja vu"),
+      (2L, "version 0 0 beta"),
+      (3L, "naive £0 pinata"), // £ is neither ASCII punct nor a mark
+      (4L, null)))
+    // switches: everything off leaves only whitespace collapsing
+    val raw = Text.normalize(docs, lowercase = false,
+        stripAccents = false, digitsToZero = false,
+        punctToSpace = false, idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect().map(_.getString(1))
+    assert(raw.toSeq === Seq("Café Déjà-Vu!", "Version 2.1 (beta)",
+      "naïve £5 piñata", null))
+    // char counts: raw length vs normalized length
+    val r1 = Text.normalize(docs, idCol = "page_id", textCol = "body")
+      .where(col("page_id") === 1L).collect().head
+    assert(r1.getLong(2) === 14L && r1.getLong(3) === 12L)
+    // the registered SQL function exposes the same expression
+    graft.GraftExtensions.register(docs.sparkSession)
+    assert(docs.sparkSession.sql("SELECT graft_unaccent('Déjà') AS u")
+      .collect().head.getString(0) === "Deja")
+  }
+
   test("Text.tokenizerEval reduces any encode frame to the exact " +
       "corpus battery") {
     val docs = Seq((1L, "ab ab cd"), (2L, "ab x"),

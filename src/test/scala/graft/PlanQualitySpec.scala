@@ -165,6 +165,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q162: normalize rides the scan — no exchange, codegen'd " +
+      "(UnaccentExpr included)") {
+    // Text.normalize must be pure map-side work like scrub — and the
+    // native UnaccentExpr must NOT knock the projection out of
+    // whole-stage codegen (it implements doGenCode).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Text.normalize(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"normalize moves data:\n$p")
+    assert(p.contains("*(1) Project"), s"normalize fell out of codegen:\n$p")
+    assert(p.contains("FileScan parquet"))
+  }
+
   test("q56: vocabulary is partial-agg + TakeOrdered, never a global sort") {
     val p = plan("q56_vocabulary")
     assert(p.contains("TakeOrderedAndProject"), s"q56 sorts globally:\n$p")
