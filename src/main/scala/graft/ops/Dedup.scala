@@ -621,6 +621,65 @@ object Dedup {
     trimCovered(base, cov, idCol)
   }
 
+  /** Paragraph-grain exact dedup — the C4/CC-Net line-level step
+    * between document-grain dedup ([[exact]]) and span-grain dedup
+    * ([[spanDups]]/[[exactSubstrSpans]]): split each document into
+    * paragraphs on `sep`, and remove every paragraph whose trimmed
+    * text recurs (≥ `minCount` occurrences corpus-wide) EXCEPT the
+    * first occurrence — "first" is the minimal (doc_id, para index),
+    * a total order, so the survivor set is deterministic under any
+    * partitioning (C4 removes duplicated three-sentence spans;
+    * CC-Net hashes paragraphs and keeps one per hash — this is that
+    * operation with a pinned keep-first rule). Empty/whitespace-only
+    * paragraphs are dropped from both the census and the output;
+    * surviving paragraphs reassemble in document order joined by
+    * `\n`. Output: (<id>, n_paras, n_removed, clean_text), one row
+    * per non-empty input document.
+    *
+    * Scale shape: one generator pass explodes paragraphs; the census
+    * is a map-side-combinable (key → count, min-position) aggregate
+    * at distinct-paragraph grain; the keep decision is one hash join
+    * of paragraphs against their census row; reassembly is the
+    * per-document array_sort/collect_list bounded by document length.
+    * Keys are md5 of the trimmed paragraph (the [[exact]] dup_key
+    * convention — cross-engine, collision-negligible), so the census
+    * never carries full paragraph text twice. */
+  def paraDedup(docs: DataFrame, sep: String = "\\n+",
+      minCount: Long = 2L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 2L, s"need minCount >= 2 (got $minCount)")
+    val paras = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("i0", "para")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("idx"),
+        col("para"))
+      .where(trim(col("para")) =!= "")
+      .withColumn("k", md5(trim(col("para"))))
+      .localCheckpoint() // read by the census, the keep join, totals
+    val census = paras.groupBy(col("k"))
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("doc_id"), col("idx"))).as("first"))
+    val kept = paras.join(census, "k")
+      .where(col("occ") < minCount ||
+        (col("doc_id") === col("first.doc_id") &&
+          col("idx") === col("first.idx")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("idx").as("idx"),
+          col("para").as("para")))).as("arr"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws("\n", col("arr.para")).as("ct"))
+    paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        col("n_paras").cast("long").as("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("ct"), lit("")).as("clean_text"))
+  }
+
   /** Cross-source overlap matrix — the inter-source contamination
     * report that drives source selection and dedup policy (two crawl
     * dumps sharing most of their grams should not both enter a mix at

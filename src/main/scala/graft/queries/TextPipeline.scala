@@ -833,6 +833,18 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q163: paragraph-grain exact dedup (C4/CC-Net line dedup) ------
+    // Thin binding over [[graft.ops.Dedup.paraDedup]] — remove every
+    // recurring paragraph except its first (minimal (doc, idx))
+    // occurrence. The synthetic corpus has single-paragraph documents,
+    // so this degrades to keep-first document dedup here; OpsApiSpec
+    // exercises the true multi-paragraph semantics.
+    "q163_para_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.paraDedup(
+          Graft.parquetSource(s, dir).table("documents"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q162: CC-Net-style dedup normalization -------------------------
     // Thin binding over [[graft.ops.Text.normalize]] — lowercase +
     // accent strip (the native UnaccentExpr, codegen'd) + digit fold
@@ -2637,6 +2649,35 @@ object TextPipeline {
     "q126_bpe_encode" -> bpeEncodeSql,
 
     "q161_tokenizer_eval" -> tokenizerEvalSql,
+
+    "q163_para_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), p AS (
+        |  SELECT doc_id, i AS idx, arr[i] AS para,
+        |    md5(trim(arr[i])) AS k
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\n+') AS arr
+        |        FROM base), unnest(range(1, len(arr) + 1)) t(i)
+        |  WHERE trim(arr[i]) <> ''
+        |), r AS (
+        |  SELECT doc_id, idx, para,
+        |    count(*) OVER (PARTITION BY k) AS occ,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM p
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, chr(10) ORDER BY idx) AS ct
+        |  FROM r WHERE occ < 2 OR rn = 1 GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_paras::bigint AS n_paras,
+        |  (t.n_paras - coalesce(k.n_kept, 0))::bigint AS n_removed,
+        |  coalesce(k.ct, '') AS clean_text
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q162_normalize" ->
       """SELECT doc_id,

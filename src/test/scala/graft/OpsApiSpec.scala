@@ -1741,6 +1741,38 @@ class OpsApiSpec extends AnyFunSuite {
     assert(covered === (1L to 6L).toSet)
   }
 
+  test("Dedup.paraDedup removes recurring paragraphs keeping the " +
+      "first occurrence, in document order") {
+    val docs = Seq(
+      (1L, "aaa\nbbb\nccc"),
+      (2L, "bbb\nddd"),
+      (3L, "eee\n\n  \neee"), // within-doc dup + blank paragraphs
+      (4L, "aaa"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    val out = Dedup.paraDedup(docs, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 3L, 0L, "aaa\nbbb\nccc"), // all first occurrences
+      (2L, 2L, 1L, "ddd"),           // bbb first seen at (1, 2)
+      (3L, 2L, 1L, "eee"),           // within-doc second copy removed
+      (4L, 1L, 1L, "")))             // aaa first seen at (1, 1)
+    // partition invariance: keep-first is a total order, not arrival
+    val out7 = Dedup.paraDedup(docs.repartition(7), idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out7.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Dedup.paraDedup(docs, minCount = 1L, idCol = "page_id",
+        textCol = "body")
+    }
+  }
+
   test("Text.normalize canonicalizes case, accents, digits, punct " +
       "and whitespace; each step is switchable") {
     val docs = Seq(
