@@ -643,20 +643,18 @@ object Dedup {
     * per-document array_sort/collect_list bounded by document length.
     * Keys are md5 of the trimmed paragraph (the [[exact]] dup_key
     * convention — cross-engine, collision-negligible), so the census
-    * never carries full paragraph text twice. */
+    * never carries full paragraph text twice. With
+    * `normalizeKeys = true` the census key is md5 of the
+    * [[graft.ops.Text.normalize]]d paragraph instead — CC-Net's
+    * actual rule (trivially-variant copies collapse) — while the
+    * OUTPUT keeps the original paragraph text; all-punctuation
+    * paragraphs then share the empty-normalization key and dedup as
+    * one class. */
   def paraDedup(docs: DataFrame, sep: String = "\\n+",
-      minCount: Long = 2L, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      minCount: Long = 2L, normalizeKeys: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minCount >= 2L, s"need minCount >= 2 (got $minCount)")
-    val paras = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
-      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), sep)).as(Seq("i0", "para")))
-      .select(col("doc_id"), (col("i0") + 1).cast("long").as("idx"),
-        col("para"))
-      .where(trim(col("para")) =!= "")
-      .withColumn("k", md5(trim(col("para"))))
+    val paras = paraRows(docs, sep, normalizeKeys, idCol, textCol)
       .localCheckpoint() // read by the census, the keep join, totals
     val census = paras.groupBy(col("k"))
       .agg(count(lit(1)).as("occ"),
@@ -665,6 +663,86 @@ object Dedup {
       .where(col("occ") < minCount ||
         (col("doc_id") === col("first.doc_id") &&
           col("idx") === col("first.idx")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("idx").as("idx"),
+          col("para").as("para")))).as("arr"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws("\n", col("arr.para")).as("ct"))
+    paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol),
+        col("n_paras").cast("long").as("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"),
+        coalesce(col("ct"), lit("")).as("clean_text"))
+  }
+
+  /** Shared paragraph generator of [[paraDedup]]/[[paraFrame]]/
+    * [[paraDedupAppend]]: (doc_id, idx (1-based over the raw split),
+    * para (original text), k (md5 of the trimmed — or, with
+    * `normalizeKeys`, normalized — paragraph)); whitespace-only
+    * paragraphs dropped. */
+  private def paraRows(docs: DataFrame, sep: String,
+      normalizeKeys: Boolean, idCol: String,
+      textCol: String): DataFrame = {
+    val keyOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (normalizeKeys) c => md5(graft.ops.Text.normalizeCol(c))
+      else md5(_)
+    docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sep)).as(Seq("i0", "para")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("idx"),
+        col("para"))
+      .where(trim(col("para")) =!= "")
+      .withColumn("k", keyOf(trim(col("para"))))
+  }
+
+  /** The frozen paragraph-census artifact a crawl loop persists for
+    * incremental paragraph dedup: the DISTINCT census keys of the
+    * corpus (one `k` per distinct paragraph — [[paraDedup]]'s key
+    * convention, same `sep`/`normalizeKeys` knobs). Batch-side
+    * consumer: [[paraDedupAppend]]. */
+  def paraFrame(docs: DataFrame, sep: String = "\\n+",
+      normalizeKeys: Boolean = false, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    paraRows(docs, sep, normalizeKeys, idCol, textCol)
+      .select(col("k")).distinct()
+
+  /** Incremental [[paraDedup]] — the crawl-loop form: rewrite each
+    * BATCH document removing (a) every paragraph whose key appears in
+    * the frozen `paraSet` census (it already exists in the committed
+    * corpus — the snapshot keeps its copy, the batch never re-adds
+    * it), and (b) within the batch itself, every recurrence after the
+    * first under the (doc_id, idx) total order (the [[paraDedup]]
+    * keep-first rule applied batch-locally). Epoch-N output over
+    * appended censuses ≡ the from-scratch [[paraDedup]] of the
+    * concatenated corpus restricted to batch docs — the q67/q129
+    * incremental contract. Output: (<id>, n_paras, n_removed,
+    * clean_text) per non-empty batch document.
+    *
+    * Scale shape: batch-proportional — the batch's own paragraph
+    * explode and census, plus ONE left-anti-style membership probe of
+    * batch keys against the frozen artifact (hash join on `k`; the
+    * old corpus is never re-read, the artifact is distinct-paragraph
+    * grain). */
+  def paraDedupAppend(batch: DataFrame, paraSet: DataFrame,
+      sep: String = "\\n+", normalizeKeys: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val paras = paraRows(batch, sep, normalizeKeys, idCol, textCol)
+      .localCheckpoint() // read by census, the keep join, and totals
+    val inOld = paras.join(paraSet.select(col("k")), Seq("k"),
+      "left_semi").select(col("doc_id"), col("idx"))
+      .withColumn("old", lit(true))
+    val census = paras.groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    val kept = paras.join(census, "k")
+      .join(inOld, Seq("doc_id", "idx"), "left")
+      .where(col("old").isNull &&
+        col("doc_id") === col("first.doc_id") &&
+        col("idx") === col("first.idx"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("idx").as("idx"),

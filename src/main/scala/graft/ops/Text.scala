@@ -194,16 +194,26 @@ object Text {
       stripAccents: Boolean = true, digitsToZero: Boolean = true,
       punctToSpace: Boolean = true, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    var c: Column = col(textCol)
-    if (lowercase) c = lower(c)
-    if (stripAccents) c = unaccent(c)
-    if (digitsToZero) c = regexp_replace(c, "[0-9]", "0")
-    if (punctToSpace) c = regexp_replace(c, "[!-/:-@\\[-`{-~]", " ")
-    c = trim(regexp_replace(c, "\\s+", " "))
+    val c = normalizeCol(col(textCol), lowercase, stripAccents,
+      digitsToZero, punctToSpace)
     docs.select(col(idCol),
       c.as("norm_text"),
       length(col(textCol)).cast("long").as("n_chars_raw"),
       length(c).cast("long").as("n_chars_norm"))
+  }
+
+  /** Column form of [[normalize]] — the single definition other ops
+    * reuse (e.g. [[graft.ops.Dedup.paraDedup]]'s normalized census
+    * keys). */
+  def normalizeCol(in: Column, lowercase: Boolean = true,
+      stripAccents: Boolean = true, digitsToZero: Boolean = true,
+      punctToSpace: Boolean = true): Column = {
+    var c = in
+    if (lowercase) c = lower(c)
+    if (stripAccents) c = unaccent(c)
+    if (digitsToZero) c = regexp_replace(c, "[0-9]", "0")
+    if (punctToSpace) c = regexp_replace(c, "[!-/:-@\\[-`{-~]", " ")
+    trim(regexp_replace(c, "\\s+", " "))
   }
 
   /** Cross-document boilerplate scoring — the C4/RefinedWeb curation

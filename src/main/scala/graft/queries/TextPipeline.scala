@@ -845,6 +845,36 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q164: paragraph dedup with normalized census keys -------------
+    // [[graft.ops.Dedup.paraDedup]] with `normalizeKeys = true` —
+    // CC-Net's actual rule: the census key is the md5 of the
+    // NORMALIZED paragraph (q162's canonicalization, single column
+    // definition), so trivially-variant copies collapse, while the
+    // output keeps the original text.
+    "q164_para_dedup_norm" -> ((s, dir) => {
+      graft.ops.Dedup.paraDedup(
+          Graft.parquetSource(s, dir).table("documents"),
+          normalizeKeys = true)
+        .orderBy("doc_id")
+    }),
+
+    // ---- q165: incremental paragraph dedup vs the frozen census --------
+    // The crawl-loop form ([[graft.ops.Dedup.paraDedupAppend]]): the
+    // snapshot's distinct paragraph census persists
+    // ([[graft.ops.Dedup.paraFrame]] via SideTable); each batch doc
+    // drops every paragraph already committed (the snapshot keeps its
+    // copy) plus batch-internal recurrences after the first — epoch-N
+    // ≡ from-scratch q163 restricted to batch docs, by the cut
+    // convention (old doc_ids < batch doc_ids).
+    "q165_incremental_para_dedup" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val pPath = paraIndex(s, dir, cut)
+      graft.ops.Dedup.paraDedupAppend(d.where(col("doc_id") >= cut),
+          s.read.parquet(pPath))
+        .orderBy("doc_id")
+    }),
+
     // ---- q162: CC-Net-style dedup normalization -------------------------
     // Thin binding over [[graft.ops.Text.normalize]] — lowercase +
     // accent strip (the native UnaccentExpr, codegen'd) + digit fold
@@ -1964,6 +1994,18 @@ object TextPipeline {
 
   /** The persisted distinct-gram-set artifact behind q129 — built via
     * the public frame definition ([[graft.ops.Dedup.spanGramFrame]]). */
+  /** The persisted distinct-paragraph census behind q165 — built via
+    * the SAME frame definition the public API exposes
+    * ([[graft.ops.Dedup.paraFrame]]). */
+  private[graft] def paraIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "para_set", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Dedup.paraFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut))
+    }
+
   private[graft] def spanGramIndex(s: SparkSession, dir: String,
       cut: Long, k: Int): String =
     graft.sources.SideTable.ensure(s, "span_grams", s"$dir#$cut#k$k",
@@ -2672,6 +2714,73 @@ object TextPipeline {
         |  FROM r WHERE occ < 2 OR rn = 1 GROUP BY doc_id
         |), tot AS (
         |  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_paras::bigint AS n_paras,
+        |  (t.n_paras - coalesce(k.n_kept, 0))::bigint AS n_removed,
+        |  coalesce(k.ct, '') AS clean_text
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q164_para_dedup_norm" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), p AS (
+        |  SELECT doc_id, i AS idx, arr[i] AS para,
+        |    md5(trim(regexp_replace(regexp_replace(regexp_replace(
+        |      strip_accents(lower(trim(arr[i]))),
+        |      '[0-9]', '0', 'g'), '[!-/:-@\[-`{-~]', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS k
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\n+') AS arr
+        |        FROM base), unnest(range(1, len(arr) + 1)) t(i)
+        |  WHERE trim(arr[i]) <> ''
+        |), r AS (
+        |  SELECT doc_id, idx, para,
+        |    count(*) OVER (PARTITION BY k) AS occ,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM p
+        |), kept AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(para, chr(10) ORDER BY idx) AS ct
+        |  FROM r WHERE occ < 2 OR rn = 1 GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, t.n_paras::bigint AS n_paras,
+        |  (t.n_paras - coalesce(k.n_kept, 0))::bigint AS n_removed,
+        |  coalesce(k.ct, '') AS clean_text
+        |FROM tot t LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q165_incremental_para_dedup" ->
+      """WITH cut AS MATERIALIZED (
+        |  SELECT (max(doc_id) * 4) // 5 AS c FROM documents
+        |), base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), p AS (
+        |  SELECT doc_id, i AS idx, arr[i] AS para,
+        |    md5(trim(arr[i])) AS k
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\n+') AS arr
+        |        FROM base), unnest(range(1, len(arr) + 1)) t(i)
+        |  WHERE trim(arr[i]) <> ''
+        |), old AS (
+        |  SELECT DISTINCT k FROM p WHERE doc_id < (SELECT c FROM cut)
+        |), b AS (
+        |  SELECT * FROM p WHERE doc_id >= (SELECT c FROM cut)
+        |), r AS (
+        |  SELECT doc_id, idx, para, k,
+        |    row_number() OVER (PARTITION BY k ORDER BY doc_id, idx)
+        |      AS rn
+        |  FROM b
+        |), kept AS (
+        |  SELECT r.doc_id, count(*) AS n_kept,
+        |    string_agg(r.para, chr(10) ORDER BY r.idx) AS ct
+        |  FROM r ANTI JOIN old o ON o.k = r.k
+        |  WHERE r.rn = 1 GROUP BY r.doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_paras FROM b GROUP BY doc_id
         |)
         |SELECT t.doc_id, t.n_paras::bigint AS n_paras,
         |  (t.n_paras - coalesce(k.n_kept, 0))::bigint AS n_removed,

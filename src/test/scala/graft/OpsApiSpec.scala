@@ -1773,6 +1773,48 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Dedup.paraDedup normalizeKeys collapses trivially-variant " +
+      "copies while output keeps original text") {
+    val docs = Seq(
+      (1L, "Hello World!\nunique one"),
+      (2L, "hello  world\nunique two"),
+      (3L, "Hello, WORLD"))
+      .toDF("page_id", "body")
+    val out = Dedup.paraDedup(docs, normalizeKeys = true,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 0L, "Hello World!\nunique one"), // first copy, ORIGINAL text
+      (2L, 1L, "unique two"),
+      (3L, 1L, "")))
+    // without normalized keys all three variants are distinct
+    val raw = Dedup.paraDedup(docs, idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect().map(_.getLong(2))
+    assert(raw.toSeq === Seq(0L, 0L, 0L))
+  }
+
+  test("Dedup.paraDedupAppend equals from-scratch paraDedup " +
+      "restricted to batch docs (the epoch contract)") {
+    val old = Seq((1L, "aaa\nbbb"), (2L, "ccc")).toDF("page_id", "body")
+    val batch = Seq(
+      (10L, "bbb\nnew one\nnew dup"),
+      (11L, "new dup\nccc\nnew two"))
+      .toDF("page_id", "body")
+    val inc = Dedup.paraDedupAppend(batch,
+        Dedup.paraFrame(old, idCol = "page_id", textCol = "body"),
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id").collect().map(_.toSeq)
+    val scratch = Dedup.paraDedup(old.unionByName(batch),
+        idCol = "page_id", textCol = "body")
+      .where(col("page_id") >= 10L)
+      .orderBy("page_id").collect().map(_.toSeq)
+    assert(inc.toSeq === scratch.toSeq)
+    assert(inc.map(r => (r(0), r(3))).toSeq === Seq(
+      (10L, "new one\nnew dup"), // bbb committed; new dup first here
+      (11L, "new two")))         // new dup and ccc both removed
+  }
+
   test("Text.normalize canonicalizes case, accents, digits, punct " +
       "and whitespace; each step is switchable") {
     val docs = Seq(
