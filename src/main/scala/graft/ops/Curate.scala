@@ -43,6 +43,41 @@ object Curate {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — [[hashSplit]]'s fatal flaw
+    * at eval time is that near-duplicate documents hash to different
+    * splits (their text differs by a word), silently leaking training
+    * content into the test set. This op splits on the DEDUP-CLUSTER
+    * representative instead: `clusters` is any (<id>, keep_id) frame
+    * ([[graft.ops.Dedup.cascade]]'s verdict, or q53's components), and
+    * every member of a cluster lands in its representative's split —
+    * near-dups can never straddle the train/test boundary. Documents
+    * absent from `clusters` split on their own id (singleton
+    * clusters). Output: (<id>, keep_id, split), the same
+    * hash-range rule as [[hashSplit]] keyed on keep_id — a document's
+    * split never changes under repartitioning or reprocessing.
+    *
+    * Scale shape: one narrow hash join (id → keep_id) and a
+    * projection; the split decision is a codegen'd hash of the
+    * representative id, no shuffle beyond the join. */
+  def leakSafeSplit(docs: DataFrame, clusters: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"percentages must be nonnegative with train+val <= 100 " +
+        s"(got $trainPct/$valPct)")
+    val c = clusters.select(col(idCol).as("__cid"),
+      col("keep_id").cast("long").as("__keep"))
+    val bucket = pmod(hash60(col("keep_id").cast("string")), lit(100L))
+    docs.select(col(idCol))
+      .join(c, col(idCol) === col("__cid"), "left")
+      .select(col(idCol),
+        coalesce(col("__keep"), col(idCol).cast("long")).as("keep_id"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Per-key frequency cap — the "at most n documents per domain"
     * curation rule of web-corpus building (over-crawled domains
     * otherwise dominate the mix): keeps a deterministic, uniform

@@ -1079,6 +1079,22 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q166: leakage-safe split over the dedup-cascade clusters ------
+    // [[graft.ops.Curate.leakSafeSplit]] on q148's verdict: every
+    // cluster member splits with its representative (hash-range on
+    // keep_id), so near-duplicates can never straddle train/test —
+    // the eval-contamination guard q39's content-hash split lacks.
+    // Session memo: shares q148's pair computation.
+    "q166_leak_safe_split" -> ((s, dir) => {
+      val (members, repPairs) = pairMemo.computeIfAbsent(
+        memoKey(s, dir), _ => computeRepPairs(s, dir))
+      val d = Graft.parquetSource(s, dir).table("documents")
+      graft.ops.Curate.leakSafeSplit(d,
+          graft.ops.Dedup.cascadeOf(d.select(col("doc_id")),
+            members, repPairs, "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // ---- q149: curriculum ordering (difficulty stages) -----------------
     // [[graft.ops.Curate.curriculum]] fed by the q137 readability
     // signal (high Flesch = easy = first): exact global difficulty
@@ -2499,6 +2515,30 @@ object TextPipeline {
          |LEFT JOIN mem ON mem.doc_id = d.doc_id
          |LEFT JOIN comp ON comp.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q166_leak_safe_split" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT d1 a, d2 b FROM pairs UNION SELECT d2, d1 FROM pairs
+         |), reach(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |), comp AS (
+         |  SELECT a AS doc_id, min(b) AS keep_id FROM reach GROUP BY a
+         |), casc AS (
+         |  SELECT d.doc_id,
+         |    coalesce(comp.keep_id, d.doc_id) AS keep_id
+         |  FROM documents d
+         |  LEFT JOIN comp ON comp.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, keep_id::bigint AS keep_id,
+         |  CASE WHEN ('0x' || substr(md5(keep_id::varchar),1,15))::bigint
+         |         % 100 < 80 THEN 'train'
+         |       WHEN ('0x' || substr(md5(keep_id::varchar),1,15))::bigint
+         |         % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM casc ORDER BY doc_id""".stripMargin,
 
     "q53_dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($minhashPairsSql),

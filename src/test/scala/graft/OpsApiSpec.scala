@@ -1773,6 +1773,30 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Curate.leakSafeSplit assigns every cluster member its " +
+      "representative's split") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("page_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("page_id", "keep_id")
+    val out = Curate.leakSafeSplit(docs, clusters, idCol = "page_id")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // cluster {1, 2} shares keep_id 1 and therefore the split
+    assert(out(0)._2 === 1L && out(1)._2 === 1L)
+    assert(out(0)._3 === out(1)._3)
+    // docs absent from the cluster frame split on their own id
+    assert(out(3)._2 === 4L && out(4)._2 === 5L)
+    // the rule IS hashSplit keyed on the representative id string
+    val ref = Curate.hashSplit(
+        out.map(_._2.toString).toSeq.toDF("text"))
+      .collect().map(_.getString(1))
+    assert(out.map(_._3).toSeq === ref.toSeq)
+    intercept[IllegalArgumentException] {
+      Curate.leakSafeSplit(docs, clusters, trainPct = 95, valPct = 10,
+        idCol = "page_id")
+    }
+  }
+
   test("Dedup.paraDedup normalizeKeys collapses trivially-variant " +
       "copies while output keeps original text") {
     val docs = Seq(
