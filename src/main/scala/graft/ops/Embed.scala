@@ -771,6 +771,49 @@ object Embed {
     * boundary-invariant (offset + within-partition position in the
     * same total order), so the output is deterministic under any
     * sampling. Output: (<id>, nrm, rank, flag ∈ low|keep|high). */
+  /** Deterministic signed random projection (Johnson–Lindenstrauss /
+    * Achlioptas ±1 variant) — reduce `vecCol` to `outDim` dimensions
+    * with y_j = Σ_d s(j,d)·x_d, where the sign matrix s ∈ {±1} is
+    * DERIVED, not sampled: s(j,d) = 1 − 2·(hash60("j:d") mod 2), the
+    * house md5 hash, so every engine (and every epoch) materializes
+    * the identical matrix with no stored artifact and no RNG. Inputs
+    * quantize to the dimStats 2^24 fixed-point grid first, so each
+    * output coordinate is an EXACT integer sum — bit-equal under any
+    * partitioning and in the DuckDB oracle. This is the cheap
+    * dimensionality-reduction rung under PCA: dot products and norms
+    * are preserved in expectation (JL), which is what the ANN ops
+    * need from a sketch. Output: (<id>, dim (1..outDim), y_fp), long
+    * fixed-point at the 2^24 input scale.
+    *
+    * Scale shape: one posexplode of the corpus joined against a
+    * BROADCAST (outDim·|dims|)-row sign frame, collapsing through a
+    * map-side-combinable sum — no shuffle wider than the (id, j)
+    * aggregate, no per-row hashing (signs are precomputed once at
+    * metadata grain). */
+  def randomProject(emb: DataFrame, outDim: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && outDim <= 256,
+      s"need 1 <= outDim <= 256 (got $outDim)")
+    val s = emb.sparkSession
+    import s.implicits._
+    val sc = 16777216.0d // 2^24 — the dimStats quantization grid
+    val x = emb.select(col(idCol).as("__vid"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "xv")))
+      .select(col("__vid"), (col("p") + 1).cast("long").as("d"),
+        floor(col("xv") * lit(sc)).cast("long").as("xfp"))
+    val dmax = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    val signs = (for (j <- 1 to outDim; d <- 1 to dmax) yield
+      (j.toLong, d.toLong, 1L - 2L *
+        (graft.functions.Hash60Expr.hash60(
+          s"$j:$d".getBytes("UTF-8")) % 2L)))
+      .toDF("j", "d", "sgn")
+    x.join(broadcast(signs), Seq("d"))
+      .groupBy(col("__vid"), col("j"))
+      .agg(sum(col("sgn") * col("xfp")).as("y_fp"))
+      .select(col("__vid").as(idCol), col("j").as("dim"),
+        col("y_fp").cast("long").as("y_fp"))
+  }
+
   def normOutliers(emb: DataFrame, loPct: Int = 5, hiPct: Int = 95,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(loPct >= 0 && hiPct <= 100 && loPct < hiPct,

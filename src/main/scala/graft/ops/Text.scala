@@ -1014,6 +1014,52 @@ object Text {
     * floor (applied before the marginal joins) bounds the output and
     * is also the classic PMI low-frequency-noise guard. Output:
     * (w1, w2, c_pair, c_left, c_right, n_pairs, lift). */
+  /** Per-document keyword extraction — the top-`k` tf-idf terms of
+    * each document, the metadata-enrichment step behind faceting,
+    * topic labeling and sparse retrieval seeds. Scoring is the
+    * ENGINE-EXACT tf-idf variant: `score_fp = tf · ((N · 2^20) div
+    * df)` — term frequency times a 20-bit fixed-point LINEAR inverse
+    * document frequency. (Linear, not log: ln/pow are not correctly
+    * rounded and differ across engines — the q142 lesson — so the
+    * engine trades the log damping for bit-exact integer arithmetic;
+    * the per-document RANKING this op exists for is preserved for
+    * any monotone idf at equal tf.) Ties break (score DESC, word
+    * ASC), a total order. Output: (<id>, rank (1..k), word, tf, df,
+    * score_fp).
+    *
+    * Scale shape: one (doc, word) count pass (map-side combinable);
+    * document frequencies are a second aggregate over the same frame;
+    * N is a broadcast 1-row total; the per-document top-k is a
+    * window over doc-bounded partitions (thousands of rows each at
+    * most — never a corpus-scale single partition). */
+  def keywords(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+    val tf = base.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by df, N, and the scored spine
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("word"))
+    tf.join(df, Seq("word")).crossJoin(broadcast(n))
+      .withColumn("score_fp",
+        expr("tf * ((n_docs * 1048576) div df)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id").as(idCol), col("rank").cast("long"),
+        col("word"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"),
+        col("score_fp").cast("long").as("score_fp"))
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 5L,
       textCol: String = "text"): DataFrame = {
     require(minCount >= 1L, s"need minCount >= 1 (got $minCount)")

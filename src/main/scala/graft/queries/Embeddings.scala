@@ -1317,6 +1317,17 @@ object Embeddings {
         .orderBy("dim")
     }),
 
+    // ---- q168: deterministic signed random projection (JL sketch) ------
+    // [[graft.ops.Embed.randomProject]] — ±1 Achlioptas projection to
+    // 16 dims with a DERIVED sign matrix (hash60("j:d") mod 2, no RNG,
+    // no stored artifact) over 2^24-quantized inputs; every output
+    // coordinate is an exact integer sum.
+    "q168_random_project" -> ((s, dir) => {
+      graft.ops.Embed.randomProject(
+          Graft.parquetSource(s, dir).table("embeddings"), 16)
+        .orderBy("vec_id", "dim")
+    }),
+
     // ---- q147: incremental dim stats vs the persisted moments ---------
     // The {session, incremental} square closed for the health report:
     // the snapshot persists its |dims|-row EXACT accumulator frame
@@ -2029,6 +2040,22 @@ object Embeddings {
     "q122_ivfpq_ann" -> ivfPqSql,
 
     "q130_margin_mining" -> marginMiningSql,
+
+    "q168_random_project" ->
+      """WITH x AS (
+        |  SELECT vec_id, t.i::bigint AS d,
+        |    floor(embedding[t.i]::double * 16777216.0)::bigint AS xfp
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |), s AS (
+        |  SELECT r.j::bigint AS j, dd.d,
+        |    (1 - 2 * ((('0x' || substr(md5(r.j::varchar || ':' ||
+        |      dd.d::varchar), 1, 15))::bigint) % 2))::bigint AS sgn
+        |  FROM range(1, 17) r(j), (SELECT DISTINCT d FROM x) dd
+        |)
+        |SELECT x.vec_id, s.j AS dim,
+        |  sum(s.sgn * x.xfp)::bigint AS y_fp
+        |FROM x JOIN s USING (d)
+        |GROUP BY 1, 2 ORDER BY vec_id, dim""".stripMargin,
 
     "q146_dim_stats" ->
       """WITH x AS (

@@ -1079,6 +1079,17 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q167: per-document tf-idf keyword extraction ------------------
+    // Thin binding over [[graft.ops.Text.keywords]] — top-5 terms per
+    // document under the engine-exact fixed-point linear-idf score
+    // (ln/pow are not cross-engine exact, the q142 lesson), total-order
+    // tie-broken.
+    "q167_keywords" -> ((s, dir) => {
+      graft.ops.Text.keywords(
+          Graft.parquetSource(s, dir).table("documents"), 5)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ---- q166: leakage-safe split over the dedup-cascade clusters ------
     // [[graft.ops.Curate.leakSafeSplit]] on q148's verdict: every
     // cluster member splits with its representative (hash-range on
@@ -2760,6 +2771,34 @@ object TextPipeline {
         |  coalesce(k.ct, '') AS clean_text
         |FROM tot t LEFT JOIN kept k USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q167_keywords" ->
+      """WITH b AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents
+        |    WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |  ) WHERE word <> ''
+        |), tf AS (
+        |  SELECT doc_id, word, count(*)::bigint AS tf
+        |  FROM b GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT word, count(*)::bigint AS df FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(DISTINCT doc_id)::bigint AS n_docs FROM tf
+        |), sc AS (
+        |  SELECT t.doc_id, t.word, t.tf, d.df,
+        |    (t.tf * ((n.n_docs * 1048576) // d.df))::bigint AS score_fp
+        |  FROM tf t JOIN dft d USING (word), n
+        |), rk AS (
+        |  SELECT doc_id, word, tf, df, score_fp,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_fp DESC, word) AS rank
+        |  FROM sc
+        |)
+        |SELECT doc_id, rank::bigint AS rank, word, tf, df, score_fp
+        |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "q164_para_dedup_norm" ->
       """WITH base AS (

@@ -1773,6 +1773,58 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Text.keywords ranks per-doc terms by the exact fixed-point " +
+      "tf-idf score with total-order ties") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple durian durian durian"))
+      .toDF("page_id", "body")
+    val out = Text.keywords(docs, k = 2, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(5)))
+    // N=3; idf_fp = (3*2^20) div df: df2 -> 1572864, df1 -> 3145728
+    assert(out.toSeq === Seq(
+      (1L, 1L, "apple", 3145728L), (1L, 2L, "banana", 1572864L),
+      (2L, 1L, "cherry", 3145728L), (2L, 2L, "banana", 1572864L),
+      (3L, 1L, "durian", 9437184L), (3L, 2L, "apple", 1572864L)))
+    val out7 = Text.keywords(docs.repartition(7), k = 2,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(5)))
+    assert(out7.toSeq === out.toSeq)
+  }
+
+  test("Embed.randomProject derives the exact ±1 hash sign matrix " +
+      "over quantized inputs") {
+    val vecs = Seq((1L, Array(1.0f, -0.5f)), (2L, Array(0.25f, 0.25f)))
+      .toDF("vid", "v")
+    val out = Embed.randomProject(vecs, outDim = 2, idCol = "vid",
+        vecCol = "v")
+      .orderBy("vid", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def sgn(j: Int, d: Int): Long = 1L - 2L *
+      (graft.functions.Hash60Expr.hash60(s"$j:$d".getBytes("UTF-8")) % 2L)
+    val sc = 1L << 24
+    val expected = for (id <- Seq(1L, 2L); j <- Seq(1L, 2L)) yield {
+      val x = if (id == 1L) Seq(sc, -sc / 2) else Seq(sc / 4, sc / 4)
+      (id, j, sgn(j.toInt, 1) * x(0) + sgn(j.toInt, 2) * x(1))
+    }
+    assert(out.toSeq === expected)
+    // exact integers: identical under any partitioning
+    val out7 = Embed.randomProject(vecs.repartition(5), outDim = 2,
+        idCol = "vid", vecCol = "v")
+      .orderBy("vid", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out7.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Embed.randomProject(vecs, outDim = 0, idCol = "vid", vecCol = "v")
+    }
+  }
+
   test("Curate.leakSafeSplit assigns every cluster member its " +
       "representative's split") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("page_id")
