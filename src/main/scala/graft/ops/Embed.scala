@@ -771,6 +771,133 @@ object Embed {
     * boundary-invariant (offset + within-partition position in the
     * same total order), so the output is deterministic under any
     * sampling. Output: (<id>, nrm, rank, flag ∈ low|keep|high). */
+  /** Exact fixed-point PCA — top-`k` principal components by power
+    * iteration with deflation, in the engine's deterministic grade:
+    * NOTHING here depends on float summation order. The corpus
+    * contributes exactly two aggregates (per-dim sums Sᵢ and pair
+    * sums Sᵢⱼ over the dimStats 2^24 grid, both exact decimal(38)
+    * sums); the scaled Gram G = n·Sᵢⱼ − Sᵢ·Sⱼ (= n²·covariance,
+    * EXACT integers, no mean division) is a d²-cell metadata-grain
+    * matrix the driver iterates with BigInt arithmetic: rescale to
+    * 20-bit fixed point against max|G|, then `iters` rounds of
+    * matvec → downshift → one correctly-rounded IEEE sqrt (the q142
+    * sqrt rule: identical in every engine for identical integer
+    * input) → fixed-point renormalize; Rayleigh λ and rank-1
+    * deflation stay in exact integers (all divisions are
+    * sign-handled floor-on-magnitude, so `div`-vs-`//` truncation
+    * semantics can never diverge across engines). Convergence is the
+    * usual power-iteration story (gap-dependent); the CONTRACT is
+    * the kmeans one — the output is defined as the result of exactly
+    * `iters` deterministic rounds, bit-equal under any partitioning
+    * and in the DuckDB oracle.
+    *
+    * Output: (comp, dim, w_fp, lam_fp) — comp 0 carries the
+    * fixed-point dimension means (lam_fp = n, the corpus count);
+    * comps 1..k the component directions at 2^20 scale with their
+    * Rayleigh eigenvalue (in rescaled-Gram units).
+    *
+    * Scale shape: ONE corpus pass for Sᵢ (posexplode + |dims|-key
+    * map-side aggregate) and one vid-keyed self-join pass for Sᵢⱼ
+    * (output collapses into d(d+1)/2 groups immediately — the d²/2
+    * per-row products are PCA's inherent cost); everything after is
+    * driver-side BigInt on a d×d matrix (d ≤ 512 ⇒ ≤ 256k cells). */
+  def pca(emb: DataFrame, k: Int = 2, iters: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16 (got $k)")
+    require(iters >= 1 && iters <= 64,
+      s"need 1 <= iters <= 64 (got $iters)")
+    val s = emb.sparkSession
+    import s.implicits._
+    val sc = 16777216.0d // 2^24
+    val f = emb.repartition(s.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("__vid"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "xv")))
+      .select(col("__vid"), (col("p") + 1).cast("long").as("d"),
+        floor(col("xv") * lit(sc)).cast("long").as("xfp"))
+      .localCheckpoint() // read by Si, Sij, n
+    val si = f.groupBy(col("d"))
+      .agg(sum(col("xfp").cast("decimal(38,0)")).as("sv"))
+      .collect().map(r => r.getLong(0) -> BigInt(
+        r.getDecimal(1).toBigInteger)).toMap // |dims| rows
+    val n = BigInt(f.select(col("__vid")).distinct().count())
+    val a = f.select(col("__vid"), col("d").as("i"),
+      col("xfp").as("xi"))
+    val b = f.select(col("__vid"), col("d").as("j"),
+      col("xfp").as("xj"))
+    val sij = a.join(b, Seq("__vid")).where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi").cast("decimal(38,0)") *
+        col("xj").cast("decimal(38,0)")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> BigInt(
+        r.getDecimal(2).toBigInteger)).toMap // d(d+1)/2 rows
+    val d = si.keys.max.toInt
+    def sdiv(x: BigInt, y: BigInt): BigInt =
+      if (x.signum >= 0) x / y else -((-x) / y)
+    val fp = BigInt(1L << 20)
+    val g0 = Array.tabulate(d, d) { (i0, j0) =>
+      val (i, j) = (i0 + 1L, j0 + 1L)
+      val sab = if (i <= j) sij((i, j)) else sij((j, i))
+      n * sab - si(i) * si(j)
+    }
+    val m = g0.flatten.map(_.abs).max
+    require(m.signum > 0, "degenerate input: zero covariance")
+    var gq = g0.map(_.map(x => sdiv(x * fp, m)))
+    val comps = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (dim0 <- 1 to d)
+      comps += ((0L, dim0.toLong, sdiv(si(dim0.toLong), n).toLong,
+        n.toLong))
+    for (c <- 1 to k) {
+      var v = Array.fill(d)(fp)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => gq(i)(j) * v(j)).sum)
+        val wq = w.map(sdiv(_, fp))
+        val n2 = wq.map(x => x * x).sum
+        if (n2.signum != 0) {
+          val norm = BigInt(math.floor(math.sqrt(n2.toDouble)).toLong)
+          v = wq.map(x => sdiv(x * fp, norm))
+        }
+      }
+      val gv = Array.tabulate(d)(i =>
+        (0 until d).map(j => gq(i)(j) * v(j)).sum)
+      val num = (0 until d).map(i => v(i) * gv(i)).sum
+      val den = v.map(x => x * x).sum
+      val lam = sdiv(num, den)
+      for (dim0 <- 1 to d)
+        comps += ((c.toLong, dim0.toLong, v(dim0 - 1).toLong,
+          lam.toLong))
+      gq = Array.tabulate(d, d)((i, j) =>
+        gq(i)(j) - sdiv(lam * v(i) * v(j), den))
+    }
+    comps.result().toDF("comp", "dim", "w_fp", "lam_fp")
+  }
+
+  /** Project vectors onto [[pca]] components — centered, exact:
+    * proj(c) = Σ_d (xfp_d − μ_fp_d)·w_fp[c][d], every term an exact
+    * long on the 2^24×2^20 grid (comp-0 rows of `comps` carry μ_fp).
+    * Output: (<id>, comp, proj_fp), k rows per vector. One
+    * posexplode joined against the BROADCAST (k+1)·|dims|-row
+    * component frame, collapsing through a map-side-combinable sum. */
+  def pcaProject(emb: DataFrame, comps: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sc = 16777216.0d // 2^24
+    val mu = comps.where(col("comp") === 0L)
+      .select(col("dim").as("d"), col("w_fp").as("mu"))
+    val cw = comps.where(col("comp") > 0L)
+      .select(col("comp"), col("dim").as("d"), col("w_fp"))
+    emb.select(col(idCol).as("__vid"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "xv")))
+      .select(col("__vid"), (col("p") + 1).cast("long").as("d"),
+        floor(col("xv") * lit(sc)).cast("long").as("xfp"))
+      .join(broadcast(mu), Seq("d"))
+      .join(broadcast(cw), Seq("d"))
+      .groupBy(col("__vid"), col("comp"))
+      .agg(sum((col("xfp") - col("mu")) * col("w_fp")).as("proj_fp"))
+      .select(col("__vid").as(idCol), col("comp"),
+        col("proj_fp").cast("long").as("proj_fp"))
+  }
+
   /** Deterministic signed random projection (Johnson–Lindenstrauss /
     * Achlioptas ±1 variant) — reduce `vecCol` to `outDim` dimensions
     * with y_j = Σ_d s(j,d)·x_d, where the sign matrix s ∈ {±1} is

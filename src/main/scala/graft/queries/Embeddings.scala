@@ -88,6 +88,23 @@ object Embeddings {
     * computation, so detect-then-dedup sessions pay the LSH pipeline
     * once. Entries are localCheckpoint-materialized with no cached
     * catalog tables left behind. */
+  /** Session memo of the q169 PCA component frame — metadata grain
+    * ((k+1)·|dims| rows); q169 the DETECTOR refreshes, q170 the
+    * projection CONSUMER reuses (the pairMemo discipline). */
+  private val pcaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def clearPcaMemo(): Unit = pcaMemo.clear()
+
+  private def pcaCompsOf(s: SparkSession, dir: String,
+      refresh: Boolean): DataFrame = {
+    val key = (s, dir)
+    def compute = graft.ops.Embed.pca(
+      Graft.parquetSource(s, dir).table("embeddings"), 2, 6)
+    if (refresh) { val f = compute; pcaMemo.put(key, f); f }
+    else pcaMemo.computeIfAbsent(key, _ => compute)
+  }
+
   private val annMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
@@ -1317,6 +1334,27 @@ object Embeddings {
         .orderBy("dim")
     }),
 
+    // ---- q169: exact fixed-point PCA (power iteration + deflation) ----
+    // [[graft.ops.Embed.pca]] — top-2 components in the engine's
+    // deterministic grade: exact decimal Gram sums, driver-side
+    // BigInt power iteration (6 rounds), sign-handled floor
+    // divisions, one correctly-rounded IEEE sqrt per round (the q142
+    // rule). Detector-consumer memo: q169 refreshes, q170 projects.
+    "q169_pca" -> ((s, dir) => {
+      pcaCompsOf(s, dir, refresh = true).orderBy("comp", "dim")
+    }),
+
+    // ---- q170: centered exact PCA projection ----------------------------
+    // [[graft.ops.Embed.pcaProject]] over q169's memoized component
+    // frame — proj = Σ (xfp − μ_fp)·w_fp, exact longs on the
+    // 2^24×2^20 grid, k rows per vector.
+    "q170_pca_project" -> ((s, dir) => {
+      graft.ops.Embed.pcaProject(
+          Graft.parquetSource(s, dir).table("embeddings"),
+          pcaCompsOf(s, dir, refresh = false))
+        .orderBy("vec_id", "comp")
+    }),
+
     // ---- q168: deterministic signed random projection (JL sketch) ------
     // [[graft.ops.Embed.randomProject]] — ±1 Achlioptas projection to
     // 16 dims with a DERIVED sign matrix (hash60("j:d") mod 2, no RNG,
@@ -1650,6 +1688,97 @@ object Embeddings {
 
   /** q80's body, also the `asg` CTE of q81/q85. */
   private lazy val kmFinalSql: String = kmFinalFrom("e")
+
+  private val PcaIters = 6
+
+  /** Sign-handled floor-on-magnitude integer division — the exact
+    * division the engine's PCA driver math uses (truncation-vs-floor
+    * semantics can never diverge when the dividend is nonnegative). */
+  private def sdivSql(a: String, b: String): String =
+    s"CASE WHEN ($a) >= 0 THEN ($a) // ($b) " +
+      s"ELSE -((-($a)) // ($b)) END"
+
+  /** One power-iteration chain over gram CTE `gq` (i, j, q):
+    * v<tag>_0 .. v<tag>_iters plus the Rayleigh CTE ray<tag>.
+    * Every CTE is MATERIALIZED (the clf-oracle lesson — v_t is
+    * referenced by both the next matvec and its own fallback). */
+  private def pcaPowerCtes(tag: String, gq: String): String = {
+    val head = s""",
+      |v${tag}_0 AS MATERIALIZED (
+      |  SELECT DISTINCT i AS d, 1048576::HUGEINT AS v FROM $gq
+      |)""".stripMargin
+    val rounds = (1 to PcaIters).map { t =>
+      s""",
+        |w${tag}_$t AS MATERIALIZED (
+        |  SELECT g.i AS d, sum(g.q * v.v)::HUGEINT AS w
+        |  FROM $gq g JOIN v${tag}_${t - 1} v ON v.d = g.j GROUP BY 1
+        |), wq${tag}_$t AS MATERIALIZED (
+        |  SELECT d, (${sdivSql("w", "1048576")})::HUGEINT AS wq
+        |  FROM w${tag}_$t
+        |), nm${tag}_$t AS MATERIALIZED (
+        |  SELECT CASE WHEN n2 = 0 THEN 0
+        |    ELSE floor(sqrt(n2::DOUBLE)) END::HUGEINT AS nrm, n2
+        |  FROM (SELECT sum(wq*wq)::HUGEINT AS n2 FROM wq${tag}_$t)
+        |), v${tag}_$t AS MATERIALIZED (
+        |  SELECT w.d, CASE WHEN nm.n2 = 0 THEN p.v
+        |    ELSE (${sdivSql("w.wq * 1048576", "nm.nrm")})::HUGEINT
+        |    END AS v
+        |  FROM wq${tag}_$t w JOIN v${tag}_${t - 1} p ON p.d = w.d,
+        |    nm${tag}_$t nm
+        |)""".stripMargin
+    }.mkString
+    val ray = s""",
+      |gv$tag AS MATERIALIZED (
+      |  SELECT g.i AS d, sum(g.q * v.v)::HUGEINT AS gv
+      |  FROM $gq g JOIN v${tag}_$PcaIters v ON v.d = g.j GROUP BY 1
+      |), ray$tag AS MATERIALIZED (
+      |  SELECT (${sdivSql(
+        s"(SELECT sum(v.v * gv.gv) FROM v${tag}_$PcaIters v " +
+          s"JOIN gv$tag gv ON gv.d = v.d)",
+        s"(SELECT sum(v*v) FROM v${tag}_$PcaIters)")})::HUGEINT AS lam,
+      |    (SELECT sum(v*v) FROM v${tag}_$PcaIters)::HUGEINT AS den
+      |)""".stripMargin
+    head + rounds + ray
+  }
+
+  /** The shared q169/q170 replay: exact Gram from two corpus
+    * aggregates, 20-bit rescale against max|G|, then two deflated
+    * power-iteration chains — a CTE-for-CTE port of the engine's
+    * driver BigInt math into HUGEINT SQL. */
+  private def pcaCtes: String =
+    s"""WITH f AS MATERIALIZED (
+      |  SELECT vec_id, t.i::BIGINT AS d,
+      |    floor(embedding[t.i]::DOUBLE * 16777216.0)::HUGEINT AS xfp
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+      |), nn AS MATERIALIZED (
+      |  SELECT count(DISTINCT vec_id)::HUGEINT AS n FROM f
+      |), si AS MATERIALIZED (
+      |  SELECT d, sum(xfp)::HUGEINT AS s FROM f GROUP BY d
+      |), g0 AS MATERIALIZED (
+      |  SELECT a.d AS i, b.d AS j, sum(a.xfp * b.xfp)::HUGEINT AS sij
+      |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |  GROUP BY 1, 2
+      |), gm AS (
+      |  SELECT g0.i, g0.j, (nn.n * g0.sij - a.s * b.s)::HUGEINT AS gv
+      |  FROM g0, si a, si b, nn WHERE a.d = g0.i AND b.d = g0.j
+      |), gfull AS MATERIALIZED (
+      |  SELECT i, j, gv FROM gm
+      |  UNION ALL SELECT j, i, gv FROM gm WHERE i <> j
+      |), mx AS (SELECT max(abs(gv))::HUGEINT AS m FROM gfull),
+      |gq AS MATERIALIZED (
+      |  SELECT i, j, (${sdivSql("gv * 1048576", "mx.m")})::HUGEINT AS q
+      |  FROM gfull, mx
+      |)""".stripMargin +
+      pcaPowerCtes("a", "gq") +
+      s""",
+        |gq2 AS MATERIALIZED (
+        |  SELECT g.i, g.j,
+        |    (g.q - (${sdivSql("r.lam * vi.v * vj.v", "r.den")}))::HUGEINT
+        |      AS q
+        |  FROM gq g JOIN va_$PcaIters vi ON vi.d = g.i
+        |    JOIN va_$PcaIters vj ON vj.d = g.j, raya r
+        |)""".stripMargin +
+      pcaPowerCtes("b", "gq2")
 
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> cosineTopkSql,
@@ -2040,6 +2169,39 @@ object Embeddings {
     "q122_ivfpq_ann" -> ivfPqSql,
 
     "q130_margin_mining" -> marginMiningSql,
+
+    "q169_pca" ->
+      (pcaCtes +
+        s""",
+          |mu AS MATERIALIZED (
+          |  SELECT si.d, (${sdivSql("si.s", "nn.n")})::HUGEINT AS v
+          |  FROM si, nn
+          |)
+          |SELECT 0::BIGINT AS comp, d::BIGINT AS dim, v::BIGINT AS w_fp,
+          |  (SELECT n FROM nn)::BIGINT AS lam_fp FROM mu
+          |UNION ALL
+          |SELECT 1, d, v::BIGINT, (SELECT lam FROM raya)::BIGINT
+          |FROM va_$PcaIters
+          |UNION ALL
+          |SELECT 2, d, v::BIGINT, (SELECT lam FROM rayb)::BIGINT
+          |FROM vb_$PcaIters
+          |ORDER BY comp, dim""".stripMargin),
+
+    "q170_pca_project" ->
+      (pcaCtes +
+        s""",
+          |mu AS MATERIALIZED (
+          |  SELECT si.d, (${sdivSql("si.s", "nn.n")})::HUGEINT AS v
+          |  FROM si, nn
+          |), cw AS MATERIALIZED (
+          |  SELECT 1::BIGINT AS comp, d, v FROM va_$PcaIters
+          |  UNION ALL
+          |  SELECT 2::BIGINT, d, v FROM vb_$PcaIters
+          |)
+          |SELECT f.vec_id, cw.comp,
+          |  sum((f.xfp - mu.v) * cw.v)::BIGINT AS proj_fp
+          |FROM f JOIN mu ON mu.d = f.d JOIN cw ON cw.d = f.d
+          |GROUP BY 1, 2 ORDER BY vec_id, comp""".stripMargin),
 
     "q168_random_project" ->
       """WITH x AS (

@@ -1798,6 +1798,72 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out7.toSeq === out.toSeq)
   }
 
+  test("Embed.pca recovers the dominant direction and is bit-equal " +
+      "under any partitioning") {
+    // variance almost entirely along dim 1; a little along dim 2
+    val vecs = Seq(
+      (1L, Array(4.0f, 0.0f)), (2L, Array(-4.0f, 0.0f)),
+      (3L, Array(2.0f, 0.1f)), (4L, Array(-2.0f, -0.1f)),
+      (5L, Array(0.0f, 0.2f)), (6L, Array(0.0f, -0.2f)))
+      .toDF("vid", "v")
+    val out = Embed.pca(vecs, k = 2, iters = 8, idCol = "vid",
+        vecCol = "v")
+      .orderBy("comp", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // comp 0 = fixed-point means (both exactly 0 here), lam = n
+    assert(out.take(2).toSeq === Seq((0L, 1L, 0L, 6L), (0L, 2L, 0L, 6L)))
+    val c1 = out.filter(_._1 == 1L); val c2 = out.filter(_._1 == 2L)
+    // dominant component is the x axis, second the y axis
+    assert(math.abs(c1(0)._3) > 50L * math.abs(c1(1)._3),
+      s"comp1 should align with dim 1: ${c1.mkString(",")}")
+    assert(math.abs(c2(1)._3) > 50L * math.abs(c2(0)._3),
+      s"comp2 should align with dim 2: ${c2.mkString(",")}")
+    assert(c1.head._4 > c2.head._4, "Rayleigh values must decrease")
+    // exact integers: identical under any partitioning
+    val out7 = Embed.pca(vecs.repartition(5), k = 2, iters = 8,
+        idCol = "vid", vecCol = "v")
+      .orderBy("comp", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out7.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Embed.pca(vecs, k = 0, idCol = "vid", vecCol = "v")
+    }
+  }
+
+  test("Embed.pcaProject computes the exact centered fixed-point " +
+      "projection") {
+    val vecs = Seq(
+      (1L, Array(4.0f, 0.0f)), (2L, Array(-4.0f, 0.0f)),
+      (3L, Array(2.0f, 0.5f)), (4L, Array(-2.0f, -0.5f)))
+      .toDF("vid", "v")
+    val comps = Embed.pca(vecs, k = 1, iters = 8, idCol = "vid",
+      vecCol = "v")
+    val out = Embed.pcaProject(vecs, comps, idCol = "vid",
+        vecCol = "v")
+      .orderBy("vid", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // manual replay from the returned component frame
+    val rows = comps.orderBy("comp", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mu = rows.filter(_._1 == 0L).map(_._3)
+    val w = rows.filter(_._1 == 1L).map(_._3)
+    val x = Map(1L -> Seq(4.0, 0.0), 2L -> Seq(-4.0, 0.0),
+      3L -> Seq(2.0, 0.5), 4L -> Seq(-2.0, -0.5))
+    val expected = x.toSeq.sortBy(_._1).map { case (id, xs) =>
+      val p = xs.zipWithIndex.map { case (xv, d) =>
+        (math.floor(xv * 16777216.0).toLong - mu(d)) * w(d) }.sum
+      (id, 1L, p)
+    }
+    assert(out.toSeq === expected)
+    val out7 = Embed.pcaProject(vecs.repartition(3),
+        comps.repartition(2), idCol = "vid", vecCol = "v")
+      .orderBy("vid", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out7.toSeq === out.toSeq)
+  }
+
   test("Embed.randomProject derives the exact ±1 hash sign matrix " +
       "over quantized inputs") {
     val vecs = Seq((1L, Array(1.0f, -0.5f)), (2L, Array(0.25f, 0.25f)))
