@@ -831,7 +831,81 @@ object Embed {
         col("xj").cast("decimal(38,0)")).as("sv"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> BigInt(
         r.getDecimal(2).toBigInteger)).toMap // d(d+1)/2 rows
-    val d = si.keys.max.toInt
+    pcaIterate(n, si.keys.max.toInt, si, sij, k, iters)
+  }
+
+  /** The MERGEABLE accumulator form of [[pca]] — the artifact a crawl
+    * loop persists (the dimStatsFrame discipline applied to the Gram):
+    * one row per statistic, every value an EXACT decimal(38,0) sum —
+    * (0, 0) carries n, (0, j) the per-dim sums Sⱼ, (i, j) with
+    * 1 ≤ i ≤ j the pair sums Sᵢⱼ. Because every cell is an exact sum,
+    * [[pcaMerge]] is associative, commutative and LOSSLESS: merging
+    * any partition of the corpus — snapshot + batches, in any order —
+    * reproduces the from-scratch frame bit-for-bit, so
+    * [[pcaFromFrame]] over the merged artifact equals from-scratch
+    * [[pca]] exactly (the q147 argument). */
+  def pcaFrame(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    val sc = 16777216.0d // 2^24
+    val f = emb.repartition(s.sparkContext.defaultParallelism,
+        col(idCol))
+      .select(col(idCol).as("__vid"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "xv")))
+      .select(col("__vid"), (col("p") + 1).cast("long").as("d"),
+        floor(col("xv") * lit(sc)).cast("long").as("xfp"))
+      .localCheckpoint() // read by n, Si, Sij
+    val n = f.select(col("__vid")).distinct()
+      .agg(count(lit(1)).cast("decimal(38,0)").as("sv"))
+      .select(lit(0L).as("i"), lit(0L).as("j"), col("sv"))
+    val si = f.groupBy(col("d"))
+      .agg(sum(col("xfp").cast("decimal(38,0)")).as("sv"))
+      .select(lit(0L).as("i"), col("d").as("j"), col("sv"))
+    val a = f.select(col("__vid"), col("d").as("i"),
+      col("xfp").as("xi"))
+    val b = f.select(col("__vid"), col("d").as("j"),
+      col("xfp").as("xj"))
+    val sij = a.join(b, Seq("__vid")).where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi").cast("decimal(38,0)") *
+        col("xj").cast("decimal(38,0)")).as("sv"))
+    n.unionByName(si).unionByName(sij)
+  }
+
+  /** Merge two [[pcaFrame]] accumulator frames — exact cell-wise
+    * sums; no float arithmetic anywhere. */
+  def pcaMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("i"), col("j"))
+      .agg(sum(col("sv")).as("sv"))
+
+  /** Finalize a [[pcaFrame]] accumulator into components — the same
+    * driver BigInt power iteration as [[pca]], fed from the artifact
+    * instead of a fresh corpus pass. [[pca]] ≡
+    * pcaFromFrame(pcaFrame(emb)) bit-for-bit. */
+  def pcaFromFrame(frame: DataFrame, k: Int = 2,
+      iters: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16 (got $k)")
+    require(iters >= 1 && iters <= 64,
+      s"need 1 <= iters <= 64 (got $iters)")
+    val s = frame.sparkSession
+    import s.implicits._
+    val cells = frame.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val n = cells((0L, 0L))
+    val d = cells.keys.map(_._2).max.toInt
+    val si = (1 to d).map(j => j.toLong -> cells((0L, j.toLong))).toMap
+    val sij = cells.filter { case ((i, _), _) => i >= 1L }
+    pcaIterate(n, d, si, sij, k, iters)
+  }
+
+  /** The shared driver math of [[pca]] and [[pcaFromFrame]] — exact
+    * BigInt Gram assembly, 20-bit rescale, `iters` power-iteration
+    * rounds per component with Rayleigh deflation. */
+  private[graft] def pcaIterate(n: BigInt, d: Int,
+      si: Map[Long, BigInt], sij: Map[(Long, Long), BigInt],
+      k: Int, iters: Int): DataFrame = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
     def sdiv(x: BigInt, y: BigInt): BigInt =
       if (x.signum >= 0) x / y else -((-x) / y)
     val fp = BigInt(1L << 20)

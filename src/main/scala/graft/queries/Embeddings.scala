@@ -1355,6 +1355,27 @@ object Embeddings {
         .orderBy("vec_id", "comp")
     }),
 
+    // ---- q171: incremental PCA vs the persisted Gram accumulator -------
+    // The {session, incremental} square closed for PCA (the q147
+    // discipline): the snapshot persists its EXACT decimal Gram
+    // accumulator ([[graft.ops.Embed.pcaFrame]] — n, Si, Sij cells),
+    // each crawl batch computes only its own frame and merges
+    // losslessly ([[graft.ops.Embed.pcaMerge]]); the driver iteration
+    // ([[graft.ops.Embed.pcaFromFrame]]) then yields components
+    // IDENTICAL to from-scratch q169 bit-for-bit (exactness — the
+    // oracle is q169's verbatim). Per epoch the old corpus is never
+    // re-read: the artifact scan is d(d+1)/2 + d + 1 rows.
+    "q171_incremental_pca" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val cut = BatchCut.cut(s, emb, "vec_id")
+      val frameP = pcaFrameIndex(s, dir, cut)
+      graft.ops.Embed.pcaFromFrame(
+          graft.ops.Embed.pcaMerge(s.read.parquet(frameP),
+            graft.ops.Embed.pcaFrame(
+              emb.where(col("vec_id") >= cut))), 2, 6)
+        .orderBy("comp", "dim")
+    }),
+
     // ---- q168: deterministic signed random projection (JL sketch) ------
     // [[graft.ops.Embed.randomProject]] — ±1 Achlioptas projection to
     // 16 dims with a DERIVED sign matrix (hash60("j:d") mod 2, no RNG,
@@ -1536,6 +1557,18 @@ object Embeddings {
     graft.sources.SideTable.ensure(s, "dim_stats", s"$dir#$cut",
         Some(s"$dir/embeddings.parquet")) {
       graft.ops.Embed.dimStatsFrame(
+        Graft.parquetSource(s, dir).table("embeddings")
+          .where(col("vec_id") < cut))
+    }
+
+  /** The persisted exact Gram accumulator behind q171 — built via the
+    * SAME frame definition the public API exposes
+    * ([[graft.ops.Embed.pcaFrame]]). */
+  private[graft] def pcaFrameIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "pca_frame", s"$dir#$cut",
+        Some(s"$dir/embeddings.parquet")) {
+      graft.ops.Embed.pcaFrame(
         Graft.parquetSource(s, dir).table("embeddings")
           .where(col("vec_id") < cut))
     }
@@ -2171,6 +2204,24 @@ object Embeddings {
     "q130_margin_mining" -> marginMiningSql,
 
     "q169_pca" ->
+      (pcaCtes +
+        s""",
+          |mu AS MATERIALIZED (
+          |  SELECT si.d, (${sdivSql("si.s", "nn.n")})::HUGEINT AS v
+          |  FROM si, nn
+          |)
+          |SELECT 0::BIGINT AS comp, d::BIGINT AS dim, v::BIGINT AS w_fp,
+          |  (SELECT n FROM nn)::BIGINT AS lam_fp FROM mu
+          |UNION ALL
+          |SELECT 1, d, v::BIGINT, (SELECT lam FROM raya)::BIGINT
+          |FROM va_$PcaIters
+          |UNION ALL
+          |SELECT 2, d, v::BIGINT, (SELECT lam FROM rayb)::BIGINT
+          |FROM vb_$PcaIters
+          |ORDER BY comp, dim""".stripMargin),
+
+    // epoch-N ≡ from-scratch by exactness, so the replay is q169's
+    "q171_incremental_pca" ->
       (pcaCtes +
         s""",
           |mu AS MATERIALIZED (

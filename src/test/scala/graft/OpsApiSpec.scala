@@ -1832,6 +1832,33 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Embed.pcaFrame/pcaMerge/pcaFromFrame: merged accumulators " +
+      "reproduce from-scratch pca bit-for-bit") {
+    val old = Seq(
+      (1L, Array(4.0f, 0.3f)), (2L, Array(-4.0f, 0.0f)),
+      (3L, Array(2.0f, 0.1f))).toDF("vid", "v")
+    val batch = Seq(
+      (10L, Array(-2.0f, -0.1f)), (11L, Array(0.5f, 0.2f)),
+      (12L, Array(0.0f, -0.2f))).toDF("vid", "v")
+    val merged = Embed.pcaMerge(
+      Embed.pcaFrame(old, idCol = "vid", vecCol = "v"),
+      Embed.pcaFrame(batch, idCol = "vid", vecCol = "v"))
+    val inc = Embed.pcaFromFrame(merged, k = 2, iters = 8)
+      .orderBy("comp", "dim").collect().map(_.toSeq)
+    val scratch = Embed.pca(old.unionByName(batch), k = 2, iters = 8,
+        idCol = "vid", vecCol = "v")
+      .orderBy("comp", "dim").collect().map(_.toSeq)
+    assert(inc.toSeq === scratch.toSeq,
+      "merged-artifact PCA must equal from-scratch bit-for-bit")
+    // merge is order-insensitive (commutative exact sums)
+    val flipped = Embed.pcaFromFrame(Embed.pcaMerge(
+        Embed.pcaFrame(batch, idCol = "vid", vecCol = "v"),
+        Embed.pcaFrame(old, idCol = "vid", vecCol = "v")),
+      k = 2, iters = 8)
+      .orderBy("comp", "dim").collect().map(_.toSeq)
+    assert(flipped.toSeq === scratch.toSeq)
+  }
+
   test("Embed.pcaProject computes the exact centered fixed-point " +
       "projection") {
     val vecs = Seq(
