@@ -178,6 +178,38 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q167: keywords' top-k window is doc-partitioned, never a " +
+      "single-partition sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Text.keywords(docs)
+      .queryExecution.executedPlan.toString
+    // the top-k is doc-partitioned AND group-limit-pushed: Spark's
+    // WindowGroupLimit keeps only k rows per doc on the MAP side, so
+    // the exchange carries ≤ k rows per document, not the term table
+    // (the lone SinglePartition exchange in this plan is the
+    // broadcast 1-row corpus total, metadata grain)
+    assert(p.contains("Window [row_number()"), s"keywords lost its window:\n$p")
+    assert(p.contains("], [doc_id"), s"window not doc-partitioned:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"keywords lost the map-side group limit:\n$p")
+  }
+
+  test("q168/q170: the sign matrix and the component frame broadcast " +
+      "(the corpus never shuffles for them)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p1 = graft.ops.Embed.randomProject(emb, 8)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), s"sign join shuffles:\n$p1")
+    assert(!p1.contains("SortMergeJoin"), s"sign join sort-merges:\n$p1")
+    val comps = graft.ops.Embed.pca(emb, k = 1, iters = 2)
+    val p2 = graft.ops.Embed.pcaProject(emb, comps)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"component join shuffles:\n$p2")
+    assert(!p2.contains("SortMergeJoin"),
+      s"component join sort-merges:\n$p2")
+  }
+
   test("q56: vocabulary is partial-agg + TakeOrdered, never a global sort") {
     val p = plan("q56_vocabulary")
     assert(p.contains("TakeOrderedAndProject"), s"q56 sorts globally:\n$p")
