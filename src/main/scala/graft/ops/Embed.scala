@@ -947,6 +947,47 @@ object Embed {
     comps.result().toDF("comp", "dim", "w_fp", "lam_fp")
   }
 
+  /** PCA fidelity audit — the q70/q73 audit discipline applied to
+    * [[pca]]: per component, its Rayleigh eigenvalue against the
+    * EXACT trace of the rescaled Gram (both in the same 2^20 fixed-
+    * point units, so the explained-variance fraction is one integer
+    * floor division). trace(Gq) = Σᵢ Gqᵢᵢ is n²·total-variance
+    * rescaled — the denominator every "how many components do I
+    * need" decision reads. Output: (comp (1..k), lam_fp, trace_fp,
+    * explained_ppm), metadata grain. Feed it the persisted
+    * [[pcaFrame]] artifact (or a fresh one): the corpus is touched
+    * only by the frame's own two aggregates. */
+  def pcaExplained(frame: DataFrame, k: Int = 2,
+      iters: Int = 6): DataFrame = {
+    val s = frame.sparkSession
+    import s.implicits._
+    val cells = frame.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val n = cells((0L, 0L))
+    val d = cells.keys.map(_._2).max.toInt
+    val si = (1 to d).map(j => j.toLong -> cells((0L, j.toLong))).toMap
+    val sij = cells.filter { case ((i, _), _) => i >= 1L }
+    def sdiv(x: BigInt, y: BigInt): BigInt =
+      if (x.signum >= 0) x / y else -((-x) / y)
+    val fp = BigInt(1L << 20)
+    val g0 = Array.tabulate(d, d) { (i0, j0) =>
+      val (i, j) = (i0 + 1L, j0 + 1L)
+      val sab = if (i <= j) sij((i, j)) else sij((j, i))
+      n * sab - si(i) * si(j)
+    }
+    val m = g0.flatten.map(_.abs).max
+    require(m.signum > 0, "degenerate input: zero covariance")
+    val trace = (0 until d).map(i => sdiv(g0(i)(i) * fp, m)).sum
+    val comps = pcaIterate(n, d, si, sij, k, iters)
+      .where(col("comp") > 0L)
+      .select(col("comp"), col("lam_fp")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    comps.toSeq.map { case (c, lam) =>
+      (c, lam, trace.toLong,
+        sdiv(BigInt(lam) * 1000000, trace).toLong)
+    }.toDF("comp", "lam_fp", "trace_fp", "explained_ppm")
+  }
+
   /** Project vectors onto [[pca]] components — centered, exact:
     * proj(c) = Σ_d (xfp_d − μ_fp_d)·w_fp[c][d], every term an exact
     * long on the 2^24×2^20 grid (comp-0 rows of `comps` carry μ_fp).

@@ -1376,6 +1376,19 @@ object Embeddings {
         .orderBy("comp", "dim")
     }),
 
+    // ---- q172: PCA explained-variance audit -----------------------------
+    // The audit discipline (q70/q73/q121) applied to PCA:
+    // [[graft.ops.Embed.pcaExplained]] — per component the Rayleigh
+    // eigenvalue vs the exact trace of the rescaled Gram, explained
+    // fraction as one integer floor division. Runs off the SAME
+    // accumulator frame definition q171 persists.
+    "q172_pca_explained" -> ((s, dir) => {
+      graft.ops.Embed.pcaExplained(
+          graft.ops.Embed.pcaFrame(
+            Graft.parquetSource(s, dir).table("embeddings")), 2, 6)
+        .orderBy("comp")
+    }),
+
     // ---- q168: deterministic signed random projection (JL sketch) ------
     // [[graft.ops.Embed.randomProject]] — ±1 Achlioptas projection to
     // 16 dims with a DERIVED sign matrix (hash60("j:d") mod 2, no RNG,
@@ -2219,6 +2232,26 @@ object Embeddings {
           |SELECT 2, d, v::BIGINT, (SELECT lam FROM rayb)::BIGINT
           |FROM vb_$PcaIters
           |ORDER BY comp, dim""".stripMargin),
+
+    "q172_pca_explained" ->
+      (pcaCtes +
+        s""",
+          |tr AS MATERIALIZED (
+          |  SELECT sum(q)::HUGEINT AS t FROM gq WHERE i = j
+          |)
+          |SELECT 1::BIGINT AS comp,
+          |  (SELECT lam FROM raya)::BIGINT AS lam_fp,
+          |  t::BIGINT AS trace_fp,
+          |  (${sdivSql("(SELECT lam FROM raya) * 1000000", "t")})::BIGINT
+          |    AS explained_ppm
+          |FROM tr
+          |UNION ALL
+          |SELECT 2::BIGINT,
+          |  (SELECT lam FROM rayb)::BIGINT,
+          |  t::BIGINT,
+          |  (${sdivSql("(SELECT lam FROM rayb) * 1000000", "t")})::BIGINT
+          |FROM tr
+          |ORDER BY comp""".stripMargin),
 
     // epoch-N ≡ from-scratch by exactness, so the replay is q169's
     "q171_incremental_pca" ->

@@ -1859,6 +1859,28 @@ class OpsApiSpec extends AnyFunSuite {
     assert(flipped.toSeq === scratch.toSeq)
   }
 
+  test("Embed.pcaExplained reports Rayleigh-vs-trace explained " +
+      "variance in exact ppm") {
+    val vecs = Seq(
+      (1L, Array(4.0f, 0.0f)), (2L, Array(-4.0f, 0.0f)),
+      (3L, Array(2.0f, 0.1f)), (4L, Array(-2.0f, -0.1f)),
+      (5L, Array(0.0f, 0.2f)), (6L, Array(0.0f, -0.2f)))
+      .toDF("vid", "v")
+    val out = Embed.pcaExplained(
+        Embed.pcaFrame(vecs, idCol = "vid", vecCol = "v"), k = 2,
+        iters = 8)
+      .orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.length === 2)
+    // same trace denominator on both rows; x dominates the variance
+    assert(out(0)._3 === out(1)._3)
+    assert(out(0)._4 > 900000L, s"comp1 should explain >90%: $out")
+    assert(out(1)._4 < 100000L, s"comp2 should explain <10%: $out")
+    // the ppm IS lam/trace under floor division
+    assert(out(0)._4 === out(0)._2 * 1000000L / out(0)._3)
+  }
+
   test("Embed.pcaProject computes the exact centered fixed-point " +
       "projection") {
     val vecs = Seq(
