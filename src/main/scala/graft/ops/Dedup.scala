@@ -621,7 +621,9 @@ object Dedup {
     trimCovered(base, cov, idCol)
   }
 
-  /** Paragraph-grain exact dedup — the C4/CC-Net line-level step
+  /** Paragraph-grain exact dedup (C4: Raffel et al.,
+    * arXiv:1910.10683 §2.2; CC-Net: Wenzek et al., arXiv:1911.00359
+    * §3.1) — the C4/CC-Net line-level step
     * between document-grain dedup ([[exact]]) and span-grain dedup
     * ([[spanDups]]/[[exactSubstrSpans]]): split each document into
     * paragraphs on `sep`, and remove every paragraph whose trimmed

@@ -1013,8 +1013,9 @@ object Embed {
         col("proj_fp").cast("long").as("proj_fp"))
   }
 
-  /** Deterministic signed random projection (Johnson–Lindenstrauss /
-    * Achlioptas ±1 variant) — reduce `vecCol` to `outDim` dimensions
+  /** Deterministic signed random projection (Johnson–Lindenstrauss;
+    * the ±1 variant of Achlioptas, "Database-friendly random
+    * projections", JCSS 2003) — reduce `vecCol` to `outDim` dimensions
     * with y_j = Σ_d s(j,d)·x_d, where the sign matrix s ∈ {±1} is
     * DERIVED, not sampled: s(j,d) = 1 − 2·(hash60("j:d") mod 2), the
     * house md5 hash, so every engine (and every epoch) materializes

@@ -172,7 +172,9 @@ object Text {
         Seq(col("n_redactions"), col("clean_text")): _*)
   }
 
-  /** CC-Net-style text normalization — the canonicalization dedup
+  /** CC-Net-style text normalization (Wenzek et al.,
+    * arXiv:1911.00359, `text_normalizer.py` in the public cc_net
+    * repo) — the canonicalization dedup
     * pipelines run BEFORE hashing so that trivially-variant copies
     * ("Café #1!" vs "cafe  # 2") collapse: lowercase, accent
     * stripping (the native [[graft.functions.UnaccentExpr]] —
