@@ -156,7 +156,9 @@ object Bench {
           s"km:${graft.queries.Embeddings.kmMemoSize}," +
           s"ann:${graft.queries.Embeddings.annMemoSize}," +
           s"pq:${graft.queries.Embeddings.pqMemoSize}," +
+          s"pca:${graft.queries.Embeddings.pcaMemoSize}," +
           s"clf:${graft.queries.Classifier.clfMemoSize}," +
+          s"substr:${graft.queries.TextPipeline.substrMemoSize}," +
           s"side:${graft.sources.SideTable.size}")
       }
       // Bisect lever (SPARK_GRAFT_RESET=1): drop every session memo
@@ -167,9 +169,11 @@ object Bench {
         graft.queries.TextPipeline.clearPairMemo()
         graft.queries.TextPipeline.clearBpeMemo()
         graft.queries.TextPipeline.clearUlmMemo()
+        graft.queries.TextPipeline.clearSubstrMemo()
         graft.queries.Embeddings.clearAnnMemo()
         graft.queries.Embeddings.clearKmMemo()
         graft.queries.Embeddings.clearPqMemo()
+        graft.queries.Embeddings.clearPcaMemo()
         graft.queries.Classifier.clearClfMemo()
         graft.sources.SideTable.clear()
         System.gc()
@@ -199,16 +203,22 @@ object Bench {
         case (name, ts)
             if ts.length >= 2 && ts.last > 2.0 * math.max(ts.head, 1e-9) =>
           val fn = SparkEntry.queries(name)
-          val ts2 = (1 to 3).map { _ =>
+          // the main rep loop's rule applies here too: a rep that
+          // threw must not enter the median (its truncated elapsed
+          // would deflate exactly the number this sidecar exists to
+          // stabilize)
+          val ts2 = (1 to 3).flatMap { _ =>
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).write.format("noop")
-              .mode("overwrite").save()
-            catch { case _: Throwable => () }
+            val ok =
+              try {
+                fn(spark, sfDir).write.format("noop")
+                  .mode("overwrite").save(); true
+              } catch { case _: Throwable => false }
             val el = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache(); System.gc()
-            el
+            if (ok) Some(el) else None
           }.sorted
-          name -> median(ts2)
+          name -> (if (ts2.isEmpty) -1.0 else median(ts2))
       }
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.isEmpty) "\"err\"" else f(median(ts)))

@@ -47,6 +47,10 @@ case class UnaccentExpr(child: Expression) extends UnaryExpression {
 
 object UnaccentExpr {
 
+  // compiled once: the non-ASCII path must not pay Pattern.compile
+  // per row on accent-heavy corpora
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+
   /** NFD-decompose and drop combining marks; pure-ASCII inputs return
     * the input object itself (no allocation). */
   def unaccent(s: UTF8String): UTF8String = {
@@ -59,8 +63,7 @@ object UnaccentExpr {
     }
     if (ascii) s
     else UTF8String.fromString(
-      java.text.Normalizer.normalize(s.toString,
-          java.text.Normalizer.Form.NFD)
-        .replaceAll("\\p{M}+", ""))
+      Marks.matcher(java.text.Normalizer.normalize(s.toString,
+        java.text.Normalizer.Form.NFD)).replaceAll(""))
   }
 }

@@ -65,13 +65,17 @@ object Curate {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"percentages must be nonnegative with train+val <= 100 " +
         s"(got $trainPct/$valPct)")
+    // ids keep their own type (string/UUID ids are valid cluster
+    // keys — a forced long cast would null them out and silently
+    // defeat the split); incompatible docs/clusters id types fail
+    // ANALYSIS in the coalesce instead of degrading at runtime
     val c = clusters.select(col(idCol).as("__cid"),
-      col("keep_id").cast("long").as("__keep"))
+      col("keep_id").as("__keep"))
     val bucket = pmod(hash60(col("keep_id").cast("string")), lit(100L))
     docs.select(col(idCol))
       .join(c, col(idCol) === col("__cid"), "left")
       .select(col(idCol),
-        coalesce(col("__keep"), col(idCol).cast("long")).as("keep_id"))
+        coalesce(col("__keep"), col(idCol)).as("keep_id"))
       .withColumn("split",
         when(bucket < trainPct, "train")
           .when(bucket < trainPct + valPct, "val")

@@ -613,7 +613,10 @@ object Dedup {
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
       .localCheckpoint() // read by tokens and totals
-    val cov = spans.select(col(idCol).as("doc_id"),
+    // drop non-positive spans BEFORE the explode: sequence(a, a-1)
+    // steps backwards ([a, a-1]) and would cut two innocent tokens
+    val cov = spans.where(col(lenCol).cast("long") > 0L)
+      .select(col(idCol).as("doc_id"),
         explode(sequence(col(startCol).cast("long"),
           col(startCol).cast("long") + col(lenCol).cast("long") - 1L))
           .as("tpos"))
@@ -661,10 +664,20 @@ object Dedup {
     val census = paras.groupBy(col("k"))
       .agg(count(lit(1)).as("occ"),
         min(struct(col("doc_id"), col("idx"))).as("first"))
-    val kept = paras.join(census, "k")
-      .where(col("occ") < minCount ||
-        (col("doc_id") === col("first.doc_id") &&
-          col("idx") === col("first.idx")))
+    paraAssemble(paras,
+      paras.join(census, "k")
+        .where(col("occ") < minCount ||
+          (col("doc_id") === col("first.doc_id") &&
+            col("idx") === col("first.idx"))),
+      idCol)
+  }
+
+  /** Shared reassembly tail of [[paraDedup]] and [[paraDedupAppend]]:
+    * per-document position-ordered rejoin of the surviving paragraphs
+    * plus the totals projection. */
+  private def paraAssemble(paras: DataFrame, keptParas: DataFrame,
+      idCol: String): DataFrame = {
+    val kept = keptParas
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_sort(collect_list(struct(col("idx").as("idx"),
@@ -740,24 +753,13 @@ object Dedup {
       .withColumn("old", lit(true))
     val census = paras.groupBy(col("k"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    val kept = paras.join(census, "k")
-      .join(inOld, Seq("doc_id", "idx"), "left")
-      .where(col("old").isNull &&
-        col("doc_id") === col("first.doc_id") &&
-        col("idx") === col("first.idx"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_sort(collect_list(struct(col("idx").as("idx"),
-          col("para").as("para")))).as("arr"))
-      .select(col("doc_id"), col("n_kept"),
-        concat_ws("\n", col("arr.para")).as("ct"))
-    paras.groupBy(col("doc_id")).agg(count(lit(1)).as("n_paras"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id").as(idCol),
-        col("n_paras").cast("long").as("n_paras"),
-        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).cast("long")
-          .as("n_removed"),
-        coalesce(col("ct"), lit("")).as("clean_text"))
+    paraAssemble(paras,
+      paras.join(census, "k")
+        .join(inOld, Seq("doc_id", "idx"), "left")
+        .where(col("old").isNull &&
+          col("doc_id") === col("first.doc_id") &&
+          col("idx") === col("first.idx")),
+      idCol)
   }
 
   /** Cross-source overlap matrix — the inter-source contamination

@@ -802,37 +802,10 @@ object Embed {
     * per-row products are PCA's inherent cost); everything after is
     * driver-side BigInt on a d×d matrix (d ≤ 512 ⇒ ≤ 256k cells). */
   def pca(emb: DataFrame, k: Int = 2, iters: Int = 6,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1 && k <= 16, s"need 1 <= k <= 16 (got $k)")
-    require(iters >= 1 && iters <= 64,
-      s"need 1 <= iters <= 64 (got $iters)")
-    val s = emb.sparkSession
-    import s.implicits._
-    val sc = 16777216.0d // 2^24
-    val f = emb.repartition(s.sparkContext.defaultParallelism,
-        col(idCol))
-      .select(col(idCol).as("__vid"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "xv")))
-      .select(col("__vid"), (col("p") + 1).cast("long").as("d"),
-        floor(col("xv") * lit(sc)).cast("long").as("xfp"))
-      .localCheckpoint() // read by Si, Sij, n
-    val si = f.groupBy(col("d"))
-      .agg(sum(col("xfp").cast("decimal(38,0)")).as("sv"))
-      .collect().map(r => r.getLong(0) -> BigInt(
-        r.getDecimal(1).toBigInteger)).toMap // |dims| rows
-    val n = BigInt(f.select(col("__vid")).distinct().count())
-    val a = f.select(col("__vid"), col("d").as("i"),
-      col("xfp").as("xi"))
-    val b = f.select(col("__vid"), col("d").as("j"),
-      col("xfp").as("xj"))
-    val sij = a.join(b, Seq("__vid")).where(col("i") <= col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi").cast("decimal(38,0)") *
-        col("xj").cast("decimal(38,0)")).as("sv"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> BigInt(
-        r.getDecimal(2).toBigInteger)).toMap // d(d+1)/2 rows
-    pcaIterate(n, si.keys.max.toInt, si, sij, k, iters)
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // literally its own documented identity — ONE definition of the
+    // corpus statistics ([[pcaFrame]]) and one of the driver math
+    pcaFromFrame(pcaFrame(emb, idCol, vecCol), k, iters)
 
   /** The MERGEABLE accumulator form of [[pca]] — the artifact a crawl
     * loop persists (the dimStatsFrame discipline applied to the Gram):
@@ -887,16 +860,40 @@ object Embed {
     require(k >= 1 && k <= 16, s"need 1 <= k <= 16 (got $k)")
     require(iters >= 1 && iters <= 64,
       s"need 1 <= iters <= 64 (got $iters)")
-    val s = frame.sparkSession
-    import s.implicits._
+    val (n, d, si, sij) = pcaStats(frame)
+    pcaIterate(n, d, si, sij, k, iters)
+  }
+
+  /** Collect a [[pcaFrame]] accumulator to driver statistics
+    * (metadata grain: d(d+1)/2 + d + 1 cells). */
+  private def pcaStats(frame: DataFrame): (BigInt, Int,
+      Map[Long, BigInt], Map[(Long, Long), BigInt]) = {
     val cells = frame.collect().map(r => (r.getLong(0), r.getLong(1)) ->
       BigInt(r.getDecimal(2).toBigInteger)).toMap
     val n = cells((0L, 0L))
     val d = cells.keys.map(_._2).max.toInt
     val si = (1 to d).map(j => j.toLong -> cells((0L, j.toLong))).toMap
     val sij = cells.filter { case ((i, _), _) => i >= 1L }
-    pcaIterate(n, d, si, sij, k, iters)
+    (n, d, si, sij)
   }
+
+  /** Assemble the exact scaled Gram G = n·Sᵢⱼ − Sᵢ·Sⱼ and its max
+    * magnitude — shared by [[pcaIterate]] and [[pcaExplained]]. */
+  private def pcaGram(n: BigInt, d: Int, si: Map[Long, BigInt],
+      sij: Map[(Long, Long), BigInt])
+      : (Array[Array[BigInt]], BigInt) = {
+    val g0 = Array.tabulate(d, d) { (i0, j0) =>
+      val (i, j) = (i0 + 1L, j0 + 1L)
+      val sab = if (i <= j) sij((i, j)) else sij((j, i))
+      n * sab - si(i) * si(j)
+    }
+    val m = g0.flatten.map(_.abs).max
+    require(m.signum > 0, "degenerate input: zero covariance")
+    (g0, m)
+  }
+
+  private def pcaSdiv(x: BigInt, y: BigInt): BigInt =
+    if (x.signum >= 0) x / y else -((-x) / y)
 
   /** The shared driver math of [[pca]] and [[pcaFromFrame]] — exact
     * BigInt Gram assembly, 20-bit rescale, `iters` power-iteration
@@ -906,16 +903,9 @@ object Embed {
       k: Int, iters: Int): DataFrame = {
     val s = org.apache.spark.sql.SparkSession.active
     import s.implicits._
-    def sdiv(x: BigInt, y: BigInt): BigInt =
-      if (x.signum >= 0) x / y else -((-x) / y)
+    val sdiv = pcaSdiv _
     val fp = BigInt(1L << 20)
-    val g0 = Array.tabulate(d, d) { (i0, j0) =>
-      val (i, j) = (i0 + 1L, j0 + 1L)
-      val sab = if (i <= j) sij((i, j)) else sij((j, i))
-      n * sab - si(i) * si(j)
-    }
-    val m = g0.flatten.map(_.abs).max
-    require(m.signum > 0, "degenerate input: zero covariance")
+    val (g0, m) = pcaGram(n, d, si, sij)
     var gq = g0.map(_.map(x => sdiv(x * fp, m)))
     val comps = Seq.newBuilder[(Long, Long, Long, Long)]
     for (dim0 <- 1 to d)
@@ -961,30 +951,17 @@ object Embed {
       iters: Int = 6): DataFrame = {
     val s = frame.sparkSession
     import s.implicits._
-    val cells = frame.collect().map(r => (r.getLong(0), r.getLong(1)) ->
-      BigInt(r.getDecimal(2).toBigInteger)).toMap
-    val n = cells((0L, 0L))
-    val d = cells.keys.map(_._2).max.toInt
-    val si = (1 to d).map(j => j.toLong -> cells((0L, j.toLong))).toMap
-    val sij = cells.filter { case ((i, _), _) => i >= 1L }
-    def sdiv(x: BigInt, y: BigInt): BigInt =
-      if (x.signum >= 0) x / y else -((-x) / y)
+    val (n, d, si, sij) = pcaStats(frame)
     val fp = BigInt(1L << 20)
-    val g0 = Array.tabulate(d, d) { (i0, j0) =>
-      val (i, j) = (i0 + 1L, j0 + 1L)
-      val sab = if (i <= j) sij((i, j)) else sij((j, i))
-      n * sab - si(i) * si(j)
-    }
-    val m = g0.flatten.map(_.abs).max
-    require(m.signum > 0, "degenerate input: zero covariance")
-    val trace = (0 until d).map(i => sdiv(g0(i)(i) * fp, m)).sum
+    val (g0, m) = pcaGram(n, d, si, sij)
+    val trace = (0 until d).map(i => pcaSdiv(g0(i)(i) * fp, m)).sum
     val comps = pcaIterate(n, d, si, sij, k, iters)
       .where(col("comp") > 0L)
       .select(col("comp"), col("lam_fp")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     comps.toSeq.map { case (c, lam) =>
       (c, lam, trace.toLong,
-        sdiv(BigInt(lam) * 1000000, trace).toLong)
+        pcaSdiv(BigInt(lam) * 1000000, trace).toLong)
     }.toDF("comp", "lam_fp", "trace_fp", "explained_ppm")
   }
 

@@ -82,7 +82,11 @@ object Classifier {
 
   private def trainedModel(s: SparkSession, dir: String,
       maxId: Option[Long]): Array[(Long, Long)] = {
-    val variant = maxId.map(c => s"cut$c").getOrElse("full")
+    // the key carries every knob the training reads (the substrMemo
+    // rule: a memo is keyed by the inputs that determine the answer),
+    // so a mid-session knob change can never serve a stale model
+    val variant = maxId.map(c => s"cut$c").getOrElse("full") +
+      s"#b${bucketsOf(s)}#i${itersOf(s)}#lr${lrOf(s)}#t${tgtOf(s)}"
     clfMemo.computeIfAbsent((s, dir, variant), _ => {
       val d0 = Graft.parquetSource(s, dir).table("documents")
       val d = maxId.map(c => d0.where(col("doc_id") < c)).getOrElse(d0)

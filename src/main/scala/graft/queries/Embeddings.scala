@@ -96,6 +96,8 @@ object Embeddings {
 
   private[graft] def clearPcaMemo(): Unit = pcaMemo.clear()
 
+  private[graft] def pcaMemoSize: Int = pcaMemo.size()
+
   private def pcaCompsOf(s: SparkSession, dir: String,
       refresh: Boolean): DataFrame = {
     val key = (s, dir)

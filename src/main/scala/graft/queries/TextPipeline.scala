@@ -218,6 +218,8 @@ object TextPipeline {
 
   private[graft] def clearSubstrMemo(): Unit = substrMemo.clear()
 
+  private[graft] def substrMemoSize: Int = substrMemo.size()
+
   private def substrSpansOf(s: SparkSession, dir: String, k: Int,
       cap: Int, refresh: Boolean): DataFrame = {
     val key = (s, dir, k, cap)

@@ -1962,6 +1962,15 @@ class OpsApiSpec extends AnyFunSuite {
       Curate.leakSafeSplit(docs, clusters, trainPct = 95, valPct = 10,
         idCol = "page_id")
     }
+    // string ids are first-class cluster keys (no silent long cast)
+    val sdocs = Seq("a", "b", "c").toDF("page_id")
+    val sclust = Seq(("a", "a"), ("b", "a")).toDF("page_id", "keep_id")
+    val sout = Curate.leakSafeSplit(sdocs, sclust, idCol = "page_id")
+      .orderBy("page_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(sout.map(_._2).toSeq === Seq("a", "a", "c"))
+    assert(sout(0)._3 === sout(1)._3, "cluster {a, b} must share a split")
+    assert(sout.forall(r => Seq("train", "val", "test").contains(r._3)))
   }
 
   test("Dedup.paraDedup normalizeKeys collapses trivially-variant " +
@@ -2092,8 +2101,10 @@ class OpsApiSpec extends AnyFunSuite {
       (4L, 6L, 4L, "d1 d2"),
       (5L, 6L, 4L, "e1 e2"),
       (6L, 6L, 0L, "n1 n2 n3 n4 n5 n6"))) // span-free doc untouched
-    // overlapping spans cut each covered position once (distinct'd)
-    val manual = Seq((2L, 2L, 3L), (2L, 3L, 3L))
+    // overlapping spans cut each covered position once (distinct'd);
+    // a zero-length span cuts NOTHING (guarded before the explode —
+    // sequence(a, a-1) would otherwise step backwards over 2 tokens)
+    val manual = Seq((2L, 2L, 3L), (2L, 3L, 3L), (2L, 6L, 0L))
       .toDF("page_id", "start_tok", "n_tok")
     val ovl = Dedup.trimSpans(docs.where(col("page_id") === 2L), manual,
         idCol = "page_id", textCol = "body")
