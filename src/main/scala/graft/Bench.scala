@@ -281,18 +281,28 @@ object Bench {
     // per-round commit carries it (BENCH_rNN.json, the driver's stdout
     // capture, is a 2000-char tail that loses most of the per-query map
     // — r10 and r12 both needed the /tmp file to adjudicate). The round
-    // number is derived from the committed BENCH_r*.json files: the
-    // bench runs at round END, so next = max existing + 1.
+    // number comes from SPARK_GRAFT_ROUND when set (re-runs after the
+    // driver has already captured BENCH_rNN.json would otherwise write
+    // into the NEXT round's slot); the fallback derives it from BOTH
+    // the committed BENCH_r*.json and BENCH_r*_full.json files (bench
+    // runs at round END, so next = max existing + 1) and WARNS instead
+    // of silently skipping when run from a non-repo CWD.
     try {
       val cwd = new java.io.File(".").getCanonicalFile
-      val rx = "BENCH_r(\\d+)\\.json".r
+      val rx = "BENCH_r(\\d+)(_full)?\\.json".r
       val ns = Option(cwd.listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(fl => rx.unapplySeq(fl.getName).map(_.head.toInt))
-      if (ns.nonEmpty) {
-        val full = new java.io.File(cwd,
-          f"BENCH_r${ns.max + 1}%02d_full.json")
-        java.nio.file.Files.write(full.toPath,
-          (fileJson + "\n").getBytes("UTF-8"))
+        .flatMap(fl => rx.findFirstMatchIn(fl.getName).map(_.group(1).toInt))
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+        .orElse(if (ns.nonEmpty) Some(ns.max + 1) else None)
+      round match {
+        case Some(r) =>
+          val full = new java.io.File(cwd, f"BENCH_r$r%02d_full.json")
+          java.nio.file.Files.write(full.toPath,
+            (fileJson + "\n").getBytes("UTF-8"))
+        case None =>
+          System.err.println("[bench] WARN: no BENCH_r*.json in CWD and " +
+            "SPARK_GRAFT_ROUND unset — repo artifact not written " +
+            s"(CWD: $cwd; the /tmp artifact above still has the full run)")
       }
     } catch { case e: Exception =>
       System.err.println(s"[bench] WARN: could not write repo artifact: $e") }

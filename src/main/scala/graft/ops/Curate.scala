@@ -58,7 +58,10 @@ object Curate {
     *
     * Scale shape: one narrow hash join (id → keep_id) and a
     * projection; the split decision is a codegen'd hash of the
-    * representative id, no shuffle beyond the join. */
+    * representative id. The clusters side is collapsed to one row per
+    * member id first (deterministic min keep_id — a map-side-combinable
+    * aggregate at cluster-frame grain), so a malformed frame can never
+    * fan the join out; no shuffle beyond that aggregate and the join. */
   def leakSafeSplit(docs: DataFrame, clusters: DataFrame,
       trainPct: Int = 80, valPct: Int = 10,
       idCol: String = "doc_id"): DataFrame = {
@@ -68,9 +71,14 @@ object Curate {
     // ids keep their own type (string/UUID ids are valid cluster
     // keys — a forced long cast would null them out and silently
     // defeat the split); incompatible docs/clusters id types fail
-    // ANALYSIS in the coalesce instead of degrading at runtime
+    // ANALYSIS in the coalesce instead of degrading at runtime.
+    // Collapse to ONE row per member id (deterministic min keep_id):
+    // a malformed clusters frame with duplicate member rows would
+    // otherwise fan out the left join and emit one doc under several
+    // keep_ids/splits — exactly the leakage this op exists to prevent.
     val c = clusters.select(col(idCol).as("__cid"),
-      col("keep_id").as("__keep"))
+        col("keep_id").as("__keep"))
+      .groupBy(col("__cid")).agg(min(col("__keep")).as("__keep"))
     val bucket = pmod(hash60(col("keep_id").cast("string")), lit(100L))
     docs.select(col(idCol))
       .join(c, col(idCol) === col("__cid"), "left")

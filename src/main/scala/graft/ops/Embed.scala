@@ -820,6 +820,18 @@ object Embed {
   def pcaFrame(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val s = emb.sparkSession
+    // contract check at the single entry of every PCA form: ragged
+    // (mixed-length) vectors would SILENTLY skew the Gram — each cell
+    // would sum over a different effective n — rather than crash, so
+    // they must be rejected here, not discovered as wrong components.
+    // One scan-riding min/max aggregate, trivial next to the pair pass.
+    val szs = emb.agg(min(size(col(vecCol))).as("mn"),
+      max(size(col(vecCol))).as("mx")).head()
+    if (!szs.isNullAt(0))
+      require(szs.getInt(0) == szs.getInt(1),
+        s"vectors must have uniform dimensionality: $vecCol lengths " +
+          s"range ${szs.getInt(0)}..${szs.getInt(1)} — pad or filter " +
+          "ragged embedding arrays before graft.ops.Embed.pca*")
     val sc = 16777216.0d // 2^24
     val f = emb.repartition(s.sparkContext.defaultParallelism,
         col(idCol))
@@ -872,6 +884,15 @@ object Embed {
       BigInt(r.getDecimal(2).toBigInteger)).toMap
     val n = cells((0L, 0L))
     val d = cells.keys.map(_._2).max.toInt
+    // contract check: a ragged corpus (mixed vector lengths) produces a
+    // frame missing some (0, j) cells — fail with the contract error
+    // instead of an unexplained driver Map lookup exception
+    val missing = (1 to d).filterNot(j => cells.contains((0L, j.toLong)))
+    require(missing.isEmpty,
+      s"vectors must have uniform dimensionality: the accumulator frame " +
+        s"has max dim $d but no per-dim sum for dim(s) " +
+        s"${missing.take(5).mkString(", ")} — ragged embedding arrays " +
+        "are not a valid PCA input")
     val si = (1 to d).map(j => j.toLong -> cells((0L, j.toLong))).toMap
     val sij = cells.filter { case ((i, _), _) => i >= 1L }
     (n, d, si, sij)
@@ -1021,7 +1042,13 @@ object Embed {
         posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "xv")))
       .select(col("__vid"), (col("p") + 1).cast("long").as("d"),
         floor(col("xv") * lit(sc)).cast("long").as("xfp"))
-    val dmax = emb.agg(max(size(col(vecCol)))).head().getInt(0)
+    // empty-input guard: max(size) over zero rows is a single null row —
+    // return an empty (id, dim, y_fp) frame instead of an opaque NPE
+    val dmaxRow = emb.agg(max(size(col(vecCol)))).head()
+    if (dmaxRow.isNullAt(0))
+      return emb.select(col(idCol), lit(0L).as("dim"),
+        lit(0L).as("y_fp")).limit(0)
+    val dmax = dmaxRow.getInt(0)
     val signs = (for (j <- 1 to outDim; d <- 1 to dmax) yield
       (j.toLong, d.toLong, 1L - 2L *
         (graft.functions.Hash60Expr.hash60(

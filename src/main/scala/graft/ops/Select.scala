@@ -182,8 +182,21 @@ object Select {
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 8192, iters: Int = 16,
       lr20: Long = 2L * Fp20): DataFrame = {
-    require(buckets >= 2 && buckets <= (1 << 24),
-      s"need 2 <= buckets <= 2^24 (got $buckets)")
+    // The per-iteration gradient is a ≤ buckets+1-row driver collect
+    // (two decimal(38,0) cells per row) — the cap keeps that collect at
+    // metadata grain so the scaladoc's "model-grain" claim stays true at
+    // the knob's own boundary. 2^18 hashed-ngram buckets is already
+    // generous for an LR curation filter (fastText-style filters ship
+    // with 10^5–10^6 buckets); above 2^16 the collect still works but
+    // deserves a visible note.
+    require(buckets >= 2 && buckets <= (1 << 18),
+      s"need 2 <= buckets <= 2^18 (got $buckets) — each iteration " +
+        "collects a <= buckets+1-row gradient to the driver")
+    if (buckets > (1 << 16))
+      System.err.println(s"[graft] classifierTrain: buckets=$buckets — " +
+        s"each of $iters iterations collects a ~$buckets-row gradient " +
+        "to the driver (~48 bytes/row); still metadata-grain, but " +
+        "consider whether > 2^16 hashed features is intentional")
     require(iters >= 1 && iters <= 64, s"need 1 <= iters <= 64 (got $iters)")
     require(lr20 >= 1L && iters.toLong * lr20 <= (1L << 31),
       s"need 1 <= lr20 and iters*lr20 <= 2^31 (got lr20=$lr20, " +

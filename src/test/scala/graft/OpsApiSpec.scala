@@ -1589,6 +1589,16 @@ class OpsApiSpec extends AnyFunSuite {
       Select.classifierScore(docs, model, threshold20 = -1L,
         idCol = "page_id", textCol = "body", buckets = 512)
     }
+    // buckets boundary: 2^18 (the per-iteration driver-gradient cap)
+    // trains; above it is a contract error naming the collect
+    val mMax = Select.classifierTrain(docs, "lbl", "page_id", "body",
+      1 << 18, 1)
+    assert(mMax.count() >= 1L)
+    val eCap = intercept[IllegalArgumentException] {
+      Select.classifierTrain(docs, "lbl", "page_id", "body",
+        (1 << 18) + 1, 1)
+    }
+    assert(eCap.getMessage.contains("gradient"))
   }
 
   test("Select.classifierScore against a frozen model is the " +
@@ -1938,6 +1948,21 @@ class OpsApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Embed.randomProject(vecs, outDim = 0, idCol = "vid", vecCol = "v")
     }
+    // empty input → empty (id, dim, y_fp) frame, not an opaque NPE
+    val empty = Embed.randomProject(vecs.limit(0), outDim = 2,
+      idCol = "vid", vecCol = "v")
+    assert(empty.columns.toSeq === Seq("vid", "dim", "y_fp"))
+    assert(empty.count() === 0L)
+  }
+
+  test("Embed.pcaFrame rejects ragged (mixed-dimensionality) " +
+      "corpora with a contract error") {
+    val ragged = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(4.0f)))
+      .toDF("vid", "v")
+    val e = intercept[IllegalArgumentException] {
+      Embed.pcaFrame(ragged, idCol = "vid", vecCol = "v")
+    }
+    assert(e.getMessage.contains("uniform dimensionality"))
   }
 
   test("Curate.leakSafeSplit assigns every cluster member its " +
@@ -1971,6 +1996,16 @@ class OpsApiSpec extends AnyFunSuite {
     assert(sout.map(_._2).toSeq === Seq("a", "a", "c"))
     assert(sout(0)._3 === sout(1)._3, "cluster {a, b} must share a split")
     assert(sout.forall(r => Seq("train", "val", "test").contains(r._3)))
+    // a malformed clusters frame with duplicate member rows must NOT
+    // fan out the join (one doc under two keep_ids/splits would be the
+    // exact leakage the op exists to prevent): one row per doc, with
+    // the deterministic min keep_id
+    val dup = Seq((1L, 1L), (1L, 9L), (2L, 1L)).toDF("page_id", "keep_id")
+    val dout = Curate.leakSafeSplit(docs, dup, idCol = "page_id")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dout.length === 5, "duplicate cluster rows must not fan out")
+    assert(dout(0) === ((1L, 1L)), "min keep_id wins deterministically")
   }
 
   test("Dedup.paraDedup normalizeKeys collapses trivially-variant " +
