@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, Hash60Expr, MaxAbsExpr, QuantizeExpr, ShinglesExpr, UnaccentExpr}
+import graft.functions.{DotProductExpr, Hash60Expr, ImageMetaExpr, MaxAbsExpr, QuantizeExpr, ShinglesExpr, UnaccentExpr}
 
 /** SparkSessionExtensions entry point — registers graft's native Catalyst
   * expressions as SQL functions. Two deployment paths:
@@ -59,6 +59,13 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_unaccent expects 1 argument, got ${children.length}")
         UnaccentExpr(children.head)
+      }),
+    (FunctionIdentifier("graft_image_meta"),
+      new ExpressionInfo(classOf[ImageMetaExpr].getName, "graft_image_meta"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_image_meta expects 1 argument, got ${children.length}")
+        ImageMetaExpr(children.head)
       }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),

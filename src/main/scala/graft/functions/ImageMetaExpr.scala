@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen image-container metadata parser — extracts
+  * `(format, width, height, bit_depth)` from the LEADING BYTES of an
+  * image payload without any codec library: PNG via the fixed-offset
+  * IHDR chunk (the spec pins IHDR as the first chunk, so width/height
+  * sit at bytes 16/20), GIF87a/GIF89a via the little-endian logical
+  * screen descriptor, JPEG via a bounded SOF-marker walk over the
+  * segment list (skipping APPn/COM/quantization segments by their
+  * declared big-endian lengths until a start-of-frame marker carries
+  * precision/height/width).
+  *
+  * This upgrades the Multimodal family's metadata step from the honest
+  * stub to a REAL parse — pixel decode still needs a codec (the
+  * [[Multimodal.decodePartitionwise]] seam), but the fields real
+  * curation predicates filter on (format, dimensions, bit depth) come
+  * out of the first KB of the blob. On 100 TB of media the parse rides
+  * the scan as a pure projection: no shuffle, no blob bytes past the
+  * header touched by later metadata-only predicates once projected.
+  *
+  * Unrecognized/truncated/desynced payloads yield
+  * `("unknown", null, null, null)` — never an exception: at corpus
+  * scale a malformed blob must degrade to a filterable row, not kill
+  * the job.
+  *
+  * Null contract: null payload → null struct (UnaryExpression default).
+  */
+case class ImageMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_image_meta expects binary, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ImageMetaExpr.metaType
+
+  override def prettyName: String = "graft_image_meta"
+
+  override protected def nullSafeEval(b: Any): Any =
+    ImageMetaExpr.parse(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.ImageMetaExpr$$.MODULE$$.parse($b)")
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMetaExpr =
+    copy(child = newChild)
+}
+
+object ImageMetaExpr {
+
+  val metaType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType)))
+
+  private val Png = UTF8String.fromString("png")
+  private val Gif = UTF8String.fromString("gif")
+  private val Jpeg = UTF8String.fromString("jpeg")
+  private val Unknown = UTF8String.fromString("unknown")
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+  private def row(fmt: UTF8String, w: Any, h: Any, d: Any): InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    r.update(0, fmt); r.update(1, w); r.update(2, h); r.update(3, d)
+    r
+  }
+  private val unknown: InternalRow = row(Unknown, null, null, null)
+
+  /** A JPEG start-of-frame marker: C0–CF except C4 (DHT), C8 (JPG
+    * extension) and CC (DAC) — the SOF0/SOF2 family real files use. */
+  private def isSof(m: Int): Boolean =
+    m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+  /** Parse the container header; never throws, never returns null. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    // PNG: 8-byte signature, IHDR (first chunk by spec) at offset 8
+    if (n >= 26 && u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+        b(3) == 'G' && u8(b, 4) == 0x0D && u8(b, 5) == 0x0A &&
+        u8(b, 6) == 0x1A && u8(b, 7) == 0x0A) {
+      if (b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        row(Png, be32(b, 16), be32(b, 20), u8(b, 24))
+      else unknown
+    }
+    // GIF: "GIF87a"/"GIF89a" + little-endian logical screen descriptor;
+    // bits 0-2 of the packed byte encode global-color-table depth − 1
+    else if (n >= 11 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      row(Gif, le16(b, 6), le16(b, 8), (u8(b, 10) & 0x07) + 1)
+    // JPEG: SOI then a marker walk; segment lengths are big-endian and
+    // INCLUDE the length field. Bounded at 64 segments — a real header
+    // has well under 20 before SOF; past that it's a desynced blob.
+    else if (n >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
+      var pos = 2
+      var steps = 0
+      while (pos + 1 < n && steps < 64) {
+        if (u8(b, pos) != 0xFF) return unknown // desync
+        val m = u8(b, pos + 1)
+        // standalone markers (no length field): TEM, RSTn; repeated SOI
+        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) pos += 2
+        else if (m == 0xD9 || m == 0xDA) return unknown // EOI/SOS before SOF
+        else if (pos + 3 < n) {
+          val segLen = be16(b, pos + 2)
+          if (segLen < 2) return unknown
+          if (isSof(m)) {
+            return if (pos + 8 < n)
+              row(Jpeg, be16(b, pos + 7), be16(b, pos + 5), u8(b, pos + 4))
+            else unknown
+          }
+          pos += 2 + segLen
+        } else return unknown
+        steps += 1
+      }
+      unknown
+    } else unknown
+  }
+}

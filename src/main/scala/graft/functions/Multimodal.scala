@@ -9,9 +9,13 @@ import org.apache.spark.sql.types._
   * (SURVEY.md §7.2 step 7 — north-star extension).
   *
   * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * per-row processing, frame sampling — is real and tested. The actual
-  * codec step is STUBBED (this container has no image/audio libraries):
-  * `decodeStub` derives deterministic fake features from the raw bytes.
+  * per-row processing, frame sampling — is real and tested, and as of
+  * round 14 the CONTAINER-METADATA half of decode is real too:
+  * [[imageMeta]] parses format/width/height/bit-depth out of PNG/GIF/
+  * JPEG headers with pure byte arithmetic ([[ImageMetaExpr]], q175).
+  * Only the PIXEL-decode step remains STUBBED (this container has no
+  * image/audio libraries): `decodeStub` derives deterministic fake
+  * features from the raw bytes.
   * On a real cluster, swap `decodeStub` for a `mapPartitions` body that
   * opens a codec once per partition and streams batches through it; the
   * schema and call shape below do not change.
@@ -41,6 +45,19 @@ object Multimodal {
 
   /** Payload byte length (works on BinaryType). */
   def payloadBytes(payload: Column): Column = octet_length(payload)
+
+  /** REAL image-container metadata from the payload's leading bytes —
+    * `(format, width, height, bit_depth)` via the native codegen
+    * [[ImageMetaExpr]] (PNG IHDR fixed offsets, GIF little-endian
+    * screen descriptor, JPEG bounded SOF-marker walk). No codec
+    * library involved: this is the part of the decode step that IS
+    * expressible as pure byte arithmetic, upgrading the metadata
+    * fields from the stub to a real parse; pixel decode stays behind
+    * the [[decodePartitionwise]] seam. Unrecognized payloads parse to
+    * `("unknown", null, null, null)`. */
+  def imageMeta(payload: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(ImageMetaExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(payload)))
 
   /** STUB "decode + feature extract": a deterministic 4-dim feature vector
     * from the payload bytes — stands in for a real decode→embed step.

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Graft
@@ -15,6 +15,59 @@ object Media {
 
   private def media(s: SparkSession, dir: String): DataFrame =
     syntheticMedia(Graft.parquetSource(s, dir).table("documents"))
+
+  private def bytesLit(xs: Int*): Column = lit(xs.map(_.toByte).toArray)
+
+  /** Big-endian `bytes`-wide binary of a nonnegative long column. */
+  private def be(c: Column, bytes: Int): Column =
+    unhex(lpad(hex(c), bytes * 2, "0"))
+
+  /** Little-endian 2-byte binary of a nonnegative long column. */
+  private def le16(c: Column): Column = {
+    val hx = lpad(hex(c), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
+  /** Synthetic image-container payloads from `documents` — REAL format
+    * headers (PNG signature+IHDR, GIF87a/89a logical screen descriptor,
+    * JPEG SOI→APP0→COM→SOF0 segment list with a doc-varying COM length
+    * so the marker walk covers variable distances), dimensions derived
+    * from doc_id, deterministic byte-for-byte so the DuckDB oracle can
+    * construct the same payloads and re-parse them independently.
+    * (media_id, payload). */
+  private[graft] def syntheticImages(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = (id % 1920 + 1).cast("long")
+    val h = (id % 1080 + 1).cast("long")
+    val tail = encode(substring(col("text"), 1, 8), "UTF-8")
+    val png = concat(
+      bytesLit(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), // signature
+      bytesLit(0, 0, 0, 13), encode(lit("IHDR"), "UTF-8"),
+      be(w, 4), be(h, 4),
+      be(when(id % 2 === 0, 8L).otherwise(16L), 1), // bit depth
+      bytesLit(2, 0, 0, 0),                         // color type RGB, comp/filter/interlace
+      bytesLit(0xDE, 0xAD, 0xBE, 0xEF),             // placeholder CRC
+      tail)
+    val gif = concat(
+      encode(concat(lit("GIF8"),
+        when(id % 2 === 1, "7").otherwise(lit("9")), lit("a")), "UTF-8"),
+      le16(w), le16(h),
+      be(lit(128L) + id % 8, 1), // packed: GCT flag | (depth-1)
+      bytesLit(0, 0), tail)
+    val jpg = concat(
+      bytesLit(0xFF, 0xD8),                          // SOI
+      bytesLit(0xFF, 0xE0, 0x00, 0x10), encode(lit("JFIF"), "UTF-8"),
+      unhex(lit("00010200000100010000")),            // APP0 body (len 16)
+      bytesLit(0xFF, 0xFE), be(id % 7 + 2, 2),       // COM, varying length
+      encode(expr("repeat('x', cast(doc_id % 7 as int))"), "UTF-8"),
+      bytesLit(0xFF, 0xC0, 0x00, 0x0B, 0x08),        // SOF0, len 11, precision 8
+      be(h, 2), be(w, 2),
+      bytesLit(0x01, 0x01, 0x11, 0x00),              // 1 component
+      bytesLit(0xFF, 0xD9))                          // EOI
+    documents.select(id.as("media_id"),
+      when(id % 3 === 0, png).when(id % 3 === 1, gif).otherwise(jpg)
+        .as("payload"))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -38,6 +91,26 @@ object Media {
           feats.getItem(2).as("f2"),
           feats.getItem(3).as("f3"),
           hex(thumbnail(col("payload"), 8)).as("thumb_hex"))
+        .orderBy("media_id")
+    }),
+
+    // ---- q175: real image-container metadata parse ----------------------
+    // [[graft.functions.ImageMetaExpr]] (SQL: graft_image_meta) over
+    // synthetic-but-format-faithful PNG/GIF/JPEG payloads: the metadata
+    // half of the decode step done with REAL byte parsing (fixed-offset
+    // IHDR / LE screen descriptor / bounded SOF-marker walk) — no codec
+    // library, one exchange-free scan-riding projection (plan-pinned).
+    // The oracle constructs the same payloads and re-parses them with
+    // independent hex arithmetic + a recursive-CTE marker walk.
+    "q175_image_meta" -> ((s, dir) => {
+      val m = imageMeta(col("payload"))
+      syntheticImages(Graft.parquetSource(s, dir).table("documents"))
+        .select(col("media_id"),
+          m.getField("format").as("format"),
+          m.getField("width").as("width"),
+          m.getField("height").as("height"),
+          m.getField("bit_depth").as("bit_depth"),
+          payloadBytes(col("payload")).as("n_bytes"))
         .orderBy("media_id")
     }),
 
@@ -69,6 +142,91 @@ object Media {
         |  hex(substring(text, 1, 8)) AS thumb_hex
         |FROM documents
         |WHERE (length(text) % 1920) >= 200
+        |ORDER BY media_id""".stripMargin,
+
+    // Constructs the same format-faithful payloads from documents, then
+    // RE-PARSES them with independent arithmetic over hex(payload):
+    // byte i (1-based) = ('0x' || substr(h, 2*i-1, 2))::INT. PNG/GIF are
+    // fixed-offset; JPEG is a recursive-CTE marker walk whose step adds
+    // 2 + the declared big-endian segment length until a SOF marker
+    // (C0-CF minus C4/C8/CC) is reached.
+    "q175_image_meta" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN
+        |        unhex('89504E470D0A1A0A') || unhex('0000000D') || encode('IHDR') ||
+        |        unhex(lpad(hex(doc_id % 1920 + 1), 8, '0')) ||
+        |        unhex(lpad(hex(doc_id % 1080 + 1), 8, '0')) ||
+        |        unhex(lpad(hex(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END), 2, '0')) ||
+        |        unhex('02000000') || unhex('DEADBEEF') ||
+        |        encode(substring(text, 1, 8))
+        |      WHEN 1 THEN
+        |        encode('GIF8' || CASE WHEN doc_id % 2 = 1 THEN '7' ELSE '9' END || 'a') ||
+        |        unhex(substring(lpad(hex(doc_id % 1920 + 1), 4, '0'), 3, 2)) ||
+        |        unhex(substring(lpad(hex(doc_id % 1920 + 1), 4, '0'), 1, 2)) ||
+        |        unhex(substring(lpad(hex(doc_id % 1080 + 1), 4, '0'), 3, 2)) ||
+        |        unhex(substring(lpad(hex(doc_id % 1080 + 1), 4, '0'), 1, 2)) ||
+        |        unhex(lpad(hex(128 + (doc_id % 8)), 2, '0')) ||
+        |        unhex('0000') || encode(substring(text, 1, 8))
+        |      ELSE
+        |        unhex('FFD8') || unhex('FFE00010') || encode('JFIF') ||
+        |        unhex('00010200000100010000') ||
+        |        unhex('FFFE') || unhex(lpad(hex(doc_id % 7 + 2), 4, '0')) ||
+        |        encode(repeat('x', (doc_id % 7)::INT)) ||
+        |        unhex('FFC0000B08') ||
+        |        unhex(lpad(hex(doc_id % 1080 + 1), 4, '0')) ||
+        |        unhex(lpad(hex(doc_id % 1920 + 1), 4, '0')) ||
+        |        unhex('01011100') || unhex('FFD9')
+        |    END AS payload
+        |  FROM documents
+        |), hx AS MATERIALIZED (
+        |  SELECT media_id, hex(payload) AS h,
+        |    octet_length(payload)::INT AS nb
+        |  FROM img
+        |), png AS (
+        |  SELECT media_id, 'png' AS format,
+        |    ('0x' || substr(h, 33, 8))::INT AS width,
+        |    ('0x' || substr(h, 41, 8))::INT AS height,
+        |    ('0x' || substr(h, 49, 2))::INT AS bit_depth
+        |  FROM hx
+        |  WHERE substr(h, 1, 16) = '89504E470D0A1A0A'
+        |    AND substr(h, 25, 8) = hex('IHDR')
+        |), gif AS (
+        |  SELECT media_id, 'gif' AS format,
+        |    ('0x' || substr(h, 13, 2))::INT + 256 * ('0x' || substr(h, 15, 2))::INT AS width,
+        |    ('0x' || substr(h, 17, 2))::INT + 256 * ('0x' || substr(h, 19, 2))::INT AS height,
+        |    (('0x' || substr(h, 21, 2))::INT % 8) + 1 AS bit_depth
+        |  FROM hx
+        |  WHERE substr(h, 1, 8) = hex('GIF8') AND substr(h, 11, 2) = hex('a')
+        |), jw AS (
+        |  WITH RECURSIVE walk AS (
+        |    SELECT media_id, h, nb, 3 AS pos, 0 AS steps
+        |    FROM hx WHERE substr(h, 1, 4) = 'FFD8'
+        |    UNION ALL
+        |    SELECT media_id, h, nb,
+        |      pos + 2 + ('0x' || substr(h, 2*(pos+2)-1, 4))::INT AS pos,
+        |      steps + 1
+        |    FROM walk
+        |    WHERE steps < 64 AND pos + 3 <= nb
+        |      AND substr(h, 2*pos-1, 2) = 'FF'
+        |      AND NOT (('0x' || substr(h, 2*pos+1, 2))::INT BETWEEN 192 AND 207
+        |               AND ('0x' || substr(h, 2*pos+1, 2))::INT NOT IN (196, 200, 204))
+        |      AND ('0x' || substr(h, 2*pos+1, 2))::INT NOT IN (217, 218)
+        |  )
+        |  SELECT media_id, 'jpeg' AS format,
+        |    ('0x' || substr(h, 2*(pos+7)-1, 4))::INT AS width,
+        |    ('0x' || substr(h, 2*(pos+5)-1, 4))::INT AS height,
+        |    ('0x' || substr(h, 2*(pos+4)-1, 2))::INT AS bit_depth
+        |  FROM walk
+        |  WHERE pos + 8 <= nb AND substr(h, 2*pos-1, 2) = 'FF'
+        |    AND ('0x' || substr(h, 2*pos+1, 2))::INT BETWEEN 192 AND 207
+        |    AND ('0x' || substr(h, 2*pos+1, 2))::INT NOT IN (196, 200, 204)
+        |)
+        |SELECT m.media_id, m.format, m.width, m.height, m.bit_depth, hx.nb AS n_bytes
+        |FROM (SELECT * FROM png UNION ALL SELECT * FROM gif
+        |      UNION ALL SELECT * FROM jw) m
+        |JOIN hx USING (media_id)
         |ORDER BY media_id""".stripMargin,
 
     "q33_frame_sample" ->

@@ -236,6 +236,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(new String(r.getAs[Array[Byte]](3)) == "0123")
   }
 
+  test("image metadata: real container headers parse; malformed " +
+      "payloads degrade to unknown, never throw") {
+    import graft.functions.ImageMetaExpr.parse
+    import org.apache.spark.unsafe.types.UTF8String
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def tup(b: Array[Byte]) = {
+      val r = parse(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))
+    }
+    // a REAL 1×1 RGBA PNG header (the exact bytes `pngcrush` emits)
+    val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1F, 0x15, 0xC4, 0x89)
+    assert(tup(png) === (("png", 1, 1, 8)))
+    // a REAL GIF89a screen descriptor: 3×2, GCT depth 7 (packed 0xF6)
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a',
+      0x03, 0x00, 0x02, 0x00, 0xF6, 0x00, 0x00)
+    assert(tup(gif) === (("gif", 3, 2, 7)))
+    assert(tup(bytes('G', 'I', 'F', '8', '7', 'a',
+      0x01, 0x01, 0x01, 0x00, 0x80, 0x00, 0x00))._1 === "gif")
+    // a camera-style JPEG: SOI, APP1(EXIF) skipped by length, DQT
+    // skipped, progressive SOF2 carries precision 8, h=2, w=3
+    val jpg = bytes(0xFF, 0xD8,
+      0xFF, 0xE1, 0x00, 0x08, 'E', 'x', 'i', 'f', 0x00, 0x00,
+      0xFF, 0xDB, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x02, 0x00, 0x03,
+      0x01, 0x01, 0x11, 0x00)
+    assert(tup(jpg) === (("jpeg", 3, 2, 8)))
+    // degradation contract: truncated, desynced, and alien payloads
+    // all yield ("unknown", null, null, null)
+    assert(tup(png.take(20))._1 === "unknown") // truncated mid-IHDR
+    assert(tup(bytes(0xFF, 0xD8, 0x00, 0x00))._1 === "unknown") // desync
+    assert(tup(bytes(0xFF, 0xD8, 0xFF, 0xD9))._1 === "unknown") // EOI first
+    assert(tup("plain text".getBytes("UTF-8"))._1 === "unknown")
+    assert(tup(Array.empty[Byte])._1 === "unknown")
+    // SQL surface: registered as graft_image_meta
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq(png).toDF("b")
+      .selectExpr("graft_image_meta(b) AS m")
+      .selectExpr("m.format", "m.width", "m.height", "m.bit_depth")
+      .collect().head
+    assert((viaSql.getString(0), viaSql.getInt(1), viaSql.getInt(2),
+      viaSql.getInt(3)) === (("png", 1, 1, 8)))
+    // null payload → null struct
+    val nullRow = Seq(Option.empty[Array[Byte]]).toDF("b")
+      .selectExpr("graft_image_meta(b) AS m").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("topk aggregator: bounded, ordered, merge-associative") {
     import graft.functions.TopK._
     val agg = new TopKAgg(3)

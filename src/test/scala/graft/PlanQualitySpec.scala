@@ -178,6 +178,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q175: image-metadata parse rides the scan — no exchange, " +
+      "codegen'd (ImageMetaExpr included)") {
+    // the construct+parse projection must be pure map-side work, and
+    // the native ImageMetaExpr must NOT knock it out of whole-stage
+    // codegen (it implements doGenCode); the final ORDER BY is the
+    // oracle determinism tail, so assert on the pre-sort stage
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val imgs = graft.queries.Media.syntheticImages(docs)
+    val m = graft.functions.Multimodal.imageMeta(
+      org.apache.spark.sql.functions.col("payload"))
+    val p = imgs.select(m.getField("format"), m.getField("width"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"image meta moves data:\n$p")
+    assert(p.contains("*(1) Project"), s"image meta fell out of codegen:\n$p")
+    assert(p.contains("FileScan parquet"))
+  }
+
   test("q167: keywords' top-k window is doc-partitioned, never a " +
       "single-partition sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
