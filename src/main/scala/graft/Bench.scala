@@ -159,6 +159,7 @@ object Bench {
           s"pca:${graft.queries.Embeddings.pcaMemoSize}," +
           s"clf:${graft.queries.Classifier.clfMemoSize}," +
           s"substr:${graft.queries.TextPipeline.substrMemoSize}," +
+          s"wv:${graft.queries.WordVectors.wvMemoSize}," +
           s"side:${graft.sources.SideTable.size}")
       }
       // Bisect lever (SPARK_GRAFT_RESET=1): drop every session memo
@@ -175,6 +176,7 @@ object Bench {
         graft.queries.Embeddings.clearPqMemo()
         graft.queries.Embeddings.clearPcaMemo()
         graft.queries.Classifier.clearClfMemo()
+        graft.queries.WordVectors.clearWvMemo()
         graft.sources.SideTable.clear()
         System.gc()
       }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Classifier, CorpusQuality, CrawlIngest, Embeddings, Media, ReferenceParity, Relational, StreamingParity, TextPipeline}
+import graft.queries.{Classifier, CorpusQuality, CrawlIngest, Embeddings, Media, ReferenceParity, Relational, StreamingParity, TextPipeline, WordVectors}
 
 /** Driver contract — every implemented operator from SURVEY.md §2 gets a
   * `queries` entry; every SQL-expressible one gets a matching DuckDB oracle
@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceParity.defs ++ Relational.defs ++ TextPipeline.defs ++
       CorpusQuality.defs ++ Embeddings.defs ++ Media.defs ++
-      StreamingParity.defs ++ CrawlIngest.defs ++ Classifier.defs
+      StreamingParity.defs ++ CrawlIngest.defs ++ Classifier.defs ++
+      WordVectors.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceParity.oracles ++ Relational.oracles ++ TextPipeline.oracles ++
       CorpusQuality.oracles ++ Embeddings.oracles ++ Media.oracles ++
-      StreamingParity.oracles ++ CrawlIngest.oracles ++ Classifier.oracles
+      StreamingParity.oracles ++ CrawlIngest.oracles ++ Classifier.oracles ++
+      WordVectors.oracles
 }

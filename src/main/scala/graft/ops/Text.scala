@@ -1062,6 +1062,166 @@ object Text {
         col("score_fp").cast("long").as("score_fp"))
   }
 
+  /** Count-based word embeddings — PPMI + the house exact PCA
+    * (Levy-Goldberg, "Neural word embedding as implicit matrix
+    * factorization", NeurIPS 2014: SGNS ≈ factorized shifted PPMI; the
+    * count-based rung gives semantic word vectors for corpora that have
+    * NO embedding table). Pipeline, all engine-exact:
+    *
+    *   1. top-`topV` vocabulary by unigram count (count DESC, word ASC
+    *      — a TakeOrdered tail, never a corpus-wide window);
+    *   2. symmetric window-1 co-occurrence counts over adjacent word
+    *      pairs, both sides restricted to the vocabulary;
+    *   3. positive PMI per cell in fixed point: with p = cnt·N and
+    *      q = row(a)·row(b), cells with p > q get
+    *      L = floor(2¹⁰·log₂(p/q)) computed by EXACT integer steps —
+    *      e = len(bin(p div q)) − 1 for the integer part and ten
+    *      squaring rounds on a 2²⁰-grid mantissa for the fraction
+    *      (log/ln are not cross-engine exact — the q142 lesson — but
+    *      this bit-recurrence is, on both engines);
+    *   4. the V dense PPMI rows (values L/2¹⁰, exactly representable)
+    *      feed [[graft.ops.Embed.pca]] (exact decimal Gram, driver
+    *      BigInt power iteration) and [[graft.ops.Embed.pcaProject]];
+    *   5. projections rescale to a ±2²⁰ grid by the global max
+    *      magnitude (sign-handled floor division).
+    *
+    * Output: (word, word_id 1..V, cnt, comp 1..k, wv_fp) — k·V rows,
+    * deterministic and bit-equal under any partitioning.
+    *
+    * Scale shape: two corpus-scale map-side-combinable aggregates
+    * (unigram counts → TakeOrdered top-V; vocab-restricted pair counts
+    * after two BROADCAST vocabulary joins). Everything downstream —
+    * PPMI, Gram, power iteration, projection — is vocabulary-bounded
+    * (≤ V² cells), corpus-size-invariant. */
+  def wordVectors(docs: DataFrame, topV: Int = 32, k: Int = 3,
+      iters: Int = 6, textCol: String = "text"): DataFrame = {
+    require(topV >= 2 && topV <= 256, s"need 2 <= topV <= 256 (got $topV)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(words(col(textCol)).as("w"))
+    // top-V vocabulary: TakeOrdered tail, then ids over the V-row result
+    // (the row_number window runs over <= topV rows — metadata grain)
+    val vocab = toks.select(explode(col("w")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(topV)
+      .withColumn("word_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
+      .localCheckpoint() // read by both pair-side joins, spine, output
+    val vcnt = vocab.count().toInt // actual V (corpus may have < topV words)
+    // adjacent pairs, both words in-vocabulary, then symmetrized
+    val bg = toks.where(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("wa"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("wb"))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val va = vocab.select(col("word").as("wa"), col("word_id").as("ia"))
+    val vb = vocab.select(col("word").as("wb"), col("word_id").as("ib"))
+    val pc = bg.join(broadcast(va), Seq("wa")).join(broadcast(vb), Seq("wb"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
+    val coo = pc.select(col("ia").as("a"), col("ib").as("b"), col("c"))
+      .unionByName(pc.select(col("ib").as("a"), col("ia").as("b"), col("c")))
+      .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cnt"))
+      .localCheckpoint() // <= V² rows; read by marginals, N, and cells
+    val marg = coo.groupBy(col("a")).agg(sum(col("cnt")).as("ra"))
+    val tot = coo.agg(sum(col("cnt")).as("nn"))
+    // fixed-point PPMI: e = len(bin(p div q)) - 1, then ten exact
+    // squaring rounds on the 2^20-grid mantissa (see scaladoc)
+    var cells = coo
+      .join(marg, Seq("a"))
+      .join(marg.select(col("a").as("b"), col("ra").as("rb")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"),
+        (col("cnt").cast("decimal(38,0)") *
+          col("nn").cast("decimal(38,0)")).as("p"),
+        (col("ra").cast("decimal(38,0)") *
+          col("rb").cast("decimal(38,0)")).as("q"))
+      .where(col("p") > col("q"))
+      .withColumn("pdq", expr("p div q"))
+      .withColumn("e", (length(expr("bin(pdq)")) - 1).cast("long"))
+      .withColumn("r", expr("(p * 1048576) div " +
+        "(q * cast(shiftleft(1L, cast(e as int)) as decimal(38,0)))"))
+      .withColumn("frac", lit(0L))
+    for (b <- 1 to 10) {
+      cells = cells
+        .withColumn("t", col("r") * col("r"))
+        .withColumn("bit",
+          when(col("t") >= lit(1L << 41), lit(1L)).otherwise(lit(0L)))
+        .withColumn("r", when(col("bit") === 1L, expr("t div 2097152"))
+          .otherwise(expr("t div 1048576")))
+        .withColumn("frac", col("frac") + col("bit") * lit(1L << (10 - b)))
+    }
+    val ppmi = cells.select(col("a"), col("b"),
+      (col("e") * 1024L + col("frac")).as("l"))
+    // dense V-dim PPMI rows (values L/2^10 — exactly representable, so
+    // pcaFrame's 2^24 quantization is the exact integer L·2^14)
+    val vecs = vocab.select(col("word_id").as("a"))
+      .join(ppmi, Seq("a"), "left")
+      .groupBy(col("a"))
+      .agg(map_from_entries(collect_list(
+        when(col("b").isNotNull, struct(col("b"), col("l"))))).as("m"))
+      .select(col("a").as("word_id"),
+        transform(sequence(lit(1), lit(vcnt)),
+          i => coalesce(element_at(col("m"), i), lit(0L))
+            .cast("double") / lit(1024.0d)).as("vec"))
+      .localCheckpoint() // read by pcaFrame (2 aggs) and pcaProject
+    val comps = graft.ops.Embed.pca(vecs, k, iters,
+      idCol = "word_id", vecCol = "vec")
+    val proj = graft.ops.Embed.pcaProject(vecs, comps,
+      idCol = "word_id", vecCol = "vec")
+    val mx = proj.agg(greatest(max(abs(col("proj_fp"))), lit(1L)).as("mx"))
+    proj.crossJoin(broadcast(mx))
+      .select(col("word_id"), col("comp"),
+        expr("case when proj_fp >= 0 then " +
+          "(cast(proj_fp as decimal(38,0)) * 1048576) div " +
+          "cast(mx as decimal(38,0)) else " +
+          "-((cast(-proj_fp as decimal(38,0)) * 1048576) div " +
+          "cast(mx as decimal(38,0))) end").as("wv_fp"))
+      .join(broadcast(vocab.select(col("word_id"), col("word"),
+        col("cnt"))), Seq("word_id"))
+      .select(col("word"), col("word_id").cast("long").as("word_id"),
+        col("cnt").cast("long").as("cnt"), col("comp"),
+        col("wv_fp").cast("long").as("wv_fp"))
+  }
+
+  /** Document vectors from [[wordVectors]] — each document is the SUM
+    * of its (in-vocabulary) word vectors, the standard bag-of-vectors
+    * composition. Sums are exact longs on the word-vector ±2²⁰ grid
+    * (|Σ| ≤ doc_len·2²⁰, exact in double too), so the output feeds the
+    * ENTIRE existing ANN/semdedup/OOD family ([[graft.ops.Embed]])
+    * for text-only corpora: cosine normalizes, so the un-normalized
+    * sum is the right artifact. Documents with no in-vocabulary words
+    * (or an exactly-zero sum, where cosine is undefined) are omitted.
+    * Output: (<id>, vec array<double> of length k).
+    *
+    * Scale shape: one token explode joined against the BROADCAST k·V
+    * word-vector frame, collapsed by a map-side-combinable sum —
+    * batch-proportional, no corpus-wide shuffle beyond the (doc, comp)
+    * aggregate. */
+  def docVectors(docs: DataFrame, wordVecs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wv = wordVecs.select(col("word"), col("comp"), col("wv_fp"))
+    val kmax = wv.agg(max(col("comp"))).head().getLong(0).toInt // k rows/word
+    val sums = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("__did"),
+        explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(wv), Seq("word"))
+      .groupBy(col("__did"), col("comp"))
+      .agg(sum(col("wv_fp")).as("s"))
+    sums.groupBy(col("__did"))
+      .agg(map_from_entries(collect_list(
+        struct(col("comp"), col("s")))).as("m"))
+      .select(col("__did"),
+        transform(sequence(lit(1), lit(kmax)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+            .cast("double")).as("vec"))
+      .where(exists(col("vec"), x => x =!= 0.0d))
+      .select(col("__did").as(idCol), col("vec"))
+  }
+
   def collocations(docs: DataFrame, minCount: Long = 5L,
       textCol: String = "text"): DataFrame = {
     require(minCount >= 1L, s"need minCount >= 1 (got $minCount)")

@@ -1621,7 +1621,7 @@ object Embeddings {
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB left-fold dot product — same IEEE op order as [[dot]]. */
-  private def duckDot(a: String, b: String): String =
+  private[queries] def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::double, list_transform(list_zip($a, $b), p -> p[1]*p[2])), (acc, x) -> acc + x)"
 
   /** Raw-vector + norm CTE — same op order as [[normalized]]. */
@@ -1737,12 +1737,12 @@ object Embeddings {
   /** q80's body, also the `asg` CTE of q81/q85. */
   private lazy val kmFinalSql: String = kmFinalFrom("e")
 
-  private val PcaIters = 6
+  private[queries] val PcaIters = 6
 
   /** Sign-handled floor-on-magnitude integer division — the exact
     * division the engine's PCA driver math uses (truncation-vs-floor
     * semantics can never diverge when the dividend is nonnegative). */
-  private def sdivSql(a: String, b: String): String =
+  private[queries] def sdivSql(a: String, b: String): String =
     s"CASE WHEN ($a) >= 0 THEN ($a) // ($b) " +
       s"ELSE -((-($a)) // ($b)) END"
 
@@ -1750,7 +1750,7 @@ object Embeddings {
     * v<tag>_0 .. v<tag>_iters plus the Rayleigh CTE ray<tag>.
     * Every CTE is MATERIALIZED (the clf-oracle lesson — v_t is
     * referenced by both the next matvec and its own fallback). */
-  private def pcaPowerCtes(tag: String, gq: String): String = {
+  private[queries] def pcaPowerCtes(tag: String, gq: String): String = {
     val head = s""",
       |v${tag}_0 AS MATERIALIZED (
       |  SELECT DISTINCT i AS d, 1048576::HUGEINT AS v FROM $gq
@@ -1789,22 +1789,44 @@ object Embeddings {
     head + rounds + ray
   }
 
-  /** The shared q169/q170 replay: exact Gram from two corpus
-    * aggregates, 20-bit rescale against max|G|, then two deflated
-    * power-iteration chains — a CTE-for-CTE port of the engine's
-    * driver BigInt math into HUGEINT SQL. */
-  private def pcaCtes: String =
-    s"""WITH f AS MATERIALIZED (
-      |  SELECT vec_id, t.i::BIGINT AS d,
-      |    floor(embedding[t.i]::DOUBLE * 16777216.0)::HUGEINT AS xfp
-      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
-      |), nn AS MATERIALIZED (
-      |  SELECT count(DISTINCT vec_id)::HUGEINT AS n FROM f
+  /** k deflated power-iteration chains over gram CTE `gq` — chain i
+    * gets tag `tags(i)`; between chains the Rayleigh deflation CTE
+    * gq2, gq3, … subtracts λ·v·vᵀ/den exactly as the engine's
+    * [[graft.ops.Embed.pcaIterate]] does. Shared by the embeddings
+    * PCA oracles (2 chains) and the word-vector oracle (k chains). */
+  private[queries] def pcaChainCtes(tags: Seq[String]): String = {
+    val sb = new StringBuilder
+    var gram = "gq"
+    for ((tg, idx) <- tags.zipWithIndex) {
+      if (idx > 0) {
+        val prev = tags(idx - 1)
+        val next = s"gq${idx + 1}"
+        sb.append(s""",
+          |$next AS MATERIALIZED (
+          |  SELECT g.i, g.j,
+          |    (g.q - (${sdivSql(s"r.lam * vi.v * vj.v", "r.den")}))::HUGEINT
+          |      AS q
+          |  FROM $gram g JOIN v${prev}_$PcaIters vi ON vi.d = g.i
+          |    JOIN v${prev}_$PcaIters vj ON vj.d = g.j, ray$prev r
+          |)""".stripMargin)
+        gram = next
+      }
+      sb.append(pcaPowerCtes(tg, gram))
+    }
+    sb.toString
+  }
+
+  /** Exact Gram CTEs from an (vec_id, d, xfp) relation `f`: n, per-dim
+    * sums, pair sums, the scaled Gram and its 20-bit rescale — the
+    * tail every PCA oracle shares; see [[graft.ops.Embed.pcaFrame]]. */
+  private[queries] def pcaGramCtes(f: String): String =
+    s""", nn AS MATERIALIZED (
+      |  SELECT count(DISTINCT vec_id)::HUGEINT AS n FROM $f
       |), si AS MATERIALIZED (
-      |  SELECT d, sum(xfp)::HUGEINT AS s FROM f GROUP BY d
+      |  SELECT d, sum(xfp)::HUGEINT AS s FROM $f GROUP BY d
       |), g0 AS MATERIALIZED (
       |  SELECT a.d AS i, b.d AS j, sum(a.xfp * b.xfp)::HUGEINT AS sij
-      |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.d <= b.d
+      |  FROM $f a JOIN $f b ON a.vec_id = b.vec_id AND a.d <= b.d
       |  GROUP BY 1, 2
       |), gm AS (
       |  SELECT g0.i, g0.j, (nn.n * g0.sij - a.s * b.s)::HUGEINT AS gv
@@ -1816,17 +1838,20 @@ object Embeddings {
       |gq AS MATERIALIZED (
       |  SELECT i, j, (${sdivSql("gv * 1048576", "mx.m")})::HUGEINT AS q
       |  FROM gfull, mx
+      |)""".stripMargin
+
+  /** The shared q169/q170 replay: exact Gram from two corpus
+    * aggregates, 20-bit rescale against max|G|, then two deflated
+    * power-iteration chains — a CTE-for-CTE port of the engine's
+    * driver BigInt math into HUGEINT SQL. */
+  private def pcaCtes: String =
+    """WITH f AS MATERIALIZED (
+      |  SELECT vec_id, t.i::BIGINT AS d,
+      |    floor(embedding[t.i]::DOUBLE * 16777216.0)::HUGEINT AS xfp
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
       |)""".stripMargin +
-      pcaPowerCtes("a", "gq") +
-      s""",
-        |gq2 AS MATERIALIZED (
-        |  SELECT g.i, g.j,
-        |    (g.q - (${sdivSql("r.lam * vi.v * vj.v", "r.den")}))::HUGEINT
-        |      AS q
-        |  FROM gq g JOIN va_$PcaIters vi ON vi.d = g.i
-        |    JOIN va_$PcaIters vj ON vj.d = g.j, raya r
-        |)""".stripMargin +
-      pcaPowerCtes("b", "gq2")
+      pcaGramCtes("f") +
+      pcaChainCtes(Seq("a", "b"))
 
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> cosineTopkSql,

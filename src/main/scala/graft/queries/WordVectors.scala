@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+
+/** Count-based word/document embeddings over `documents` — the text
+  * side's answer to "semantic similarity with NO embedding table":
+  * q173 trains [[graft.ops.Text.wordVectors]] (top-V PPMI co-occurrence
+  * factorized by the house exact fixed-point PCA), q174 composes
+  * [[graft.ops.Text.docVectors]] with the existing
+  * [[graft.ops.Embed.cosineTopK]] — the whole ANN/semdedup family now
+  * works on text-only corpora.
+  *
+  * Oracle discipline: the PPMI fixed-point log2 is an EXACT integer
+  * bit-recurrence (e = len(bin(p div q)) − 1 plus ten squaring rounds
+  * on a 2²⁰-grid mantissa), so the DuckDB replay is cell-for-cell
+  * HUGEINT arithmetic — no ln/log anywhere (the q142 lesson); the PCA
+  * tail reuses the proven q169 chain CTEs
+  * ([[Embeddings.pcaChainCtes]]).
+  */
+object WordVectors {
+
+  private val TopV = 32
+  private val K = 3
+
+  /** Session memo of the trained word-vector frame — metadata grain
+    * (k·V rows); q173 the TRAINER refreshes, q174 the doc-vector
+    * CONSUMER reuses (the pcaMemo discipline). */
+  private val wvMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private[graft] def clearWvMemo(): Unit = wvMemo.clear()
+
+  private[graft] def wvMemoSize: Int = wvMemo.size()
+
+  private def wordVecsOf(s: SparkSession, dir: String,
+      refresh: Boolean): DataFrame = {
+    val key = (s, dir)
+    def compute = graft.ops.Text.wordVectors(
+      Graft.parquetSource(s, dir).table("documents"), TopV, K)
+      .localCheckpoint()
+    if (refresh) { val f = compute; wvMemo.put(key, f); f }
+    else wvMemo.computeIfAbsent(key, _ => compute)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q173: count-based word vectors (PPMI + exact PCA) -------------
+    // Thin binding over [[graft.ops.Text.wordVectors]]: top-32 words,
+    // 3 components. Detector-consumer memo: q173 refreshes, q174
+    // consumes.
+    "q173_word_vectors" -> ((s, dir) => {
+      wordVecsOf(s, dir, refresh = true)
+        .orderBy("word_id", "comp")
+    }),
+
+    // ---- q174: doc-vector cosine top-k over the word vectors -----------
+    // [[graft.ops.Text.docVectors]] (bag-of-word-vectors sums, exact
+    // longs) feeding the EXISTING exact ANN baseline
+    // [[graft.ops.Embed.cosineTopK]] — text-only semantic retrieval,
+    // no embeddings table touched.
+    "q174_docvec_topk" -> ((s, dir) => {
+      val dv = graft.ops.Text.docVectors(
+          Graft.parquetSource(s, dir).table("documents"),
+          wordVecsOf(s, dir, refresh = false))
+        .localCheckpoint() // corpus AND query side of the top-k
+      graft.ops.Embed.cosineTopK(dv, dv.where(col("doc_id") < 5),
+          k = 10, idCol = "doc_id", vecCol = "vec",
+          queryIdCol = "doc_id", queryVecCol = "vec",
+          excludeSelf = true)
+        .orderBy("q_id", "rank")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  // Oracle SQL
+  // ---------------------------------------------------------------------
+
+  /** Ten exact squaring rounds for the fractional log2 bits: each CTE
+    * squares the 2²⁰-grid mantissa, emits bit b when r² ≥ 2, and
+    * renormalizes by 2²⁰⁺ᵇⁱᵗ (truncating division — the identical
+    * recurrence runs column-wise on the Spark side). */
+  private def log2FracCtes(src: String): String =
+    (1 to 10).map { b =>
+      val prev = if (b == 1) src else s"lg${b - 1}"
+      s""", lg$b AS (
+        |  SELECT a, b, e,
+        |    CASE WHEN r2 >= 2199023255552 THEN r2 // 2097152
+        |         ELSE r2 // 1048576 END AS r,
+        |    frac + (CASE WHEN r2 >= 2199023255552 THEN 1 ELSE 0 END)
+        |      * ${1L << (10 - b)} AS frac
+        |  FROM (SELECT a, b, e, r * r AS r2, frac FROM $prev)
+        |)""".stripMargin
+    }.mkString
+
+  /** CTEs from `documents` to the dense PPMI rows `f (vec_id, d, xfp)`
+    * plus the vocabulary (word, word_id, cnt): the exact replay of
+    * [[graft.ops.Text.wordVectors]] steps 1–4. */
+  private def ppmiCtes: String =
+    s"""WITH ws AS MATERIALIZED (
+      |  SELECT regexp_split_to_array(trim(text), '\\s+') w
+      |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+      |), vocab AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, word) AS word_id
+      |  FROM (
+      |    SELECT word, count(*)::BIGINT AS cnt
+      |    FROM (SELECT unnest(w) AS word FROM ws) WHERE word <> ''
+      |    GROUP BY word ORDER BY cnt DESC, word LIMIT $TopV
+      |  )
+      |), bg AS (
+      |  SELECT w[i] AS wa, w[i+1] AS wb
+      |  FROM ws, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+      |), pc AS (
+      |  SELECT va.word_id AS ia, vb.word_id AS ib, count(*)::BIGINT AS c
+      |  FROM bg JOIN vocab va ON va.word = bg.wa
+      |          JOIN vocab vb ON vb.word = bg.wb
+      |  GROUP BY 1, 2
+      |), coo AS MATERIALIZED (
+      |  SELECT a, b, sum(c)::BIGINT AS cnt FROM (
+      |    SELECT ia AS a, ib AS b, c FROM pc
+      |    UNION ALL SELECT ib, ia, c FROM pc
+      |  ) GROUP BY 1, 2
+      |), marg AS (SELECT a, sum(cnt)::BIGINT AS ra FROM coo GROUP BY 1),
+      |tot AS (SELECT sum(cnt)::BIGINT AS nn FROM coo),
+      |cells0 AS (
+      |  SELECT coo.a, coo.b,
+      |    coo.cnt::HUGEINT * tot.nn::HUGEINT AS p,
+      |    ma.ra::HUGEINT * mb.ra::HUGEINT AS q
+      |  FROM coo JOIN marg ma ON ma.a = coo.a
+      |           JOIN marg mb ON mb.a = coo.b, tot
+      |  WHERE coo.cnt::HUGEINT * tot.nn::HUGEINT >
+      |        ma.ra::HUGEINT * mb.ra::HUGEINT
+      |), lg0 AS (
+      |  SELECT a, b, e,
+      |    ((p * 1048576) // (q * (1::BIGINT << e::INT)::HUGEINT))::BIGINT
+      |      AS r,
+      |    0::BIGINT AS frac
+      |  FROM (
+      |    SELECT a, b, p, q,
+      |      (length(bin((p // q)::BIGINT)) - 1)::BIGINT AS e
+      |    FROM cells0
+      |  )
+      |)""".stripMargin +
+      log2FracCtes("lg0") +
+      s""", ppmi AS MATERIALIZED (
+        |  SELECT a, b, (e * 1024 + frac)::BIGINT AS l FROM lg10
+        |), f AS MATERIALIZED (
+        |  SELECT vr.word_id AS vec_id, vc.word_id AS d,
+        |    coalesce(ppmi.l * 16384, 0)::HUGEINT AS xfp
+        |  FROM vocab vr CROSS JOIN vocab vc
+        |  LEFT JOIN ppmi ON ppmi.a = vr.word_id AND ppmi.b = vc.word_id
+        |)""".stripMargin
+
+  private val chainTags = Seq("a", "b", "c").take(K)
+
+  import Embeddings.{duckDot, pcaChainCtes, pcaGramCtes, sdivSql, PcaIters}
+
+  /** PPMI rows → Gram → K deflated power chains → centered projection
+    * → ±2²⁰ rescale: the (word_id, comp, wv_fp) relation `wv`. */
+  private def wvCtes: String =
+    ppmiCtes +
+      pcaGramCtes("f") +
+      pcaChainCtes(chainTags) +
+      s""",
+        |mu AS MATERIALIZED (
+        |  SELECT si.d, (${sdivSql("si.s", "nn.n")})::HUGEINT AS v
+        |  FROM si, nn
+        |), cw AS MATERIALIZED (
+        |""".stripMargin +
+      chainTags.zipWithIndex.map { case (tg, i) =>
+        s"  SELECT ${i + 1}::BIGINT AS comp, d, v FROM v${tg}_$PcaIters"
+      }.mkString("", "\n  UNION ALL\n", "\n)") +
+      s""",
+        |proj AS MATERIALIZED (
+        |  SELECT f.vec_id AS word_id, cw.comp,
+        |    sum((f.xfp - mu.v) * cw.v)::HUGEINT AS proj_fp
+        |  FROM f JOIN mu ON mu.d = f.d JOIN cw ON cw.d = f.d
+        |  GROUP BY 1, 2
+        |), pmx AS (
+        |  SELECT greatest(max(abs(proj_fp)), 1)::HUGEINT AS m FROM proj
+        |), wv AS MATERIALIZED (
+        |  SELECT word_id, comp,
+        |    (${sdivSql("proj_fp * 1048576", "pmx.m")})::BIGINT AS wv_fp
+        |  FROM proj, pmx
+        |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q173_word_vectors" ->
+      (wvCtes +
+        """
+          |SELECT vocab.word, vocab.word_id::BIGINT AS word_id,
+          |  vocab.cnt, wv.comp, wv.wv_fp
+          |FROM wv JOIN vocab ON vocab.word_id = wv.word_id
+          |ORDER BY word_id, comp""".stripMargin),
+
+    // doc vectors = exact long sums of in-vocab word vectors per doc,
+    // assembled comp-ordered; cosine top-k replayed with the q30
+    // arithmetic (dot/norm over the comp-ordered list)
+    "q174_docvec_topk" ->
+      (wvCtes +
+        s""", dtoks AS (
+          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+          |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+          |), dsums AS (
+          |  SELECT t.doc_id, w.comp, sum(w.wv_fp)::BIGINT AS s
+          |  FROM dtoks t JOIN vocab vb ON vb.word = t.word
+          |  JOIN wv w ON w.word_id = vb.word_id
+          |  WHERE t.word <> ''
+          |  GROUP BY 1, 2
+          |), dvec AS MATERIALIZED (
+          |  SELECT doc_id, list(s::DOUBLE ORDER BY comp) AS v
+          |  FROM dsums GROUP BY doc_id
+          |  HAVING max(abs(s)) > 0
+          |), dn AS MATERIALIZED (
+          |  SELECT doc_id, v, sqrt(${duckDot("v", "v")}) AS nrm
+          |  FROM dvec
+          |), qs AS (
+          |  SELECT doc_id AS q_id, v AS qv, nrm AS qn FROM dn
+          |  WHERE doc_id < 5
+          |), scored AS (
+          |  SELECT qs.q_id, dn.doc_id AS vec_id,
+          |    (${duckDot("qs.qv", "dn.v")} / (qs.qn * dn.nrm)) AS cos
+          |  FROM dn JOIN qs ON dn.doc_id <> qs.q_id
+          |), ranked AS (
+          |  SELECT q_id, vec_id, cos,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT q_id, vec_id, cos, rank FROM ranked
+          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+  )
+}

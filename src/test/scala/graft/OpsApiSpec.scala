@@ -1382,6 +1382,88 @@ class OpsApiSpec extends AnyFunSuite {
     assert(kept("web") === 6L && !kept.contains("book"))
   }
 
+  test("Text.wordVectors: top-V PPMI factorized to k exact fixed-point " +
+      "components, partition-invariant") {
+    val docs = Seq(
+      (1L, "cat dog cat dog mouse cat dog"),
+      (2L, "red blue red blue green red blue red"),
+      (3L, "cat dog mouse green blue red cat dog"),
+      (4L, "dog cat dog cat red blue"),
+      (5L, "   "), (6L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    val out = Text.wordVectors(docs, topV = 6, k = 2, textCol = "body")
+      .orderBy("word_id", "comp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // k rows per vocabulary word
+    assert(out.length === 6 * 2)
+    // vocabulary ranked by (count DESC, word ASC): cat=7 dog=7 red=6
+    // blue=5 green=2 mouse=2 — the cat/dog and green/mouse ties break
+    // on the word
+    assert(out.filter(_._4 == 1L).map(r => (r._1, r._2, r._3)).toSeq ===
+      Seq(("cat", 1L, 7L), ("dog", 2L, 7L), ("red", 3L, 6L),
+        ("blue", 4L, 5L), ("green", 5L, 2L), ("mouse", 6L, 2L)))
+    // rescale contract: |wv_fp| <= 2^20 with the max magnitude EXACTLY
+    // 2^20 (the global-max cell divides to ±2^20 by construction)
+    assert(out.forall(r => math.abs(r._5) <= (1L << 20)))
+    assert(out.map(r => math.abs(r._5)).max === (1L << 20))
+    // vectors are non-degenerate: comp-1 loadings are not all equal
+    // (the PPMI structure must survive into the factorization; the
+    // SEMANTIC check — like attracts like — is the docVectors test's
+    // cosine assertion, where composition makes it well-posed)
+    val c1 = out.filter(_._4 == 1L).map(_._5)
+    assert(c1.distinct.length > 1, "component 1 separates words")
+    // bit-equal under any partitioning (the exactness contract)
+    val out7 = Text.wordVectors(docs.repartition(7), topV = 6, k = 2,
+        textCol = "body")
+      .orderBy("word_id", "comp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out7.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] {
+      Text.wordVectors(docs, topV = 1, textCol = "body")
+    }
+  }
+
+  test("Text.docVectors sums in-vocabulary word vectors exactly and " +
+      "omits empty/zero documents") {
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat cat mouse"),
+      (3L, "zebra unknownword"), // no vocab words → omitted
+      (4L, "cat anticat"))       // engineered exact-zero sum → omitted
+      .toDF("page_id", "body")
+    val wv = Seq(
+      ("cat", 1L, 100L), ("cat", 2L, -50L),
+      ("dog", 1L, 30L), ("dog", 2L, 10L),
+      ("mouse", 1L, -20L), ("mouse", 2L, 0L),
+      ("anticat", 1L, -100L), ("anticat", 2L, 50L))
+      .toDF("word", "comp", "wv_fp")
+    val out = Text.docVectors(docs, wv, idCol = "page_id",
+        textCol = "body")
+      .orderBy("page_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0)._2 === Seq(130.0, -40.0)) // cat+dog
+    assert(out(1)._2 === Seq(180.0, -100.0)) // 2·cat+mouse
+    // composition: wordVectors → docVectors → the existing ANN family
+    val corpus = Seq(
+      (1L, "cat dog cat dog mouse cat dog"),
+      (2L, "red blue red blue green red blue red"),
+      (3L, "cat dog mouse cat dog"),
+      (4L, "red blue green red blue"))
+      .toDF("page_id", "body")
+    val vecs = Text.docVectors(corpus,
+      Text.wordVectors(corpus, topV = 6, k = 2, textCol = "body"),
+      idCol = "page_id", textCol = "body")
+    val sim = Embed.cosineTopK(vecs, vecs.where(col("page_id") === 1L),
+        k = 3, idCol = "page_id", vecCol = "vec",
+        queryIdCol = "page_id", queryVecCol = "vec", excludeSelf = true)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // doc 3 (cat-dog-mouse) must outrank the red-blue docs for doc 1
+    assert(sim.find(_._2 == 1).get._1 === 3L,
+      "nearest neighbor of the cat/dog doc is the other cat/dog doc")
+  }
+
   test("Text.collocations computes self-consistent bigram-slot PMI lift") {
     val docs = Seq(
       (1L, "new york new york city"),

@@ -195,6 +195,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q174: doc-vector composition broadcasts the word-vector frame " +
+      "— the corpus never shuffles by word") {
+    // the k·V word-vector frame is metadata-grain at ANY corpus size,
+    // so the token→vector join must be a BroadcastHashJoin; a
+    // SortMergeJoin here would shuffle the full token explosion at
+    // 100 TB
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val wv = graft.ops.Text.wordVectors(docs, topV = 8, k = 2)
+    val p = graft.ops.Text.docVectors(docs, wv)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"wv join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled by word:\n$p")
+  }
+
   test("q167: keywords' top-k window is doc-partitioned, never a " +
       "single-partition sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
