@@ -191,6 +191,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state is BOUNDED: watermark eviction keeps dedup state flat " +
+      "across epochs (the 100 TB streaming contract)") {
+    // Correctness rows prove WHAT the watermarked ops emit; this pins
+    // that their state does not grow with stream history — the property
+    // that makes exact streaming dedup feasible at all at 100 TB/day.
+    // 10 epochs, 5 FRESH keys each, 1 h apart with a 30 min delay: if
+    // eviction never ran, epoch 10 would hold all 50 keys.
+    // (q76's crawl loop is stateless by design — its state is the
+    // persisted SideTable artifact, pinned by the manifest-growth test.)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.dedupedWithinWatermark(
+        streamDf, Seq("user_id", "event_type"), "30 minutes")
+      .writeStream.format("memory").queryName("bounded_dedup")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      var eid = 0L
+      val stateSizes = (1 to 10).map { e =>
+        val tNanos = (base + e * 3600L * 1000L) * 1000000L
+        ms.addData((0 until 5).map { k =>
+          eid += 1
+          (eid, tNanos + k * 1000000000L, (e * 10 + k).toLong, "click", 1.0)
+        }: _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // every event was unique → all pass through
+      assert(spark.table("bounded_dedup").count() === 50)
+      // flat, bounded state: at most the current epoch's keys plus the
+      // not-yet-evicted previous epoch (eviction runs on the NEXT
+      // batch's watermark) — never the 50-key history
+      assert(stateSizes.last <= 10,
+        s"state grew with stream history: $stateSizes")
+      assert(stateSizes.drop(1).max <= 10,
+        s"state not bounded by the watermark horizon: $stateSizes")
+    } finally q.stop()
+  }
+
+  test("state is BOUNDED: closed windows leave the windowed-agg state " +
+      "once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = ms.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStreams.hourlyCounts(streamDf)
+      .writeStream.format("memory").queryName("bounded_hourly")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val stateSizes = (1 to 10).map { e =>
+        // one fresh hour-window per epoch, epochs 3 h apart — far past
+        // the 1 h watermark, so each epoch's window closes and evicts
+        val tNanos = (base + e * 3L * 3600L * 1000L) * 1000000L
+        ms.addData((e.toLong, tNanos, 10L, "click", 1.0))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // 10 distinct windows entered the stream; state must hold only
+      // the open tail (current window + the one awaiting eviction)
+      assert(stateSizes.last <= 2,
+        s"window state grew with stream history: $stateSizes")
+      assert(stateSizes.drop(1).max <= 2,
+        s"window state not bounded: $stateSizes")
+      // and the closed windows were all emitted downstream
+      assert(spark.table("bounded_hourly").count() >= 8)
+    } finally q.stop()
+  }
+
   test("q76: micro-batched crawl loop == one-shot incremental dedup") {
     // Corpus: ids 0..14 are the old corpus (cut = 19*4 div 5 = 15),
     // ids 15..19 the crawl batch, streamed in micro-batches of ≤2
