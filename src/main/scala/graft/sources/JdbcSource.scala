@@ -50,6 +50,11 @@ final class JdbcSource(val spark: SparkSession, url: String,
     * Asserted per type-zoo column in DialectConformanceSpec. */
   private val preferNtz = url.startsWith("jdbc:postgresql")
 
+  /** Derby (the live test dialect) rejects FROM-less scalar SELECTs;
+    * PG keeps the reference's exact merged-COUNT template. */
+  override protected def dualFrom: String =
+    if (url.startsWith("jdbc:derby")) " from SYSIBM.SYSDUMMY1" else ""
+
   override def execute(query: String): DataFrame =
     applyConventions(
       spark.read.format("jdbc")

@@ -44,12 +44,18 @@ trait Source {
     s"select cast(min($col) as bigint) as min_v, " +
       s"cast(max($col) as bigint) as max_v from ($query) as query_inner"
 
+  /** FROM-less scalar SELECTs (the reference's merged-COUNT shape) are
+    * PostgreSQL-legal but some dialects (Derby) demand a FROM clause;
+    * a source may supply its 1-row dual table here. Empty for PG and
+    * parquet — the reference template is unchanged there. */
+  protected def dualFrom: String = ""
+
   /** Sum of COUNT(*) over n queries in a single statement —
     * conecta-core/src/source/postgres.rs:512-526. */
   def mergedCountQuery(queries: Seq[String]): String =
     queries.zipWithIndex
       .map { case (q, i) => s"(select count(*) from ($q) as t$i)" }
-      .mkString("select ", " + ", " as total_count")
+      .mkString("select ", " + ", s" as total_count$dualFrom")
 
   def fetchMergedCount(queries: Seq[String]): Long =
     toLong(execute(mergedCountQuery(queries)).collect().head.get(0))
