@@ -1095,23 +1095,46 @@ object Text {
     * (≤ V² cells), corpus-size-invariant. */
   def wordVectors(docs: DataFrame, topV: Int = 32, k: Int = 3,
       iters: Int = 6, textCol: String = "text"): DataFrame = {
+    val vocab = vocabFrame(docs, topV, textCol)
+      .localCheckpoint() // read by both pair-side joins, spine, output
+    wordVectorsFromCooc(vocab, coocFrame(docs, vocab, textCol), k, iters)
+  }
+
+  private def wvToks(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(words(col(textCol)).as("w"))
+
+  /** The word-vector family's vocabulary table — top-`topV` words by
+    * (count DESC, word ASC): (word, cnt, word_id 1..V). A TakeOrdered
+    * tail, never a corpus-wide rank window (the row_number runs over
+    * the ≤ topV-row result). In the crawl-loop deployment this is the
+    * FROZEN artifact ([[coocFrame]]'s identity): the snapshot fixes
+    * the vocabulary, batches extend counts, vectors drift — new words
+    * enter only when the loop deliberately re-freezes. */
+  def vocabFrame(docs: DataFrame, topV: Int = 32,
+      textCol: String = "text"): DataFrame = {
     require(topV >= 2 && topV <= 256, s"need 2 <= topV <= 256 (got $topV)")
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(words(col(textCol)).as("w"))
-    // top-V vocabulary: TakeOrdered tail, then ids over the V-row result
-    // (the row_number window runs over <= topV rows — metadata grain)
-    val vocab = toks.select(explode(col("w")).as("word"))
+    wvToks(docs, textCol).select(explode(col("w")).as("word"))
       .where(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(topV)
       .withColumn("word_id",
         row_number().over(Window.orderBy(col("cnt").desc, col("word"))))
-      .localCheckpoint() // read by both pair-side joins, spine, output
-    val vcnt = vocab.count().toInt // actual V (corpus may have < topV words)
-    // adjacent pairs, both words in-vocabulary, then symmetrized
-    val bg = toks.where(size(col("w")) >= 2)
+  }
+
+  /** Symmetric window-1 co-occurrence cells restricted to `vocab`
+    * ((word, word_id) from [[vocabFrame]]): (a, b, cnt), ≤ V² rows.
+    * Every cell is an EXACT count, so the frame is the family's
+    * losslessly MERGEABLE accumulator (the dimStats/pcaFrame
+    * discipline): [[coocMerge]] over any split of the corpus —
+    * snapshot + batches, in any order — reproduces the from-scratch
+    * frame bit-for-bit, because adjacent pairs never span documents.
+    * One corpus-scale aggregate behind two BROADCAST vocabulary
+    * joins; never a corpus shuffle by word. */
+  def coocFrame(docs: DataFrame, vocab: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val bg = wvToks(docs, textCol).where(size(col("w")) >= 2)
       .select(explode(arrays_zip(
         slice(col("w"), lit(1), size(col("w")) - 1).as("wa"),
         slice(col("w"), lit(2), size(col("w")) - 1).as("wb"))).as("p"))
@@ -1120,9 +1143,26 @@ object Text {
     val vb = vocab.select(col("word").as("wb"), col("word_id").as("ib"))
     val pc = bg.join(broadcast(va), Seq("wa")).join(broadcast(vb), Seq("wb"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("c"))
-    val coo = pc.select(col("ia").as("a"), col("ib").as("b"), col("c"))
+    pc.select(col("ia").as("a"), col("ib").as("b"), col("c"))
       .unionByName(pc.select(col("ib").as("a"), col("ia").as("b"), col("c")))
       .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cnt"))
+  }
+
+  /** Merge two [[coocFrame]] accumulators — exact cell-wise sums. */
+  def coocMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("a"), col("b"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Finalize a (vocab, cooc) pair into word vectors — the shared
+    * tail of [[wordVectors]] and the incremental crawl-loop form
+    * (frozen [[vocabFrame]] artifact + [[coocMerge]]d cells):
+    * fixed-point PPMI → exact PCA → projection → ±2²⁰ rescale.
+    * wordVectors ≡ wordVectorsFromCooc(vocabFrame, coocFrame)
+    * bit-for-bit. */
+  def wordVectorsFromCooc(vocab: DataFrame, coo0: DataFrame, k: Int = 3,
+      iters: Int = 6): DataFrame = {
+    val vcnt = vocab.count().toInt // actual V (corpus may have < topV words)
+    val coo = coo0
       .localCheckpoint() // <= V² rows; read by marginals, N, and cells
     val marg = coo.groupBy(col("a")).agg(sum(col("cnt")).as("ra"))
     val tot = coo.agg(sum(col("cnt")).as("nn"))

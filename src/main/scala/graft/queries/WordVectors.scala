@@ -35,6 +35,29 @@ object WordVectors {
 
   private[graft] def wvMemoSize: Int = wvMemo.size()
 
+  /** The frozen snapshot vocabulary behind q176 — persisted once per
+    * (dir, cut) via [[graft.sources.SideTable]]. */
+  private[graft] def wvVocabIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "wv_vocab", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Text.vocabFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), TopV)
+    }
+
+  /** The snapshot's exact co-occurrence cell accumulator behind q176
+    * (≤ V² rows — the losslessly mergeable artifact). */
+  private[graft] def wvCoocIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "wv_cooc", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Text.coocFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut),
+        s.read.parquet(wvVocabIndex(s, dir, cut)))
+    }
+
   private def wordVecsOf(s: SparkSession, dir: String,
       refresh: Boolean): DataFrame = {
     val key = (s, dir)
@@ -53,6 +76,28 @@ object WordVectors {
     // consumes.
     "q173_word_vectors" -> ((s, dir) => {
       wordVecsOf(s, dir, refresh = true)
+        .orderBy("word_id", "comp")
+    }),
+
+    // ---- q176: incremental word vectors vs the frozen artifacts --------
+    // The {train, incremental} square for the family (the q147/q171
+    // discipline): the snapshot persists the FROZEN vocabulary
+    // ([[graft.ops.Text.vocabFrame]]) and its exact co-occurrence cell
+    // accumulator ([[graft.ops.Text.coocFrame]]); each crawl batch adds
+    // its own cells ([[graft.ops.Text.coocMerge]] — lossless, adjacent
+    // pairs never span documents) and the vectors re-derive from the
+    // merged cells with ZERO old-corpus reads. Epoch-N ≡ from-scratch
+    // over (old ∪ batch) under the frozen vocabulary, bit-for-bit —
+    // the oracle replays exactly that.
+    "q176_incremental_word_vectors" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val vocab = s.read.parquet(wvVocabIndex(s, dir, cut))
+      val merged = graft.ops.Text.coocMerge(
+        s.read.parquet(wvCoocIndex(s, dir, cut)),
+        graft.ops.Text.coocFrame(
+          d.where(col("doc_id") >= cut), vocab))
+      graft.ops.Text.wordVectorsFromCooc(vocab, merged, K)
         .orderBy("word_id", "comp")
     }),
 
@@ -97,17 +142,25 @@ object WordVectors {
 
   /** CTEs from `documents` to the dense PPMI rows `f (vec_id, d, xfp)`
     * plus the vocabulary (word, word_id, cnt): the exact replay of
-    * [[graft.ops.Text.wordVectors]] steps 1–4. */
-  private def ppmiCtes: String =
+    * [[graft.ops.Text.wordVectors]] steps 1–4. With `vocabCut`, the
+    * vocabulary derives from the OLD corpus only (doc_id < the
+    * standard 80% cut) while the pair counts cover the full corpus —
+    * the q176 frozen-vocabulary semantics (incremental ≡ from-scratch
+    * under the frozen vocab, so the replay IS from-scratch). */
+  private def ppmiCtes(vocabCut: Boolean): String =
     s"""WITH ws AS MATERIALIZED (
-      |  SELECT regexp_split_to_array(trim(text), '\\s+') w
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
       |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
-      |), vocab AS MATERIALIZED (
+      |)${if (vocabCut)
+         ", cutv AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents)"
+       else ""}, vocab AS MATERIALIZED (
       |  SELECT word, cnt,
       |    row_number() OVER (ORDER BY cnt DESC, word) AS word_id
       |  FROM (
       |    SELECT word, count(*)::BIGINT AS cnt
-      |    FROM (SELECT unnest(w) AS word FROM ws) WHERE word <> ''
+      |    FROM (SELECT unnest(w) AS word FROM ws${if (vocabCut)
+             " WHERE doc_id < (SELECT c FROM cutv)" else ""})
+      |    WHERE word <> ''
       |    GROUP BY word ORDER BY cnt DESC, word LIMIT $TopV
       |  )
       |), bg AS (
@@ -160,8 +213,8 @@ object WordVectors {
 
   /** PPMI rows → Gram → K deflated power chains → centered projection
     * → ±2²⁰ rescale: the (word_id, comp, wv_fp) relation `wv`. */
-  private def wvCtes: String =
-    ppmiCtes +
+  private def wvCtes(vocabCut: Boolean = false): String =
+    ppmiCtes(vocabCut) +
       pcaGramCtes("f") +
       pcaChainCtes(chainTags) +
       s""",
@@ -190,7 +243,18 @@ object WordVectors {
   val oracles: Map[String, String] = Map(
 
     "q173_word_vectors" ->
-      (wvCtes +
+      (wvCtes() +
+        """
+          |SELECT vocab.word, vocab.word_id::BIGINT AS word_id,
+          |  vocab.cnt, wv.comp, wv.wv_fp
+          |FROM wv JOIN vocab ON vocab.word_id = wv.word_id
+          |ORDER BY word_id, comp""".stripMargin),
+
+    // incremental ≡ from-scratch under the frozen vocabulary (the cell
+    // accumulator is lossless), so the replay is q173's with the
+    // vocabulary derived from the old corpus only
+    "q176_incremental_word_vectors" ->
+      (wvCtes(vocabCut = true) +
         """
           |SELECT vocab.word, vocab.word_id::BIGINT AS word_id,
           |  vocab.cnt, wv.comp, wv.wv_fp
@@ -201,7 +265,7 @@ object WordVectors {
     // assembled comp-ordered; cosine top-k replayed with the q30
     // arithmetic (dot/norm over the comp-ordered list)
     "q174_docvec_topk" ->
-      (wvCtes +
+      (wvCtes() +
         s""", dtoks AS (
           |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
           |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0

@@ -1425,6 +1425,48 @@ class OpsApiSpec extends AnyFunSuite {
     }
   }
 
+  test("Text.coocFrame/coocMerge/wordVectorsFromCooc: merged cell " +
+      "accumulators reproduce from-scratch word vectors bit-for-bit") {
+    val docs = Seq(
+      (1L, "cat dog cat dog mouse cat dog"),
+      (2L, "red blue red blue green red blue red"),
+      (3L, "cat dog mouse green blue red cat dog"),
+      (4L, "dog cat dog cat red blue"),
+      (5L, "mouse green mouse cat red dog blue"))
+      .toDF("page_id", "body")
+    val old = docs.where(col("page_id") <= 3L)
+    val batch = docs.where(col("page_id") > 3L)
+    // the frozen vocabulary (the crawl-loop contract: snapshot fixes it)
+    val vocab = Text.vocabFrame(old, topV = 6, textCol = "body")
+      .localCheckpoint()
+    def vecsOf(coo: org.apache.spark.sql.DataFrame) =
+      Text.wordVectorsFromCooc(vocab, coo, k = 2)
+        .orderBy("word_id", "comp").collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    val fromScratch = vecsOf(Text.coocFrame(docs, vocab, "body"))
+    val merged = vecsOf(Text.coocMerge(
+      Text.coocFrame(old, vocab, "body"),
+      Text.coocFrame(batch, vocab, "body")))
+    assert(merged === fromScratch,
+      "epoch-N must equal from-scratch bit-for-bit (lossless cells)")
+    // merge is commutative — any artifact/batch order works
+    val flipped = vecsOf(Text.coocMerge(
+      Text.coocFrame(batch, vocab, "body"),
+      Text.coocFrame(old, vocab, "body")))
+    assert(flipped === fromScratch)
+    // and the cells themselves are exact counts: adjacent pairs never
+    // span documents, so splitting by doc loses nothing
+    val cells = Text.coocMerge(
+        Text.coocFrame(old, vocab, "body"),
+        Text.coocFrame(batch, vocab, "body"))
+      .orderBy("a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val direct = Text.coocFrame(docs, vocab, "body")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(cells === direct)
+  }
+
   test("Text.docVectors sums in-vocabulary word vectors exactly and " +
       "omits empty/zero documents") {
     val docs = Seq(
