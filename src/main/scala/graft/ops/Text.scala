@@ -607,67 +607,88 @@ object Text {
     * Laplace-0 cost when absent from the vocabulary, so EVERY word
     * segments. Output: (word, cnt, path: array<string>).
     *
-    * Scale shape: relational DP — one frame per position p holds each
-    * word's best prefix segmentation; step p is a union of ≤ maxPiece
-    * broadcast piece-lookups on dp(p−j) followed by a min(struct)
-    * aggregate (codegen'd lexicographic argmin; the winning path
-    * rides the struct, so no backtrace pass exists). Everything is
-    * VOCABULARY-bounded — ≤ maxWordLen tiny jobs per call, each
-    * checkpointed (the kmeans/bpe loop discipline), never a corpus
-    * scan. */
+    * Scale shape: ONE job (the r13 verdict's one-job formulation —
+    * the previous relational DP ran ≤ maxWordLen checkpointed steps
+    * per call, whose ~3.5 s fixed orchestration dominated the family
+    * at every SF). The word's candidate edges explode once
+    * (≤ len·maxPiece pieces), meet the vocabulary in ONE broadcast
+    * join, collapse to a per-word edge-cost map, and the DP runs as
+    * ONE `aggregate` expression over that map — position p's state is
+    * `least()` over ≤ maxPiece candidate structs (bits, np, back):
+    * the same lexicographic argmin the relational min(struct)
+    * computed (ties end at `back`: equal (bits, np, back) means the
+    * same predecessor and hence the same path) — followed by one
+    * backpointer-walk `aggregate` that rebuilds the path. The two
+    * HOF lambdas are interpreted, which is exactly the budget this
+    * table affords: the frame is the DISTINCT-WORD table (vocabulary
+    * grain — millions of rows at 100 TB, never the corpus), and per
+    * word the DP is ≤ len·maxPiece integer ops. A statically-unrolled
+    * column formulation was tried first and rejected: per-position
+    * columns cross-reference ≤ maxPiece predecessors, so projection
+    * collapse inlines them exponentially (OOM at analysis). No
+    * per-position frames, no checkpoints, no driver probes. */
   private[graft] def ulmSegment(wl: DataFrame, vocab: DataFrame,
       maxPiece: Int): DataFrame = {
-    val spark = wl.sparkSession
     val (vb, mb) = ulmBits(vocab)
-    val vbc = broadcast(vb.localCheckpoint())
-    val maxLenRow = wl.agg(max(col("len"))).head()
-    if (maxLenRow.isNullAt(0))
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[
-          org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("word",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("path",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.StringType)))))
-    val maxLen = maxLenRow.getInt(0)
-    val dp = new Array[DataFrame](maxLen + 1)
-    dp(0) = wl.select(col("word"), col("cnt"), col("len"),
-        lit(0L).as("bits"), lit(0L).as("np"), lit(0).as("back"),
-        array().cast("array<string>").as("path"))
-      .localCheckpoint()
-    for (p <- 1 to maxLen) {
-      val cands = (math.max(0, p - maxPiece) until p).map { j =>
-        val plen = p - j
-        val piece = col("word").substr(lit(j + 1), lit(plen))
-        val base = dp(j).where(col("len") >= p)
-        val joined =
-          if (plen == 1)
-            base.join(vbc, vbc("piece") === piece, "left")
-              .withColumn("pbits",
-                coalesce(col("vbits"), lit(mb.toLong)))
-          else
-            base.join(vbc, vbc("piece") === piece)
-              .withColumn("pbits", col("vbits"))
-        joined.select(col("word"), col("cnt"), col("len"),
-          (col("bits") + col("pbits")).as("bits"),
-          (col("np") + 1L).as("np"), lit(j).as("back"),
-          concat(col("path"), array(piece)).as("path"))
-      }.reduce(_ unionByName _)
-      dp(p) = cands.groupBy(col("word"))
-        .agg(min(struct(col("bits"), col("np"), col("back"), col("cnt"),
-          col("len"), col("path"))).as("s"))
-        .select(col("word"), col("s.cnt").as("cnt"),
-          col("s.len").as("len"), col("s.bits").as("bits"),
-          col("s.np").as("np"), col("s.back").as("back"),
-          col("s.path").as("path"))
-        .localCheckpoint()
-    }
-    (1 to maxLen).map(p => dp(p).where(col("len") === p))
-      .reduce(_ unionByName _)
-      .select(col("word"), col("cnt"), col("path"))
+    // every candidate edge (start j, length plen) of every word, ONE
+    // vocabulary join; single-char pieces miss to the Laplace-0 cost
+    // so every word stays segmentable
+    val edges = wl
+      .select(col("word"), col("cnt"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("j"))
+      .select(col("word"), col("cnt"), col("len"), col("j"),
+        explode(sequence(lit(1),
+          least(lit(maxPiece), col("len") - col("j")))).as("plen"))
+      .withColumn("piece", col("word").substr(col("j") + 1, col("plen")))
+    val keyed = edges
+      .join(broadcast(vb), Seq("piece"), "left")
+      .withColumn("pbits",
+        when(col("plen") === 1, coalesce(col("vbits"), lit(mb.toLong)))
+          .otherwise(col("vbits")))
+      .where(col("pbits").isNotNull)
+      .select(col("word"), col("cnt"), col("len"),
+        (col("j") * 64 + col("plen")).as("ek"), col("pbits"))
+    val wordMaps = keyed.groupBy(col("word"))
+      .agg(max(col("cnt")).as("cnt"), max(col("len")).as("len"),
+        map_from_entries(collect_list(
+          struct(col("ek"), col("pbits")))).as("em"))
+    // DP forward pass: dp[p] = least over piece length d of
+    // (dp[p-d].bits + edge(p-d, d), dp[p-d].np + 1, back = p-d);
+    // acc index i holds position i-1, so position p lands at index p+1
+    val cands = (1 to maxPiece).map { d =>
+      s"""CASE WHEN p >= $d
+         |  AND element_at(em, (p - $d) * 64 + $d) IS NOT NULL
+         |THEN named_struct(
+         |  'bits', element_at(acc, p - $d + 1).bits +
+         |          element_at(em, (p - $d) * 64 + $d),
+         |  'np', element_at(acc, p - $d + 1).np + 1L,
+         |  'back', p - $d)
+         |END""".stripMargin
+    }.mkString("least(", ", ", ")")
+    val dpSql =
+      s"""aggregate(
+         |  sequence(1, len),
+         |  array(named_struct('bits', 0L, 'np', 0L, 'back', 0)),
+         |  (acc, p) -> concat(acc, array($cands)))""".stripMargin
+    // backpointer walk: from cur = len, emit the piece (back..cur] and
+    // step to back, len times (each step consumes >= 1 char); pieces
+    // accumulate end-to-start and reverse into reading order
+    val pathSql =
+      s"""reverse(aggregate(
+         |  sequence(1, len),
+         |  named_struct('cur', len,
+         |    'ps', cast(array() as array<string>)),
+         |  (st, z) -> IF(st.cur > 0,
+         |    named_struct(
+         |      'cur', element_at(dp, st.cur + 1).back,
+         |      'ps', concat(st.ps, array(substring(word,
+         |        element_at(dp, st.cur + 1).back + 1,
+         |        st.cur - element_at(dp, st.cur + 1).back)))),
+         |    st),
+         |  st -> st.ps))""".stripMargin
+    wordMaps
+      .withColumn("dp", expr(dpSql))
+      .select(col("word"), col("cnt"), expr(pathSql).as("path"))
   }
 
   /** Unigram-LM (SentencePiece-style) tokenizer induction — Kudo,
