@@ -1182,6 +1182,36 @@ object Text {
     * bit-for-bit. */
   def wordVectorsFromCooc(vocab: DataFrame, coo0: DataFrame, k: Int = 3,
       iters: Int = 6): DataFrame = {
+    val vecs = ppmiVectors(vocab, coo0)
+      .localCheckpoint() // read by pcaFrame (2 aggs) and pcaProject
+    val comps = graft.ops.Embed.pca(vecs, k, iters,
+      idCol = "word_id", vecCol = "vec")
+    val proj = graft.ops.Embed.pcaProject(vecs, comps,
+      idCol = "word_id", vecCol = "vec")
+    val mx = proj.agg(greatest(max(abs(col("proj_fp"))), lit(1L)).as("mx"))
+    proj.crossJoin(broadcast(mx))
+      .select(col("word_id"), col("comp"),
+        expr("case when proj_fp >= 0 then " +
+          "(cast(proj_fp as decimal(38,0)) * 1048576) div " +
+          "cast(mx as decimal(38,0)) else " +
+          "-((cast(-proj_fp as decimal(38,0)) * 1048576) div " +
+          "cast(mx as decimal(38,0))) end").as("wv_fp"))
+      .join(broadcast(vocab.select(col("word_id"), col("word"),
+        col("cnt"))), Seq("word_id"))
+      .select(col("word"), col("word_id").cast("long").as("word_id"),
+        col("cnt").cast("long").as("cnt"), col("comp"),
+        col("wv_fp").cast("long").as("wv_fp"))
+  }
+
+  /** Dense fixed-point PPMI rows over the vocabulary — (word_id,
+    * vec: array<double> of length V), values L/2¹⁰ with L the exact
+    * integer log2 (see [[wordVectors]]); exactly representable, so
+    * [[graft.ops.Embed.pcaFrame]]'s 2²⁴ quantization recovers the
+    * exact integer L·2¹⁴. This is the matrix [[wordVectorsFromCooc]]
+    * factorizes and the q177 audit prices with
+    * [[graft.ops.Embed.pcaExplained]] before anyone spends the
+    * factorization. Vocabulary-bounded throughout (≤ V² cells). */
+  def ppmiVectors(vocab: DataFrame, coo0: DataFrame): DataFrame = {
     val vcnt = vocab.count().toInt // actual V (corpus may have < topV words)
     val coo = coo0
       .localCheckpoint() // <= V² rows; read by marginals, N, and cells
@@ -1217,7 +1247,7 @@ object Text {
       (col("e") * 1024L + col("frac")).as("l"))
     // dense V-dim PPMI rows (values L/2^10 — exactly representable, so
     // pcaFrame's 2^24 quantization is the exact integer L·2^14)
-    val vecs = vocab.select(col("word_id").as("a"))
+    vocab.select(col("word_id").as("a"))
       .join(ppmi, Seq("a"), "left")
       .groupBy(col("a"))
       .agg(map_from_entries(collect_list(
@@ -1226,24 +1256,6 @@ object Text {
         transform(sequence(lit(1), lit(vcnt)),
           i => coalesce(element_at(col("m"), i), lit(0L))
             .cast("double") / lit(1024.0d)).as("vec"))
-      .localCheckpoint() // read by pcaFrame (2 aggs) and pcaProject
-    val comps = graft.ops.Embed.pca(vecs, k, iters,
-      idCol = "word_id", vecCol = "vec")
-    val proj = graft.ops.Embed.pcaProject(vecs, comps,
-      idCol = "word_id", vecCol = "vec")
-    val mx = proj.agg(greatest(max(abs(col("proj_fp"))), lit(1L)).as("mx"))
-    proj.crossJoin(broadcast(mx))
-      .select(col("word_id"), col("comp"),
-        expr("case when proj_fp >= 0 then " +
-          "(cast(proj_fp as decimal(38,0)) * 1048576) div " +
-          "cast(mx as decimal(38,0)) else " +
-          "-((cast(-proj_fp as decimal(38,0)) * 1048576) div " +
-          "cast(mx as decimal(38,0))) end").as("wv_fp"))
-      .join(broadcast(vocab.select(col("word_id"), col("word"),
-        col("cnt"))), Seq("word_id"))
-      .select(col("word"), col("word_id").cast("long").as("word_id"),
-        col("cnt").cast("long").as("cnt"), col("comp"),
-        col("wv_fp").cast("long").as("wv_fp"))
   }
 
   /** Document vectors from [[wordVectors]] — each document is the SUM

@@ -101,6 +101,24 @@ object WordVectors {
         .orderBy("word_id", "comp")
     }),
 
+    // ---- q177: PPMI-factorization fidelity audit ------------------------
+    // The q172 audit discipline applied to the new family: how much of
+    // the PPMI co-occurrence structure do k components capture?
+    // [[graft.ops.Embed.pcaExplained]] over the dense PPMI rows
+    // ([[graft.ops.Text.ppmiVectors]]) — Rayleigh eigenvalue vs the
+    // exact rescaled-Gram trace in integer ppm, priced BEFORE anyone
+    // spends the factorization. Everything vocabulary-bounded.
+    "q177_wordvec_explained" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val vocab = graft.ops.Text.vocabFrame(d, TopV).localCheckpoint()
+      graft.ops.Embed.pcaExplained(
+        graft.ops.Embed.pcaFrame(
+          graft.ops.Text.ppmiVectors(vocab,
+            graft.ops.Text.coocFrame(d, vocab)).localCheckpoint(),
+          idCol = "word_id", vecCol = "vec"), K)
+        .orderBy("comp")
+    }),
+
     // ---- q174: doc-vector cosine top-k over the word vectors -----------
     // [[graft.ops.Text.docVectors]] (bag-of-word-vectors sums, exact
     // longs) feeding the EXISTING exact ANN baseline
@@ -249,6 +267,23 @@ object WordVectors {
           |  vocab.cnt, wv.comp, wv.wv_fp
           |FROM wv JOIN vocab ON vocab.word_id = wv.word_id
           |ORDER BY word_id, comp""".stripMargin),
+
+    // the q172 oracle shape over the PPMI gram: per chain, Rayleigh
+    // eigenvalue vs the exact diagonal trace of the rescaled Gram
+    "q177_wordvec_explained" ->
+      (ppmiCtes(false) + pcaGramCtes("f") + pcaChainCtes(chainTags) +
+        """,
+          |tr AS MATERIALIZED (
+          |  SELECT sum(q)::HUGEINT AS t FROM gq WHERE i = j
+          |)
+          |""".stripMargin +
+        chainTags.zipWithIndex.map { case (tg, i) =>
+          s"SELECT ${i + 1}::BIGINT AS comp, " +
+            s"(SELECT lam FROM ray$tg)::BIGINT AS lam_fp, " +
+            s"t::BIGINT AS trace_fp, " +
+            s"(${sdivSql(s"(SELECT lam FROM ray$tg) * 1000000", "t")})" +
+            "::BIGINT AS explained_ppm FROM tr"
+        }.mkString("\nUNION ALL\n") + "\nORDER BY comp"),
 
     // incremental ≡ from-scratch under the frozen vocabulary (the cell
     // accumulator is lossless), so the replay is q173's with the

@@ -1467,6 +1467,32 @@ class OpsApiSpec extends AnyFunSuite {
     assert(cells === direct)
   }
 
+  test("Text.ppmiVectors feeds the PCA audit: explained variance is " +
+      "a sane ppm partition of the PPMI trace") {
+    val docs = Seq(
+      (1L, "cat dog cat dog mouse cat dog"),
+      (2L, "red blue red blue green red blue red"),
+      (3L, "cat dog mouse green blue red cat dog"))
+      .toDF("page_id", "body")
+    val vocab = Text.vocabFrame(docs, topV = 6, textCol = "body")
+      .localCheckpoint()
+    val vecs = Text.ppmiVectors(vocab, Text.coocFrame(docs, vocab, "body"))
+    // dense rows: one per vocab word, V-length, nonnegative values
+    val rows = vecs.collect().map(r => r.getSeq[Double](1))
+    assert(rows.length === 6 && rows.forall(_.length === 6))
+    assert(rows.flatten.forall(_ >= 0.0), "PPMI is nonnegative")
+    val audit = Embed.pcaExplained(
+        Embed.pcaFrame(vecs, idCol = "word_id", vecCol = "vec"), k = 2)
+      .orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(audit.map(_._1).toSeq === Seq(1L, 2L))
+    // each component explains a nonnegative fraction; together <= 100%
+    assert(audit.forall(a => a._2 >= 0L && a._2 <= 1000000L))
+    assert(audit.map(_._2).sum <= 1000000L)
+    // the leading component dominates (ordered by deflation)
+    assert(audit(0)._2 >= audit(1)._2)
+  }
+
   test("Text.docVectors sums in-vocabulary word vectors exactly and " +
       "omits empty/zero documents") {
     val docs = Seq(
