@@ -172,8 +172,8 @@ object Embeddings {
     * non-default value changes the operator's defined answer — the
     * driver's oracle harness runs at the defaults; KMeansSpec covers the
     * conf-driven variants against the brute-force reimplementation. */
-  private val KmKDefault = 8
-  private val KmItersDefault = 3
+  private[queries] val KmKDefault = 8
+  private[queries] val KmItersDefault = 3
   private val SemTauDefault = 0.45
 
   private val RerankCDefault = 20
@@ -1635,7 +1635,7 @@ object Embeddings {
       |)""".stripMargin
 
   /** Cosine with the same op order as the Spark side: dot/(na*nb). */
-  private def duckCos(a: String, na: String, b: String, nb: String): String =
+  private[queries] def duckCos(a: String, na: String, b: String, nb: String): String =
     s"(${duckDot(a, b)} / ($na * $nb))"
 
   private val bandKeySql: Seq[String] = (0 until Bands).map { b =>
@@ -1687,7 +1687,7 @@ object Embeddings {
     * fixed-point update arithmetic as the Spark side, op for op.
     * `src` is "e" for the full-corpus clustering (q80/q81/q85) and the
     * old-corpus CTE for q86's artifact rebuild. */
-  private def kmCtesFrom(src: String): String = {
+  private[queries] def kmCtesFrom(src: String, dim: Int = Dim): String = {
     // init: the same hash-sampled top-k as the Spark side — md5-based
     // hash60 mod 2^31−1, vec_id tiebreak (the q85 ranking expression)
     val init =
@@ -1709,7 +1709,7 @@ object Embeddings {
          |  ) WHERE rnk = 1
          |), u$it AS (
          |  SELECT cid, i, sum(floor(v[i] * $FpScale)::bigint) s, count(*) n
-         |  FROM a$it CROSS JOIN range(1, ${Dim + 1}) t(i)
+         |  FROM a$it CROSS JOIN range(1, ${dim + 1}) t(i)
          |  GROUP BY cid, i
          |), c$it AS (
          |  SELECT cid, cv,
@@ -1726,7 +1726,7 @@ object Embeddings {
   private lazy val kmCtes: String = kmCtesFrom("e")
 
   /** The final assignment of relation `src` against c<KmItersDefault>. */
-  private def kmFinalFrom(src: String): String =
+  private[queries] def kmFinalFrom(src: String): String =
     s"""SELECT vec_id, cid AS cluster, score FROM (
        |  SELECT e.vec_id, c.cid, ${kmScoreSql("e.v", "c.cv", "c.cn")} AS score,
        |    row_number() OVER (PARTITION BY e.vec_id

@@ -119,6 +119,33 @@ object WordVectors {
         .orderBy("comp")
     }),
 
+    // ---- q178: text-only semantic dedup over the doc vectors -----------
+    // The SemDeDup leg of the composition claim: doc vectors (no
+    // embedding table anywhere) run through the EXISTING
+    // [[graft.ops.Embed.semdedupKeep]] — k-means clusters + in-cluster
+    // ε-ball dominance. Vectors scale by the global max |component|
+    // first (cosine-invariant; keeps the k-means fixed-point update
+    // arithmetic on its designed |x| ≤ 1 grid — raw doc sums reach
+    // 2⁴⁰ and would overflow the 2²⁰-scale centroid accumulator).
+    // tau defaults high (0.9995): the near-1-D PPMI space inflates doc
+    // cosines, exactly the regime where a deployment tightens τ.
+    // Knob: graft.wordvec.semtau.
+    "q178_docvec_semdedup" -> ((s, dir) => {
+      val dv = graft.ops.Text.docVectors(
+          Graft.parquetSource(s, dir).table("documents"),
+          wordVecsOf(s, dir, refresh = false))
+        .localCheckpoint() // read by the max probe and the scaled frame
+      val mx = dv.select(explode(col("vec")).as("x"))
+        .agg(greatest(max(abs(col("x"))), lit(1.0d))).head().getDouble(0)
+      val dvs = dv.select(col("doc_id"),
+        transform(col("vec"), x => x / lit(mx)).as("vec"))
+      val tau = s.conf.getOption("graft.wordvec.semtau")
+        .map(_.toDouble).getOrElse(0.9995d)
+      graft.ops.Embed.semdedupKeep(dvs, 8, 3, tau,
+          idCol = "doc_id", vecCol = "vec")
+        .orderBy("doc_id")
+    }),
+
     // ---- q174: doc-vector cosine top-k over the word vectors -----------
     // [[graft.ops.Text.docVectors]] (bag-of-word-vectors sums, exact
     // longs) feeding the EXISTING exact ANN baseline
@@ -229,6 +256,25 @@ object WordVectors {
 
   import Embeddings.{duckDot, pcaChainCtes, pcaGramCtes, sdivSql, PcaIters}
 
+  /** Doc-vector CTEs over `wv` + `vocab` (from [[wvCtes]]): exact long
+    * sums of in-vocabulary word vectors per doc, assembled comp-ordered
+    * — the relation `dvec (doc_id, v)`. Shared by q174 and q178. */
+  private def dvecCtes: String =
+    s""", dtoks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+      |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+      |), dsums AS (
+      |  SELECT t.doc_id, w.comp, sum(w.wv_fp)::BIGINT AS s
+      |  FROM dtoks t JOIN vocab vb ON vb.word = t.word
+      |  JOIN wv w ON w.word_id = vb.word_id
+      |  WHERE t.word <> ''
+      |  GROUP BY 1, 2
+      |), dvec AS MATERIALIZED (
+      |  SELECT doc_id, list(s::DOUBLE ORDER BY comp) AS v
+      |  FROM dsums GROUP BY doc_id
+      |  HAVING max(abs(s)) > 0
+      |)""".stripMargin
+
   /** PPMI rows → Gram → K deflated power chains → centered projection
     * → ±2²⁰ rescale: the (word_id, comp, wv_fp) relation `wv`. */
   private def wvCtes(vocabCut: Boolean = false): String =
@@ -268,6 +314,40 @@ object WordVectors {
           |FROM wv JOIN vocab ON vocab.word_id = wv.word_id
           |ORDER BY word_id, comp""".stripMargin),
 
+    // doc vectors scaled to the |x| <= 1 grid, then the q81 oracle
+    // shape verbatim: the same hash-sampled k-means init/iterations
+    // (3-dim) and the in-cluster dominance pass at tau = 0.9995
+    "q178_docvec_semdedup" ->
+      (wvCtes() + dvecCtes +
+        s""", mxd AS (
+          |  SELECT greatest(max(abs(x)), 1.0) AS m
+          |  FROM (SELECT unnest(v) AS x FROM dvec)
+          |), e AS MATERIALIZED (
+          |  SELECT doc_id AS vec_id,
+          |    list_transform(v, x -> x / mxd.m) AS v,
+          |    sqrt(${Embeddings.duckDot(
+             "list_transform(v, x -> x / mxd.m)",
+             "list_transform(v, x -> x / mxd.m)")}) AS nrm
+          |  FROM dvec, mxd
+          |)""".stripMargin +
+        Embeddings.kmCtesFrom("e", K) +
+        s""", asg AS (
+          |${Embeddings.kmFinalFrom("e")}
+          |), dom AS (
+          |  SELECT a.vec_id, min(b.vec_id) AS dropped_by
+          |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+          |    AND b.vec_id < a.vec_id
+          |  JOIN e ea ON ea.vec_id = a.vec_id
+          |  JOIN e eb ON eb.vec_id = b.vec_id
+          |  WHERE ${Embeddings.duckCos("ea.v", "ea.nrm",
+             "eb.v", "eb.nrm")} >= 0.9995
+          |  GROUP BY a.vec_id
+          |)
+          |SELECT asg.vec_id AS doc_id, asg.cluster,
+          |  (d.dropped_by IS NULL) AS kept, d.dropped_by
+          |FROM asg LEFT JOIN dom d ON d.vec_id = asg.vec_id
+          |ORDER BY doc_id""".stripMargin),
+
     // the q172 oracle shape over the PPMI gram: per chain, Rayleigh
     // eigenvalue vs the exact diagonal trace of the rescaled Gram
     "q177_wordvec_explained" ->
@@ -300,21 +380,8 @@ object WordVectors {
     // assembled comp-ordered; cosine top-k replayed with the q30
     // arithmetic (dot/norm over the comp-ordered list)
     "q174_docvec_topk" ->
-      (wvCtes() +
-        s""", dtoks AS (
-          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
-          |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
-          |), dsums AS (
-          |  SELECT t.doc_id, w.comp, sum(w.wv_fp)::BIGINT AS s
-          |  FROM dtoks t JOIN vocab vb ON vb.word = t.word
-          |  JOIN wv w ON w.word_id = vb.word_id
-          |  WHERE t.word <> ''
-          |  GROUP BY 1, 2
-          |), dvec AS MATERIALIZED (
-          |  SELECT doc_id, list(s::DOUBLE ORDER BY comp) AS v
-          |  FROM dsums GROUP BY doc_id
-          |  HAVING max(abs(s)) > 0
-          |), dn AS MATERIALIZED (
+      (wvCtes() + dvecCtes +
+        s""", dn AS MATERIALIZED (
           |  SELECT doc_id, v, sqrt(${duckDot("v", "v")}) AS nrm
           |  FROM dvec
           |), qs AS (
