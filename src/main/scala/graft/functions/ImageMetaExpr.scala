@@ -111,8 +111,10 @@ object ImageMetaExpr {
       while (pos + 1 < n && steps < 64) {
         if (u8(b, pos) != 0xFF) return unknown // desync
         val m = u8(b, pos + 1)
+        // 0xFF fill bytes are legal padding between segments — skip one
+        if (m == 0xFF) pos += 1
         // standalone markers (no length field): TEM, RSTn; repeated SOI
-        if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) pos += 2
+        else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) pos += 2
         else if (m == 0xD9 || m == 0xDA) return unknown // EOI/SOS before SOF
         else if (pos + 3 < n) {
           val segLen = be16(b, pos + 2)

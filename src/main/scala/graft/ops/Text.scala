@@ -1275,7 +1275,14 @@ object Text {
   def docVectors(docs: DataFrame, wordVecs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wv = wordVecs.select(col("word"), col("comp"), col("wv_fp"))
-    val kmax = wv.agg(max(col("comp"))).head().getLong(0).toInt // k rows/word
+    // empty-model guard: max over zero rows is a single null row — an
+    // empty word-vector frame yields an empty (id, vec) frame, not an
+    // opaque NPE (the randomProject guard discipline)
+    val kmaxRow = wv.agg(max(col("comp"))).head()
+    if (kmaxRow.isNullAt(0))
+      return docs.select(col(idCol),
+        lit(null).cast("array<double>").as("vec")).limit(0)
+    val kmax = kmaxRow.getLong(0).toInt // k rows/word
     val sums = docs
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).as("__did"),

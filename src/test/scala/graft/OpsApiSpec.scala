@@ -1513,6 +1513,11 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out.map(_._1).toSeq === Seq(1L, 2L))
     assert(out(0)._2 === Seq(130.0, -40.0)) // cat+dog
     assert(out(1)._2 === Seq(180.0, -100.0)) // 2·cat+mouse
+    // empty word-vector frame → empty (id, vec) frame, not an NPE
+    val emptyDv = Text.docVectors(docs, wv.limit(0), idCol = "page_id",
+      textCol = "body")
+    assert(emptyDv.columns.toSeq === Seq("page_id", "vec"))
+    assert(emptyDv.count() === 0L)
     // composition: wordVectors → docVectors → the existing ANN family
     val corpus = Seq(
       (1L, "cat dog cat dog mouse cat dog"),

@@ -268,6 +268,12 @@ class PipelineSpec extends AnyFunSuite {
       0xFF, 0xC2, 0x00, 0x0B, 0x08, 0x00, 0x02, 0x00, 0x03,
       0x01, 0x01, 0x11, 0x00)
     assert(tup(jpg) === (("jpeg", 3, 2, 8)))
+    // 0xFF fill padding between segments is legal JPEG — the walker
+    // must skip it, not desync
+    val jpgPad = bytes(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF,
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x05, 0x00, 0x06,
+      0x01, 0x01, 0x11, 0x00)
+    assert(tup(jpgPad) === (("jpeg", 6, 5, 8)))
     // degradation contract: truncated, desynced, and alien payloads
     // all yield ("unknown", null, null, null)
     assert(tup(png.take(20))._1 === "unknown") // truncated mid-IHDR
