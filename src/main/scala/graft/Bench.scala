@@ -291,11 +291,20 @@ object Bench {
     // of silently skipping when run from a non-repo CWD.
     try {
       val cwd = new java.io.File(".").getCanonicalFile
-      val rx = "BENCH_r(\\d+)(_full)?\\.json".r
-      val ns = Option(cwd.listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(fl => rx.findFirstMatchIn(fl.getName).map(_.group(1).toInt))
+      // driver-captured BENCH_rN.json marks round N COMPLETED (next is
+      // N+1); our own BENCH_rN_full.json marks round N CURRENT — so a
+      // same-round re-run must not bump past its own output. Anchored
+      // full-name matches only (a stray BENCH_r99.json.bak must not
+      // skew the round).
+      val rxDriver = "BENCH_r(\\d+)\\.json".r
+      val rxFull = "BENCH_r(\\d+)_full\\.json".r
+      val names = Option(cwd.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(_.getName)
+      val driverNext = names.collect {
+        case rxDriver(n) => n.toInt + 1 }.maxOption
+      val fullCur = names.collect { case rxFull(n) => n.toInt }.maxOption
       val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-        .orElse(if (ns.nonEmpty) Some(ns.max + 1) else None)
+        .orElse((driverNext ++ fullCur).maxOption)
       round match {
         case Some(r) =>
           val full = new java.io.File(cwd, f"BENCH_r$r%02d_full.json")

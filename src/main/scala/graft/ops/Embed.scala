@@ -825,8 +825,12 @@ object Embed {
     // would sum over a different effective n — rather than crash, so
     // they must be rejected here, not discovered as wrong components.
     // One scan-riding min/max aggregate, trivial next to the pair pass.
-    val szs = emb.agg(min(size(col(vecCol))).as("mn"),
-      max(size(col(vecCol))).as("mx")).head()
+    // NULL vectors stay excluded (posexplode emits nothing for them —
+    // the pre-r14 behavior); under the legacy sizeOfNull they would
+    // otherwise read as size −1 and false-trip this check.
+    val szs = emb.where(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))).as("mn"),
+        max(size(col(vecCol))).as("mx")).head()
     if (!szs.isNullAt(0))
       require(szs.getInt(0) == szs.getInt(1),
         s"vectors must have uniform dimensionality: $vecCol lengths " +
@@ -858,7 +862,14 @@ object Embed {
   }
 
   /** Merge two [[pcaFrame]] accumulator frames — exact cell-wise
-    * sums; no float arithmetic anywhere. */
+    * sums; no float arithmetic anywhere.
+    *
+    * CONTRACT: both frames must come from corpora of the SAME
+    * dimensionality. A mixed-d merge is not detectable downstream
+    * (every cell of the union exists, but low-d cells sum over a
+    * different effective n than high-d cells) and silently skews the
+    * Gram — [[pcaFrame]]'s uniform-dimensionality check guards each
+    * side at build time; keep artifacts dimension-keyed. */
   def pcaMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("i"), col("j"))
       .agg(sum(col("sv")).as("sv"))
@@ -884,9 +895,10 @@ object Embed {
       BigInt(r.getDecimal(2).toBigInteger)).toMap
     val n = cells((0L, 0L))
     val d = cells.keys.map(_._2).max.toInt
-    // contract check: a ragged corpus (mixed vector lengths) produces a
-    // frame missing some (0, j) cells — fail with the contract error
-    // instead of an unexplained driver Map lookup exception
+    // defense for HAND-AUTHORED artifacts only: frames the library
+    // builds always have every (0, j) cell (posexplode emits contiguous
+    // dims), and a pcaMerge of different-d artifacts is NOT detectable
+    // from sums alone — see the pcaMerge contract note
     val missing = (1 to d).filterNot(j => cells.contains((0L, j.toLong)))
     require(missing.isEmpty,
       s"vectors must have uniform dimensionality: the accumulator frame " +

@@ -1182,6 +1182,14 @@ object Text {
     * bit-for-bit. */
   def wordVectorsFromCooc(vocab: DataFrame, coo0: DataFrame, k: Int = 3,
       iters: Int = 6): DataFrame = {
+    // empty-corpus guard (the docVectors/randomProject discipline): a
+    // corpus with no usable text yields an empty vocabulary — return an
+    // empty typed frame instead of crashing inside the Gram assembly
+    if (vocab.isEmpty)
+      return vocab.sparkSession.emptyDataFrame
+        .select(lit("").as("word"), lit(0L).as("word_id"),
+          lit(0L).as("cnt"), lit(0L).as("comp"), lit(0L).as("wv_fp"))
+        .limit(0)
     val vecs = ppmiVectors(vocab, coo0)
       .localCheckpoint() // read by pcaFrame (2 aggs) and pcaProject
     val comps = graft.ops.Embed.pca(vecs, k, iters,

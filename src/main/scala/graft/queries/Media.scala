@@ -64,9 +64,13 @@ object Media {
       be(h, 2), be(w, 2),
       bytesLit(0x01, 0x01, 0x11, 0x00),              // 1 component
       bytesLit(0xFF, 0xD9))                          // EOI
-    documents.select(id.as("media_id"),
-      when(id % 3 === 0, png).when(id % 3 === 1, gif).otherwise(jpg)
-        .as("payload"))
+    // null text would make the concat (and hence the payload) NULL —
+    // the Spark side would emit a null-meta row while the oracle's
+    // hex(NULL) parse drops it; filter on BOTH sides for row parity
+    documents.where(col("text").isNotNull)
+      .select(id.as("media_id"),
+        when(id % 3 === 0, png).when(id % 3 === 1, gif).otherwise(jpg)
+          .as("payload"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,7 +183,7 @@ object Media {
         |        unhex(lpad(hex(doc_id % 1920 + 1), 4, '0')) ||
         |        unhex('01011100') || unhex('FFD9')
         |    END AS payload
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), hx AS MATERIALIZED (
         |  SELECT media_id, hex(payload) AS h,
         |    octet_length(payload)::INT AS nb

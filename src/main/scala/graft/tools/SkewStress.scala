@@ -102,37 +102,40 @@ object SkewStress {
       }
       run() // warm
       val a = run(); val b = run()
+      // the listener bus delivers asynchronously: drain rep b's
+      // in-flight task-end events BEFORE reset (else they land in rep
+      // c's window), and drain rep c's own tail before reading
+      // (listenerBus.waitUntilEmpty is private API)
+      Thread.sleep(700)
       listener.reset()
       val c = run()
-      // the listener delivers asynchronously; give the bus a moment to
-      // drain before reading (listenerBus.waitUntilEmpty is private)
-      Thread.sleep(300)
+      Thread.sleep(700)
       val (n, mx, med, ratio) = listener.stats()
       val wall = Seq(a, b, c).sorted.apply(1)
       (name, wall, n, mx, med, ratio)
     }
 
-    val cases: Seq[(String, DataFrame, () => DataFrame)] = Seq(
-      ("dedup_cascade", docs,
+    val cases: Seq[(String, () => DataFrame)] = Seq(
+      ("dedup_cascade",
         () => graft.ops.Dedup.cascade(docs)),
-      ("para_dedup", docs,
+      ("para_dedup",
         () => graft.ops.Dedup.paraDedup(docs)),
-      ("cap_per_key", docs,
+      ("cap_per_key",
         () => graft.ops.Curate.capPerKey(docs, 10, "source")),
-      ("bm25", docs,
+      ("bm25",
         () => graft.ops.Retrieval.bm25(docs,
           docs.where(col("doc_id") < 20), k = 10, excludeSelf = true)),
-      ("dedup_cascade_plain", plain,
+      ("dedup_cascade_plain",
         () => graft.ops.Dedup.cascade(plain)),
-      ("para_dedup_plain", plain,
+      ("para_dedup_plain",
         () => graft.ops.Dedup.paraDedup(plain)),
-      ("cap_per_key_plain", plain,
+      ("cap_per_key_plain",
         () => graft.ops.Curate.capPerKey(plain, 10, "source")),
-      ("bm25_plain", plain,
+      ("bm25_plain",
         () => graft.ops.Retrieval.bm25(plain,
           plain.where(col("doc_id") < 20), k = 10, excludeSelf = true)))
 
-    val rows = cases.map { case (name, _, mk) => measure(name, mk) }
+    val rows = cases.map { case (name, mk) => measure(name, mk) }
 
     println(s"\nSkew stress @ $sfDir (hot domain 50%, hot paragraph 20%)")
     println("| op | wall med s | tasks | max task ms | med task ms | max/med |")

@@ -2118,6 +2118,25 @@ class OpsApiSpec extends AnyFunSuite {
       Embed.pcaFrame(ragged, idCol = "vid", vecCol = "v")
     }
     assert(e.getMessage.contains("uniform dimensionality"))
+    // NULL vectors stay excluded (the pre-guard behavior), never
+    // false-trip the ragged check as legacy size(-1)
+    val withNull = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 5.0f)),
+        (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vid", "v")
+    val f = Embed.pcaFrame(withNull, idCol = "vid", vecCol = "v")
+    assert(f.where(col("i") === 0L && col("j") === 0L)
+      .head().getDecimal(2).longValueExact() === 2L,
+      "n counts only non-null vectors")
+  }
+
+  test("Text.wordVectors on a corpus with no usable text returns an " +
+      "empty typed frame, not a crash") {
+    val empty = Seq((1L, "   "), (2L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+    val out = Text.wordVectors(empty, topV = 8, k = 2, textCol = "body")
+    assert(out.columns.toSeq ===
+      Seq("word", "word_id", "cnt", "comp", "wv_fp"))
+    assert(out.count() === 0L)
   }
 
   test("Curate.leakSafeSplit assigns every cluster member its " +
