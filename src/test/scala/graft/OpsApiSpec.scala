@@ -1467,6 +1467,84 @@ class OpsApiSpec extends AnyFunSuite {
     assert(cells === direct)
   }
 
+  test("Text.ppmiVectors equals an independent pure-Scala PPMI replica " +
+      "on randomized corpora (the fixed-point log2 recurrence pinned)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the engine's exact integer log2: e from the bit length of p div q,
+    // ten squaring rounds on the 2^20-grid mantissa — replicated
+    // INDEPENDENTLY here (BigInt driver math, not Spark columns)
+    def log2fp(p: BigInt, q: BigInt): Long = {
+      val pdq = (p / q).toLong
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(pdq)
+      var r = ((p * 1048576) / (q * (BigInt(1) << e))).toLong
+      var frac = 0L
+      for (b <- 1 to 10) {
+        val t = r * r
+        val bit = if (t >= (1L << 41)) 1L else 0L
+        r = t / (1L << (20 + bit))
+        frac += bit << (10 - b)
+      }
+      e * 1024L + frac
+    }
+    // accuracy contract of the recurrence itself: within 1/2^10-grade
+    // error of the real log2, exact on powers of two
+    for (k <- 1 to 40) assert(log2fp(BigInt(1) << k, BigInt(1)) === 1024L * k)
+    val ratios = for {
+      p <- Gen.chooseNum(2L, 1000000000L); q <- Gen.chooseNum(1L, p - 1)
+    } yield (p, q)
+    (0 until 300).flatMap(i =>
+      ratios.apply(Gen.Parameters.default, Seed(7L + i))).foreach {
+      case (p, q) =>
+        val l = log2fp(BigInt(p), BigInt(q))
+        val exact = math.log(p.toDouble / q) / math.log(2.0) * 1024.0
+        assert(math.abs(l - exact) < 3.0,
+          s"log2fp($p/$q)=$l vs exact $exact")
+        assert(l >= 0L)
+    }
+    // end-to-end: randomized two-word corpora, engine vs replica
+    val wordsGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val pairGen = for {
+      w1 <- wordsGen; w2 <- wordsGen; c <- Gen.chooseNum(1, 9)
+    } yield (w1, w2, c)
+    val corpGen = Gen.listOfN(8, pairGen)
+    (0 until 5).flatMap(i =>
+      corpGen.apply(Gen.Parameters.default, Seed(99L + i))).foreach { ps =>
+      // one doc per pair occurrence: doc text = "w1 w2"
+      val docs = ps.zipWithIndex.flatMap { case ((w1, w2, c), i) =>
+        (0 until c).map(j => (i * 100L + j, s"$w1 $w2"))
+      }.toDF("page_id", "body")
+      val vocab = Text.vocabFrame(docs, topV = 8, textCol = "body")
+        .localCheckpoint()
+      val ids = vocab.collect()
+        .map(r => r.getString(0) -> r.getInt(2)).toMap
+      val got = Text.ppmiVectors(vocab,
+          Text.coocFrame(docs, vocab, "body"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // independent replica: symmetric window-1 counts -> marginals ->
+      // positive cells through log2fp
+      val cnt = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      ps.foreach { case (w1, w2, c) =>
+        val (a, b) = (ids(w1), ids(w2))
+        cnt((a, b)) = cnt.getOrElse((a, b), 0L) + c
+        cnt((b, a)) = cnt.getOrElse((b, a), 0L) + c
+      }
+      val row = cnt.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+      val n = cnt.values.sum
+      val v = ids.size
+      ids.values.foreach { a =>
+        val expected = (1 to v).map { b =>
+          val cab = cnt.getOrElse((a, b), 0L)
+          val p = BigInt(cab) * BigInt(n)
+          val q = BigInt(row(a)) * BigInt(row(b))
+          if (cab > 0 && p > q) log2fp(p, q) / 1024.0 else 0.0
+        }
+        assert(got(a) === expected,
+          s"PPMI row of word_id $a: ${got(a)} vs replica $expected")
+      }
+    }
+  }
+
   test("Text.ppmiVectors feeds the PCA audit: explained variance is " +
       "a sane ppm partition of the PPMI trace") {
     val docs = Seq(

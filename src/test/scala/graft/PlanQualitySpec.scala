@@ -209,6 +209,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled by word:\n$p")
   }
 
+  test("q176: co-occurrence cell pass keeps both vocabulary joins " +
+      "broadcast — the bigram stream never shuffles by word") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = graft.ops.Text.vocabFrame(docs, topV = 8).localCheckpoint()
+    val p = graft.ops.Text.coocFrame(docs, vocab)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bigrams shuffled by word:\n$p")
+  }
+
   test("q167: keywords' top-k window is doc-partitioned, never a " +
       "single-partition sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
