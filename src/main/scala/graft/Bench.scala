@@ -282,37 +282,32 @@ object Bench {
     // ALSO write the full artifact into the repo working tree so the
     // per-round commit carries it (BENCH_rNN.json, the driver's stdout
     // capture, is a 2000-char tail that loses most of the per-query map
-    // — r10 and r12 both needed the /tmp file to adjudicate). The round
-    // number comes from SPARK_GRAFT_ROUND when set (re-runs after the
-    // driver has already captured BENCH_rNN.json would otherwise write
-    // into the NEXT round's slot); the fallback derives it from BOTH
-    // the committed BENCH_r*.json and BENCH_r*_full.json files (bench
-    // runs at round END, so next = max existing + 1) and WARNS instead
-    // of silently skipping when run from a non-repo CWD.
+    // — r10 and r12 both needed the /tmp file to adjudicate).
+    // Round-slot hygiene (the r14 lesson — a max+1 inference let
+    // 3-query sweep re-runs manufacture BENCH_r15/r16_full.json and
+    // occupy FUTURE rounds' slots):
+    //   * a SUBSET run (explicit query-filter args) NEVER writes a
+    //     round slot — it writes BENCH_scratch_<queries>.json;
+    //   * a FULL run writes BENCH_rNN_full.json ONLY when
+    //     SPARK_GRAFT_ROUND is set; otherwise it warns and leaves the
+    //     round ledger alone (the /tmp artifact still has the run).
     try {
       val cwd = new java.io.File(".").getCanonicalFile
-      // driver-captured BENCH_rN.json marks round N COMPLETED (next is
-      // N+1); our own BENCH_rN_full.json marks round N CURRENT — so a
-      // same-round re-run must not bump past its own output. Anchored
-      // full-name matches only (a stray BENCH_r99.json.bak must not
-      // skew the round).
-      val rxDriver = "BENCH_r(\\d+)\\.json".r
-      val rxFull = "BENCH_r(\\d+)_full\\.json".r
-      val names = Option(cwd.listFiles()).getOrElse(Array.empty[java.io.File])
-        .map(_.getName)
-      val driverNext = names.collect {
-        case rxDriver(n) => n.toInt + 1 }.maxOption
-      val fullCur = names.collect { case rxFull(n) => n.toInt }.maxOption
-      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
-        .orElse((driverNext ++ fullCur).maxOption)
-      round match {
-        case Some(r) =>
-          val full = new java.io.File(cwd, f"BENCH_r$r%02d_full.json")
+      val repoName =
+        if (args.nonEmpty) {
+          val tag = args.sorted.mkString("_")
+            .replaceAll("[^A-Za-z0-9._-]", "_").take(80)
+          Some(s"BENCH_scratch_$tag.json")
+        } else sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt)
+          .map(r => f"BENCH_r$r%02d_full.json")
+      repoName match {
+        case Some(name) =>
+          val full = new java.io.File(cwd, name)
           java.nio.file.Files.write(full.toPath,
             (fileJson + "\n").getBytes("UTF-8"))
         case None =>
-          System.err.println("[bench] WARN: no BENCH_r*.json in CWD and " +
-            "SPARK_GRAFT_ROUND unset — repo artifact not written " +
+          System.err.println("[bench] WARN: SPARK_GRAFT_ROUND unset — " +
+            "round-slot artifact not written " +
             s"(CWD: $cwd; the /tmp artifact above still has the full run)")
       }
     } catch { case e: Exception =>

@@ -820,30 +820,37 @@ object Embed {
   def pcaFrame(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val s = emb.sparkSession
+    val sc = 16777216.0d // 2^24
+    // ONE source scan: posexplode_outer keeps empty arrays as a single
+    // null-position row so the raggedness guard below still sees them
+    // (size 0), while NULL vectors stay excluded up front (the pre-r14
+    // behavior — under the legacy sizeOfNull they would otherwise read
+    // as size −1 and false-trip the check).
+    val f0 = emb.where(col(vecCol).isNotNull)
+      .repartition(s.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("__vid"),
+        posexplode_outer(col(vecCol).cast("array<double>"))
+          .as(Seq("p", "xv")))
+      .localCheckpoint() // read by the guard and by n, Si, Sij
     // contract check at the single entry of every PCA form: ragged
     // (mixed-length) vectors would SILENTLY skew the Gram — each cell
     // would sum over a different effective n — rather than crash, so
     // they must be rejected here, not discovered as wrong components.
-    // One scan-riding min/max aggregate, trivial next to the pair pass.
-    // NULL vectors stay excluded (posexplode emits nothing for them —
-    // the pre-r14 behavior); under the legacy sizeOfNull they would
-    // otherwise read as size −1 and false-trip this check.
-    val szs = emb.where(col(vecCol).isNotNull)
-      .agg(min(size(col(vecCol))).as("mn"),
-        max(size(col(vecCol))).as("mx")).head()
+    // Derived from the already-checkpointed explode (count of positions
+    // per vector = its length), NOT a second scan of the source: the
+    // r14 guard ran its own eager min/max(size) aggregate over the full
+    // embedding frame — a separate corpus pass per call.
+    val szs = f0.groupBy(col("__vid"))
+      .agg(count(col("p")).as("sz"))
+      .agg(min(col("sz")).as("mn"), max(col("sz")).as("mx")).head()
     if (!szs.isNullAt(0))
-      require(szs.getInt(0) == szs.getInt(1),
+      require(szs.getLong(0) == szs.getLong(1),
         s"vectors must have uniform dimensionality: $vecCol lengths " +
-          s"range ${szs.getInt(0)}..${szs.getInt(1)} — pad or filter " +
+          s"range ${szs.getLong(0)}..${szs.getLong(1)} — pad or filter " +
           "ragged embedding arrays before graft.ops.Embed.pca*")
-    val sc = 16777216.0d // 2^24
-    val f = emb.repartition(s.sparkContext.defaultParallelism,
-        col(idCol))
-      .select(col(idCol).as("__vid"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "xv")))
+    val f = f0.where(col("p").isNotNull)
       .select(col("__vid"), (col("p") + 1).cast("long").as("d"),
         floor(col("xv") * lit(sc)).cast("long").as("xfp"))
-      .localCheckpoint() // read by n, Si, Sij
     val n = f.select(col("__vid")).distinct()
       .agg(count(lit(1)).cast("decimal(38,0)").as("sv"))
       .select(lit(0L).as("i"), lit(0L).as("j"), col("sv"))

@@ -629,6 +629,13 @@ object Text {
     * per-position frames, no checkpoints, no driver probes. */
   private[graft] def ulmSegment(wl: DataFrame, vocab: DataFrame,
       maxPiece: Int): DataFrame = {
+    // the edge keys below pack (start j, piece length) as j*64 + plen,
+    // which silently collides (corrupting the edge-cost map) if a piece
+    // can be 64+ chars — enforce the invariant where it is relied upon,
+    // not only at the public callers' require(maxPiece <= 8)
+    require(maxPiece > 0 && maxPiece < 64,
+      s"ulmSegment edge-key stride is 64: need 0 < maxPiece < 64 " +
+        s"(got $maxPiece)")
     val (vb, mb) = ulmBits(vocab)
     // every candidate edge (start j, length plen) of every word, ONE
     // vocabulary join; single-char pieces miss to the Laplace-0 cost
@@ -1238,7 +1245,19 @@ object Text {
           col("rb").cast("decimal(38,0)")).as("q"))
       .where(col("p") > col("q"))
       .withColumn("pdq", expr("p div q"))
-      .withColumn("e", (length(expr("bin(pdq)")) - 1).cast("long"))
+      // shiftleft wraps its shift amount mod 64 in Spark while the
+      // DuckDB oracle's 1::BIGINT << e does not — a cell with
+      // p/q >= 2^63 would silently produce a wrong mantissa and
+      // diverge cross-engine. Unreachable at any realistic corpus
+      // (e = floor(log2(cnt·N / (ra·rb))) and cnt <= ra,rb <= N caps
+      // p/q at N), so make the impossible regime fail LOUDLY instead
+      // of wrapping.
+      .withColumn("e",
+        when(length(expr("bin(pdq)")) - 1 < 63,
+          (length(expr("bin(pdq)")) - 1).cast("long"))
+          .otherwise(raise_error(lit("graft.ops.Text.ppmiVectors: " +
+            "PPMI ratio p/q >= 2^63 — outside the fixed-point " +
+            "design range (shiftleft would wrap mod 64)")).cast("long")))
       .withColumn("r", expr("(p * 1048576) div " +
         "(q * cast(shiftleft(1L, cast(e as int)) as decimal(38,0)))"))
       .withColumn("frac", lit(0L))
@@ -1286,7 +1305,10 @@ object Text {
     // empty-model guard: max over zero rows is a single null row — an
     // empty word-vector frame yields an empty (id, vec) frame, not an
     // opaque NPE (the randomProject guard discipline)
-    val kmaxRow = wv.agg(max(col("comp"))).head()
+    // cast comp up front: the public API accepts any caller frame, so
+    // an IntegerType comp must read back as a clean long, not a
+    // ClassCastException out of getLong
+    val kmaxRow = wv.agg(max(col("comp").cast("long"))).head()
     if (kmaxRow.isNullAt(0))
       return docs.select(col(idCol),
         lit(null).cast("array<double>").as("vec")).limit(0)
