@@ -18,10 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * precision/height/width).
   *
   * This upgrades the Multimodal family's metadata step from the honest
-  * stub to a REAL parse — pixel decode still needs a codec (the
-  * [[Multimodal.decodePartitionwise]] seam), but the fields real
-  * curation predicates filter on (format, dimensions, bit depth) come
-  * out of the first KB of the blob. On 100 TB of media the parse rides
+  * stub to a REAL parse — full pixel decode lives behind the
+  * [[Multimodal.decodePixels]] seam (real as of r15, javax.imageio),
+  * but the fields real curation predicates filter on (format,
+  * dimensions, bit depth) come out of the first KB of the blob without
+  * any codec at all. On 100 TB of media the parse rides
   * the scan as a pure projection: no shuffle, no blob bytes past the
   * header touched by later metadata-only predicates once projected.
   *

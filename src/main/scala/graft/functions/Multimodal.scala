@@ -4,27 +4,46 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Per-payload pixel statistics from [[Multimodal.decodePixels]] —
+  * all-long so the DuckDB oracle compares dtype-clean (n_px = width
+  * x height; sums/extrema per 8-bit sRGB channel). Undecodable
+  * payloads carry None everywhere but media_id. */
+final case class PixelStats(media_id: Long, format: Option[String],
+    width: Option[Long], height: Option[Long], n_px: Option[Long],
+    r_sum: Option[Long], r_min: Option[Long], r_max: Option[Long],
+    g_sum: Option[Long], g_min: Option[Long], g_max: Option[Long],
+    b_sum: Option[Long], b_min: Option[Long], b_max: Option[Long])
+
+object PixelStats {
+  def empty(id: Long): PixelStats =
+    PixelStats(id, None, None, None, None, None, None, None, None,
+      None, None, None, None, None)
+}
+
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
   * engine as opaque `BinaryType` columns with a typed metadata struct
   * (SURVEY.md §7.2 step 7 — north-star extension).
   *
-  * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * per-row processing, frame sampling — is real and tested, and as of
-  * round 14 the CONTAINER-METADATA half of decode is real too:
+  * As of round 15 the decode step is REAL end-to-end for images:
   * [[imageMeta]] parses format/width/height/bit-depth out of PNG/GIF/
-  * JPEG headers with pure byte arithmetic ([[ImageMetaExpr]], q175).
-  * Only the PIXEL-decode step remains STUBBED (this container has no
-  * image/audio libraries): `decodeStub` derives deterministic fake
-  * features from the raw bytes.
-  * On a real cluster, swap `decodeStub` for a `mapPartitions` body that
-  * opens a codec once per partition and streams batches through it; the
-  * schema and call shape below do not change.
+  * JPEG headers with pure byte arithmetic ([[ImageMetaExpr]], q175),
+  * and [[decodePixels]] decodes actual PNG/GIF pixels through the
+  * JDK's own `javax.imageio` (java.desktop — present in every JDK
+  * Spark runs on; no external codec library) behind the partitionwise
+  * codec seam: one [[ImageCodec]] per partition, rows streamed through
+  * it, per-channel stats out (q179 — oracle-verified against synthetic
+  * images whose pixels are a pure formula, [[SyntheticImage]]).
+  * Audio/video codecs would occupy the same seam with the same
+  * lifecycle; [[contentFeatures]] remains the codec-free columnar
+  * fingerprint for payloads with no decodable container.
   *
   * Scale notes (100 TB of media): payloads stay in executor memory only
   * one row-batch at a time (no collect); metadata-only predicates (media
   * type, width, duration) are plain columns, so Catalyst prunes/pushes
   * them without touching the blobs; frame-sampling reduces bytes BEFORE
-  * any shuffle.
+  * any shuffle; decode cost is per-blob CPU with no shuffle attached
+  * (the decode plan is scan → project → mapPartitions, exchange-free —
+  * plan-pinned by PlanQualitySpec).
   */
 object Multimodal {
 
@@ -59,11 +78,15 @@ object Multimodal {
     org.apache.spark.sql.GraftArrowBridge.column(ImageMetaExpr(
       org.apache.spark.sql.GraftArrowBridge.expression(payload)))
 
-  /** STUB "decode + feature extract": a deterministic 4-dim feature vector
-    * from the payload bytes — stands in for a real decode→embed step.
-    * Real implementation: ??? (codec unavailable in this container); the
-    * call shape is `binary → array<double>` and stays columnar. */
-  def decodeStub(payload: Column): Column = {
+  /** Codec-free content fingerprint: a deterministic 4-dim feature
+    * vector from the payload bytes (three independent md5-derived
+    * 32-bit hashes + the byte length) — the columnar feature for
+    * payloads that have no decodable container (or where a cheap
+    * exact-content signal is all a dedup/routing step needs). This is
+    * NOT a decode (that's [[decodePixels]]); it is a real fingerprint,
+    * oracle-matched bit-for-bit (q32). `binary → array<double>`,
+    * stays columnar. */
+  def contentFeatures(payload: Column): Column = {
     // Three independent 32-bit hashes from md5 hex slices — keeps every
     // intermediate below 2^32 (no precision-losing Long→Double division).
     def h(off: Int): Column =
@@ -92,36 +115,110 @@ object Multimodal {
   def thumbnail(payload: Column, bytes: Int): Column =
     substring(payload, 1, bytes)
 
-  /** The per-partition decoder lifecycle a REAL codec needs (native
-    * handles, model weights, JNI state): constructed once per partition,
-    * streamed through, never serialized to the driver. The stub computes
-    * the same features as [[decodeStub]] (asserted by PipelineSpec), so
-    * the two decode paths are interchangeable — columnar expressions when
-    * the "decode" is expressible, this seam when it needs a library. */
-  final class StubCodec {
-    private val md = java.security.MessageDigest.getInstance("MD5")
-    def features(payload: Array[Byte]): Array[Double] = {
-      md.reset()
-      val hex = md.digest(payload).map("%02x".format(_)).mkString
-      def h(off: Int): Long = java.lang.Long.parseLong(hex.substring(off, off + 8), 16)
-      Array(h(0) % 997L / 997d, h(8) % 991L / 991d, h(16) % 983L / 983d,
-        payload.length.toDouble)
+  /** REAL per-partition image decoder — the codec lifecycle a decode
+    * step needs (reader state constructed once per partition, rows
+    * streamed through, never serialized to the driver), occupied by
+    * the JDK's own `javax.imageio` (java.desktop — every JDK ships
+    * it; headless-safe). Decodes the full pixel raster of any format
+    * ImageIO recognizes (PNG, GIF, JPEG, BMP, ...) and reduces it to
+    * per-channel stats; undecodable payloads degrade to an all-null
+    * stats row (format = null), never throw — the imageMeta 'unknown'
+    * discipline. */
+  final class ImageCodec {
+    ImageCodec.headless // AWT headless before any ImageIO touch
+
+    /** Decode one payload to per-channel pixel stats. */
+    def stats(id: Long, payload: Array[Byte]): PixelStats = {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers == null || !readers.hasNext) return PixelStats.empty(id)
+          val rd = readers.next()
+          rd.setInput(iis)
+          val fmt = rd.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = try rd.read(0) finally rd.dispose()
+          val w = img.getWidth; val h = img.getHeight
+          // RAW decoded samples, not getRGB(): BufferedImage.getRGB
+          // pushes gray/custom colorspaces through a linear→sRGB
+          // conversion (gray 7 reads back as 46), which is a RENDERING
+          // step, not the decode — stats must be over the stored pixel
+          // values. Palette formats resolve through their color table
+          // (IndexColorModel is a plain lookup, no conversion).
+          val raster = img.getRaster
+          val icm = img.getColorModel match {
+            case m: java.awt.image.IndexColorModel => m
+            case _ => null
+          }
+          val bands = raster.getNumBands
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var rmn = 255L; var rmx = 0L
+          var gmn = 255L; var gmx = 0L
+          var bmn = 255L; var bmx = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var r = 0; var g = 0; var b = 0
+              if (icm != null) {
+                val idx = raster.getSample(x, y, 0)
+                r = icm.getRed(idx); g = icm.getGreen(idx)
+                b = icm.getBlue(idx)
+              } else if (bands >= 3) {
+                r = raster.getSample(x, y, 0)
+                g = raster.getSample(x, y, 1)
+                b = raster.getSample(x, y, 2)
+              } else { // grayscale (+ optional alpha band)
+                r = raster.getSample(x, y, 0); g = r; b = r
+              }
+              rs += r; gs += g; bs += b
+              if (r < rmn) rmn = r; if (r > rmx) rmx = r
+              if (g < gmn) gmn = g; if (g > gmx) gmx = g
+              if (b < bmn) bmn = b; if (b > bmx) bmx = b
+              x += 1
+            }
+            y += 1
+          }
+          PixelStats(id, Some(fmt), Some(w.toLong), Some(h.toLong),
+            Some(w.toLong * h), Some(rs), Some(rmn), Some(rmx),
+            Some(gs), Some(gmn), Some(gmx), Some(bs), Some(bmn), Some(bmx))
+        } finally iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => PixelStats.empty(id)
+      }
     }
   }
 
-  /** Partition-parallel decode over the batch iterator — the Scala analog
-    * of a pandas/Arrow batch UDF: one codec per partition, one pass over
-    * the rows, columnar result schema `(media_id, features)`. */
-  def decodePartitionwise(media: DataFrame): DataFrame = {
+  object ImageCodec {
+    /** Executors have no display; ImageIO itself is display-free but
+      * AWT class init is not guaranteed to be — pin headless once. */
+    lazy val headless: Unit =
+      if (System.getProperty("java.awt.headless") == null)
+        System.setProperty("java.awt.headless", "true")
+  }
+
+  /** Partition-parallel REAL pixel decode over the batch iterator —
+    * the Scala analog of a pandas/Arrow batch UDF and the engine's
+    * decode seam: one [[ImageCodec]] per partition, one pass over the
+    * rows, columnar result schema (media_id, format, width, height,
+    * n_px, {r,g,b}_{sum,min,max}). Exchange-free: the plan is
+    * scan → project → mapPartitions, so decode cost is pure per-blob
+    * CPU that scales with executor count and never shuffles payload
+    * bytes (plan-pinned). Oracle discipline: q179 decodes
+    * [[SyntheticImage]] payloads whose pixels are a formula the DuckDB
+    * oracle evaluates directly — cross-engine agreement proves encoder
+    * AND decoder. */
+  def decodePixels(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("payload"))
+    media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val codec = new StubCodec // opened once per partition, not per row
-        rows.map { case (id, payload) => (id, codec.features(payload)) }
+        val codec = new ImageCodec // opened once per partition, not per row
+        rows.map { case (id, payload) => codec.stats(id, payload) }
       }
-      .toDF("media_id", "features")
+      .toDF()
   }
 
   /** Wrap a text/documents table as a synthetic media table: the text

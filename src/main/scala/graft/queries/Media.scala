@@ -73,16 +73,30 @@ object Media {
           .as("payload"))
   }
 
+  /** Synthetic but VALID image payloads from `documents` — pixels are
+    * a pure formula of doc_id ([[graft.functions.SyntheticImage]]), so
+    * the q179 oracle verifies the real [[decodePixels]] decode without
+    * DuckDB ever decoding a byte. Text plays no part: the payload is a
+    * function of doc_id alone. (media_id, payload). */
+  private[graft] def syntheticValidImages(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        (id, graft.functions.SyntheticImage.payload(id))))
+      .toDF("media_id", "payload")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ---- q32: metadata predicate + stubbed decode/feature-extract ------
+    // ---- q32: metadata predicate + content-fingerprint features --------
     // The width filter is a plain column predicate — Catalyst prunes it
     // without touching payload bytes (the 100 TB contract). The 4-dim
-    // feature vector is emitted as four scalar double columns: the
+    // fingerprint vector is emitted as four scalar double columns: the
     // driver's pandas compare cannot sort array-typed columns, and scalar
     // doubles compare exactly (same md5-derived arithmetic both engines).
     "q32_media_features" -> ((s, dir) => {
-      val feats = decodeStub(col("payload"))
+      val feats = contentFeatures(col("payload"))
       media(s, dir)
         .where(col("meta.width") >= 200)
         .select(
@@ -116,6 +130,20 @@ object Media {
           m.getField("bit_depth").as("bit_depth"),
           payloadBytes(col("payload")).as("n_bytes"))
         .orderBy("media_id")
+    }),
+
+    // ---- q179: REAL pixel decode (javax.imageio) ------------------------
+    // [[Multimodal.decodePixels]] over VALID synthetic PNG-RGB / PNG-gray
+    // / GIF payloads ([[SyntheticImage]]): the engine decodes actual
+    // rasters with the JDK's own ImageIO (one codec per partition,
+    // exchange-free plan) and reduces to per-channel sums/extrema; the
+    // oracle computes the same stats straight from the pixel formula —
+    // encoder, container, LZW/zlib stream, and decoder all verified in
+    // one cross-engine compare.
+    "q179_pixel_stats" -> ((s, dir) => {
+      val media = syntheticValidImages(
+        Graft.parquetSource(s, dir).table("documents"))
+      decodePixels(media).orderBy("media_id")
     }),
 
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
@@ -232,6 +260,38 @@ object Media {
         |      UNION ALL SELECT * FROM jw) m
         |JOIN hx USING (media_id)
         |ORDER BY media_id""".stripMargin,
+
+    // Never decodes a byte: evaluates the SyntheticImage pixel formula
+    // directly (dimensions w = id%13+1, h = id%11+1; channel value
+    // (id*m + 3i) % 256 with m = 7/11/13 for RGB-PNG and m = 7 for the
+    // single gray/palette channel of PNG-gray and GIF). Engine-side,
+    // ImageIO resolves gray and palette pixels to sRGB r = g = b.
+    "q179_pixel_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 AS fmt,
+        |    doc_id % 13 + 1 AS width, doc_id % 11 + 1 AS height
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id, fmt, width, height,
+        |    list_transform(range(0, width*height),
+        |      i -> (media_id*7 + i*3) % 256) AS pr,
+        |    list_transform(range(0, width*height), i ->
+        |      (media_id * (CASE WHEN fmt = 0 THEN 11 ELSE 7 END) + i*3) % 256) AS pg,
+        |    list_transform(range(0, width*height), i ->
+        |      (media_id * (CASE WHEN fmt = 0 THEN 13 ELSE 7 END) + i*3) % 256) AS pb
+        |  FROM d
+        |)
+        |SELECT media_id,
+        |  CASE WHEN fmt = 2 THEN 'gif' ELSE 'png' END AS format,
+        |  width::BIGINT AS width, height::BIGINT AS height,
+        |  (width*height)::BIGINT AS n_px,
+        |  list_sum(pr)::BIGINT AS r_sum, list_min(pr)::BIGINT AS r_min,
+        |  list_max(pr)::BIGINT AS r_max,
+        |  list_sum(pg)::BIGINT AS g_sum, list_min(pg)::BIGINT AS g_min,
+        |  list_max(pg)::BIGINT AS g_max,
+        |  list_sum(pb)::BIGINT AS b_sum, list_min(pb)::BIGINT AS b_min,
+        |  list_max(pb)::BIGINT AS b_max
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "q33_frame_sample" ->
       """WITH f AS (

@@ -214,7 +214,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(p1.forall(p => p.distinct.size == 2))
   }
 
-  test("multimodal: payload plumbing, stub decode, frame sampling") {
+  test("multimodal: payload plumbing, content fingerprint, frame sampling") {
     import spark.implicits._
     val docs = Seq((7L, "0123456789abcdef0123456789abcdef0123456789",
       "en", "src", 42L))
@@ -223,7 +223,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(media.schema("payload").dataType.typeName == "binary")
     val r = media.select(
       Multimodal.payloadBytes(col("payload")),
-      Multimodal.decodeStub(col("payload")),
+      Multimodal.contentFeatures(col("payload")),
       Multimodal.sampleFrames(col("payload"), 16, 2),
       Multimodal.thumbnail(col("payload"), 4)).collect().head
     assert(r.getInt(0) == 42)
@@ -323,18 +323,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(batches.forall(_.nonEmpty))
   }
 
-  test("partition-wise decode seam == columnar stub decode") {
+  test("real pixel decode: ImageIO round-trips the synthetic PNG-RGB/" +
+      "PNG-gray/GIF payloads to formula-exact per-channel stats") {
     import graft.functions.Multimodal._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val media = syntheticMedia(
-      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
-      .repartition(4)
-    val columnar = media
-      .select(col("media_id"), decodeStub(col("payload")).as("features"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    val seam = decodePartitionwise(media)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(seam.keySet == columnar.keySet && seam.nonEmpty)
-    seam.foreach { case (id, f) => assert(f == columnar(id), s"media $id") }
+    import spark.implicits._
+    // ids chosen to hit every format (id%3), width (id%13) and height
+    // (id%11) residue class at least once, plus 0 (1×1) and a big id
+    val ids = (0L to 40L) ++ Seq(1000003L, 987654321L)
+    val media = graft.queries.Media.syntheticValidImages(
+      ids.toDF("doc_id")).repartition(4)
+    val got = decodePixels(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == ids.toSet)
+    // independent replica of the oracle formula — no SyntheticImage
+    // code reuse beyond the payloads under test
+    for (id <- ids) {
+      val w = (id % 13 + 1).toInt; val h = (id % 11 + 1).toInt
+      val fmt = if (id % 3 == 2) "gif" else "png"
+      def chan(mult: Long): (Long, Long, Long) = {
+        val vals = (0 until w * h).map(i => (id * mult + 3L * i) % 256)
+        (vals.sum, vals.min, vals.max)
+      }
+      val (rm, gm, bm) =
+        if (id % 3 == 0) (chan(7), chan(11), chan(13))
+        else (chan(7), chan(7), chan(7))
+      val r = got(id)
+      assert(r.getString(1) == fmt, s"id $id format")
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"id $id dims")
+      assert(r.getLong(4) == w.toLong * h, s"id $id n_px")
+      assert((r.getLong(5), r.getLong(6), r.getLong(7)) == rm, s"id $id R")
+      assert((r.getLong(8), r.getLong(9), r.getLong(10)) == gm, s"id $id G")
+      assert((r.getLong(11), r.getLong(12), r.getLong(13)) == bm, s"id $id B")
+    }
+  }
+
+  test("real pixel decode: undecodable payloads degrade to an all-null " +
+      "stats row, never throw") {
+    import graft.functions.Multimodal._
+    import spark.implicits._
+    val junk = Seq(
+      (1L, Array.emptyByteArray),
+      (2L, "not an image at all".getBytes("UTF-8")),
+      // a PNG signature with a truncated body — recognized then fails
+      (3L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A,
+        0x0A, 0, 0)),
+      (4L, Array.fill[Byte](64)(0x7F))
+    ).toDF("media_id", "payload")
+    val rows = decodePixels(junk).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(!r.isNullAt(0))
+      (1 until 14).foreach(i => assert(r.isNullAt(i), s"col $i of $r"))
+    }
   }
 }

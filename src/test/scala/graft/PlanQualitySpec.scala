@@ -195,6 +195,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q179: real pixel decode is exchange-free — scan → project → " +
+      "mapPartitions, payload bytes never shuffle") {
+    // decode cost must be pure per-blob CPU that scales with executor
+    // count: an Exchange before the codec would shuffle raw image
+    // bytes across the cluster at 100 TB of media
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = graft.queries.Media.syntheticValidImages(docs)
+    val p = graft.functions.Multimodal.decodePixels(media)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"pixel decode moves data:\n$p")
+    assert(p.contains("FileScan parquet"))
+    assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
+  }
+
   test("q174: doc-vector composition broadcasts the word-vector frame " +
       "— the corpus never shuffles by word") {
     // the k·V word-vector frame is metadata-grain at ANY corpus size,
