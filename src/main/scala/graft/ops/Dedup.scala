@@ -185,14 +185,21 @@ object Dedup {
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
       .where(size(col("w")) >= k)
-      .localCheckpoint() // feeds grams, extent-text lookup, windows
+      .localCheckpoint() // the ONE corpus-scale checkpoint: feeds the
+    // gram recomputes, the extent-text lookup and the window scan.
+    // The gram frame below is deliberately NOT checkpointed — it is
+    // the largest intermediate (one row per token position) and both
+    // of its readers re-derive it from the checkpointed toks with one
+    // cheap explode+hash, trading a second CPU pass for NOT writing
+    // the biggest frame (the q154 write-contention fix: under a
+    // contended disk the checkpoint write was the straggler, not the
+    // recompute).
     val g = toks
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), size(col("w")) - (k - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         pmod(hash60(concat_ws(" ", slice(col("w"), col("pos"), lit(k)))),
           lit(P)).as("h"))
-      .localCheckpoint() // read by counts and the hit join
     val dup = g.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount).select(col("h"))
     val ext = extentRows(

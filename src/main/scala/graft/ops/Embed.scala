@@ -881,6 +881,68 @@ object Embed {
     a.unionByName(b).groupBy(col("i"), col("j"))
       .agg(sum(col("sv")).as("sv"))
 
+  /** [[pcaFrame]] fed from SPARSE cells — the accumulator for matrices
+    * (PPMI co-occurrence, tf-idf, one-hot features) whose rows are
+    * mostly zero, where materializing dense `array<double>` vectors
+    * would square the vocabulary for nothing. `cells` holds the
+    * NONZERO entries of an `nVecs`×`d` matrix, already on an integer
+    * grid (for the word-vector family: xfp = L·2¹⁴, the exact 2²⁴
+    * quantization of L/2¹⁰ — see [[graft.ops.Text.ppmiCells]]).
+    *
+    * Contract: at most one cell per (id, dim); dims in 1..`d`; ids
+    * with NO cells are legal (all-zero rows — they contribute nothing
+    * to any sum but DO count toward the mean centering, which is why
+    * `nVecs` is explicit rather than counted from the cells). Output
+    * is the exact accumulator frame shape of [[pcaFrame]] — (0,0,n),
+    * every (0,j,Sⱼ) zero-filled, and only the NONZERO (i,j,Sᵢⱼ) pair
+    * sums (the driver treats missing pairs as 0) — so [[pcaMerge]],
+    * [[pcaFromFrame]] and [[pcaExplained]] all work on it unchanged,
+    * and for the same underlying matrix it is cell-for-cell equal to
+    * the dense [[pcaFrame]] minus its zero Sᵢⱼ cells: pcaFromFrame
+    * over either is bit-identical.
+    *
+    * Scale shape: one cell-keyed self-join on the row id for the pair
+    * sums — Σ_rows nnz(row)², the inherent cost of a sparse Gram and
+    * far below the dense V·d² when rows are narrow; everything else
+    * is a map-side-combinable aggregate. The driver-side object
+    * [[pcaFromFrame]] builds is the d×d Gram — the documented memory
+    * bound (d ≤ 4096 ⇒ ≤ 16.8M BigInt cells, ~1.5 GB transient). */
+  def pcaFrameSparse(cells0: DataFrame, nVecs: Long, d: Int,
+      idCol: String = "vec_id", dimCol: String = "dim",
+      valCol: String = "xfp"): DataFrame = {
+    require(nVecs >= 1L, s"need nVecs >= 1 (got $nVecs)")
+    require(d >= 1 && d <= 4096,
+      s"need 1 <= d <= 4096 (got $d): the PCA driver iteration " +
+        "materializes the dense d x d Gram (16.8M BigInt cells at " +
+        "4096, ~1.5 GB) — reduce dimensionality first")
+    val s = cells0.sparkSession
+    val cells = cells0
+      .select(col(idCol).as("__vid"), col(dimCol).cast("long").as("d"),
+        col(valCol).cast("long").as("xfp"))
+      .where(col("xfp") =!= 0L)
+      .localCheckpoint() // read by Si and both sides of the pair join
+    val n = s.range(1).select(lit(0L).as("i"), lit(0L).as("j"),
+      lit(nVecs).cast("decimal(38,0)").as("sv"))
+    // zero-fill every (0, j): pcaStats reads a missing per-dim sum as
+    // raggedness, and the sparse matrix semantics say dim j exists
+    // with sum 0 even when no cell touches it
+    val si = s.range(1, d + 1L).select(col("id").as("j"))
+      .join(cells.groupBy(col("d").as("j"))
+        .agg(sum(col("xfp").cast("decimal(38,0)")).as("s0")), Seq("j"),
+        "left")
+      .select(lit(0L).as("i"), col("j"),
+        coalesce(col("s0"), lit(0L).cast("decimal(38,0)")).as("sv"))
+    val a = cells.select(col("__vid"), col("d").as("i"),
+      col("xfp").as("xi"))
+    val b = cells.select(col("__vid"), col("d").as("j"),
+      col("xfp").as("xj"))
+    val sij = a.join(b, Seq("__vid")).where(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("xi").cast("decimal(38,0)") *
+        col("xj").cast("decimal(38,0)")).as("sv"))
+    n.unionByName(si).unionByName(sij)
+  }
+
   /** Finalize a [[pcaFrame]] accumulator into components — the same
     * driver BigInt power iteration as [[pca]], fed from the artifact
     * instead of a fresh corpus pass. [[pca]] ≡
@@ -924,7 +986,13 @@ object Embed {
       : (Array[Array[BigInt]], BigInt) = {
     val g0 = Array.tabulate(d, d) { (i0, j0) =>
       val (i, j) = (i0 + 1L, j0 + 1L)
-      val sab = if (i <= j) sij((i, j)) else sij((j, i))
+      // a missing (i, j) cell means Sᵢⱼ = 0 — the SPARSE accumulator
+      // convention ([[pcaFrameSparse]] emits only nonzero pair sums;
+      // dense [[pcaFrame]] frames always carry every pair, so this is
+      // a no-op for them). The Gram cell itself is still generally
+      // nonzero (−Sᵢ·Sⱼ): sparsity lives in the cells, the d×d driver
+      // matrix is the only dense object.
+      val sab = sij.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
       n * sab - si(i) * si(j)
     }
     val m = g0.flatten.map(_.abs).max
@@ -1028,6 +1096,42 @@ object Embed {
       .agg(sum((col("xfp") - col("mu")) * col("w_fp")).as("proj_fp"))
       .select(col("__vid").as(idCol), col("comp"),
         col("proj_fp").cast("long").as("proj_fp"))
+  }
+
+  /** [[pcaProject]] fed from SPARSE cells (the [[pcaFrameSparse]]
+    * convention: nonzero entries only, explicit row universe `ids`).
+    * Algebra: proj(v, c) = Σ_d (x_{v,d} − μ_d)·w_{c,d}
+    *                     = Σ_{nnz(v)} x·w_{c} − Σ_d μ_d·w_{c,d},
+    * the second term a per-component CONSTANT (k values, metadata
+    * grain) — so all-zero rows still project (to −dot(μ, w_c)) and
+    * every term is the identical exact long the dense path sums:
+    * pcaProjectSparse ≡ pcaProject on the same matrix, bit-for-bit.
+    *
+    * Scale shape: the sparse cells against the BROADCAST k·d component
+    * frame, one map-side-combinable sum, then a left join of the `ids`
+    * universe against the ≤ k·|ids| partial sums — no dense explode
+    * anywhere. Output: (<id>, comp, proj_fp), k rows per id. */
+  def pcaProjectSparse(ids: DataFrame, cells: DataFrame,
+      comps: DataFrame, idCol: String = "vec_id",
+      dimCol: String = "dim", valCol: String = "xfp"): DataFrame = {
+    val mu = comps.where(col("comp") === 0L)
+      .select(col("dim").as("d"), col("w_fp").as("mu"))
+    val cw = comps.where(col("comp") > 0L)
+      .select(col("comp"), col("dim").as("d"), col("w_fp"))
+    // per-component centering constant dot(mu, w_c) — k rows
+    val cc = cw.join(mu, Seq("d")).groupBy(col("comp"))
+      .agg(sum(col("mu") * col("w_fp")).as("c0"))
+    val sp = cells
+      .select(col(idCol).as("__vid"), col(dimCol).cast("long").as("d"),
+        col(valCol).cast("long").as("xfp"))
+      .join(broadcast(cw), Seq("d"))
+      .groupBy(col("__vid"), col("comp"))
+      .agg(sum(col("xfp") * col("w_fp")).as("s1"))
+    ids.select(col(idCol).as("__vid")).crossJoin(broadcast(cc))
+      .join(sp, Seq("__vid", "comp"), "left")
+      .select(col("__vid").as(idCol), col("comp"),
+        (coalesce(col("s1"), lit(0L)) - col("c0")).cast("long")
+          .as("proj_fp"))
   }
 
   /** Deterministic signed random projection (Johnson–Lindenstrauss;

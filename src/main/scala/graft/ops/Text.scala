@@ -1141,7 +1141,15 @@ object Text {
     * enter only when the loop deliberately re-freezes. */
   def vocabFrame(docs: DataFrame, topV: Int = 32,
       textCol: String = "text"): DataFrame = {
-    require(topV >= 2 && topV <= 256, s"need 2 <= topV <= 256 (got $topV)")
+    // The ceiling is the PCA driver Gram, the family's only dense
+    // object: d = V ⇒ V² BigInt cells on the driver (4096 ⇒ 16.8M
+    // cells, ~1.5 GB transient — see [[graft.ops.Embed.pcaFrameSparse]]).
+    // Everything distributed stays ≤ nnz cells: V ≤ 256 rides the
+    // proven dense PPMI rows, larger vocabularies go through the
+    // sparse cell path ([[wordVectorsFromCooc]]'s denseMaxV switch).
+    require(topV >= 2 && topV <= 4096,
+      s"need 2 <= topV <= 4096 (got $topV): V bounds the d x d PCA " +
+        "driver Gram (16.8M BigInt cells at 4096)")
     import org.apache.spark.sql.expressions.Window
     wvToks(docs, textCol).select(explode(col("w")).as("word"))
       .where(col("word") =!= "")
@@ -1188,7 +1196,7 @@ object Text {
     * wordVectors ≡ wordVectorsFromCooc(vocabFrame, coocFrame)
     * bit-for-bit. */
   def wordVectorsFromCooc(vocab: DataFrame, coo0: DataFrame, k: Int = 3,
-      iters: Int = 6): DataFrame = {
+      iters: Int = 6, denseMaxV: Int = 256): DataFrame = {
     // empty-corpus guard (the docVectors/randomProject discipline): a
     // corpus with no usable text yields an empty vocabulary — return an
     // empty typed frame instead of crashing inside the Gram assembly
@@ -1197,12 +1205,38 @@ object Text {
         .select(lit("").as("word"), lit(0L).as("word_id"),
           lit(0L).as("cnt"), lit(0L).as("comp"), lit(0L).as("wv_fp"))
         .limit(0)
-    val vecs = ppmiVectors(vocab, coo0)
-      .localCheckpoint() // read by pcaFrame (2 aggs) and pcaProject
-    val comps = graft.ops.Embed.pca(vecs, k, iters,
-      idCol = "word_id", vecCol = "vec")
-    val proj = graft.ops.Embed.pcaProject(vecs, comps,
-      idCol = "word_id", vecCol = "vec")
+    val vcnt = vocab.count().toInt // actual V (corpus may have < topV)
+    val proj =
+      if (vcnt <= denseMaxV) {
+        // small-V fast case: dense V-dim PPMI rows (the path every
+        // oracle replays cell-for-cell)
+        val vecs = ppmiVectors(vocab, coo0)
+          .localCheckpoint() // read by pcaFrame (2 aggs) and pcaProject
+        val comps = graft.ops.Embed.pca(vecs, k, iters,
+          idCol = "word_id", vecCol = "vec")
+        graft.ops.Embed.pcaProject(vecs, comps,
+          idCol = "word_id", vecCol = "vec")
+      } else {
+        // large-V path: the PPMI matrix stays SPARSE end-to-end —
+        // nonzero (word_id, dim, xfp) cells feed the Gram accumulator
+        // and the projection directly; no dense V-dim arrays are ever
+        // materialized (at V = 4096 dense rows would be 16.8M values
+        // per corpus snapshot and the Gram self-join V·V² ≈ 6.9e10
+        // pair products; the sparse pair join is Σ_rows nnz², the
+        // matrix's inherent cost). Same exact integers throughout —
+        // bit-identical to the dense path (spec-pinned), so the
+        // threshold can never change results, only cost.
+        val cells = ppmiCells(coo0)
+          .select(col("a").as("word_id"), col("b").as("dim"),
+            (col("l") * 16384L).as("xfp")) // exact: floor(l/2^10·2^24)
+          .localCheckpoint() // read by the Gram (Si + pair join) and
+        // the projection
+        val frame = graft.ops.Embed.pcaFrameSparse(cells, vcnt.toLong,
+          vcnt, "word_id", "dim", "xfp")
+        val comps = graft.ops.Embed.pcaFromFrame(frame, k, iters)
+        graft.ops.Embed.pcaProjectSparse(vocab.select(col("word_id")),
+          cells, comps, "word_id", "dim", "xfp")
+      }
     val mx = proj.agg(greatest(max(abs(col("proj_fp"))), lit(1L)).as("mx"))
     proj.crossJoin(broadcast(mx))
       .select(col("word_id"), col("comp"),
@@ -1228,6 +1262,29 @@ object Text {
     * factorization. Vocabulary-bounded throughout (≤ V² cells). */
   def ppmiVectors(vocab: DataFrame, coo0: DataFrame): DataFrame = {
     val vcnt = vocab.count().toInt // actual V (corpus may have < topV words)
+    val ppmi = ppmiCells(coo0)
+    // dense V-dim PPMI rows (values L/2^10 — exactly representable, so
+    // pcaFrame's 2^24 quantization is the exact integer L·2^14)
+    vocab.select(col("word_id").as("a"))
+      .join(ppmi, Seq("a"), "left")
+      .groupBy(col("a"))
+      .agg(map_from_entries(collect_list(
+        when(col("b").isNotNull, struct(col("b"), col("l"))))).as("m"))
+      .select(col("a").as("word_id"),
+        transform(sequence(lit(1), lit(vcnt)),
+          i => coalesce(element_at(col("m"), i), lit(0L))
+            .cast("double") / lit(1024.0d)).as("vec"))
+  }
+
+  /** The SPARSE form of [[ppmiVectors]] — the nonzero fixed-point PPMI
+    * cells (a, b, l) with l = floor(2¹⁰·log₂(p/q)) by the exact
+    * integer bit-recurrence (see [[wordVectors]] step 3); cells with
+    * p ≤ q (PPMI ≤ 0) are absent, which IS the positive-PMI
+    * truncation. This is what the large-V path feeds to
+    * [[graft.ops.Embed.pcaFrameSparse]] (as xfp = l·2¹⁴, the exact
+    * 2²⁴ quantization of l/2¹⁰) — the dense rows and these cells
+    * describe the identical matrix. ≤ nnz rows, vocabulary-bounded. */
+  def ppmiCells(coo0: DataFrame): DataFrame = {
     val coo = coo0
       .localCheckpoint() // <= V² rows; read by marginals, N, and cells
     val marg = coo.groupBy(col("a")).agg(sum(col("cnt")).as("ra"))
@@ -1270,19 +1327,8 @@ object Text {
           .otherwise(expr("t div 1048576")))
         .withColumn("frac", col("frac") + col("bit") * lit(1L << (10 - b)))
     }
-    val ppmi = cells.select(col("a"), col("b"),
+    cells.select(col("a"), col("b"),
       (col("e") * 1024L + col("frac")).as("l"))
-    // dense V-dim PPMI rows (values L/2^10 — exactly representable, so
-    // pcaFrame's 2^24 quantization is the exact integer L·2^14)
-    vocab.select(col("word_id").as("a"))
-      .join(ppmi, Seq("a"), "left")
-      .groupBy(col("a"))
-      .agg(map_from_entries(collect_list(
-        when(col("b").isNotNull, struct(col("b"), col("l"))))).as("m"))
-      .select(col("a").as("word_id"),
-        transform(sequence(lit(1), lit(vcnt)),
-          i => coalesce(element_at(col("m"), i), lit(0L))
-            .cast("double") / lit(1024.0d)).as("vec"))
   }
 
   /** Document vectors from [[wordVectors]] — each document is the SUM

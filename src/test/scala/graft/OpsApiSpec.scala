@@ -1467,6 +1467,94 @@ class OpsApiSpec extends AnyFunSuite {
     assert(cells === direct)
   }
 
+  test("Text.wordVectorsFromCooc: the sparse large-V path is " +
+      "bit-identical to the dense path (randomized corpora)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the denseMaxV switch must be invisible in the VALUES — only the
+    // plan changes. Force the sparse path with denseMaxV = 0 and
+    // compare against the dense default row-for-row on randomized
+    // multi-word corpora (including vocab words whose PPMI row is all
+    // zero — sparse rows with no cells must still project).
+    val wordsGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = Gen.listOfN(12, wordsGen).map(_.mkString(" "))
+    val corpGen = Gen.listOfN(9, docGen)
+    (0 until 4).flatMap(i =>
+      corpGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+      .foreach { corp =>
+        val docs = corp.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }
+          .toDF("page_id", "body")
+        val vocab = Text.vocabFrame(docs, topV = 7, textCol = "body")
+          .localCheckpoint()
+        val coo = Text.coocFrame(docs, vocab, "body").localCheckpoint()
+        def rows(denseMaxV: Int) =
+          Text.wordVectorsFromCooc(vocab, coo, k = 2,
+              denseMaxV = denseMaxV)
+            .orderBy("word_id", "comp").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toSeq
+        val dense = rows(denseMaxV = 256)
+        val sparse = rows(denseMaxV = 0)
+        assert(sparse === dense,
+          "sparse path must be bit-identical to the dense path")
+        // every vocabulary word has k rows in BOTH paths (all-zero
+        // PPMI rows included)
+        val v = vocab.count()
+        assert(dense.length === 2 * v && sparse.length === 2 * v)
+      }
+  }
+
+  test("Embed.pcaFrameSparse/pcaProjectSparse equal the dense forms " +
+      "on a hand-built matrix with an all-zero row") {
+    // matrix (3 rows x 3 dims): row 1 = (3, 0, 1), row 2 = all zeros,
+    // row 3 = (0, 2, 0) — integer values, so the dense 2^24
+    // quantization is exact and the comparison is bit-level
+    val dense = Seq(
+      (1L, Seq(3.0d, 0.0d, 1.0d)),
+      (2L, Seq(0.0d, 0.0d, 0.0d)),
+      (3L, Seq(0.0d, 2.0d, 0.0d))).toDF("vid", "v")
+    val sc = 1L << 24
+    val cells = Seq((1L, 1L, 3L * sc), (1L, 3L, 1L * sc),
+      (3L, 2L, 2L * sc)).toDF("vid", "dim", "xfp")
+    val fd = Embed.pcaFrame(dense, idCol = "vid", vecCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    val fs = Embed.pcaFrameSparse(cells, nVecs = 3L, d = 3,
+        idCol = "vid", dimCol = "dim", valCol = "xfp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        BigInt(r.getDecimal(2).toBigInteger)).toMap
+    // sparse frame = dense frame minus its zero S_ij cells
+    assert(fs.keySet.subsetOf(fd.keySet))
+    fd.foreach { case (k, v) =>
+      assert(fs.getOrElse(k, BigInt(0)) === v, s"cell $k") }
+    // and the driver math agrees end-to-end
+    def comps(f: org.apache.spark.sql.DataFrame) =
+      Embed.pcaFromFrame(f, k = 2, iters = 4)
+        .orderBy("comp", "dim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val cd = comps(Embed.pcaFrame(dense, idCol = "vid", vecCol = "v"))
+    assert(comps(Embed.pcaFrameSparse(cells, 3L, 3,
+      "vid", "dim", "xfp")) === cd)
+    // projection: sparse cells + explicit id universe vs dense arrays —
+    // the all-zero row 2 must appear in both with the same (nonzero,
+    // centered) projection
+    val compsDf = Embed.pcaFromFrame(
+      Embed.pcaFrame(dense, idCol = "vid", vecCol = "v"), k = 2,
+      iters = 4).localCheckpoint()
+    val pd = Embed.pcaProject(dense, compsDf, idCol = "vid",
+        vecCol = "v")
+      .orderBy("vid", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ps = Embed.pcaProjectSparse(dense.select(col("vid")), cells,
+        compsDf, idCol = "vid", dimCol = "dim", valCol = "xfp")
+      .orderBy("vid", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ps === pd)
+    assert(pd.count(_._1 == 2L) === 2, "all-zero row projects in both")
+  }
+
   test("Text.ppmiVectors equals an independent pure-Scala PPMI replica " +
       "on randomized corpora (the fixed-point log2 recurrence pinned)") {
     import org.scalacheck.Gen

@@ -264,6 +264,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state is BOUNDED: the stream-stream attribution join evicts " +
+      "both sides once the watermarks pass") {
+    // The r14 pins covered watermark dedup and windowed agg; the
+    // attribution JOIN holds TWO-sided state (buffered purchases AND
+    // buffered clicks) that the watermark must also evict — the
+    // remaining unbounded-state risk at 100 TB/day. Same 10-epoch
+    // protocol: fresh users each epoch, epochs 3 h apart vs a 30 min
+    // join window, both inputs advancing their watermark every epoch.
+    // If eviction never ran, epoch 10's state would hold all 10
+    // epochs' rows (30 = 10 × (2 clicks + 1 purchase)).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def df(ms: MemoryStream[(Long, Long, Long, String, Double)]) =
+      ms.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pms = MemoryStream[(Long, Long, Long, String, Double)]
+    val cms = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = EventStreams.attributedPurchases(df(pms), df(cms), 30)
+      .writeStream.format("memory").queryName("bounded_attrib")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      var eid = 0L
+      val stateSizes = (1 to 10).map { e =>
+        val t0 = (base + e * 3L * 3600L * 1000L) * 1000000L
+        val uid = 100L + e
+        // two in-window clicks then the purchase, one fresh user/epoch
+        cms.addData(
+          { eid += 1; (eid, t0, uid, "click", 1.0) },
+          { eid += 1; (eid, t0 + 5L * 60L * 1000000000L, uid, "click", 2.0) })
+        pms.addData(
+          { eid += 1; (eid, t0 + 10L * 60L * 1000000000L, uid,
+            "purchase", 50.0) })
+        q.processAllAvailable()
+        q.lastProgress.stateOperators
+          .find(_.operatorName.contains("symmetricHashJoin"))
+          .getOrElse(q.lastProgress.stateOperators.head).numRowsTotal
+      }
+      // every purchase matched both of its user's clicks
+      assert(spark.table("bounded_attrib").count() === 20)
+      // two-sided state stays bounded by the watermark horizon: at most
+      // the current epoch's 3 rows plus the not-yet-evicted previous
+      // epoch (eviction runs on the NEXT batch's watermark) — never the
+      // 30-row history
+      assert(stateSizes.last <= 6,
+        s"join state grew with stream history: $stateSizes")
+      assert(stateSizes.drop(1).max <= 6,
+        s"join state not bounded by the watermark horizon: $stateSizes")
+    } finally q.stop()
+  }
+
   test("q76: micro-batched crawl loop == one-shot incremental dedup") {
     // Corpus: ids 0..14 are the old corpus (cut = 19*4 div 5 = 15),
     // ids 15..19 the crawl batch, streamed in micro-batches of ≤2
