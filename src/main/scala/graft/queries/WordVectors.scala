@@ -25,6 +25,13 @@ object WordVectors {
   private val TopV = 32
   private val K = 3
 
+  /** q180's large vocabulary — over PAIR tokens (the corpus has only
+    * 31 distinct words; adjacent-pair tokens give ~916), chosen > 256
+    * so [[graft.ops.Text.wordVectorsFromCooc]] takes its SPARSE path:
+    * nonzero PPMI cells feed the Gram accumulator and projection
+    * directly, no dense V-dim rows anywhere. */
+  private val TopVSparse = 768
+
   /** Session memo of the trained word-vector frame — metadata grain
     * (k·V rows); q173 the TRAINER refreshes, q174 the doc-vector
     * CONSUMER reuses (the pcaMemo discipline). */
@@ -144,6 +151,32 @@ object WordVectors {
       graft.ops.Embed.semdedupKeep(dvs, 8, 3, tau,
           idCol = "doc_id", vecCol = "vec")
         .orderBy("doc_id")
+    }),
+
+    // ---- q180: large-V word vectors through the SPARSE PPMI path -------
+    // The vocabulary-raising leg (the r14 judge's #3): V = 768 pair
+    // tokens (> the 256 dense ceiling), so the engine factorizes the
+    // PPMI matrix from its nonzero cells only —
+    // [[graft.ops.Embed.pcaFrameSparse]] (pair-sum self-join =
+    // Σ_rows nnz², not V·V²) + [[graft.ops.Embed.pcaProjectSparse]]
+    // (cells vs the broadcast component frame, all-zero rows included
+    // via the explicit vocab universe). Bit-identical to the dense
+    // path by construction (OpsApiSpec pins it), so the oracle is the
+    // same exact HUGEINT replay with a sparse-aware Gram.
+    "q180_word_vectors_sparse" -> ((s, dir) => {
+      val w = graft.functions.TextFunctions.words(col("text"))
+      val pt = Graft.parquetSource(s, dir).table("documents")
+        .where(col("text").isNotNull &&
+          length(trim(col("text"))) > 0 && size(w) >= 2)
+        .select(col("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit("_"),
+              element_at(w, i + 1)))).as("text"))
+      val vocab = graft.ops.Text.vocabFrame(pt, TopVSparse)
+        .localCheckpoint() // read by both cooc joins and the output
+      graft.ops.Text.wordVectorsFromCooc(vocab,
+          graft.ops.Text.coocFrame(pt, vocab), K)
+        .orderBy("word_id", "comp")
     }),
 
     // ---- q174: doc-vector cosine top-k over the word vectors -----------
@@ -304,7 +337,141 @@ object WordVectors {
         |  FROM proj, pmx
         |)""".stripMargin
 
+  /** q180's replay: pair-token corpus, top-768 vocabulary, the PPMI
+    * bit-recurrence verbatim, then the SPARSE-aware Gram — n from the
+    * vocabulary (all-zero rows count toward centering), per-dim sums
+    * zero-filled over the vocab spine, pair sums from the nonzero
+    * cells only with missing pairs read as 0 — exactly the engine's
+    * [[graft.ops.Embed.pcaFrameSparse]] semantics; the power chains
+    * are the shared [[Embeddings.pcaChainCtes]] unchanged, and the
+    * projection uses the sparse decomposition
+    * Σ_nnz x·w − dot(μ, w_c) over the full vocab universe. */
+  private def sparseWvSql: String = {
+    val head =
+      s"""WITH ws0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+        |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), ws AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(w)),
+        |      i -> w[i] || '_' || w[i+1]) AS w
+        |  FROM ws0 WHERE len(w) >= 2
+        |), vocab AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, word) AS word_id
+        |  FROM (
+        |    SELECT word, count(*)::BIGINT AS cnt
+        |    FROM (SELECT unnest(w) AS word FROM ws)
+        |    WHERE word <> ''
+        |    GROUP BY word ORDER BY cnt DESC, word LIMIT $TopVSparse
+        |  )
+        |), bg AS (
+        |  SELECT w[i] AS wa, w[i+1] AS wb
+        |  FROM ws, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+        |), pc AS (
+        |  SELECT va.word_id AS ia, vb.word_id AS ib, count(*)::BIGINT AS c
+        |  FROM bg JOIN vocab va ON va.word = bg.wa
+        |          JOIN vocab vb ON vb.word = bg.wb
+        |  GROUP BY 1, 2
+        |), coo AS MATERIALIZED (
+        |  SELECT a, b, sum(c)::BIGINT AS cnt FROM (
+        |    SELECT ia AS a, ib AS b, c FROM pc
+        |    UNION ALL SELECT ib, ia, c FROM pc
+        |  ) GROUP BY 1, 2
+        |), marg AS (SELECT a, sum(cnt)::BIGINT AS ra FROM coo GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS nn FROM coo),
+        |cells0 AS (
+        |  SELECT coo.a, coo.b,
+        |    coo.cnt::HUGEINT * tot.nn::HUGEINT AS p,
+        |    ma.ra::HUGEINT * mb.ra::HUGEINT AS q
+        |  FROM coo JOIN marg ma ON ma.a = coo.a
+        |           JOIN marg mb ON mb.a = coo.b, tot
+        |  WHERE coo.cnt::HUGEINT * tot.nn::HUGEINT >
+        |        ma.ra::HUGEINT * mb.ra::HUGEINT
+        |), lg0 AS (
+        |  SELECT a, b, e,
+        |    ((p * 1048576) // (q * (1::BIGINT << e::INT)::HUGEINT))::BIGINT
+        |      AS r,
+        |    0::BIGINT AS frac
+        |  FROM (
+        |    SELECT a, b, p, q,
+        |      (length(bin((p // q)::BIGINT)) - 1)::BIGINT AS e
+        |    FROM cells0
+        |  )
+        |)""".stripMargin +
+        log2FracCtes("lg0") +
+        // the ppmi MATERIALIZED barrier is load-bearing: filtering on
+        // (e*1024+frac) directly against lg10 makes DuckDB push the
+        // predicate through all ten squaring CTEs — the substituted
+        // expression tree doubles per level and the optimizer runs
+        // away (measured: >5 min / >30 GB vs 0.1 s with the barrier)
+        s""", ppmi AS MATERIALIZED (
+          |  SELECT a, b, (e * 1024 + frac)::BIGINT AS l FROM lg10
+          |), fnz AS MATERIALIZED (
+          |  SELECT a AS vec_id, b AS d, (l * 16384)::HUGEINT AS xfp
+          |  FROM ppmi WHERE l <> 0
+          |), nn AS MATERIALIZED (
+          |  SELECT count(*)::HUGEINT AS n FROM vocab
+          |), sis AS MATERIALIZED (
+          |  SELECT v.word_id AS d, coalesce(sum(f.xfp), 0)::HUGEINT AS s
+          |  FROM vocab v LEFT JOIN fnz f ON f.d = v.word_id GROUP BY 1
+          |), g0s AS MATERIALIZED (
+          |  SELECT a.d AS i, b.d AS j, sum(a.xfp * b.xfp)::HUGEINT AS sij
+          |  FROM fnz a JOIN fnz b ON a.vec_id = b.vec_id AND a.d <= b.d
+          |  GROUP BY 1, 2
+          |), gm AS (
+          |  SELECT va.word_id AS i, vb.word_id AS j,
+          |    (nn.n * coalesce(g.sij, 0) - sa.s * sb.s)::HUGEINT AS gv
+          |  FROM vocab va JOIN vocab vb ON va.word_id <= vb.word_id
+          |  LEFT JOIN g0s g ON g.i = va.word_id AND g.j = vb.word_id,
+          |  sis sa, sis sb, nn
+          |  WHERE sa.d = va.word_id AND sb.d = vb.word_id
+          |), gfull AS MATERIALIZED (
+          |  SELECT i, j, gv FROM gm
+          |  UNION ALL SELECT j, i, gv FROM gm WHERE i <> j
+          |), mx AS (SELECT max(abs(gv))::HUGEINT AS m FROM gfull),
+          |gq AS MATERIALIZED (
+          |  SELECT i, j, (${sdivSql("gv * 1048576", "mx.m")})::HUGEINT AS q
+          |  FROM gfull, mx
+          |)""".stripMargin
+    head + pcaChainCtes(chainTags) +
+      s""",
+        |mu AS MATERIALIZED (
+        |  SELECT sis.d, (${sdivSql("sis.s", "nn.n")})::HUGEINT AS v
+        |  FROM sis, nn
+        |), cw AS MATERIALIZED (
+        |""".stripMargin +
+      chainTags.zipWithIndex.map { case (tg, i) =>
+        s"  SELECT ${i + 1}::BIGINT AS comp, d, v FROM v${tg}_$PcaIters"
+      }.mkString("", "\n  UNION ALL\n", "\n)") +
+      s""",
+        |cc AS MATERIALIZED (
+        |  SELECT cw.comp, sum(mu.v * cw.v)::HUGEINT AS c0
+        |  FROM cw JOIN mu ON mu.d = cw.d GROUP BY 1
+        |), sp1 AS MATERIALIZED (
+        |  SELECT f.vec_id, c.comp, sum(f.xfp * c.v)::HUGEINT AS s1
+        |  FROM fnz f JOIN cw c ON c.d = f.d GROUP BY 1, 2
+        |), proj AS MATERIALIZED (
+        |  SELECT v.word_id, cc.comp,
+        |    (coalesce(s.s1, 0) - cc.c0)::HUGEINT AS proj_fp
+        |  FROM vocab v CROSS JOIN cc
+        |  LEFT JOIN sp1 s ON s.vec_id = v.word_id AND s.comp = cc.comp
+        |), pmx AS (
+        |  SELECT greatest(max(abs(proj_fp)), 1)::HUGEINT AS m FROM proj
+        |), wv AS MATERIALIZED (
+        |  SELECT word_id, comp,
+        |    (${sdivSql("proj_fp * 1048576", "pmx.m")})::BIGINT AS wv_fp
+        |  FROM proj, pmx
+        |)
+        |SELECT vocab.word, vocab.word_id::BIGINT AS word_id,
+        |  vocab.cnt, wv.comp, wv.wv_fp
+        |FROM wv JOIN vocab ON vocab.word_id = wv.word_id
+        |ORDER BY word_id, comp""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q180_word_vectors_sparse" -> sparseWvSql,
 
     "q173_word_vectors" ->
       (wvCtes() +

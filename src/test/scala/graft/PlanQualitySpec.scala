@@ -233,6 +233,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"bigrams shuffled by word:\n$p")
   }
 
+  test("q180: the sparse word-vector path projects cells against the " +
+      "BROADCAST component frame and never explodes dense rows") {
+    // the large-V contract: after the Gram, the only distributed work
+    // is the nonzero cells against the broadcast k·V component frame —
+    // no posexplode of V-dim arrays anywhere (dense rows at V = 4096
+    // would be 16.8M values per corpus snapshot)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = graft.ops.Text.vocabFrame(docs, topV = 8)
+      .localCheckpoint()
+    val coo = graft.ops.Text.coocFrame(docs, vocab).localCheckpoint()
+    val p = graft.ops.Text.wordVectorsFromCooc(vocab, coo, k = 2,
+        denseMaxV = 0) // force the large-V path
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"component join not broadcast:\n$p")
+    assert(!p.contains("posexplode"), s"dense rows materialized:\n$p")
+  }
+
   test("q167: keywords' top-k window is doc-partitioned, never a " +
       "single-partition sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
