@@ -1006,41 +1006,96 @@ object Embed {
   /** The shared driver math of [[pca]] and [[pcaFromFrame]] — exact
     * BigInt Gram assembly, 20-bit rescale, `iters` power-iteration
     * rounds per component with Rayleigh deflation. */
+  /** Sign-handled floor division on longs — identical values to
+    * [[pcaSdiv]] for positive divisors (all PCA divisors are). */
+  private def pcaSdivL(x: Long, y: Long): Long =
+    if (x >= 0L) x / y else -((-x) / y)
+
   private[graft] def pcaIterate(n: BigInt, d: Int,
       si: Map[Long, BigInt], sij: Map[(Long, Long), BigInt],
       k: Int, iters: Int): DataFrame = {
     val s = org.apache.spark.sql.SparkSession.active
     import s.implicits._
     val sdiv = pcaSdiv _
-    val fp = BigInt(1L << 20)
+    val fpB = BigInt(1L << 20)
+    val fp = 1L << 20
     val (g0, m) = pcaGram(n, d, si, sij)
-    var gq = g0.map(_.map(x => sdiv(x * fp, m)))
+    // The iteration runs on LONG arrays — exact integer arithmetic,
+    // bit-identical to the original BigInt loop, but without 12M+
+    // BigInt/Seq allocations per matvec (at d = 768 the BigInt loop's
+    // GC churn dominated the whole query; at 8 GiB heaps it thrashed).
+    // Overflow safety is PROVEN, not hoped: |gq| ≤ GQ_LIM (checked
+    // before each component), |v| ≤ 2²⁰ (norm = floor(√Σwq²) ≥
+    // max|wq|, so the renormalize can never exceed fp), hence every
+    // matvec product ≤ 2⁴⁶ and every row sum ≤ 2⁴⁶·d ≤ 2⁵⁸ < 2⁶³.
+    // The few quantities whose squares could overflow (Σwq², v·Gv)
+    // accumulate in BigInt over only d terms. If deflation ever drove
+    // |gq| past GQ_LIM the loop would need wider cells — fail LOUDLY
+    // (never observed: deflation subtracts ≤ |λ| ≤ d·max|gq| per
+    // cell, and real spectra shrink the matrix).
+    val GQ_LIM = 1L << 26
+    require(d <= 4096, s"d = $d exceeds the PCA driver design bound")
+    val gq: Array[Array[Long]] =
+      Array.tabulate(d, d)((i, j) => sdiv(g0(i)(j) * fpB, m).toLong)
     val comps = Seq.newBuilder[(Long, Long, Long, Long)]
     for (dim0 <- 1 to d)
       comps += ((0L, dim0.toLong, sdiv(si(dim0.toLong), n).toLong,
         n.toLong))
+    def matvec(v: Array[Long]): Array[Long] = {
+      val w = new Array[Long](d)
+      var i = 0
+      while (i < d) {
+        val row = gq(i); var s0 = 0L; var j = 0
+        while (j < d) { s0 += row(j) * v(j); j += 1 }
+        w(i) = s0; i += 1
+      }
+      w
+    }
     for (c <- 1 to k) {
+      var mg = 0L
+      var i0 = 0
+      while (i0 < d) {
+        var j0 = 0
+        while (j0 < d) {
+          val a = math.abs(gq(i0)(j0)); if (a > mg) mg = a; j0 += 1 }
+        i0 += 1
+      }
+      require(mg <= GQ_LIM,
+        s"deflated Gram magnitude $mg exceeds the long fast-path bound" +
+          " — widen pcaIterate's cells (never expected for real spectra)")
       var v = Array.fill(d)(fp)
       for (_ <- 1 to iters) {
-        val w = Array.tabulate(d)(i =>
-          (0 until d).map(j => gq(i)(j) * v(j)).sum)
-        val wq = w.map(sdiv(_, fp))
-        val n2 = wq.map(x => x * x).sum
+        val wq = matvec(v).map(pcaSdivL(_, fp))
+        var n2 = BigInt(0)
+        var i = 0
+        while (i < d) { n2 += BigInt(wq(i)) * BigInt(wq(i)); i += 1 }
         if (n2.signum != 0) {
-          val norm = BigInt(math.floor(math.sqrt(n2.toDouble)).toLong)
-          v = wq.map(x => sdiv(x * fp, norm))
-        }
+          val norm = math.floor(math.sqrt(n2.toDouble)).toLong
+          v = wq.map(x => pcaSdivL(x * fp, norm))
+        } // n2 == 0: v stays the previous v (the original loop's
+        // behavior — degenerate rounds are a no-op)
       }
-      val gv = Array.tabulate(d)(i =>
-        (0 until d).map(j => gq(i)(j) * v(j)).sum)
-      val num = (0 until d).map(i => v(i) * gv(i)).sum
-      val den = v.map(x => x * x).sum
+      val gv = matvec(v)
+      var num = BigInt(0); var den = BigInt(0)
+      var i1 = 0
+      while (i1 < d) {
+        num += BigInt(v(i1)) * BigInt(gv(i1))
+        den += BigInt(v(i1)) * BigInt(v(i1)); i1 += 1
+      }
       val lam = sdiv(num, den)
       for (dim0 <- 1 to d)
-        comps += ((c.toLong, dim0.toLong, v(dim0 - 1).toLong,
-          lam.toLong))
-      gq = Array.tabulate(d, d)((i, j) =>
-        gq(i)(j) - sdiv(lam * v(i) * v(j), den))
+        comps += ((c.toLong, dim0.toLong, v(dim0 - 1), lam.toLong))
+      var i2 = 0
+      while (i2 < d) {
+        var j2 = 0
+        while (j2 < d) {
+          val t = BigInt(gq(i2)(j2)) -
+            sdiv(lam * BigInt(v(i2)) * BigInt(v(j2)), den)
+          require(t.isValidLong, "deflation overflowed the long cell")
+          gq(i2)(j2) = t.toLong; j2 += 1
+        }
+        i2 += 1
+      }
     }
     comps.result().toDF("comp", "dim", "w_fp", "lam_fp")
   }

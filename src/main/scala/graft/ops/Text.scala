@@ -1226,11 +1226,9 @@ object Text {
         // matrix's inherent cost). Same exact integers throughout —
         // bit-identical to the dense path (spec-pinned), so the
         // threshold can never change results, only cost.
-        val cells = ppmiCells(coo0)
+        val cells = ppmiCells(coo0) // checkpointed at cell grain inside
           .select(col("a").as("word_id"), col("b").as("dim"),
             (col("l") * 16384L).as("xfp")) // exact: floor(l/2^10·2^24)
-          .localCheckpoint() // read by the Gram (Si + pair join) and
-        // the projection
         val frame = graft.ops.Embed.pcaFrameSparse(cells, vcnt.toLong,
           vcnt, "word_id", "dim", "xfp")
         val comps = graft.ops.Embed.pcaFromFrame(frame, k, iters)
@@ -1301,19 +1299,42 @@ object Text {
         (col("ra").cast("decimal(38,0)") *
           col("rb").cast("decimal(38,0)")).as("q"))
       .where(col("p") > col("q"))
+    // the checkpoint is a Catalyst PUSHDOWN BARRIER, not (just) a
+    // recompute saver: any downstream filter on l (pcaFrameSparse's
+    // nonzero filter, a caller's threshold) would otherwise be pushed
+    // through [[fpLog2]]'s ten-level column recurrence, and
+    // PushPredicateThroughNonJoin's alias substitution doubles the
+    // expression tree per level — the optimizer OOMs (measured: 8 GiB
+    // heap dead at V = 768; the DuckDB oracle needs the identical
+    // MATERIALIZED barrier). ≤ V² rows by contract — metadata grain.
+    fpLog2(cells).select(col("a"), col("b"), col("l"))
+      .localCheckpoint()
+  }
+
+  /** The engine's exact fixed-point log2 as a column recurrence —
+    * given decimal columns `p` > `q` > 0, append
+    * l = floor(2¹⁰·log₂(p/q)): e = len(bin(p div q)) − 1 for the
+    * integer part, then ten exact squaring rounds on a 2²⁰-grid
+    * mantissa for the fraction. No ln/log anywhere (float logs are
+    * not cross-engine exact — the q142 lesson), so every engine (and
+    * the DuckDB oracle) reproduces the identical integer. Shared by
+    * the PPMI cells ([[ppmiCells]]) and the tf-idf cells
+    * ([[lsaCells]]). Intermediate columns are dropped; all input
+    * columns pass through. */
+  private[graft] def fpLog2(in: DataFrame): DataFrame = {
+    var cells = in
       .withColumn("pdq", expr("p div q"))
       // shiftleft wraps its shift amount mod 64 in Spark while the
-      // DuckDB oracle's 1::BIGINT << e does not — a cell with
+      // DuckDB oracle's 1::BIGINT << e does not — a ratio with
       // p/q >= 2^63 would silently produce a wrong mantissa and
       // diverge cross-engine. Unreachable at any realistic corpus
-      // (e = floor(log2(cnt·N / (ra·rb))) and cnt <= ra,rb <= N caps
-      // p/q at N), so make the impossible regime fail LOUDLY instead
-      // of wrapping.
+      // (both callers' ratios are capped by corpus counts), so make
+      // the impossible regime fail LOUDLY instead of wrapping.
       .withColumn("e",
         when(length(expr("bin(pdq)")) - 1 < 63,
           (length(expr("bin(pdq)")) - 1).cast("long"))
-          .otherwise(raise_error(lit("graft.ops.Text.ppmiVectors: " +
-            "PPMI ratio p/q >= 2^63 — outside the fixed-point " +
+          .otherwise(raise_error(lit("graft.ops.Text.fpLog2: " +
+            "ratio p/q >= 2^63 — outside the fixed-point " +
             "design range (shiftleft would wrap mod 64)")).cast("long")))
       .withColumn("r", expr("(p * 1048576) div " +
         "(q * cast(shiftleft(1L, cast(e as int)) as decimal(38,0)))"))
@@ -1327,8 +1348,8 @@ object Text {
           .otherwise(expr("t div 1048576")))
         .withColumn("frac", col("frac") + col("bit") * lit(1L << (10 - b)))
     }
-    cells.select(col("a"), col("b"),
-      (col("e") * 1024L + col("frac")).as("l"))
+    cells.withColumn("l", col("e") * 1024L + col("frac"))
+      .drop("pdq", "e", "r", "frac", "t", "bit")
   }
 
   /** Document vectors from [[wordVectors]] — each document is the SUM

@@ -65,6 +65,27 @@ object WordVectors {
         s.read.parquet(wvVocabIndex(s, dir, cut)))
     }
 
+  /** Adjacent-pair-token view of a documents frame — q180's derived
+    * corpus (w[i] || '_' || w[i+1], space-joined), which multiplies
+    * the tiny raw vocabulary (~31 words) into ~916 distinct tokens;
+    * shared with [[graft.tools.ScaleProbe]]'s large-V sweeps. */
+  private[graft] def pairTokens(docs: DataFrame): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col("text"))
+    // zip_with over two slices, NOT transform(sequence)(element_at):
+    // interpreted HOF lambdas get no common-subexpression elimination,
+    // so element_at(w, i) re-runs the regex split PER ELEMENT —
+    // O(tokens²) regex work per document (measured 12.8 s for the
+    // vocabulary pass at sf0.1 vs ~2 s with this shape). zip_with
+    // hands the lambda the elements directly; w evaluates O(1) times
+    // per row.
+    docs.where(col("text").isNotNull &&
+        length(trim(col("text"))) > 0 && size(w) >= 2)
+      .select(col("doc_id"),
+        concat_ws(" ", zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit("_"), b))).as("text"))
+  }
+
   private def wordVecsOf(s: SparkSession, dir: String,
       refresh: Boolean): DataFrame = {
     val key = (s, dir)
@@ -164,19 +185,34 @@ object WordVectors {
     // path by construction (OpsApiSpec pins it), so the oracle is the
     // same exact HUGEINT replay with a sparse-aware Gram.
     "q180_word_vectors_sparse" -> ((s, dir) => {
-      val w = graft.functions.TextFunctions.words(col("text"))
-      val pt = Graft.parquetSource(s, dir).table("documents")
-        .where(col("text").isNotNull &&
-          length(trim(col("text"))) > 0 && size(w) >= 2)
-        .select(col("doc_id"),
-          concat_ws(" ", transform(sequence(lit(1), size(w) - 1),
-            i => concat(element_at(w, i), lit("_"),
-              element_at(w, i + 1)))).as("text"))
+      val pt = pairTokens(Graft.parquetSource(s, dir).table("documents"))
       val vocab = graft.ops.Text.vocabFrame(pt, TopVSparse)
         .localCheckpoint() // read by both cooc joins and the output
       graft.ops.Text.wordVectorsFromCooc(vocab,
           graft.ops.Text.coocFrame(pt, vocab), K)
         .orderBy("word_id", "comp")
+    }),
+
+    // ---- q181: explained-variance audit THROUGH the sparse path --------
+    // q177's audit discipline at the large vocabulary: the ≤ nnz PPMI
+    // cells feed [[graft.ops.Embed.pcaFrameSparse]] and the SAME
+    // [[graft.ops.Embed.pcaExplained]] driver math prices the k
+    // components against the exact rescaled-Gram trace — the "is the
+    // factorization worth spending" number, now available at V = 768
+    // without ever materializing dense rows.
+    "q181_sparse_wordvec_explained" -> ((s, dir) => {
+      val pt = pairTokens(Graft.parquetSource(s, dir).table("documents"))
+      val vocab = graft.ops.Text.vocabFrame(pt, TopVSparse)
+        .localCheckpoint() // read by the cooc joins and the count
+      val cells = graft.ops.Text.ppmiCells(
+          graft.ops.Text.coocFrame(pt, vocab))
+        .select(col("a").as("word_id"), col("b").as("dim"),
+          (col("l") * 16384L).as("xfp"))
+      val vcnt = vocab.count()
+      graft.ops.Embed.pcaExplained(
+          graft.ops.Embed.pcaFrameSparse(cells, vcnt, vcnt.toInt,
+            "word_id", "dim", "xfp"), K)
+        .orderBy("comp")
     }),
 
     // ---- q174: doc-vector cosine top-k over the word vectors -----------
@@ -346,8 +382,10 @@ object WordVectors {
     * are the shared [[Embeddings.pcaChainCtes]] unchanged, and the
     * projection uses the sparse decomposition
     * Σ_nnz x·w − dot(μ, w_c) over the full vocab universe. */
-  private def sparseWvSql: String = {
-    val head =
+  /** The shared prefix of the sparse-path oracles (q180/q181):
+    * pair-token corpus → top-`TopVSparse` vocabulary → PPMI cells →
+    * sparse-aware rescaled Gram `gq`. */
+  private def sparseGramSql: String =
       s"""WITH ws0 AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
         |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
@@ -434,7 +472,9 @@ object WordVectors {
           |  SELECT i, j, (${sdivSql("gv * 1048576", "mx.m")})::HUGEINT AS q
           |  FROM gfull, mx
           |)""".stripMargin
-    head + pcaChainCtes(chainTags) +
+
+  private def sparseWvSql: String = {
+    sparseGramSql + pcaChainCtes(chainTags) +
       s""",
         |mu AS MATERIALIZED (
         |  SELECT sis.d, (${sdivSql("sis.s", "nn.n")})::HUGEINT AS v
@@ -472,6 +512,23 @@ object WordVectors {
   val oracles: Map[String, String] = Map(
 
     "q180_word_vectors_sparse" -> sparseWvSql,
+
+    // the q177 oracle shape over the SPARSE-aware gram: per chain,
+    // Rayleigh eigenvalue vs the exact diagonal trace of gq
+    "q181_sparse_wordvec_explained" ->
+      (sparseGramSql + pcaChainCtes(chainTags) +
+        """,
+          |tr AS MATERIALIZED (
+          |  SELECT sum(q)::HUGEINT AS t FROM gq WHERE i = j
+          |)
+          |""".stripMargin +
+        chainTags.zipWithIndex.map { case (tg, i) =>
+          s"SELECT ${i + 1}::BIGINT AS comp, " +
+            s"(SELECT lam FROM ray$tg)::BIGINT AS lam_fp, " +
+            s"t::BIGINT AS trace_fp, " +
+            s"(${sdivSql(s"(SELECT lam FROM ray$tg) * 1000000", "t")})" +
+            "::BIGINT AS explained_ppm FROM tr"
+        }.mkString("\nUNION ALL\n") + "\nORDER BY comp"),
 
     "q173_word_vectors" ->
       (wvCtes() +

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sweep probe — times selected flagship chains on an arbitrary
+  * corpus dir (the `make_sfx.py` 10×/100× tilings) with the
+  * [[SkewStress.TaskSkew]] within-stage straggler ratio attached: the
+  * SCALE.md decade/century rows come from here. Reports per case the
+  * isolated wall-clock median of 3 warm reps plus the worst
+  * within-stage max/median task-time ratio of the last rep — the
+  * number that says whether one straggler task owns a stage at scale.
+  *
+  * Usage: run_main.sh graft.tools.ScaleProbe <dir> [case ...]
+  * cases: cascade bm25 wordvec:<topV> (default: cascade bm25)
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val wanted =
+      if (args.length > 1) args.drop(1).toSeq else Seq("cascade", "bm25")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new SkewStress.TaskSkew
+    spark.sparkContext.addSparkListener(listener)
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    def mkCase(spec: String): (String, () => DataFrame) = spec match {
+      case "cascade" =>
+        ("cascade", () => graft.ops.Dedup.cascade(docs))
+      case "bm25" =>
+        ("bm25", () => graft.ops.Retrieval.bm25(docs,
+          docs.where(col("doc_id") < 20), k = 10, excludeSelf = true))
+      case s if s.startsWith("wordvec:") =>
+        val topV = s.stripPrefix("wordvec:").toInt
+        (s, () => {
+          val pt = graft.queries.WordVectors.pairTokens(docs)
+          val vocab = graft.ops.Text.vocabFrame(pt, topV)
+            .localCheckpoint()
+          graft.ops.Text.wordVectorsFromCooc(vocab,
+            graft.ops.Text.coocFrame(pt, vocab), k = 3)
+        })
+      case other =>
+        sys.error(s"unknown case '$other' (cascade|bm25|wordvec:<topV>)")
+    }
+
+    def fn3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // one warm pass, then 3 timed isolated reps; skew stats from the
+    // LAST rep (steady state) — the SkewStress measure() protocol
+    def measure(name: String, mk: () => DataFrame)
+        : (String, Double, Int, Long, Long, Double) = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        val el = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+        el
+      }
+      run() // warm
+      val a = run(); val b = run()
+      Thread.sleep(700)
+      listener.reset()
+      val c = run()
+      Thread.sleep(700)
+      val (n, mx, med, ratio) = listener.stats()
+      val wall = Seq(a, b, c).sorted.apply(1)
+      (name, wall, n, mx, med, ratio)
+    }
+
+    val rows = wanted.map(mkCase).map { case (n, mk) => measure(n, mk) }
+
+    println(s"\nScale probe @ $dir")
+    println("| case | median s | tasks | worst-stage max ms | med ms | max/med |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { case (n, w, t, mx, med, r) =>
+      println(s"| $n | ${fn3(w)} | $t | $mx | $med | ${fn3(r)} |") }
+    val json = rows.map { case (n, w, _, _, _, r) =>
+      s""""$n":{"sec":${fn3(w)},"skew":${fn3(r)}}""" }
+      .mkString("{", ",", "}")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
+    println(json)
+  }
+}

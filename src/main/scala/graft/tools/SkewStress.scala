@@ -22,7 +22,7 @@ object SkewStress {
     * the WORST WITHIN-STAGE max/median ratio over non-trivial stages —
     * pooling tasks across stages would compare a scan task to a
     * metadata task and call the difference "skew". */
-  private final class TaskSkew extends SparkListener {
+  private[tools] final class TaskSkew extends SparkListener {
     private val buf =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = synchronized {
