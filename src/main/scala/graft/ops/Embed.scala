@@ -984,18 +984,38 @@ object Embed {
   private def pcaGram(n: BigInt, d: Int, si: Map[Long, BigInt],
       sij: Map[(Long, Long), BigInt])
       : (Array[Array[BigInt]], BigInt) = {
-    val g0 = Array.tabulate(d, d) { (i0, j0) =>
-      val (i, j) = (i0 + 1L, j0 + 1L)
-      // a missing (i, j) cell means Sᵢⱼ = 0 — the SPARSE accumulator
-      // convention ([[pcaFrameSparse]] emits only nonzero pair sums;
-      // dense [[pcaFrame]] frames always carry every pair, so this is
-      // a no-op for them). The Gram cell itself is still generally
-      // nonzero (−Sᵢ·Sⱼ): sparsity lives in the cells, the d×d driver
-      // matrix is the only dense object.
-      val sab = sij.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
-      n * sab - si(i) * si(j)
+    // row-parallel assembly (pure per-cell map over immutable inputs —
+    // order-free, bit-exact): at d = 4096 the 16.8M BigInt
+    // multiply/subtract cells dominated the whole driver phase
+    // single-threaded; the 32 driver cores cut it ~20×.
+    val g0 = new Array[Array[BigInt]](d)
+    val rowMax = new Array[BigInt](d)
+    java.util.stream.IntStream.range(0, d).parallel().forEach { i0 =>
+      val i = i0 + 1L
+      val sii = si(i)
+      val row = new Array[BigInt](d)
+      var mx = BigInt(0)
+      var j0 = 0
+      while (j0 < d) {
+        val j = j0 + 1L
+        // a missing (i, j) cell means Sᵢⱼ = 0 — the SPARSE accumulator
+        // convention ([[pcaFrameSparse]] emits only nonzero pair sums;
+        // dense [[pcaFrame]] frames always carry every pair, so this
+        // is a no-op for them). The Gram cell itself is still
+        // generally nonzero (−Sᵢ·Sⱼ): sparsity lives in the cells,
+        // the d×d driver matrix is the only dense object.
+        val sab =
+          sij.getOrElse(if (i <= j) (i, j) else (j, i), BigInt(0))
+        val cell = n * sab - sii * si(j)
+        row(j0) = cell
+        val a = cell.abs
+        if (a > mx) mx = a
+        j0 += 1
+      }
+      g0(i0) = row
+      rowMax(i0) = mx
     }
-    val m = g0.flatten.map(_.abs).max
+    val m = rowMax.max
     require(m.signum > 0, "degenerate input: zero covariance")
     (g0, m)
   }
@@ -1035,8 +1055,15 @@ object Embed {
     // cell, and real spectra shrink the matrix).
     val GQ_LIM = 1L << 26
     require(d <= 4096, s"d = $d exceeds the PCA driver design bound")
-    val gq: Array[Array[Long]] =
-      Array.tabulate(d, d)((i, j) => sdiv(g0(i)(j) * fpB, m).toLong)
+    // row-parallel rescale (pure per-cell map — order-free, bit-exact)
+    val gq: Array[Array[Long]] = new Array[Array[Long]](d)
+    java.util.stream.IntStream.range(0, d).parallel().forEach { i0 =>
+      val src = g0(i0)
+      val row = new Array[Long](d)
+      var j0 = 0
+      while (j0 < d) { row(j0) = sdiv(src(j0) * fpB, m).toLong; j0 += 1 }
+      gq(i0) = row
+    }
     val comps = Seq.newBuilder[(Long, Long, Long, Long)]
     for (dim0 <- 1 to d)
       comps += ((0L, dim0.toLong, sdiv(si(dim0.toLong), n).toLong,
@@ -1085,16 +1112,17 @@ object Embed {
       val lam = sdiv(num, den)
       for (dim0 <- 1 to d)
         comps += ((c.toLong, dim0.toLong, v(dim0 - 1), lam.toLong))
-      var i2 = 0
-      while (i2 < d) {
+      val vRef = v
+      // row-parallel deflation (disjoint rows — order-free, bit-exact)
+      java.util.stream.IntStream.range(0, d).parallel().forEach { i2 =>
+        val row = gq(i2)
+        val lvi = lam * BigInt(vRef(i2))
         var j2 = 0
         while (j2 < d) {
-          val t = BigInt(gq(i2)(j2)) -
-            sdiv(lam * BigInt(v(i2)) * BigInt(v(j2)), den)
+          val t = BigInt(row(j2)) - sdiv(lvi * BigInt(vRef(j2)), den)
           require(t.isValidLong, "deflation overflowed the long cell")
-          gq(i2)(j2) = t.toLong; j2 += 1
+          row(j2) = t.toLong; j2 += 1
         }
-        i2 += 1
       }
     }
     comps.result().toDF("comp", "dim", "w_fp", "lam_fp")
@@ -1162,10 +1190,12 @@ object Embed {
     * every term is the identical exact long the dense path sums:
     * pcaProjectSparse ≡ pcaProject on the same matrix, bit-for-bit.
     *
-    * Scale shape: the sparse cells against the BROADCAST k·d component
-    * frame, one map-side-combinable sum, then a left join of the `ids`
-    * universe against the ≤ k·|ids| partial sums — no dense explode
-    * anywhere. Output: (<id>, comp, proj_fp), k rows per id. */
+    * Scale shape: the sparse cells (padded with one zero cell per id,
+    * so all-zero rows ride the same aggregate) against the BROADCAST
+    * k·d component frame, ONE map-side-combinable (id, comp) sum, a
+    * broadcast join for the k centering constants — no dense explode,
+    * no id-universe sort-merge join. Output: (<id>, comp, proj_fp),
+    * k rows per id. `ids` must be distinct (one row per vector). */
   def pcaProjectSparse(ids: DataFrame, cells: DataFrame,
       comps: DataFrame, idCol: String = "vec_id",
       dimCol: String = "dim", valCol: String = "xfp"): DataFrame = {
@@ -1176,17 +1206,25 @@ object Embed {
     // per-component centering constant dot(mu, w_c) — k rows
     val cc = cw.join(mu, Seq("d")).groupBy(col("comp"))
       .agg(sum(col("mu") * col("w_fp")).as("c0"))
-    val sp = cells
+    // pad every id with one ZERO cell at dim 1 (dims are 1-based, so
+    // dim 1 always exists in the component frame): all-zero rows then
+    // ride the SAME map-side-combinable aggregate as real cells — one
+    // narrow (id, comp) shuffle total, instead of a second
+    // corpus-grain sort-merge join of the id universe against the
+    // partial sums (the zero cell contributes 0·w to every component,
+    // so values are untouched)
+    val padded = cells
       .select(col(idCol).as("__vid"), col(dimCol).cast("long").as("d"),
         col(valCol).cast("long").as("xfp"))
+      .unionByName(ids.select(col(idCol).as("__vid"),
+        lit(1L).as("d"), lit(0L).as("xfp")))
+    padded
       .join(broadcast(cw), Seq("d"))
       .groupBy(col("__vid"), col("comp"))
       .agg(sum(col("xfp") * col("w_fp")).as("s1"))
-    ids.select(col(idCol).as("__vid")).crossJoin(broadcast(cc))
-      .join(sp, Seq("__vid", "comp"), "left")
+      .join(broadcast(cc), Seq("comp"))
       .select(col("__vid").as(idCol), col("comp"),
-        (coalesce(col("s1"), lit(0L)) - col("c0")).cast("long")
-          .as("proj_fp"))
+        (col("s1") - col("c0")).cast("long").as("proj_fp"))
   }
 
   /** Deterministic signed random projection (Johnson–Lindenstrauss;

@@ -1299,16 +1299,9 @@ object Text {
         (col("ra").cast("decimal(38,0)") *
           col("rb").cast("decimal(38,0)")).as("q"))
       .where(col("p") > col("q"))
-    // the checkpoint is a Catalyst PUSHDOWN BARRIER, not (just) a
-    // recompute saver: any downstream filter on l (pcaFrameSparse's
-    // nonzero filter, a caller's threshold) would otherwise be pushed
-    // through [[fpLog2]]'s ten-level column recurrence, and
-    // PushPredicateThroughNonJoin's alias substitution doubles the
-    // expression tree per level — the optimizer OOMs (measured: 8 GiB
-    // heap dead at V = 768; the DuckDB oracle needs the identical
-    // MATERIALIZED barrier). ≤ V² rows by contract — metadata grain.
+    // fpLog2 ends with the pushdown-barrier checkpoint — safe to
+    // filter/join downstream
     fpLog2(cells).select(col("a"), col("b"), col("l"))
-      .localCheckpoint()
   }
 
   /** The engine's exact fixed-point log2 as a column recurrence —
@@ -1348,8 +1341,18 @@ object Text {
           .otherwise(expr("t div 1048576")))
         .withColumn("frac", col("frac") + col("bit") * lit(1L << (10 - b)))
     }
+    // The checkpoint is a Catalyst PUSHDOWN BARRIER, not a recompute
+    // saver: any downstream filter touching l (a nonzero filter, a
+    // threshold) otherwise gets pushed through this ten-level column
+    // pyramid, and PushPredicateThroughNonJoin's alias substitution
+    // doubles the expression tree per level until the optimizer OOMs
+    // (measured: 8 GiB heap dead; the DuckDB oracles need the
+    // identical MATERIALIZED barrier). Inputs are metadata-grain by
+    // contract (≤ V² PPMI cells, ≤ V idf rows), so the eager
+    // materialization is cheap.
     cells.withColumn("l", col("e") * 1024L + col("frac"))
       .drop("pdq", "e", "r", "frac", "t", "bit")
+      .localCheckpoint()
   }
 
   /** Document vectors from [[wordVectors]] — each document is the SUM
@@ -1397,6 +1400,106 @@ object Text {
             .cast("double")).as("vec"))
       .where(exists(col("vec"), x => x =!= 0.0d))
       .select(col("__did").as(idCol), col("vec"))
+  }
+
+  /** tf-idf cells of the doc×vocabulary matrix, engine-exact — the
+    * input to [[lsaVectors]]' factorization: tf = the raw in-document
+    * count (exact by construction), idf = floor(2¹⁰·log₂(N/df)) by
+    * the same [[fpLog2]] bit-recurrence the PPMI cells use (ln-free,
+    * cross-engine bit-equal), cell value xfp = tf·idf — an exact long
+    * on the 2¹⁰ log grid. Words appearing in EVERY document (idf = 0
+    * exactly, df = N) drop out, which is the classic stop-word
+    * self-suppression of tf-idf. Output: (<id>, dim = word_id, xfp),
+    * only nonzero cells — the [[graft.ops.Embed.pcaFrameSparse]]
+    * convention, checkpointed (it feeds the Gram twice and the
+    * projection once, and the checkpoint doubles as the fpLog2
+    * pushdown barrier).
+    *
+    * Scale shape: one (doc, word) map-side-combinable aggregate
+    * behind a BROADCAST vocabulary join; df and idf are
+    * vocabulary-grain; the cell assembly is one broadcast join more.
+    * Rows ≈ Σ_docs distinct-in-vocab words — corpus-linear, narrow. */
+  def lsaCells(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val usable = docs.where(col(textCol).isNotNull &&
+      length(trim(col(textCol))) > 0)
+    val tf = usable
+      .select(col(idCol).as("__did"),
+        explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(vocab.select(col("word"), col("word_id"))),
+        Seq("word"))
+      .groupBy(col("__did"), col("word_id"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read by the df census and the cell assembly
+    val nd = usable.agg(count(lit(1)).as("nd"))
+    val idf = tf.groupBy(col("word_id")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .select(col("word_id"),
+        col("nd").cast("decimal(38,0)").as("p"),
+        col("df").cast("decimal(38,0)").as("q"))
+      .where(col("p") > col("q")) // df = N ⇒ idf = 0 ⇒ no cell
+    val idfl = fpLog2(idf).select(col("word_id"), col("l"))
+    tf.join(broadcast(idfl), Seq("word_id"))
+      .select(col("__did").as(idCol),
+        col("word_id").cast("long").as("dim"),
+        (col("tf") * col("l")).as("xfp"))
+      .where(col("xfp") =!= 0L)
+      .localCheckpoint()
+  }
+
+  /** Latent Semantic Analysis document vectors (Deerwester et al.,
+    * "Indexing by latent semantic analysis", JASIS 1990) in the
+    * engine's exact grade: the SPARSE doc×vocab tf-idf matrix
+    * ([[lsaCells]]) factorized by the house fixed-point PCA — k
+    * latent components per document, comparable under cosine, with
+    * NO embedding table anywhere. This is the count-based rung of
+    * document embeddings ([[docVectors]] composes word vectors;
+    * lsaVectors factorizes the doc-term matrix directly) and the
+    * corpus-scale-ROWS exercise of [[graft.ops.Embed.pcaFrameSparse]]:
+    * n = |docs| grows with the corpus while d = V stays
+    * vocabulary-bounded, so the Gram accumulator is corpus-linear to
+    * BUILD and metadata-grain to ITERATE. Docs with usable text but
+    * no surviving tf-idf cell (all-stop-word docs) still project —
+    * they are rows of the matrix (the all-zero-row contract).
+    * Output: (<id>, comp 1..k, lsa_fp) on a ±2²⁰ grid (global-max
+    * rescale, the [[wordVectors]] convention), bit-equal under any
+    * partitioning and in the DuckDB oracle.
+    *
+    * Scale shape: two corpus-scale map-side aggregates (vocabulary,
+    * tf cells) + the sparse pair join (Σ_docs nnz(doc)², nnz ≤
+    * in-vocab distinct words); the projection is cells vs the
+    * BROADCAST component frame. Nothing dense wider than the d×d
+    * driver Gram. */
+  def lsaVectors(docs: DataFrame, topV: Int = 32, k: Int = 3,
+      iters: Int = 6, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val usable = docs.where(col(textCol).isNotNull &&
+      length(trim(col(textCol))) > 0)
+    val vocab = vocabFrame(docs, topV, textCol)
+      .localCheckpoint() // read by the tf join and the count
+    if (vocab.isEmpty) // no usable text anywhere (the family guard)
+      return docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("comp"),
+          lit(0L).as("lsa_fp")).limit(0)
+    val vcnt = vocab.count().toInt
+    val cells = lsaCells(docs, vocab, idCol, textCol)
+    val ids = usable.select(col(idCol))
+    val nd = ids.count()
+    val frame = graft.ops.Embed.pcaFrameSparse(cells, nd, vcnt,
+      idCol, "dim", "xfp")
+    val comps = graft.ops.Embed.pcaFromFrame(frame, k, iters)
+    val proj = graft.ops.Embed.pcaProjectSparse(ids, cells, comps,
+      idCol, "dim", "xfp")
+    val mx = proj.agg(greatest(max(abs(col("proj_fp"))), lit(1L))
+      .as("mx"))
+    proj.crossJoin(broadcast(mx))
+      .select(col(idCol), col("comp"),
+        expr("case when proj_fp >= 0 then " +
+          "(cast(proj_fp as decimal(38,0)) * 1048576) div " +
+          "cast(mx as decimal(38,0)) else " +
+          "-((cast(-proj_fp as decimal(38,0)) * 1048576) div " +
+          "cast(mx as decimal(38,0))) end").cast("long").as("lsa_fp"))
   }
 
   def collocations(docs: DataFrame, minCount: Long = 5L,

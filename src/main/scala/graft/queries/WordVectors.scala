@@ -86,6 +86,22 @@ object WordVectors {
           (a, b) => concat(a, lit("_"), b))).as("text"))
   }
 
+  /** Session memo of the LSA long-form frame (metadata grain after the
+    * rescale: 3 rows/doc) — q182 the TRAINER refreshes, q183 the
+    * top-k CONSUMER reuses (the wvMemo discipline). */
+  private val lsaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def lsaOf(s: SparkSession, dir: String,
+      refresh: Boolean): DataFrame = {
+    val key = (s, dir)
+    def compute = graft.ops.Text.lsaVectors(
+      Graft.parquetSource(s, dir).table("documents"), TopV, K)
+      .localCheckpoint()
+    if (refresh) { val f = compute; lsaMemo.put(key, f); f }
+    else lsaMemo.computeIfAbsent(key, _ => compute)
+  }
+
   private def wordVecsOf(s: SparkSession, dir: String,
       refresh: Boolean): DataFrame = {
     val key = (s, dir)
@@ -213,6 +229,41 @@ object WordVectors {
           graft.ops.Embed.pcaFrameSparse(cells, vcnt, vcnt.toInt,
             "word_id", "dim", "xfp"), K)
         .orderBy("comp")
+    }),
+
+    // ---- q182: LSA document vectors (tf-idf × sparse exact PCA) --------
+    // Latent Semantic Analysis in the engine's exact grade: the
+    // sparse doc×vocab tf-idf matrix ([[graft.ops.Text.lsaCells]] —
+    // exact tf, fixed-point-log2 idf) factorized by
+    // [[graft.ops.Embed.pcaFrameSparse]] with ROWS = DOCS — the
+    // corpus-scale-n geometry (n grows with the corpus, d stays
+    // vocabulary-bounded). k latent components per document, no
+    // embedding table anywhere.
+    "q182_lsa_vectors" -> ((s, dir) => {
+      lsaOf(s, dir, refresh = true).orderBy("doc_id", "comp")
+    }),
+
+    // ---- q183: LSA cosine top-k (the composition leg) ------------------
+    // q182's vectors assembled comp-ordered and fed to the EXISTING
+    // [[graft.ops.Embed.cosineTopK]] — count-based semantic retrieval
+    // grounded in the doc-term matrix itself. All-zero docs drop
+    // (cosine undefined — the docVectors convention).
+    "q183_lsa_topk" -> ((s, dir) => {
+      val lv = lsaOf(s, dir, refresh = false)
+      val dv = lv.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(
+          struct(col("comp"), col("lsa_fp")))).as("m"))
+        .select(col("doc_id"),
+          transform(sequence(lit(1), lit(K)),
+            i => coalesce(element_at(col("m"), i.cast("long")), lit(0L))
+              .cast("double")).as("vec"))
+        .where(exists(col("vec"), x => x =!= 0.0d))
+        .localCheckpoint() // corpus AND query side of the top-k
+      graft.ops.Embed.cosineTopK(dv, dv.where(col("doc_id") < 5),
+          k = 10, idCol = "doc_id", vecCol = "vec",
+          queryIdCol = "doc_id", queryVecCol = "vec",
+          excludeSelf = true)
+        .orderBy("q_id", "rank")
     }),
 
     // ---- q174: doc-vector cosine top-k over the word vectors -----------
@@ -450,7 +501,17 @@ object WordVectors {
           |  FROM ppmi WHERE l <> 0
           |), nn AS MATERIALIZED (
           |  SELECT count(*)::HUGEINT AS n FROM vocab
-          |), sis AS MATERIALIZED (
+          |)""".stripMargin + sparseGramCtes
+
+  /** The shared sparse-aware Gram: per-dim sums zero-filled over the
+    * vocab spine, pair sums from nonzero cells only with missing
+    * pairs read as 0, 20-bit rescale — reads `fnz (vec_id, d, xfp)`,
+    * `vocab (word_id)` and `nn (n)` from the caller's prefix; n is
+    * the caller's ROW count (words for q180/q181, docs for the LSA
+    * oracles), exactly [[graft.ops.Embed.pcaFrameSparse]]'s explicit
+    * nVecs. */
+  private def sparseGramCtes: String =
+      s""", sis AS MATERIALIZED (
           |  SELECT v.word_id AS d, coalesce(sum(f.xfp), 0)::HUGEINT AS s
           |  FROM vocab v LEFT JOIN fnz f ON f.d = v.word_id GROUP BY 1
           |), g0s AS MATERIALIZED (
@@ -473,14 +534,22 @@ object WordVectors {
           |  FROM gfull, mx
           |)""".stripMargin
 
-  private def sparseWvSql: String = {
-    sparseGramSql + pcaChainCtes(chainTags) +
-      s""",
-        |mu AS MATERIALIZED (
-        |  SELECT sis.d, (${sdivSql("sis.s", "nn.n")})::HUGEINT AS v
-        |  FROM sis, nn
-        |), cw AS MATERIALIZED (
-        |""".stripMargin +
+  /** The shared sparse projection: per-component centering constant
+    * dot(μ, w_c), partial sums from the nonzero cells, assembled over
+    * an explicit row UNIVERSE (all-zero rows project too), global-max
+    * ±2²⁰ rescale — exactly
+    * [[graft.ops.Embed.pcaProjectSparse]] + the rescale tail. The
+    * caller supplies the universe SQL (must yield a single column
+    * `uid`) and the output value column name; the result CTE is
+    * `wvp (uid, comp, <outCol>)`. */
+  private def sparseProjCtes(universeSql: String,
+      outCol: String): String =
+    s""",
+      |mu AS MATERIALIZED (
+      |  SELECT sis.d, (${sdivSql("sis.s", "nn.n")})::HUGEINT AS v
+      |  FROM sis, nn
+      |), cw AS MATERIALIZED (
+      |""".stripMargin +
       chainTags.zipWithIndex.map { case (tg, i) =>
         s"  SELECT ${i + 1}::BIGINT AS comp, d, v FROM v${tg}_$PcaIters"
       }.mkString("", "\n  UNION ALL\n", "\n)") +
@@ -491,27 +560,120 @@ object WordVectors {
         |), sp1 AS MATERIALIZED (
         |  SELECT f.vec_id, c.comp, sum(f.xfp * c.v)::HUGEINT AS s1
         |  FROM fnz f JOIN cw c ON c.d = f.d GROUP BY 1, 2
+        |), uni AS MATERIALIZED ($universeSql
         |), proj AS MATERIALIZED (
-        |  SELECT v.word_id, cc.comp,
+        |  SELECT uni.uid, cc.comp,
         |    (coalesce(s.s1, 0) - cc.c0)::HUGEINT AS proj_fp
-        |  FROM vocab v CROSS JOIN cc
-        |  LEFT JOIN sp1 s ON s.vec_id = v.word_id AND s.comp = cc.comp
+        |  FROM uni CROSS JOIN cc
+        |  LEFT JOIN sp1 s ON s.vec_id = uni.uid AND s.comp = cc.comp
         |), pmx AS (
         |  SELECT greatest(max(abs(proj_fp)), 1)::HUGEINT AS m FROM proj
-        |), wv AS MATERIALIZED (
-        |  SELECT word_id, comp,
-        |    (${sdivSql("proj_fp * 1048576", "pmx.m")})::BIGINT AS wv_fp
+        |), wvp AS MATERIALIZED (
+        |  SELECT uid, comp,
+        |    (${sdivSql("proj_fp * 1048576", "pmx.m")})::BIGINT
+        |      AS $outCol
         |  FROM proj, pmx
-        |)
+        |)""".stripMargin
+
+  private def sparseWvSql: String = {
+    sparseGramSql + pcaChainCtes(chainTags) +
+      sparseProjCtes("SELECT word_id AS uid FROM vocab", "wv_fp") +
+      """
         |SELECT vocab.word, vocab.word_id::BIGINT AS word_id,
-        |  vocab.cnt, wv.comp, wv.wv_fp
-        |FROM wv JOIN vocab ON vocab.word_id = wv.word_id
+        |  vocab.cnt, wvp.comp, wvp.wv_fp
+        |FROM wvp JOIN vocab ON vocab.word_id = wvp.uid
         |ORDER BY word_id, comp""".stripMargin
   }
+
+  /** The LSA oracle prefix: raw-word vocabulary, exact tf, fixed-point
+    * idf through the shared log2 recurrence (key (a = word_id, b = 0)),
+    * tf·idf cells `fnz` and the DOC-count `nn` — the
+    * [[graft.ops.Text.lsaCells]] replay feeding [[sparseGramCtes]]. */
+  private def lsaFnzSql: String =
+    s"""WITH ws AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
+      |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+      |), vocab AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, word) AS word_id
+      |  FROM (
+      |    SELECT word, count(*)::BIGINT AS cnt
+      |    FROM (SELECT unnest(w) AS word FROM ws)
+      |    WHERE word <> ''
+      |    GROUP BY word ORDER BY cnt DESC, word LIMIT $TopV
+      |  )
+      |), tf AS MATERIALIZED (
+      |  SELECT t.doc_id, v.word_id, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS word FROM ws) t
+      |  JOIN vocab v ON v.word = t.word
+      |  WHERE t.word <> ''
+      |  GROUP BY 1, 2
+      |), ndv AS (SELECT count(*)::HUGEINT AS nd FROM ws),
+      |idf0 AS (
+      |  SELECT word_id, ndv.nd AS p, df::HUGEINT AS q
+      |  FROM (SELECT word_id, count(*)::BIGINT AS df
+      |        FROM tf GROUP BY 1), ndv
+      |  WHERE ndv.nd > df::HUGEINT
+      |), lg0 AS (
+      |  SELECT a, b, e,
+      |    ((p * 1048576) // (q * (1::BIGINT << e::INT)::HUGEINT))::BIGINT
+      |      AS r,
+      |    0::BIGINT AS frac
+      |  FROM (SELECT word_id AS a, 0::BIGINT AS b, p, q,
+      |    (length(bin((p // q)::BIGINT)) - 1)::BIGINT AS e FROM idf0)
+      |)""".stripMargin +
+      log2FracCtes("lg0") +
+      s""", idfl AS MATERIALIZED (
+        |  SELECT a AS word_id, (e * 1024 + frac)::BIGINT AS l FROM lg10
+        |), fnz AS MATERIALIZED (
+        |  SELECT tf.doc_id AS vec_id, tf.word_id AS d,
+        |    (tf.tf * idfl.l)::HUGEINT AS xfp
+        |  FROM tf JOIN idfl ON idfl.word_id = tf.word_id
+        |  WHERE tf.tf * idfl.l <> 0
+        |), nn AS MATERIALIZED (SELECT count(*)::HUGEINT AS n FROM ws)"""
+        .stripMargin
+
+  /** q182's replay end-to-end: LSA cells → sparse Gram → chains →
+    * projection over the DOC universe. */
+  private def lsaSql: String =
+    lsaFnzSql + sparseGramCtes + pcaChainCtes(chainTags) +
+      sparseProjCtes("SELECT doc_id AS uid FROM ws", "lsa_fp") +
+      """
+        |SELECT uid AS doc_id, comp, lsa_fp FROM wvp
+        |ORDER BY doc_id, comp""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
     "q180_word_vectors_sparse" -> sparseWvSql,
+
+    "q182_lsa_vectors" -> lsaSql,
+
+    // LSA doc vectors (comp-ordered exact longs) through the q174
+    // cosine top-k replay; all-zero docs drop (cosine undefined)
+    "q183_lsa_topk" ->
+      (lsaFnzSql + sparseGramCtes + pcaChainCtes(chainTags) +
+        sparseProjCtes("SELECT doc_id AS uid FROM ws", "lsa_fp") +
+        s""", dvec AS MATERIALIZED (
+          |  SELECT uid AS doc_id, list(lsa_fp::DOUBLE ORDER BY comp) AS v
+          |  FROM wvp GROUP BY uid HAVING max(abs(lsa_fp)) > 0
+          |), dn AS MATERIALIZED (
+          |  SELECT doc_id, v, sqrt(${duckDot("v", "v")}) AS nrm
+          |  FROM dvec
+          |), qs AS (
+          |  SELECT doc_id AS q_id, v AS qv, nrm AS qn FROM dn
+          |  WHERE doc_id < 5
+          |), scored AS (
+          |  SELECT qs.q_id, dn.doc_id AS vec_id,
+          |    (${duckDot("qs.qv", "dn.v")} / (qs.qn * dn.nrm)) AS cos
+          |  FROM dn JOIN qs ON dn.doc_id <> qs.q_id
+          |), ranked AS (
+          |  SELECT q_id, vec_id, cos,
+          |    row_number() OVER (PARTITION BY q_id
+          |      ORDER BY cos DESC, vec_id) AS rank
+          |  FROM scored
+          |)
+          |SELECT q_id, vec_id, cos, rank FROM ranked
+          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
 
     // the q177 oracle shape over the SPARSE-aware gram: per chain,
     // Rayleigh eigenvalue vs the exact diagonal trace of gq

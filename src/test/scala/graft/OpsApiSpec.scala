@@ -1505,6 +1505,50 @@ class OpsApiSpec extends AnyFunSuite {
       }
   }
 
+  test("Text.lsaVectors: exact LSA doc embeddings — stop-word " +
+      "self-suppression, all-zero docs project, partition-invariant") {
+    val docs = Seq(
+      (1L, "cat dog cat dog mouse cat"),
+      (2L, "cat dog dog cat cat dog"),       // same topic as 1
+      (3L, "red blue red blue green red"),
+      (4L, "blue red red blue blue green"),  // same topic as 3
+      (5L, "cat red dog blue mouse green"),  // mixed
+      (6L, "the the the"),                   // only the everywhere-word
+      (7L, "   "), (8L, null.asInstanceOf[String]))
+      .toDF("page_id", "body")
+      // 'the' appears in EVERY usable doc -> idf = 0 -> suppressed
+      .select(col("page_id"),
+        when(col("body").isNotNull && length(trim(col("body"))) > 0,
+          concat(col("body"), lit(" the"))).otherwise(col("body"))
+          .as("body"))
+    val out = Text.lsaVectors(docs, topV = 8, k = 2,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // k rows per USABLE doc (6 docs; null/blank rows are not matrix
+    // rows) — including doc 6, whose only word has idf 0 (all-zero
+    // row, still projects to the centered constant)
+    assert(out.length === 6 * 2)
+    assert(out.count(_._1 == 6L) === 2)
+    // rescale contract: max |lsa_fp| is exactly 2^20
+    assert(out.map(r => math.abs(r._3)).max === (1L << 20))
+    // semantic sanity via the latent space: same-topic docs land
+    // closer than cross-topic docs on component 1
+    val c1 = out.filter(_._2 == 1L).map(r => r._1 -> r._3).toMap
+    assert(math.abs(c1(1L) - c1(2L)) < math.abs(c1(1L) - c1(3L)),
+      s"cat-docs should be closer than cat-vs-red: $c1")
+    // bit-equal under any partitioning
+    val out7 = Text.lsaVectors(docs.repartition(7), topV = 8, k = 2,
+        idCol = "page_id", textCol = "body")
+      .orderBy("page_id", "comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out7.toSeq === out.toSeq)
+    // empty corpus -> empty typed frame (the family guard)
+    val empty = Seq((1L, null.asInstanceOf[String])).toDF("page_id", "body")
+    assert(Text.lsaVectors(empty, topV = 8, k = 2,
+      idCol = "page_id", textCol = "body").count() === 0L)
+  }
+
   test("Embed.pcaFrameSparse/pcaProjectSparse equal the dense forms " +
       "on a hand-built matrix with an all-zero row") {
     // matrix (3 rows x 3 dims): row 1 = (3, 0, 1), row 2 = all zeros,

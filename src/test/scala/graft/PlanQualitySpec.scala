@@ -251,6 +251,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("posexplode"), s"dense rows materialized:\n$p")
   }
 
+  test("q182: LSA keeps the vocabulary joins broadcast and projects " +
+      "cells against the broadcast component frame") {
+    // rows = DOCS here (corpus-scale n): the tf pass must be one
+    // map-side aggregate behind a BROADCAST vocab join, and the
+    // projection the checkpointed cells vs the broadcast k·V frame —
+    // a SortMergeJoin anywhere would shuffle the token stream or the
+    // cell table by word at 100 TB
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Text.lsaVectors(docs, topV = 8, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"LSA projection join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"LSA shuffles by word:\n$p")
+    assert(!p.contains("posexplode"), s"dense rows materialized:\n$p")
+  }
+
   test("q167: keywords' top-k window is doc-partitioned, never a " +
       "single-partition sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
