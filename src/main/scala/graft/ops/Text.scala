@@ -1420,18 +1420,22 @@ object Text {
     * vocabulary-grain; the cell assembly is one broadcast join more.
     * Rows ≈ Σ_docs distinct-in-vocab words — corpus-linear, narrow. */
   def lsaCells(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lsaCellsFrom(docs, vocab, lsaIdf(docs, vocab, idCol, textCol),
+      idCol, textCol)
+
+  /** The frozen-idf LSA artifact: (word_id, l) with
+    * l = floor(2¹⁰·log₂(N/df)) over `docs` — what a crawl loop
+    * PERSISTS at snapshot time so batch documents embed in the
+    * snapshot's term-weight space ([[lsaCellsFrom]] under a frozen
+    * vocabulary + this frame is the incremental form; re-deriving idf
+    * per batch would move every axis of the space under the existing
+    * vectors). Words in every doc (df = N) are absent — idf 0. */
+  def lsaIdf(docs: DataFrame, vocab: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val usable = docs.where(col(textCol).isNotNull &&
       length(trim(col(textCol))) > 0)
-    val tf = usable
-      .select(col(idCol).as("__did"),
-        explode(words(col(textCol))).as("word"))
-      .where(col("word") =!= "")
-      .join(broadcast(vocab.select(col("word"), col("word_id"))),
-        Seq("word"))
-      .groupBy(col("__did"), col("word_id"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // read by the df census and the cell assembly
+    val tf = lsaTf(usable, vocab, idCol, textCol)
     val nd = usable.agg(count(lit(1)).as("nd"))
     val idf = tf.groupBy(col("word_id")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
@@ -1439,8 +1443,35 @@ object Text {
         col("nd").cast("decimal(38,0)").as("p"),
         col("df").cast("decimal(38,0)").as("q"))
       .where(col("p") > col("q")) // df = N ⇒ idf = 0 ⇒ no cell
-    val idfl = fpLog2(idf).select(col("word_id"), col("l"))
-    tf.join(broadcast(idfl), Seq("word_id"))
+    fpLog2(idf).select(col("word_id"), col("l"))
+  }
+
+  /** Per-(doc, word_id) exact term counts restricted to `vocab` —
+    * one map-side aggregate behind a broadcast join; checkpointed
+    * (read by the df census and the cell assembly). */
+  private def lsaTf(usable: DataFrame, vocab: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    usable
+      .select(col(idCol).as("__did"),
+        explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(vocab.select(col("word"), col("word_id"))),
+        Seq("word"))
+      .groupBy(col("__did"), col("word_id"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+
+  /** Assemble tf·idf cells for `docs` under a CALLER-SUPPLIED
+    * (word_id, l) idf frame — the incremental form ([[lsaIdf]]'s
+    * frozen artifact applied to a crawl batch); [[lsaCells]] ≡
+    * lsaCellsFrom(docs, vocab, lsaIdf(docs, vocab)). */
+  def lsaCellsFrom(docs: DataFrame, vocab: DataFrame, idf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val usable = docs.where(col(textCol).isNotNull &&
+      length(trim(col(textCol))) > 0)
+    lsaTf(usable, vocab, idCol, textCol)
+      .join(broadcast(idf.select(col("word_id"), col("l"))),
+        Seq("word_id"))
       .select(col("__did").as(idCol),
         col("word_id").cast("long").as("dim"),
         (col("tf") * col("l")).as("xfp"))

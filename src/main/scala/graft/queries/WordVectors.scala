@@ -102,6 +102,45 @@ object WordVectors {
     else lsaMemo.computeIfAbsent(key, _ => compute)
   }
 
+  /** The frozen LSA snapshot artifacts behind q184, persisted once per
+    * (dir, cut) via [[graft.sources.SideTable]]: vocabulary, idf term
+    * weights, PCA components, and the old-corpus projection max (the
+    * rescale denominator) — everything a crawl batch needs to embed
+    * NEW documents in the snapshot's latent space with zero old-corpus
+    * reads. */
+  private[graft] def lsaArtifacts(s: SparkSession, dir: String,
+      cut: Long): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dp = Some(s"$dir/documents.parquet")
+    def old = Graft.parquetSource(s, dir).table("documents")
+      .where(col("doc_id") < cut)
+    val vPath = graft.sources.SideTable.ensure(s, "lsa_vocab",
+      s"$dir#$cut", dp) { graft.ops.Text.vocabFrame(old, TopV) }
+    val vocab = s.read.parquet(vPath)
+    val iPath = graft.sources.SideTable.ensure(s, "lsa_idf",
+      s"$dir#$cut", dp) { graft.ops.Text.lsaIdf(old, vocab) }
+    val idf = s.read.parquet(iPath)
+    val cPath = graft.sources.SideTable.ensure(s, "lsa_comps",
+      s"$dir#$cut", dp) {
+      val cells = graft.ops.Text.lsaCellsFrom(old, vocab, idf)
+      val usable = old.where(col("text").isNotNull &&
+        length(trim(col("text"))) > 0)
+      graft.ops.Embed.pcaFromFrame(
+        graft.ops.Embed.pcaFrameSparse(cells, usable.count(),
+          vocab.count().toInt, "doc_id", "dim", "xfp"), K)
+    }
+    val comps = s.read.parquet(cPath)
+    val mPath = graft.sources.SideTable.ensure(s, "lsa_mx",
+      s"$dir#$cut", dp) {
+      val cells = graft.ops.Text.lsaCellsFrom(old, vocab, idf)
+      val usable = old.where(col("text").isNotNull &&
+        length(trim(col("text"))) > 0)
+      graft.ops.Embed.pcaProjectSparse(usable.select(col("doc_id")),
+          cells, comps, "doc_id", "dim", "xfp")
+        .agg(greatest(max(abs(col("proj_fp"))), lit(1L)).as("mx"))
+    }
+    (vocab, idf, comps, s.read.parquet(mPath))
+  }
+
   private def wordVecsOf(s: SparkSession, dir: String,
       refresh: Boolean): DataFrame = {
     val key = (s, dir)
@@ -264,6 +303,38 @@ object WordVectors {
           queryIdCol = "doc_id", queryVecCol = "vec",
           excludeSelf = true)
         .orderBy("q_id", "rank")
+    }),
+
+    // ---- q184: incremental LSA — batch docs into the frozen space ------
+    // The {train, incremental} square for the LSA family (the
+    // q153/q176 discipline): the snapshot persists the vocabulary,
+    // the idf term weights, the PCA components and the old-corpus
+    // rescale max; each crawl batch builds its tf·idf cells under the
+    // FROZEN vocabulary+idf ([[graft.ops.Text.lsaCellsFrom]]) and
+    // projects with the frozen components — new documents embed into
+    // the SAME latent space as the snapshot (comparable vectors, the
+    // whole point of freezing) with zero old-corpus reads. The oracle
+    // rebuilds the snapshot from scratch and projects the batch —
+    // equality holds because the artifacts ARE those values,
+    // persisted.
+    "q184_incremental_lsa" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val (vocab, idf, comps, mx) = lsaArtifacts(s, dir, cut)
+      val batch = d.where(col("doc_id") >= cut)
+      val cells = graft.ops.Text.lsaCellsFrom(batch, vocab, idf)
+      val usable = batch.where(col("text").isNotNull &&
+        length(trim(col("text"))) > 0)
+      graft.ops.Embed.pcaProjectSparse(usable.select(col("doc_id")),
+          cells, comps, "doc_id", "dim", "xfp")
+        .crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("comp"),
+          expr("case when proj_fp >= 0 then " +
+            "(cast(proj_fp as decimal(38,0)) * 1048576) div " +
+            "cast(mx as decimal(38,0)) else " +
+            "-((cast(-proj_fp as decimal(38,0)) * 1048576) div " +
+            "cast(mx as decimal(38,0))) end").cast("long").as("lsa_fp"))
+        .orderBy("doc_id", "comp")
     }),
 
     // ---- q174: doc-vector cosine top-k over the word vectors -----------
@@ -589,26 +660,32 @@ object WordVectors {
     * idf through the shared log2 recurrence (key (a = word_id, b = 0)),
     * tf·idf cells `fnz` and the DOC-count `nn` — the
     * [[graft.ops.Text.lsaCells]] replay feeding [[sparseGramCtes]]. */
-  private def lsaFnzSql: String =
+  private def lsaFnzSql(vocabCut: Boolean = false): String = {
+    val src = if (vocabCut) "wsold" else "ws"
     s"""WITH ws AS MATERIALIZED (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
       |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
-      |), vocab AS MATERIALIZED (
+      |)${if (vocabCut)
+         """, cutv AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents),
+           |wsold AS MATERIALIZED (
+           |  SELECT * FROM ws WHERE doc_id < (SELECT c FROM cutv)
+           |)""".stripMargin
+       else ""}, vocab AS MATERIALIZED (
       |  SELECT word, cnt,
       |    row_number() OVER (ORDER BY cnt DESC, word) AS word_id
       |  FROM (
       |    SELECT word, count(*)::BIGINT AS cnt
-      |    FROM (SELECT unnest(w) AS word FROM ws)
+      |    FROM (SELECT unnest(w) AS word FROM $src)
       |    WHERE word <> ''
       |    GROUP BY word ORDER BY cnt DESC, word LIMIT $TopV
       |  )
       |), tf AS MATERIALIZED (
       |  SELECT t.doc_id, v.word_id, count(*)::BIGINT AS tf
-      |  FROM (SELECT doc_id, unnest(w) AS word FROM ws) t
+      |  FROM (SELECT doc_id, unnest(w) AS word FROM $src) t
       |  JOIN vocab v ON v.word = t.word
       |  WHERE t.word <> ''
       |  GROUP BY 1, 2
-      |), ndv AS (SELECT count(*)::HUGEINT AS nd FROM ws),
+      |), ndv AS (SELECT count(*)::HUGEINT AS nd FROM $src),
       |idf0 AS (
       |  SELECT word_id, ndv.nd AS p, df::HUGEINT AS q
       |  FROM (SELECT word_id, count(*)::BIGINT AS df
@@ -630,17 +707,55 @@ object WordVectors {
         |    (tf.tf * idfl.l)::HUGEINT AS xfp
         |  FROM tf JOIN idfl ON idfl.word_id = tf.word_id
         |  WHERE tf.tf * idfl.l <> 0
-        |), nn AS MATERIALIZED (SELECT count(*)::HUGEINT AS n FROM ws)"""
-        .stripMargin
+        |), nn AS MATERIALIZED (
+        |  SELECT count(*)::HUGEINT AS n FROM $src)""".stripMargin
+  }
 
   /** q182's replay end-to-end: LSA cells → sparse Gram → chains →
     * projection over the DOC universe. */
   private def lsaSql: String =
-    lsaFnzSql + sparseGramCtes + pcaChainCtes(chainTags) +
+    lsaFnzSql() + sparseGramCtes + pcaChainCtes(chainTags) +
       sparseProjCtes("SELECT doc_id AS uid FROM ws", "lsa_fp") +
       """
         |SELECT uid AS doc_id, comp, lsa_fp FROM wvp
         |ORDER BY doc_id, comp""".stripMargin
+
+  /** q184's replay: the snapshot pipeline rebuilt from scratch over
+    * the OLD corpus (doc_id < the standard 80% cut) — vocabulary, idf,
+    * Gram, chains, and the old-corpus projection max `pmx` (all via
+    * the shared CTEs with vocabCut) — then the BATCH documents' cells
+    * under the frozen vocabulary+idf projected with the frozen
+    * components and rescaled by the frozen pmx. */
+  private def lsaIncSql: String =
+    lsaFnzSql(vocabCut = true) + sparseGramCtes +
+      pcaChainCtes(chainTags) +
+      // old-universe projection: supplies cw/cc/pmx (wvp unused)
+      sparseProjCtes("SELECT doc_id AS uid FROM wsold", "old_fp") +
+      s""", wsb AS MATERIALIZED (
+        |  SELECT * FROM ws WHERE doc_id >= (SELECT c FROM cutv)
+        |), tfb AS MATERIALIZED (
+        |  SELECT t.doc_id, v.word_id, count(*)::BIGINT AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM wsb) t
+        |  JOIN vocab v ON v.word = t.word
+        |  WHERE t.word <> ''
+        |  GROUP BY 1, 2
+        |), fnzb AS MATERIALIZED (
+        |  SELECT tfb.doc_id AS vec_id, tfb.word_id AS d,
+        |    (tfb.tf * idfl.l)::HUGEINT AS xfp
+        |  FROM tfb JOIN idfl ON idfl.word_id = tfb.word_id
+        |  WHERE tfb.tf * idfl.l <> 0
+        |), sp1b AS MATERIALIZED (
+        |  SELECT f.vec_id, c.comp, sum(f.xfp * c.v)::HUGEINT AS s1
+        |  FROM fnzb f JOIN cw c ON c.d = f.d GROUP BY 1, 2
+        |), projb AS MATERIALIZED (
+        |  SELECT u.doc_id, cc.comp,
+        |    (coalesce(s.s1, 0) - cc.c0)::HUGEINT AS proj_fp
+        |  FROM (SELECT doc_id FROM wsb) u CROSS JOIN cc
+        |  LEFT JOIN sp1b s ON s.vec_id = u.doc_id AND s.comp = cc.comp
+        |)
+        |SELECT doc_id, comp,
+        |  (${sdivSql("proj_fp * 1048576", "pmx.m")})::BIGINT AS lsa_fp
+        |FROM projb, pmx ORDER BY doc_id, comp""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -648,10 +763,14 @@ object WordVectors {
 
     "q182_lsa_vectors" -> lsaSql,
 
+    // incremental ≡ frozen-artifact projection: the oracle rebuilds
+    // the snapshot from scratch (vocabCut) and projects the batch
+    "q184_incremental_lsa" -> lsaIncSql,
+
     // LSA doc vectors (comp-ordered exact longs) through the q174
     // cosine top-k replay; all-zero docs drop (cosine undefined)
     "q183_lsa_topk" ->
-      (lsaFnzSql + sparseGramCtes + pcaChainCtes(chainTags) +
+      (lsaFnzSql() + sparseGramCtes + pcaChainCtes(chainTags) +
         sparseProjCtes("SELECT doc_id AS uid FROM ws", "lsa_fp") +
         s""", dvec AS MATERIALIZED (
           |  SELECT uid AS doc_id, list(lsa_fp::DOUBLE ORDER BY comp) AS v

@@ -73,6 +73,10 @@ object ScaleProbe {
       val c = run()
       Thread.sleep(700)
       val (n, mx, med, ratio) = listener.stats()
+      if (ratio > 3.0) // drill-down: which stages carry the straggler
+        listener.worstStages(3).foreach { case (sid, t, m, md, r) =>
+          println(f"[skew] stage=$sid tasks=$t max=${m}ms med=${md}ms " +
+            f"ratio=$r%.1f") }
       val wall = Seq(a, b, c).sorted.apply(1)
       (name, wall, n, mx, med, ratio)
     }

@@ -48,6 +48,19 @@ object SkewStress {
       val worst = pool.map(ratioOf).maxBy(_._3)
       (buf.length, worst._1, worst._2, worst._3)
     }
+    /** Top `n` stages by within-stage max/median — the drill-down
+      * behind [[stats]]'s single worst ratio: (stageId, tasks, maxMs,
+      * medMs, ratio), worst first. Same ≥ 8-task / ≥ 20 ms-median
+      * gate. */
+    def worstStages(n: Int): Seq[(Int, Int, Long, Long, Double)] =
+      synchronized {
+        buf.groupBy(_._1).toSeq.map { case (sid, ds0) =>
+          val ds = ds0.map(_._2).toSeq.sorted
+          val med = ds(ds.length / 2).max(1L)
+          (sid, ds.length, ds.last, med, ds.last.toDouble / med)
+        }.filter(t => t._2 >= 8 && t._4 >= 20)
+          .sortBy(-_._5).take(n)
+      }
   }
 
   /** The engineered corpus: 50% of rows on one domain, one fixed
