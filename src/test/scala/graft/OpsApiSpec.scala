@@ -1549,6 +1549,36 @@ class OpsApiSpec extends AnyFunSuite {
       idCol = "page_id", textCol = "body").count() === 0L)
   }
 
+  test("Text.lsaIdf/lsaCellsFrom: lsaCells factors into the frozen-idf " +
+      "artifact + cell assembly (the q184 incremental contract)") {
+    val docs = Seq(
+      (1L, "cat dog cat mouse"), (2L, "cat dog dog"),
+      (3L, "red blue red"), (4L, "blue red green cat"))
+      .toDF("page_id", "body")
+    val vocab = Text.vocabFrame(docs, topV = 8, textCol = "body")
+      .localCheckpoint()
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("page_id", "dim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val direct = rows(Text.lsaCells(docs, vocab,
+      idCol = "page_id", textCol = "body"))
+    val idf = Text.lsaIdf(docs, vocab, idCol = "page_id",
+      textCol = "body").localCheckpoint()
+    val composed = rows(Text.lsaCellsFrom(docs, vocab, idf,
+      idCol = "page_id", textCol = "body"))
+    assert(composed === direct)
+    // the frozen artifact applied to a BATCH yields the same cells the
+    // from-scratch pipeline would give those docs under the same
+    // weights — the q184 semantics
+    val batch = docs.where(col("page_id") >= 3L)
+    val bCells = rows(Text.lsaCellsFrom(batch, vocab, idf,
+      idCol = "page_id", textCol = "body"))
+    assert(bCells === direct.filter(_._1 >= 3L))
+    // idf is word-grain, positive, and absent for everywhere-words
+    val idfRows = idf.collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(idfRows.forall(_._2 > 0L))
+  }
+
   test("Embed.pcaFrameSparse/pcaProjectSparse equal the dense forms " +
       "on a hand-built matrix with an all-zero row") {
     // matrix (3 rows x 3 dims): row 1 = (3, 0, 1), row 2 = all zeros,
