@@ -337,6 +337,37 @@ object WordVectors {
         .orderBy("doc_id", "comp")
     }),
 
+    // ---- q185: incremental LARGE-V word vectors (sparse path) ----------
+    // The q176 crawl-loop square at the sparse-path vocabulary: the
+    // snapshot freezes the PAIR-TOKEN vocabulary (V = 768) and
+    // persists its exact co-occurrence cell accumulator; each batch
+    // adds its own cells ([[graft.ops.Text.coocMerge]], lossless —
+    // pair tokens never span documents) and the vectors re-derive
+    // through the SPARSE path with zero old-corpus reads. Epoch-N ≡
+    // from-scratch under the frozen vocabulary bit-for-bit.
+    "q185_incremental_sparse_wordvec" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val dp = Some(s"$dir/documents.parquet")
+      val vPath = graft.sources.SideTable.ensure(s, "wvs_vocab",
+        s"$dir#$cut", dp) {
+        graft.ops.Text.vocabFrame(
+          pairTokens(d.where(col("doc_id") < cut)), TopVSparse)
+      }
+      val vocab = s.read.parquet(vPath)
+      val cPath = graft.sources.SideTable.ensure(s, "wvs_cooc",
+        s"$dir#$cut", dp) {
+        graft.ops.Text.coocFrame(
+          pairTokens(d.where(col("doc_id") < cut)), vocab)
+      }
+      val merged = graft.ops.Text.coocMerge(
+        s.read.parquet(cPath),
+        graft.ops.Text.coocFrame(
+          pairTokens(d.where(col("doc_id") >= cut)), vocab))
+      graft.ops.Text.wordVectorsFromCooc(vocab, merged, K)
+        .orderBy("word_id", "comp")
+    }),
+
     // ---- q174: doc-vector cosine top-k over the word vectors -----------
     // [[graft.ops.Text.docVectors]] (bag-of-word-vectors sums, exact
     // longs) feeding the EXISTING exact ANN baseline
@@ -507,7 +538,14 @@ object WordVectors {
   /** The shared prefix of the sparse-path oracles (q180/q181):
     * pair-token corpus → top-`TopVSparse` vocabulary → PPMI cells →
     * sparse-aware rescaled Gram `gq`. */
-  private def sparseGramSql: String =
+  private def sparseGramSql: String = sparseGramSqlOf(false)
+
+  /** With `vocabCut`, the vocabulary derives from the OLD corpus only
+    * (doc_id < the standard 80% cut) while the pair counts cover the
+    * full corpus — the q176 frozen-vocabulary semantics on the
+    * sparse-path family (incremental ≡ from-scratch under the frozen
+    * vocab, so the replay IS from-scratch). */
+  private def sparseGramSqlOf(vocabCut: Boolean): String =
       s"""WITH ws0 AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') w
         |  FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
@@ -516,12 +554,15 @@ object WordVectors {
         |    list_transform(range(1, len(w)),
         |      i -> w[i] || '_' || w[i+1]) AS w
         |  FROM ws0 WHERE len(w) >= 2
-        |), vocab AS MATERIALIZED (
+        |)${if (vocabCut)
+           ", cutv AS (SELECT (max(doc_id) * 4) // 5 AS c FROM documents)"
+         else ""}, vocab AS MATERIALIZED (
         |  SELECT word, cnt,
         |    row_number() OVER (ORDER BY cnt DESC, word) AS word_id
         |  FROM (
         |    SELECT word, count(*)::BIGINT AS cnt
-        |    FROM (SELECT unnest(w) AS word FROM ws)
+        |    FROM (SELECT unnest(w) AS word FROM ws${if (vocabCut)
+             " WHERE doc_id < (SELECT c FROM cutv)" else ""})
         |    WHERE word <> ''
         |    GROUP BY word ORDER BY cnt DESC, word LIMIT $TopVSparse
         |  )
@@ -646,8 +687,10 @@ object WordVectors {
         |  FROM proj, pmx
         |)""".stripMargin
 
-  private def sparseWvSql: String = {
-    sparseGramSql + pcaChainCtes(chainTags) +
+  private def sparseWvSql: String = sparseWvSqlOf(false)
+
+  private def sparseWvSqlOf(vocabCut: Boolean): String = {
+    sparseGramSqlOf(vocabCut) + pcaChainCtes(chainTags) +
       sparseProjCtes("SELECT word_id AS uid FROM vocab", "wv_fp") +
       """
         |SELECT vocab.word, vocab.word_id::BIGINT AS word_id,
@@ -766,6 +809,11 @@ object WordVectors {
     // incremental ≡ frozen-artifact projection: the oracle rebuilds
     // the snapshot from scratch (vocabCut) and projects the batch
     "q184_incremental_lsa" -> lsaIncSql,
+
+    // incremental ≡ from-scratch under the frozen pair-token
+    // vocabulary (lossless cells), so the replay is q180's with the
+    // vocabulary derived from the old corpus only
+    "q185_incremental_sparse_wordvec" -> sparseWvSqlOf(true),
 
     // LSA doc vectors (comp-ordered exact longs) through the q174
     // cosine top-k replay; all-zero docs drop (cosine undefined)
