@@ -918,6 +918,57 @@ object Dedup {
     * the position sequence, slice/concat/hash); docs under k words are
     * excluded. Unlike [[graft.functions.TextFunctions.shingleHashRows]]
     * this keeps positions and multiplicity — extents need both. */
+  /** Benchmark decontamination — the GPT-3/Llama n-gram rule (Brown
+    * et al. 2020 App. C; Touvron et al. 2023 §5.1): per EVALUATION
+    * item, how much of it already appears verbatim in the training
+    * corpus, measured as the fraction of its `k`-grams (k = 13, the
+    * published convention) present ANYWHERE in the corpus. Output:
+    * (<benchId>, n_grams, n_hit, hit_ppm) — items shorter than k
+    * tokens have no grams and are omitted (the [[spanDups]] rule).
+    * This is the contamination CHECK; the deployment action is the
+    * caller's (drop the eval item, or flag the training doc).
+    *
+    * Scale shape: ONE distinct-gram pass over the corpus
+    * ([[spanGramFrame]] — the same inventory the span family
+    * persists); the benchmark side is tiny and BROADCASTS into a
+    * semi-join against the inventory, so the corpus never shuffles
+    * for the benchmark — the corpus-side cost is the inventory scan,
+    * independent of |bench|. */
+  def contamination(corpus: DataFrame, bench: DataFrame, k: Int = 13,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame =
+    contaminationOf(spanGramFrame(corpus, k, idCol, textCol), bench, k,
+      benchIdCol, benchTextCol)
+
+  /** [[contamination]] against a FROZEN (or merged) gram inventory
+    * ((h) — from [[spanGramFrame]], usually a persisted artifact):
+    * the crawl-loop form. Inventories union losslessly (distinct
+    * hash sets), so snapshot ∪ batch ≡ from-scratch over the full
+    * corpus — each epoch re-checks the fixed benchmark against the
+    * GROWN corpus with zero old-document reads. */
+  def contaminationOf(gramSet: DataFrame, bench: DataFrame,
+      k: Int = 13, benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    val g = spanGramRows(bench, k, benchIdCol, benchTextCol)
+      .localCheckpoint() // bench-bounded; read by the key set + stats
+    val keys = g.select(col("h")).distinct()
+    val hits = gramSet.select(col("h"))
+      .join(broadcast(keys), Seq("h"), "left_semi")
+      .distinct() // a merged inventory may carry duplicate hashes
+      .withColumn("__hit", lit(1L))
+      .localCheckpoint() // ≤ |bench grams| rows — broadcastable
+    g.join(broadcast(hits), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id").as(benchIdCol),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_hit").cast("long").as("n_hit"),
+        expr("n_hit * 1000000 div n_grams").as("hit_ppm"))
+  }
+
   private[graft] def spanGramRows(docs: DataFrame, k: Int,
       idCol: String, textCol: String): DataFrame =
     docs.repartition(

@@ -350,7 +350,59 @@ object TextPipeline {
   private def langs = graft.ops.Text.langs
   private def enTrigrams = graft.ops.Text.enTrigrams
 
+  /** The q186/q187 benchmark set, derived deterministically from the
+    * corpus so the oracle can rebuild it: the first 20 docs, odd ids
+    * with their word order REVERSED (reversed 13-grams almost never
+    * recur, so odds are the "clean" eval items; evens are verbatim
+    * corpus text — fully contaminated). */
+  private def contamBench(d: DataFrame): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col("text"))
+    d.where(col("doc_id") < 20 && col("text").isNotNull)
+      .select(col("doc_id").as("bench_id"),
+        when(col("doc_id") % 2 === 1, concat_ws(" ", reverse(w)))
+          .otherwise(col("text")).as("text"))
+  }
+
+  /** The q187 frozen gram inventory (k = 13 over the old corpus) —
+    * persisted once per (dir, cut). */
+  private[graft] def contamGramIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "contam_grams", s"$dir#$cut",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Dedup.spanGramFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), k = 13)
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q186: benchmark decontamination (the 13-gram rule) ------------
+    // [[graft.ops.Dedup.contamination]]: per eval item, the fraction
+    // of its 13-grams present anywhere in the corpus (Brown et al.
+    // 2020 App. C / Touvron et al. 2023 §5.1 — the published
+    // decontamination convention). Even bench ids are verbatim corpus
+    // docs (hit_ppm = 1e6); odd ids are word-reversed (≈ clean).
+    "q186_contamination" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      graft.ops.Dedup.contamination(d, contamBench(d), k = 13)
+        .orderBy("bench_id")
+    }),
+
+    // ---- q187: incremental contamination vs the frozen inventory -------
+    // The crawl-loop form: the snapshot persists the k = 13 distinct-
+    // gram inventory; each epoch unions the batch's own grams
+    // (distinct hash sets — lossless) and re-checks the FIXED
+    // benchmark against the grown corpus with zero old-document
+    // reads. Union ≡ from-scratch, so the oracle is q186's.
+    "q187_incremental_contamination" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val merged = s.read.parquet(contamGramIndex(s, dir, cut))
+        .unionByName(graft.ops.Dedup.spanGramFrame(
+          d.where(col("doc_id") >= cut), k = 13))
+      graft.ops.Dedup.contaminationOf(merged, contamBench(d), k = 13)
+        .orderBy("bench_id")
+    }),
 
     // ---- q23: per-document quality statistics --------------------------
     // Thin binding over the public op ([[graft.ops.Text.stats]]).
@@ -2443,7 +2495,46 @@ object TextPipeline {
         |    AS char_tok_ppm
         |FROM u, tot ORDER BY tokenizer""".stripMargin
 
+  /** q186/q187 shared replay: distinct corpus 13-gram hashes, the
+    * derived benchmark (first 20 docs, odds word-reversed), per-item
+    * hit stats. The incremental form's union of distinct hash sets ≡
+    * this from-scratch inventory, so both queries share it. */
+  private val contamSql: String =
+    """WITH ws AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+      |  FROM documents WHERE text IS NOT NULL
+      |), cg AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(array_to_string(w[i:i+12], ' ')),1,15))::bigint
+      |      % 2147483647 AS h
+      |  FROM ws, unnest(range(1, len(w) - 11)) AS t(i)
+      |  WHERE len(w) >= 13
+      |), be AS (
+      |  SELECT doc_id AS bench_id,
+      |    CASE WHEN doc_id % 2 = 1 THEN list_reverse(w) ELSE w END AS w
+      |  FROM ws WHERE doc_id < 20
+      |), bg AS (
+      |  SELECT bench_id,
+      |    ('0x' || substr(md5(array_to_string(w[i:i+12], ' ')),1,15))::bigint
+      |      % 2147483647 AS h
+      |  FROM be, unnest(range(1, len(w) - 11)) AS t(i)
+      |  WHERE len(w) >= 13
+      |)
+      |SELECT bench_id, count(*)::BIGINT AS n_grams,
+      |  sum(CASE WHEN cg.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_hit,
+      |  ((sum(CASE WHEN cg.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |    * 1000000) // count(*)::BIGINT)::BIGINT AS hit_ppm
+      |FROM bg LEFT JOIN cg ON cg.h = bg.h
+      |GROUP BY bench_id ORDER BY bench_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "q186_contamination" -> contamSql,
+
+    // union of distinct gram-hash inventories == the from-scratch
+    // inventory, so the incremental replay IS q186's
+    "q187_incremental_contamination" -> contamSql,
     "q23_text_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_calc,

@@ -1549,6 +1549,51 @@ class OpsApiSpec extends AnyFunSuite {
       idCol = "page_id", textCol = "body").count() === 0L)
   }
 
+  test("Dedup.contamination: the 13-gram decontamination rule — " +
+      "verbatim items fully hit, novel items zero, inventory merge " +
+      "lossless") {
+    // corpus under non-testdata names; k = 5 so short texts gram
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red blue green yellow purple orange pink black"))
+      .toDF("page_id", "body")
+    val bench = Seq(
+      // verbatim copy of page 1 -> every gram hits
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // overlaps page 2's tail by exactly one 5-gram window
+      (11L, "five six seven eight nine totally novel words here"),
+      // fully novel
+      (12L, "nothing of this text appears in the training corpus"),
+      // shorter than k -> no grams -> omitted
+      (13L, "too short"))
+      .toDF("item_id", "content")
+    val out = Dedup.contamination(corpus, bench, k = 5,
+        idCol = "page_id", textCol = "body",
+        benchIdCol = "item_id", benchTextCol = "content")
+      .orderBy("item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.map(_._1).toSeq === Seq(10L, 11L, 12L))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(10L) === ((10L, 4L, 4L, 1000000L)), s"verbatim: ${m(10L)}")
+    assert(m(11L)._2 === 5L && m(11L)._3 === 1L &&
+      m(11L)._4 === 200000L, s"one-window overlap: ${m(11L)}")
+    assert(m(12L)._3 === 0L && m(12L)._4 === 0L)
+    // crawl-loop form: split-inventory union == from-scratch
+    val inv = Dedup.spanGramFrame(corpus.where(col("page_id") <= 2L),
+        k = 5, idCol = "page_id", textCol = "body")
+      .unionByName(Dedup.spanGramFrame(
+        corpus.where(col("page_id") > 2L), k = 5,
+        idCol = "page_id", textCol = "body"))
+    val inc = Dedup.contaminationOf(inv, bench, k = 5,
+        benchIdCol = "item_id", benchTextCol = "content")
+      .orderBy("item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(inc.toSeq === out.toSeq)
+  }
+
   test("Text.lsaIdf/lsaCellsFrom: lsaCells factors into the frozen-idf " +
       "artifact + cell assembly (the q184 incremental contract)") {
     val docs = Seq(

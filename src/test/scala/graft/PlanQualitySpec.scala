@@ -267,6 +267,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("posexplode"), s"dense rows materialized:\n$p")
   }
 
+  test("q186: contamination broadcasts the benchmark grams — the " +
+      "corpus-side inventory never shuffles for the benchmark") {
+    // the corpus contributes one distinct-gram aggregate; the bench
+    // key set and the hit set ride BROADCAST joins (a SortMergeJoin
+    // here would shuffle the corpus inventory by gram hash per
+    // benchmark run at 100 TB)
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val p = graft.ops.Dedup.contamination(docs, bench, k = 13)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench-gram join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus inventory shuffled for the benchmark:\n$p")
+  }
+
   test("q167: keywords' top-k window is doc-partitioned, never a " +
       "single-partition sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
