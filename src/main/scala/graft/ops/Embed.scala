@@ -135,6 +135,71 @@ object Embed {
     graft.queries.Embeddings.topkPerQuery(scored, k)
   }
 
+  /** Random-hyperplane LSH-bucketed ANN (Charikar, "Similarity
+    * estimation techniques from rounding algorithms", STOC 2002 — the
+    * SimHash family for cosine): each vector's bucket is the `bits`
+    * SIGN BITS of its deterministic JL projections
+    * ([[randomProject]] — the hash-derived ±1 matrix, so no RNG and
+    * no stored artifact; the index is a pure function of the
+    * vector), candidates are corpus vectors whose bucket matches any
+    * of the query's MULTI-PROBE set (the exact bucket plus all
+    * `bits` Hamming-1 flips — the standard recall/cost trade), and
+    * candidates alone get the exact cosine re-rank. Recall is
+    * probe-bounded: audit against [[cosineTopK]] ground truth (the
+    * q70 discipline — q189). y_fp = 0 counts as a set bit on both
+    * engines (one deterministic rule). Output:
+    * (q_id, vec_id, cos, rank ≤ k) — a query whose probe set matches
+    * nothing emits no rows, exactly like an empty IVF probe.
+    *
+    * Scale shape: the corpus contributes one [[randomProject]] pass
+    * (broadcast sign frame, map-side sums) and one hash-join of its
+    * (id, bucket) table against the BROADCAST (bits+1)·|queries|
+    * probe frame; the exact re-rank touches candidates only, through
+    * the bounded mergeable TopK tail. Never all-pairs, and — unlike
+    * [[ivfTopK]] — ZERO training passes: the bucket function is
+    * corpus-independent, so the index survives any append without
+    * drift (the crawl-loop property, free). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      bits: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "vec_id",
+      queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    require(bits >= 1 && bits <= 30, s"need 1 <= bits <= 30 (got $bits)")
+    def bucketOf(src: DataFrame, id: String, vec: String): DataFrame =
+      randomProject(src, bits, id, vec)
+        .groupBy(col(id))
+        .agg(sum(when(col("y_fp") >= 0L,
+          expr("shiftleft(1L, cast(dim - 1 as int))"))
+          .otherwise(lit(0L))).as("bucket"))
+    val cells = normalize(corpus, idCol, vecCol)
+      .join(bucketOf(corpus, idCol, vecCol)
+        .select(col(idCol).cast("long").as("vec_id"), col("bucket")),
+        Seq("vec_id"))
+      .localCheckpoint() // one row per corpus vector; probe-join side
+    val qn = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      .localCheckpoint() // tiny; read by probes and the re-rank
+    val flips = (0 until bits).map(b =>
+      col("bucket").bitwiseXOR(lit(1L << b)))
+    val probes = bucketOf(queries, queryIdCol, queryVecCol)
+      .select(col(queryIdCol).cast("long").as("q_id"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)
+    // a vector lives in exactly ONE bucket and a query's probes are
+    // pairwise distinct, so (q_id, vec_id) candidates are unique —
+    // no dedup pass needed before the re-rank
+    val scored = cells.join(broadcast(probes), Seq("bucket"))
+      .where(joinCond)
+      .join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
+    graft.queries.Embeddings.topkPerQuery(scored, k)
+  }
+
   /** Two-stage int8-candidates / exact-re-rank cosine top-k (the q90
     * shape as a public op): stage 1 searches ONLY the symmetric-int8
     * quantized corpus (8× smaller than the doubles, the codegen'd

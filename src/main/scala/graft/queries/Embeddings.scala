@@ -591,6 +591,46 @@ object Embeddings {
     // per query); the recall denominator is the fixed k, so a query
     // whose probed cells miss everything still reports (as 0), via the
     // left join against the exact side's query set.
+    // ---- q188: LSH-bucketed ANN (random hyperplanes, multi-probe) ------
+    // [[graft.ops.Embed.lshTopK]]: 8 sign bits of the deterministic
+    // JL projections as the bucket, exact bucket + Hamming-1 probes,
+    // exact cosine re-rank. The training-free member of the ANN
+    // family (vs IVF/PQ): the bucket function is corpus-independent,
+    // so appends never drift the index.
+    "q188_lsh_ann" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      graft.ops.Embed.lshTopK(emb, emb.where(col("vec_id") < 5),
+          k = 10, bits = 8, excludeSelf = true)
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- q189: LSH recall audit vs exact ground truth ------------------
+    // The q70 discipline on the LSH member: recall@5 of q188 against
+    // the q30 exact ranking, per query. On the near-isotropic
+    // synthetic embeddings it honestly reports MODEST recall
+    // (0.0–0.6 at sf0.01): a single 8-bit table at probe radius 1 is
+    // the cheap training-free rung, and random-hyperplane buckets
+    // only concentrate genuinely clustered corpora — the audit IS the
+    // knob that tells a deployment to widen probes, add tables, or
+    // step up to IVF/PQ (the q70/q121/q124-audited members).
+    "q189_lsh_recall" -> ((s, dir) => {
+      val exact = defs("q30_cosine_topk")(s, dir)
+        .where(col("rank") <= 5)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint() // ≤ 5 rows per query; read by hits AND qids
+      val approx = defs("q188_lsh_ann")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("q_id")).distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
+            .as("recall"))
+        .orderBy("q_id")
+    }),
+
     "q70_ann_recall" -> ((s, dir) => {
       val exact = defs("q30_cosine_topk")(s, dir)
         .where(col("rank") <= 5)
@@ -1678,6 +1718,54 @@ object Embeddings {
          |SELECT q_id, vec_id, cos, rank FROM ranked
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** q188's replay: the q168 sign-matrix/projection SQL → 8-bit sign
+    * buckets (y = 0 counts as a set bit, the engine's rule) →
+    * multi-probe candidates (exact bucket + Hamming-1 flips via xor)
+    * → exact cosine re-rank, the q30 ranking tail. */
+  private lazy val lshSql: String =
+    baseCte +
+      s""", x AS (
+        |  SELECT vec_id, t.i::bigint AS d,
+        |    floor(embedding[t.i]::double * 16777216.0)::bigint AS xfp
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |), sg AS (
+        |  SELECT r.j::bigint AS j, dd.d,
+        |    (1 - 2 * ((('0x' || substr(md5(r.j::varchar || ':' ||
+        |      dd.d::varchar), 1, 15))::bigint) % 2))::bigint AS sgn
+        |  FROM range(1, 9) r(j), (SELECT DISTINCT d FROM x) dd
+        |), yp AS (
+        |  SELECT x.vec_id, sg.j, sum(sg.sgn * x.xfp)::bigint AS y
+        |  FROM x JOIN sg USING (d) GROUP BY 1, 2
+        |), bk AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN y >= 0 THEN (1::BIGINT << (j - 1)::INT)
+        |      ELSE 0 END)::BIGINT AS bucket
+        |  FROM yp GROUP BY 1
+        |), qb AS (
+        |  SELECT vec_id AS q_id, bucket FROM bk WHERE vec_id < 5
+        |), pr AS (
+        |  SELECT q_id, bucket FROM qb
+        |  UNION ALL
+        |  SELECT q_id, xor(bucket, (1::BIGINT << r.b::INT)) AS bucket
+        |  FROM qb, range(0, 8) AS r(b)
+        |), cand AS (
+        |  SELECT pr.q_id, bk.vec_id
+        |  FROM bk JOIN pr USING (bucket)
+        |  WHERE bk.vec_id <> pr.q_id
+        |), scored AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    ${duckCos("eq.v", "eq.nrm", "ec.v", "ec.nrm")} AS cos
+        |  FROM cand c JOIN e ec ON ec.vec_id = c.vec_id
+        |  JOIN e eq ON eq.vec_id = c.q_id
+        |), ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** Score with the same op order as [[kmScore]]. */
   private def kmScoreSql(v: String, cv: String, cn: String): String =
     s"(${duckDot(v, cv)} - (0.5 * ($cn * $cn)))"
@@ -1856,6 +1944,23 @@ object Embeddings {
   val oracles: Map[String, String] = Map(
     "q30_cosine_topk" -> cosineTopkSql,
 
+    "q188_lsh_ann" -> lshSql,
+
+    // the q70 audit shape: recall@5 of the LSH member vs exact
+    "q189_lsh_recall" ->
+      (s"""WITH exact AS ($cosineTopkSql), lsh AS ($lshSql),
+         |hits AS (
+         |  SELECT e5.q_id, count(*)::BIGINT AS n_hit
+         |  FROM (SELECT q_id, vec_id FROM exact WHERE rank <= 5) e5
+         |  JOIN lsh USING (q_id, vec_id)
+         |  GROUP BY 1
+         |)
+         |SELECT q.q_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  (coalesce(h.n_hit, 0)::DOUBLE / 5.0) AS recall
+         |FROM (SELECT DISTINCT q_id FROM exact) q
+         |LEFT JOIN hits h ON h.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin),
+
     "q80_kmeans" ->
       (baseCte + kmCtes + "\n" + kmFinalSql + " ORDER BY vec_id"),
 
@@ -1965,7 +2070,7 @@ object Embeddings {
            |SELECT q_id, coalesce(n_hit, 0)::bigint AS n_hit,
            |  coalesce(n_hit, 0)::double / 5 AS recall, max_abs_err
            |FROM qids LEFT JOIN hits USING (q_id) LEFT JOIN errs USING (q_id)
-           |ORDER BY q_id""".stripMargin),
+           |ORDER BY q.q_id""".stripMargin),
 
     // Stage 1 is q82's quantized search widened to C candidates; stage 2
     // re-ranks the candidate set by exact cosine.

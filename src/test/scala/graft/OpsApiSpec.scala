@@ -1549,6 +1549,46 @@ class OpsApiSpec extends AnyFunSuite {
       idCol = "page_id", textCol = "body").count() === 0L)
   }
 
+  test("Embed.lshTopK: training-free sign-bucket ANN — clustered " +
+      "corpora concentrate, exact re-rank, partition-invariant") {
+    // two tight antipodal clusters: every vector's projection signs
+    // match its cluster-mates', so same-cluster vectors share the
+    // bucket and the exact re-rank returns them first
+    val base = Seq.tabulate(8)(i => (i.toLong,
+      Seq(10.0 + i * 0.1, 5.0 - i * 0.05, 2.0 + i * 0.01)))
+    val anti = Seq.tabulate(8)(i => (100L + i,
+      Seq(-10.0 - i * 0.1, -5.0 + i * 0.05, -2.0 - i * 0.01)))
+    val emb = (base ++ anti).toDF("eid", "vec")
+    val out = Embed.lshTopK(emb, emb.where(col("eid").isin(0L, 100L)),
+        k = 5, bits = 6, idCol = "eid", vecCol = "vec",
+        queryIdCol = "eid", queryVecCol = "vec", excludeSelf = true)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    // each query finds its OWN cluster's members, never the antipode
+    val per = out.groupBy(_._1)
+    assert(per(0L).forall(_._2 < 100L), s"cluster purity: ${per(0L).toSeq}")
+    assert(per(100L).forall(_._2 >= 100L),
+      s"cluster purity: ${per(100L).toSeq}")
+    assert(per(0L).length === 5 && per(100L).length === 5)
+    // exact re-rank: cosines descend, ranks are 1..k
+    per.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to 5))
+      assert(sorted.map(_._3).toSeq ===
+        sorted.map(_._3).sortBy(-(_: Double)).toSeq)
+    }
+    // bit-equal under any partitioning
+    val out7 = Embed.lshTopK(emb.repartition(7),
+        emb.where(col("eid").isin(0L, 100L)), k = 5, bits = 6,
+        idCol = "eid", vecCol = "vec", queryIdCol = "eid",
+        queryVecCol = "vec", excludeSelf = true)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(out7.toSeq === out.toSeq)
+  }
+
   test("Dedup.contamination: the 13-gram decontamination rule — " +
       "verbatim items fully hit, novel items zero, inventory merge " +
       "lossless") {

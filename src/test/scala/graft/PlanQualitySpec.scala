@@ -267,6 +267,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("posexplode"), s"dense rows materialized:\n$p")
   }
 
+  test("q188: LSH ANN joins the corpus bucket table against the " +
+      "BROADCAST probe frame — never all-pairs, never a corpus " +
+      "shuffle by bucket") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Embed.lshTopK(emb, emb.where(col("vec_id") < 5),
+        k = 10, bits = 8, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the probes:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+  }
+
   test("q186: contamination broadcasts the benchmark grams — the " +
       "corpus-side inventory never shuffles for the benchmark") {
     // the corpus contributes one distinct-gram aggregate; the bench
