@@ -2070,7 +2070,7 @@ object Embeddings {
            |SELECT q_id, coalesce(n_hit, 0)::bigint AS n_hit,
            |  coalesce(n_hit, 0)::double / 5 AS recall, max_abs_err
            |FROM qids LEFT JOIN hits USING (q_id) LEFT JOIN errs USING (q_id)
-           |ORDER BY q.q_id""".stripMargin),
+           |ORDER BY q_id""".stripMargin),
 
     // Stage 1 is q82's quantized search widened to C candidates; stage 2
     // re-ranks the candidate set by exact cosine.
