@@ -39,6 +39,24 @@ object ScaleProbe {
       case "bm25" =>
         ("bm25", () => graft.ops.Retrieval.bm25(docs,
           docs.where(col("doc_id") < 20), k = 10, excludeSelf = true))
+      case "contam" =>
+        ("contam", () => {
+          val w = org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(col("text")), "\\s+")
+          val bench = docs.where(col("doc_id") < 20 &&
+            col("text").isNotNull)
+            .select(col("doc_id").as("bench_id"),
+              when(col("doc_id") % 2 === 1,
+                concat_ws(" ", reverse(w)))
+                .otherwise(col("text")).as("text"))
+          graft.ops.Dedup.contamination(docs, bench, k = 13)
+        })
+      case "lsh" =>
+        ("lsh", () => {
+          val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          graft.ops.Embed.lshTopK(emb, emb.where(col("vec_id") < 20),
+            k = 10, bits = 8, excludeSelf = true)
+        })
       case s if s.startsWith("wordvec:") =>
         val topV = s.stripPrefix("wordvec:").toInt
         (s, () => {
