@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, Hash60Expr, ImageMetaExpr, MaxAbsExpr, QuantizeExpr, ShinglesExpr, UnaccentExpr}
+import graft.functions.{AudioMetaExpr, DotProductExpr, Hash60Expr, ImageMetaExpr, MaxAbsExpr, QuantizeExpr, ShinglesExpr, UnaccentExpr}
 
 /** SparkSessionExtensions entry point — registers graft's native Catalyst
   * expressions as SQL functions. Two deployment paths:
@@ -66,6 +66,14 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_image_meta expects 1 argument, got ${children.length}")
         ImageMetaExpr(children.head)
+      }),
+    (FunctionIdentifier("graft_audio_meta"),
+      new ExpressionInfo(classOf[AudioMetaExpr].getName,
+        "graft_audio_meta"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_audio_meta expects 1 argument, got ${children.length}")
+        AudioMetaExpr(children.head)
       }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),

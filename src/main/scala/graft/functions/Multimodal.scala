@@ -78,6 +78,17 @@ object Multimodal {
     org.apache.spark.sql.GraftArrowBridge.column(ImageMetaExpr(
       org.apache.spark.sql.GraftArrowBridge.expression(payload)))
 
+  /** REAL audio-container metadata from the payload's chunk list —
+    * `(format, channels, sample_rate, bit_depth, n_samples)` via the
+    * native codegen [[AudioMetaExpr]] (RIFF/WAVE bounded chunk walk:
+    * `fmt ` carries the stream parameters, `data`'s declared size
+    * divides into the sample count). The audio leg of the
+    * [[imageMeta]] discipline — same never-throw degrade-to-unknown
+    * contract, same headers-only scan-riding cost. */
+  def audioMeta(payload: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(AudioMetaExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(payload)))
+
   /** Codec-free content fingerprint: a deterministic 4-dim feature
     * vector from the payload bytes (three independent md5-derived
     * 32-bit hashes + the byte length) — the columnar feature for

@@ -28,6 +28,50 @@ object Media {
     unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
   }
 
+  /** Little-endian 4-byte binary of a nonnegative long column. */
+  private def le32(c: Column): Column = {
+    val hx = lpad(hex(c), 8, "0")
+    unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2)))
+  }
+
+  /** Synthetic but VALID WAV/RIFF payloads from `documents` — real
+    * canonical chunk layout (RIFF size, `fmt ` 16-byte PCM block with
+    * consistent byte-rate/block-align, `data` with its declared byte
+    * count actually present as zero samples), stream parameters a pure
+    * formula of doc_id, deterministic byte-for-byte so the DuckDB
+    * oracle constructs the same payloads and re-parses them
+    * independently from hex. Every 11th doc (id % 11 == 3) ships a
+    * TRUNCATED header instead — the malformed row the parser must
+    * degrade to 'unknown', cross-checked on both engines.
+    * (media_id, payload). */
+  private[graft] def syntheticAudio(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val ch = (id % 2 + 1).cast("long")              // 1..2 channels
+    val rate = (lit(8000L) + (id % 5) * 1000L)      // 8..12 kHz
+    val bits = when(id % 3 === 0, 8L).otherwise(16L)
+    val nsamp = (id % 40 + 50).cast("long")         // 50..89 samples
+    val stride = ch * (bits / 8L)
+    val dataSize = nsamp * stride
+    val wav = concat(
+      encode(lit("RIFF"), "UTF-8"), le32(dataSize + 36L),
+      encode(lit("WAVE"), "UTF-8"),
+      encode(lit("fmt "), "UTF-8"), le32(lit(16L)),
+      le16(lit(1L)),                                // PCM
+      le16(ch), le32(rate),
+      le32(rate * stride),                          // byte rate
+      le16(stride),                                 // block align
+      le16(bits),
+      encode(lit("data"), "UTF-8"), le32(dataSize),
+      unhex(expr("repeat('00', cast(" +
+        "(doc_id % 40 + 50) * (doc_id % 2 + 1) * " +
+        "(case when doc_id % 3 = 0 then 1 else 2 end) as int))")))
+    documents
+      .select(id.as("media_id"),
+        when(id % 11 === 3, substring(wav, 1, 10)).otherwise(wav)
+          .as("payload"))
+  }
+
   /** Synthetic image-container payloads from `documents` — REAL format
     * headers (PNG signature+IHDR, GIF87a/89a logical screen descriptor,
     * JPEG SOI→APP0→COM→SOF0 segment list with a doc-varying COM length
@@ -146,6 +190,28 @@ object Media {
       decodePixels(media).orderBy("media_id")
     }),
 
+    // ---- q190: REAL audio-container metadata parse ----------------------
+    // The audio leg of q175's discipline: [[syntheticAudio]] builds
+    // VALID canonical WAV payloads (stream parameters a formula of
+    // doc_id; every 11th doc truncated), the engine parses them with
+    // the native codegen [[graft.functions.AudioMetaExpr]] chunk walk
+    // (SQL: graft_audio_meta), and the oracle re-parses the identical
+    // bytes independently from hex at the RIFF offsets. Malformed rows
+    // degrade to 'unknown', never throw — cross-checked on both
+    // engines.
+    "q190_audio_meta" -> ((s, dir) => {
+      val am = graft.functions.Multimodal.audioMeta(col("payload"))
+      syntheticAudio(Graft.parquetSource(s, dir).table("documents"))
+        .select(col("media_id"), am.as("m"))
+        .select(col("media_id"),
+          col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.bit_depth").as("bit_depth"),
+          col("m.n_samples").as("n_samples"))
+        .orderBy("media_id")
+    }),
+
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
       val frames = sampleFrames(col("payload"), 16, 4)
@@ -182,6 +248,76 @@ object Media {
     // fixed-offset; JPEG is a recursive-CTE marker walk whose step adds
     // 2 + the declared big-endian segment length until a SOF marker
     // (C0-CF minus C4/C8/CC) is reached.
+    // the q175 hx discipline on the audio side: construct the SAME
+    // canonical WAV hex (parameters re-derived from doc_id), then
+    // re-parse it independently at the RIFF byte offsets — marker
+    // checks, little-endian field assembly, stride division; truncated
+    // rows fail the marker/length gate and report 'unknown'
+    "q190_audio_meta" -> {
+      def le16h(e: String) =
+        s"substr(lpad(hex($e),4,'0'),3,2) || substr(lpad(hex($e),4,'0'),1,2)"
+      def le32h(e: String) =
+        s"substr(lpad(hex($e),8,'0'),7,2) || substr(lpad(hex($e),8,'0'),5,2)" +
+          s" || substr(lpad(hex($e),8,'0'),3,2) || substr(lpad(hex($e),8,'0'),1,2)"
+      def leInt(positions: Seq[Int]) =
+        positions.zipWithIndex.map { case (p, i) =>
+          s"('0x' || substr(h, $p, 2))::BIGINT * ${1L << (8 * i)}"
+        }.mkString(" + ")
+      s"""WITH p AS (
+        |  SELECT doc_id, (doc_id % 2 + 1)::BIGINT AS ch,
+        |    (8000 + (doc_id % 5) * 1000)::BIGINT AS rate,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)::BIGINT AS bits,
+        |    (doc_id % 40 + 50)::BIGINT AS ns
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, ch, rate, bits, ns,
+        |    ch * (bits // 8) AS stride,
+        |    ns * ch * (bits // 8) AS ds
+        |  FROM p
+        |), hx AS MATERIALIZED (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN substr(full_h, 1, 20)
+        |         ELSE full_h END AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      '52494646' || ${le32h("ds + 36")} || '57415645' ||
+        |      '666D7420' || '10000000' || '0100' ||
+        |      ${le16h("ch")} || ${le32h("rate")} ||
+        |      ${le32h("rate * stride")} || ${le16h("stride")} ||
+        |      ${le16h("bits")} || '64617461' || ${le32h("ds")} ||
+        |      repeat('00', ds::INT) AS full_h
+        |    FROM q
+        |  )
+        |), par AS (
+        |  SELECT media_id, h,
+        |    CASE WHEN length(h) >= 88 THEN
+        |      (substr(h, 1, 8) = '52494646' AND
+        |       substr(h, 17, 8) = '57415645' AND
+        |       substr(h, 25, 8) = '666D7420' AND
+        |       substr(h, 73, 8) = '64617461' AND
+        |       (${leInt(Seq(41, 43))}) = 1)
+        |    ELSE false END AS ok
+        |  FROM hx
+        |), f AS (
+        |  SELECT media_id, ok,
+        |    CASE WHEN ok THEN (${leInt(Seq(45, 47))}) END AS ch2,
+        |    CASE WHEN ok THEN (${leInt(Seq(49, 51, 53, 55))}) END AS rate2,
+        |    CASE WHEN ok THEN (${leInt(Seq(69, 71))}) END AS bits2,
+        |    CASE WHEN ok THEN (${leInt(Seq(81, 83, 85, 87))}) END AS ds2
+        |  FROM par
+        |)
+        |SELECT media_id,
+        |  CASE WHEN ok AND ch2 * (bits2 // 8) > 0 THEN 'wav_pcm'
+        |       ELSE 'unknown' END AS format,
+        |  CASE WHEN ok THEN ch2::INT ELSE NULL END AS channels,
+        |  CASE WHEN ok THEN rate2::INT ELSE NULL END AS sample_rate,
+        |  CASE WHEN ok THEN bits2::INT ELSE NULL END AS bit_depth,
+        |  CASE WHEN ok AND ch2 * (bits2 // 8) > 0
+        |       THEN (ds2 // (ch2 * (bits2 // 8)))::BIGINT
+        |       ELSE NULL END AS n_samples
+        |FROM f ORDER BY media_id""".stripMargin
+    },
+
     "q175_image_meta" ->
       """WITH img AS (
         |  SELECT doc_id AS media_id,

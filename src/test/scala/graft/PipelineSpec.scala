@@ -296,6 +296,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("audio metadata: the RIFF chunk walk parses real layouts; " +
+      "malformed payloads degrade to unknown, never throw") {
+    import graft.functions.AudioMetaExpr.parse
+    def tup(b: Array[Byte]) = {
+      val r = parse(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))
+    }
+    def le16(x: Int) = Array((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte)
+    def le32(x: Int) = Array((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte,
+      ((x >> 16) & 0xFF).toByte, ((x >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def fmtBody(code: Int, ch: Int, rate: Int, bits: Int) =
+      le16(code) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    def wav(chunks: Array[Byte]*) = {
+      val body = "WAVE".getBytes("ASCII") ++ chunks.flatten
+      "RIFF".getBytes("ASCII") ++ le32(body.length) ++ body
+    }
+    // canonical PCM: stereo 44.1 kHz 16-bit, 100 samples
+    val pcm = wav(chunk("fmt ", fmtBody(1, 2, 44100, 16)),
+      chunk("data", new Array[Byte](400)))
+    assert(tup(pcm) === (("wav_pcm", 2, 44100, 16, 100L)))
+    // NON-canonical layout the oracle's fixed offsets never see: a
+    // LIST metadata chunk with an ODD size (exercising the even-pad
+    // rule) BEFORE fmt, and data AFTER a fact chunk — the walk must
+    // find both regardless of position
+    val listed = wav(
+      chunk("LIST", Array.fill(7)(0x41.toByte)), // odd → padded
+      chunk("fmt ", fmtBody(3, 1, 8000, 32)),    // IEEE float mono
+      chunk("fact", le32(25)),
+      chunk("data", new Array[Byte](100)))
+    assert(tup(listed) === (("wav_float", 1, 8000, 32, 25L)))
+    // headers-only contract: data's DECLARED size counts even when
+    // the audio bytes are absent (a truncated blob past the header)
+    val headerOnly = wav(chunk("fmt ", fmtBody(1, 1, 8000, 8))) ++
+      "data".getBytes("ASCII") ++ le32(12345)
+    assert(tup(headerOnly) === (("wav_pcm", 1, 8000, 8, 12345L)))
+    // degradation: truncation, alien bytes, zero stride, unknown codec
+    assert(tup(pcm.take(10))._1 === "unknown")
+    assert(tup("plain text not audio".getBytes)._1 === "unknown")
+    assert(tup(Array.empty[Byte])._1 === "unknown")
+    assert(tup(wav(chunk("fmt ", fmtBody(1, 0, 8000, 16)),
+      chunk("data", new Array[Byte](4))))._1 === "unknown") // 0 channels
+    assert(tup(wav(chunk("fmt ", fmtBody(85, 2, 44100, 16)),
+      chunk("data", new Array[Byte](4))))._1 === "unknown") // MP3-in-WAV
+    // SQL surface + null contract
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq(pcm).toDF("b")
+      .selectExpr("graft_audio_meta(b) AS m")
+      .selectExpr("m.format", "m.channels", "m.sample_rate",
+        "m.bit_depth", "m.n_samples").collect().head
+    assert((viaSql.getString(0), viaSql.getInt(1), viaSql.getInt(2),
+      viaSql.getInt(3), viaSql.getLong(4)) ===
+      (("wav_pcm", 2, 44100, 16, 100L)))
+    val nullRow = Seq(Option.empty[Array[Byte]]).toDF("b")
+      .selectExpr("graft_audio_meta(b) AS m").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("topk aggregator: bounded, ordered, merge-associative") {
     import graft.functions.TopK._
     val agg = new TopKAgg(3)

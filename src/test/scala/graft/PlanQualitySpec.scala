@@ -195,6 +195,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q190: audio-metadata parse rides the scan — no exchange, " +
+      "codegen'd (AudioMetaExpr included)") {
+    // the q175 contract on the audio leg: construct+parse is a pure
+    // map-side projection inside whole-stage codegen
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val au = graft.queries.Media.syntheticAudio(docs)
+    val m = graft.functions.Multimodal.audioMeta(
+      org.apache.spark.sql.functions.col("payload"))
+    val p = au.select(m.getField("format"), m.getField("sample_rate"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"audio meta moves data:\n$p")
+    assert(p.contains("*(1) Project"), s"audio meta fell out of codegen:\n$p")
+    assert(p.contains("FileScan parquet"))
+  }
+
   test("q179: real pixel decode is exchange-free — scan → project → " +
       "mapPartitions, payload bytes never shuffle") {
     // decode cost must be pure per-blob CPU that scales with executor
