@@ -89,6 +89,19 @@ object Multimodal {
     org.apache.spark.sql.GraftArrowBridge.column(AudioMetaExpr(
       org.apache.spark.sql.GraftArrowBridge.expression(payload)))
 
+  /** REAL video-container metadata from the payload's box tree —
+    * `(format, brand, width, height, timescale, duration, n_tracks)`
+    * via the native codegen [[VideoMetaExpr]] (MP4/ISO-BMFF bounded
+    * box walk: `ftyp` brand, `moov/mvhd` movie timescale + duration,
+    * first video `trak/tkhd` 16.16 fixed-point dimensions; `mdat` is
+    * skipped by declared size, never read). The video leg of the
+    * [[imageMeta]]/[[audioMeta]] triad — same never-throw
+    * degrade-to-unknown contract, same headers-only scan-riding
+    * cost. */
+  def videoMeta(payload: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(VideoMetaExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(payload)))
+
   /** Codec-free content fingerprint: a deterministic 4-dim feature
     * vector from the payload bytes (three independent md5-derived
     * 32-bit hashes + the byte length) — the columnar feature for

@@ -72,6 +72,66 @@ object Media {
           .as("payload"))
   }
 
+  /** Unity transformation matrix of an ISO-BMFF movie/track header —
+    * 36 bytes, 16.16/2.30 fixed point (ISO/IEC 14496-12 §6.2.2). */
+  private val UnityMatrixHex: String =
+    "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000"
+
+  /** Synthetic but VALID MP4/ISO-BMFF payloads from `documents` — real
+    * canonical box layout (`ftyp` with a doc-varying major brand, then
+    * `moov` = `mvhd` v0 (movie timescale + duration, unity matrix) +
+    * one `trak` holding a `tkhd` v0 with 16.16 fixed-point
+    * dimensions), stream parameters a pure formula of doc_id,
+    * deterministic byte-for-byte so the DuckDB oracle constructs the
+    * same payloads and re-parses them independently from hex at the
+    * box offsets. Every 11th doc (id % 11 == 7) ships a TRUNCATED
+    * header instead — the malformed row the parser must degrade to
+    * 'unknown', cross-checked on both engines. (media_id, payload). */
+  private[graft] def syntheticVideo(documents: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val ts = lit(600L) + (id % 5) * 100L              // 600..1000 ticks/s
+    val dur = (id % 86400 + 600).cast("long")         // ticks
+    val w = (id % 1920 + 1).cast("long")
+    val h = (id % 1080 + 1).cast("long")
+    val brand = when(id % 2 === 0, "isom").otherwise(lit("mp42"))
+    val ftyp = concat(
+      be(lit(16L), 4), encode(lit("ftyp"), "UTF-8"),
+      encode(brand, "UTF-8"), be(lit(0x200L), 4))     // minor version
+    val mvhd = concat(
+      be(lit(108L), 4), encode(lit("mvhd"), "UTF-8"),
+      be(lit(0L), 4),                                 // version 0 + flags
+      be(lit(0L), 4), be(lit(0L), 4),                 // creation, modification
+      be(ts, 4), be(dur, 4),
+      be(lit(0x00010000L), 4),                        // rate 1.0
+      be(lit(0x0100L), 2),                            // volume 1.0
+      be(lit(0L), 2), be(lit(0L), 8),                 // reserved
+      unhex(lit(UnityMatrixHex)),
+      unhex(lit("00" * 24)),                          // pre_defined
+      be(lit(2L), 4))                                 // next_track_ID
+    val tkhd = concat(
+      be(lit(92L), 4), encode(lit("tkhd"), "UTF-8"),
+      be(lit(7L), 4),                                 // v0 + enabled flags
+      be(lit(0L), 4), be(lit(0L), 4),                 // creation, modification
+      be(lit(1L), 4),                                 // track_ID
+      be(lit(0L), 4),                                 // reserved
+      be(dur, 4),
+      be(lit(0L), 8),                                 // reserved
+      be(lit(0L), 2), be(lit(0L), 2),                 // layer, alternate_group
+      be(lit(0L), 2), be(lit(0L), 2),                 // volume, reserved
+      unhex(lit(UnityMatrixHex)),
+      be(w * 65536L, 4), be(h * 65536L, 4))           // 16.16 fixed
+    val moov = concat(
+      be(lit(216L), 4), encode(lit("moov"), "UTF-8"), mvhd,
+      be(lit(100L), 4), encode(lit("trak"), "UTF-8"), tkhd)
+    val mp4 = concat(ftyp, moov)
+    documents
+      .select(id.as("media_id"),
+        when(id % 11 === 7, substring(mp4, 1, 12)).otherwise(mp4)
+          .as("payload"))
+  }
+
   /** Synthetic image-container payloads from `documents` — REAL format
     * headers (PNG signature+IHDR, GIF87a/89a logical screen descriptor,
     * JPEG SOI→APP0→COM→SOF0 segment list with a doc-varying COM length
@@ -212,6 +272,36 @@ object Media {
         .orderBy("media_id")
     }),
 
+    // ---- q191: REAL video-container metadata parse ----------------------
+    // The video leg completing the q175/q190 metadata triad:
+    // [[syntheticVideo]] builds VALID canonical MP4 payloads (box
+    // parameters a formula of doc_id; every 11th doc truncated), the
+    // engine parses them with the native codegen
+    // [[graft.functions.VideoMetaExpr]] box walk (SQL:
+    // graft_video_meta), and the oracle re-parses the identical bytes
+    // independently from hex at the ISO-BMFF box offsets. duration_ms
+    // is the derived playback length (ticks x 1000 / timescale,
+    // integer division on both engines). Malformed rows degrade to
+    // 'unknown', never throw.
+    "q191_video_meta" -> ((s, dir) => {
+      val vm = graft.functions.Multimodal.videoMeta(col("payload"))
+      syntheticVideo(Graft.parquetSource(s, dir).table("documents"))
+        .select(col("media_id"), vm.as("m"),
+          payloadBytes(col("payload")).as("n_bytes"))
+        .select(col("media_id"),
+          col("m.format").as("format"),
+          col("m.brand").as("brand"),
+          col("m.width").as("width"),
+          col("m.height").as("height"),
+          col("m.timescale").as("timescale"),
+          col("m.duration").as("duration"),
+          // exact integer floor division (SQL div), never a double
+          expr("(m.duration * 1000L) div m.timescale").as("duration_ms"),
+          col("m.n_tracks").as("n_tracks"),
+          col("n_bytes"))
+        .orderBy("media_id")
+    }),
+
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
       val frames = sampleFrames(col("payload"), 16, 4)
@@ -317,6 +407,75 @@ object Media {
         |       ELSE NULL END AS n_samples
         |FROM f ORDER BY media_id""".stripMargin
     },
+
+    // the q190 hx discipline on the video side: construct the SAME
+    // canonical MP4 hex (box parameters re-derived from doc_id), then
+    // re-parse it independently at the ISO-BMFF byte offsets — box-type
+    // marker checks, big-endian field assembly, 16.16 integer parts;
+    // truncated rows fail the marker/length gate and report 'unknown'
+    "q191_video_meta" ->
+      s"""WITH p AS (
+        |  SELECT doc_id,
+        |    (600 + (doc_id % 5) * 100)::BIGINT AS ts,
+        |    (doc_id % 86400 + 600)::BIGINT AS dur,
+        |    (doc_id % 1920 + 1)::BIGINT AS w,
+        |    (doc_id % 1080 + 1)::BIGINT AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN '69736F6D'
+        |         ELSE '6D703432' END AS brand_hex
+        |  FROM documents
+        |), hx AS MATERIALIZED (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 11 = 7 THEN substr(full_h, 1, 24)
+        |         ELSE full_h END AS h
+        |  FROM (
+        |    SELECT doc_id,
+        |      '00000010' || '66747970' || brand_hex || '00000200' ||
+        |      '000000D8' || '6D6F6F76' ||
+        |      '0000006C' || '6D766864' || '00000000' ||
+        |      '00000000' || '00000000' ||
+        |      lpad(hex(ts), 8, '0') || lpad(hex(dur), 8, '0') ||
+        |      '00010000' || '01000000' || '0000000000000000' ||
+        |      '$UnityMatrixHex' || repeat('00', 24) || '00000002' ||
+        |      '00000064' || '7472616B' ||
+        |      '0000005C' || '746B6864' || '00000007' ||
+        |      '00000000' || '00000000' || '00000001' || '00000000' ||
+        |      lpad(hex(dur), 8, '0') || '0000000000000000' ||
+        |      '00000000' || '00000000' ||
+        |      '$UnityMatrixHex' ||
+        |      lpad(hex(w * 65536), 8, '0') ||
+        |      lpad(hex(h * 65536), 8, '0') AS full_h
+        |    FROM p
+        |  )
+        |), par AS (
+        |  SELECT media_id, h,
+        |    (length(h) >= 464 AND
+        |     substr(h, 9, 8) = '66747970' AND
+        |     substr(h, 41, 8) = '6D6F6F76' AND
+        |     substr(h, 57, 8) = '6D766864' AND
+        |     substr(h, 273, 8) = '7472616B' AND
+        |     substr(h, 289, 8) = '746B6864') AS ok
+        |  FROM hx
+        |), f AS (
+        |  SELECT media_id, ok, h,
+        |    CASE WHEN ok THEN decode(unhex(substr(h, 17, 8))) END AS brand2,
+        |    CASE WHEN ok THEN ('0x' || substr(h, 89, 8))::BIGINT END AS ts2,
+        |    CASE WHEN ok THEN ('0x' || substr(h, 97, 8))::BIGINT END AS dur2,
+        |    CASE WHEN ok THEN ('0x' || substr(h, 449, 4))::BIGINT END AS w2,
+        |    CASE WHEN ok THEN ('0x' || substr(h, 457, 4))::BIGINT END AS h2
+        |  FROM par
+        |)
+        |SELECT media_id,
+        |  CASE WHEN ok AND ts2 > 0 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN ok THEN brand2 END AS brand,
+        |  CASE WHEN ok AND w2 > 0 THEN w2::INT END AS width,
+        |  CASE WHEN ok AND w2 > 0 THEN h2::INT END AS height,
+        |  CASE WHEN ok AND ts2 > 0 THEN ts2 END AS timescale,
+        |  CASE WHEN ok AND ts2 > 0 THEN dur2 END AS duration,
+        |  CASE WHEN ok AND ts2 > 0 THEN dur2 * 1000 // ts2 END
+        |    AS duration_ms,
+        |  CASE WHEN ok THEN 1::INT END AS n_tracks,
+        |  (length(h) // 2)::INT AS n_bytes
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "q175_image_meta" ->
       """WITH img AS (

@@ -362,6 +362,94 @@ class PipelineSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("video metadata: the ISO-BMFF box walk parses real layouts; " +
+      "malformed payloads degrade to unknown, never throw") {
+    import graft.functions.VideoMetaExpr.parse
+    def tup(b: Array[Byte]) = {
+      val r = parse(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) "" else r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1 else r.getInt(6))
+    }
+    def be16(x: Int) = Array(((x >> 8) & 0xFF).toByte, (x & 0xFF).toByte)
+    def be32(x: Long) = Array(((x >> 24) & 0xFF).toByte,
+      ((x >> 16) & 0xFF).toByte, ((x >> 8) & 0xFF).toByte,
+      (x & 0xFF).toByte)
+    def be64(x: Long) = be32(x >>> 32) ++ be32(x & 0xFFFFFFFFL)
+    def box(tp: String, body: Array[Byte]) =
+      be32(body.length + 8L) ++ tp.getBytes("ASCII") ++ body
+    val matrix = new Array[Byte](36)
+    def ftyp(brand: String) =
+      box("ftyp", brand.getBytes("ASCII") ++ be32(0x200))
+    def mvhd0(ts: Long, dur: Long) = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+        be32(0x00010000L) ++ be16(0x100) ++ be16(0) ++ new Array[Byte](8) ++
+        matrix ++ new Array[Byte](24) ++ be32(2))
+    def mvhd1(ts: Long, dur: Long) = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(ts) ++
+        be64(dur) ++ be32(0x00010000L) ++ be16(0x100) ++ be16(0) ++
+        new Array[Byte](8) ++ matrix ++ new Array[Byte](24) ++ be32(2))
+    def tkhd0(w: Int, h: Int) = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(500) ++
+        new Array[Byte](8) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0) ++
+        matrix ++ be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    def tkhd1(w: Int, h: Int) = box("tkhd",
+      Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++ be32(1) ++
+        be32(0) ++ be64(500) ++ new Array[Byte](8) ++ be16(0) ++ be16(0) ++
+        be16(0) ++ be16(0) ++ matrix ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    def trak(tkhd: Array[Byte]) = box("trak", tkhd)
+    // canonical: ftyp + moov(mvhd v0 + one video trak)
+    val canon = ftyp("isom") ++
+      box("moov", mvhd0(600, 1200) ++ trak(tkhd0(640, 480)))
+    assert(tup(canon) === (("mp4", "isom", 640, 480, 600L, 1200L, 1)))
+    // NON-canonical layouts the oracle's fixed offsets never see:
+    // a free box before moov, an AUDIO trak (zero width) FIRST, the
+    // video trak second, mvhd v1 with a 64-bit duration, and an mdat
+    // whose declared size runs past the blob (headers-only contract)
+    val fancy = ftyp("mp42") ++ box("free", new Array[Byte](5)) ++
+      box("moov", mvhd1(1000, 5000000000L) ++
+        trak(tkhd0(0, 0)) ++ trak(tkhd1(1920, 1080))) ++
+      be32(1000000L) ++ "mdat".getBytes("ASCII")
+    assert(tup(fancy) === (("mp4", "mp42", 1920, 1080, 1000L,
+      5000000000L, 2)))
+    // mdat BEFORE moov (declared size skips it), 64-bit largesize box
+    val late = ftyp("isom") ++
+      (be32(1) ++ "mdat".getBytes("ASCII") ++ be64(16L)) ++
+      box("moov", mvhd0(600, 60) ++ trak(tkhd0(16, 16)))
+    assert(tup(late) === (("mp4", "isom", 16, 16, 600L, 60L, 1)))
+    // audio-only movie: tracks counted, dimensions null
+    val audioOnly = ftyp("M4A ") ++
+      box("moov", mvhd0(44100, 441000) ++ trak(tkhd0(0, 0)))
+    assert(tup(audioOnly) === (("mp4", "M4A ", -1, -1, 44100L,
+      441000L, 1)))
+    // degradation: truncation, no ftyp, no moov, zero timescale, junk
+    assert(tup(canon.take(12))._1 === "unknown")
+    assert(tup(canon.drop(16))._1 === "unknown")  // moov but no ftyp
+    assert(tup(ftyp("isom"))._1 === "unknown")    // ftyp but no moov
+    assert(tup(ftyp("isom") ++ box("moov", mvhd0(0, 0) ++
+      trak(tkhd0(1, 1))))._1 === "unknown")       // timescale 0
+    assert(tup("plain text not a movie".getBytes)._1 === "unknown")
+    assert(tup(Array.empty[Byte])._1 === "unknown")
+    // SQL surface + null contract
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq(canon).toDF("b")
+      .selectExpr("graft_video_meta(b) AS m")
+      .selectExpr("m.format", "m.brand", "m.width", "m.height",
+        "m.timescale", "m.duration", "m.n_tracks").collect().head
+    assert((viaSql.getString(0), viaSql.getString(1), viaSql.getInt(2),
+      viaSql.getInt(3), viaSql.getLong(4), viaSql.getLong(5),
+      viaSql.getInt(6)) === (("mp4", "isom", 640, 480, 600L, 1200L, 1)))
+    val nullRow = Seq(Option.empty[Array[Byte]]).toDF("b")
+      .selectExpr("graft_video_meta(b) AS m").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("topk aggregator: bounded, ordered, merge-associative") {
     import graft.functions.TopK._
     val agg = new TopKAgg(3)

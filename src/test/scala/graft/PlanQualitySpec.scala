@@ -210,6 +210,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q191: video-metadata parse rides the scan — no exchange, " +
+      "codegen'd (VideoMetaExpr included)") {
+    // the q175/q190 contract on the video leg: construct+parse is a
+    // pure map-side projection inside whole-stage codegen
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vid = graft.queries.Media.syntheticVideo(docs)
+    val m = graft.functions.Multimodal.videoMeta(
+      org.apache.spark.sql.functions.col("payload"))
+    val p = vid.select(m.getField("format"), m.getField("duration"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"video meta moves data:\n$p")
+    assert(p.contains("*(1) Project"), s"video meta fell out of codegen:\n$p")
+    assert(p.contains("FileScan parquet"))
+  }
+
   test("q179: real pixel decode is exchange-free — scan → project → " +
       "mapPartitions, payload bytes never shuffle") {
     // decode cost must be pure per-blob CPU that scales with executor
