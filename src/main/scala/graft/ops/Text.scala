@@ -573,6 +573,231 @@ object Text {
       .withColumn("n_tokens", size(split(col("tokens"), " ")))
   }
 
+  // ------------------- WordPiece tokenizer (BERT-style) --------------
+
+  /** Per-word WordPiece symbol string: first character bare, every
+    * later character "##"-prefixed (the BERT continuation convention),
+    * space-joined with boundary spaces and a trailing space — so one
+    * merge application is a single literal `replace` (the
+    * [[symbolsOf]] discipline). */
+  private def wpSymbolsOf(word: Column): Column =
+    concat(lit(" "), substring(word, 1, 1), lit(" "),
+      regexp_replace(word.substr(lit(2), length(word)), "(.)", "##$1 "))
+
+  /** WordPiece vocabulary induction — the likelihood-scored pair-merge
+    * loop of the BERT tokenizer lineage (Schuster & Nakajima,
+    * "Japanese and Korean Voice Search", ICASSP 2012; the vocab
+    * algorithm behind Devlin et al.'s BERT): words split into a bare
+    * first character plus "##"-prefixed continuations; each round
+    * scores every adjacent symbol pair by
+    * count(pair) / (count(left) · count(right)) — the corpus
+    * likelihood gain of the merge, where plain BPE ([[bpeVocab]])
+    * uses raw count(pair) — and merges the argmax everywhere (the
+    * merged symbol is left ++ right-sans-"##", so continuations stay
+    * continuations and word-initial pieces stay bare).
+    *
+    * Engine grade: the score is EXACT integer arithmetic,
+    * (freq · 2^30) div (n_left · n_right), replayed verbatim by the
+    * DuckDB oracle, with the total tie-break (score DESC, freq DESC,
+    * left ASC, right ASC) — deterministic under any partitioning. A
+    * loud require bounds the corpus symbol mass under 2^26 so the
+    * 64-bit products cannot wrap; corpora past that bound move the
+    * score to DECIMAL(38,0) (documented upgrade, not a silent wrap).
+    *
+    * Scale shape: [[bpeVocab]]'s exactly — ONE corpus-scale
+    * map-side-combinable pass collapses to the ≤|distinct words|
+    * frequency table; per round, pair counts AND symbol counts are
+    * integer sums over that table alone, the score join broadcasts
+    * the ≤|symbols| count frame, and the argmax is ONE driver row
+    * (metadata grain). Output: (merge_rank, left_sym, right_sym,
+    * pair_freq, score); derive the encode inventory with
+    * [[wordpieceInventory]]. */
+  def wordpieceVocab(docs: DataFrame, nMerges: Int,
+      textCol: String = "text", minFreq: Long = 1L): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1 (got $nMerges)")
+    val spark = docs.sparkSession
+    val wordFreq = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(wpSymbolsOf(col("word")).as("w"), col("cnt"))
+    var cur = wordFreq.localCheckpoint()
+    // 64-bit headroom: with total symbol mass T, freq/n_l/n_r <= T, so
+    // T < 2^26 keeps n_l·n_r <= 2^52 and freq·2^30 <= 2^56 — both safely
+    // inside long; the oracle runs the identical BIGINT arithmetic
+    val mass = cur
+      .agg(sum(size(split(trim(col("w")), " ")).cast("long") *
+        col("cnt"))).head().getLong(0)
+    require(mass < (1L << 26),
+      s"wordpieceVocab 64-bit score bound: symbol mass $mass >= 2^26 " +
+        "— switch the score arithmetic to DECIMAL(38,0) first")
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    var done = false
+    while (merges.length < nMerges && !done) {
+      val syms = split(trim(col("w")), " ")
+      val pairs = cur
+        .select(col("cnt"), explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1).as("l"),
+            slice(syms, lit(2), size(syms) - 1).as("r"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("freq"))
+      val scnt = cur
+        .select(col("cnt"), explode(syms).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("n"))
+      val best = pairs
+        .join(broadcast(scnt.select(col("sym").as("l"),
+          col("n").as("nl"))), Seq("l"))
+        .join(broadcast(scnt.select(col("sym").as("r"),
+          col("n").as("nr"))), Seq("r"))
+        .select(col("l"), col("r"), col("freq"),
+          expr("(freq * 1073741824L) div (nl * nr)").as("score"))
+        .orderBy(col("score").desc, col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minFreq) done = true
+      else {
+        val l = best.head.getString(0)
+        val r = best.head.getString(1)
+        val fq = best.head.getLong(2)
+        val sc = best.head.getLong(3)
+        val merged = l + r.stripPrefix("##")
+        merges += ((merges.length + 1L, l, r, fq, sc))
+        cur = cur.withColumn("w",
+            replace(col("w"), lit(s" $l $r "), lit(s" $merged ")))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_freq", "score")
+  }
+
+  /** The encode-time piece inventory of a trained WordPiece model:
+    * every single-character symbol observed in the corpus (bare first
+    * characters and "##"-continuations — the seed symbols a WordPiece
+    * vocab always keeps, so any training-corpus word still encodes
+    * after the merges) plus each merge's produced symbol
+    * (left ++ right-sans-"##" per [[wordpieceVocab]] row). One
+    * corpus-scale distinct at character grain; the merge list is
+    * metadata-grain driver rows by construction. (piece). */
+  def wordpieceInventory(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val singles = docs
+      .select(explode(words(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+      .select(explode(split(trim(wpSymbolsOf(col("word"))), " "))
+        .as("piece"))
+      .distinct()
+    val mergedPieces = merges
+      .map { case (l, r) => l + r.stripPrefix("##") }.distinct
+    if (mergedPieces.isEmpty) singles
+    else singles.union(mergedPieces.toDF("piece")).distinct()
+  }
+
+  /** Tokenize a corpus under a WordPiece inventory ((piece) from
+    * [[wordpieceInventory]] — in-session or read back from a persisted
+    * artifact): greedy longest-match-first per word, the BERT
+    * WordPiece inference algorithm — at each position take the
+    * LONGEST inventory piece matching the remainder ("##"-prefixed
+    * past position 0); a word with no match at some position, or
+    * longer than maxWordLen (the BERT max_input_chars_per_word rule),
+    * becomes the single token [UNK] — the out-of-vocabulary drift
+    * signal the incremental encode watches.
+    *
+    * Scale shape: the [[unigramEncode]] discipline — every DISTINCT
+    * word resolves once: candidate edges explode (≤ len · maxPieceLen
+    * substrings), meet the inventory in ONE broadcast join, collapse
+    * to a per-word {position → longest match} map, and the greedy
+    * walk runs as ONE `aggregate` HOF over the ≤|distinct words|
+    * table (vocabulary grain — millions of rows at 100 TB, never the
+    * corpus; each step consumes ≥ 1 char so `len` iterations always
+    * complete the walk). The corpus encode is then one broadcast join
+    * plus a per-document position-ordered reassembly. The longest
+    * consumable piece length is ONE 1-row driver probe of the
+    * inventory (metadata grain). Output: (<id>, n_tokens, n_unk,
+    * tokens — space-joined pieces in word order). */
+  def wordpieceEncode(docs: DataFrame, vocab: DataFrame,
+      maxWordLen: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxWordLen >= 1 && maxWordLen <= 32,
+      s"need 1 <= maxWordLen <= 32 (got $maxWordLen)")
+    // the longest consumable piece bounds the edge explode — 1-row
+    // vocabulary-grain probe; an empty inventory degrades to 1 (every
+    // word then walks to [UNK], never throws)
+    val mcRow = vocab
+      .agg(max(length(col("piece")) -
+        when(col("piece").startsWith("##"), 2).otherwise(0))).head()
+    val mc = math.min(
+      math.max(if (mcRow.isNullAt(0)) 1 else mcRow.getInt(0), 1),
+      maxWordLen)
+    val wf = ulmWordFreq(docs, textCol).localCheckpoint()
+    val short = wf.where(col("len") <= maxWordLen)
+    val vb = broadcast(vocab.select(col("piece")).distinct())
+    val edges = short
+      .select(col("word"), col("len"),
+        explode(sequence(lit(0), col("len") - 1)).as("j"))
+      .select(col("word"), col("len"), col("j"),
+        explode(sequence(lit(1),
+          least(lit(mc), col("len") - col("j")))).as("plen"))
+      .withColumn("piece",
+        when(col("j") === 0,
+          col("word").substr(col("j") + 1, col("plen")))
+          .otherwise(concat(lit("##"),
+            col("word").substr(col("j") + 1, col("plen")))))
+      .join(vb, Seq("piece"))
+      .groupBy(col("word"), col("j")).agg(max(col("plen")).as("ml"))
+    // words with NO matching edge anywhere keep a null map (the right
+    // join) and walk straight to [UNK]
+    val wordMaps = edges.groupBy(col("word"))
+      .agg(map_from_entries(collect_list(
+        struct(col("j"), col("ml")))).as("gm"))
+      .join(short.select(col("word"), col("len")), Seq("word"), "right")
+    val walkSql =
+      """aggregate(
+        |  sequence(1, len),
+        |  named_struct('cur', 0, 'ps', cast(array() as array<string>),
+        |    'ok', true),
+        |  (st, z) -> IF(st.ok AND st.cur < len,
+        |    IF(gm IS NULL OR element_at(gm, st.cur) IS NULL,
+        |      named_struct('cur', len, 'ps', array('[UNK]'),
+        |        'ok', false),
+        |      named_struct(
+        |        'cur', st.cur + element_at(gm, st.cur),
+        |        'ps', concat(st.ps, array(IF(st.cur = 0,
+        |          substring(word, 1, element_at(gm, 0)),
+        |          concat('##', substring(word, st.cur + 1,
+        |            element_at(gm, st.cur)))))),
+        |        'ok', true)),
+        |    st),
+        |  st -> named_struct('ps', st.ps, 'ok', st.ok))""".stripMargin
+    val wtok = wordMaps
+      .withColumn("wk", expr(walkSql))
+      .select(col("word"),
+        concat_ws(" ", col("wk.ps")).as("toks"),
+        size(col("wk.ps")).cast("long").as("npieces"),
+        when(col("wk.ok"), 0L).otherwise(1L).as("nunk"))
+      .unionByName(wf.where(col("len") > maxWordLen)
+        .select(col("word"), lit("[UNK]").as("toks"),
+          lit(1L).as("npieces"), lit(1L).as("nunk")))
+      .localCheckpoint() // ≤ |distinct words| — broadcastable
+    docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(words(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(wtok), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("npieces")).as("n_tokens"),
+        sum(col("nunk")).as("n_unk"),
+        concat_ws(" ", expr(
+          "array_sort(collect_list(struct(pos, toks))).toks"))
+          .as("tokens"))
+      .select(col("doc_id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_unk").cast("long").as("n_unk"), col("tokens"))
+  }
+
   // ------------------- unigram-LM tokenizer (SentencePiece-style) ----
 
   /** Word-frequency table (word, cnt, len) — the ONE corpus-scale pass

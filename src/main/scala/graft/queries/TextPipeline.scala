@@ -187,6 +187,35 @@ object TextPipeline {
     * oracles — the two MUST agree). */
   private val BpeMerges = 24
 
+  /** Merge count of the q192/q193/q194 WordPiece bindings (and their
+    * unrolled oracles — the two MUST agree). */
+  private val WpMerges = 24
+
+  /** WordPiece max word length (the BERT max_input_chars_per_word
+    * rule: longer words encode as [UNK]) — interpolated into the
+    * unrolled oracles. */
+  private val WpMaxW = 16
+
+  /** Trained WordPiece merge tables per (session, dir, nMerges): q192
+    * trains, q193 encodes with the same merges — the bpeMemo
+    * discipline (≤ nMerges driver rows, metadata grain). */
+  private val wpMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int), Seq[(Long, String, String, Long, Long)]]()
+
+  private[graft] def clearWpMemo(): Unit = wpMemo.clear()
+
+  private[graft] def wpMemoSize: Int = wpMemo.size()
+
+  private def wpMergesOf(s: SparkSession,
+      dir: String): Seq[(Long, String, String, Long, Long)] =
+    wpMemo.computeIfAbsent((s, dir, WpMerges), _ =>
+      graft.ops.Text.wordpieceVocab(
+          Graft.parquetSource(s, dir).table("documents"), WpMerges)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4)))
+        .toSeq)
+
   /** Unigram-LM knobs of the q155/q156 bindings — interpolated into
     * the unrolled oracles (the q150 oracle-pin discipline; the
     * graft.ulm.* session knobs exist for deployment, non-default
@@ -825,6 +854,72 @@ object TextPipeline {
         .join(nw, Seq("doc_id"))
         .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
           col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          md5(col("tokens")).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- q192: WordPiece tokenizer induction (BERT-style) --------------
+    // Thin binding over [[graft.ops.Text.wordpieceVocab]] — the
+    // likelihood-scored pair-merge loop (Schuster & Nakajima 2012)
+    // completing the tokenizer trio next to BPE (q125, raw-count
+    // argmax) and unigram-LM (q155, prune-down hard EM): same one
+    // corpus collapse, but each round's argmax is
+    // count(pair)/(count(l)·count(r)) in exact (freq·2^30) div (nl·nr)
+    // integer arithmetic, total-order tie-broken. The oracle unrolls
+    // the loop round-for-round as MATERIALIZED CTEs with the identical
+    // BIGINT score.
+    "q192_wordpiece_vocab" -> ((s, dir) => {
+      import s.implicits._
+      wpMergesOf(s, dir)
+        .toDF("merge_rank", "left_sym", "right_sym", "pair_freq",
+          "score")
+        .orderBy("merge_rank")
+    }),
+
+    // ---- q193: WordPiece tokenizer inference ----------------------------
+    // [[graft.ops.Text.wordpieceEncode]] under q192's trained
+    // inventory (session memo → [[graft.ops.Text.wordpieceInventory]]):
+    // greedy longest-match-first per DISTINCT word (the BERT
+    // algorithm — NOT the merge replay: WordPiece inference matches
+    // against the vocab directly), corpus assembly by broadcast join +
+    // position-ordered reassembly. n_unk pins the [UNK] rule; the md5
+    // pins the complete tokenization (the q126 convention).
+    "q193_wordpiece_encode" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val merges = wpMergesOf(s, dir).map(m => (m._2, m._3))
+      val inv = graft.ops.Text.wordpieceInventory(docs, merges)
+      graft.ops.Text.wordpieceEncode(docs, inv, WpMaxW)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          md5(col("tokens")).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- q194: incremental WordPiece encode vs the frozen inventory ----
+    // q193 as the crawl loop runs it — the q133/q157 discipline on the
+    // WordPiece side: the snapshot's encode-time piece inventory
+    // persists ([[wpInventoryIndex]], trained on the old slice via the
+    // public ops), each batch doc encodes through the FROZEN pieces,
+    // and the drift numbers a deployment watches are fertility
+    // (tokens/word) AND n_unk — novel characters have no piece and
+    // surface as [UNK], the out-of-vocabulary signal unique to this
+    // tokenizer's contract. Closes the {train, infer, incremental}
+    // triangle for all THREE tokenizer algorithms.
+    "q194_incremental_wordpiece_encode" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val invP = wpInventoryIndex(s, dir, cut)
+      val batch = d.where(col("doc_id") >= cut)
+      val nw = batch
+        .where(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), wordCount(col("text")).as("n_words"))
+      graft.ops.Text.wordpieceEncode(batch, s.read.parquet(invP),
+          WpMaxW)
+        .join(nw, Seq("doc_id"))
+        .select(col("doc_id"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_tokens"), col("n_unk"),
           (col("n_tokens").cast("double") / col("n_words").cast("double"))
             .as("fertility"),
           md5(col("tokens")).as("tok_md5"))
@@ -2052,6 +2147,23 @@ object TextPipeline {
         UlmMaxP, UlmMinFreq, UlmRounds, UlmVSize, UlmMaxW)
     }
 
+  /** The persisted frozen WordPiece inventory behind q194 — trained on
+    * the old slice via the public ops ([[graft.ops.Text.wordpieceVocab]]
+    * → [[graft.ops.Text.wordpieceInventory]]), the bpeMergeIndex
+    * discipline: what a deployment freezes is the encode-time piece
+    * inventory. */
+  private[graft] def wpInventoryIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "wp_inventory",
+        s"$dir#$cut#n$WpMerges", Some(s"$dir/documents.parquet")) {
+      val old = Graft.parquetSource(s, dir).table("documents")
+        .where(col("doc_id") < cut)
+      val merges = graft.ops.Text.wordpieceVocab(old, WpMerges)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.Text.wordpieceInventory(old, merges)
+    }
+
   private[graft] def bpeMergeIndex(s: SparkSession, dir: String,
       cut: Long): String =
     graft.sources.SideTable.ensure(s, "bpe_merges",
@@ -2420,6 +2532,165 @@ object TextPipeline {
         |  md5(e.w) AS tok_md5
         |FROM ef e JOIN documents d ON d.doc_id = e.doc_id
         |ORDER BY e.doc_id""".stripMargin
+
+  /** The unrolled WordPiece training loop: wp0 (symbol streams — bare
+    * first char + "##"-continuations) then per round i the symbol
+    * counts (wps$i), the likelihood-scored argmax pair (wpm$i — the
+    * exact (freq·2^30) // (nl·nr) BIGINT score with the engine's total
+    * tie-break) and the merged stream (wp${i+1}; LEFT JOIN ON true
+    * keeps streams intact past merge exhaustion, the bpeEncodeChain
+    * convention). `where` restricts the training corpus. */
+  private def wpCtes(n: Int, pre: String = "",
+      where: String = ""): String = {
+    val head = s"""WITH ${pre}wp0 AS MATERIALIZED (
+      |  SELECT ' ' || substr(word, 1, 1) || ' ' ||
+      |      regexp_replace(substr(word, 2), '(.)', '##\\1 ', 'g') AS w,
+      |    count(*)::bigint AS cnt
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+      |          AS word FROM documents$where)
+      |  WHERE word <> '' GROUP BY 1
+      |)""".stripMargin
+    head + (0 until n).map { i =>
+      s""", wps$i AS MATERIALIZED (
+         |  SELECT sym, sum(cnt)::bigint AS n FROM (
+         |    SELECT unnest(string_split(trim(w), ' ')) AS sym, cnt
+         |    FROM wp$i)
+         |  GROUP BY 1
+         |), wpm$i AS MATERIALIZED (
+         |  SELECT l, r, freq, (freq * 1073741824) // (nl * nr) AS score
+         |  FROM (
+         |    SELECT p.l, p.r, p.freq, a.n AS nl, b.n AS nr FROM (
+         |      SELECT s[i] AS l, s[i+1] AS r, sum(cnt)::bigint AS freq
+         |      FROM (SELECT string_split(trim(w), ' ') AS s, cnt
+         |            FROM wp$i),
+         |           (SELECT unnest(generate_series(1, len(s)-1)) AS i)
+         |      GROUP BY 1, 2
+         |    ) p JOIN wps$i a ON a.sym = p.l JOIN wps$i b ON b.sym = p.r
+         |  ) ORDER BY score DESC, freq DESC, l, r LIMIT 1
+         |), wp${i + 1} AS MATERIALIZED (
+         |  SELECT CASE WHEN m.l IS NULL THEN t.w
+         |    ELSE replace(t.w, ' '||m.l||' '||m.r||' ',
+         |                 ' '||m.l||substr(m.r, 3)||' ') END AS w, cnt
+         |  FROM wp$i t LEFT JOIN wpm$i m ON true
+         |)""".stripMargin
+    }.mkString
+  }
+
+  private def wpVocabSql: String =
+    wpCtes(WpMerges) + "\n" +
+      (0 until WpMerges).map(i =>
+        s"SELECT ($i+1)::bigint AS merge_rank, l AS left_sym, " +
+          s"r AS right_sym, freq AS pair_freq, score FROM wpm$i")
+        .mkString(" UNION ALL ") +
+      "\nORDER BY merge_rank"
+
+  /** The training CTEs plus the greedy longest-match-first encode —
+    * inventory (seed singles + merged pieces), per-(word, position)
+    * longest inventory match (ed), a recursive walk consuming ≥ 1
+    * char per step, [UNK] for stuck or over-long words, and the
+    * per-document reassembly base (dw). `encodeAnd` restricts the
+    * encoded corpus (an AND clause — the train/encode split of the
+    * bpeEncodeChain convention). */
+  private def wpEncodeChain(pre: String, trainWhere: String,
+      encodeAnd: String): String = {
+    val merged = (0 until WpMerges)
+      .map(i => s"SELECT l || substr(r, 3) AS piece FROM wpm$i")
+      .mkString("\n    UNION ALL\n    ")
+    wpCtes(WpMerges, pre, trainWhere) + s""", inv AS MATERIALIZED (
+      |  SELECT DISTINCT piece FROM (
+      |    SELECT unnest(string_split(trim(w), ' ')) AS piece FROM wp0
+      |    UNION ALL
+      |    $merged
+      |  ) WHERE piece <> ''
+      |), mc AS MATERIALIZED (
+      |  SELECT max(length(piece) -
+      |    CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END) AS m FROM inv
+      |), wall AS MATERIALIZED (
+      |  SELECT word, length(word) AS len FROM (
+      |    SELECT DISTINCT unnest(regexp_split_to_array(trim(text),
+      |      '\\s+')) AS word
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND len(trim(text)) > 0$encodeAnd
+      |  ) WHERE word <> ''
+      |), wl AS MATERIALIZED (
+      |  SELECT word, len FROM wall WHERE len <= $WpMaxW
+      |), ed AS MATERIALIZED (
+      |  SELECT word, j, max(l)::BIGINT AS ml FROM (
+      |    SELECT wl.word, t.j, s.l
+      |    FROM wl, range(0, $WpMaxW) t(j),
+      |         range(1, ${WpMaxW + 1}) s(l), inv
+      |    WHERE t.j < wl.len AND s.l <= wl.len - t.j
+      |      AND s.l <= (SELECT m FROM mc)
+      |      AND inv.piece = CASE WHEN t.j = 0
+      |        THEN substr(wl.word, 1, s.l::INT)
+      |        ELSE '##' || substr(wl.word, (t.j + 1)::INT, s.l::INT)
+      |        END
+      |  ) GROUP BY 1, 2
+      |), wk AS MATERIALIZED (
+      |  WITH RECURSIVE g AS (
+      |    SELECT word, len, 0::BIGINT AS pos, ''::VARCHAR AS toks,
+      |      0::BIGINT AS np
+      |    FROM wl
+      |    UNION ALL
+      |    SELECT g.word, g.len, g.pos + e.ml,
+      |      g.toks || CASE WHEN g.pos = 0 THEN '' ELSE ' ' END ||
+      |        CASE WHEN g.pos = 0 THEN substr(g.word, 1, e.ml::INT)
+      |             ELSE '##' || substr(g.word, (g.pos + 1)::INT,
+      |               e.ml::INT)
+      |        END,
+      |      g.np + 1
+      |    FROM g JOIN ed e ON e.word = g.word AND e.j = g.pos
+      |    WHERE g.pos < g.len
+      |  )
+      |  SELECT word, toks, np FROM g WHERE pos = len
+      |), wtok AS MATERIALIZED (
+      |  SELECT wl.word, coalesce(wk.toks, '[UNK]') AS toks,
+      |    coalesce(wk.np, 1)::BIGINT AS np,
+      |    (CASE WHEN wk.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS nunk
+      |  FROM wl LEFT JOIN wk ON wk.word = wl.word
+      |  UNION ALL
+      |  SELECT word, '[UNK]', 1::BIGINT, 1::BIGINT
+      |  FROM wall WHERE len > $WpMaxW
+      |), dw AS (
+      |  SELECT doc_id, i AS pos, w[i] AS word FROM (
+      |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      |    FROM documents
+      |    WHERE text IS NOT NULL AND len(trim(text)) > 0$encodeAnd
+      |  ), unnest(range(1, len(w) + 1)) AS t(i)
+      |)""".stripMargin
+  }
+
+  private def wpEncodeSql: String =
+    wpEncodeChain("", "", "") + """
+      |SELECT d.doc_id,
+      |  sum(t.np)::bigint AS n_tokens,
+      |  sum(t.nunk)::bigint AS n_unk,
+      |  md5(string_agg(t.toks, ' ' ORDER BY d.pos)) AS tok_md5
+      |FROM dw d JOIN wtok t USING (word)
+      |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
+
+  /** q194: the q193 replay with the inventory trained on the OLD slice
+    * only and the encode restricted to the batch — fertility AND the
+    * [UNK] rate are the drift numbers (novel characters have no piece
+    * and surface as [UNK]). */
+  private def wpIncrEncodeSql: String =
+    wpEncodeChain(
+      "cut AS MATERIALIZED (SELECT (max(doc_id) * 4) // 5 AS c" +
+        " FROM documents), ",
+      " WHERE doc_id < (SELECT c FROM cut)",
+      " AND doc_id >= (SELECT c FROM cut)") + """
+      |SELECT e.doc_id,
+      |  len(regexp_split_to_array(trim(d.text), '\s+'))::bigint
+      |    AS n_words,
+      |  sum(t.np)::bigint AS n_tokens,
+      |  sum(t.nunk)::bigint AS n_unk,
+      |  sum(t.np)::double
+      |    / len(regexp_split_to_array(trim(d.text), '\s+'))
+      |    AS fertility,
+      |  md5(string_agg(t.toks, ' ' ORDER BY e.pos)) AS tok_md5
+      |FROM dw e JOIN wtok t USING (word)
+      |JOIN documents d ON d.doc_id = e.doc_id
+      |GROUP BY e.doc_id, d.text ORDER BY e.doc_id""".stripMargin
 
   /** q161: BOTH tokenizer chains composed — the full BPE
     * train+encode CTE list (w0…w24, m0…m24, e0…e24, ef) opens the
@@ -2974,6 +3245,12 @@ object TextPipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q133_incremental_bpe_encode" -> bpeIncrEncodeSql,
+
+    "q192_wordpiece_vocab" -> wpVocabSql,
+
+    "q193_wordpiece_encode" -> wpEncodeSql,
+
+    "q194_incremental_wordpiece_encode" -> wpIncrEncodeSql,
 
     "q127_chunk" ->
       """WITH ws AS (

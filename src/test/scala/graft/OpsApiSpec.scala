@@ -878,6 +878,68 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"bpeEncode shuffled:\n$plan")
   }
 
+  test("Text.wordpieceVocab scores merges by likelihood, not raw count " +
+      "— the rare-but-exclusive pair wins (hand-computed example)") {
+    // hug×3 pug pun hun hugs: the FIRST WordPiece merge is (##g, ##s)
+    // with pair count 1 — its score 2^30/(5·1) beats every count-5
+    // pair's 2^30·5/(5·7) because ##s occurs nowhere else; plain BPE
+    // (bpeVocab) would pick a count-5 pair. Full 6-merge sequence and
+    // the exact integer scores hand-computed from the definition.
+    val docs = Seq((1L, "hug hug hug pug pun hun hugs"))
+      .toDF("doc_id", "text")
+    val out = Text.wordpieceVocab(docs, nMerges = 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, "##g", "##s", 1L, 214748364L),
+      (2L, "h", "##u", 5L, 153391689L),  // tie on score → freq wins
+      (3L, "p", "##u", 2L, 536870912L),
+      (4L, "pu", "##n", 1L, 268435456L),
+      (5L, "pu", "##g", 1L, 268435456L),
+      (6L, "hu", "##g", 3L, 214748364L)))
+    // determinism under re-planning
+    val out3 = Text.wordpieceVocab(docs.repartition(7), nMerges = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out3.toSeq === out.toSeq)
+    intercept[IllegalArgumentException] { Text.wordpieceVocab(docs, 0) }
+  }
+
+  test("Text.wordpieceEncode is greedy longest-match-first with the " +
+      "[UNK] contract (OOV chars, over-long words)") {
+    val train = Seq((1L, "hug hug hug pug pun hun hugs"))
+      .toDF("doc_id", "text")
+    val merges = Text.wordpieceVocab(train, nMerges = 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val inv = Text.wordpieceInventory(train, merges)
+    val invSet = inv.collect().map(_.getString(0)).toSet
+    // singles (bare + continuations) ∪ merged pieces
+    assert(invSet === Set("h", "p", "##u", "##g", "##n", "##s",
+      "##gs", "hu", "pu", "pun", "pug", "hug"))
+    val docs = Seq((1L, "hug hugs pun hun"), (2L, "bug hughug hug"))
+      .toDF("doc_id", "text")
+    val out = Text.wordpieceEncode(docs, inv, maxWordLen = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // greedy ≠ merge replay: "hugs" takes the LONGEST prefix hug then
+    // ##s (never hu + ##gs, even though ##gs was merge 1)
+    assert(out(1L) === ((6L, 0L, "hug hug ##s pun hu ##n")))
+    // 'b' has no piece → whole word [UNK]; len 6 > maxWordLen 4 → [UNK]
+    assert(out(2L) === ((3L, 2L, "[UNK] [UNK] hug")))
+    // empty merge list: inventory = singles, every word char-splits
+    val charInv = Text.wordpieceInventory(train, Seq.empty)
+    val charOut = Text.wordpieceEncode(
+        Seq((1L, "hug")).toDF("doc_id", "text"), charInv, 4)
+      .collect().head
+    assert(charOut.getString(3) === "h ##u ##g")
+    // the corpus assembly join must broadcast the word-token table
+    val plan = Text.wordpieceEncode(docs, inv, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"wordpiece corpus join did not broadcast:\n$plan")
+  }
+
   test("Dedup.spanDups merges duplicated-gram positions into maximal " +
       "extents (overlap, adjacency, within-doc repetition)") {
     val docs = Seq(
