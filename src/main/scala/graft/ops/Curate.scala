@@ -453,6 +453,100 @@ object Curate {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Epoch schedule under a total token budget — the data-constrained
+    * scaling allocator (Muennighoff et al., "Scaling Data-Constrained
+    * Language Models", arXiv:2305.16264: repeating data beyond a few
+    * epochs stops helping, so budget allocation must CAP each source
+    * at maxEpochs · its unique tokens and re-route the overflow):
+    * each source's target is its weight share of the budget; any
+    * source whose target exceeds its cap is frozen AT the cap and the
+    * remaining budget water-fills into the still-uncapped sources by
+    * the same weights, round by round, until a round caps nothing new
+    * (≤ |sources| rounds). The answer is the question every
+    * data-constrained run asks: how many epochs of each source.
+    *
+    * Engine grade: all arithmetic is exact integer — per round the
+    * active share is (remaining · w_i) div (Σ active w), floor; the
+    * sub-|active| floor dust of the final round stays unallocated
+    * rather than introducing a float; loud BigInt requires reject
+    * 64-bit overflow instead of wrapping. Deterministic under any
+    * partitioning (per-source totals are map-side-combinable sums;
+    * the waterfall is a driver loop over a sorted array).
+    *
+    * `weights` is any (srcCol, wCol) frame of nonnegative integer
+    * weights (e.g. [[mixtureWeights]]'s s_fp, or hand-set
+    * priorities); sources missing from it get weight 0 and receive
+    * nothing. Output: (<src>, unique_tokens, weight, cap_tokens,
+    * alloc_tokens, epochs_ppm = alloc·10^6 div unique, capped).
+    *
+    * Scale shape: ONE corpus-scale map-side-combinable pass (the
+    * per-source token count); the waterfall then runs driver-side on
+    * the ≤|sources| row table (metadata grain — the kmeans-centroid
+    * class of driver-adjacent smallness). */
+  def epochSchedule(docs: DataFrame, weights: DataFrame, budget: Long,
+      maxEpochs: Long = 4L, srcCol: String = "source",
+      textCol: String = "text", wCol: String = "w"): DataFrame = {
+    require(budget >= 0L, s"need budget >= 0 (got $budget)")
+    require(maxEpochs >= 1L, s"need maxEpochs >= 1 (got $maxEpochs)")
+    require(budget <= Long.MaxValue / 1000000L,
+      s"epochSchedule 64-bit ppm bound: budget $budget * 10^6 would " +
+        "overflow — allocate in larger units")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs
+      .groupBy(col(srcCol).as("src"))
+      .agg(sum(bpeTokenCount(col(textCol)).cast("long")).as("toks"))
+      .join(weights.select(col(srcCol).as("src"),
+        col(wCol).cast("long").as("w")), Seq("src"), "left")
+      .na.fill(0L, Seq("w"))
+      .collect() // ≤ |sources| rows — metadata grain
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.forall(_._3 >= 0L), "weights must be nonnegative")
+    val maxW = rows.foldLeft(0L)((m, r) => math.max(m, r._3))
+    require(maxW == 0L ||
+        BigInt(budget) * BigInt(maxW) <= BigInt(Long.MaxValue),
+      s"epochSchedule 64-bit share bound: budget·maxWeight " +
+        s"($budget · $maxW) overflows — rescale the weights down")
+    require(rows.foldLeft(BigInt(0))(_ + _._3) <= BigInt(Long.MaxValue),
+      "epochSchedule 64-bit weight-sum bound: Σ weights overflows — " +
+        "rescale the weights down")
+    rows.foreach { case (s0, c, _) =>
+      require(c <= Long.MaxValue / maxEpochs,
+        s"cap overflow for source $s0") }
+    val n = rows.length
+    val src = rows.map(_._1); val c = rows.map(_._2)
+    val w = rows.map(_._3)
+    val cap = c.map(_ * maxEpochs)
+    val alloc = Array.fill(n)(0L)
+    val active = Array.tabulate(n)(i => w(i) > 0L)
+    var done = false
+    var rounds = 0
+    while (!done && rounds <= n) {
+      val act = (0 until n).filter(active)
+      val bigW = act.foldLeft(0L)((s0, i) => s0 + w(i)) // Σw ≤ n·maxW
+      val r = budget - alloc.sum
+      if (act.isEmpty || bigW == 0L || r <= 0L) done = true
+      else {
+        val share = act.map(i => r * w(i) / bigW)
+        val newly = act.zip(share)
+          .filter { case (i, s0) => alloc(i) + s0 >= cap(i) }
+        if (newly.isEmpty) {
+          act.zip(share).foreach { case (i, s0) => alloc(i) += s0 }
+          done = true
+        } else newly.foreach { case (i, _) =>
+          alloc(i) = cap(i); active(i) = false }
+      }
+      rounds += 1
+    }
+    (0 until n).map { i =>
+      (src(i), c(i), w(i), cap(i), alloc(i),
+        if (c(i) == 0L) 0L else alloc(i) * 1000000L / c(i),
+        alloc(i) == cap(i))
+    }.toDF(srcCol, "unique_tokens", "weight", "cap_tokens",
+      "alloc_tokens", "epochs_ppm", "capped")
+  }
+
   /** Temperature-scaled domain mixture weights — the sampling-weight
     * solver behind multi-source training mixes (the p_i^α
     * renormalization of multilingual/multi-domain sampling, Conneau &

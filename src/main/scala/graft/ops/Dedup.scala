@@ -969,6 +969,98 @@ object Dedup {
         expr("n_hit * 1000000 div n_grams").as("hit_ppm"))
   }
 
+  /** The q70/q73 audit discipline applied to decontamination: for
+    * each (benchmark item, training document) CANDIDATE pair — pairs
+    * sharing at least one k-gram, capped to the `topN` strongest per
+    * item by shared-distinct-gram count — the LONGEST shared
+    * CONTIGUOUS token run between the two texts, exact. The n-gram
+    * rule ([[contamination]]) reports how much of an item exists
+    * SOMEWHERE in the corpus; this audit reports WHERE and how long a
+    * verbatim span — the contiguous-overlap grade real
+    * decontamination escalates to (the Lee-et-al ExactSubstr grade,
+    * pairwise), the number that separates a few shared stock phrases
+    * from a verbatim inclusion.
+    *
+    * Exactness: equal-token position pairs group by diagonal (i − j);
+    * consecutive positions within a diagonal are a shared run
+    * (gaps-and-islands — the span family's own discipline), and the
+    * max island is the longest common substring at token grain.
+    *
+    * Scale shape: the corpus contributes ONE distinct (doc, gram)
+    * pass; the benchmark is tiny and broadcasts everywhere; the
+    * per-item candidate collapse is a map-side-combinable count into
+    * the BOUNDED TopK aggregate (ties doc-ascending, drops
+    * deterministic — never a corpus-wide window sort), and every
+    * frame after the cap is ≤ |bench|·topN documents (pair grain,
+    * corpus-independent; the position-pair join is bounded by
+    * |item|·|doc| per kept pair). Ids must be integral (the ANN
+    * family's TopK convention). Output: (<benchId>, <id>,
+    * n_shared_grams, bench_tokens, max_run,
+    * run_ppm = max_run·10^6 div bench_tokens); items with no
+    * candidate pair (nothing shared) have no rows. */
+  def contaminationAudit(corpus: DataFrame, bench: DataFrame,
+      k: Int = 5, topN: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    require(topN >= 1, s"need topN >= 1 (got $topN)")
+    import org.apache.spark.sql.expressions.Window
+    val bg = spanGramRows(bench, k, benchIdCol, benchTextCol)
+      .select(col("doc_id").as("bench_id"), col("h")).distinct()
+      .localCheckpoint() // bench-bounded; read by the candidate join
+    val shared = spanGramRows(corpus, k, idCol, textCol)
+      .select(col("doc_id"), col("h")).distinct()
+      .join(broadcast(bg), Seq("h"))
+      .groupBy(col("bench_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val topkAgg = udaf(new graft.functions.TopK.TopKAgg(topN),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[
+        graft.functions.TopK.Scored]())
+    val top = shared
+      .groupBy(col("bench_id"))
+      .agg(topkAgg(col("n_shared").cast("double"),
+        col("doc_id").cast("long"), lit(0L), lit(0L), lit(0L)).as("top"))
+      .select(col("bench_id"), explode(col("top")).as("r"))
+      .select(col("bench_id"), col("r.k1").as("doc_id"),
+        col("r.score").cast("long").as("n_shared_grams"))
+      .localCheckpoint() // ≤ |bench|·topN rows — broadcastable
+    val docIds = top.select(col("doc_id")).distinct()
+    val ct = corpus
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .join(broadcast(docIds), Seq("doc_id"), "left_semi")
+      .where(col("t").isNotNull)
+      .select(col("doc_id"), posexplode(words(col("t")))
+        .as(Seq("j", "tok")))
+    val bt = bench
+      .where(col(benchTextCol).isNotNull)
+      .select(col(benchIdCol).as("bench_id"),
+        posexplode(words(col(benchTextCol))).as(Seq("i", "tok")))
+      .localCheckpoint() // bench-bounded; read by the match + sizes
+    val m = ct
+      .join(broadcast(top), Seq("doc_id"))
+      .join(broadcast(bt), Seq("bench_id", "tok"))
+      .select(col("bench_id"), col("doc_id"), col("n_shared_grams"),
+        (col("i") - col("j")).as("d"), col("i"))
+    val wn = Window.partitionBy(col("bench_id"), col("doc_id"),
+      col("d")).orderBy(col("i"))
+    val runs = m
+      .withColumn("rn", row_number().over(wn))
+      .groupBy(col("bench_id"), col("doc_id"), col("n_shared_grams"),
+        col("d"), (col("i") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("bench_id"), col("doc_id"), col("n_shared_grams"))
+      .agg(max(col("run")).as("max_run"))
+    val bn = bench
+      .where(col(benchTextCol).isNotNull)
+      .select(col(benchIdCol).as("bench_id"),
+        size(words(col(benchTextCol))).cast("long").as("bench_tokens"))
+    runs.join(broadcast(bn), Seq("bench_id"))
+      .select(col("bench_id").as(benchIdCol), col("doc_id").as(idCol),
+        col("n_shared_grams"), col("bench_tokens"),
+        col("max_run").cast("long").as("max_run"),
+        expr("max_run * 1000000 div bench_tokens").as("run_ppm"))
+  }
+
   private[graft] def spanGramRows(docs: DataFrame, k: Int,
       idCol: String, textCol: String): DataFrame =
     docs.repartition(

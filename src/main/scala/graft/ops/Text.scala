@@ -600,9 +600,10 @@ object Text {
     * (freq · 2^30) div (n_left · n_right), replayed verbatim by the
     * DuckDB oracle, with the total tie-break (score DESC, freq DESC,
     * left ASC, right ASC) — deterministic under any partitioning. A
-    * loud require bounds the corpus symbol mass under 2^26 so the
-    * 64-bit products cannot wrap; corpora past that bound move the
-    * score to DECIMAL(38,0) (documented upgrade, not a silent wrap).
+    * loud require bounds the corpus symbol mass under 2^31 so the
+    * 64-bit products cannot wrap; corpora past ~2 G symbol
+    * occurrences move the score to DECIMAL(38,0) (documented
+    * upgrade, not a silent wrap).
     *
     * Scale shape: [[bpeVocab]]'s exactly — ONE corpus-scale
     * map-side-combinable pass collapses to the ≤|distinct words|
@@ -623,13 +624,14 @@ object Text {
       .select(wpSymbolsOf(col("word")).as("w"), col("cnt"))
     var cur = wordFreq.localCheckpoint()
     // 64-bit headroom: with total symbol mass T, freq/n_l/n_r <= T, so
-    // T < 2^26 keeps n_l·n_r <= 2^52 and freq·2^30 <= 2^56 — both safely
+    // T < 2^31 keeps n_l·n_r < 2^62 and freq·2^30 < 2^61 — both safely
     // inside long; the oracle runs the identical BIGINT arithmetic
+    // (measured at the 100× century corpus, T ≈ 2^28.6, headroom real)
     val mass = cur
       .agg(sum(size(split(trim(col("w")), " ")).cast("long") *
         col("cnt"))).head().getLong(0)
-    require(mass < (1L << 26),
-      s"wordpieceVocab 64-bit score bound: symbol mass $mass >= 2^26 " +
+    require(mass < (1L << 31),
+      s"wordpieceVocab 64-bit score bound: symbol mass $mass >= 2^31 " +
         "— switch the score arithmetic to DECIMAL(38,0) first")
     val merges = scala.collection.mutable
       .ArrayBuffer.empty[(Long, String, String, Long, Long)]
@@ -1055,7 +1057,8 @@ object Text {
     * grain. No per-doc state survives the aggregates. */
   def tokenizerEval(docs: DataFrame, enc: DataFrame, label: String,
       idCol: String = "doc_id", textCol: String = "text",
-      tokCol: String = "tokens", endMark: String = "</w>"): DataFrame = {
+      tokCol: String = "tokens", endMark: String = "</w>",
+      contMark: String = ""): DataFrame = {
     require(label.nonEmpty, "label must be non-empty")
     val base = docs
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
@@ -1066,8 +1069,16 @@ object Text {
       .select(explode(col("w")).as("word")).where(col("word") =!= "")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word"))).as("n_chars"))
-    val symLen = when(col("tok").endsWith(endMark),
+    // symbol length = token length minus its boundary markers: the
+    // endMark SUFFIX (BPE's </w>) and, when `contMark` is set, the
+    // continuation PREFIX (WordPiece's ##) — type counts stay on the
+    // raw token (##u and u are distinct vocabulary entries)
+    val symLen0 = when(col("tok").endsWith(endMark),
       length(col("tok")) - endMark.length).otherwise(length(col("tok")))
+    val symLen =
+      if (contMark.isEmpty) symLen0
+      else when(col("tok").startsWith(contMark),
+        symLen0 - contMark.length).otherwise(symLen0)
     val tstats = enc
       .select(col(idCol).as("doc_id"),
         explode(split(col(tokCol), " ")).as("tok"))

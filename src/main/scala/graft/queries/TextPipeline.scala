@@ -433,6 +433,22 @@ object TextPipeline {
         .orderBy("bench_id")
     }),
 
+    // ---- q196: contamination audit (longest shared verbatim run) -------
+    // The q70/q73 audit discipline applied to decontamination
+    // ([[graft.ops.Dedup.contaminationAudit]]): q186 reports how much
+    // of each eval item exists SOMEWHERE; this reports WHERE and how
+    // LONG a verbatim span — per candidate pair (shared-5-gram
+    // blocking, bounded top-3 per item by shared-gram count), the
+    // exact longest common contiguous token run via diagonal
+    // gaps-and-islands. Verbatim items report their source doc at
+    // run_ppm = 1e6; reversed items share no 5-gram and are absent.
+    "q196_contamination_audit" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      graft.ops.Dedup.contaminationAudit(d, contamBench(d), k = 5,
+          topN = 3)
+        .orderBy("bench_id", "doc_id")
+    }),
+
     // ---- q23: per-document quality statistics --------------------------
     // Thin binding over the public op ([[graft.ops.Text.stats]]).
     "q23_text_stats" -> ((s, dir) =>
@@ -926,6 +942,29 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- q195: epoch schedule under a token budget ----------------------
+    // Thin binding over [[graft.ops.Curate.epochSchedule]] — the
+    // data-constrained scaling allocator (Muennighoff 2023): budget =
+    // 3× the corpus tokens, maxEpochs = 4, weights = the source's
+    // numeric ordinal + 1 (a deterministic skewed priority both
+    // engines re-derive) — so the high-priority small sources CAP at
+    // 4 epochs and their overflow water-fills into the others. The
+    // oracle unrolls the waterfall rounds as MATERIALIZED CTEs with
+    // the identical integer share/cap arithmetic.
+    "q195_epoch_schedule" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val total = d
+        .agg(sum(bpeTokenCount(col("text")).cast("long"))).head()
+        .getLong(0)
+      val weights = d.select(col("source")).distinct()
+        .select(col("source"),
+          (regexp_extract(col("source"), "([0-9]+)", 1).cast("long") +
+            1L).as("w"))
+      graft.ops.Curate.epochSchedule(d, weights, budget = 3L * total,
+          maxEpochs = 4L)
+        .orderBy("source")
+    }),
+
     // ---- q154: span-extent fidelity audit (k-gram islands vs truth) ----
     // Thin binding over [[graft.ops.Dedup.spanExtentAudit]] — the q73
     // discipline applied to the span family: per q128 island extent,
@@ -1036,26 +1075,34 @@ object TextPipeline {
         .orderBy("doc_id")
     }),
 
-    // ---- q161: tokenizer evaluation battery (BPE vs unigram) -----------
+    // ---- q161: tokenizer evaluation battery (BPE vs unigram vs WP) -----
     // The report a deployment reads to PICK a tokenizer:
-    // [[graft.ops.Text.tokenizerEval]] over both trained tokenizers'
-    // encodes of the same corpus (q126's BPE merges and q155/q156's
-    // unigram vocabulary, both from the session memos) — fertility,
-    // compression, type inventory, single-char-piece rate, one row
-    // per tokenizer. The oracle replays BOTH training+encode chains
-    // (the q126 and q156 CTE builders composed — their CTE namespaces
-    // are disjoint) and reduces each token stream with the same
-    // integer-ppm floor divisions.
+    // [[graft.ops.Text.tokenizerEval]] over all THREE trained
+    // tokenizers' encodes of the same corpus (q126's BPE merges,
+    // q155/q156's unigram vocabulary and q192's WordPiece inventory,
+    // all from the session memos) — fertility, compression, type
+    // inventory, single-char-piece rate, one row per tokenizer
+    // (WordPiece symbol lengths discount the ## continuation PREFIX
+    // the way BPE's discount the </w> suffix). The oracle replays all
+    // three training+encode chains (the q126, q156 and q193 CTE
+    // builders composed — their CTE namespaces are disjoint) and
+    // reduces each token stream with the same integer-ppm floor
+    // divisions.
     "q161_tokenizer_eval" -> ((s, dir) => {
       import s.implicits._
       val d = Graft.parquetSource(s, dir).table("documents")
       val merges = bpeMergesOf(s, dir).map(m => (m._2, m._3))
       val vocab = ulmVocabOf(s, dir).toDF("piece", "n")
+      val wpm = wpMergesOf(s, dir).map(m => (m._2, m._3))
+      val inv = graft.ops.Text.wordpieceInventory(d, wpm)
       graft.ops.Text.tokenizerEval(d,
           graft.ops.Text.bpeEncode(d, merges), "bpe")
         .unionByName(graft.ops.Text.tokenizerEval(d,
           graft.ops.Text.unigramEncode(d, vocab, UlmMaxP, UlmMaxW),
           "unigram"))
+        .unionByName(graft.ops.Text.tokenizerEval(d,
+          graft.ops.Text.wordpieceEncode(d, inv, WpMaxW),
+          "wordpiece", contMark = "##"))
         .orderBy("tokenizer")
     }),
 
@@ -2596,41 +2643,41 @@ object TextPipeline {
     val merged = (0 until WpMerges)
       .map(i => s"SELECT l || substr(r, 3) AS piece FROM wpm$i")
       .mkString("\n    UNION ALL\n    ")
-    wpCtes(WpMerges, pre, trainWhere) + s""", inv AS MATERIALIZED (
+    wpCtes(WpMerges, pre, trainWhere) + s""", wpinv AS MATERIALIZED (
       |  SELECT DISTINCT piece FROM (
       |    SELECT unnest(string_split(trim(w), ' ')) AS piece FROM wp0
       |    UNION ALL
       |    $merged
       |  ) WHERE piece <> ''
-      |), mc AS MATERIALIZED (
+      |), wpmc AS MATERIALIZED (
       |  SELECT max(length(piece) -
-      |    CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END) AS m FROM inv
-      |), wall AS MATERIALIZED (
+      |    CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END) AS m FROM wpinv
+      |), wpall AS MATERIALIZED (
       |  SELECT word, length(word) AS len FROM (
       |    SELECT DISTINCT unnest(regexp_split_to_array(trim(text),
       |      '\\s+')) AS word
       |    FROM documents
       |    WHERE text IS NOT NULL AND len(trim(text)) > 0$encodeAnd
       |  ) WHERE word <> ''
-      |), wl AS MATERIALIZED (
-      |  SELECT word, len FROM wall WHERE len <= $WpMaxW
-      |), ed AS MATERIALIZED (
+      |), wpwl AS MATERIALIZED (
+      |  SELECT word, len FROM wpall WHERE len <= $WpMaxW
+      |), wped AS MATERIALIZED (
       |  SELECT word, j, max(l)::BIGINT AS ml FROM (
       |    SELECT wl.word, t.j, s.l
-      |    FROM wl, range(0, $WpMaxW) t(j),
-      |         range(1, ${WpMaxW + 1}) s(l), inv
+      |    FROM wpwl wl, range(0, $WpMaxW) t(j),
+      |         range(1, ${WpMaxW + 1}) s(l), wpinv inv
       |    WHERE t.j < wl.len AND s.l <= wl.len - t.j
-      |      AND s.l <= (SELECT m FROM mc)
+      |      AND s.l <= (SELECT m FROM wpmc)
       |      AND inv.piece = CASE WHEN t.j = 0
       |        THEN substr(wl.word, 1, s.l::INT)
       |        ELSE '##' || substr(wl.word, (t.j + 1)::INT, s.l::INT)
       |        END
       |  ) GROUP BY 1, 2
-      |), wk AS MATERIALIZED (
+      |), wpwk AS MATERIALIZED (
       |  WITH RECURSIVE g AS (
       |    SELECT word, len, 0::BIGINT AS pos, ''::VARCHAR AS toks,
       |      0::BIGINT AS np
-      |    FROM wl
+      |    FROM wpwl
       |    UNION ALL
       |    SELECT g.word, g.len, g.pos + e.ml,
       |      g.toks || CASE WHEN g.pos = 0 THEN '' ELSE ' ' END ||
@@ -2639,19 +2686,19 @@ object TextPipeline {
       |               e.ml::INT)
       |        END,
       |      g.np + 1
-      |    FROM g JOIN ed e ON e.word = g.word AND e.j = g.pos
+      |    FROM g JOIN wped e ON e.word = g.word AND e.j = g.pos
       |    WHERE g.pos < g.len
       |  )
       |  SELECT word, toks, np FROM g WHERE pos = len
-      |), wtok AS MATERIALIZED (
+      |), wptok AS MATERIALIZED (
       |  SELECT wl.word, coalesce(wk.toks, '[UNK]') AS toks,
       |    coalesce(wk.np, 1)::BIGINT AS np,
       |    (CASE WHEN wk.word IS NULL THEN 1 ELSE 0 END)::BIGINT AS nunk
-      |  FROM wl LEFT JOIN wk ON wk.word = wl.word
+      |  FROM wpwl wl LEFT JOIN wpwk wk ON wk.word = wl.word
       |  UNION ALL
       |  SELECT word, '[UNK]', 1::BIGINT, 1::BIGINT
-      |  FROM wall WHERE len > $WpMaxW
-      |), dw AS (
+      |  FROM wpall WHERE len > $WpMaxW
+      |), wpdw AS (
       |  SELECT doc_id, i AS pos, w[i] AS word FROM (
       |    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
       |    FROM documents
@@ -2666,7 +2713,7 @@ object TextPipeline {
       |  sum(t.np)::bigint AS n_tokens,
       |  sum(t.nunk)::bigint AS n_unk,
       |  md5(string_agg(t.toks, ' ' ORDER BY d.pos)) AS tok_md5
-      |FROM dw d JOIN wtok t USING (word)
+      |FROM wpdw d JOIN wptok t USING (word)
       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
   /** q194: the q193 replay with the inventory trained on the OLD slice
@@ -2688,22 +2735,27 @@ object TextPipeline {
       |    / len(regexp_split_to_array(trim(d.text), '\s+'))
       |    AS fertility,
       |  md5(string_agg(t.toks, ' ' ORDER BY e.pos)) AS tok_md5
-      |FROM dw e JOIN wtok t USING (word)
+      |FROM wpdw e JOIN wptok t USING (word)
       |JOIN documents d ON d.doc_id = e.doc_id
       |GROUP BY e.doc_id, d.text ORDER BY e.doc_id""".stripMargin
 
-  /** q161: BOTH tokenizer chains composed — the full BPE
+  /** q161: all THREE tokenizer chains composed — the full BPE
     * train+encode CTE list (w0…w24, m0…m24, e0…e24, ef) opens the
     * WITH as the `pre` of the unigram train chain (wf, wl, sub, and
-    * the per-round v/vb/vt/dp/seg/cnt/keep CTEs); the namespaces are
-    * disjoint, so both token streams reduce in one statement with
-    * the same integer-ppm floor divisions as the engine op. */
+    * the per-round v/vb/vt/dp/seg/cnt/keep CTEs), then the WordPiece
+    * train+greedy-encode chain (wp0…wp24, wps/wpm per round, wpinv,
+    * wpwl/wped/wpwk/wptok/wpdw); the namespaces are disjoint, so all
+    * three token streams reduce in one statement with the same
+    * integer-ppm floor divisions as the engine op (WordPiece symbol
+    * lengths discount the ## continuation prefix the way BPE's
+    * discount the </w> suffix). */
   private def tokenizerEvalSql: String =
     // concatenate, don't interpolate: the BPE chain carries
     // line-leading `||` concats that a second stripMargin would eat
     bpeEncodeChain("", "", "") + ", " +
       ulmTrainCtesFrom("", "").stripPrefix("WITH ") +
-      ulmDpCtes("e", s"vb$UlmRounds", s"vt$UlmRounds") +
+      ulmDpCtes("e", s"vb$UlmRounds", s"vt$UlmRounds") + ", " +
+      wpEncodeChain("", "", "").stripPrefix("WITH ") +
       s""", wtok AS MATERIALIZED (
         |  SELECT word, array_to_string(path, ' ') AS toks
         |  FROM sege
@@ -2728,6 +2780,11 @@ object TextPipeline {
         |    SELECT unnest(string_split(t.toks, ' ')) AS tok
         |    FROM dw d JOIN wtok t USING (word)
         |  ) WHERE tok <> ''
+        |), tkw AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(t.toks, ' ')) AS tok
+        |    FROM wpdw d JOIN wptok t USING (word)
+        |  ) WHERE tok <> ''
         |), mb AS (
         |  SELECT count(*)::bigint AS n_tokens,
         |    count(DISTINCT tok)::bigint AS n_token_types,
@@ -2742,6 +2799,13 @@ object TextPipeline {
         |        THEN length(tok) - 4 ELSE length(tok) END) = 1
         |      THEN 1 ELSE 0 END)::bigint AS n_char_tokens
         |  FROM tku
+        |), mw AS (
+        |  SELECT count(*)::bigint AS n_tokens,
+        |    count(DISTINCT tok)::bigint AS n_token_types,
+        |    sum(CASE WHEN (CASE WHEN tok LIKE '##%'
+        |        THEN length(tok) - 2 ELSE length(tok) END) = 1
+        |      THEN 1 ELSE 0 END)::bigint AS n_char_tokens
+        |  FROM tkw
         |), tot AS (
         |  SELECT
         |    (SELECT count(*) FROM documents
@@ -2753,6 +2817,8 @@ object TextPipeline {
         |  SELECT 'bpe' AS tokenizer, m.* FROM mb m
         |  UNION ALL
         |  SELECT 'unigram' AS tokenizer, m.* FROM mu m
+        |  UNION ALL
+        |  SELECT 'wordpiece' AS tokenizer, m.* FROM mw m
         |)
         |SELECT tokenizer, n_docs, n_words, n_chars, n_tokens,
         |  n_token_types, n_char_tokens,
@@ -2765,6 +2831,71 @@ object TextPipeline {
         |    ELSE n_char_tokens * 1000000 // n_tokens END)::bigint
         |    AS char_tok_ppm
         |FROM u, tot ORDER BY tokenizer""".stripMargin
+
+  /** q195: the epoch-schedule waterfall unrolled — per round, the
+    * active-weight sum and remaining budget (ew), per-row floor
+    * shares (es), the any-source-caps probe (ea), and the state
+    * transition (e): cappers freeze AT the cap, a no-cap round adds
+    * shares and sets done, exhaustion (bw = 0 or r ≤ 0) halts.
+    * Integer arithmetic identical to the engine's driver loop. */
+  private def epochScheduleSql: String = {
+    val tok =
+      "len(regexp_extract_all(text, " +
+        "'[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]'))"
+    val head = s"""WITH cs AS MATERIALIZED (
+      |  SELECT source AS src, sum($tok)::BIGINT AS c
+      |  FROM documents GROUP BY 1
+      |), bb AS MATERIALIZED (
+      |  SELECT 3 * sum(c)::BIGINT AS b FROM cs
+      |), e0 AS MATERIALIZED (
+      |  SELECT src, c,
+      |    (regexp_extract(src, '([0-9]+)', 1)::BIGINT + 1) AS w,
+      |    4 * c AS cap, 0::BIGINT AS alloc,
+      |    (regexp_extract(src, '([0-9]+)', 1)::BIGINT + 1) > 0
+      |      AS active,
+      |    false AS done
+      |  FROM cs
+      |)""".stripMargin
+    val rounds = (1 to 24).map { k =>
+      s""", ew$k AS MATERIALIZED (
+         |  SELECT coalesce((SELECT sum(w) FROM e${k - 1} WHERE active),
+         |      0)::BIGINT AS bw,
+         |    ((SELECT b FROM bb) -
+         |      (SELECT sum(alloc) FROM e${k - 1}))::BIGINT AS r
+         |), es$k AS MATERIALIZED (
+         |  SELECT e.*,
+         |    CASE WHEN e.active AND NOT e.done AND ew.bw > 0
+         |          AND ew.r > 0
+         |         THEN (ew.r * e.w) // ew.bw ELSE 0 END AS share,
+         |    (ew.bw = 0 OR ew.r <= 0) AS halt
+         |  FROM e${k - 1} e, ew$k ew
+         |), ea$k AS MATERIALIZED (
+         |  SELECT coalesce(bool_or(active AND NOT done AND NOT halt
+         |      AND alloc + share >= cap), false) AS anycap
+         |  FROM es$k
+         |), e$k AS MATERIALIZED (
+         |  SELECT src, c, w, cap,
+         |    CASE WHEN done OR halt THEN alloc
+         |         WHEN NOT active THEN alloc
+         |         WHEN anycap AND alloc + share >= cap THEN cap
+         |         WHEN anycap THEN alloc
+         |         ELSE alloc + share END AS alloc,
+         |    CASE WHEN done OR halt THEN active
+         |         WHEN active AND anycap AND alloc + share >= cap
+         |           THEN false
+         |         ELSE active END AS active,
+         |    (done OR halt OR NOT anycap) AS done
+         |  FROM es$k, ea$k
+         |)""".stripMargin
+    }.mkString
+    head + rounds + """
+      |SELECT src AS source, c AS unique_tokens, w AS weight,
+      |  cap AS cap_tokens, alloc AS alloc_tokens,
+      |  CASE WHEN c = 0 THEN 0
+      |       ELSE alloc * 1000000 // c END AS epochs_ppm,
+      |  alloc = cap AS capped
+      |FROM e24 ORDER BY source""".stripMargin
+  }
 
   /** q186/q187 shared replay: distinct corpus 13-gram hashes, the
     * derived benchmark (first 20 docs, odds word-reversed), per-item
@@ -3251,6 +3382,73 @@ object TextPipeline {
     "q193_wordpiece_encode" -> wpEncodeSql,
 
     "q194_incremental_wordpiece_encode" -> wpIncrEncodeSql,
+
+    "q195_epoch_schedule" -> epochScheduleSql,
+
+    // the audit replay: identical gram hashes + blocking + bounded
+    // top-3 (shared DESC, doc ASC — the TopKAgg tie-break) + the
+    // diagonal gaps-and-islands longest-common-substring at token
+    // grain; 1-based positions vs the engine's 0-based cancel in the
+    // diagonal difference
+    "q196_contamination_audit" ->
+      """WITH ws AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL
+        |), be AS MATERIALIZED (
+        |  SELECT doc_id AS bench_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN list_reverse(w) ELSE w END AS w
+        |  FROM ws WHERE doc_id < 20
+        |), bg AS MATERIALIZED (
+        |  SELECT DISTINCT bench_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::BIGINT
+        |      % 2147483647 AS h
+        |  FROM be, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), cgd AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::BIGINT
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), cand AS (
+        |  SELECT bench_id, doc_id, count(*)::BIGINT AS n_shared
+        |  FROM cgd JOIN bg USING (h) GROUP BY 1, 2
+        |), top AS MATERIALIZED (
+        |  SELECT bench_id, doc_id, n_shared AS n_shared_grams FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY bench_id
+        |      ORDER BY n_shared DESC, doc_id) AS rk
+        |    FROM cand
+        |  ) WHERE rk <= 3
+        |), bt AS MATERIALIZED (
+        |  SELECT bench_id, i, w[i] AS tok
+        |  FROM be, unnest(range(1, len(w) + 1)) AS t(i)
+        |), ct AS MATERIALIZED (
+        |  SELECT s.doc_id, j, s.w[j] AS tok
+        |  FROM ws s JOIN (SELECT DISTINCT doc_id FROM top) USING (doc_id),
+        |       unnest(range(1, len(s.w) + 1)) AS t(j)
+        |), m AS MATERIALIZED (
+        |  SELECT t.bench_id, t.doc_id, t.n_shared_grams,
+        |    b.i - c.j AS d, b.i
+        |  FROM top t
+        |  JOIN ct c ON c.doc_id = t.doc_id
+        |  JOIN bt b ON b.bench_id = t.bench_id AND b.tok = c.tok
+        |), runs AS (
+        |  SELECT bench_id, doc_id, n_shared_grams, max(run) AS max_run
+        |  FROM (
+        |    SELECT bench_id, doc_id, n_shared_grams, count(*)::BIGINT
+        |      AS run
+        |    FROM (SELECT *, i - row_number() OVER (PARTITION BY bench_id,
+        |        doc_id, d ORDER BY i) AS grp FROM m)
+        |    GROUP BY bench_id, doc_id, n_shared_grams, d, grp
+        |  ) GROUP BY 1, 2, 3
+        |), bn AS (
+        |  SELECT bench_id, len(w)::BIGINT AS bench_tokens FROM be
+        |)
+        |SELECT r.bench_id, r.doc_id, r.n_shared_grams, bn.bench_tokens,
+        |  r.max_run::BIGINT AS max_run,
+        |  (r.max_run * 1000000 // bn.bench_tokens)::BIGINT AS run_ppm
+        |FROM runs r JOIN bn USING (bench_id)
+        |ORDER BY bench_id, doc_id""".stripMargin,
 
     "q127_chunk" ->
       """WITH ws AS (

@@ -66,8 +66,39 @@ object ScaleProbe {
           graft.ops.Text.wordVectorsFromCooc(vocab,
             graft.ops.Text.coocFrame(pt, vocab), k = 3)
         })
+      case "contamaudit" =>
+        ("contamaudit", () => {
+          val w = org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(col("text")), "\\s+")
+          val bench = docs.where(col("doc_id") < 20 &&
+            col("text").isNotNull)
+            .select(col("doc_id").as("bench_id"),
+              when(col("doc_id") % 2 === 1,
+                concat_ws(" ", reverse(w)))
+                .otherwise(col("text")).as("text"))
+          graft.ops.Dedup.contaminationAudit(docs, bench, k = 5,
+            topN = 3)
+        })
+      case "wordpiece" =>
+        ("wordpiece", () => {
+          val merges = graft.ops.Text.wordpieceVocab(docs, 24)
+            .orderBy("merge_rank").collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+          val inv = graft.ops.Text.wordpieceInventory(docs, merges)
+            .localCheckpoint()
+          graft.ops.Text.wordpieceEncode(docs, inv)
+        })
+      case "videometa" =>
+        ("videometa", () => {
+          val vm = graft.functions.Multimodal.videoMeta(col("payload"))
+          graft.queries.Media.syntheticVideo(docs)
+            .select(col("media_id"), vm.as("m"))
+            .groupBy(col("m.format"))
+            .agg(count(lit(1)).as("n"), sum(col("m.duration")).as("dur"))
+        })
       case other =>
-        sys.error(s"unknown case '$other' (cascade|bm25|wordvec:<topV>)")
+        sys.error(s"unknown case '$other' " +
+          "(cascade|bm25|contam|lsh|wordvec:<topV>|wordpiece|videometa)")
     }
 
     def fn3(v: Double) =

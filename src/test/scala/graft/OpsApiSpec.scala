@@ -247,6 +247,100 @@ class OpsApiSpec extends AnyFunSuite {
       s"target-like doc did not outscore junk: $scores")
   }
 
+  test("Dedup.contaminationAudit finds the longest shared verbatim " +
+      "run on capped candidate pairs (hand-computed)") {
+    val corpus = Seq(
+      (100L, "a b c d e f g h i j"),
+      (101L, "x1 x2 a b c d e f y1 y2"),   // carries the 6-run
+      (102L, "z z z z z"),                  // shares nothing
+      (103L, "a b c d e f g h i j"),        // dup of 100, larger id
+      (104L, "a b c d e f g h i j"),        // dup of 100, largest id
+      (105L, "q a a b c d e e r")           // repeated tokens
+    ).toDF("page_id", "body")
+    val bench = Seq(
+      (1L, "a b c d e f q r s t"),  // 2 shared 5-grams with 100/101/103/104
+      (2L, "m n o p q"),            // no candidate → absent
+      (3L, "a a b c d e e")         // 3 shared grams with 105, full-run
+    ).toDF("item_id", "btext")
+    val out = graft.ops.Dedup.contaminationAudit(corpus, bench,
+        k = 5, topN = 3, idCol = "page_id", textCol = "body",
+        benchIdCol = "item_id", benchTextCol = "btext")
+      .orderBy("item_id", "page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // item 1 ties at 2 shared grams across 100/101/103/104 — the
+    // bounded top-3 keeps the id-ascending three, drops 104
+    // deterministically; the longest shared run is "a b c d e f" = 6
+    assert(out.toSeq === Seq(
+      (1L, 100L, 2L, 10L, 6L, 600000L),
+      (1L, 101L, 2L, 10L, 6L, 600000L),
+      (1L, 103L, 2L, 10L, 6L, 600000L),
+      // item 3's [a b c d e] gram also blocks 100/101 (5-token run);
+      // its whole text recurs inside 105 (repeated tokens put matches
+      // on many diagonals; the run diagonal wins): 7/7 tokens
+      (3L, 100L, 1L, 7L, 5L, 714285L),
+      (3L, 101L, 1L, 7L, 5L, 714285L),
+      (3L, 105L, 3L, 7L, 7L, 1000000L)))
+    // determinism under re-planning
+    val again = graft.ops.Dedup.contaminationAudit(
+        corpus.repartition(7), bench, 5, 3,
+        idCol = "page_id", textCol = "body",
+        benchIdCol = "item_id", benchTextCol = "btext")
+      .orderBy("item_id", "page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(again.toSeq === out.toSeq.map(t => (t._1, t._2, t._5)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.contaminationAudit(corpus, bench, k = 1)
+    }
+  }
+
+  test("Curate.epochSchedule water-fills overflow into uncapped " +
+      "sources (hand-computed waterfall)") {
+    // srcA 10 tokens w=1, srcB 4 tokens w=1, srcC 100 tokens w=2;
+    // budget 60, maxEpochs 2 (caps 20/8/200). Round 1 (W=4, R=60):
+    // shares 15/15/30 — B caps at 8. Round 2 (W=3, R=52): shares
+    // 17/-/34, nothing caps → final, 1 token of floor dust unallocated.
+    val d = Seq(
+      ("a", ("x " * 10).trim), ("b", ("x " * 4).trim),
+      ("c", ("x " * 100).trim)).toDF("site", "body")
+    val w = Seq(("a", 1L), ("b", 1L), ("c", 2L)).toDF("site", "w")
+    def run(budget: Long, maxE: Long) =
+      Curate.epochSchedule(d, w, budget, maxE,
+          srcCol = "site", textCol = "body")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getBoolean(6)))).toMap
+    val out = run(60L, 2L)
+    assert(out("a") === ((10L, 20L, 17L, 1700000L, false)))
+    assert(out("b") === ((4L, 8L, 8L, 2000000L, true)))
+    assert(out("c") === ((100L, 200L, 34L, 340000L, false)))
+    // budget past every cap: everyone caps, dust stays unallocated
+    val all = run(1000L, 2L)
+    assert(all("a") === ((10L, 20L, 20L, 2000000L, true)))
+    assert(all("b") === ((4L, 8L, 8L, 2000000L, true)))
+    assert(all("c") === ((100L, 200L, 200L, 2000000L, true)))
+    // zero budget: nothing allocated
+    assert(run(0L, 2L).values.forall(_._3 == 0L))
+    // zero-weight source receives nothing; others split its share
+    val w0 = Seq(("a", 0L), ("b", 1L), ("c", 1L)).toDF("site", "w")
+    val z = Curate.epochSchedule(d, w0, 12L, 2L,
+        srcCol = "site", textCol = "body")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(z("a") === 0L)
+    assert(z("b") + z("c") <= 12L && z("b") === 6L)
+    // determinism under re-planning
+    val rep = Curate.epochSchedule(d.repartition(7), w, 60L, 2L,
+        srcCol = "site", textCol = "body")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rep === out.map { case (k, v) => k -> v._3 })
+    intercept[IllegalArgumentException] {
+      Curate.epochSchedule(d, w, -1L, 2L, "site", "body")
+    }
+    intercept[IllegalArgumentException] {
+      Curate.epochSchedule(d, w, 60L, 0L, "site", "body")
+    }
+  }
+
   test("Curate.capPerKey keeps a deterministic n-sample per key on " +
       "(page_id, site)") {
     import graft.ops.Curate

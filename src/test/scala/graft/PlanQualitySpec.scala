@@ -330,6 +330,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"corpus inventory shuffled for the benchmark:\n$p")
   }
 
+  test("q196: contamination audit keeps every post-cap join broadcast " +
+      "— the corpus never shuffles by token or gram for the benchmark") {
+    // candidate blocking: bench grams BROADCAST into the corpus
+    // distinct-gram pass; after the bounded top-N cap, the doc-id
+    // restriction, the pair expansion and the bench-token match are
+    // all broadcast hash joins — the only shuffles are the corpus
+    // gram distinct and the pair-grain islands window
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val p = graft.ops.Dedup.contaminationAudit(docs, bench,
+        k = 5, topN = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"audit joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the benchmark:\n$p")
+  }
+
   test("q167: keywords' top-k window is doc-partitioned, never a " +
       "single-partition sort") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
