@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{AudioMetaExpr, DotProductExpr, Hash60Expr, ImageMetaExpr, MaxAbsExpr, QuantizeExpr, ShinglesExpr, UnaccentExpr, VideoMetaExpr}
+import graft.functions.{AudioMetaExpr, AudioPcmExpr, DotProductExpr, Hash60Expr, ImageMetaExpr, MaxAbsExpr, QuantizeExpr, ShinglesExpr, UnaccentExpr, VideoMetaExpr}
 
 /** SparkSessionExtensions entry point — registers graft's native Catalyst
   * expressions as SQL functions. Two deployment paths:
@@ -74,6 +74,14 @@ object GraftExtensions {
         require(children.length == 1,
           s"graft_audio_meta expects 1 argument, got ${children.length}")
         AudioMetaExpr(children.head)
+      }),
+    (FunctionIdentifier("graft_audio_pcm"),
+      new ExpressionInfo(classOf[AudioPcmExpr].getName,
+        "graft_audio_pcm"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"graft_audio_pcm expects 1 argument, got ${children.length}")
+        AudioPcmExpr(children.head)
       }),
     (FunctionIdentifier("graft_video_meta"),
       new ExpressionInfo(classOf[VideoMetaExpr].getName,

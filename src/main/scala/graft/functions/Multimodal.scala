@@ -102,6 +102,17 @@ object Multimodal {
     org.apache.spark.sql.GraftArrowBridge.column(VideoMetaExpr(
       org.apache.spark.sql.GraftArrowBridge.expression(payload)))
 
+  /** REAL audio PCM SAMPLE decode — the audio analog of
+    * [[decodePixels]], needing NO codec library (PCM samples ARE the
+    * bytes): the native codegen [[AudioPcmExpr]] locates `fmt `/`data`
+    * via the [[audioMeta]] chunk walk and reduces every complete frame
+    * present to per-channel sum/min/max over the RAW stored values.
+    * Same never-throw degrade-to-unknown contract; truncated blobs
+    * decode their complete frames. */
+  def audioPcmStats(payload: Column): Column =
+    org.apache.spark.sql.GraftArrowBridge.column(AudioPcmExpr(
+      org.apache.spark.sql.GraftArrowBridge.expression(payload)))
+
   /** Codec-free content fingerprint: a deterministic 4-dim feature
     * vector from the payload bytes (three independent md5-derived
     * 32-bit hashes + the byte length) — the columnar feature for

@@ -177,6 +177,20 @@ object Media {
           .as("payload"))
   }
 
+  /** Synthetic but VALID canonical WAVs whose PCM samples are a pure
+    * formula of doc_id ([[graft.functions.SyntheticAudio]]), so the
+    * q197 oracle verifies the real [[graft.functions.AudioPcmExpr]]
+    * decode without DuckDB ever parsing a byte — the q179 discipline
+    * on the audio side. (media_id, payload). */
+  private[graft] def syntheticPcmAudio(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        (id, graft.functions.SyntheticAudio.payload(id))))
+      .toDF("media_id", "payload")
+  }
+
   /** Synthetic but VALID image payloads from `documents` — pixels are
     * a pure formula of doc_id ([[graft.functions.SyntheticImage]]), so
     * the q179 oracle verifies the real [[decodePixels]] decode without
@@ -302,6 +316,34 @@ object Media {
         .orderBy("media_id")
     }),
 
+    // ---- q197: REAL audio PCM sample decode ------------------------------
+    // The audio analog of q179's real pixel decode, with ZERO codec
+    // libraries (PCM samples ARE the bytes): [[syntheticPcmAudio]]
+    // builds VALID canonical WAVs whose interleaved samples are a
+    // pure formula of doc_id, the engine decodes them with the native
+    // codegen [[graft.functions.AudioPcmExpr]] (SQL: graft_audio_pcm
+    // — chunk walk, then per-channel sum/min/max over the RAW stored
+    // values), and the oracle computes the same stats straight from
+    // the sample formula without parsing a byte. Truncated rows (every
+    // 11th doc) degrade to 'unknown', never throw.
+    "q197_audio_pcm_stats" -> ((s, dir) => {
+      val ap = graft.functions.Multimodal.audioPcmStats(col("payload"))
+      syntheticPcmAudio(Graft.parquetSource(s, dir).table("documents"))
+        .select(col("media_id"), ap.as("m"))
+        .select(col("media_id"),
+          col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.bit_depth").as("bit_depth"),
+          col("m.n_frames").as("n_frames"),
+          col("m.c0_sum").as("c0_sum"),
+          col("m.c0_min").as("c0_min"),
+          col("m.c0_max").as("c0_max"),
+          col("m.c1_sum").as("c1_sum"),
+          col("m.c1_min").as("c1_min"),
+          col("m.c1_max").as("c1_max"))
+        .orderBy("media_id")
+    }),
+
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
       val frames = sampleFrames(col("payload"), 16, 4)
@@ -407,6 +449,52 @@ object Media {
         |       ELSE NULL END AS n_samples
         |FROM f ORDER BY media_id""".stripMargin
     },
+
+    // Never parses a byte: evaluates the SyntheticAudio sample formula
+    // directly (the q179 discipline on the audio side) — interleaved
+    // sample s = f·ch + c is (id·7 + s·13) % 256 at 8-bit and
+    // ((id·11 + s·17) % 65536) − 32768 at 16-bit; truncated rows
+    // (id % 11 = 3) report 'unknown' with null stats.
+    "q197_audio_pcm_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    (doc_id % 2 + 1)::INT AS ch,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)::INT AS bits,
+        |    (doc_id % 40 + 50)::BIGINT AS nf,
+        |    (doc_id % 11 = 3) AS trunc
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id, ch, bits, nf, trunc,
+        |    list_transform(range(0, nf), f -> CASE WHEN bits = 8
+        |      THEN (media_id*7 + (f*ch + 0)*13) % 256
+        |      ELSE ((media_id*11 + (f*ch + 0)*17) % 65536) - 32768
+        |      END) AS c0,
+        |    CASE WHEN ch = 2 THEN list_transform(range(0, nf),
+        |      f -> CASE WHEN bits = 8
+        |        THEN (media_id*7 + (f*ch + 1)*13) % 256
+        |        ELSE ((media_id*11 + (f*ch + 1)*17) % 65536) - 32768
+        |        END)
+        |    END AS c1
+        |  FROM p
+        |)
+        |SELECT media_id,
+        |  CASE WHEN trunc THEN 'unknown' ELSE 'wav_pcm' END AS format,
+        |  CASE WHEN trunc THEN NULL ELSE ch END AS channels,
+        |  CASE WHEN trunc THEN NULL ELSE bits END AS bit_depth,
+        |  CASE WHEN trunc THEN NULL ELSE nf END AS n_frames,
+        |  CASE WHEN trunc THEN NULL
+        |       ELSE list_sum(c0)::BIGINT END AS c0_sum,
+        |  CASE WHEN trunc THEN NULL
+        |       ELSE list_min(c0)::INT END AS c0_min,
+        |  CASE WHEN trunc THEN NULL
+        |       ELSE list_max(c0)::INT END AS c0_max,
+        |  CASE WHEN trunc OR ch = 1 THEN NULL
+        |       ELSE list_sum(c1)::BIGINT END AS c1_sum,
+        |  CASE WHEN trunc OR ch = 1 THEN NULL
+        |       ELSE list_min(c1)::INT END AS c1_min,
+        |  CASE WHEN trunc OR ch = 1 THEN NULL
+        |       ELSE list_max(c1)::INT END AS c1_max
+        |FROM s ORDER BY media_id""".stripMargin,
 
     // the q190 hx discipline on the video side: construct the SAME
     // canonical MP4 hex (box parameters re-derived from doc_id), then

@@ -88,6 +88,14 @@ object ScaleProbe {
             .localCheckpoint()
           graft.ops.Text.wordpieceEncode(docs, inv)
         })
+      case "audiopcm" =>
+        ("audiopcm", () => {
+          val m = graft.functions.Multimodal.audioPcmStats(col("payload"))
+          graft.queries.Media.syntheticPcmAudio(docs)
+            .select(col("media_id"), m.as("s"))
+            .groupBy(col("s.format"))
+            .agg(count(lit(1)).as("n"), sum(col("s.c0_sum")).as("c0"))
+        })
       case "videometa" =>
         ("videometa", () => {
           val vm = graft.functions.Multimodal.videoMeta(col("payload"))

@@ -362,6 +362,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(nullRow.isNullAt(0))
   }
 
+  test("audio PCM decode: real sample stats from the data chunk; " +
+      "truncated blobs decode complete frames, never throw") {
+    import graft.functions.AudioPcmExpr.parse
+    def le16(x: Int) = Array((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte)
+    def le32(x: Int) = Array((x & 0xFF).toByte, ((x >> 8) & 0xFF).toByte,
+      ((x >> 16) & 0xFF).toByte, ((x >> 24) & 0xFF).toByte)
+    def chunk(id: String, body: Array[Byte]) =
+      id.getBytes("ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def fmtBody(code: Int, ch: Int, rate: Int, bits: Int) =
+      le16(code) ++ le16(ch) ++ le32(rate) ++
+        le32(rate * ch * bits / 8) ++ le16(ch * bits / 8) ++ le16(bits)
+    def wav(chunks: Array[Byte]*) = {
+      val body = "WAVE".getBytes("ASCII") ++ chunks.flatten
+      "RIFF".getBytes("ASCII") ++ le32(body.length) ++ body
+    }
+    def tup(b: Array[Byte]) = {
+      val r = parse(b)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(3)) -1L else r.getLong(3),   // n_frames
+        if (r.isNullAt(4)) -1L else r.getLong(4),   // c0_sum
+        if (r.isNullAt(5)) -1 else r.getInt(5),     // c0_min
+        if (r.isNullAt(6)) -1 else r.getInt(6),     // c0_max
+        if (r.isNullAt(7)) -1L else r.getLong(7))   // c1_sum
+    }
+    // stereo 16-bit, 3 frames: L = 100,-200,300; R = -1,2,-3
+    val st = wav(chunk("fmt ", fmtBody(1, 2, 8000, 16)),
+      chunk("data", Seq(100, -1, -200, 2, 300, -3)
+        .flatMap(v => le16(v & 0xFFFF)).toArray))
+    assert(tup(st) === (("wav_pcm", 3L, 200L, -200, 300, -2L)))
+    // mono 8-bit (unsigned domain): 0, 128, 255
+    val mono = wav(chunk("fmt ", fmtBody(1, 1, 8000, 8)),
+      chunk("data", Array(0, 128, 255).map(_.toByte)))
+    assert(tup(mono) === (("wav_pcm", 3L, 383L, 0, 255, -1L)))
+    // data BEFORE fmt (non-canonical order the oracle never sees)
+    val rev = wav(
+      chunk("data", Array[Byte](7, 9)),
+      chunk("fmt ", fmtBody(1, 1, 8000, 8)))
+    assert(tup(rev) === (("wav_pcm", 2L, 16L, 7, 9, -1L)))
+    // truncated mid-data: stereo 16-bit declares 4 frames (16 bytes),
+    // only 10 bytes present → 2 complete frames decode
+    val full = wav(chunk("fmt ", fmtBody(1, 2, 8000, 16)),
+      chunk("data", Seq(1, 2, 3, 4, 5, 6, 7, 8)
+        .flatMap(le16).toArray))
+    val cut = full.take(full.length - 6)
+    assert(tup(cut) === (("wav_pcm", 2L, 4L, 1, 3, 6L)))
+    // headers-only: declared size, zero data bytes present
+    val hdr = wav(chunk("fmt ", fmtBody(1, 1, 8000, 8))) ++
+      "data".getBytes("ASCII") ++ le32(100)
+    assert(tup(hdr) === (("wav_pcm", 0L, -1L, -1, -1, -1L)))
+    // degrade: float PCM, 24-bit, junk, empty
+    assert(tup(wav(chunk("fmt ", fmtBody(3, 1, 8000, 32)),
+      chunk("data", new Array[Byte](8))))._1 === "unknown")
+    assert(tup(wav(chunk("fmt ", fmtBody(1, 1, 8000, 24)),
+      chunk("data", new Array[Byte](6))))._1 === "unknown")
+    assert(tup("not audio at all".getBytes)._1 === "unknown")
+    assert(tup(Array.empty[Byte])._1 === "unknown")
+    // SQL surface + null contract
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val viaSql = Seq(st).toDF("b")
+      .selectExpr("graft_audio_pcm(b) AS m")
+      .selectExpr("m.format", "m.n_frames", "m.c0_sum", "m.c1_sum")
+      .collect().head
+    assert((viaSql.getString(0), viaSql.getLong(1), viaSql.getLong(2),
+      viaSql.getLong(3)) === (("wav_pcm", 3L, 200L, -2L)))
+    val nullRow = Seq(Option.empty[Array[Byte]]).toDF("b")
+      .selectExpr("graft_audio_pcm(b) AS m").collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("video metadata: the ISO-BMFF box walk parses real layouts; " +
       "malformed payloads degrade to unknown, never throw") {
     import graft.functions.VideoMetaExpr.parse

@@ -225,6 +225,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("FileScan parquet"))
   }
 
+  test("q197: audio PCM decode is exchange-free — the sample stats " +
+      "ride the synthetic-payload stream, no shuffle") {
+    // the q179 contract on the audio side: payload construction is
+    // the mapPartitions builder, and the AudioPcmExpr reduction is a
+    // projection on top — payload bytes never cross an Exchange
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = graft.queries.Media.syntheticPcmAudio(docs)
+    val m = graft.functions.Multimodal.audioPcmStats(
+      org.apache.spark.sql.functions.col("payload"))
+    val p = media.select(m.getField("format"), m.getField("c0_sum"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"audio pcm decode moves data:\n$p")
+    assert(p.contains("FileScan parquet"))
+    assert(p.contains("MapPartitions"), s"builder seam missing:\n$p")
+  }
+
   test("q179: real pixel decode is exchange-free — scan → project → " +
       "mapPartitions, payload bytes never shuffle") {
     // decode cost must be pure per-blob CPU that scales with executor
