@@ -1001,6 +1001,34 @@ object Dedup {
   def contaminationAudit(corpus: DataFrame, bench: DataFrame,
       k: Int = 5, topN: Int = 3, idCol: String = "doc_id",
       textCol: String = "text", benchIdCol: String = "bench_id",
+      benchTextCol: String = "text"): DataFrame =
+    contaminationAuditOf(docGramFrame(corpus, k, idCol, textCol),
+      corpus, bench, k, topN, idCol, textCol, benchIdCol, benchTextCol)
+
+  /** The per-document distinct k-gram blocking index ((doc_id, h)) —
+    * what a crawl loop PERSISTS per snapshot so the contamination
+    * audit can block candidates without re-hashing committed
+    * documents ([[contaminationAuditOf]]). Per-doc distinct rows over
+    * disjoint doc sets union losslessly, so snapshot ∪ batch ≡ the
+    * from-scratch index over the grown corpus, bit-for-bit. */
+  def docGramFrame(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"need k >= 2 (got $k)")
+    spanGramRows(docs, k, idCol, textCol)
+      .select(col("doc_id"), col("h")).distinct()
+  }
+
+  /** [[contaminationAudit]] against a FROZEN (or merged) per-document
+    * gram index ((doc_id, h) — from [[docGramFrame]], usually a
+    * persisted artifact): the crawl-loop form. Blocking reads the
+    * index, never re-hashes committed documents; `corpus` supplies
+    * document TEXT only for the ≤ |bench|·topN capped candidates
+    * (point lookups through the broadcast id set — the only
+    * old-document reads, exactly the docs the audit must quote). */
+  def contaminationAuditOf(docGrams: DataFrame, corpus: DataFrame,
+      bench: DataFrame, k: Int = 5, topN: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "bench_id",
       benchTextCol: String = "text"): DataFrame = {
     require(k >= 2, s"need k >= 2 (got $k)")
     require(topN >= 1, s"need topN >= 1 (got $topN)")
@@ -1008,8 +1036,8 @@ object Dedup {
     val bg = spanGramRows(bench, k, benchIdCol, benchTextCol)
       .select(col("doc_id").as("bench_id"), col("h")).distinct()
       .localCheckpoint() // bench-bounded; read by the candidate join
-    val shared = spanGramRows(corpus, k, idCol, textCol)
-      .select(col("doc_id"), col("h")).distinct()
+    val shared = docGrams
+      .select(col("doc_id"), col("h"))
       .join(broadcast(bg), Seq("h"))
       .groupBy(col("bench_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

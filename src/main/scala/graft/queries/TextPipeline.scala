@@ -403,6 +403,18 @@ object TextPipeline {
           .where(col("doc_id") < cut), k = 13)
     }
 
+  /** The q198 frozen blocking index (per-doc distinct 5-gram rows over
+    * the old corpus) — persisted once per (dir, cut) via the public
+    * frame definition ([[graft.ops.Dedup.docGramFrame]]). */
+  private[graft] def auditGramIndex(s: SparkSession, dir: String,
+      cut: Long): String =
+    graft.sources.SideTable.ensure(s, "audit_doc_grams", s"$dir#$cut#k5",
+        Some(s"$dir/documents.parquet")) {
+      graft.ops.Dedup.docGramFrame(
+        Graft.parquetSource(s, dir).table("documents")
+          .where(col("doc_id") < cut), k = 5)
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q186: benchmark decontamination (the 13-gram rule) ------------
@@ -446,6 +458,25 @@ object TextPipeline {
       val d = Graft.parquetSource(s, dir).table("documents")
       graft.ops.Dedup.contaminationAudit(d, contamBench(d), k = 5,
           topN = 3)
+        .orderBy("bench_id", "doc_id")
+    }),
+
+    // ---- q198: incremental contamination audit vs the frozen index -----
+    // q196 as the crawl loop runs it: the snapshot persists the
+    // per-doc distinct-gram BLOCKING index ([[auditGramIndex]] —
+    // (doc_id, h) rows, which union losslessly with the batch's own
+    // over disjoint doc sets, so epoch-N ≡ from-scratch bit-for-bit);
+    // committed documents are never re-hashed, and their TEXT is
+    // re-read only for the ≤ |bench|·topN capped candidates the audit
+    // must actually quote (broadcast-id point lookups).
+    "q198_incremental_contamination_audit" -> ((s, dir) => {
+      val d = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, d)
+      val merged = s.read.parquet(auditGramIndex(s, dir, cut))
+        .unionByName(graft.ops.Dedup.docGramFrame(
+          d.where(col("doc_id") >= cut), k = 5))
+      graft.ops.Dedup.contaminationAuditOf(merged, d, contamBench(d),
+          k = 5, topN = 3)
         .orderBy("bench_id", "doc_id")
     }),
 
@@ -2897,6 +2928,71 @@ object TextPipeline {
       |FROM e24 ORDER BY source""".stripMargin
   }
 
+  /** q196/q198 shared replay (union of per-doc distinct gram rows
+    * over disjoint doc sets ≡ the from-scratch blocking index, so the
+    * incremental audit replays identically): gram hashes + blocking +
+    * bounded top-3 + diagonal gaps-and-islands longest common
+    * substring at token grain. */
+  private val contamAuditSql: String =
+    """WITH ws AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents WHERE text IS NOT NULL
+        |), be AS MATERIALIZED (
+        |  SELECT doc_id AS bench_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN list_reverse(w) ELSE w END AS w
+        |  FROM ws WHERE doc_id < 20
+        |), bg AS MATERIALIZED (
+        |  SELECT DISTINCT bench_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::BIGINT
+        |      % 2147483647 AS h
+        |  FROM be, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), cgd AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::BIGINT
+        |      % 2147483647 AS h
+        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 5
+        |), cand AS (
+        |  SELECT bench_id, doc_id, count(*)::BIGINT AS n_shared
+        |  FROM cgd JOIN bg USING (h) GROUP BY 1, 2
+        |), top AS MATERIALIZED (
+        |  SELECT bench_id, doc_id, n_shared AS n_shared_grams FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY bench_id
+        |      ORDER BY n_shared DESC, doc_id) AS rk
+        |    FROM cand
+        |  ) WHERE rk <= 3
+        |), bt AS MATERIALIZED (
+        |  SELECT bench_id, i, w[i] AS tok
+        |  FROM be, unnest(range(1, len(w) + 1)) AS t(i)
+        |), ct AS MATERIALIZED (
+        |  SELECT s.doc_id, j, s.w[j] AS tok
+        |  FROM ws s JOIN (SELECT DISTINCT doc_id FROM top) USING (doc_id),
+        |       unnest(range(1, len(s.w) + 1)) AS t(j)
+        |), m AS MATERIALIZED (
+        |  SELECT t.bench_id, t.doc_id, t.n_shared_grams,
+        |    b.i - c.j AS d, b.i
+        |  FROM top t
+        |  JOIN ct c ON c.doc_id = t.doc_id
+        |  JOIN bt b ON b.bench_id = t.bench_id AND b.tok = c.tok
+        |), runs AS (
+        |  SELECT bench_id, doc_id, n_shared_grams, max(run) AS max_run
+        |  FROM (
+        |    SELECT bench_id, doc_id, n_shared_grams, count(*)::BIGINT
+        |      AS run
+        |    FROM (SELECT *, i - row_number() OVER (PARTITION BY bench_id,
+        |        doc_id, d ORDER BY i) AS grp FROM m)
+        |    GROUP BY bench_id, doc_id, n_shared_grams, d, grp
+        |  ) GROUP BY 1, 2, 3
+        |), bn AS (
+        |  SELECT bench_id, len(w)::BIGINT AS bench_tokens FROM be
+        |)
+        |SELECT r.bench_id, r.doc_id, r.n_shared_grams, bn.bench_tokens,
+        |  r.max_run::BIGINT AS max_run,
+        |  (r.max_run * 1000000 // bn.bench_tokens)::BIGINT AS run_ppm
+        |FROM runs r JOIN bn USING (bench_id)
+        |ORDER BY bench_id, doc_id""".stripMargin
+
   /** q186/q187 shared replay: distinct corpus 13-gram hashes, the
     * derived benchmark (first 20 docs, odds word-reversed), per-item
     * hit stats. The incremental form's union of distinct hash sets ≡
@@ -3390,65 +3486,13 @@ object TextPipeline {
     // diagonal gaps-and-islands longest-common-substring at token
     // grain; 1-based positions vs the engine's 0-based cancel in the
     // diagonal difference
-    "q196_contamination_audit" ->
-      """WITH ws AS MATERIALIZED (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
-        |  FROM documents WHERE text IS NOT NULL
-        |), be AS MATERIALIZED (
-        |  SELECT doc_id AS bench_id,
-        |    CASE WHEN doc_id % 2 = 1 THEN list_reverse(w) ELSE w END AS w
-        |  FROM ws WHERE doc_id < 20
-        |), bg AS MATERIALIZED (
-        |  SELECT DISTINCT bench_id,
-        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::BIGINT
-        |      % 2147483647 AS h
-        |  FROM be, unnest(range(1, len(w) - 3)) AS t(i)
-        |  WHERE len(w) >= 5
-        |), cgd AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(array_to_string(w[i:i+4], ' ')),1,15))::BIGINT
-        |      % 2147483647 AS h
-        |  FROM ws, unnest(range(1, len(w) - 3)) AS t(i)
-        |  WHERE len(w) >= 5
-        |), cand AS (
-        |  SELECT bench_id, doc_id, count(*)::BIGINT AS n_shared
-        |  FROM cgd JOIN bg USING (h) GROUP BY 1, 2
-        |), top AS MATERIALIZED (
-        |  SELECT bench_id, doc_id, n_shared AS n_shared_grams FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY bench_id
-        |      ORDER BY n_shared DESC, doc_id) AS rk
-        |    FROM cand
-        |  ) WHERE rk <= 3
-        |), bt AS MATERIALIZED (
-        |  SELECT bench_id, i, w[i] AS tok
-        |  FROM be, unnest(range(1, len(w) + 1)) AS t(i)
-        |), ct AS MATERIALIZED (
-        |  SELECT s.doc_id, j, s.w[j] AS tok
-        |  FROM ws s JOIN (SELECT DISTINCT doc_id FROM top) USING (doc_id),
-        |       unnest(range(1, len(s.w) + 1)) AS t(j)
-        |), m AS MATERIALIZED (
-        |  SELECT t.bench_id, t.doc_id, t.n_shared_grams,
-        |    b.i - c.j AS d, b.i
-        |  FROM top t
-        |  JOIN ct c ON c.doc_id = t.doc_id
-        |  JOIN bt b ON b.bench_id = t.bench_id AND b.tok = c.tok
-        |), runs AS (
-        |  SELECT bench_id, doc_id, n_shared_grams, max(run) AS max_run
-        |  FROM (
-        |    SELECT bench_id, doc_id, n_shared_grams, count(*)::BIGINT
-        |      AS run
-        |    FROM (SELECT *, i - row_number() OVER (PARTITION BY bench_id,
-        |        doc_id, d ORDER BY i) AS grp FROM m)
-        |    GROUP BY bench_id, doc_id, n_shared_grams, d, grp
-        |  ) GROUP BY 1, 2, 3
-        |), bn AS (
-        |  SELECT bench_id, len(w)::BIGINT AS bench_tokens FROM be
-        |)
-        |SELECT r.bench_id, r.doc_id, r.n_shared_grams, bn.bench_tokens,
-        |  r.max_run::BIGINT AS max_run,
-        |  (r.max_run * 1000000 // bn.bench_tokens)::BIGINT AS run_ppm
-        |FROM runs r JOIN bn USING (bench_id)
-        |ORDER BY bench_id, doc_id""".stripMargin,
+    "q196_contamination_audit" -> contamAuditSql,
+
+    // per-doc distinct gram rows over disjoint doc sets union
+    // losslessly, so the snapshot ∪ batch blocking index ≡ the
+    // from-scratch index — the incremental replay IS q196's
+    "q198_incremental_contamination_audit" -> contamAuditSql,
+
 
     "q127_chunk" ->
       """WITH ws AS (
