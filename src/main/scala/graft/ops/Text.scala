@@ -365,6 +365,86 @@ object Text {
           col("pass_punct") === 1 && col("pass_stop") === 1).cast("int"))
   }
 
+  /** The FULL Gopher quality-rule battery (Rae et al., "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446, Table A1) — the published rule set
+    * next to [[qualityFlags]]'s compact heuristic battery and
+    * [[repetition]]'s within-document signals:
+    *
+    *   r_words:   50 ≤ word count ≤ 100,000
+    *   r_mwl:     mean word length in [3, 10] characters
+    *   r_sym:     symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *   r_bullet:  ≤ 90% of lines start with a bullet (-, *, •)
+    *   r_ellipsis:≤ 30% of lines end with an ellipsis
+    *   r_alpha:   ≥ 80% of words contain ≥ 1 alphabetic character
+    *   r_stop:    ≥ 2 of {the, be, to, of, and, that, have, with}
+    *
+    * Engine grade: every threshold compares EXACT integers (the ratio
+    * bounds cross-multiply — 10·n_sym ≤ n_words, 10·n_alpha ≥
+    * 8·n_words, 3·n_words ≤ n_chars ≤ 10·n_words — so no float ever
+    * enters a verdict and the DuckDB oracle matches bit-for-bit).
+    * Blank/null documents are excluded (the [[chunk]] convention).
+    *
+    * Scale shape: one scan-riding projection computes every text-level
+    * count (lines, bullets, ellipses, symbols, stop-word presence);
+    * the per-word alphabetic test is one explode into a
+    * map-side-combinable per-doc sum (the [[stats]] shape) joined
+    * back at doc grain. Output: (<id>, the counts, one boolean per
+    * rule, keep = AND of all). */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs
+      .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+    val stopWords =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = stopWords
+      .map(w => when(col(textCol).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val perDoc = base.select(col(idCol).as("doc_id"),
+      wordCount(col(textCol)).cast("long").as("n_words"),
+      length(regexp_replace(col(textCol), "\\s", ""))
+        .cast("long").as("n_word_chars"),
+      size(split(col(textCol), "\n")).cast("long").as("n_lines"),
+      size(regexp_extract_all(col(textCol),
+        lit("(?m)^[ \\t]*[-*•]"), lit(0))).cast("long")
+        .as("n_bullet_lines"),
+      size(regexp_extract_all(col(textCol),
+        lit("(?m)\\.\\.\\.[ \\t]*$"), lit(0))).cast("long")
+        .as("n_ellipsis_lines"),
+      (size(regexp_extract_all(col(textCol), lit("#"), lit(0))) +
+        size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0))))
+        .cast("long").as("n_symbols"),
+      nStop.as("n_stopwords"))
+    val alpha = base
+      .select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L))
+        .as("n_alpha_words"))
+    perDoc.join(alpha, Seq("doc_id"))
+      .select(col("doc_id").as(idCol), col("n_words"),
+        col("n_word_chars"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_symbols"), col("n_alpha_words"),
+        col("n_stopwords"),
+        (col("n_words") >= 50L && col("n_words") <= 100000L)
+          .as("r_words"),
+        (lit(3L) * col("n_words") <= col("n_word_chars") &&
+          col("n_word_chars") <= lit(10L) * col("n_words")).as("r_mwl"),
+        (lit(10L) * col("n_symbols") <= col("n_words")).as("r_sym"),
+        (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
+          .as("r_bullet"),
+        (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))
+          .as("r_ellipsis"),
+        (lit(10L) * col("n_alpha_words") >= lit(8L) * col("n_words"))
+          .as("r_alpha"),
+        (col("n_stopwords") >= 2L).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_mwl") && col("r_sym") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
   /** Sliding-window document chunking — the long-document splitting
     * primitive of RAG indexing and fixed-context pretraining prep:
     * each document becomes overlapping windows of `window` tokens

@@ -214,6 +214,20 @@ object CorpusQuality {
       qualityFlags(Graft.parquetSource(s, dir).table("documents"))
         .orderBy("doc_id")),
 
+    // ---- q199: the FULL Gopher quality-rule battery ---------------------
+    // Thin binding over [[graft.ops.Text.gopherQuality]] — the
+    // published Rae-et-al Table A1 rule set beside q66's compact
+    // heuristics and q140's repetition signals: word-count bounds,
+    // mean-word-length bounds, symbol/bullet/ellipsis ceilings,
+    // alphabetic-word floor, required-stopword floor — every verdict
+    // an EXACT integer cross-multiplication, each rule its own flag
+    // plus the conjunction (so a deployment can audit WHY a doc
+    // dropped).
+    "q199_gopher_quality" -> ((s, dir) =>
+      graft.ops.Text.gopherQuality(
+          Graft.parquetSource(s, dir).table("documents"))
+        .orderBy("doc_id")),
+
     // ---- q68: repeated-passage (boilerplate) detection -----------------
     // The C4/RefinedWeb "line dedup" step adapted to unstructured text:
     // documents are cut into fixed 10-word passages (deterministic
@@ -1440,6 +1454,69 @@ object CorpusQuality {
         |SELECT d1, d2, cos FROM within
         |UNION ALL SELECT d1, d2, cos FROM crossp
         |ORDER BY d1, d2""".stripMargin,
+
+    // the rule battery replayed with identical regexes and the same
+    // exact integer cross-multiplied thresholds — no float enters a
+    // verdict on either engine
+    "q199_gopher_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND len(trim(text)) > 0
+        |), pd AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT
+        |      AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g'))::BIGINT
+        |      AS n_word_chars,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]'))::BIGINT
+        |      AS n_bullet_lines,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.[ \t]*$'))::BIGINT
+        |      AS n_ellipsis_lines,
+        |    (len(regexp_extract_all(text, '#')) +
+        |     len(regexp_extract_all(text, '\.\.\.')))::BIGINT
+        |      AS n_symbols,
+        |    (regexp_matches(text, '\bthe\b')::INT +
+        |     regexp_matches(text, '\bbe\b')::INT +
+        |     regexp_matches(text, '\bto\b')::INT +
+        |     regexp_matches(text, '\bof\b')::INT +
+        |     regexp_matches(text, '\band\b')::INT +
+        |     regexp_matches(text, '\bthat\b')::INT +
+        |     regexp_matches(text, '\bhave\b')::INT +
+        |     regexp_matches(text, '\bwith\b')::INT)::BIGINT
+        |      AS n_stopwords
+        |  FROM base
+        |), al AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN regexp_matches(w, '[A-Za-z]')
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_alpha_words
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM base
+        |  ) WHERE w <> '' GROUP BY doc_id
+        |)
+        |SELECT p.doc_id, p.n_words, p.n_word_chars, p.n_lines,
+        |  p.n_bullet_lines, p.n_ellipsis_lines, p.n_symbols,
+        |  a.n_alpha_words, p.n_stopwords,
+        |  (p.n_words >= 50 AND p.n_words <= 100000) AS r_words,
+        |  (3 * p.n_words <= p.n_word_chars AND
+        |   p.n_word_chars <= 10 * p.n_words) AS r_mwl,
+        |  (10 * p.n_symbols <= p.n_words) AS r_sym,
+        |  (10 * p.n_bullet_lines <= 9 * p.n_lines) AS r_bullet,
+        |  (10 * p.n_ellipsis_lines <= 3 * p.n_lines) AS r_ellipsis,
+        |  (10 * a.n_alpha_words >= 8 * p.n_words) AS r_alpha,
+        |  (p.n_stopwords >= 2) AS r_stop,
+        |  ((p.n_words >= 50 AND p.n_words <= 100000) AND
+        |   (3 * p.n_words <= p.n_word_chars AND
+        |    p.n_word_chars <= 10 * p.n_words) AND
+        |   (10 * p.n_symbols <= p.n_words) AND
+        |   (10 * p.n_bullet_lines <= 9 * p.n_lines) AND
+        |   (10 * p.n_ellipsis_lines <= 3 * p.n_lines) AND
+        |   (10 * a.n_alpha_words >= 8 * p.n_words) AND
+        |   (p.n_stopwords >= 2)) AS keep
+        |FROM pd p JOIN al a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q66_quality_filter" ->
       """WITH base AS (

@@ -247,6 +247,36 @@ class OpsApiSpec extends AnyFunSuite {
       s"target-like doc did not outscore junk: $scores")
   }
 
+  test("Text.gopherQuality trips each Table A1 rule independently") {
+    val healthy = ("the cat and dog ran with joy that day here " * 6).trim
+    val docs = Seq(
+      (1L, healthy),                                    // passes all
+      (2L, "the cat and dog ran with joy here"),        // < 50 words
+      (3L, healthy + " " + ("# " * 20).trim),           // symbol-heavy
+      (4L, "- a b c\n- d e f\n- g h i"),                // all bullets
+      (5L, "one two three...\nfour five six...\nseven"),// ellipsis ends
+      (6L, ("pneumonoultramicroscopic " * 60).trim)     // mwl > 10
+    ).toDF("page_id", "body")
+    val out = Text.gopherQuality(docs, idCol = "page_id",
+        textCol = "body")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = (9 to 16).map(out(id).getBoolean).toList
+    // (r_words, r_mwl, r_sym, r_bullet, r_ellipsis, r_alpha, r_stop, keep)
+    assert(flags(1L) === List(true, true, true, true, true, true,
+      true, true))
+    assert(!flags(2L).head && !flags(2L).last)  // r_words fails
+    assert(!flags(3L)(2) && !flags(3L).last)    // r_sym fails
+    assert(!flags(4L)(3))                       // r_bullet fails
+    assert(!flags(5L)(4))                       // r_ellipsis fails
+    assert(!flags(6L)(1))                       // r_mwl fails
+    // counts: 3 bullets of 3 lines; 2 ellipsis lines; 20 '#' symbols
+    assert(out(4L).getLong(3) === 3L && out(4L).getLong(4) === 3L)
+    assert(out(5L).getLong(5) === 2L)
+    assert(out(3L).getLong(6) === 20L)
+    // '#' tokens carry no letter: alpha floor also trips on doc 3
+    assert(!flags(3L)(5))
+  }
+
   test("Dedup.contaminationAudit finds the longest shared verbatim " +
       "run on capped candidate pairs (hand-computed)") {
     val corpus = Seq(
