@@ -92,25 +92,28 @@ object AudioPcmExpr {
   def parse(b: Array[Byte]): InternalRow = {
     val n = b.length
     if (n < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return unknown
-    var pos = 12
+    // pos is Long: a declared chunk size near Int.MaxValue must not wrap
+    // the cursor negative (the walk terminates when pos + 8 > n instead)
+    var pos = 12L
     var steps = 0
     var audioFmt = -1
     var ch = 0; var bits = 0
     var dataStart = -1
     var dataSize = -1L
     while (pos + 8 <= n && steps < 32 && (audioFmt < 0 || dataStart < 0)) {
-      val size = le32(b, pos + 4)
+      val p = pos.toInt
+      val size = le32(b, p + 4)
       if (size < 0L || size > Int.MaxValue.toLong) return unknown
-      if (tag(b, pos, "fmt ")) {
-        if (pos + 8 + 16 > n || size < 16L) return unknown
-        audioFmt = le16(b, pos + 8)
-        ch = le16(b, pos + 10)
-        bits = le16(b, pos + 22)
-      } else if (tag(b, pos, "data")) {
-        dataStart = pos + 8
+      if (tag(b, p, "fmt ")) {
+        if (p + 8 + 16 > n || size < 16L) return unknown
+        audioFmt = le16(b, p + 8)
+        ch = le16(b, p + 10)
+        bits = le16(b, p + 22)
+      } else if (tag(b, p, "data")) {
+        dataStart = p + 8
         dataSize = size
       }
-      pos += 8 + size.toInt + (size.toInt & 1)
+      pos += 8L + size + (size & 1L)
       steps += 1
     }
     if (audioFmt != 1 || dataStart < 0) return unknown

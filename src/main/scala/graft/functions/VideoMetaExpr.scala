@@ -141,7 +141,9 @@ object VideoMetaExpr {
       val size = boxSize(b, p, moovEnd)
       if (size < 0L) return unknown
       val hdr = if (be32(b, p) == 1L) 16 else 8
-      if (tag(b, p + 4, "mvhd")) {
+      if (tag(b, p + 4, "mvhd") && p + hdr < moovEnd) {
+        // the version-byte read itself needs the guard: an 8-byte box
+        // ending exactly at moovEnd == n would otherwise read index n
         val v = u8(b, p + hdr)
         if (v == 0 && p + hdr + 20 <= moovEnd) {
           ts = be32(b, p + hdr + 12)
@@ -163,7 +165,7 @@ object VideoMetaExpr {
           val s2 = boxSize(b, q, trakEnd)
           if (s2 < 0L) return unknown
           val h2 = if (be32(b, q) == 1L) 16 else 8
-          if (tag(b, q + 4, "tkhd")) {
+          if (tag(b, q + 4, "tkhd") && q + h2 < trakEnd) {
             found = true
             val v = u8(b, q + h2)
             // width/height are 16.16 fixed-point at the end of the

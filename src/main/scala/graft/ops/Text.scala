@@ -373,17 +373,26 @@ object Text {
     *
     *   r_words:   50 ≤ word count ≤ 100,000
     *   r_mwl:     mean word length in [3, 10] characters
-    *   r_sym:     symbol-to-word ratio ('#' or '...') ≤ 0.1
+    *   r_sym:     symbol-to-word ratio ≤ 0.1 for '#' AND for '...',
+    *              each tested independently (Table A1 lists the two
+    *              symbols as separate applications of the ratio — a
+    *              doc with 6% hashes plus 6% ellipses passes)
     *   r_bullet:  ≤ 90% of lines start with a bullet (-, *, •)
     *   r_ellipsis:≤ 30% of lines end with an ellipsis
     *   r_alpha:   ≥ 80% of words contain ≥ 1 alphabetic character
     *   r_stop:    ≥ 2 of {the, be, to, of, and, that, have, with}
     *
     * Engine grade: every threshold compares EXACT integers (the ratio
-    * bounds cross-multiply — 10·n_sym ≤ n_words, 10·n_alpha ≥
+    * bounds cross-multiply — 10·n_hash ≤ n_words, 10·n_alpha ≥
     * 8·n_words, 3·n_words ≤ n_chars ≤ 10·n_words — so no float ever
     * enters a verdict and the DuckDB oracle matches bit-for-bit).
     * Blank/null documents are excluded (the [[chunk]] convention).
+    * All counts are computed on \r-stripped text: Java's MULTILINE
+    * ^/$ treat \r and \r\n as line terminators while DuckDB's RE2
+    * (?m) only recognizes \n, so CRLF documents would otherwise count
+    * different bullet/ellipsis lines on the two engines — stripping
+    * \r on BOTH sides makes every line count engine-invariant (lone
+    * \r, the pre-OSX convention, joins its neighbors by design).
     *
     * Scale shape: one scan-riding projection computes every text-level
     * count (lines, bullets, ellipses, symbols, stop-word presence);
@@ -397,27 +406,31 @@ object Text {
       .where(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
     val stopWords =
       Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // every count runs on \r-stripped text so Java and RE2 MULTILINE
+    // anchors see identical lines (see the Scaladoc CRLF note)
+    val t = regexp_replace(col(textCol), "\r", "")
     val nStop = stopWords
-      .map(w => when(col(textCol).rlike(s"\\b$w\\b"), 1L).otherwise(0L))
+      .map(w => when(t.rlike(s"\\b$w\\b"), 1L).otherwise(0L))
       .reduce(_ + _)
     val perDoc = base.select(col(idCol).as("doc_id"),
-      wordCount(col(textCol)).cast("long").as("n_words"),
-      length(regexp_replace(col(textCol), "\\s", ""))
+      wordCount(t).cast("long").as("n_words"),
+      length(regexp_replace(t, "\\s", ""))
         .cast("long").as("n_word_chars"),
-      size(split(col(textCol), "\n")).cast("long").as("n_lines"),
-      size(regexp_extract_all(col(textCol),
+      size(split(t, "\n")).cast("long").as("n_lines"),
+      size(regexp_extract_all(t,
         lit("(?m)^[ \\t]*[-*•]"), lit(0))).cast("long")
         .as("n_bullet_lines"),
-      size(regexp_extract_all(col(textCol),
+      size(regexp_extract_all(t,
         lit("(?m)\\.\\.\\.[ \\t]*$"), lit(0))).cast("long")
         .as("n_ellipsis_lines"),
-      (size(regexp_extract_all(col(textCol), lit("#"), lit(0))) +
-        size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0))))
-        .cast("long").as("n_symbols"),
+      size(regexp_extract_all(t, lit("#"), lit(0)))
+        .cast("long").as("n_hash"),
+      size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+        .cast("long").as("n_ellipsis"),
       nStop.as("n_stopwords"))
     val alpha = base
       .select(col(idCol).as("doc_id"),
-        explode(words(col(textCol))).as("w"))
+        explode(words(t)).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("doc_id"))
       .agg(sum(when(col("w").rlike("[A-Za-z]"), 1L).otherwise(0L))
@@ -425,13 +438,14 @@ object Text {
     perDoc.join(alpha, Seq("doc_id"))
       .select(col("doc_id").as(idCol), col("n_words"),
         col("n_word_chars"), col("n_lines"), col("n_bullet_lines"),
-        col("n_ellipsis_lines"), col("n_symbols"), col("n_alpha_words"),
-        col("n_stopwords"),
+        col("n_ellipsis_lines"), col("n_hash"), col("n_ellipsis"),
+        col("n_alpha_words"), col("n_stopwords"),
         (col("n_words") >= 50L && col("n_words") <= 100000L)
           .as("r_words"),
         (lit(3L) * col("n_words") <= col("n_word_chars") &&
           col("n_word_chars") <= lit(10L) * col("n_words")).as("r_mwl"),
-        (lit(10L) * col("n_symbols") <= col("n_words")).as("r_sym"),
+        (lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis") <= col("n_words")).as("r_sym"),
         (lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines"))
           .as("r_bullet"),
         (lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines"))

@@ -1457,10 +1457,15 @@ object CorpusQuality {
 
     // the rule battery replayed with identical regexes and the same
     // exact integer cross-multiplied thresholds — no float enters a
-    // verdict on either engine
+    // verdict on either engine. Every count runs on \r-stripped text
+    // (Java MULTILINE anchors treat \r/\r\n as line ends, RE2 only
+    // \n — stripping on BOTH engines makes line counts identical),
+    // and the Table A1 symbol rule tests '#' and '...' ratios
+    // INDEPENDENTLY (each ≤ 0.1), per the paper.
     "q199_gopher_quality" ->
       """WITH base AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, regexp_replace(text, '\r', '', 'g') AS text
+        |  FROM documents
         |  WHERE text IS NOT NULL AND len(trim(text)) > 0
         |), pd AS (
         |  SELECT doc_id,
@@ -1473,9 +1478,9 @@ object CorpusQuality {
         |      AS n_bullet_lines,
         |    len(regexp_extract_all(text, '(?m)\.\.\.[ \t]*$'))::BIGINT
         |      AS n_ellipsis_lines,
-        |    (len(regexp_extract_all(text, '#')) +
-        |     len(regexp_extract_all(text, '\.\.\.')))::BIGINT
-        |      AS n_symbols,
+        |    len(regexp_extract_all(text, '#'))::BIGINT AS n_hash,
+        |    len(regexp_extract_all(text, '\.\.\.'))::BIGINT
+        |      AS n_ellipsis,
         |    (regexp_matches(text, '\bthe\b')::INT +
         |     regexp_matches(text, '\bbe\b')::INT +
         |     regexp_matches(text, '\bto\b')::INT +
@@ -1497,12 +1502,13 @@ object CorpusQuality {
         |  ) WHERE w <> '' GROUP BY doc_id
         |)
         |SELECT p.doc_id, p.n_words, p.n_word_chars, p.n_lines,
-        |  p.n_bullet_lines, p.n_ellipsis_lines, p.n_symbols,
+        |  p.n_bullet_lines, p.n_ellipsis_lines, p.n_hash, p.n_ellipsis,
         |  a.n_alpha_words, p.n_stopwords,
         |  (p.n_words >= 50 AND p.n_words <= 100000) AS r_words,
         |  (3 * p.n_words <= p.n_word_chars AND
         |   p.n_word_chars <= 10 * p.n_words) AS r_mwl,
-        |  (10 * p.n_symbols <= p.n_words) AS r_sym,
+        |  (10 * p.n_hash <= p.n_words AND
+        |   10 * p.n_ellipsis <= p.n_words) AS r_sym,
         |  (10 * p.n_bullet_lines <= 9 * p.n_lines) AS r_bullet,
         |  (10 * p.n_ellipsis_lines <= 3 * p.n_lines) AS r_ellipsis,
         |  (10 * a.n_alpha_words >= 8 * p.n_words) AS r_alpha,
@@ -1510,7 +1516,8 @@ object CorpusQuality {
         |  ((p.n_words >= 50 AND p.n_words <= 100000) AND
         |   (3 * p.n_words <= p.n_word_chars AND
         |    p.n_word_chars <= 10 * p.n_words) AND
-        |   (10 * p.n_symbols <= p.n_words) AND
+        |   (10 * p.n_hash <= p.n_words AND
+        |    10 * p.n_ellipsis <= p.n_words) AND
         |   (10 * p.n_bullet_lines <= 9 * p.n_lines) AND
         |   (10 * p.n_ellipsis_lines <= 3 * p.n_lines) AND
         |   (10 * a.n_alpha_words >= 8 * p.n_words) AND

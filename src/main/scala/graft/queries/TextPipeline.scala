@@ -991,6 +991,13 @@ object TextPipeline {
         .select(col("source"),
           (regexp_extract(col("source"), "([0-9]+)", 1).cast("long") +
             1L).as("w"))
+      // the oracle unrolls exactly 24 waterfall rounds (each non-final
+      // round caps ≥1 source, so 24 rounds cover ≤23 sources + the
+      // closing no-cap round); the engine loop runs |sources|+1 — fail
+      // LOUDLY rather than diverge if a fixture ever exceeds the bound
+      val nSrc = weights.count()
+      require(nSrc <= 23L,
+        s"q195 oracle unroll covers <= 23 sources, fixture has $nSrc")
       graft.ops.Curate.epochSchedule(d, weights, budget = 3L * total,
           maxEpochs = 4L)
         .orderBy("source")
@@ -2868,7 +2875,14 @@ object TextPipeline {
     * shares (es), the any-source-caps probe (ea), and the state
     * transition (e): cappers freeze AT the cap, a no-cap round adds
     * shares and sets done, exhaustion (bw = 0 or r ≤ 0) halts.
-    * Integer arithmetic identical to the engine's driver loop. */
+    * Integer arithmetic identical to the engine's driver loop.
+    *
+    * Unroll depth: 24 fixed rounds. Every non-final round caps at
+    * least one source (else it is the closing no-cap round and the
+    * state freezes via `done`), so 24 rounds exactly replay the
+    * engine's |sources|+1-round loop for ≤ 23 sources; the q195
+    * binding `require`s that bound against the live fixture so a
+    * wider corpus fails loudly instead of diverging. */
   private def epochScheduleSql: String = {
     val tok =
       "len(regexp_extract_all(text, " +

@@ -255,12 +255,19 @@ class OpsApiSpec extends AnyFunSuite {
       (3L, healthy + " " + ("# " * 20).trim),           // symbol-heavy
       (4L, "- a b c\n- d e f\n- g h i"),                // all bullets
       (5L, "one two three...\nfour five six...\nseven"),// ellipsis ends
-      (6L, ("pneumonoultramicroscopic " * 60).trim)     // mwl > 10
+      (6L, ("pneumonoultramicroscopic " * 60).trim),    // mwl > 10
+      // Table A1 applies the 0.1 symbol ratio to '#' and '...'
+      // SEPARATELY: 60 words + 4 hashes (6.7%) + 4 ellipses (6.7%)
+      // passes r_sym even though the combined count (13.3%) would not
+      (7L, healthy + " ab# cd# ef# gh# i... j... k... l..."),
+      // CRLF line endings: Java and RE2 must count the same ellipsis
+      // lines (2 of 3) via the \r-strip
+      (8L, "one two three...\r\nfour five six...\r\nseven")
     ).toDF("page_id", "body")
     val out = Text.gopherQuality(docs, idCol = "page_id",
         textCol = "body")
       .collect().map(r => r.getLong(0) -> r).toMap
-    def flags(id: Long) = (9 to 16).map(out(id).getBoolean).toList
+    def flags(id: Long) = (10 to 17).map(out(id).getBoolean).toList
     // (r_words, r_mwl, r_sym, r_bullet, r_ellipsis, r_alpha, r_stop, keep)
     assert(flags(1L) === List(true, true, true, true, true, true,
       true, true))
@@ -269,12 +276,17 @@ class OpsApiSpec extends AnyFunSuite {
     assert(!flags(4L)(3))                       // r_bullet fails
     assert(!flags(5L)(4))                       // r_ellipsis fails
     assert(!flags(6L)(1))                       // r_mwl fails
-    // counts: 3 bullets of 3 lines; 2 ellipsis lines; 20 '#' symbols
+    // counts: 3 bullets of 3 lines; 2 ellipsis lines; 20 '#' marks
     assert(out(4L).getLong(3) === 3L && out(4L).getLong(4) === 3L)
     assert(out(5L).getLong(5) === 2L)
     assert(out(3L).getLong(6) === 20L)
     // '#' tokens carry no letter: alpha floor also trips on doc 3
     assert(!flags(3L)(5))
+    // independent symbol thresholds: 4 of each over 68 words — passes
+    assert(out(7L).getLong(6) === 4L && out(7L).getLong(7) === 4L)
+    assert(flags(7L)(2), "separate '#'/'...' ratios must pass r_sym")
+    // CRLF doc: 3 lines, 2 ellipsis-terminated, same as the \n doc 5
+    assert(out(8L).getLong(3) === 3L && out(8L).getLong(5) === 2L)
   }
 
   test("Dedup.contaminationAudit finds the longest shared verbatim " +

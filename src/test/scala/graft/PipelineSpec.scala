@@ -347,6 +347,12 @@ class PipelineSpec extends AnyFunSuite {
       chunk("data", new Array[Byte](4))))._1 === "unknown") // 0 channels
     assert(tup(wav(chunk("fmt ", fmtBody(85, 2, 44100, 16)),
       chunk("data", new Array[Byte](4))))._1 === "unknown") // MP3-in-WAV
+    // adversarial declared size near Int.MaxValue: the chunk-walk cursor
+    // must not wrap negative (would AIOOBE); the walk just terminates
+    val hugeChunk = wav(
+      "JUNK".getBytes("ASCII") ++ le32(0x7FFFFFF0),
+      chunk("fmt ", fmtBody(1, 1, 8000, 8)))
+    assert(tup(hugeChunk)._1 === "unknown")
     // SQL surface + null contract
     GraftExtensions.register(spark)
     import spark.implicits._
@@ -419,6 +425,10 @@ class PipelineSpec extends AnyFunSuite {
       chunk("data", new Array[Byte](6))))._1 === "unknown")
     assert(tup("not audio at all".getBytes)._1 === "unknown")
     assert(tup(Array.empty[Byte])._1 === "unknown")
+    // adversarial declared size near Int.MaxValue before fmt/data: the
+    // cursor must not wrap negative (would AIOOBE); walk terminates
+    assert(tup(wav("JUNK".getBytes("ASCII") ++ le32(0x7FFFFFF0),
+      chunk("fmt ", fmtBody(1, 1, 8000, 8))))._1 === "unknown")
     // SQL surface + null contract
     GraftExtensions.register(spark)
     import spark.implicits._
@@ -506,6 +516,15 @@ class PipelineSpec extends AnyFunSuite {
       trak(tkhd0(1, 1))))._1 === "unknown")       // timescale 0
     assert(tup("plain text not a movie".getBytes)._1 === "unknown")
     assert(tup(Array.empty[Byte])._1 === "unknown")
+    // adversarial: an 8-byte (headerless-body) mvhd ending exactly at
+    // the blob end — the version-byte read must be guarded, not AIOOBE
+    assert(tup(ftyp("isom") ++
+      box("moov", be32(8L) ++ "mvhd".getBytes("ASCII")))._1 === "unknown")
+    // same for tkhd at the end of its trak: valid mvhd, then a bare
+    // 8-byte tkhd at blob end → track counted, dimensions null
+    assert(tup(ftyp("isom") ++ box("moov", mvhd0(600, 60) ++
+      box("trak", be32(8L) ++ "tkhd".getBytes("ASCII")))) ===
+      (("mp4", "isom", -1, -1, 600L, 60L, 1)))
     // SQL surface + null contract
     GraftExtensions.register(spark)
     import spark.implicits._
