@@ -135,27 +135,119 @@ object Embed {
     graft.queries.Embeddings.topkPerQuery(scored, k)
   }
 
+  /** All XOR masks over `bits` positions with popcount ≤ `radius` —
+    * the multi-probe set of [[lshTopK]], generated at metadata grain
+    * (Σ_{m≤radius} C(bits, m) masks; mask 0 is the exact bucket). */
+  private[graft] def lshProbeMasks(bits: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(m => (0 until bits).combinations(m)
+      .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
+
+  /** Per-table sign buckets: one [[randomProject]] pass at
+    * outDim = tables·bits, sliced so table t owns projection dims
+    * t·bits+1 .. (t+1)·bits (table 0 therefore hashes exactly like
+    * the single-table form — the index is append-stable across a
+    * `tables` widening). Output: (<id>, t, bucket). */
+  private[graft] def lshBuckets(src: DataFrame, bits: Int, tables: Int,
+      idCol: String, vecCol: String): DataFrame =
+    randomProject(src, tables * bits, idCol, vecCol)
+      .groupBy(col(idCol),
+        expr(s"CAST((dim - 1) DIV $bits AS INT)").as("t"))
+      .agg(sum(when(col("y_fp") >= 0L,
+        expr(s"shiftleft(1L, CAST((dim - 1) % $bits AS INT))"))
+        .otherwise(lit(0L))).as("bucket"))
+
+  /** The candidate-pair surface of [[lshTopK]] — DISTINCT
+    * (q_id, vec_id) pairs whose per-table buckets collide with any
+    * probe, exposed separately so recall/cost audits (q189's sweep)
+    * can count candidates without paying the re-rank. Because the
+    * re-rank is an EXACT cosine, a ground-truth top-5 member among
+    * the candidates can be outranked only by other global top-4
+    * members — so recall@5 of this set IS recall@5 of the re-ranked
+    * top-k for any k ≥ 9. */
+  def lshCandidatePairs(corpus: DataFrame, queries: DataFrame,
+      bits: Int = 16, tables: Int = 1, radius: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(tables >= 1 && tables <= 16,
+      s"need 1 <= tables <= 16 (got $tables)")
+    val cb = lshBuckets(corpus, bits, tables, idCol, vecCol)
+      .select(col(idCol).cast("long").as("vec_id"), col("t"),
+        col("bucket"))
+    val qb = lshBuckets(queries, bits, tables, queryIdCol, queryVecCol)
+      .select(col(queryIdCol).cast("long").as("q_id"), col("t"),
+        col("bucket"))
+    lshCandidatePairsFrom(cb, qb, bits, tables, radius, excludeSelf)
+  }
+
+  /** [[lshCandidatePairs]] over PREBUILT bucket frames — the
+    * persisted-index deployment shape (index once with
+    * [[lshBuckets]], probe many) and the sweep-audit shape (q201
+    * builds the widest index once; narrower cells are `t < tables`
+    * prefixes of it, by the table-slicing construction). Inputs:
+    * corpusBuckets (vec_id, t, bucket), queryBuckets (q_id, t,
+    * bucket); both may carry MORE tables than `tables` — the probe
+    * restricts to `t < tables`. */
+  def lshCandidatePairsFrom(corpusBuckets: DataFrame,
+      queryBuckets: DataFrame, bits: Int, tables: Int = 1,
+      radius: Int = 1, excludeSelf: Boolean = false): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"need 1 <= bits <= 30 (got $bits)")
+    require(tables >= 1 && tables <= 16,
+      s"need 1 <= tables <= 16 (got $tables)")
+    require(radius >= 0 && radius <= 3,
+      s"need 0 <= radius <= 3 (got $radius)")
+    val masks = lshProbeMasks(bits, radius)
+    require(masks.size.toLong * tables <= 8192L,
+      s"probe fan-out ${masks.size}x$tables tables exceeds 8192 — " +
+        "lower radius/bits/tables (broadcast probe frame bound)")
+    val probes = queryBuckets.where(col("t") < tables)
+      .select(col("q_id"), col("t"),
+        col("bucket"), explode(array(masks.map(lit): _*)).as("m"))
+      .select(col("q_id"), col("t"),
+        col("bucket").bitwiseXOR(col("m")).as("bucket"))
+    val joinCond =
+      if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)
+    // within ONE table a vector lives in exactly one bucket and a
+    // query's probe buckets are pairwise distinct (distinct masks), so
+    // duplicates only arise ACROSS tables — dedup only then
+    val pairs = corpusBuckets.where(col("t") < tables)
+      .join(broadcast(probes), Seq("t", "bucket"))
+      .where(joinCond)
+      .select(col("q_id"), col("vec_id"))
+    if (tables > 1) pairs.distinct() else pairs
+  }
+
   /** Random-hyperplane LSH-bucketed ANN (Charikar, "Similarity
     * estimation techniques from rounding algorithms", STOC 2002 — the
-    * SimHash family for cosine): each vector's bucket is the `bits`
-    * SIGN BITS of its deterministic JL projections
+    * SimHash family for cosine): each vector's bucket per table is
+    * `bits` SIGN BITS of its deterministic JL projections
     * ([[randomProject]] — the hash-derived ±1 matrix, so no RNG and
     * no stored artifact; the index is a pure function of the
-    * vector), candidates are corpus vectors whose bucket matches any
-    * of the query's MULTI-PROBE set (the exact bucket plus all
-    * `bits` Hamming-1 flips — the standard recall/cost trade), and
-    * candidates alone get the exact cosine re-rank. Recall is
-    * probe-bounded: audit against [[cosineTopK]] ground truth (the
-    * q70 discipline — q189). y_fp = 0 counts as a set bit on both
-    * engines (one deterministic rule). Output:
+    * vector), candidates are corpus vectors whose bucket in ANY of
+    * the `tables` independent tables matches any of the query's
+    * MULTI-PROBE set (all Hamming-≤`radius` flips of the query's
+    * bucket — the standard recall/cost trades: more tables OR wider
+    * probes both raise recall, tables at index cost, radius at probe
+    * cost), and candidates alone get the exact cosine re-rank.
+    * Recall is probe-bounded: audit against [[cosineTopK]] ground
+    * truth (the q70 discipline — q189 sweeps (tables, radius) and
+    * reports recall AND candidate cost per cell). y_fp = 0 counts as
+    * a set bit on both engines (one deterministic rule). Output:
     * (q_id, vec_id, cos, rank ≤ k) — a query whose probe set matches
     * nothing emits no rows, exactly like an empty IVF probe.
     *
     * Scale shape: the corpus contributes one [[randomProject]] pass
-    * (broadcast sign frame, map-side sums) and one hash-join of its
-    * (id, bucket) table against the BROADCAST (bits+1)·|queries|
-    * probe frame; the exact re-rank touches candidates only, through
-    * the bounded mergeable TopK tail. Never all-pairs, and — unlike
+    * (broadcast sign frame, map-side sums; tables share the one pass
+    * — table t is projection dims t·bits..(t+1)·bits−1) and one
+    * hash-join of its (id, t, bucket) table against the BROADCAST
+    * (tables·Σ C(bits,≤radius))·|queries| probe frame; the exact
+    * re-rank touches candidates only, through the bounded mergeable
+    * TopK tail. Cross-table duplicate candidates dedup at CANDIDATE
+    * grain (the frame the audit bounds), never corpus grain. The
+    * checkpointed cell frame carries (v, nrm) per (vector, table) —
+    * a `tables`-fold replication bounded by tables ≤ 16; a persisted
+    * deployment stores the narrow (id, t, bucket) index instead and
+    * re-reads vectors at fetch. Never all-pairs, and — unlike
     * [[ivfTopK]] — ZERO training passes: the bucket function is
     * corpus-independent, so the index survives any append without
     * drift (the crawl-loop property, free). */
@@ -163,40 +255,47 @@ object Embed {
       bits: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", queryIdCol: String = "vec_id",
       queryVecCol: String = "embedding",
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false, tables: Int = 1,
+      radius: Int = 1): DataFrame = {
     require(k >= 1, s"need k >= 1 (got $k)")
     require(bits >= 1 && bits <= 30, s"need 1 <= bits <= 30 (got $bits)")
-    def bucketOf(src: DataFrame, id: String, vec: String): DataFrame =
-      randomProject(src, bits, id, vec)
-        .groupBy(col(id))
-        .agg(sum(when(col("y_fp") >= 0L,
-          expr("shiftleft(1L, cast(dim - 1 as int))"))
-          .otherwise(lit(0L))).as("bucket"))
+    require(tables >= 1 && tables <= 16,
+      s"need 1 <= tables <= 16 (got $tables)")
+    require(radius >= 0 && radius <= 3,
+      s"need 0 <= radius <= 3 (got $radius)")
+    val masks = lshProbeMasks(bits, radius)
+    require(masks.size.toLong * tables <= 8192L,
+      s"probe fan-out ${masks.size}x$tables tables exceeds 8192 — " +
+        "lower radius/bits/tables (broadcast probe frame bound)")
     val cells = normalize(corpus, idCol, vecCol)
-      .join(bucketOf(corpus, idCol, vecCol)
-        .select(col(idCol).cast("long").as("vec_id"), col("bucket")),
+      .join(lshBuckets(corpus, bits, tables, idCol, vecCol)
+        .select(col(idCol).cast("long").as("vec_id"), col("t"),
+          col("bucket")),
         Seq("vec_id"))
-      .localCheckpoint() // one row per corpus vector; probe-join side
+      .localCheckpoint() // tables rows per corpus vector; probe-join side
     val qn = normalize(queries, queryIdCol, queryVecCol)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
       .localCheckpoint() // tiny; read by probes and the re-rank
-    val flips = (0 until bits).map(b =>
-      col("bucket").bitwiseXOR(lit(1L << b)))
-    val probes = bucketOf(queries, queryIdCol, queryVecCol)
-      .select(col(queryIdCol).cast("long").as("q_id"),
-        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    val probes = lshBuckets(queries, bits, tables, queryIdCol,
+        queryVecCol)
+      .select(col(queryIdCol).cast("long").as("q_id"), col("t"),
+        col("bucket"), explode(array(masks.map(lit): _*)).as("m"))
+      .select(col("q_id"), col("t"),
+        col("bucket").bitwiseXOR(col("m")).as("bucket"))
     val joinCond =
       if (excludeSelf) col("vec_id") =!= col("q_id") else lit(true)
-    // a vector lives in exactly ONE bucket and a query's probes are
-    // pairwise distinct, so (q_id, vec_id) candidates are unique —
-    // no dedup pass needed before the re-rank
-    val scored = cells.join(broadcast(probes), Seq("bucket"))
+    val scoredRaw = cells.join(broadcast(probes), Seq("t", "bucket"))
       .where(joinCond)
       .join(broadcast(qn), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
           .as("cos"))
+    // within one table candidates are already unique (one bucket per
+    // vector, pairwise-distinct probes); across tables the same pair
+    // recurs with a BIT-IDENTICAL cos (same inputs, same expression),
+    // so a distinct at candidate grain dedups exactly
+    val scored = if (tables > 1) scoredRaw.distinct() else scoredRaw
     graft.queries.Embeddings.topkPerQuery(scored, k)
   }
 

@@ -1787,6 +1787,59 @@ class OpsApiSpec extends AnyFunSuite {
     assert(out7.toSeq === out.toSeq)
   }
 
+  test("Embed.lshTopK multi-table/multi-probe: recall grows " +
+      "monotonically, cross-table duplicates dedup, masks correct") {
+    // probe-mask generator: C(bits,0..radius) masks, distinct, popcounts
+    assert(Embed.lshProbeMasks(8, 0) === Seq(0L))
+    val m81 = Embed.lshProbeMasks(8, 1)
+    assert(m81.size === 9 && m81.distinct.size === 9)
+    val m82 = Embed.lshProbeMasks(8, 2)
+    assert(m82.size === 1 + 8 + 28 && m82.distinct.size === 37)
+    assert(m82.forall(m => java.lang.Long.bitCount(m) <= 2))
+    // spread vectors (no planted clusters) so single-table recall is
+    // partial and widening tables/radius can only add candidates
+    val emb = Seq.tabulate(40)(i => (i.toLong,
+      Seq(math.cos(i * 0.7), math.sin(i * 1.3), math.cos(i * 2.1),
+        math.sin(i * 0.35)))).toDF("eid", "vec")
+    val q = emb.where(col("eid") < 3)
+    def cand(tables: Int, radius: Int) =
+      Embed.lshCandidatePairs(emb, q, bits = 6, tables = tables,
+          radius = radius, idCol = "eid", vecCol = "vec",
+          queryIdCol = "eid", queryVecCol = "vec", excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c11 = cand(1, 1); val c41 = cand(4, 1); val c42 = cand(4, 2)
+    // more tables / wider probes only ADD candidates (union semantics)
+    assert(c11.subsetOf(c41), "tables=4 must contain tables=1")
+    assert(c41.subsetOf(c42), "radius=2 must contain radius=1")
+    assert(c41.size > c11.size || c42.size > c41.size,
+      "widening never added a candidate — grid degenerate")
+    // candidate pairs are DISTINCT even across tables
+    val raw = cand(4, 2)
+    assert(raw.size === raw.toSeq.distinct.size)
+    // the re-ranked list never contains a duplicate vec per query and
+    // table 0 of the multi-table index hashes like the single table:
+    // tables=1 output is reproduced exactly by the tables=4 run's
+    // candidate superset + exact re-rank on the SAME top candidates
+    val t4 = Embed.lshTopK(emb, q, k = 4, bits = 6, idCol = "eid",
+        vecCol = "vec", queryIdCol = "eid", queryVecCol = "vec",
+        excludeSelf = true, tables = 4, radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    t4.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).distinct.length === rows.length,
+        s"duplicate candidate survived the cross-table dedup: ${rows.toSeq}")
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
+    }
+    // deterministic under re-partitioning (the house invariant)
+    val t4b = Embed.lshTopK(emb.repartition(7), q, k = 4, bits = 6,
+        idCol = "eid", vecCol = "vec", queryIdCol = "eid",
+        queryVecCol = "vec", excludeSelf = true, tables = 4, radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    assert(t4b.sortBy(r => (r._1, r._4)).toSeq ===
+      t4.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("Dedup.contamination: the 13-gram decontamination rule — " +
       "verbatim items fully hit, novel items zero, inventory merge " +
       "lossless") {

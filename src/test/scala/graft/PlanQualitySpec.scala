@@ -326,6 +326,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"corpus shuffled for the probes:\n$p")
     assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    // the multi-table/multi-probe widening (q201's high-recall cells)
+    // keeps the same shape: broadcast probes, no corpus-wide shuffle
+    // join, dedup only at candidate grain
+    val pm = graft.ops.Embed.lshTopK(emb, emb.where(col("vec_id") < 5),
+        k = 10, bits = 8, excludeSelf = true, tables = 8, radius = 2)
+      .queryExecution.executedPlan.toString
+    assert(pm.contains("BroadcastHashJoin"),
+      s"multi-table probe join not broadcast:\n$pm")
+    assert(!pm.contains("SortMergeJoin"),
+      s"multi-table corpus shuffled for the probes:\n$pm")
+    assert(!pm.contains("CartesianProduct"), s"all-pairs crept in:\n$pm")
   }
 
   test("q186: contamination broadcasts the benchmark grams — the " +
