@@ -20,6 +20,13 @@ object PixelStats {
       None, None, None, None, None)
 }
 
+/** Per-frame pixel statistics from [[Multimodal.decodeVideoFrames]] —
+  * grayscale (band-0) stats per decoded frame; all-long for the
+  * dtype-clean oracle compare. */
+final case class FrameStats(media_id: Long, frame_idx: Long,
+    format: String, width: Long, height: Long, n_px: Long,
+    p_sum: Long, p_min: Long, p_max: Long)
+
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
   * engine as opaque `BinaryType` columns with a typed metadata struct
   * (SURVEY.md §7.2 step 7 — north-star extension).
@@ -254,6 +261,94 @@ object Multimodal {
         rows.map { case (id, payload) => codec.stats(id, payload) }
       }
       .toDF()
+  }
+
+  /** Partition-parallel REAL video FRAME decode — the video leg of
+    * [[decodePixels]]'s codec seam, closing the triad's last honest
+    * gap: the engine walks the RIFF/AVI container itself (LIST `movi`
+    * → `##dc`/`##db` frame chunks; same Long-cursor bounded-walk
+    * discipline as [[AudioMetaExpr]]) and feeds each MJPEG frame's
+    * JPEG bytes through the SAME per-partition [[ImageCodec]] the
+    * image path uses. Output: one row per decoded frame —
+    * (media_id, frame_idx, format, width, height, n_px, p_sum, p_min,
+    * p_max), grayscale stats over band 0 (MJPEG fixture frames are
+    * grayscale; for color frames band 0 = R). Payloads that are not
+    * RIFF/AVI, are truncated before `movi`, or whose frames fail to
+    * decode contribute NO rows for the missing frames — a filterable
+    * absence, never an exception.
+    *
+    * Scale shape: scan → project → mapPartitions, exchange-free (the
+    * [[decodePixels]] plan); per-frame rows amplify by the frame
+    * count, which the caller bounds by frame-sampling upstream at
+    * 100 TB. */
+  def decodeVideoFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec // one per partition, not per row
+        rows.flatMap { case (id, payload) =>
+          aviFrames(payload).iterator.zipWithIndex.flatMap {
+            case (jpeg, f) =>
+              val s = codec.stats(id, jpeg)
+              s.format.map(fmt => FrameStats(id, f.toLong, fmt,
+                s.width.get, s.height.get, s.n_px.get,
+                s.r_sum.get, s.r_min.get, s.r_max.get))
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** The frame payloads of a RIFF/AVI container, in stream order —
+    * empty for non-AVI/truncated/desynced blobs (never throws). Frame
+    * chunks are the `movi` list's `##dc`/`##db` members (compressed /
+    * uncompressed DIB of stream ##). The cursor is a Long: a declared
+    * chunk size near Int.MaxValue must terminate the walk, not wrap
+    * it negative (the AudioMetaExpr lesson). */
+  private[graft] def aviFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+    val n = b.length
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= n && b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
+        b(i + 2) == s.charAt(2) && b(i + 3) == s.charAt(3)
+    def le32(i: Int): Long =
+      ((b(i) & 0xFF).toLong | ((b(i + 1) & 0xFF).toLong << 8) |
+        ((b(i + 2) & 0xFF).toLong << 16) |
+        ((b(i + 3) & 0xFF).toLong << 24))
+    if (n < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return Seq.empty
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 12L
+    var steps = 0
+    while (pos + 8 <= n && steps < 64) {
+      val p = pos.toInt
+      val size = le32(p + 4)
+      if (size < 0L || size > Int.MaxValue.toLong) return out.result()
+      if (tag(p, "LIST") && size >= 4L && p + 12 <= n &&
+          tag(p + 8, "movi")) {
+        val end = math.min(p + 8 + size, n.toLong)
+        var q = p + 12L
+        var inner = 0
+        while (q + 8 <= end && inner < 4096) {
+          val qi = q.toInt
+          val s2 = le32(qi + 4)
+          if (s2 < 0L || s2 > Int.MaxValue.toLong) return out.result()
+          // frame chunks: '##dc' (compressed) / '##db' (uncompressed)
+          val isFrame = qi + 4 <= n &&
+            b(qi) >= '0' && b(qi) <= '9' && b(qi + 1) >= '0' &&
+            b(qi + 1) <= '9' &&
+            ((b(qi + 2) == 'd' && (b(qi + 3) == 'c' || b(qi + 3) == 'b')))
+          if (isFrame && q + 8 + s2 <= end)
+            out += java.util.Arrays.copyOfRange(b, qi + 8,
+              qi + 8 + s2.toInt)
+          q += 8L + s2 + (s2 & 1L)
+          inner += 1
+        }
+      }
+      pos += 8L + size + (size & 1L)
+      steps += 1
+    }
+    out.result()
   }
 
   /** Wrap a text/documents table as a synthetic media table: the text

@@ -1,0 +1,259 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic, VALID MJPEG-in-AVI payloads whose frame pixels are a
+  * pure formula of (id, frame, block) — the video fixture of the q179
+  * real-decode contract (q200): the engine walks the RIFF/AVI
+  * container itself ([[Multimodal.decodeVideoFrames]]), decodes each
+  * frame's JPEG with the JDK's own `javax.imageio`, and aggregates
+  * per-frame pixel stats; the DuckDB oracle never touches a byte — it
+  * computes the SAME stats straight from the formula. Any container
+  * bug (wrong chunk size, bad list nesting) or JPEG encoder/decoder
+  * bug surfaces as a cross-engine mismatch.
+  *
+  * JPEG exactness (the reason the formula CAN be an oracle for a
+  * lossy codec): every frame is 8-bit GRAYSCALE with dimensions that
+  * are multiples of 8, every 8×8 block is CONSTANT, and the
+  * quantization table is all ones. A constant block's forward DCT is
+  * DC-only with F(0,0) = 8·(v − 128) (an exact integer), the all-ones
+  * table quantizes it losslessly, and the decoder's DC-only IDCT
+  * shortcut reconstructs v exactly — so decode(encode(raster)) is the
+  * raster, bit for bit, with a fully standard baseline JPEG stream
+  * (T.81: SOI, DQT, SOF0, DHT, SOS, entropy-coded DC + EOB per block,
+  * EOI). The Huffman tables are minimal custom canonical tables (DC
+  * categories 0–12 at 4 bits, AC with the single EOB symbol at 1
+  * bit) — tables travel in the stream, so any conformant decoder
+  * reads them. [[SyntheticVideoSelfTest]] pins the exactness
+  * assumption against the JDK decoder in the test suite.
+  *
+  * Formula (shared verbatim with the q200 oracle SQL):
+  * frame width = 8·(id%3+1), height = 8·(id%2+1), frames
+  * nf = id%3+2; block b (row-major, bw·bh blocks of 64 px) of frame f
+  * is the constant (id·7 + f·31 + b·3) mod 256. Every 11th doc
+  * (id % 11 == 5) ships a TRUNCATED container instead — the malformed
+  * row the walker must degrade on (no frames), never throw.
+  */
+object SyntheticVideo {
+
+  def widthOf(id: Long): Int = (id % 3 + 1).toInt * 8
+  def heightOf(id: Long): Int = (id % 2 + 1).toInt * 8
+  def framesOf(id: Long): Int = (id % 3 + 2).toInt
+
+  /** Constant value of block `b` (row-major) in frame `f` — the
+    * oracle formula. */
+  def blockVal(id: Long, f: Int, b: Int): Int =
+    ((id * 7 + f * 31 + b * 3) % 256).toInt
+
+  /** The valid (or, for id % 11 == 5, deliberately truncated)
+    * AVI payload for one id. */
+  def payload(id: Long): Array[Byte] = {
+    val avi = aviOf(id)
+    if (id % 11 == 5) java.util.Arrays.copyOf(avi, 16) else avi
+  }
+
+  // ---- bit/byte helpers -------------------------------------------------
+
+  private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+  }
+  private def le32(out: ByteArrayOutputStream, v: Long): Unit = {
+    out.write((v & 0xFF).toInt); out.write(((v >>> 8) & 0xFF).toInt)
+    out.write(((v >>> 16) & 0xFF).toInt)
+    out.write(((v >>> 24) & 0xFF).toInt)
+  }
+  private def fourcc(out: ByteArrayOutputStream, s: String): Unit = {
+    val b = s.getBytes("US-ASCII"); out.write(b, 0, b.length)
+  }
+  private def be16(out: ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)
+  }
+
+  // ---- minimal exact baseline JPEG (grayscale, constant blocks) ---------
+
+  /** Canonical Huffman codes for `bits`(1..16)/`values` DHT spec:
+    * symbol → (code, length). */
+  private def canonical(bits: Array[Int],
+      values: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val m = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        m += values(k) -> ((code, len)); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    m.result()
+  }
+
+  // DC: categories 0..12, all 4-bit codes (13 of 16 codewords used —
+  // the all-ones code stays unassigned, as T.81 requires)
+  private val DcBits = Array(0, 0, 0, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = (0 to 12).toArray
+  private val DcCodes = canonical(DcBits, DcVals)
+  // AC: the single EOB symbol (0x00) at 1 bit
+  private val AcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals = Array(0)
+  private val AcCodes = canonical(AcBits, AcVals)
+
+  private final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0L
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code.toLong & ((1L << len) - 1))
+      n += len
+      while (n >= 8) {
+        val b = ((acc >>> (n - 8)) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00) // byte stuffing
+        n -= 8
+      }
+    }
+    /** Flush with 1-padding (T.81 F.1.2.3). */
+    def finish(): Unit = if (n > 0) {
+      val pad = 8 - n
+      put((1 << pad) - 1, pad)
+    }
+  }
+
+  /** Magnitude category of a DC difference (0 for 0). */
+  private def category(v: Int): Int = {
+    var a = math.abs(v); var c = 0
+    while (a != 0) { a >>= 1; c += 1 }
+    c
+  }
+
+  /** One baseline grayscale JPEG of `bw`×`bh` CONSTANT 8×8 blocks
+    * (row-major block values in `blocks`). Exact under any conformant
+    * decoder — see the object Scaladoc. */
+  def jpegGray(bw: Int, bh: Int, blocks: Array[Int]): Array[Byte] = {
+    require(blocks.length == bw * bh, "need one value per block")
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8)                         // SOI
+    marker(0xDB); be16(out, 67); out.write(0x00) // DQT: table 0, 8-bit
+    var i = 0
+    while (i < 64) { out.write(1); i += 1 }      // all-ones quant table
+    marker(0xC0); be16(out, 11)          // SOF0, 1 component
+    out.write(8)                         // precision
+    be16(out, bh * 8); be16(out, bw * 8) // height, width
+    out.write(1)                         // components
+    out.write(1); out.write(0x11); out.write(0) // id 1, 1x1, qtable 0
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xC4); be16(out, 19 + vals.length)
+      out.write(cls << 4)                // class (0 DC / 1 AC), id 0
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, DcBits, DcVals)
+    dht(1, AcBits, AcVals)
+    marker(0xDA); be16(out, 8)           // SOS
+    out.write(1)                         // 1 component in scan
+    out.write(1); out.write(0x00)        // comp 1, DC table 0, AC table 0
+    out.write(0); out.write(63); out.write(0) // spectral, approx
+    val bw2 = new BitWriter(out)
+    var pred = 0
+    var b = 0
+    while (b < blocks.length) {
+      val dc = 8 * (blocks(b) - 128)     // exact DCT of a constant block
+      val diff = dc - pred
+      pred = dc
+      val c = category(diff)
+      val (code, len) = DcCodes(c)
+      bw2.put(code, len)
+      if (c > 0) {
+        val extra = if (diff >= 0) diff else diff + (1 << c) - 1
+        bw2.put(extra, c)
+      }
+      val (ec, el) = AcCodes(0)          // EOB: all AC are zero
+      bw2.put(ec, el)
+      b += 1
+    }
+    bw2.finish()
+    marker(0xD9)                         // EOI
+    out.toByteArray
+  }
+
+  /** The frame-f JPEG for one id. */
+  def frameJpeg(id: Long, f: Int): Array[Byte] = {
+    val bw = widthOf(id) / 8; val bh = heightOf(id) / 8
+    jpegGray(bw, bh, Array.tabulate(bw * bh)(b => blockVal(id, f, b)))
+  }
+
+  // ---- AVI (RIFF) container ---------------------------------------------
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    fourcc(out, id); le32(out, body.length.toLong)
+    out.write(body, 0, body.length)
+    if (body.length % 2 == 1) out.write(0) // RIFF even-pad rule
+    out.toByteArray
+  }
+  private def list(subtype: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    fourcc(out, "LIST"); le32(out, (body.length + 4).toLong)
+    fourcc(out, subtype)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** One valid AVI: LIST hdrl (avih + LIST strl(strh vids/MJPG +
+    * strf BITMAPINFOHEADER)) + LIST movi ('00dc' JPEG per frame). */
+  private def aviOf(id: Long): Array[Byte] = {
+    val w = widthOf(id); val h = heightOf(id); val nf = framesOf(id)
+    val usPerFrame = 40000L + (id % 4) * 10000L // 25/20/16.7/14.3 fps
+    val avih = {
+      val o = new ByteArrayOutputStream()
+      le32(o, usPerFrame)       // dwMicroSecPerFrame
+      le32(o, 0L)               // dwMaxBytesPerSec
+      le32(o, 0L)               // dwPaddingGranularity
+      le32(o, 0L)               // dwFlags
+      le32(o, nf.toLong)        // dwTotalFrames
+      le32(o, 0L)               // dwInitialFrames
+      le32(o, 1L)               // dwStreams
+      le32(o, 0L)               // dwSuggestedBufferSize
+      le32(o, w.toLong); le32(o, h.toLong)
+      (1 to 4).foreach(_ => le32(o, 0L)) // dwReserved
+      o.toByteArray
+    }
+    val strh = {
+      val o = new ByteArrayOutputStream()
+      fourcc(o, "vids"); fourcc(o, "MJPG")
+      le32(o, 0L); le32(o, 0L)  // dwFlags, wPriority+wLanguage
+      le32(o, 0L)               // dwInitialFrames
+      le32(o, usPerFrame)       // dwScale (µs)
+      le32(o, 1000000L)         // dwRate  (ticks/s) → rate/scale = fps
+      le32(o, 0L)               // dwStart
+      le32(o, nf.toLong)        // dwLength (frames)
+      le32(o, 0L)               // dwSuggestedBufferSize
+      le32(o, 0xFFFFFFFFL)      // dwQuality (-1)
+      le32(o, 0L)               // dwSampleSize
+      le32(o, 0L); le32(o, (w.toLong << 16) | h.toLong) // rcFrame
+      o.toByteArray
+    }
+    val strf = {
+      val o = new ByteArrayOutputStream()
+      le32(o, 40L)              // biSize
+      le32(o, w.toLong); le32(o, h.toLong)
+      le16(o, 1); le16(o, 24)   // planes, bit count
+      fourcc(o, "MJPG")         // biCompression
+      le32(o, (w * h * 3).toLong) // biSizeImage
+      le32(o, 0L); le32(o, 0L); le32(o, 0L); le32(o, 0L)
+      o.toByteArray
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl",
+        chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      (0 until nf).map(f => chunk("00dc", frameJpeg(id, f)))
+        .reduce(_ ++ _))
+    val body = hdrl ++ movi
+    val out = new ByteArrayOutputStream()
+    fourcc(out, "RIFF"); le32(out, (body.length + 4).toLong)
+    fourcc(out, "AVI ")
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+}

@@ -64,12 +64,16 @@ object VideoMetaExpr {
     StructField("n_tracks", IntegerType)))
 
   private val Mp4 = UTF8String.fromString("mp4")
+  private val Avi = UTF8String.fromString("avi")
   private val Unknown = UTF8String.fromString("unknown")
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
   private def be32(b: Array[Byte], i: Int): Long =
     ((u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
       (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24))
   private def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
 
@@ -102,10 +106,70 @@ object VideoMetaExpr {
     else s
   }
 
-  /** Parse the ISO-BMFF box tree; never throws, never returns null. */
+  /** The RIFF/AVI arm — one new list-chunk walk on the RIFF
+    * discipline ([[AudioMetaExpr]]'s, Long cursor and all): LIST
+    * `hdrl` carries `avih` (µs/frame, total frames, stream count,
+    * dimensions) and the first LIST `strl`'s `strh`, whose fccHandler
+    * (e.g. MJPG) reports as the brand. Mapping into the shared
+    * schema: format = "avi", timescale = 1,000,000 (ticks are
+    * microseconds), duration = µsPerFrame · totalFrames,
+    * n_tracks = dwStreams. Same never-throw degrade contract. */
+  private def parseAvi(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    var pos = 12L
+    var steps = 0
+    while (pos + 8 <= n && steps < 64) {
+      val p = pos.toInt
+      val size = le32(b, p + 4)
+      if (size < 0L || size > Int.MaxValue.toLong) return unknown
+      if (tag(b, p, "LIST") && size >= 4L && p + 12 <= n &&
+          tag(b, p + 8, "hdrl")) {
+        val end = math.min(p + 8 + size, n.toLong)
+        var q = p + 12L
+        var inner = 0
+        var usFrame = -1L; var totFrames = -1L; var streams = -1L
+        var w = -1L; var h = -1L
+        var brand: UTF8String = null
+        while (q + 8 <= end && inner < 64) {
+          val qi = q.toInt
+          val s2 = le32(b, qi + 4)
+          if (s2 < 0L || s2 > Int.MaxValue.toLong) return unknown
+          if (tag(b, qi, "avih") && s2 >= 40L && qi + 48 <= n) {
+            usFrame = le32(b, qi + 8)
+            totFrames = le32(b, qi + 8 + 16)
+            streams = le32(b, qi + 8 + 24)
+            w = le32(b, qi + 8 + 32)
+            h = le32(b, qi + 8 + 36)
+          } else if (tag(b, qi, "LIST") && s2 >= 4L && qi + 12 <= n &&
+              tag(b, qi + 8, "strl") && brand == null) {
+            // first stream header's fccHandler is the codec brand
+            val r = qi + 12
+            if (r + 16 <= n && tag(b, r, "strh") &&
+                le32(b, r + 4) >= 8L)
+              brand = UTF8String.fromBytes(b, r + 12, 4)
+          }
+          q += 8L + s2 + (s2 & 1L)
+          inner += 1
+        }
+        if (usFrame <= 0L || totFrames < 0L) return unknown
+        return row(Avi, brand,
+          if (w > 0L) Int.box(w.toInt) else null,
+          if (w > 0L) Int.box(h.toInt) else null,
+          Long.box(1000000L), Long.box(usFrame * totFrames),
+          if (streams >= 0L) Int.box(streams.toInt) else null)
+      }
+      pos += 8L + size + (size & 1L)
+      steps += 1
+    }
+    unknown
+  }
+
+  /** Parse the ISO-BMFF box tree (or, for RIFF/AVI payloads, the AVI
+    * header list); never throws, never returns null. */
   def parse(b: Array[Byte]): InternalRow = {
     val n = b.length
     if (n < 16) return unknown
+    if (tag(b, 0, "RIFF") && tag(b, 8, "AVI ")) return parseAvi(b)
     var pos = 0
     var steps = 0
     var brand: UTF8String = null

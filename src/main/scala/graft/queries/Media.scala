@@ -191,6 +191,21 @@ object Media {
       .toDF("media_id", "payload")
   }
 
+  /** Synthetic but VALID MJPEG-in-AVI payloads from `documents` —
+    * frame pixels a pure formula of (doc_id, frame, block)
+    * ([[graft.functions.SyntheticVideo]]; every 11th doc truncated),
+    * so the q200 oracle verifies the real container walk + JPEG frame
+    * decode without DuckDB ever touching a byte. (media_id,
+    * payload). */
+  private[graft] def syntheticMjpegVideos(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        (id, graft.functions.SyntheticVideo.payload(id))))
+      .toDF("media_id", "payload")
+  }
+
   /** Synthetic but VALID image payloads from `documents` — pixels are
     * a pure formula of doc_id ([[graft.functions.SyntheticImage]]), so
     * the q179 oracle verifies the real [[decodePixels]] decode without
@@ -342,6 +357,45 @@ object Media {
           col("m.c1_min").as("c1_min"),
           col("m.c1_max").as("c1_max"))
         .orderBy("media_id")
+    }),
+
+    // ---- q200: REAL video FRAME decode (MJPEG-in-AVI) --------------------
+    // The triad's last leg closed (the r15 verdict's ask): the engine
+    // walks the RIFF/AVI container itself
+    // ([[graft.functions.Multimodal.decodeVideoFrames]] — LIST movi →
+    // 00dc chunks, the AudioMetaExpr Long-cursor discipline), decodes
+    // each MJPEG frame through the SAME per-partition javax.imageio
+    // codec seam as q179, and reduces each frame to grayscale pixel
+    // stats; [[graft.functions.Multimodal.videoMeta]]'s new AVI arm
+    // supplies the container columns (brand = strh fccHandler,
+    // duration in µs ticks). The fixture frames are constant-block
+    // all-ones-quant grayscale JPEGs, which decode EXACTLY (DC-only
+    // IDCT — PipelineSpec pins the bit-exactness against the JDK
+    // decoder), so the oracle computes every column straight from the
+    // (doc_id, frame, block) formula without touching a byte —
+    // encoder, container walk, JPEG decoder, and metadata arm all in
+    // one cross-engine compare. Truncated payloads (id % 11 == 5)
+    // contribute no frame rows on either side.
+    "q200_video_frame_stats" -> ((s, dir) => {
+      val media = syntheticMjpegVideos(
+          Graft.parquetSource(s, dir).table("documents"))
+        .localCheckpoint() // read by the frame decode AND the meta arm
+      val frames = graft.functions.Multimodal.decodeVideoFrames(media)
+      val vm = graft.functions.Multimodal.videoMeta(col("payload"))
+      val meta = media.select(col("media_id"), vm.as("m"))
+        .select(col("media_id"),
+          col("m.brand").as("brand"),
+          col("m.width").as("c_width"),
+          col("m.height").as("c_height"),
+          col("m.duration").as("duration_us"),
+          col("m.n_tracks").as("n_tracks"))
+      frames.join(meta, Seq("media_id"))
+        .select(col("media_id"), col("frame_idx"), col("format"),
+          col("width"), col("height"), col("n_px"),
+          col("p_sum"), col("p_min"), col("p_max"),
+          col("brand"), col("c_width"), col("c_height"),
+          col("duration_us"), col("n_tracks"))
+        .orderBy("media_id", "frame_idx")
     }),
 
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
@@ -675,6 +729,36 @@ object Media {
         |  list_sum(pb)::BIGINT AS b_sum, list_min(pb)::BIGINT AS b_min,
         |  list_max(pb)::BIGINT AS b_max
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Never touches a byte: evaluates the SyntheticVideo block formula
+    // directly (the q179/q197 discipline on the video side) — frame f's
+    // block b is (id·7 + f·31 + b·3) % 256, each block 64 constant
+    // pixels; container columns re-derived from the same id formulas.
+    // Truncated payloads (id % 11 = 5) contribute no rows.
+    "q200_video_frame_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    ((doc_id % 3 + 1) * 8)::BIGINT AS w,
+        |    ((doc_id % 2 + 1) * 8)::BIGINT AS h,
+        |    (doc_id % 3 + 2)::BIGINT AS nf,
+        |    (40000 + (doc_id % 4) * 10000)::BIGINT AS us
+        |  FROM documents WHERE doc_id % 11 <> 5
+        |), f AS (
+        |  SELECT media_id, w, h, nf, us, t.f::BIGINT AS frame_idx
+        |  FROM p, unnest(range(0, nf)) AS t(f)
+        |), s AS (
+        |  SELECT media_id, frame_idx, w, h, nf, us,
+        |    list_transform(range(0, (w // 8) * (h // 8)),
+        |      b -> (media_id * 7 + frame_idx * 31 + b * 3) % 256) AS bv
+        |  FROM f
+        |)
+        |SELECT media_id, frame_idx, 'jpeg' AS format,
+        |  w AS width, h AS height, (w * h)::BIGINT AS n_px,
+        |  (64 * list_sum(bv))::BIGINT AS p_sum,
+        |  list_min(bv)::BIGINT AS p_min, list_max(bv)::BIGINT AS p_max,
+        |  'MJPG' AS brand, w::INT AS c_width, h::INT AS c_height,
+        |  (us * nf)::BIGINT AS duration_us, 1::INT AS n_tracks
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
 
     "q33_frame_sample" ->
       """WITH f AS (

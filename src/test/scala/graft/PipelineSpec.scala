@@ -601,6 +601,91 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("synthetic MJPEG exactness: the JDK JPEG decoder reconstructs " +
+      "every constant-block grayscale frame bit-for-bit") {
+    // the q200 oracle's licence to verify a LOSSY codec from a pure
+    // formula: constant 8x8 blocks + all-ones quant tables decode
+    // exactly (DC-only IDCT). Pin it against the actual JDK decoder
+    // over every (width, height, frames) residue class and a big id.
+    import graft.functions.SyntheticVideo._
+    System.setProperty("java.awt.headless", "true")
+    val ids = (0L to 30L) ++ Seq(987654321L)
+    for (id <- ids; f <- 0 until framesOf(id)) {
+      val w = widthOf(id); val h = heightOf(id); val bw = w / 8
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(frameJpeg(id, f)))
+      assert(img != null, s"id=$id f=$f did not decode")
+      assert(img.getWidth == w && img.getHeight == h, s"id=$id f=$f dims")
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val b = (y / 8) * bw + (x / 8)
+        val want = blockVal(id, f, b)
+        val got = raster.getSample(x, y, 0)
+        assert(got == want, s"id=$id f=$f px($x,$y): got $got want $want")
+      }
+    }
+  }
+
+  test("video frame decode: the AVI movi walk extracts frames in " +
+      "order; malformed containers yield no frames, never throw") {
+    import graft.functions.Multimodal.aviFrames
+    import graft.functions.SyntheticVideo
+    // valid container: frames come back in stream order, each a JPEG
+    val id = 7L
+    val fs = aviFrames(SyntheticVideo.payload(id))
+    assert(fs.length === SyntheticVideo.framesOf(id))
+    fs.foreach { j =>
+      assert((j(0) & 0xFF) == 0xFF && (j(1) & 0xFF) == 0xD8, "not a JPEG")
+    }
+    assert(fs.map(_.toSeq) ===
+      (0 until fs.length).map(f => SyntheticVideo.frameJpeg(id, f).toSeq))
+    // truncated fixture rows (id % 11 == 5) yield no frames
+    assert(aviFrames(SyntheticVideo.payload(5L)).isEmpty)
+    // degradation: junk, empty, WAV (RIFF but not AVI), huge chunk size
+    assert(aviFrames("not a movie".getBytes).isEmpty)
+    assert(aviFrames(Array.emptyByteArray).isEmpty)
+    assert(aviFrames(graft.functions.SyntheticAudio.payload(1L)).isEmpty)
+    val huge = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
+      "AVI JUNK".getBytes ++ Array[Byte](-16, -1, -1, 127) // ~Int.MaxValue
+    assert(aviFrames(huge).isEmpty) // Long cursor: terminates, no wrap
+    // end-to-end decode: per-frame stats match the block formula
+    import spark.implicits._
+    val media = graft.queries.Media.syntheticMjpegVideos(
+      Seq(3L, 5L, 14L).toDF("doc_id")).repartition(2)
+    val rows = graft.functions.Multimodal.decodeVideoFrames(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(!rows.keys.exists(_._1 == 5L), "truncated row decoded frames")
+    for (mid <- Seq(3L, 14L); f <- 0 until SyntheticVideo.framesOf(mid)) {
+      val r = rows((mid, f.toLong))
+      val w = SyntheticVideo.widthOf(mid)
+      val h = SyntheticVideo.heightOf(mid)
+      val vals = (0 until (w / 8) * (h / 8))
+        .map(b => SyntheticVideo.blockVal(mid, f, b))
+      assert(r.getString(2) == "jpeg")
+      assert(r.getLong(3) == w && r.getLong(4) == h)
+      assert(r.getLong(6) == 64L * vals.sum, s"$mid/$f p_sum")
+      assert(r.getLong(7) == vals.min && r.getLong(8) == vals.max)
+    }
+  }
+
+  test("video metadata AVI arm: avih fields map into the shared " +
+      "schema; the MP4 path is untouched") {
+    import graft.functions.{SyntheticVideo, VideoMetaExpr}
+    val id = 9L
+    val r = VideoMetaExpr.parse(SyntheticVideo.payload(id))
+    assert(r.getUTF8String(0).toString === "avi")
+    assert(r.getUTF8String(1).toString === "MJPG")
+    assert(r.getInt(2) === SyntheticVideo.widthOf(id))
+    assert(r.getInt(3) === SyntheticVideo.heightOf(id))
+    assert(r.getLong(4) === 1000000L) // µs ticks
+    val us = 40000L + (id % 4) * 10000L
+    assert(r.getLong(5) === us * SyntheticVideo.framesOf(id))
+    assert(r.getInt(6) === 1)
+    // truncated AVI degrades to unknown
+    val t = VideoMetaExpr.parse(SyntheticVideo.payload(5L))
+    assert(t.getUTF8String(0).toString === "unknown")
+  }
+
   test("real pixel decode: undecodable payloads degrade to an all-null " +
       "stats row, never throw") {
     import graft.functions.Multimodal._

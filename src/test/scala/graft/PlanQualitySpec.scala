@@ -255,6 +255,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
   }
 
+  test("q200: video frame decode is exchange-free — scan → project → " +
+      "mapPartitions, container bytes never shuffle") {
+    // the q179 contract on the video side: the RIFF walk + per-frame
+    // JPEG decode ride the partition stream; an Exchange before the
+    // codec would shuffle raw video bytes across the cluster
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = graft.queries.Media.syntheticMjpegVideos(docs)
+    val p = graft.functions.Multimodal.decodeVideoFrames(media)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"frame decode moves data:\n$p")
+    assert(p.contains("FileScan parquet"))
+    assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
+  }
+
   test("q174: doc-vector composition broadcasts the word-vector frame " +
       "— the corpus never shuffles by word") {
     // the k·V word-vector frame is metadata-grain at ANY corpus size,
