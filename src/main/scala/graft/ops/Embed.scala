@@ -1075,10 +1075,11 @@ object Embed {
       idCol: String = "vec_id", dimCol: String = "dim",
       valCol: String = "xfp"): DataFrame = {
     require(nVecs >= 1L, s"need nVecs >= 1 (got $nVecs)")
-    require(d >= 1 && d <= 4096,
-      s"need 1 <= d <= 4096 (got $d): the PCA driver iteration " +
-        "materializes the dense d x d Gram (16.8M BigInt cells at " +
-        "4096, ~1.5 GB) — reduce dimensionality first")
+    require(d >= 1 && d <= 65536,
+      s"need 1 <= d <= 65536 (got $d): finalize with " +
+        "[[pcaFromFrame]] (dense driver Gram, d <= 4096, the " +
+        "oracle-pinned bits) or [[pcaFromFrameLargeV]] (implicit " +
+        "Gram, distributed matvec) — [[pcaFinalize]] dispatches")
     val s = cells0.sparkSession
     val cells = cells0
       .select(col(idCol).as("__vid"), col(dimCol).cast("long").as("d"),
@@ -1118,6 +1119,178 @@ object Embed {
       s"need 1 <= iters <= 64 (got $iters)")
     val (n, d, si, sij) = pcaStats(frame)
     pcaIterate(n, d, si, sij, k, iters)
+  }
+
+  /** Finalize a PCA accumulator at ANY vocabulary: the bit-pinned
+    * driver path ([[pcaFromFrame]] — the oracle-replayed semantics)
+    * up to its d ≤ 4096 dense-Gram bound, the implicit-Gram
+    * distributed path ([[pcaFromFrameLargeV]]) above it. The
+    * threshold can only change low-bit floor placement, never the
+    * algorithm (both run the identical fixed-point power iteration);
+    * callers that need the oracle-pinned bits stay ≤ 4096. */
+  def pcaFinalize(frame: DataFrame, d: Int, k: Int = 2,
+      iters: Int = 6): DataFrame =
+    if (d <= 4096) pcaFromFrame(frame, k, iters)
+    else pcaFromFrameLargeV(frame, k, iters)
+
+  /** Large-vocabulary twin of [[pcaFromFrame]] — the SAME power
+    * iteration with the Gram left IMPLICIT, so the driver never
+    * materializes d² cells and the vocabulary ceiling lifts from
+    * 4096 to 65536. G = n·S − s·sᵀ splits into a SPARSE term (the
+    * pair-sum cells, rescaled once per cell and iterated as ONE
+    * distributed map-side-combinable aggregate per matvec round) and
+    * rank-1 terms (mean centering and per-component deflation) whose
+    * matvec contribution is a single dot product — applied at ROW
+    * grain on the driver, Θ(d) per round with only the d-vector held.
+    *
+    * Semantics note (why this is a twin, not the same function): the
+    * dense path floors EVERY rescaled Gram cell and every deflation
+    * cell individually; an implicit Gram cannot (the −sᵢ·sⱼ term is
+    * dense), so here the floor divisions sit at row grain —
+    *   (Gq·v)ᵢ := Σⱼ ⌊n·Sᵢⱼ·2²⁰/m⌋·vⱼ − ⌊sᵢ·(Σⱼ sⱼ·vⱼ)·2²⁰/m⌋
+    *              − Σ_c ⌊λ_c·v_c(i)·(Σⱼ v_c(j)·vⱼ)/den_c⌋
+    * with m = max(maxₛₚₐᵣₛₑ|n·Sᵢⱼ − sᵢ·sⱼ|, (maxᵢ|sᵢ|)²) — a
+    * deterministic upper bound of the dense max (absent cells are
+    * −sᵢ·sⱼ). Different low bits than [[pcaFromFrame]], identical
+    * algorithm and fixed-point grid; deterministic and
+    * partition-invariant (every distributed sum is exact decimal).
+    * Components agree with the dense path to float-noise grain on
+    * separated spectra (spec-pinned); the dense path stays the
+    * oracle-replayed one at d ≤ 4096.
+    *
+    * Scale shape: per matvec round ONE broadcast-join aggregate over
+    * the symmetrized sparse cells (Θ(nnz) work, the v-frame is a
+    * broadcast d-vector) returning d rows; everything else is Θ(d)
+    * driver BigInt. k·(iters+1) rounds total. */
+  def pcaFromFrameLargeV(frame: DataFrame, k: Int = 2,
+      iters: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16 (got $k)")
+    require(iters >= 1 && iters <= 64,
+      s"need 1 <= iters <= 64 (got $iters)")
+    val s = frame.sparkSession
+    import s.implicits._
+    val sdiv = pcaSdiv _
+    val fpB = BigInt(1L << 20)
+    val fp = 1L << 20
+    val f = frame.localCheckpoint() // scalars + si collect + cell passes
+    // metadata-grain driver state: n, the d-vector of per-dim sums
+    val nRow = f.where(col("i") === 0L && col("j") === 0L).head()
+    val n = BigInt(nRow.getDecimal(2).toBigInteger)
+    val siRows = f.where(col("i") === 0L && col("j") > 0L)
+      .select(col("j"), col("sv")).collect()
+    val d = siRows.map(_.getLong(0)).max.toInt
+    require(d >= 1 && d <= 65536,
+      s"need 1 <= d <= 65536 (got $d) for the implicit-Gram path")
+    val si = new Array[BigInt](d + 1)
+    siRows.foreach(r => si(r.getLong(0).toInt) =
+      BigInt(r.getDecimal(1).toBigInteger))
+    val missing = (1 to d).filter(si(_) == null)
+    require(missing.isEmpty,
+      s"vectors must have uniform dimensionality: the accumulator " +
+        s"frame has max dim $d but no per-dim sum for dim(s) " +
+        s"${missing.take(5).mkString(", ")}")
+    // the scale m: sparse-cell max |n·Sij − si·sj| (one distributed
+    // pass over the cells against the BROADCAST si vector) vs the
+    // absent-cell bound (max|si|)²
+    val nDec = lit(n.toString).cast("decimal(38,0)")
+    val siDf = (1 to d).map(j => (j.toLong, si(j).toString))
+      .toDF("dim", "s_str")
+      .select(col("dim"), col("s_str").cast("decimal(38,0)").as("sdim"))
+    val pairCells = f.where(col("i") > 0L).localCheckpoint()
+    val mSparseRow = pairCells
+      .join(broadcast(siDf.select(col("dim").as("i"),
+        col("sdim").as("s_i"))), Seq("i"))
+      .join(broadcast(siDf.select(col("dim").as("j"),
+        col("sdim").as("s_j"))), Seq("j"))
+      .agg(max(abs(nDec * col("sv") - col("s_i") * col("s_j"))).as("mx"))
+      .head()
+    val mSparse =
+      if (mSparseRow.isNullAt(0)) BigInt(0)
+      else BigInt(mSparseRow.getDecimal(0).toBigInteger)
+    val sMax = (1 to d).map(si(_).abs).max
+    val m = mSparse.max(sMax * sMax)
+    require(m.signum > 0, "degenerate input: zero covariance")
+    // symmetrized rescaled sparse term: aq = ⌊n·Sij·2²⁰/m⌋ per stored
+    // cell, mirrored below the diagonal — ONE pass, then reused by
+    // every matvec round (|aq| ≤ 2·2²⁰+1 since |n·Sij| ≤ 2m; row sums
+    // Σ aq·v are ≤ d·2²¹·2²⁰ < 2⁵⁸ — summed as exact decimal anyway)
+    // sign-handled floor-on-magnitude via exact integral `div` (the
+    // wordVectorsFromCooc rescale discipline — decimal `/` rounds)
+    val aqExpr = expr(
+      s"CASE WHEN sv >= 0 THEN " +
+        s"(CAST('$n' AS DECIMAL(38,0)) * sv * $fp) div " +
+        s"CAST('$m' AS DECIMAL(38,0)) " +
+        s"ELSE -((CAST('$n' AS DECIMAL(38,0)) * (-sv) * $fp) div " +
+        s"CAST('$m' AS DECIMAL(38,0))) END")
+    val upper = pairCells.select(col("i").as("r"), col("j").as("c"),
+      aqExpr.as("aq"))
+    val sym = upper
+      .unionByName(pairCells.where(col("i") =!= col("j"))
+        .select(col("j").as("r"), col("i").as("c"), aqExpr.as("aq")))
+      .localCheckpoint() // read by every matvec round
+    // one distributed sparse-matvec round: d rows back to the driver
+    def sparseMatvec(v: Array[Long]): Array[BigInt] = {
+      val vDf = (1 to d).map(j => (j.toLong, v(j - 1))).toDF("c", "v")
+      val rows = sym.join(broadcast(vDf), Seq("c"))
+        .groupBy(col("r"))
+        .agg(sum(col("aq") * col("v").cast("decimal(38,0)")).as("w"))
+        .collect()
+      val w = Array.fill[BigInt](d)(BigInt(0))
+      rows.foreach(r => w(r.getLong(0).toInt - 1) =
+        BigInt(r.getDecimal(1).toBigInteger))
+      w
+    }
+    // deflation state: (λ_c, v_c, den_c) per finished component
+    val defl = scala.collection.mutable.ArrayBuffer
+      .empty[(BigInt, Array[Long], BigInt)]
+    def matvec(v: Array[Long]): Array[BigInt] = {
+      val w = sparseMatvec(v)
+      // mean-centering rank-1 term, row-grain floor
+      var t = BigInt(0)
+      var j = 0
+      while (j < d) { t += si(j + 1) * v(j); j += 1 }
+      var i = 0
+      while (i < d) { w(i) -= sdiv(si(i + 1) * t * fpB, m); i += 1 }
+      // deflation rank-1 terms, row-grain floor
+      defl.foreach { case (lam, vc, den) =>
+        var u = BigInt(0)
+        var j2 = 0
+        while (j2 < d) { u += BigInt(vc(j2)) * v(j2); j2 += 1 }
+        val lu = lam * u
+        var i2 = 0
+        while (i2 < d) { w(i2) -= sdiv(lu * vc(i2), den); i2 += 1 }
+      }
+      w
+    }
+    val comps = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (dim0 <- 1 to d)
+      comps += ((0L, dim0.toLong, sdiv(si(dim0), n).toLong, n.toLong))
+    for (c <- 1 to k) {
+      var v = Array.fill(d)(fp)
+      for (_ <- 1 to iters) {
+        val wB = matvec(v)
+        val wq = wB.map(sdiv(_, fpB))
+        var n2 = BigInt(0)
+        var i = 0
+        while (i < d) { n2 += wq(i) * wq(i); i += 1 }
+        if (n2.signum != 0) {
+          val norm = BigInt(math.floor(math.sqrt(n2.toDouble)).toLong)
+          v = wq.map(x => sdiv(x * fpB, norm).toLong)
+        }
+      }
+      val gv = matvec(v)
+      var num = BigInt(0); var den = BigInt(0)
+      var i1 = 0
+      while (i1 < d) {
+        num += BigInt(v(i1)) * gv(i1)
+        den += BigInt(v(i1)) * BigInt(v(i1)); i1 += 1
+      }
+      val lam = sdiv(num, den)
+      for (dim0 <- 1 to d)
+        comps += ((c.toLong, dim0.toLong, v(dim0 - 1), lam.toLong))
+      defl += ((lam, v, den))
+    }
+    comps.result().toDF("comp", "dim", "w_fp", "lam_fp")
   }
 
   /** Collect a [[pcaFrame]] accumulator to driver statistics

@@ -1471,15 +1471,17 @@ object Text {
     * enter only when the loop deliberately re-freezes. */
   def vocabFrame(docs: DataFrame, topV: Int = 32,
       textCol: String = "text"): DataFrame = {
-    // The ceiling is the PCA driver Gram, the family's only dense
-    // object: d = V ⇒ V² BigInt cells on the driver (4096 ⇒ 16.8M
-    // cells, ~1.5 GB transient — see [[graft.ops.Embed.pcaFrameSparse]]).
-    // Everything distributed stays ≤ nnz cells: V ≤ 256 rides the
-    // proven dense PPMI rows, larger vocabularies go through the
-    // sparse cell path ([[wordVectorsFromCooc]]'s denseMaxV switch).
-    require(topV >= 2 && topV <= 4096,
-      s"need 2 <= topV <= 4096 (got $topV): V bounds the d x d PCA " +
-        "driver Gram (16.8M BigInt cells at 4096)")
+    // Vocabulary tiers: V ≤ 256 rides the proven dense PPMI rows,
+    // V ≤ 4096 the sparse-cell path with the bit-pinned dense driver
+    // Gram ([[graft.ops.Embed.pcaFromFrame]] — 16.8M BigInt cells at
+    // 4096, ~1.5 GB transient), and larger vocabularies the
+    // implicit-Gram distributed matvec
+    // ([[graft.ops.Embed.pcaFromFrameLargeV]] — the driver holds only
+    // d-vectors, one sparse-cell aggregate per power-iteration
+    // round). Everything distributed stays ≤ nnz cells at every tier.
+    require(topV >= 2 && topV <= 65536,
+      s"need 2 <= topV <= 65536 (got $topV): the implicit-Gram PCA " +
+        "path bounds the family's vocabulary")
     import org.apache.spark.sql.expressions.Window
     wvToks(docs, textCol).select(explode(col("w")).as("word"))
       .where(col("word") =!= "")
@@ -1561,7 +1563,7 @@ object Text {
             (col("l") * 16384L).as("xfp")) // exact: floor(l/2^10·2^24)
         val frame = graft.ops.Embed.pcaFrameSparse(cells, vcnt.toLong,
           vcnt, "word_id", "dim", "xfp")
-        val comps = graft.ops.Embed.pcaFromFrame(frame, k, iters)
+        val comps = graft.ops.Embed.pcaFinalize(frame, vcnt, k, iters)
         graft.ops.Embed.pcaProjectSparse(vocab.select(col("word_id")),
           cells, comps, "word_id", "dim", "xfp")
       }
@@ -1849,7 +1851,7 @@ object Text {
     val nd = ids.count()
     val frame = graft.ops.Embed.pcaFrameSparse(cells, nd, vcnt,
       idCol, "dim", "xfp")
-    val comps = graft.ops.Embed.pcaFromFrame(frame, k, iters)
+    val comps = graft.ops.Embed.pcaFinalize(frame, vcnt, k, iters)
     val proj = graft.ops.Embed.pcaProjectSparse(ids, cells, comps,
       idCol, "dim", "xfp")
     val mx = proj.agg(greatest(max(abs(col("proj_fp"))), lit(1L))

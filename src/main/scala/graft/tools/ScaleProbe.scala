@@ -66,6 +66,29 @@ object ScaleProbe {
           graft.ops.Text.wordVectorsFromCooc(vocab,
             graft.ops.Text.coocFrame(pt, vocab), k = 3)
         })
+      case s if s.startsWith("wordvec3:") =>
+        // trigram tokens: the synthetic corpus's bigram universe tops
+        // out near 1k distinct, so the >4096-vocabulary runs (the
+        // implicit-Gram pcaFromFrameLargeV path) widen tokens to
+        // trigrams (~27k distinct at sf0.1) — same chain otherwise
+        val topV = s.stripPrefix("wordvec3:").toInt
+        (s, () => {
+          val w = graft.functions.TextFunctions.words(col("text"))
+          val pt = docs.where(col("text").isNotNull &&
+              length(trim(col("text"))) > 0 && size(w) >= 3)
+            .select(col("doc_id"),
+              concat_ws(" ", zip_with(
+                zip_with(
+                  slice(w, lit(1), size(w) - 2),
+                  slice(w, lit(2), size(w) - 2),
+                  (a, b) => concat(a, lit("_"), b)),
+                slice(w, lit(3), size(w) - 2),
+                (ab, c) => concat(ab, lit("_"), c))).as("text"))
+          val vocab = graft.ops.Text.vocabFrame(pt, topV)
+            .localCheckpoint()
+          graft.ops.Text.wordVectorsFromCooc(vocab,
+            graft.ops.Text.coocFrame(pt, vocab), k = 3)
+        })
       case "contamaudit" =>
         ("contamaudit", () => {
           val w = org.apache.spark.sql.functions.split(

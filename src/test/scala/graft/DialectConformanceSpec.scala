@@ -116,6 +116,30 @@ class DialectConformanceSpec extends AnyFunSuite {
       assert(Geo.parseGeoText(t, text).toSeq == coords)
     }
 
+  test("reference fixture row: the pg_datatypes_data.sql geo values " +
+      "decode through their PG OUTPUT text forms") {
+    // the exact values the reference inserts
+    // (tests/test_data/pg_datatypes_data.sql:83-89), written here in
+    // the TEXT FORM Postgres prints them back in (line normalizes to
+    // {a,b,c}; box reorders to upper-right first — documented output
+    // behavior, which is what the JDBC read path sees)
+    assert(Geo.parseGeoText("point", "(1,2)").toSeq == Seq(1.0, 2))
+    // '((0,0),(1,1))'::line → the line x − y = 0 → {1,-1,0}
+    assert(Geo.parseGeoText("line", "{1,-1,0}").toSeq == Seq(1.0, -1, 0))
+    assert(Geo.parseGeoText("circle", "<(0,0),5>").toSeq ==
+      Seq(0.0, 0, 5))
+    // '((0,0),(2,2))'::box → prints '(2,2),(0,0)'
+    assert(Geo.parseGeoText("box", "(2,2),(0,0)").toSeq ==
+      Seq(2.0, 2, 0, 0))
+    assert(Geo.parseGeoText("lseg", "[(0,0),(3,4)]").toSeq ==
+      Seq(0.0, 0, 3, 4))
+    // closed path (parens form): [open=0, n=4, coords...]
+    assert(Geo.parseGeoText("path", "((1,1),(4,1),(4,4),(1,4))").toSeq ==
+      Seq(0.0, 4, 1, 1, 4, 1, 4, 4, 1, 4))
+    assert(Geo.parseGeoText("polygon", "((0,0),(4,0),(2,3))").toSeq ==
+      Seq(0.0, 0, 4, 0, 2, 3))
+  }
+
   test("PostGIS geometry → BinaryType raw EWKB (GraftPgDialect)") {
     PgFixture.postgisDatatypes.map(_.name)
       .foreach(c => assert(resolvedGis(c) == BinaryType, c))

@@ -1965,6 +1965,56 @@ class OpsApiSpec extends AnyFunSuite {
     assert(pd.count(_._1 == 2L) === 2, "all-zero row projects in both")
   }
 
+  test("Embed.pcaFromFrameLargeV: the implicit-Gram path matches the " +
+      "dense driver path to fixed-point noise and is partition-" +
+      "invariant") {
+    // a 6x4 matrix with a strongly separated spectrum (dominant
+    // direction ~(3,1,0,0)), integer-valued so the 2^24 grid is exact
+    val sc = 1L << 24
+    val rows = Seq(
+      (1L, Seq(9.0d, 3.0d, 0.0d, 1.0d)),
+      (2L, Seq(6.0d, 2.0d, 1.0d, 0.0d)),
+      (3L, Seq(3.0d, 1.0d, 0.0d, 0.0d)),
+      (4L, Seq(-9.0d, -3.0d, 1.0d, 0.0d)),
+      (5L, Seq(-6.0d, -2.0d, 0.0d, 1.0d)),
+      (6L, Seq(0.0d, 0.0d, 2.0d, 2.0d)))
+    val dense = rows.toDF("vid", "v")
+    val cells = rows.flatMap { case (id, v) =>
+      v.zipWithIndex.collect { case (x, p) if x != 0.0d =>
+        (id, (p + 1).toLong, (x * sc).toLong) }
+    }.toDF("vid", "dim", "xfp")
+    val frame = Embed.pcaFrameSparse(cells, nVecs = 6L, d = 4,
+      idCol = "vid", dimCol = "dim", valCol = "xfp").localCheckpoint()
+    def collectComps(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("comp", "dim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val dn = collectComps(Embed.pcaFromFrame(frame, k = 2, iters = 8))
+    val lv = collectComps(Embed.pcaFromFrameLargeV(frame, k = 2,
+      iters = 8))
+    // comp 0 (the mean row) is defined identically — exact match
+    assert(lv.filter(_._1 == 0L) === dn.filter(_._1 == 0L))
+    // components: same 2^20 grid, floors placed at row vs cell grain —
+    // directions agree to ~1e-4 relative (cos >= 0.9999, sign-aligned)
+    for (c <- 1L to 2L) {
+      val a = dn.filter(_._1 == c).sortBy(_._2).map(_._3.toDouble)
+      val b = lv.filter(_._1 == c).sortBy(_._2).map(_._3.toDouble)
+      val cos = (a, b).zipped.map(_ * _).sum /
+        (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos) >= 0.9999d, s"comp $c direction: cos=$cos")
+      val lamA = dn.find(_._1 == c).get._4.toDouble
+      val lamB = lv.find(_._1 == c).get._4.toDouble
+      assert(math.abs(lamA - lamB) <= 0.001d * math.abs(lamA).max(1.0d),
+        s"comp $c eigenvalue: $lamA vs $lamB")
+    }
+    // deterministic under re-partitioning (bit-level)
+    val lv7 = collectComps(Embed.pcaFromFrameLargeV(
+      Embed.pcaFrameSparse(cells.repartition(7), 6L, 4,
+        "vid", "dim", "xfp"), k = 2, iters = 8))
+    assert(lv7 === lv)
+  }
+
   test("Text.ppmiVectors equals an independent pure-Scala PPMI replica " +
       "on randomized corpora (the fixed-point log2 recurrence pinned)") {
     import org.scalacheck.Gen
