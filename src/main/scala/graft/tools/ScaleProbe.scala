@@ -171,6 +171,33 @@ object ScaleProbe {
     val json = rows.map { case (n, w, _, _, _, r) =>
       s""""$n":{"sec":${fn3(w)},"skew":${fn3(r)}}""" }
       .mkString("{", ",", "}")
+    // Round artifact (SCALE_rNN.json beside BENCH_rNN): when
+    // SPARK_GRAFT_ROUND is set, persist the run so scale regressions
+    // are caught by diffing artifacts, not re-reading prose. SCALE.md
+    // rule: a >1.5x regression of any chain's decade wall vs the
+    // previous round's artifact is a round blocker.
+    sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).foreach { rnd =>
+      val f = new java.io.File(
+        new java.io.File(".").getCanonicalFile,
+        f"SCALE_r$rnd%02d.json")
+      val body = s"""{"dir":"$dir","cases":$json}""" + "\n"
+      try {
+        // merge with an existing same-round artifact (the five chains
+        // may be probed across several invocations)
+        val merged =
+          if (f.isFile) {
+            val prev = java.nio.file.Files.readString(f.toPath).trim
+            val prevCases = prev.indexOf("\"cases\":{")
+            if (prevCases >= 0 && prev.endsWith("}}")) {
+              val inner = prev.substring(prevCases + 9, prev.length - 2)
+              val add = json.substring(1, json.length - 1)
+              s"""{"dir":"$dir","cases":{$inner,$add}}""" + "\n"
+            } else body
+          } else body
+        java.nio.file.Files.write(f.toPath, merged.getBytes("UTF-8"))
+      } catch { case e: Exception =>
+        System.err.println(s"[probe] WARN: could not write $f: $e") }
+    }
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(json)
