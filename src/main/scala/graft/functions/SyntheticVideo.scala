@@ -27,23 +27,33 @@ import java.io.ByteArrayOutputStream
   * reads them. [[SyntheticVideoSelfTest]] pins the exactness
   * assumption against the JDK decoder in the test suite.
   *
-  * Formula (shared verbatim with the q200 oracle SQL):
-  * frame width = 8·(id%3+1), height = 8·(id%2+1), frames
-  * nf = id%3+2; block b (row-major, bw·bh blocks of 64 px) of frame f
-  * is the constant (id·7 + f·31 + b·3) mod 256. Every 11th doc
-  * (id % 11 == 5) ships a TRUNCATED container instead — the malformed
-  * row the walker must degrade on (no frames), never throw.
+  * Formula (shared verbatim with the q200/q202 oracle SQL): every
+  * id % 13 == 4 doc (id ≥ 4) is a RE-ENCODE of doc id−4 — identical
+  * frame CONTENT (dimensions, frame count, pixels all follow the
+  * source id's formulas) in a fresh container (its own frame timing)
+  * — the planted near-duplicate q202's frame-signature dedup must
+  * catch; all content formulas therefore read through srcOf. For the
+  * source id s = srcOf(id): frame width = 8·(s%3+1), height =
+  * 8·(s%2+1), frames nf = s%3+2; block b (row-major, bw·bh blocks of
+  * 64 px) of frame f is the constant (s·7 + f·31 + b·3) mod 256.
+  * Every 11th doc (id % 11 == 5) ships a TRUNCATED container instead
+  * — the malformed row the walker must degrade on (no frames), never
+  * throw.
   */
 object SyntheticVideo {
 
-  def widthOf(id: Long): Int = (id % 3 + 1).toInt * 8
-  def heightOf(id: Long): Int = (id % 2 + 1).toInt * 8
-  def framesOf(id: Long): Int = (id % 3 + 2).toInt
+  /** The content-source id: id − 4 for the planted re-encodes
+    * (id % 13 == 4, id ≥ 4), id itself otherwise. */
+  def srcOf(id: Long): Long = if (id % 13 == 4 && id >= 4) id - 4 else id
+
+  def widthOf(id: Long): Int = (srcOf(id) % 3 + 1).toInt * 8
+  def heightOf(id: Long): Int = (srcOf(id) % 2 + 1).toInt * 8
+  def framesOf(id: Long): Int = (srcOf(id) % 3 + 2).toInt
 
   /** Constant value of block `b` (row-major) in frame `f` — the
-    * oracle formula. */
+    * oracle formula (reads through the re-encode source). */
   def blockVal(id: Long, f: Int, b: Int): Int =
-    ((id * 7 + f * 31 + b * 3) % 256).toInt
+    ((srcOf(id) * 7 + f * 31 + b * 3) % 256).toInt
 
   /** The valid (or, for id % 11 == 5, deliberately truncated)
     * AVI payload for one id. */
@@ -203,7 +213,10 @@ object SyntheticVideo {
     * strf BITMAPINFOHEADER)) + LIST movi ('00dc' JPEG per frame). */
   private def aviOf(id: Long): Array[Byte] = {
     val w = widthOf(id); val h = heightOf(id); val nf = framesOf(id)
-    val usPerFrame = 40000L + (id % 4) * 10000L // 25/20/16.7/14.3 fps
+    // timing keys on the RAW id at mod-7 grain so a re-encode (id−4)
+    // carries different frame timing than its source — same content,
+    // different container, the q202 planted-dup shape
+    val usPerFrame = 40000L + (id % 7) * 5000L
     val avih = {
       val o = new ByteArrayOutputStream()
       le32(o, usPerFrame)       // dwMicroSecPerFrame

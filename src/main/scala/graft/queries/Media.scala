@@ -398,6 +398,44 @@ object Media {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- q202: video content dedup via frame signatures ------------------
+    // The multimodal member of the dedup family: a video's content
+    // fingerprint is the sum of per-frame hash60 signatures over the
+    // DECODED frame stats (frame_idx : dims : pixel sum/min/max), so
+    // two containers with identical frame content — the planted
+    // re-encodes (id % 13 == 4 carries id−4's frames in a fresh
+    // container with different frame timing) — collide exactly, while
+    // any pixel-level difference separates them. Output per video:
+    // fingerprint, the group representative (min media_id), group
+    // size, and the is_dup verdict (the exact-dedup q26 shape lifted
+    // to decoded video content). Scale shape: frame signatures ride
+    // the exchange-free decode; the fingerprint is one
+    // map-side-combinable per-video aggregate; grouping shuffles at
+    // VIDEO grain (one row per video), never frame grain. Truncated
+    // payloads decode no frames and drop out on both engines.
+    "q202_video_dedup" -> ((s, dir) => {
+      val media = syntheticMjpegVideos(
+        Graft.parquetSource(s, dir).table("documents"))
+      val frames = graft.functions.Multimodal.decodeVideoFrames(media)
+      val h = graft.functions.TextFunctions.hash60(concat_ws(":",
+        col("frame_idx"), col("width"), col("height"),
+        col("p_sum"), col("p_min"), col("p_max")))
+      // fp = Σ frame hash60s: order-aware via frame_idx inside the
+      // hash, commutative outside it (≤ 4 frames × 2^60 < 2^63)
+      val sig = frames.select(col("media_id"), h.as("h"))
+        .groupBy(col("media_id"))
+        .agg(sum(col("h")).as("fp"),
+          count(lit(1)).cast("long").as("n_frames"))
+      val groups = sig.groupBy(col("fp"))
+        .agg(min(col("media_id")).as("dup_of"),
+          count(lit(1)).cast("long").as("grp_size"))
+      sig.join(groups, Seq("fp"))
+        .select(col("media_id"), col("n_frames"), col("fp"),
+          col("dup_of"), col("grp_size"),
+          (col("media_id") > col("dup_of")).cast("int").as("is_dup"))
+        .orderBy("media_id")
+    }),
+
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
       val frames = sampleFrames(col("payload"), 16, 4)
@@ -738,18 +776,23 @@ object Media {
     "q200_video_frame_stats" ->
       """WITH p AS (
         |  SELECT doc_id AS media_id,
-        |    ((doc_id % 3 + 1) * 8)::BIGINT AS w,
-        |    ((doc_id % 2 + 1) * 8)::BIGINT AS h,
-        |    (doc_id % 3 + 2)::BIGINT AS nf,
-        |    (40000 + (doc_id % 4) * 10000)::BIGINT AS us
+        |    CASE WHEN doc_id % 13 = 4 AND doc_id >= 4
+        |         THEN doc_id - 4 ELSE doc_id END AS src,
+        |    (40000 + (doc_id % 7) * 5000)::BIGINT AS us
         |  FROM documents WHERE doc_id % 11 <> 5
+        |), d AS (
+        |  SELECT media_id, us,
+        |    ((src % 3 + 1) * 8)::BIGINT AS w,
+        |    ((src % 2 + 1) * 8)::BIGINT AS h,
+        |    (src % 3 + 2)::BIGINT AS nf, src
+        |  FROM p
         |), f AS (
-        |  SELECT media_id, w, h, nf, us, t.f::BIGINT AS frame_idx
-        |  FROM p, unnest(range(0, nf)) AS t(f)
+        |  SELECT media_id, w, h, nf, us, src, t.f::BIGINT AS frame_idx
+        |  FROM d, unnest(range(0, nf)) AS t(f)
         |), s AS (
         |  SELECT media_id, frame_idx, w, h, nf, us,
         |    list_transform(range(0, (w // 8) * (h // 8)),
-        |      b -> (media_id * 7 + frame_idx * 31 + b * 3) % 256) AS bv
+        |      b -> (src * 7 + frame_idx * 31 + b * 3) % 256) AS bv
         |  FROM f
         |)
         |SELECT media_id, frame_idx, 'jpeg' AS format,
@@ -759,6 +802,51 @@ object Media {
         |  'MJPG' AS brand, w::INT AS c_width, h::INT AS c_height,
         |  (us * nf)::BIGINT AS duration_us, 1::INT AS n_tracks
         |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+
+    // frame signatures straight from the block formula (the q200
+    // discipline), hash60 = ('0x'||substr(md5,1,15))::BIGINT — the
+    // house cross-engine hash; planted re-encodes (id % 13 = 4 read
+    // content through id−4) collide by construction
+    "q202_video_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 13 = 4 AND doc_id >= 4
+        |         THEN doc_id - 4 ELSE doc_id END AS src
+        |  FROM documents WHERE doc_id % 11 <> 5
+        |), d AS (
+        |  SELECT media_id, src,
+        |    ((src % 3 + 1) * 8)::BIGINT AS w,
+        |    ((src % 2 + 1) * 8)::BIGINT AS h,
+        |    (src % 3 + 2)::BIGINT AS nf
+        |  FROM p
+        |), f AS (
+        |  SELECT media_id, w, h, nf, src, t.f::BIGINT AS fi
+        |  FROM d, unnest(range(0, nf)) AS t(f)
+        |), s AS (
+        |  SELECT media_id, fi, w, h, nf,
+        |    list_transform(range(0, (w // 8) * (h // 8)),
+        |      b -> (src * 7 + fi * 31 + b * 3) % 256) AS bv
+        |  FROM f
+        |), fh AS (
+        |  SELECT media_id, nf,
+        |    ('0x' || substr(md5(
+        |      fi::VARCHAR || ':' || w::VARCHAR || ':' || h::VARCHAR ||
+        |      ':' || (64 * list_sum(bv))::BIGINT::VARCHAR || ':' ||
+        |      list_min(bv)::BIGINT::VARCHAR || ':' ||
+        |      list_max(bv)::BIGINT::VARCHAR), 1, 15))::BIGINT AS hh
+        |  FROM s
+        |), sig AS (
+        |  SELECT media_id, sum(hh)::BIGINT AS fp,
+        |    count(*)::BIGINT AS n_frames
+        |  FROM fh GROUP BY media_id
+        |), grp AS (
+        |  SELECT fp, min(media_id) AS dup_of, count(*)::BIGINT AS grp_size
+        |  FROM sig GROUP BY fp
+        |)
+        |SELECT s.media_id, s.n_frames, s.fp, g.dup_of, g.grp_size,
+        |  (s.media_id > g.dup_of)::INT AS is_dup
+        |FROM sig s JOIN grp g USING (fp)
+        |ORDER BY s.media_id""".stripMargin,
 
     "q33_frame_sample" ->
       """WITH f AS (

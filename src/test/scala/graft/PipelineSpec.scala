@@ -678,7 +678,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getInt(2) === SyntheticVideo.widthOf(id))
     assert(r.getInt(3) === SyntheticVideo.heightOf(id))
     assert(r.getLong(4) === 1000000L) // µs ticks
-    val us = 40000L + (id % 4) * 10000L
+    val us = 40000L + (id % 7) * 5000L
     assert(r.getLong(5) === us * SyntheticVideo.framesOf(id))
     assert(r.getInt(6) === 1)
     // truncated AVI degrades to unknown
