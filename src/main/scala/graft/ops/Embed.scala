@@ -217,6 +217,38 @@ object Embed {
     if (tables > 1) pairs.distinct() else pairs
   }
 
+  /** [[lshTopK]] over PREBUILT bucket frames — the persisted-index
+    * SEARCH of the index-once-probe-many deployment: candidates from
+    * [[lshCandidatePairsFrom]], then the exact cosine re-rank against
+    * the raw vector tables. Because the bucket function is a pure
+    * function of the vector (hash-derived signs, no training), a
+    * snapshot index UNIONed with per-batch bucket appends IS the
+    * from-scratch index bit-for-bit — the zero-drift crawl-loop
+    * property, exercised by q203. Plan shape: the candidate-pair
+    * frame (bounded by the probe fan-out — the number the q201 audit
+    * prices) broadcasts against the corpus scan, so the corpus never
+    * shuffles for the search. */
+  def lshTopKFrom(corpusBuckets: DataFrame, queryBuckets: DataFrame,
+      corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      bits: Int = 16, tables: Int = 1, radius: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "vec_id", queryVecCol: String = "embedding",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    val cand = lshCandidatePairsFrom(corpusBuckets, queryBuckets,
+      bits, tables, radius, excludeSelf)
+    val qn = normalize(queries, queryIdCol, queryVecCol)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = normalize(corpus, idCol, vecCol)
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qn), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dotNative(col("qv"), col("v")) / (col("qn") * col("nrm")))
+          .as("cos"))
+    graft.queries.Embeddings.topkPerQuery(scored, k)
+  }
+
   /** Random-hyperplane LSH-bucketed ANN (Charikar, "Similarity
     * estimation techniques from rounding algorithms", STOC 2002 — the
     * SimHash family for cosine): each vector's bucket per table is

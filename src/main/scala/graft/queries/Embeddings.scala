@@ -691,6 +691,48 @@ object Embeddings {
       }.reduce(_.unionByName(_)).orderBy("tables", "radius", "q_id")
     }),
 
+    // ---- q203: incremental LSH — the zero-drift index append -----------
+    // The ANN family's last crawl-loop square, and the one where the
+    // incremental claim is STRUCTURAL rather than proven-by-merge: the
+    // LSH bucket is a pure function of the vector (hash-derived signs,
+    // no training), so the persisted snapshot index plus a per-batch
+    // bucket delta IS the from-scratch index bit-for-bit — no router
+    // drift (q123's concern), no codebook retrain, no re-read of old
+    // vectors. Artifacts: the old-corpus (vec_id, t, bucket) frame and
+    // the batch delta, both through SideTable (manifest-keyed,
+    // cross-session); search = [[graft.ops.Embed.lshTopKFrom]] over
+    // their union at (bits=8, tables=2, radius=1), queries = the
+    // batch's first five arrivals, k=10. The oracle replays the
+    // FULL-corpus LSH from scratch — equality proves the append
+    // path end-to-end.
+    "q203_incremental_lsh" -> ((s, dir) => {
+      val emb = Graft.parquetSource(s, dir).table("embeddings")
+      val cut = BatchCut.cut(s, emb, "vec_id")
+      val fp = Some(s"$dir/embeddings.parquet")
+      def bucketsOf(src: org.apache.spark.sql.DataFrame) =
+        graft.ops.Embed.lshBuckets(src, LshSweepBits, 2,
+            "vec_id", "embedding")
+          .select(col("vec_id").cast("long").as("vec_id"), col("t"),
+            col("bucket"))
+      val oldP = graft.sources.SideTable.ensure(s, "lsh_index",
+        s"$dir#$cut#b${LshSweepBits}t2", fp) {
+        bucketsOf(emb.where(col("vec_id") < cut))
+      }
+      val deltaP = graft.sources.SideTable.ensure(s, "lsh_index_delta",
+        s"$dir#$cut#b${LshSweepBits}t2", fp) {
+        bucketsOf(emb.where(col("vec_id") >= cut))
+      }
+      val cb = s.read.parquet(oldP).unionByName(s.read.parquet(deltaP))
+      val queries = emb.where(col("vec_id") >= cut &&
+        col("vec_id") < cut + 5)
+      val qb = cb.where(col("vec_id") >= cut && col("vec_id") < cut + 5)
+        .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+      graft.ops.Embed.lshTopKFrom(cb, qb, emb, queries, k = 10,
+          bits = LshSweepBits, tables = 2, radius = 1,
+          excludeSelf = true)
+        .orderBy("q_id", "rank")
+    }),
+
     "q70_ann_recall" -> ((s, dir) => {
       val exact = defs("q30_cosine_topk")(s, dir)
         .where(col("rank") <= 5)
@@ -1904,6 +1946,61 @@ object Embeddings {
     head + cellCtes + body + "ORDER BY tables, radius, q_id"
   }
 
+  /** q203's replay: the FULL-corpus two-table LSH from scratch (the
+    * engine searches snapshot-index ∪ batch-delta artifacts; equality
+    * proves the append path because the bucket function is
+    * corpus-independent). Same CTE shapes as [[lshSweepSql]] at
+    * maxT = 2, radius-1 probes, q30 re-rank tail; queries = the
+    * batch's first five ids (the q86 cut formula). */
+  private lazy val lshIncrSql: String = {
+    val bits = LshSweepBits
+    val masks = graft.ops.Embed.lshProbeMasks(bits, 1).mkString(", ")
+    baseCte +
+      s""", cut AS (SELECT (max(vec_id) * 4) // 5 AS c FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, t.i::bigint AS d,
+        |    floor(embedding[t.i]::double * 16777216.0)::bigint AS xfp
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |), sg AS (
+        |  SELECT r.j::bigint AS j, dd.d,
+        |    (1 - 2 * ((('0x' || substr(md5(r.j::varchar || ':' ||
+        |      dd.d::varchar), 1, 15))::bigint) % 2))::bigint AS sgn
+        |  FROM range(1, ${2 * bits + 1}) r(j),
+        |    (SELECT DISTINCT d FROM x) dd
+        |), yp AS (
+        |  SELECT x.vec_id, sg.j, sum(sg.sgn * x.xfp)::bigint AS y
+        |  FROM x JOIN sg USING (d) GROUP BY 1, 2
+        |), bt AS MATERIALIZED (
+        |  SELECT vec_id, ((j - 1) // $bits)::INT AS t,
+        |    sum(CASE WHEN y >= 0
+        |      THEN (1::BIGINT << ((j - 1) % $bits)::INT)
+        |      ELSE 0 END)::BIGINT AS bucket
+        |  FROM yp GROUP BY 1, 2
+        |), qb AS (
+        |  SELECT vec_id AS q_id, t, bucket FROM bt
+        |  WHERE vec_id >= (SELECT c FROM cut)
+        |    AND vec_id < (SELECT c FROM cut) + 5
+        |), cand AS (
+        |  SELECT DISTINCT pr.q_id, bt.vec_id
+        |  FROM (SELECT q_id, t, xor(bucket, mk.m::BIGINT) AS bucket
+        |        FROM qb, unnest([$masks]) AS mk(m)) pr
+        |  JOIN bt ON bt.t = pr.t AND bt.bucket = pr.bucket
+        |  WHERE bt.vec_id <> pr.q_id
+        |), scored AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    ${duckCos("eq.v", "eq.nrm", "ec.v", "ec.nrm")} AS cos
+        |  FROM cand c JOIN e ec ON ec.vec_id = c.vec_id
+        |  JOIN e eq ON eq.vec_id = c.q_id
+        |), ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, vec_id, cos, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Score with the same op order as [[kmScore]]. */
   private def kmScoreSql(v: String, cv: String, cn: String): String =
     s"(${duckDot(v, cv)} - (0.5 * ($cn * $cn)))"
@@ -2085,6 +2182,8 @@ object Embeddings {
     "q188_lsh_ann" -> lshSql,
 
     "q201_lsh_recall_sweep" -> lshSweepSql,
+
+    "q203_incremental_lsh" -> lshIncrSql,
 
     // the q70 audit shape: recall@5 of the LSH member vs exact
     "q189_lsh_recall" ->
