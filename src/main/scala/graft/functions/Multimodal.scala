@@ -279,9 +279,14 @@ object Multimodal {
     *
     * Scale shape: scan → project → mapPartitions, exchange-free (the
     * [[decodePixels]] plan); per-frame rows amplify by the frame
-    * count, which the caller bounds by frame-sampling upstream at
-    * 100 TB. */
-  def decodeVideoFrames(media: DataFrame): DataFrame = {
+    * count, which `stride` bounds AT THE CONTAINER: only every
+    * stride-th frame's chunk bytes enter the codec (the others are
+    * walked past by their declared sizes, never decoded) — the
+    * q33-shape sampling knob applied where it matters, BEFORE the
+    * expensive step. frame_idx stays the stream index, so sampled
+    * rows are position-faithful. */
+  def decodeVideoFrames(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"need stride >= 1 (got $stride)")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"))
@@ -289,8 +294,8 @@ object Multimodal {
       .mapPartitions { rows =>
         val codec = new ImageCodec // one per partition, not per row
         rows.flatMap { case (id, payload) =>
-          aviFrames(payload).iterator.zipWithIndex.flatMap {
-            case (jpeg, f) =>
+          aviFrames(payload, stride).iterator.flatMap {
+            case (f, jpeg) =>
               val s = codec.stats(id, jpeg)
               s.format.map(fmt => FrameStats(id, f.toLong, fmt,
                 s.width.get, s.height.get, s.n_px.get,
@@ -301,13 +306,17 @@ object Multimodal {
       .toDF()
   }
 
-  /** The frame payloads of a RIFF/AVI container, in stream order —
-    * empty for non-AVI/truncated/desynced blobs (never throws). Frame
-    * chunks are the `movi` list's `##dc`/`##db` members (compressed /
-    * uncompressed DIB of stream ##). The cursor is a Long: a declared
-    * chunk size near Int.MaxValue must terminate the walk, not wrap
-    * it negative (the AudioMetaExpr lesson). */
-  private[graft] def aviFrames(b: Array[Byte]): Seq[Array[Byte]] = {
+  /** The (stream index, payload) of every `stride`-th frame of a
+    * RIFF/AVI container, in stream order — empty for
+    * non-AVI/truncated/desynced blobs (never throws). Frame chunks
+    * are the `movi` list's `##dc`/`##db` members (compressed /
+    * uncompressed DIB of stream ##); non-sampled frames are walked
+    * past by their declared sizes and their bytes are NEVER copied.
+    * The cursor is a Long: a declared chunk size near Int.MaxValue
+    * must terminate the walk, not wrap it negative (the
+    * AudioMetaExpr lesson). */
+  private[graft] def aviFrames(b: Array[Byte],
+      stride: Int = 1): Seq[(Int, Array[Byte])] = {
     val n = b.length
     def tag(i: Int, s: String): Boolean =
       i + 4 <= n && b(i) == s.charAt(0) && b(i + 1) == s.charAt(1) &&
@@ -317,7 +326,8 @@ object Multimodal {
         ((b(i + 2) & 0xFF).toLong << 16) |
         ((b(i + 3) & 0xFF).toLong << 24))
     if (n < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return Seq.empty
-    val out = Seq.newBuilder[Array[Byte]]
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var frameIdx = 0
     var pos = 12L
     var steps = 0
     while (pos + 8 <= n && steps < 64) {
@@ -338,9 +348,12 @@ object Multimodal {
             b(qi) >= '0' && b(qi) <= '9' && b(qi + 1) >= '0' &&
             b(qi + 1) <= '9' &&
             ((b(qi + 2) == 'd' && (b(qi + 3) == 'c' || b(qi + 3) == 'b')))
-          if (isFrame && q + 8 + s2 <= end)
-            out += java.util.Arrays.copyOfRange(b, qi + 8,
-              qi + 8 + s2.toInt)
+          if (isFrame && q + 8 + s2 <= end) {
+            if (frameIdx % stride == 0)
+              out += ((frameIdx, java.util.Arrays.copyOfRange(b, qi + 8,
+                qi + 8 + s2.toInt)))
+            frameIdx += 1
+          }
           q += 8L + s2 + (s2 & 1L)
           inner += 1
         }

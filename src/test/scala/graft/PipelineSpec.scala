@@ -634,11 +634,18 @@ class PipelineSpec extends AnyFunSuite {
     val id = 7L
     val fs = aviFrames(SyntheticVideo.payload(id))
     assert(fs.length === SyntheticVideo.framesOf(id))
-    fs.foreach { j =>
+    fs.foreach { case (_, j) =>
       assert((j(0) & 0xFF) == 0xFF && (j(1) & 0xFF) == 0xD8, "not a JPEG")
     }
-    assert(fs.map(_.toSeq) ===
-      (0 until fs.length).map(f => SyntheticVideo.frameJpeg(id, f).toSeq))
+    assert(fs.map { case (f, j) => (f, j.toSeq) } ===
+      (0 until fs.length).map(f =>
+        (f, SyntheticVideo.frameJpeg(id, f).toSeq)))
+    // container-grain sampling: stride 2 keeps stream indices 0, 2, …
+    // (position-faithful) and never copies the skipped frames' bytes
+    val s2 = aviFrames(SyntheticVideo.payload(id), stride = 2)
+    assert(s2.map(_._1) === (0 until SyntheticVideo.framesOf(id) by 2))
+    s2.foreach { case (f, j) =>
+      assert(j.toSeq === SyntheticVideo.frameJpeg(id, f).toSeq) }
     // truncated fixture rows (id % 11 == 5) yield no frames
     assert(aviFrames(SyntheticVideo.payload(5L)).isEmpty)
     // degradation: junk, empty, WAV (RIFF but not AVI), huge chunk size
