@@ -27,6 +27,24 @@ final case class FrameStats(media_id: Long, frame_idx: Long,
     format: String, width: Long, height: Long, n_px: Long,
     p_sum: Long, p_min: Long, p_max: Long)
 
+/** Per-payload thumbnail statistics from
+  * [[Multimodal.decodeThumbnails]] — per-channel stats over the
+  * nearest-neighbor-downsampled raster; all-long for the dtype-clean
+  * oracle compare. Undecodable payloads carry None everywhere but
+  * media_id. */
+final case class ThumbStats(media_id: Long, format: Option[String],
+    src_w: Option[Long], src_h: Option[Long],
+    tw: Option[Long], th: Option[Long], n_px: Option[Long],
+    r_sum: Option[Long], r_min: Option[Long], r_max: Option[Long],
+    g_sum: Option[Long], g_min: Option[Long], g_max: Option[Long],
+    b_sum: Option[Long], b_min: Option[Long], b_max: Option[Long])
+
+object ThumbStats {
+  def empty(id: Long): ThumbStats =
+    ThumbStats(id, None, None, None, None, None, None, None, None,
+      None, None, None, None, None, None, None)
+}
+
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
   * engine as opaque `BinaryType` columns with a typed metadata struct
   * (SURVEY.md §7.2 step 7 — north-star extension).
@@ -230,6 +248,75 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => PixelStats.empty(id)
       }
     }
+
+    /** Decode + REAL nearest-neighbor downsample to at most tw x th
+      * (clamped to the source dims — a thumbnail never upsamples),
+      * reduced to per-channel stats over the THUMB raster. The NN map
+      * is exact integer arithmetic — sx = floor(x'*w/tw'), sy =
+      * floor(y'*h/th') — so the q204 oracle reproduces every sampled
+      * pixel from the fixture formula. Same decode path and raw-sample
+      * discipline as [[stats]]; undecodable payloads degrade to the
+      * all-null row, never throw. */
+    def thumbStats(id: Long, payload: Array[Byte], tw: Int,
+        th: Int): ThumbStats = {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers == null || !readers.hasNext) return ThumbStats.empty(id)
+          val rd = readers.next()
+          rd.setInput(iis)
+          val fmt = rd.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = try rd.read(0) finally rd.dispose()
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val icm = img.getColorModel match {
+            case m: java.awt.image.IndexColorModel => m
+            case _ => null
+          }
+          val bands = raster.getNumBands
+          val twc = math.min(tw, w); val thc = math.min(th, h)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var rmn = 255L; var rmx = 0L
+          var gmn = 255L; var gmx = 0L
+          var bmn = 255L; var bmx = 0L
+          var yy = 0
+          while (yy < thc) {
+            val sy = yy * h / thc
+            var xx = 0
+            while (xx < twc) {
+              val sx = xx * w / twc
+              var r = 0; var g = 0; var b = 0
+              if (icm != null) {
+                val idx = raster.getSample(sx, sy, 0)
+                r = icm.getRed(idx); g = icm.getGreen(idx)
+                b = icm.getBlue(idx)
+              } else if (bands >= 3) {
+                r = raster.getSample(sx, sy, 0)
+                g = raster.getSample(sx, sy, 1)
+                b = raster.getSample(sx, sy, 2)
+              } else {
+                r = raster.getSample(sx, sy, 0); g = r; b = r
+              }
+              rs += r; gs += g; bs += b
+              if (r < rmn) rmn = r; if (r > rmx) rmx = r
+              if (g < gmn) gmn = g; if (g > gmx) gmx = g
+              if (b < bmn) bmn = b; if (b > bmx) bmx = b
+              xx += 1
+            }
+            yy += 1
+          }
+          ThumbStats(id, Some(fmt), Some(w.toLong), Some(h.toLong),
+            Some(twc.toLong), Some(thc.toLong),
+            Some(twc.toLong * thc), Some(rs), Some(rmn), Some(rmx),
+            Some(gs), Some(gmn), Some(gmx), Some(bs), Some(bmn),
+            Some(bmx))
+        } finally iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => ThumbStats.empty(id)
+      }
+    }
   }
 
   object ImageCodec {
@@ -302,6 +389,29 @@ object Multimodal {
                 s.r_sum.get, s.r_min.get, s.r_max.get))
           }
         }
+      }
+      .toDF()
+  }
+
+  /** Partition-parallel REAL thumbnail pipeline — decode + exact
+    * nearest-neighbor downsample to at most `tw`×`th` + per-channel
+    * stats over the thumb raster, through the same per-partition
+    * [[ImageCodec]] seam as [[decodePixels]] (exchange-free plan).
+    * This retires the byte-prefix [[thumbnail]] stub for images: the
+    * resize step of the brief's decode/feature-extract/resize/
+    * frame-sample quartet is now real, and because the NN map is
+    * exact integer arithmetic the q204 oracle verifies every sampled
+    * pixel from the fixture formula. */
+  def decodeThumbnails(media: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw >= 1 && th >= 1, s"need tw/th >= 1 (got $tw x $th)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec // one per partition, not per row
+        rows.map { case (id, payload) =>
+          codec.thumbStats(id, payload, tw, th) }
       }
       .toDF()
   }

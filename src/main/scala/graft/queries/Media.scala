@@ -398,6 +398,25 @@ object Media {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- q204: REAL thumbnail — decode + exact NN downsample -------------
+    // The resize leg of the multimodal quartet (decode q179 /
+    // feature-extract q32 / resize HERE / frame-sample q33+q200),
+    // retiring the byte-prefix thumbnail stub:
+    // [[graft.functions.Multimodal.decodeThumbnails]] decodes the
+    // q179 fixtures through the per-partition javax.imageio seam,
+    // nearest-neighbor-downsamples to ≤ 4×3 with exact integer
+    // coordinate mapping (sx = ⌊x'·w/tw'⌋, clamped so a thumbnail
+    // never upsamples), and reduces the THUMB raster to per-channel
+    // stats — the oracle reproduces every sampled pixel straight from
+    // the (id, pixel-index) formula, so decoder AND resampler verify
+    // in one compare. Exchange-free plan (the q179 shape).
+    "q204_thumbnail_stats" -> ((s, dir) => {
+      val media = syntheticValidImages(
+        Graft.parquetSource(s, dir).table("documents"))
+      graft.functions.Multimodal.decodeThumbnails(media, 4, 3)
+        .orderBy("media_id")
+    }),
+
     // ---- q202: video content dedup via frame signatures ------------------
     // The multimodal member of the dedup family: a video's content
     // fingerprint is the sum of per-frame hash60 signatures over the
@@ -802,6 +821,45 @@ object Media {
         |  'MJPG' AS brand, w::INT AS c_width, h::INT AS c_height,
         |  (us * nf)::BIGINT AS duration_us, 1::INT AS n_tracks
         |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+
+    // every thumb pixel straight from the SyntheticImage formula (the
+    // q179 discipline): thumb (x', y') samples source index
+    // i = (y'·h // th')·w + (x'·w // tw'), channel (id·m + 3i) % 256
+    // with m = 7/11/13 for RGB-PNG, m = 7 for gray/palette
+    "q204_thumbnail_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, doc_id % 3 AS fmt,
+        |    (doc_id % 13 + 1)::BIGINT AS w,
+        |    (doc_id % 11 + 1)::BIGINT AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT media_id, fmt, w, h,
+        |    least(4, w) AS tw, least(3, h) AS th
+        |  FROM d
+        |), s AS (
+        |  SELECT media_id, fmt, w, h, tw, th,
+        |    list_transform(range(0, tw * th), k ->
+        |      (((k // tw) * h // th) * w + ((k % tw) * w // tw))) AS si
+        |  FROM c
+        |), px AS (
+        |  SELECT media_id, fmt, w, h, tw, th,
+        |    list_transform(si, i -> (media_id * 7 + i * 3) % 256) AS pr,
+        |    list_transform(si, i -> (media_id *
+        |      (CASE WHEN fmt = 0 THEN 11 ELSE 7 END) + i * 3) % 256) AS pg,
+        |    list_transform(si, i -> (media_id *
+        |      (CASE WHEN fmt = 0 THEN 13 ELSE 7 END) + i * 3) % 256) AS pb
+        |  FROM s
+        |)
+        |SELECT media_id,
+        |  CASE WHEN fmt = 2 THEN 'gif' ELSE 'png' END AS format,
+        |  w AS src_w, h AS src_h, tw, th, (tw * th)::BIGINT AS n_px,
+        |  list_sum(pr)::BIGINT AS r_sum, list_min(pr)::BIGINT AS r_min,
+        |  list_max(pr)::BIGINT AS r_max,
+        |  list_sum(pg)::BIGINT AS g_sum, list_min(pg)::BIGINT AS g_min,
+        |  list_max(pg)::BIGINT AS g_max,
+        |  list_sum(pb)::BIGINT AS b_sum, list_min(pb)::BIGINT AS b_min,
+        |  list_max(pb)::BIGINT AS b_max
+        |FROM px ORDER BY media_id""".stripMargin,
 
     // frame signatures straight from the block formula (the q200
     // discipline), hash60 = ('0x'||substr(md5,1,15))::BIGINT — the

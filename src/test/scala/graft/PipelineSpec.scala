@@ -693,6 +693,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(t.getUTF8String(0).toString === "unknown")
   }
 
+  test("real thumbnail: NN downsample matches the formula, clamps " +
+      "instead of upsampling, degrades on junk") {
+    import graft.functions.Multimodal
+    import spark.implicits._
+    // id 30: 5x9 RGB-PNG (id%3==0) — downsamples to 4x3;
+    // id 27: 2x6 RGB-PNG — width clamps to 2 (never upsample);
+    // id 26: 1x5 gif — clamps to 1x3
+    val ids = Seq(30L, 27L, 26L)
+    val media = graft.queries.Media.syntheticValidImages(
+      ids.toDF("doc_id"))
+    val got = Multimodal.decodeThumbnails(media, 4, 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- ids) {
+      val w = (id % 13 + 1).toInt; val h = (id % 11 + 1).toInt
+      val twc = math.min(4, w); val thc = math.min(3, h)
+      val r = got(id)
+      assert(r.getLong(4) == twc && r.getLong(5) == thc, s"id $id clamp")
+      // replicate the NN map + formula independently
+      def chan(m: Long) = for (y <- 0 until thc; x <- 0 until twc)
+        yield (id * m + 3L * ((y * h / thc) * w + (x * w / twc))) % 256
+      val (rm, gm, bm) =
+        if (id % 3 == 0) (chan(7), chan(11), chan(13))
+        else (chan(7), chan(7), chan(7))
+      assert((r.getLong(7), r.getLong(8), r.getLong(9)) ==
+        ((rm.sum, rm.min, rm.max)), s"id $id R")
+      assert((r.getLong(10), r.getLong(11), r.getLong(12)) ==
+        ((gm.sum, gm.min, gm.max)), s"id $id G")
+      assert((r.getLong(13), r.getLong(14), r.getLong(15)) ==
+        ((bm.sum, bm.min, bm.max)), s"id $id B")
+    }
+    // junk degrades to the all-null row
+    val junk = Seq((9L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val jr = Multimodal.decodeThumbnails(junk, 4, 3).collect().head
+    (1 until 16).foreach(i => assert(jr.isNullAt(i), s"col $i"))
+  }
+
   test("real pixel decode: undecodable payloads degrade to an all-null " +
       "stats row, never throw") {
     import graft.functions.Multimodal._

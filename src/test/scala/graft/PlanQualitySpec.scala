@@ -269,6 +269,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
   }
 
+  test("q204: thumbnail decode+resize is exchange-free — the q179 " +
+      "codec-seam shape") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = graft.queries.Media.syntheticValidImages(docs)
+    val p = graft.functions.Multimodal.decodeThumbnails(media, 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"thumbnail decode moves data:\n$p")
+    assert(p.contains("FileScan parquet"))
+    assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
+  }
+
   test("q174: doc-vector composition broadcasts the word-vector frame " +
       "— the corpus never shuffles by word") {
     // the k·V word-vector frame is metadata-grain at ANY corpus size,
