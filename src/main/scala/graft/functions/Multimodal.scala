@@ -381,16 +381,56 @@ object Multimodal {
       .mapPartitions { rows =>
         val codec = new ImageCodec // one per partition, not per row
         rows.flatMap { case (id, payload) =>
+          // container dims from the avih header (the VideoMetaExpr AVI
+          // arm) — raw BI_RGB frames carry no dimensions of their own
+          val meta = VideoMetaExpr.parse(payload)
+          val isAvi = !meta.isNullAt(0) &&
+            meta.getUTF8String(0).toString == "avi"
+          val (cw, chh) =
+            if (isAvi && !meta.isNullAt(2) && !meta.isNullAt(3))
+              (meta.getInt(2), meta.getInt(3))
+            else (-1, -1)
           aviFrames(payload, stride).iterator.flatMap {
-            case (f, jpeg) =>
-              val s = codec.stats(id, jpeg)
-              s.format.map(fmt => FrameStats(id, f.toLong, fmt,
-                s.width.get, s.height.get, s.n_px.get,
-                s.r_sum.get, s.r_min.get, s.r_max.get))
+            case (f, bytes) =>
+              if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+                  (bytes(1) & 0xFF) == 0xD8) { // JPEG magic
+                val s = codec.stats(id, bytes)
+                s.format.map(fmt => FrameStats(id, f.toLong, fmt,
+                  s.width.get, s.height.get, s.n_px.get,
+                  s.r_sum.get, s.r_min.get, s.r_max.get))
+              } else dibFrameStats(id, f, bytes, cw, chh)
           }
         }
       }
       .toDF()
+  }
+
+  /** Raw BI_RGB DIB frame → grayscale (R-band) stats with ZERO codec
+    * involvement — the bytes ARE the pixels (24-bit BGR, bottom-up
+    * rows padded to 4 bytes; the q197 discipline on video). Emits
+    * nothing unless the byte count matches the container dims exactly
+    * (a desynced/truncated frame must degrade, never misread). */
+  private[graft] def dibFrameStats(id: Long, f: Int, bytes: Array[Byte],
+      w: Int, h: Int): Option[FrameStats] = {
+    if (w <= 0 || h <= 0) return None
+    val rowBytes = (w * 3 + 3) & ~3
+    if (bytes.length != rowBytes * h) return None
+    var sum = 0L; var mn = 255L; var mx = 0L
+    var y = 0
+    while (y < h) {
+      val fileRow = h - 1 - y
+      var x = 0
+      while (x < w) {
+        val v = bytes(fileRow * rowBytes + x * 3 + 2) & 0xFF // R band
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    Some(FrameStats(id, f.toLong, "dib", w.toLong, h.toLong,
+      w.toLong * h, sum, mn, mx))
   }
 
   /** Partition-parallel REAL thumbnail pipeline — decode + exact

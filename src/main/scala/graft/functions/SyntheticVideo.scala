@@ -46,6 +46,14 @@ object SyntheticVideo {
     * (id % 13 == 4, id ≥ 4), id itself otherwise. */
   def srcOf(id: Long): Long = if (id % 13 == 4 && id >= 4) id - 4 else id
 
+  /** Uncompressed-variant selector: every id % 5 == 1 doc ships raw
+    * BI_RGB DIB frames ('00db' chunks, 24-bit BGR bottom-up rows
+    * padded to 4 bytes — the bytes ARE the pixels, the q197 zero-codec
+    * discipline on video) instead of MJPEG; content formulas are
+    * identical, so a DIB re-encode of an MJPEG source still
+    * fingerprints equal in q202 (codec-independent content dedup). */
+  def isDib(id: Long): Boolean = id % 5 == 1
+
   def widthOf(id: Long): Int = (srcOf(id) % 3 + 1).toInt * 8
   def heightOf(id: Long): Int = (srcOf(id) % 2 + 1).toInt * 8
   def framesOf(id: Long): Int = (srcOf(id) % 3 + 2).toInt
@@ -192,6 +200,27 @@ object SyntheticVideo {
     jpegGray(bw, bh, Array.tabulate(bw * bh)(b => blockVal(id, f, b)))
   }
 
+  /** The frame-f raw DIB (BI_RGB 24-bit, bottom-up, 4-byte-padded
+    * rows) for one id — gray pixels, so B = G = R = blockVal. */
+  def frameDib(id: Long, f: Int): Array[Byte] = {
+    val w = widthOf(id); val h = heightOf(id); val bw = w / 8
+    val rowBytes = (w * 3 + 3) & ~3
+    val out = new Array[Byte](rowBytes * h)
+    var y = 0
+    while (y < h) {
+      val fileRow = h - 1 - y // bottom-up
+      var x = 0
+      while (x < w) {
+        val v = blockVal(id, f, (y / 8) * bw + (x / 8)).toByte
+        val o = fileRow * rowBytes + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v // B, G, R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // ---- AVI (RIFF) container ---------------------------------------------
 
   private def chunk(id: String, body: Array[Byte]): Array[Byte] = {
@@ -231,9 +260,10 @@ object SyntheticVideo {
       (1 to 4).foreach(_ => le32(o, 0L)) // dwReserved
       o.toByteArray
     }
+    val codecTag = if (isDib(id)) "DIB " else "MJPG"
     val strh = {
       val o = new ByteArrayOutputStream()
-      fourcc(o, "vids"); fourcc(o, "MJPG")
+      fourcc(o, "vids"); fourcc(o, codecTag)
       le32(o, 0L); le32(o, 0L)  // dwFlags, wPriority+wLanguage
       le32(o, 0L)               // dwInitialFrames
       le32(o, usPerFrame)       // dwScale (µs)
@@ -251,7 +281,8 @@ object SyntheticVideo {
       le32(o, 40L)              // biSize
       le32(o, w.toLong); le32(o, h.toLong)
       le16(o, 1); le16(o, 24)   // planes, bit count
-      fourcc(o, "MJPG")         // biCompression
+      if (isDib(id)) le32(o, 0L) // biCompression: BI_RGB (uncompressed)
+      else fourcc(o, "MJPG")
       le32(o, (w * h * 3).toLong) // biSizeImage
       le32(o, 0L); le32(o, 0L); le32(o, 0L); le32(o, 0L)
       o.toByteArray
@@ -260,7 +291,9 @@ object SyntheticVideo {
       chunk("avih", avih) ++ list("strl",
         chunk("strh", strh) ++ chunk("strf", strf)))
     val movi = list("movi",
-      (0 until nf).map(f => chunk("00dc", frameJpeg(id, f)))
+      (0 until nf).map(f =>
+        if (isDib(id)) chunk("00db", frameDib(id, f))
+        else chunk("00dc", frameJpeg(id, f)))
         .reduce(_ ++ _))
     val body = hdrl ++ movi
     val out = new ByteArrayOutputStream()

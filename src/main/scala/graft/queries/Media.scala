@@ -814,11 +814,13 @@ object Media {
         |      b -> (src * 7 + frame_idx * 31 + b * 3) % 256) AS bv
         |  FROM f
         |)
-        |SELECT media_id, frame_idx, 'jpeg' AS format,
+        |SELECT media_id, frame_idx,
+        |  CASE WHEN media_id % 5 = 1 THEN 'dib' ELSE 'jpeg' END AS format,
         |  w AS width, h AS height, (w * h)::BIGINT AS n_px,
         |  (64 * list_sum(bv))::BIGINT AS p_sum,
         |  list_min(bv)::BIGINT AS p_min, list_max(bv)::BIGINT AS p_max,
-        |  'MJPG' AS brand, w::INT AS c_width, h::INT AS c_height,
+        |  CASE WHEN media_id % 5 = 1 THEN 'DIB ' ELSE 'MJPG' END AS brand,
+        |  w::INT AS c_width, h::INT AS c_height,
         |  (us * nf)::BIGINT AS duration_us, 1::INT AS n_tracks
         |FROM s ORDER BY media_id, frame_idx""".stripMargin,
 

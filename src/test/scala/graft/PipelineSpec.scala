@@ -626,6 +626,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("synthetic MJPEG exactness holds for ARBITRARY block values " +
+      "and grid shapes (randomized, beyond the fixture formulas)") {
+    // the q200 oracle's licence must not depend on the fixture's
+    // particular (id, f, b) formula: any constant-block grayscale
+    // raster under the all-ones tables must decode bit-exactly —
+    // including the DC-difference extremes (0 and 255 adjacent, all
+    // equal, alternating) a formula-driven fixture may never hit
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    System.setProperty("java.awt.headless", "true")
+    val caseGen = for {
+      bw <- Gen.choose(1, 5)
+      bh <- Gen.choose(1, 4)
+      blocks <- Gen.listOfN(bw * bh, Gen.choose(0, 255))
+    } yield (bw, bh, blocks.toArray)
+    val hand = Seq(
+      (2, 1, Array(0, 255)), (2, 1, Array(255, 0)),
+      (3, 2, Array(0, 255, 0, 255, 0, 255)),
+      (1, 1, Array(128)), (2, 2, Array(0, 0, 0, 0)),
+      (2, 2, Array(255, 255, 255, 255)))
+    val rnd = (0 until 20).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(77L + i)))
+    (hand ++ rnd).foreach { case (bw, bh, blocks) =>
+      val jpg = graft.functions.SyntheticVideo.jpegGray(bw, bh, blocks)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpg))
+      assert(img != null, s"${bw}x$bh ${blocks.toSeq} did not decode")
+      assert(img.getWidth == bw * 8 && img.getHeight == bh * 8)
+      val raster = img.getRaster
+      for (y <- 0 until bh * 8; x <- 0 until bw * 8) {
+        val want = blocks((y / 8) * bw + (x / 8))
+        val got = raster.getSample(x, y, 0)
+        assert(got == want,
+          s"${bw}x$bh px($x,$y): got $got want $want (${blocks.toSeq})")
+      }
+    }
+  }
+
   test("video frame decode: the AVI movi walk extracts frames in " +
       "order; malformed containers yield no frames, never throw") {
     import graft.functions.Multimodal.aviFrames
@@ -655,24 +693,32 @@ class PipelineSpec extends AnyFunSuite {
     val huge = "RIFF".getBytes ++ Array[Byte](100, 0, 0, 0) ++
       "AVI JUNK".getBytes ++ Array[Byte](-16, -1, -1, 127) // ~Int.MaxValue
     assert(aviFrames(huge).isEmpty) // Long cursor: terminates, no wrap
-    // end-to-end decode: per-frame stats match the block formula
+    // end-to-end decode: per-frame stats match the block formula —
+    // id 11 is the uncompressed BI_RGB variant (id % 5 == 1): raw
+    // '00db' frames decode through pure byte arithmetic, zero codecs
     import spark.implicits._
+    assert(SyntheticVideo.isDib(11L) && !SyntheticVideo.isDib(3L))
     val media = graft.queries.Media.syntheticMjpegVideos(
-      Seq(3L, 5L, 14L).toDF("doc_id")).repartition(2)
+      Seq(3L, 5L, 11L, 14L).toDF("doc_id")).repartition(2)
     val rows = graft.functions.Multimodal.decodeVideoFrames(media)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
     assert(!rows.keys.exists(_._1 == 5L), "truncated row decoded frames")
-    for (mid <- Seq(3L, 14L); f <- 0 until SyntheticVideo.framesOf(mid)) {
+    for (mid <- Seq(3L, 11L, 14L);
+        f <- 0 until SyntheticVideo.framesOf(mid)) {
       val r = rows((mid, f.toLong))
       val w = SyntheticVideo.widthOf(mid)
       val h = SyntheticVideo.heightOf(mid)
       val vals = (0 until (w / 8) * (h / 8))
         .map(b => SyntheticVideo.blockVal(mid, f, b))
-      assert(r.getString(2) == "jpeg")
+      assert(r.getString(2) == (if (mid == 11L) "dib" else "jpeg"))
       assert(r.getLong(3) == w && r.getLong(4) == h)
       assert(r.getLong(6) == 64L * vals.sum, s"$mid/$f p_sum")
       assert(r.getLong(7) == vals.min && r.getLong(8) == vals.max)
     }
+    // a desynced raw frame (wrong byte count for the dims) degrades
+    import graft.functions.Multimodal.dibFrameStats
+    assert(dibFrameStats(1L, 0, new Array[Byte](10), 8, 8).isEmpty)
+    assert(dibFrameStats(1L, 0, new Array[Byte](8 * 8 * 3), -1, 8).isEmpty)
   }
 
   test("video metadata AVI arm: avih fields map into the shared " +
