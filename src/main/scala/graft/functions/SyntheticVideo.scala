@@ -42,9 +42,38 @@ import java.io.ByteArrayOutputStream
   */
 object SyntheticVideo {
 
-  /** The content-source id: id − 4 for the planted re-encodes
-    * (id % 13 == 4, id ≥ 4), id itself otherwise. */
-  def srcOf(id: Long): Long = if (id % 13 == 4 && id >= 4) id - 4 else id
+  /** A base video: neither plant applies — its formulas read its own
+    * id. Plants only ever source from BASE videos (non-recursive by
+    * construction), so both oracles stay CASE-expressible. */
+  def isBase(id: Long): Boolean =
+    !(id % 13 == 4 && id >= 4) && !(id % 19 == 6 && id >= 6)
+
+  /** Planted RE-ENCODE: identical frame content to the BASE video
+    * id − 4 in a fresh container (q202's exact-content dup). */
+  def isReenc(id: Long): Boolean =
+    id % 13 == 4 && id >= 4 && isBase(id - 4)
+
+  /** Planted CLIP: shares its first two frames (and dims/frame count)
+    * with the BASE video id − 6, the rest is its own content —
+    * q205's partial-overlap near-dup. A doc matching both plant
+    * residues falls back to clip only when the re-encode's source is
+    * not base. */
+  def isClip(id: Long): Boolean =
+    id % 19 == 6 && id >= 6 && !isReenc(id) && isBase(id - 6)
+
+  /** The dims/frame-count source id. */
+  def dimSrc(id: Long): Long =
+    if (isReenc(id)) id - 4 else if (isClip(id)) id - 6 else id
+
+  /** The content-source id of frame `f`. */
+  def frameSrc(id: Long, f: Int): Long =
+    if (isReenc(id)) id - 4
+    else if (isClip(id) && f < 2) id - 6
+    else id
+
+  /** Kept for the q202 narrative: the whole-video content source
+    * (== dimSrc for re-encodes and base videos). */
+  def srcOf(id: Long): Long = if (isReenc(id)) id - 4 else id
 
   /** Uncompressed-variant selector: every id % 5 == 1 doc ships raw
     * BI_RGB DIB frames ('00db' chunks, 24-bit BGR bottom-up rows
@@ -54,14 +83,14 @@ object SyntheticVideo {
     * fingerprints equal in q202 (codec-independent content dedup). */
   def isDib(id: Long): Boolean = id % 5 == 1
 
-  def widthOf(id: Long): Int = (srcOf(id) % 3 + 1).toInt * 8
-  def heightOf(id: Long): Int = (srcOf(id) % 2 + 1).toInt * 8
-  def framesOf(id: Long): Int = (srcOf(id) % 3 + 2).toInt
+  def widthOf(id: Long): Int = (dimSrc(id) % 3 + 1).toInt * 8
+  def heightOf(id: Long): Int = (dimSrc(id) % 2 + 1).toInt * 8
+  def framesOf(id: Long): Int = (dimSrc(id) % 3 + 2).toInt
 
   /** Constant value of block `b` (row-major) in frame `f` — the
-    * oracle formula (reads through the re-encode source). */
+    * oracle formula (reads through the per-frame content source). */
   def blockVal(id: Long, f: Int, b: Int): Int =
-    ((srcOf(id) * 7 + f * 31 + b * 3) % 256).toInt
+    ((frameSrc(id, f) * 7 + f * 31 + b * 3) % 256).toInt
 
   /** The valid (or, for id % 11 == 5, deliberately truncated)
     * AVI payload for one id. */

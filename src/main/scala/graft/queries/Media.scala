@@ -455,6 +455,51 @@ object Media {
         .orderBy("media_id")
     }),
 
+    // ---- q205: video CLIP detection (partial-overlap near-dup) -----------
+    // q202 catches whole-content re-encodes; this member catches
+    // PARTIAL containment — trailers, excerpts, stitched compilations:
+    // frame signatures hashed WITHOUT the frame index (a clip may be
+    // time-shifted), candidate pairs from the shared-frame-hash join
+    // (bucketed by content hash — the LSH-band discipline at frame
+    // grain), overlap = |shared| / min(|v1|, |v2|) in exact integer
+    // ppm, reported at ≥ 50%. The fixture plants clips (id % 19 == 6
+    // shares its first two frames + dims with the base video id − 6)
+    // AND the q202 re-encodes surface here too at 100% overlap —
+    // containment subsumes equality. Scale shape: per-video distinct
+    // frame-hash rows (bounded by frame count), one hash-bucketed
+    // self-join at shared-content grain (cap-guard discipline applies
+    // where content duplication is heavy), video-grain aggregates
+    // after.
+    "q205_video_clip_detect" -> ((s, dir) => {
+      val media = syntheticMjpegVideos(
+        Graft.parquetSource(s, dir).table("documents"))
+      val frames = graft.functions.Multimodal.decodeVideoFrames(media)
+      val h = graft.functions.TextFunctions.hash60(concat_ws(":",
+        col("width"), col("height"),
+        col("p_sum"), col("p_min"), col("p_max")))
+      val fh = frames.select(col("media_id"), h.as("h")).distinct()
+        .localCheckpoint() // both sides of the self-join AND the counts
+      val nf = fh.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // one row per video; joined twice
+      val a = fh.select(col("media_id").as("m1"), col("h"))
+      val b = fh.select(col("media_id").as("m2"), col("h"))
+      val shared = a.join(b, Seq("h")).where(col("m1") < col("m2"))
+        .groupBy(col("m1"), col("m2"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+      shared
+        .join(nf.select(col("media_id").as("m1"), col("n").as("n1")),
+          Seq("m1"))
+        .join(nf.select(col("media_id").as("m2"), col("n").as("n2")),
+          Seq("m2"))
+        .select(col("m1"), col("m2"), col("n_shared"),
+          col("n1"), col("n2"),
+          expr("(n_shared * 1000000L) div least(n1, n2)")
+            .as("overlap_ppm"))
+        .where(col("overlap_ppm") >= 500000L)
+        .orderBy("m1", "m2")
+    }),
+
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
       val frames = sampleFrames(col("payload"), 16, 4)
@@ -467,6 +512,46 @@ object Media {
         .orderBy("media_id")
     })
   )
+
+  /** The shared video-formula CTEs (q200/q202/q205 oracles): plant
+    * flags (re-encode / clip, non-recursive — plants only source from
+    * BASE videos), dims/frame-count via dimSrc, per-frame content via
+    * frameSrc, block values per frame — the SyntheticVideo formulas
+    * verbatim. Ends with `vs` = (media_id, us, w, h, nf, frame_idx,
+    * bv list). */
+  private val videoSrcCtes: String =
+    """WITH vsrc AS (
+      |  SELECT doc_id AS media_id,
+      |    (40000 + (doc_id % 7) * 5000)::BIGINT AS us,
+      |    CASE WHEN doc_id % 13 = 4 AND doc_id >= 4 AND
+      |              NOT ((doc_id-4) % 13 = 4 AND doc_id-4 >= 4) AND
+      |              NOT ((doc_id-4) % 19 = 6 AND doc_id-4 >= 6)
+      |         THEN 1 ELSE 0 END AS reenc
+      |  FROM documents WHERE doc_id % 11 <> 5
+      |), vclip AS (
+      |  SELECT media_id, us, reenc,
+      |    CASE WHEN media_id % 19 = 6 AND media_id >= 6 AND reenc = 0
+      |              AND NOT ((media_id-6) % 13 = 4 AND media_id-6 >= 4)
+      |              AND NOT ((media_id-6) % 19 = 6 AND media_id-6 >= 6)
+      |         THEN 1 ELSE 0 END AS clip
+      |  FROM vsrc
+      |), vd AS (
+      |  SELECT media_id, us, reenc, clip,
+      |    ((dsrc % 3 + 1) * 8)::BIGINT AS w,
+      |    ((dsrc % 2 + 1) * 8)::BIGINT AS h,
+      |    (dsrc % 3 + 2)::BIGINT AS nf
+      |  FROM (SELECT *, CASE WHEN reenc = 1 THEN media_id - 4
+      |                       WHEN clip = 1 THEN media_id - 6
+      |                       ELSE media_id END AS dsrc FROM vclip)
+      |), vs AS (
+      |  SELECT media_id, us, w, h, nf, t.f::BIGINT AS frame_idx,
+      |    list_transform(range(0, (w // 8) * (h // 8)), b ->
+      |      ((CASE WHEN reenc = 1 THEN media_id - 4
+      |             WHEN clip = 1 AND t.f < 2 THEN media_id - 6
+      |             ELSE media_id END) * 7 + t.f * 31 + b * 3) % 256)
+      |      AS bv
+      |  FROM vd, unnest(range(0, nf)) AS t(f)
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // payload == UTF-8 text bytes; documents are pure ASCII (verified), so
@@ -793,27 +878,7 @@ object Media {
     // pixels; container columns re-derived from the same id formulas.
     // Truncated payloads (id % 11 = 5) contribute no rows.
     "q200_video_frame_stats" ->
-      """WITH p AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 13 = 4 AND doc_id >= 4
-        |         THEN doc_id - 4 ELSE doc_id END AS src,
-        |    (40000 + (doc_id % 7) * 5000)::BIGINT AS us
-        |  FROM documents WHERE doc_id % 11 <> 5
-        |), d AS (
-        |  SELECT media_id, us,
-        |    ((src % 3 + 1) * 8)::BIGINT AS w,
-        |    ((src % 2 + 1) * 8)::BIGINT AS h,
-        |    (src % 3 + 2)::BIGINT AS nf, src
-        |  FROM p
-        |), f AS (
-        |  SELECT media_id, w, h, nf, us, src, t.f::BIGINT AS frame_idx
-        |  FROM d, unnest(range(0, nf)) AS t(f)
-        |), s AS (
-        |  SELECT media_id, frame_idx, w, h, nf, us,
-        |    list_transform(range(0, (w // 8) * (h // 8)),
-        |      b -> (src * 7 + frame_idx * 31 + b * 3) % 256) AS bv
-        |  FROM f
-        |)
+      (videoSrcCtes + """
         |SELECT media_id, frame_idx,
         |  CASE WHEN media_id % 5 = 1 THEN 'dib' ELSE 'jpeg' END AS format,
         |  w AS width, h AS height, (w * h)::BIGINT AS n_px,
@@ -822,7 +887,7 @@ object Media {
         |  CASE WHEN media_id % 5 = 1 THEN 'DIB ' ELSE 'MJPG' END AS brand,
         |  w::INT AS c_width, h::INT AS c_height,
         |  (us * nf)::BIGINT AS duration_us, 1::INT AS n_tracks
-        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+        |FROM vs ORDER BY media_id, frame_idx""".stripMargin),
 
     // every thumb pixel straight from the SyntheticImage formula (the
     // q179 discipline): thumb (x', y') samples source index
@@ -868,33 +933,15 @@ object Media {
     // house cross-engine hash; planted re-encodes (id % 13 = 4 read
     // content through id−4) collide by construction
     "q202_video_dedup" ->
-      """WITH p AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 13 = 4 AND doc_id >= 4
-        |         THEN doc_id - 4 ELSE doc_id END AS src
-        |  FROM documents WHERE doc_id % 11 <> 5
-        |), d AS (
-        |  SELECT media_id, src,
-        |    ((src % 3 + 1) * 8)::BIGINT AS w,
-        |    ((src % 2 + 1) * 8)::BIGINT AS h,
-        |    (src % 3 + 2)::BIGINT AS nf
-        |  FROM p
-        |), f AS (
-        |  SELECT media_id, w, h, nf, src, t.f::BIGINT AS fi
-        |  FROM d, unnest(range(0, nf)) AS t(f)
-        |), s AS (
-        |  SELECT media_id, fi, w, h, nf,
-        |    list_transform(range(0, (w // 8) * (h // 8)),
-        |      b -> (src * 7 + fi * 31 + b * 3) % 256) AS bv
-        |  FROM f
-        |), fh AS (
-        |  SELECT media_id, nf,
+      (videoSrcCtes + """, fh AS (
+        |  SELECT media_id,
         |    ('0x' || substr(md5(
-        |      fi::VARCHAR || ':' || w::VARCHAR || ':' || h::VARCHAR ||
-        |      ':' || (64 * list_sum(bv))::BIGINT::VARCHAR || ':' ||
+        |      frame_idx::VARCHAR || ':' || w::VARCHAR || ':' ||
+        |      h::VARCHAR || ':' ||
+        |      (64 * list_sum(bv))::BIGINT::VARCHAR || ':' ||
         |      list_min(bv)::BIGINT::VARCHAR || ':' ||
         |      list_max(bv)::BIGINT::VARCHAR), 1, 15))::BIGINT AS hh
-        |  FROM s
+        |  FROM vs
         |), sig AS (
         |  SELECT media_id, sum(hh)::BIGINT AS fp,
         |    count(*)::BIGINT AS n_frames
@@ -906,7 +953,34 @@ object Media {
         |SELECT s.media_id, s.n_frames, s.fp, g.dup_of, g.grp_size,
         |  (s.media_id > g.dup_of)::INT AS is_dup
         |FROM sig s JOIN grp g USING (fp)
-        |ORDER BY s.media_id""".stripMargin,
+        |ORDER BY s.media_id""".stripMargin),
+
+    // frame hashes WITHOUT the index (time-shift-tolerant), per-video
+    // distinct sets, shared-hash pair counts, integer-ppm containment
+    "q205_video_clip_detect" ->
+      (videoSrcCtes + """, fh AS (
+        |  SELECT DISTINCT media_id,
+        |    ('0x' || substr(md5(
+        |      w::VARCHAR || ':' || h::VARCHAR || ':' ||
+        |      (64 * list_sum(bv))::BIGINT::VARCHAR || ':' ||
+        |      list_min(bv)::BIGINT::VARCHAR || ':' ||
+        |      list_max(bv)::BIGINT::VARCHAR), 1, 15))::BIGINT AS hh
+        |  FROM vs
+        |), nf AS (
+        |  SELECT media_id, count(*)::BIGINT AS n FROM fh GROUP BY 1
+        |), pr AS (
+        |  SELECT a.media_id AS m1, b.media_id AS m2,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM fh a JOIN fh b ON a.hh = b.hh AND a.media_id < b.media_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT m1, m2, n_shared, na.n AS n1, nb.n AS n2,
+        |  ((n_shared * 1000000) // least(na.n, nb.n))::BIGINT
+        |    AS overlap_ppm
+        |FROM pr JOIN nf na ON na.media_id = m1
+        |JOIN nf nb ON nb.media_id = m2
+        |WHERE (n_shared * 1000000) // least(na.n, nb.n) >= 500000
+        |ORDER BY m1, m2""".stripMargin),
 
     "q33_frame_sample" ->
       """WITH f AS (
