@@ -482,8 +482,14 @@ object Media {
       val nf = fh.groupBy(col("media_id"))
         .agg(count(lit(1)).as("n"))
         .localCheckpoint() // one row per video; joined twice
-      val a = fh.select(col("media_id").as("m1"), col("h"))
-      val b = fh.select(col("media_id").as("m2"), col("h"))
+      // the house pairwise-surface cap: a frame hash shared by more
+      // than maxBucket videos (degenerate content — black frames,
+      // test cards) drops from candidate generation LOUDLY instead of
+      // going quadratic; overlap denominators stay the full counts
+      val capped = graft.ops.Dedup.capBuckets(fh, Seq("h"), s,
+        "q205 frame-hash buckets")
+      val a = capped.select(col("media_id").as("m1"), col("h"))
+      val b = capped.select(col("media_id").as("m2"), col("h"))
       val shared = a.join(b, Seq("h")).where(col("m1") < col("m2"))
         .groupBy(col("m1"), col("m2"))
         .agg(count(lit(1)).cast("long").as("n_shared"))
