@@ -15,14 +15,27 @@ package graft.functions
   *   16-bit (signed LE): ((id·11 + s·17) mod 65536) − 32768
   * Every 11th id (id % 11 == 3) ships a TRUNCATED 10-byte header —
   * the malformed row the decoder must degrade on, never throw.
+  *
+  * Planted RE-ENCODES (q206's audio content dedup): every
+  * id % 13 == 9 doc (id ≥ 9, non-recursive — plants only source from
+  * base ids) carries id−9's exact sample content (channels, bit
+  * depth, frame count, samples all via srcOf) in a fresh container
+  * with its OWN sample rate — same audio, different mux.
   */
 object SyntheticAudio {
 
+  /** The content-source id: id − 9 for the planted re-encodes. */
+  def srcOf(id: Long): Long =
+    if (id % 13 == 9 && id >= 9 &&
+        !((id - 9) % 13 == 9 && id - 9 >= 9)) id - 9
+    else id
+
   def payload(id: Long): Array[Byte] = {
-    val ch = (id % 2 + 1).toInt
-    val bits = if (id % 3 == 0) 8 else 16
-    val rate = (8000 + (id % 5) * 1000).toInt
-    val frames = (id % 40 + 50).toInt
+    val src = srcOf(id)
+    val ch = (src % 2 + 1).toInt
+    val bits = if (src % 3 == 0) 8 else 16
+    val rate = (8000 + (id % 5) * 1000).toInt // container param: raw id
+    val frames = (src % 40 + 50).toInt
     val stride = ch * bits / 8
     val dataSize = frames * stride
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -38,8 +51,8 @@ object SyntheticAudio {
     var s = 0
     val total = frames * ch
     while (s < total) {
-      if (bits == 8) bb.put(((id * 7 + s * 13) % 256).toByte)
-      else bb.putShort((((id * 11 + s * 17) % 65536) - 32768).toShort)
+      if (bits == 8) bb.put(((src * 7 + s * 13) % 256).toByte)
+      else bb.putShort((((src * 11 + s * 17) % 65536) - 32768).toShort)
       s += 1
     }
     val full = bb.array()

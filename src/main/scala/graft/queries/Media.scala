@@ -398,6 +398,49 @@ object Media {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // ---- q206: audio content dedup via decoded sample stats --------------
+    // The q202 discipline on audio: a recording's fingerprint is the
+    // exact per-channel PCM statistics over its DECODED samples, so
+    // two containers with identical audio — the planted re-encodes
+    // (id % 13 == 9 carries id−9's exact samples/channels/bit-depth/
+    // frame-count in a fresh container with a DIFFERENT sample rate —
+    // same audio, different mux) — group together while any sample
+    // difference separates them. Grouping keys on the full stat tuple
+    // (c1 nulls for mono collapsed to a sentinel so the join-back is
+    // null-safe on both engines); truncated/unknown rows are excluded
+    // on both sides (their all-null stats would otherwise bogusly
+    // group). Scale: decode rides the scan, the fingerprint group and
+    // join-back are audio-grain (one row per recording).
+    "q206_audio_dedup" -> ((s, dir) => {
+      val ap = graft.functions.Multimodal.audioPcmStats(col("payload"))
+      val sent = lit(-999999999999L)
+      val stats = syntheticPcmAudio(
+          Graft.parquetSource(s, dir).table("documents"))
+        .select(col("media_id"), ap.as("m"))
+        .where(col("m.format") === "wav_pcm")
+        .select(col("media_id"),
+          col("m.channels").as("channels"),
+          col("m.bit_depth").as("bit_depth"),
+          col("m.n_frames").as("n_frames"),
+          col("m.c0_sum").as("c0_sum"),
+          col("m.c0_min").as("c0_min"),
+          col("m.c0_max").as("c0_max"),
+          coalesce(col("m.c1_sum"), sent).as("k1"),
+          coalesce(col("m.c1_min").cast("long"), sent).as("k2"),
+          coalesce(col("m.c1_max").cast("long"), sent).as("k3"))
+        .localCheckpoint() // read by the groups AND the join-back
+      val keys = Seq("channels", "bit_depth", "n_frames",
+        "c0_sum", "c0_min", "c0_max", "k1", "k2", "k3")
+      val groups = stats.groupBy(keys.map(col): _*)
+        .agg(min(col("media_id")).as("dup_of"),
+          count(lit(1)).cast("long").as("grp_size"))
+      stats.join(groups, keys)
+        .select(col("media_id"), col("channels"), col("n_frames"),
+          col("dup_of"), col("grp_size"),
+          (col("media_id") > col("dup_of")).cast("int").as("is_dup"))
+        .orderBy("media_id")
+    }),
+
     // ---- q204: REAL thumbnail — decode + exact NN downsample -------------
     // The resize leg of the multimodal quartet (decode q179 /
     // feature-extract q32 / resize HERE / frame-sample q33+q200),
@@ -518,6 +561,41 @@ object Media {
         .orderBy("media_id")
     })
   )
+
+  /** The shared audio-formula CTEs (q197/q206 oracles): the planted
+    * re-encode source (id % 13 == 9 carries id−9's samples, channels,
+    * bit depth and frame count in a fresh container — non-recursive),
+    * then the per-channel sample lists straight from the
+    * SyntheticAudio formulas. Ends with `as_` = (media_id, ch, bits,
+    * nf, trunc, c0, c1). */
+  private val audioSrcCtes: String =
+    """WITH ap AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 13 = 9 AND doc_id >= 9 AND
+      |              NOT ((doc_id-9) % 13 = 9 AND doc_id-9 >= 9)
+      |         THEN doc_id - 9 ELSE doc_id END AS src,
+      |    (doc_id % 11 = 3) AS trunc
+      |  FROM documents
+      |), ad AS (
+      |  SELECT media_id, src, trunc,
+      |    (src % 2 + 1)::INT AS ch,
+      |    (CASE WHEN src % 3 = 0 THEN 8 ELSE 16 END)::INT AS bits,
+      |    (src % 40 + 50)::BIGINT AS nf
+      |  FROM ap
+      |), as_ AS (
+      |  SELECT media_id, ch, bits, nf, trunc,
+      |    list_transform(range(0, nf), f -> CASE WHEN bits = 8
+      |      THEN (src*7 + (f*ch + 0)*13) % 256
+      |      ELSE ((src*11 + (f*ch + 0)*17) % 65536) - 32768
+      |      END) AS c0,
+      |    CASE WHEN ch = 2 THEN list_transform(range(0, nf),
+      |      f -> CASE WHEN bits = 8
+      |        THEN (src*7 + (f*ch + 1)*13) % 256
+      |        ELSE ((src*11 + (f*ch + 1)*17) % 65536) - 32768
+      |        END)
+      |    END AS c1
+      |  FROM ad
+      |)""".stripMargin
 
   /** The shared video-formula CTEs (q200/q202/q205 oracles): plant
     * flags (re-encode / clip, non-recursive — plants only source from
@@ -658,27 +736,7 @@ object Media {
     // ((id·11 + s·17) % 65536) − 32768 at 16-bit; truncated rows
     // (id % 11 = 3) report 'unknown' with null stats.
     "q197_audio_pcm_stats" ->
-      """WITH p AS (
-        |  SELECT doc_id AS media_id,
-        |    (doc_id % 2 + 1)::INT AS ch,
-        |    (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END)::INT AS bits,
-        |    (doc_id % 40 + 50)::BIGINT AS nf,
-        |    (doc_id % 11 = 3) AS trunc
-        |  FROM documents
-        |), s AS (
-        |  SELECT media_id, ch, bits, nf, trunc,
-        |    list_transform(range(0, nf), f -> CASE WHEN bits = 8
-        |      THEN (media_id*7 + (f*ch + 0)*13) % 256
-        |      ELSE ((media_id*11 + (f*ch + 0)*17) % 65536) - 32768
-        |      END) AS c0,
-        |    CASE WHEN ch = 2 THEN list_transform(range(0, nf),
-        |      f -> CASE WHEN bits = 8
-        |        THEN (media_id*7 + (f*ch + 1)*13) % 256
-        |        ELSE ((media_id*11 + (f*ch + 1)*17) % 65536) - 32768
-        |        END)
-        |    END AS c1
-        |  FROM p
-        |)
+      (audioSrcCtes + """
         |SELECT media_id,
         |  CASE WHEN trunc THEN 'unknown' ELSE 'wav_pcm' END AS format,
         |  CASE WHEN trunc THEN NULL ELSE ch END AS channels,
@@ -696,7 +754,7 @@ object Media {
         |       ELSE list_min(c1)::INT END AS c1_min,
         |  CASE WHEN trunc OR ch = 1 THEN NULL
         |       ELSE list_max(c1)::INT END AS c1_max
-        |FROM s ORDER BY media_id""".stripMargin,
+        |FROM as_ ORDER BY media_id""".stripMargin),
 
     // the q190 hx discipline on the video side: construct the SAME
     // canonical MP4 hex (box parameters re-derived from doc_id), then
@@ -894,6 +952,32 @@ object Media {
         |  w::INT AS c_width, h::INT AS c_height,
         |  (us * nf)::BIGINT AS duration_us, 1::INT AS n_tracks
         |FROM vs ORDER BY media_id, frame_idx""".stripMargin),
+
+    // exact stat-tuple grouping straight from the sample formulas; the
+    // re-encode src mapping makes planted pairs collide by construction
+    "q206_audio_dedup" ->
+      (audioSrcCtes + """, st AS (
+        |  SELECT media_id,
+        |    ch AS channels, bits AS bit_depth, nf AS n_frames,
+        |    list_sum(c0)::BIGINT AS c0_sum,
+        |    list_min(c0)::INT AS c0_min,
+        |    list_max(c0)::INT AS c0_max,
+        |    coalesce(list_sum(c1)::BIGINT, -999999999999) AS k1,
+        |    coalesce(list_min(c1)::BIGINT, -999999999999) AS k2,
+        |    coalesce(list_max(c1)::BIGINT, -999999999999) AS k3
+        |  FROM as_ WHERE NOT trunc
+        |), grp AS (
+        |  SELECT channels, bit_depth, n_frames, c0_sum, c0_min, c0_max,
+        |    k1, k2, k3, min(media_id) AS dup_of,
+        |    count(*)::BIGINT AS grp_size
+        |  FROM st GROUP BY ALL
+        |)
+        |SELECT st.media_id, st.channels, st.n_frames,
+        |  g.dup_of, g.grp_size,
+        |  (st.media_id > g.dup_of)::INT AS is_dup
+        |FROM st JOIN grp g USING (channels, bit_depth, n_frames,
+        |  c0_sum, c0_min, c0_max, k1, k2, k3)
+        |ORDER BY st.media_id""".stripMargin),
 
     // every thumb pixel straight from the SyntheticImage formula (the
     // q179 discipline): thumb (x', y') samples source index
