@@ -390,6 +390,13 @@ object Multimodal {
             if (isAvi && !meta.isNullAt(2) && !meta.isNullAt(3))
               (meta.getInt(2), meta.getInt(3))
             else (-1, -1)
+          // the DIB arm is gated on the container's DECLARED codec
+          // (strh fccHandler = 'DIB '), never inferred from the frame
+          // bytes: a non-MJPEG compressed codec whose chunk size
+          // happens to equal rowBytes*h must degrade to no rows, not
+          // be misread as raw BGR pixels
+          val declaredDib = isAvi && !meta.isNullAt(1) &&
+            meta.getUTF8String(1).toString == "DIB "
           aviFrames(payload, stride).iterator.flatMap {
             case (f, bytes) =>
               if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
@@ -398,7 +405,9 @@ object Multimodal {
                 s.format.map(fmt => FrameStats(id, f.toLong, fmt,
                   s.width.get, s.height.get, s.n_px.get,
                   s.r_sum.get, s.r_min.get, s.r_max.get))
-              } else dibFrameStats(id, f, bytes, cw, chh)
+              } else if (declaredDib) {
+                dibFrameStats(id, f, bytes, cw, chh)
+              } else None
           }
         }
       }
@@ -479,8 +488,12 @@ object Multimodal {
     val out = Seq.newBuilder[(Int, Array[Byte])]
     var frameIdx = 0
     var pos = 12L
-    var steps = 0
-    while (pos + 8 <= n && steps < 64) {
+    // no step counters: both cursors advance >= 8 bytes per iteration
+    // (size >= 0 always), so the walk is bounded by n/8 with no silent
+    // frame-count truncation — a minutes-long 30 fps AVI keeps its
+    // tail frames (desync is caught by the size-range and q+8<=end
+    // gates, not by an arbitrary chunk budget)
+    while (pos + 8 <= n) {
       val p = pos.toInt
       val size = le32(p + 4)
       if (size < 0L || size > Int.MaxValue.toLong) return out.result()
@@ -488,8 +501,7 @@ object Multimodal {
           tag(p + 8, "movi")) {
         val end = math.min(p + 8 + size, n.toLong)
         var q = p + 12L
-        var inner = 0
-        while (q + 8 <= end && inner < 4096) {
+        while (q + 8 <= end) {
           val qi = q.toInt
           val s2 = le32(qi + 4)
           if (s2 < 0L || s2 > Int.MaxValue.toLong) return out.result()
@@ -505,11 +517,9 @@ object Multimodal {
             frameIdx += 1
           }
           q += 8L + s2 + (s2 & 1L)
-          inner += 1
         }
       }
       pos += 8L + size + (size & 1L)
-      steps += 1
     }
     out.result()
   }

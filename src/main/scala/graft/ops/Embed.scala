@@ -1210,6 +1210,8 @@ object Embed {
     val n = BigInt(nRow.getDecimal(2).toBigInteger)
     val siRows = f.where(col("i") === 0L && col("j") > 0L)
       .select(col("j"), col("sv")).collect()
+    require(siRows.nonEmpty, "empty PCA accumulator: the frame has " +
+      "no per-dim sum rows (no input vectors) — nothing to decompose")
     val d = siRows.map(_.getLong(0)).max.toInt
     require(d >= 1 && d <= 65536,
       s"need 1 <= d <= 65536 (got $d) for the implicit-Gram path")

@@ -1046,7 +1046,12 @@ object Media {
         |ORDER BY s.media_id""".stripMargin),
 
     // frame hashes WITHOUT the index (time-shift-tolerant), per-video
-    // distinct sets, shared-hash pair counts, integer-ppm containment
+    // distinct sets, shared-hash pair counts, integer-ppm containment.
+    // The hb CTE mirrors the engine's Dedup.capBuckets guard (default
+    // graft.dedup.maxBucket = 2000): a frame hash shared by more
+    // videos drops from candidate generation on BOTH engines, so the
+    // verify gate stays valid at corpus sizes where a degenerate
+    // frame class (black frames, test cards) exceeds the cap
     "q205_video_clip_detect" ->
       (videoSrcCtes + """, fh AS (
         |  SELECT DISTINCT media_id,
@@ -1058,10 +1063,13 @@ object Media {
         |  FROM vs
         |), nf AS (
         |  SELECT media_id, count(*)::BIGINT AS n FROM fh GROUP BY 1
+        |), hb AS (
+        |  SELECT hh FROM fh GROUP BY hh HAVING count(*) <= 2000
         |), pr AS (
         |  SELECT a.media_id AS m1, b.media_id AS m2,
         |    count(*)::BIGINT AS n_shared
         |  FROM fh a JOIN fh b ON a.hh = b.hh AND a.media_id < b.media_id
+        |  JOIN hb ON hb.hh = a.hh
         |  GROUP BY 1, 2
         |)
         |SELECT m1, m2, n_shared, na.n AS n1, nb.n AS n2,
