@@ -45,6 +45,26 @@ object ThumbStats {
       None, None, None, None, None, None, None)
 }
 
+/** Exact decoded-pixel fingerprint from
+  * [[Multimodal.fingerprintPixels]]: `px_hash` is a polynomial
+  * rolling hash (base 31, mod 1e9+7, seed 7) over the full
+  * interleaved-RGB pixel sequence — a pure function of the DECODED
+  * content, so cross-codec re-encodes collide and any pixel change
+  * separates. Undecodable payloads carry None everywhere but
+  * media_id. */
+final case class PixelFp(media_id: Long, format: Option[String],
+    width: Option[Long], height: Option[Long], px_hash: Option[Long])
+
+/** Perceptual hashes from [[Multimodal.perceptualHashes]] over the
+  * t×t nearest-neighbor R-band thumb raster: `ahash` bit k = 1 iff
+  * pixel k is strictly above the raster mean (integer
+  * cross-multiply, no division); `dhash` bit k = 1 iff pixel k is
+  * strictly above its row-cyclic right neighbor. Only images with
+  * both dims ≥ t emit a row (a perceptual raster needs a minimum
+  * source). */
+final case class PHash(media_id: Long, t: Long, ahash: Long,
+    dhash: Long)
+
 /** Multimodal-column plumbing: image/audio/video payloads ride through the
   * engine as opaque `BinaryType` columns with a typed metadata struct
   * (SURVEY.md §7.2 step 7 — north-star extension).
@@ -317,6 +337,118 @@ object Multimodal {
         case scala.util.control.NonFatal(_) => ThumbStats.empty(id)
       }
     }
+    /** Decode + exact content fingerprint: the polynomial rolling
+      * hash over the full interleaved-RGB pixel sequence (row-major,
+      * r then g then b per pixel; base 31 mod 1e9+7, seed 7) — the
+      * [[PixelFp]] contract. Same decode path and raw-sample
+      * discipline as [[stats]]; undecodable payloads degrade to the
+      * all-null row, never throw. */
+    def fingerprint(id: Long, payload: Array[Byte]): PixelFp = {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers == null || !readers.hasNext)
+            return PixelFp(id, None, None, None, None)
+          val rd = readers.next()
+          rd.setInput(iis)
+          val fmt = rd.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = try rd.read(0) finally rd.dispose()
+          val w = img.getWidth; val h = img.getHeight
+          val raster = img.getRaster
+          val icm = img.getColorModel match {
+            case m: java.awt.image.IndexColorModel => m
+            case _ => null
+          }
+          val bands = raster.getNumBands
+          val P = 1000000007L
+          var acc = 7L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var r = 0; var g = 0; var b = 0
+              if (icm != null) {
+                val idx = raster.getSample(x, y, 0)
+                r = icm.getRed(idx); g = icm.getGreen(idx)
+                b = icm.getBlue(idx)
+              } else if (bands >= 3) {
+                r = raster.getSample(x, y, 0)
+                g = raster.getSample(x, y, 1)
+                b = raster.getSample(x, y, 2)
+              } else {
+                r = raster.getSample(x, y, 0); g = r; b = r
+              }
+              acc = (acc * 31 + r) % P
+              acc = (acc * 31 + g) % P
+              acc = (acc * 31 + b) % P
+              x += 1
+            }
+            y += 1
+          }
+          PixelFp(id, Some(fmt), Some(w.toLong), Some(h.toLong),
+            Some(acc))
+        } finally iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          PixelFp(id, None, None, None, None)
+      }
+    }
+
+    /** Decode + perceptual hashes over the t×t nearest-neighbor
+      * R-band thumb raster (the [[thumbStats]] integer NN map) — the
+      * [[PHash]] contract. None for undecodable payloads AND for
+      * images smaller than t in either dimension (a perceptual hash
+      * over an upsampled raster would compare padding, not content). */
+    def phash(id: Long, payload: Array[Byte], t: Int): Option[PHash] = {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers == null || !readers.hasNext) return None
+          val rd = readers.next()
+          rd.setInput(iis)
+          val img = try rd.read(0) finally rd.dispose()
+          val w = img.getWidth; val h = img.getHeight
+          if (w < t || h < t) return None
+          val raster = img.getRaster
+          val icm = img.getColorModel match {
+            case m: java.awt.image.IndexColorModel => m
+            case _ => null
+          }
+          val n = t * t
+          val v = new Array[Int](n)
+          var yy = 0
+          while (yy < t) {
+            val sy = yy * h / t
+            var xx = 0
+            while (xx < t) {
+              val sx = xx * w / t
+              val s0 = raster.getSample(sx, sy, 0)
+              v(yy * t + xx) = if (icm != null) icm.getRed(s0) else s0
+              xx += 1
+            }
+            yy += 1
+          }
+          var sum = 0L
+          var k = 0
+          while (k < n) { sum += v(k); k += 1 }
+          var ah = 0L; var dh = 0L
+          k = 0
+          while (k < n) {
+            if (v(k).toLong * n > sum) ah |= 1L << k
+            val nb = (k / t) * t + ((k % t) + 1) % t
+            if (v(k) > v(nb)) dh |= 1L << k
+            k += 1
+          }
+          Some(PHash(id, t.toLong, ah, dh))
+        } finally iis.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
   }
 
   object ImageCodec {
@@ -461,6 +593,51 @@ object Multimodal {
         val codec = new ImageCodec // one per partition, not per row
         rows.map { case (id, payload) =>
           codec.thumbStats(id, payload, tw, th) }
+      }
+      .toDF()
+  }
+
+  /** Partition-parallel exact decoded-CONTENT fingerprint — the image
+    * corner of the media content-dedup triangle (video q202, audio
+    * q206): `px_hash` folds every decoded (r,g,b) sample through a
+    * polynomial rolling hash, so the fingerprint is a pure function
+    * of the decoded raster — cross-codec re-encodes (same pixels,
+    * PNG↔GIF, refiltered PNG) collide exactly, any pixel change
+    * separates, and the container bytes/format play no part. Same
+    * exchange-free scan → project → mapPartitions plan and
+    * per-partition [[ImageCodec]] seam as [[decodePixels]]; dedup
+    * grouping downstream shuffles at IMAGE grain (one narrow row per
+    * image), never pixel grain. */
+  def fingerprintPixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.map { case (id, payload) => codec.fingerprint(id, payload) }
+      }
+      .toDF()
+  }
+
+  /** Partition-parallel perceptual hashes (aHash + row-cyclic dHash)
+    * over the t×t NN thumb raster — the near-dup rung of the image
+    * dedup corner: Hamming-close hashes mean perceptually-similar
+    * content (±1 pixel perturbations move few threshold bits), and
+    * the 64-bit hash splits into 16-bit bands downstream for the
+    * pigeonhole candidate join (the [[graft.ops.Dedup.simhashPairs]]
+    * discipline: Hamming ≤ 3 ⟹ some band of 4 matches exactly).
+    * Images smaller than t×t emit no row. Exchange-free decode plan;
+    * everything pairwise happens at hash grain downstream. */
+  def perceptualHashes(media: DataFrame, t: Int = 8): DataFrame = {
+    require(t >= 2 && t <= 8, s"need 2 <= t <= 8 (64-bit hash; got $t)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val codec = new ImageCodec
+        rows.flatMap { case (id, payload) => codec.phash(id, payload, t) }
       }
       .toDF()
   }

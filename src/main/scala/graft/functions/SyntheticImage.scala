@@ -36,12 +36,66 @@ object SyntheticImage {
   def px(id: Long, i: Int, mult: Long): Int =
     ((id * mult + 3L * i) % 256).toInt
 
+  /** [[px]] with the near-dup ±1 perturbation: every 7th pixel's
+    * stored value v becomes v ⊕ 1 (= v + 1 − 2·(v%2) — always a ±1
+    * step, never leaves 0..255). The q208 fixture formula, shared
+    * verbatim with the oracle SQL. */
+  def pxPerturbed(id: Long, i: Int, mult: Long, perturb: Boolean): Int = {
+    val v = px(id, i, mult)
+    if (perturb && i % 7 == 3) v + 1 - 2 * (v % 2) else v
+  }
+
   /** The valid container payload for one id (format by id % 3). */
   def payload(id: Long): Array[Byte] = (id % 3) match {
     case 0 => png(id, colorType = 2)
     case 1 => png(id, colorType = 0)
     case _ => gifGray(id)
   }
+
+  // ---- the q207/q208 dedup-fixture plant grammar -------------------
+  // Non-recursive (the SyntheticVideo discipline): plants only source
+  // from ids whose RESIDUES are plant-free, so both oracles stay
+  // CASE-expressible. reenc (id % 13 == 4) carries id−4's exact
+  // pixels in a different encoding; near (id % 17 == 8, reenc wins
+  // ties) carries id−8's pixels with the ±1 perturbation.
+
+  private def residuePlantFree(i: Long): Boolean =
+    !(i % 13 == 4 && i >= 4) && !(i % 17 == 8 && i >= 8)
+
+  def isReencPlant(id: Long): Boolean =
+    id % 13 == 4 && id >= 4 && residuePlantFree(id - 4)
+
+  def isNearPlant(id: Long): Boolean =
+    id % 17 == 8 && id >= 8 && !isReencPlant(id) &&
+      residuePlantFree(id - 8)
+
+  /** The q207/q208 fixture payload: base images plus planted
+    * re-encodes (same decoded pixels, different bytes — PNG Sub-filter
+    * re-encode for truecolor, PNG↔GIF cross-codec for the
+    * single-channel formats) and planted near-dups (source pixels
+    * with the sparse ±1 perturbation, in the source's own format
+    * class). Deterministic byte-for-byte; the oracle evaluates the
+    * same plant grammar over the pixel formula without decoding. */
+  def dedupPayload(id: Long): Array[Byte] =
+    if (isReencPlant(id)) {
+      val src = id - 4
+      (src % 3) match {
+        // truecolor: same codec, same pixels, DIFFERENT bytes (the
+        // Sub filter predicts left — a genuine re-encode, not a copy)
+        case 0 => png(src, colorType = 2, filterSub = true)
+        // gray PNG ↔ GIF: cross-codec, identical decoded pixels
+        // (palette entry j = (j,j,j), so GIF index == gray value)
+        case 1 => gifGray(src)
+        case _ => png(src, colorType = 0)
+      }
+    } else if (isNearPlant(id)) {
+      val src = id - 8
+      (src % 3) match {
+        case 0 => png(src, colorType = 2, perturb = true)
+        case 1 => png(src, colorType = 0, perturb = true)
+        case _ => gifGray(src, perturb = true)
+      }
+    } else payload(id)
 
   private def be32(out: ByteArrayOutputStream, v: Int): Unit = {
     out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
@@ -61,30 +115,41 @@ object SyntheticImage {
     out.toByteArray
   }
 
-  /** 8-bit PNG, color type 2 (RGB) or 0 (gray), filter None rows,
-    * one real zlib IDAT. */
-  private def png(id: Long, colorType: Int): Array[Byte] = {
+  /** 8-bit PNG, color type 2 (RGB) or 0 (gray), one real zlib IDAT.
+    * `filterSub` switches every row from filter None to filter Sub
+    * (byte = cur − left): the decoded raster is identical but the
+    * stored bytes are not — the q207 same-codec re-encode plant. */
+  private def png(id: Long, colorType: Int, filterSub: Boolean = false,
+      perturb: Boolean = false): Array[Byte] = {
     val w = widthOf(id); val h = heightOf(id)
     val bpp = if (colorType == 2) 3 else 1
     val raw = new Array[Byte](h * (1 + w * bpp))
     var o = 0
     var y = 0
     while (y < h) {
-      raw(o) = 0 // filter type None
+      raw(o) = if (filterSub) 1 else 0 // filter type Sub / None
       o += 1
+      val rowStart = o
       var x = 0
       while (x < w) {
         val i = y * w + x
         if (colorType == 2) {
-          raw(o) = px(id, i, 7).toByte
-          raw(o + 1) = px(id, i, 11).toByte
-          raw(o + 2) = px(id, i, 13).toByte
+          raw(o) = pxPerturbed(id, i, 7, perturb).toByte
+          raw(o + 1) = pxPerturbed(id, i, 11, perturb).toByte
+          raw(o + 2) = pxPerturbed(id, i, 13, perturb).toByte
           o += 3
         } else {
-          raw(o) = px(id, i, 7).toByte
+          raw(o) = pxPerturbed(id, i, 7, perturb).toByte
           o += 1
         }
         x += 1
+      }
+      if (filterSub) { // in-place: byte − left-neighbor byte (bpp back)
+        var p = o - 1
+        while (p >= rowStart + bpp) {
+          raw(p) = (raw(p) - raw(p - bpp)).toByte
+          p -= 1
+        }
       }
       y += 1
     }
@@ -115,7 +180,7 @@ object SyntheticImage {
 
   /** GIF87a, global 256-entry grayscale palette (entry j = (j,j,j)),
     * single image, fixed-9-bit LZW (CLEAR before every literal). */
-  private def gifGray(id: Long): Array[Byte] = {
+  private def gifGray(id: Long, perturb: Boolean = false): Array[Byte] = {
     val w = widthOf(id); val h = heightOf(id)
     val out = new ByteArrayOutputStream()
     val sig = "GIF87a".getBytes("US-ASCII")
@@ -148,7 +213,9 @@ object SyntheticImage {
     }
     val n = w * h
     var i = 0
-    while (i < n) { putCode(256); putCode(px(id, i, 7)); i += 1 }
+    while (i < n) {
+      putCode(256); putCode(pxPerturbed(id, i, 7, perturb)); i += 1
+    }
     putCode(257)
     if (nbits > 0) bits.write((acc & 0xFF).toInt)
     val data = bits.toByteArray

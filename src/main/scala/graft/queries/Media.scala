@@ -220,6 +220,23 @@ object Media {
       .toDF("media_id", "payload")
   }
 
+  /** The q207/q208 image-dedup fixture: [[syntheticValidImages]] plus
+    * the [[graft.functions.SyntheticImage.dedupPayload]] plant grammar
+    * — re-encodes (id % 13 == 4 carries id−4's exact pixels in a
+    * different encoding: Sub-refiltered PNG for truecolor, PNG↔GIF
+    * cross-codec for the single-channel formats) and near-dups
+    * (id % 17 == 8 carries id−8's pixels with a sparse ±1
+    * perturbation). Non-recursive, so both oracles stay
+    * CASE-expressible. (media_id, payload). */
+  private[graft] def syntheticDedupImages(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        (id, graft.functions.SyntheticImage.dedupPayload(id))))
+      .toDF("media_id", "payload")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q32: metadata predicate + content-fingerprint features --------
@@ -549,6 +566,83 @@ object Media {
         .orderBy("m1", "m2")
     }),
 
+    // ---- q207: image content dedup via decoded-pixel fingerprints --------
+    // The image corner of the media content-dedup triangle (video
+    // q202, audio q206): an image's fingerprint is a polynomial
+    // rolling hash over its FULL decoded (r,g,b) sequence
+    // ([[graft.functions.Multimodal.fingerprintPixels]]) — a pure
+    // function of decoded content, so the planted re-encodes (same
+    // pixels, different bytes: Sub-refiltered PNG, PNG↔GIF
+    // cross-codec) group together while any pixel change (including
+    // the q208 ±1 perturbations) separates. Keys on (dims, px_hash);
+    // the oracle folds the identical hash straight from the pixel
+    // formula via list_reduce, never decoding a byte. Scale shape:
+    // decode rides the exchange-free scan; the group + join-back
+    // shuffle IMAGE-grain rows only (the q202/q206 discipline).
+    "q207_image_dedup" -> ((s, dir) => {
+      val media = syntheticDedupImages(
+        Graft.parquetSource(s, dir).table("documents"))
+      val fp = graft.functions.Multimodal.fingerprintPixels(media)
+        .where(col("format").isNotNull)
+        .select(col("media_id"), col("width"), col("height"),
+          col("px_hash"))
+        .localCheckpoint() // read by the groups AND the join-back
+      val keys = Seq("width", "height", "px_hash")
+      val groups = fp.groupBy(keys.map(col): _*)
+        .agg(min(col("media_id")).as("dup_of"),
+          count(lit(1)).cast("long").as("grp_size"))
+      fp.join(groups, keys)
+        .select(col("media_id"), col("width"), col("height"),
+          col("px_hash"), col("dup_of"), col("grp_size"),
+          (col("media_id") > col("dup_of")).cast("int").as("is_dup"))
+        .orderBy("media_id")
+    }),
+
+    // ---- q208: image perceptual near-dup (aHash, Hamming-banded) ---------
+    // The near-dup rung over q207's exact fingerprints: aHash/dHash
+    // over the 8×8 NN thumb raster
+    // ([[graft.functions.Multimodal.perceptualHashes]]), candidate
+    // pairs from the 4×16-bit band join (pigeonhole: Hamming ≤ 3 ⟹
+    // some band matches exactly — the [[graft.ops.Dedup.simhashPairs]]
+    // discipline, capBuckets-guarded with the cap MIRRORED in the
+    // oracle), exact full-hash Hamming verify on candidates. The
+    // planted ±1 perturbations (id % 17 == 8) move almost no
+    // threshold bits, so near plants land at distance ≲ 1; re-encode
+    // plants surface at distance 0 (containment subsumes equality).
+    // Only images ≥ 8×8 participate (a perceptual raster needs a
+    // minimum source — and sub-8×8 hashes would make everything
+    // spuriously "near"). Scale shape: decode rides the scan;
+    // pairwise work is band-bucketed and capped, never all-pairs.
+    "q208_image_near_dup" -> ((s, dir) => {
+      val media = syntheticDedupImages(
+        Graft.parquetSource(s, dir).table("documents"))
+      val ph = graft.functions.Multimodal.perceptualHashes(media, 8)
+        .localCheckpoint() // band explode AND both pair-side joins
+      val bands = ph.select(col("media_id"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            shiftrightunsigned(col("ahash"), 16 * b)
+              .bitwiseAND(lit(65535L)).as("bk"))): _*)).as("e"))
+        .select(col("media_id"), col("e.b").as("b"), col("e.bk").as("bk"))
+      val capped = graft.ops.Dedup.capBuckets(bands, Seq("b", "bk"), s,
+        "q208 ahash bands")
+      val cand = capped.select(col("media_id").as("m1"), col("b"),
+          col("bk"))
+        .join(capped.select(col("media_id").as("m2"), col("b"),
+          col("bk")), Seq("b", "bk"))
+        .where(col("m1") < col("m2"))
+        .select(col("m1"), col("m2")).distinct()
+      val h1 = ph.select(col("media_id").as("m1"),
+        col("ahash").as("a1"), col("dhash").as("d1"))
+      val h2 = ph.select(col("media_id").as("m2"),
+        col("ahash").as("a2"), col("dhash").as("d2"))
+      cand.join(h1, Seq("m1")).join(h2, Seq("m2"))
+        .select(col("m1"), col("m2"),
+          expr("bit_count(a1 ^ a2)").cast("long").as("ham_a"),
+          expr("bit_count(d1 ^ d2)").cast("long").as("ham_d"))
+        .where(col("ham_a") <= 3)
+        .orderBy("m1", "m2")
+    }),
+
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
       val frames = sampleFrames(col("payload"), 16, 4)
@@ -636,6 +730,69 @@ object Media {
       |      AS bv
       |  FROM vd, unnest(range(0, nf)) AS t(f)
       |)""".stripMargin
+
+  /** One decoded channel value at pixel index `i` under the q207/q208
+    * plant grammar: base value (src·m + 3i) mod 256, with the sparse
+    * ±1 near-dup perturbation (v ⊕ 1 = v + 1 − 2·(v%2) on every 7th
+    * pixel) when `nearp` — the SyntheticImage formulas verbatim. */
+  private def imgChan(m: String, i: String = "i"): String =
+    s"CASE WHEN nearp = 1 AND ($i) % 7 = 3 THEN " +
+      s"((src*($m) + 3*($i)) % 256) + 1 - 2*(((src*($m) + 3*($i)) % 256) % 2) " +
+      s"ELSE (src*($m) + 3*($i)) % 256 END"
+
+  /** The shared image-plant CTEs (q207/q208 oracles): plant flags
+    * (re-encode id%13==4 / near-dup id%17==8, non-recursive — plants
+    * only source from residue-plant-free ids, re-encode wins ties)
+    * and dims/format-class via src. Ends with `idm` = (media_id,
+    * nearp, src, w, h, sfmt). */
+  private val imgPlantCtes: String =
+    s"""WITH isrc AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 13 = 4 AND doc_id >= 4 AND
+      |              NOT ((doc_id-4) % 13 = 4 AND doc_id-4 >= 4) AND
+      |              NOT ((doc_id-4) % 17 = 8 AND doc_id-4 >= 8)
+      |         THEN 1 ELSE 0 END AS reenc
+      |  FROM documents
+      |), inear AS (
+      |  SELECT media_id, reenc,
+      |    CASE WHEN media_id % 17 = 8 AND media_id >= 8 AND reenc = 0
+      |              AND NOT ((media_id-8) % 13 = 4 AND media_id-8 >= 4)
+      |              AND NOT ((media_id-8) % 17 = 8 AND media_id-8 >= 8)
+      |         THEN 1 ELSE 0 END AS nearp
+      |  FROM isrc
+      |), idd AS (
+      |  SELECT media_id, nearp,
+      |    CASE WHEN reenc = 1 THEN media_id - 4
+      |         WHEN nearp = 1 THEN media_id - 8
+      |         ELSE media_id END AS src
+      |  FROM inear
+      |), idm AS (
+      |  SELECT media_id, nearp, src,
+      |    (src % 13 + 1)::BIGINT AS w, (src % 11 + 1)::BIGINT AS h,
+      |    (src % 3)::INT AS sfmt
+      |  FROM idd
+      |)""".stripMargin
+
+  /** [[imgPlantCtes]] + the per-channel decoded pixel lists straight
+    * from the SyntheticImage formulas (R multiplier 7 always; G/B are
+    * 11/13 for truecolor, 7 for the single-channel formats where
+    * decoded r = g = b). Ends with `ipx` = (media_id, nearp, src, w,
+    * h, sfmt, pr, pg, pb). */
+  private val imgSrcCtes: String =
+    imgPlantCtes + s""", ipx AS (
+      |  SELECT media_id, nearp, src, w, h, sfmt,
+      |    list_transform(range(0, w*h), i -> ${imgChan("7")}) AS pr,
+      |    list_transform(range(0, w*h), i ->
+      |      ${imgChan("CASE WHEN sfmt = 0 THEN 11 ELSE 7 END")}) AS pg,
+      |    list_transform(range(0, w*h), i ->
+      |      ${imgChan("CASE WHEN sfmt = 0 THEN 13 ELSE 7 END")}) AS pb
+      |  FROM idm
+      |)""".stripMargin
+
+  /** The 0-based source pixel index sampled by thumb cell k of the
+    * 8×8 NN raster — the decodeThumbnails/phash integer map. */
+  private val ThumbSi: String =
+    "(((k // 8) * h // 8) * w + ((k % 8) * w // 8))"
 
   val oracles: Map[String, String] = Map(
     // payload == UTF-8 text bytes; documents are pure ASCII (verified), so
@@ -1079,6 +1236,74 @@ object Media {
         |JOIN nf nb ON nb.media_id = m2
         |WHERE (n_shared * 1000000) // least(na.n, nb.n) >= 500000
         |ORDER BY m1, m2""".stripMargin),
+
+    // folds the identical rolling hash straight from the pixel-formula
+    // lists (interleaved r,g,b per pixel; base 31 mod 1e9+7, seed 7 via
+    // list_prepend before the reduce) — never decodes a byte; the
+    // plant src mapping makes re-encode pairs collide by construction
+    "q207_image_dedup" ->
+      (imgSrcCtes + """, iph AS (
+        |  SELECT media_id, w, h,
+        |    list_reduce(list_prepend(7, flatten(
+        |      list_transform(range(0, w*h),
+        |        i -> [pr[i+1], pg[i+1], pb[i+1]]))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS px_hash
+        |  FROM ipx
+        |), grp AS (
+        |  SELECT w, h, px_hash, min(media_id) AS dup_of,
+        |    count(*)::BIGINT AS grp_size
+        |  FROM iph GROUP BY 1, 2, 3
+        |)
+        |SELECT i.media_id, i.w AS width, i.h AS height, i.px_hash,
+        |  g.dup_of, g.grp_size, (i.media_id > g.dup_of)::INT AS is_dup
+        |FROM iph i JOIN grp g ON i.w = g.w AND i.h = g.h
+        |  AND i.px_hash = g.px_hash
+        |ORDER BY i.media_id""".stripMargin),
+
+    // aHash/dHash bits straight from the sampled-pixel formula (R
+    // multiplier is 7 for every format class), the SAME 4×16-bit band
+    // join the engine runs (pigeonhole recall for Hamming ≤ 3, hb
+    // mirroring the capBuckets default 2000), exact bit-count verify
+    // on candidates
+    "q208_image_near_dup" ->
+      (imgPlantCtes +
+        s""", pth AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), k ->
+        |      ${imgChan("7", ThumbSi)}) AS v
+        |  FROM idm WHERE w >= 8 AND h >= 8
+        |), ah AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN v[k+1] * 64 > list_sum(v) THEN 1 ELSE 0 END) AS ab,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN v[k+1] > v[(k // 8) * 8 + ((k % 8) + 1) % 8 + 1]
+        |           THEN 1 ELSE 0 END) AS db
+        |  FROM pth
+        |), bnd AS (
+        |  SELECT media_id, t.b AS b,
+        |    list_sum(list_transform(range(0, 16),
+        |      j -> ab[t.b * 16 + j + 1] * (1 << j)))::BIGINT AS bk
+        |  FROM ah, unnest([0, 1, 2, 3]) AS t(b)
+        |), hb AS (
+        |  SELECT b, bk FROM bnd GROUP BY b, bk HAVING count(*) <= 2000
+        |), cand AS (
+        |  SELECT DISTINCT x.media_id AS m1, y.media_id AS m2
+        |  FROM bnd x JOIN hb USING (b, bk) JOIN bnd y USING (b, bk)
+        |  WHERE x.media_id < y.media_id
+        |), ham AS (
+        |  SELECT c.m1, c.m2,
+        |    list_sum(list_transform(range(0, 64), k ->
+        |      CASE WHEN a1.ab[k+1] <> a2.ab[k+1] THEN 1 ELSE 0 END
+        |      ))::BIGINT AS ham_a,
+        |    list_sum(list_transform(range(0, 64), k ->
+        |      CASE WHEN a1.db[k+1] <> a2.db[k+1] THEN 1 ELSE 0 END
+        |      ))::BIGINT AS ham_d
+        |  FROM cand c JOIN ah a1 ON a1.media_id = c.m1
+        |  JOIN ah a2 ON a2.media_id = c.m2
+        |)
+        |SELECT m1, m2, ham_a, ham_d FROM ham
+        |WHERE ham_a <= 3 ORDER BY m1, m2""".stripMargin),
 
     "q33_frame_sample" ->
       """WITH f AS (

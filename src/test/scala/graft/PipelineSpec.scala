@@ -795,4 +795,190 @@ class PipelineSpec extends AnyFunSuite {
       (1 until 14).foreach(i => assert(r.isNullAt(i), s"col $i of $r"))
     }
   }
+
+  test("image content fingerprint: re-encode plants collide with their " +
+      "source, near plants separate, hash is formula-exact") {
+    import graft.functions.{Multimodal, SyntheticImage}
+    import spark.implicits._
+    val reenc = (0L to 500L).filter(SyntheticImage.isReencPlant)
+    val near = (0L to 500L).filter(SyntheticImage.isNearPlant)
+    assert(reenc.nonEmpty && near.nonEmpty)
+    val ids = ((0L to 60L) ++ reenc.take(6) ++ reenc.take(6).map(_ - 4) ++
+      near.take(6) ++ near.take(6).map(_ - 8)).distinct
+    val media = graft.queries.Media.syntheticDedupImages(
+      ids.toDF("doc_id")).repartition(3)
+    val fp = Multimodal.fingerprintPixels(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fp.keySet == ids.toSet)
+    // independent replica of the plant grammar + rolling-hash formula
+    // (the q207 oracle's arithmetic, no SyntheticImage code reuse)
+    def replica(id: Long): (Long, Long, Long) = {
+      val src = if (SyntheticImage.isReencPlant(id)) id - 4
+        else if (SyntheticImage.isNearPlant(id)) id - 8 else id
+      val prt = SyntheticImage.isNearPlant(id)
+      val w = (src % 13 + 1).toInt; val h = (src % 11 + 1).toInt
+      def v(m: Long, i: Int): Long = {
+        val b = (src * m + 3L * i) % 256
+        if (prt && i % 7 == 3) b + 1 - 2 * (b % 2) else b
+      }
+      val (mr, mg, mb) =
+        if (src % 3 == 0) (7L, 11L, 13L) else (7L, 7L, 7L)
+      val P = 1000000007L
+      var acc = 7L
+      for (i <- 0 until w * h) {
+        acc = (acc * 31 + v(mr, i)) % P
+        acc = (acc * 31 + v(mg, i)) % P
+        acc = (acc * 31 + v(mb, i)) % P
+      }
+      (w.toLong, h.toLong, acc)
+    }
+    for (id <- ids) {
+      val r = fp(id); val (w, h, hash) = replica(id)
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"id $id dims")
+      assert(r.getLong(4) == hash, s"id $id px_hash")
+    }
+    // plant semantics on the DECODED content: every re-encode (Sub
+    // refilter / PNG↔GIF cross-codec) collides with its source even
+    // though the bytes differ; every ±1 perturbation separates
+    for (id <- reenc.take(6)) {
+      assert(!java.util.Arrays.equals(SyntheticImage.dedupPayload(id),
+        SyntheticImage.dedupPayload(id - 4)), s"plant $id bytes differ")
+      assert(fp(id).getLong(4) == fp(id - 4).getLong(4), s"plant $id")
+    }
+    // separation needs a perturbed pixel to EXIST (index 3 — absent
+    // in <= 3-pixel images, whose near plant is legitimately exact)
+    for (id <- near.take(6)) {
+      val src = id - 8
+      val npx = (src % 13 + 1) * (src % 11 + 1)
+      if (npx > 3)
+        assert(fp(id).getLong(4) != fp(src).getLong(4), s"near $id")
+      else
+        assert(fp(id).getLong(4) == fp(src).getLong(4), s"tiny near $id")
+    }
+  }
+
+  test("perceptual hash: sub-8x8 images emit nothing, near plants stay " +
+      "Hamming-close, 4x16-bit banding has exhaustive recall at " +
+      "distance <= 3") {
+    import graft.functions.{Multimodal, SyntheticImage}
+    import spark.implicits._
+    def dimsOf(id: Long): (Long, Long) = {
+      val src = if (SyntheticImage.isReencPlant(id)) id - 4
+        else if (SyntheticImage.isNearPlant(id)) id - 8 else id
+      (src % 13 + 1, src % 11 + 1)
+    }
+    val all = (0L to 1200L)
+    val big = all.filter(id => dimsOf(id)._1 >= 8 && dimsOf(id)._2 >= 8)
+    val small = all.filter(id => dimsOf(id)._1 < 8 || dimsOf(id)._2 < 8)
+    val ids = (big.take(150) ++ big.take(150).map(i =>
+      if (SyntheticImage.isNearPlant(i)) i - 8 else i) ++
+      small.take(6)).distinct
+    val media = graft.queries.Media.syntheticDedupImages(
+      ids.toDF("doc_id")).repartition(3)
+    val ph = Multimodal.perceptualHashes(media, 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // only >= 8x8 sources emit (near/reenc plants inherit src dims)
+    assert(ph.keySet == ids.filter(i =>
+      dimsOf(i)._1 >= 8 && dimsOf(i)._2 >= 8).toSet)
+    // near plants: the sparse ±1 perturbation moves almost no
+    // threshold bits — every planted pair lands within distance 3
+    val nearPairs = ph.keySet.filter(id =>
+      SyntheticImage.isNearPlant(id) && ph.contains(id - 8))
+    assert(nearPairs.nonEmpty)
+    for (id <- nearPairs) {
+      val d = java.lang.Long.bitCount(ph(id)._1 ^ ph(id - 8)._1)
+      assert(d <= 3, s"near plant $id ahash distance $d")
+    }
+    // pigeonhole: every pair at ahash distance <= 3 shares one of the
+    // four 16-bit bands — the q208 candidate join's recall guarantee
+    val ks = ph.keys.toIndexedSeq.sorted
+    for (i <- ks.indices; j <- (i + 1) until ks.size) {
+      val (a1, a2) = (ph(ks(i))._1, ph(ks(j))._1)
+      if (java.lang.Long.bitCount(a1 ^ a2) <= 3) {
+        val shares = (0 until 4).exists(b =>
+          ((a1 >>> (16 * b)) & 0xFFFFL) == ((a2 >>> (16 * b)) & 0xFFFFL))
+        assert(shares, s"pair ${ks(i)},${ks(j)} missed by banding")
+      }
+    }
+  }
+
+  test("video frame decode: the DIB arm is gated on the container's " +
+      "declared codec, and the movi walk has no frame-count cap") {
+    import graft.functions.Multimodal
+    import spark.implicits._
+    val o = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Unit = s.foreach(c => o.write(c.toInt))
+    def le32(v: Long): Unit = { o.write((v & 0xFF).toInt)
+      o.write(((v >> 8) & 0xFF).toInt); o.write(((v >> 16) & 0xFF).toInt)
+      o.write(((v >> 24) & 0xFF).toInt) }
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      fourcc(id); le32(body.length.toLong); o.write(body, 0, body.length)
+      if (body.length % 2 == 1) o.write(0)
+    }
+    // an 8x8 24-bit frame chunk of exactly rowBytes*h bytes whose
+    // payload is NOT JPEG — under an 'XVID' fccHandler this must
+    // decode to NOTHING (the old byte-sniff would misread it as DIB)
+    val w = 8; val h = 8; val rowBytes = (w * 3 + 3) & ~3
+    val fake = Array.fill[Byte](rowBytes * h)(0x41)
+    def strh(codec: String): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      def l32(v: Long): Unit = { b.write((v & 0xFF).toInt)
+        b.write(((v >> 8) & 0xFF).toInt); b.write(((v >> 16) & 0xFF).toInt)
+        b.write(((v >> 24) & 0xFF).toInt) }
+      "vids".foreach(c => b.write(c.toInt)); codec.foreach(c => b.write(c.toInt))
+      (1 to 12).foreach(_ => l32(0L))
+      b.toByteArray
+    }
+    def avi(codec: String, frames: Int): Array[Byte] = {
+      o.reset()
+      val avih = new Array[Byte](56) // usPerFrame=0 is fine for frames
+      avih(0) = 1 // dwMicroSecPerFrame = 1 (avih parse wants > 0)
+      avih(16) = (frames & 0xFF).toByte // dwTotalFrames (low byte)
+      avih(24) = 1 // dwStreams
+      avih(32) = w.toByte; avih(36) = h.toByte
+      val hb = new java.io.ByteArrayOutputStream()
+      def sub(id: String, body: Array[Byte]): Array[Byte] = {
+        val s = new java.io.ByteArrayOutputStream()
+        id.foreach(c => s.write(c.toInt))
+        val n = body.length.toLong
+        s.write((n & 0xFF).toInt); s.write(((n >> 8) & 0xFF).toInt)
+        s.write(((n >> 16) & 0xFF).toInt); s.write(((n >> 24) & 0xFF).toInt)
+        s.write(body, 0, body.length)
+        if (body.length % 2 == 1) s.write(0)
+        s.toByteArray
+      }
+      def lst(st: String, body: Array[Byte]): Array[Byte] = {
+        val s = new java.io.ByteArrayOutputStream()
+        "LIST".foreach(c => s.write(c.toInt))
+        val n = body.length + 4L
+        s.write((n & 0xFF).toInt); s.write(((n >> 8) & 0xFF).toInt)
+        s.write(((n >> 16) & 0xFF).toInt); s.write(((n >> 24) & 0xFF).toInt)
+        st.foreach(c => s.write(c.toInt))
+        s.write(body, 0, body.length)
+        s.toByteArray
+      }
+      val hdrl = lst("hdrl", sub("avih", avih) ++
+        lst("strl", sub("strh", strh(codec))))
+      val movi = lst("movi",
+        (0 until frames).map(_ => sub("00dc", fake)).reduce(_ ++ _))
+      val body = hdrl ++ movi
+      fourcc("RIFF"); le32(body.length + 4L); fourcc("AVI ")
+      o.write(body, 0, body.length)
+      o.toByteArray
+    }
+    val xvid = avi("XVID", 2)
+    val rows = Multimodal.decodeVideoFrames(
+      Seq((1L, xvid)).toDF("media_id", "payload")).collect()
+    assert(rows.isEmpty, "non-DIB codec misread as raw pixels")
+    // same bytes under a declared 'DIB ' handler DO decode
+    val dib = avi("DIB ", 2)
+    val rows2 = Multimodal.decodeVideoFrames(
+      Seq((1L, dib)).toDF("media_id", "payload")).collect()
+    assert(rows2.length == 2 && rows2.forall(_.getString(2) == "dib"))
+    // the movi walk keeps EVERY frame of a long container (the old
+    // 4096-chunk desync guard silently dropped the tail)
+    val many = Multimodal.aviFrames(avi("DIB ", 5000))
+    assert(many.length == 5000)
+    assert(many.last._1 == 4999)
+  }
 }

@@ -280,6 +280,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
   }
 
+  test("q207/q208: image fingerprint + perceptual hash decodes are " +
+      "exchange-free — the q179 codec-seam shape") {
+    // the dedup grouping downstream shuffles IMAGE-grain fingerprint
+    // rows only; the decode itself must never move payload bytes
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = graft.queries.Media.syntheticDedupImages(docs)
+    for (df <- Seq(graft.functions.Multimodal.fingerprintPixels(media),
+        graft.functions.Multimodal.perceptualHashes(media, 8))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"decode moves data:\n$p")
+      assert(p.contains("FileScan parquet"))
+      assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
+    }
+  }
+
   test("q174: doc-vector composition broadcasts the word-vector frame " +
       "— the corpus never shuffles by word") {
     // the k·V word-vector frame is metadata-grain at ANY corpus size,
