@@ -237,6 +237,47 @@ object Media {
       .toDF("media_id", "payload")
   }
 
+  /** Per-video content fingerprint over DECODED frames — the q202
+    * signature: fp = Σ hash60(frame_idx : dims : pixel stats), one
+    * map-side-combinable video-grain aggregate riding the
+    * exchange-free decode. Truncated/undecodable payloads decode no
+    * frames and emit no row. (media_id, fp, n_frames). */
+  private[graft] def videoSig(media: DataFrame): DataFrame = {
+    val frames = graft.functions.Multimodal.decodeVideoFrames(media)
+    val h = graft.functions.TextFunctions.hash60(concat_ws(":",
+      col("frame_idx"), col("width"), col("height"),
+      col("p_sum"), col("p_min"), col("p_max")))
+    frames.select(col("media_id"), h.as("h"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("h")).as("fp"),
+        count(lit(1)).cast("long").as("n_frames"))
+  }
+
+  /** Per-recording content fingerprint over DECODED PCM samples — the
+    * q206 stat tuple (c1 nulls collapsed to a sentinel so grouping is
+    * null-safe on both engines); truncated/unknown rows excluded.
+    * (media_id, channels, bit_depth, n_frames, c0_sum, c0_min,
+    * c0_max, k1, k2, k3). */
+  private[graft] def audioStats(media: DataFrame): DataFrame = {
+    val ap = graft.functions.Multimodal.audioPcmStats(col("payload"))
+    val sent = lit(-999999999999L)
+    media.select(col("media_id"), ap.as("m"))
+      .where(col("m.format") === "wav_pcm")
+      .select(col("media_id"),
+        col("m.channels").as("channels"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.n_frames").as("n_frames"),
+        col("m.c0_sum").as("c0_sum"),
+        col("m.c0_min").as("c0_min"),
+        col("m.c0_max").as("c0_max"),
+        coalesce(col("m.c1_sum"), sent).as("k1"),
+        coalesce(col("m.c1_min").cast("long"), sent).as("k2"),
+        coalesce(col("m.c1_max").cast("long"), sent).as("k3"))
+  }
+
+  private val AudioKeys = Seq("channels", "bit_depth", "n_frames",
+    "c0_sum", "c0_min", "c0_max", "k1", "k2", "k3")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q32: metadata predicate + content-fingerprint features --------
@@ -429,29 +470,77 @@ object Media {
     // group). Scale: decode rides the scan, the fingerprint group and
     // join-back are audio-grain (one row per recording).
     "q206_audio_dedup" -> ((s, dir) => {
-      val ap = graft.functions.Multimodal.audioPcmStats(col("payload"))
-      val sent = lit(-999999999999L)
-      val stats = syntheticPcmAudio(
-          Graft.parquetSource(s, dir).table("documents"))
-        .select(col("media_id"), ap.as("m"))
-        .where(col("m.format") === "wav_pcm")
-        .select(col("media_id"),
-          col("m.channels").as("channels"),
-          col("m.bit_depth").as("bit_depth"),
-          col("m.n_frames").as("n_frames"),
-          col("m.c0_sum").as("c0_sum"),
-          col("m.c0_min").as("c0_min"),
-          col("m.c0_max").as("c0_max"),
-          coalesce(col("m.c1_sum"), sent).as("k1"),
-          coalesce(col("m.c1_min").cast("long"), sent).as("k2"),
-          coalesce(col("m.c1_max").cast("long"), sent).as("k3"))
+      val stats = audioStats(syntheticPcmAudio(
+          Graft.parquetSource(s, dir).table("documents")))
         .localCheckpoint() // read by the groups AND the join-back
-      val keys = Seq("channels", "bit_depth", "n_frames",
-        "c0_sum", "c0_min", "c0_max", "k1", "k2", "k3")
-      val groups = stats.groupBy(keys.map(col): _*)
+      val groups = stats.groupBy(AudioKeys.map(col): _*)
         .agg(min(col("media_id")).as("dup_of"),
           count(lit(1)).cast("long").as("grp_size"))
-      stats.join(groups, keys)
+      stats.join(groups, AudioKeys)
+        .select(col("media_id"), col("channels"), col("n_frames"),
+          col("dup_of"), col("grp_size"),
+          (col("media_id") > col("dup_of")).cast("int").as("is_dup"))
+        .orderBy("media_id")
+    }),
+
+    // ---- q209: INCREMENTAL video content dedup ---------------------------
+    // q202's crawl-loop square (the house {session, incremental} rule
+    // for the media dedup family): per-video fingerprints of the
+    // persisted corpus live in a SideTable artifact — built ONCE, so
+    // a re-crawl epoch never re-decodes old media — and each batch
+    // decodes only its own videos, probes the union, and reports
+    // verdicts for BATCH videos against the FULL corpus. Epoch-N ≡
+    // from-scratch is STRUCTURAL (the q203 argument): the fingerprint
+    // is a pure function of decoded frame content, so artifact ∪
+    // batch-delta IS the from-scratch fingerprint frame bit-for-bit.
+    // The oracle replays the whole-corpus q202 dedup from the block
+    // formula and filters to the batch — equality proves the append
+    // path end-to-end. Scale: decode work is batch-proportional
+    // (spec-asserted via the rebuilt-artifact guard); the group +
+    // join-back shuffle video-grain rows only.
+    "q209_incremental_video_dedup" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, docs, "doc_id")
+      val fp = Some(s"$dir/documents.parquet")
+      val baseP = graft.sources.SideTable.ensure(s, "video_fp",
+        s"$dir#$cut", fp) {
+        videoSig(syntheticMjpegVideos(docs.where(col("doc_id") < cut)))
+      }
+      val batch = videoSig(syntheticMjpegVideos(
+          docs.where(col("doc_id") >= cut)))
+        .localCheckpoint() // read by the union AND the verdict join
+      val sig = s.read.parquet(baseP).unionByName(batch)
+      val groups = sig.groupBy(col("fp"))
+        .agg(min(col("media_id")).as("dup_of"),
+          count(lit(1)).cast("long").as("grp_size"))
+      batch.join(groups, Seq("fp"))
+        .select(col("media_id"), col("n_frames"), col("fp"),
+          col("dup_of"), col("grp_size"),
+          (col("media_id") > col("dup_of")).cast("int").as("is_dup"))
+        .orderBy("media_id")
+    }),
+
+    // ---- q210: INCREMENTAL audio content dedup ---------------------------
+    // q206's crawl-loop square — the q209 shape on the audio leg:
+    // persisted stat-tuple fingerprints (SideTable), batch-only PCM
+    // decode, verdicts for the batch against the full corpus, oracle
+    // = whole-corpus replay filtered to the batch.
+    "q210_incremental_audio_dedup" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, docs, "doc_id")
+      val fp = Some(s"$dir/documents.parquet")
+      val baseP = graft.sources.SideTable.ensure(s, "audio_fp",
+        s"$dir#$cut", fp) {
+        audioStats(syntheticPcmAudio(docs.where(col("doc_id") < cut)))
+      }
+      val batch = audioStats(syntheticPcmAudio(
+          docs.where(col("doc_id") >= cut)))
+        .localCheckpoint() // read by the union AND the verdict join
+      val stats = s.read.parquet(baseP).unionByName(batch)
+      val groups = stats.groupBy(AudioKeys.map(col): _*)
+        .agg(min(col("media_id")).as("dup_of"),
+          count(lit(1)).cast("long").as("grp_size"))
+      batch.join(groups, AudioKeys)
         .select(col("media_id"), col("channels"), col("n_frames"),
           col("dup_of"), col("grp_size"),
           (col("media_id") > col("dup_of")).cast("int").as("is_dup"))
@@ -493,18 +582,10 @@ object Media {
     // VIDEO grain (one row per video), never frame grain. Truncated
     // payloads decode no frames and drop out on both engines.
     "q202_video_dedup" -> ((s, dir) => {
-      val media = syntheticMjpegVideos(
-        Graft.parquetSource(s, dir).table("documents"))
-      val frames = graft.functions.Multimodal.decodeVideoFrames(media)
-      val h = graft.functions.TextFunctions.hash60(concat_ws(":",
-        col("frame_idx"), col("width"), col("height"),
-        col("p_sum"), col("p_min"), col("p_max")))
       // fp = Σ frame hash60s: order-aware via frame_idx inside the
       // hash, commutative outside it (≤ 4 frames × 2^60 < 2^63)
-      val sig = frames.select(col("media_id"), h.as("h"))
-        .groupBy(col("media_id"))
-        .agg(sum(col("h")).as("fp"),
-          count(lit(1)).cast("long").as("n_frames"))
+      val sig = videoSig(syntheticMjpegVideos(
+        Graft.parquetSource(s, dir).table("documents")))
       val groups = sig.groupBy(col("fp"))
         .agg(min(col("media_id")).as("dup_of"),
           count(lit(1)).cast("long").as("grp_size"))
@@ -1201,6 +1282,59 @@ object Media {
         |  (s.media_id > g.dup_of)::INT AS is_dup
         |FROM sig s JOIN grp g USING (fp)
         |ORDER BY s.media_id""".stripMargin),
+
+    // whole-corpus replay of the q202 grouping, filtered to the batch
+    // (doc_id >= max·4/5, the BatchCut default) — equality proves the
+    // artifact-append path reproduces from-scratch verdicts exactly
+    "q209_incremental_video_dedup" ->
+      (videoSrcCtes + """, fh AS (
+        |  SELECT media_id,
+        |    ('0x' || substr(md5(
+        |      frame_idx::VARCHAR || ':' || w::VARCHAR || ':' ||
+        |      h::VARCHAR || ':' ||
+        |      (64 * list_sum(bv))::BIGINT::VARCHAR || ':' ||
+        |      list_min(bv)::BIGINT::VARCHAR || ':' ||
+        |      list_max(bv)::BIGINT::VARCHAR), 1, 15))::BIGINT AS hh
+        |  FROM vs
+        |), sig AS (
+        |  SELECT media_id, sum(hh)::BIGINT AS fp,
+        |    count(*)::BIGINT AS n_frames
+        |  FROM fh GROUP BY media_id
+        |), grp AS (
+        |  SELECT fp, min(media_id) AS dup_of, count(*)::BIGINT AS grp_size
+        |  FROM sig GROUP BY fp
+        |)
+        |SELECT s.media_id, s.n_frames, s.fp, g.dup_of, g.grp_size,
+        |  (s.media_id > g.dup_of)::INT AS is_dup
+        |FROM sig s JOIN grp g USING (fp)
+        |WHERE s.media_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |ORDER BY s.media_id""".stripMargin),
+
+    // whole-corpus replay of the q206 grouping, filtered to the batch
+    "q210_incremental_audio_dedup" ->
+      (audioSrcCtes + """, st AS (
+        |  SELECT media_id,
+        |    ch AS channels, bits AS bit_depth, nf AS n_frames,
+        |    list_sum(c0)::BIGINT AS c0_sum,
+        |    list_min(c0)::INT AS c0_min,
+        |    list_max(c0)::INT AS c0_max,
+        |    coalesce(list_sum(c1)::BIGINT, -999999999999) AS k1,
+        |    coalesce(list_min(c1)::BIGINT, -999999999999) AS k2,
+        |    coalesce(list_max(c1)::BIGINT, -999999999999) AS k3
+        |  FROM as_ WHERE NOT trunc
+        |), grp AS (
+        |  SELECT channels, bit_depth, n_frames, c0_sum, c0_min, c0_max,
+        |    k1, k2, k3, min(media_id) AS dup_of,
+        |    count(*)::BIGINT AS grp_size
+        |  FROM st GROUP BY ALL
+        |)
+        |SELECT st.media_id, st.channels, st.n_frames,
+        |  g.dup_of, g.grp_size,
+        |  (st.media_id > g.dup_of)::INT AS is_dup
+        |FROM st JOIN grp g USING (channels, bit_depth, n_frames,
+        |  c0_sum, c0_min, c0_max, k1, k2, k3)
+        |WHERE st.media_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |ORDER BY st.media_id""".stripMargin),
 
     // frame hashes WITHOUT the index (time-shift-tolerant), per-video
     // distinct sets, shared-hash pair counts, integer-ppm containment.

@@ -796,6 +796,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental media dedup: persisted fingerprint artifacts are " +
+      "reused (no old-media re-decode) and artifact ∪ batch-delta ≡ " +
+      "from-scratch bit-for-bit") {
+    import spark.implicits._
+    import graft.sources.SideTable
+    val s = spark
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_medialifecycle_").toFile
+    val prev = s.conf.getOption("graft.artifacts.dir")
+    s.conf.set("graft.artifacts.dir", tmp.getAbsolutePath)
+    try {
+      // base 0..59, batch 60..79 — the batch includes planted
+      // re-encodes whose SOURCE lives in the base corpus (cross-epoch
+      // dups, the case the incremental square exists for)
+      val base = (0L until 60L).toDF("doc_id")
+      val batch = (60L until 80L).toDF("doc_id")
+      val all = (0L until 80L).toDF("doc_id")
+      def check(name: String, sig: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame,
+          mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): Unit = {
+        val p0 = SideTable.ensure(s, name, "snap0") { sig(mk(base)) }
+        // the batch-proportional decode claim: a second epoch touching
+        // the same snapshot must NOT re-decode the old corpus
+        val p1 = SideTable.ensure(s, name, "snap0")(
+          fail(s"$name: old media re-decoded"))
+        assert(p0 == p1)
+        val incr = s.read.parquet(p0).unionByName(sig(mk(batch)))
+        val scratch = sig(mk(all))
+        // fingerprint = pure function of decoded content ⇒ append is
+        // the from-scratch frame exactly (the q203 structural claim)
+        assert(incr.orderBy("media_id").collect().toSeq ==
+          scratch.orderBy("media_id").collect().toSeq, s"$name drift")
+      }
+      check("ml_video_fp", graft.queries.Media.videoSig,
+        graft.queries.Media.syntheticMjpegVideos)
+      check("ml_audio_fp", graft.queries.Media.audioStats,
+        graft.queries.Media.syntheticPcmAudio)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("graft.artifacts.dir", v)
+        case None => s.conf.unset("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("image content fingerprint: re-encode plants collide with their " +
       "source, near plants separate, hash is formula-exact") {
     import graft.functions.{Multimodal, SyntheticImage}
