@@ -1213,18 +1213,38 @@ object Dedup {
   // (private[graft]: the q-entry orchestration in graft.queries builds
   // its memoized / artifact-backed variants from the same pieces)
 
-  /** Exact set-overlap counts for candidate pairs via exploded
-    * intersection counts — no array columns, no HOFs. */
+  /** Exact set-overlap counts for candidate pairs.
+    *
+    * Doc-grain array shape: ONE `collect_set` aggregation folds the
+    * shingle rows to a per-doc set (map-side partial agg dedupes, so
+    * callers need NOT `.distinct()` the shingle frame), then the pair
+    * frame joins the doc arrays once per side and the intersection is
+    * a codegen'd `array_intersect` per pair — versus the previous
+    * exploded shape's distinct + shingle-grain shuffle join + count
+    * groupBy + two size joins (and three reads of the shingle frame).
+    *
+    * Scale note: the per-doc array is doc-length-bounded (shingle
+    * count ≈ token count), the same per-row bound every `collect_*`
+    * aggregation in this file already accepts; candidate pairs are
+    * banding-bounded upstream ([[capBuckets]]), so the join fan-out is
+    * the candidate count, never a corpus square. */
   private[graft] def pairOverlap(cand: DataFrame,
       sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val e1 = sh.select(col("doc_id").as("d1"), col("h"))
-    val e2 = sh.select(col("doc_id").as("d2"), col("h"))
-    cand.join(e1, "d1").join(e2, Seq("d2", "h"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    val docArr = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+    cand
+      .join(docArr.select(col("doc_id").as("d1"), col("hs").as("hs1"),
+        size(col("hs")).cast("long").as("n1")), "d1")
+      .join(docArr.select(col("doc_id").as("d2"), col("hs").as("hs2"),
+        size(col("hs")).cast("long").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("hs1"), col("hs2"))).cast("long")
+          .as("inter"),
+        col("n1"), col("n2"))
+      // the exploded shape dropped empty-intersection pairs (inner
+      // join on shared h); callers threshold on positive overlap and
+      // some count output rows — keep that contract exactly
+      .where(col("inter") > 0)
   }
 
   /** Exact Jaccard |A∩B| / (n1 + n2 − |A∩B|) over [[pairOverlap]]. */

@@ -148,37 +148,50 @@ object CrawlIngest {
       sh3: DataFrame, capWhat: String)
       (priorShOf: DataFrame => DataFrame)
       : (DataFrame, DataFrame, String, String) = {
-    val deltaBands = graft.ops.Dedup.bandRows(
+    // stage timing under the q111 decomposition flag: the dedup member
+    // is the epoch barrier, so ITS phase split must be measurable too
+    val timing =
+      s.conf.getOption("graft.stream.timing").contains("true") ||
+        sys.env.get("SPARK_GRAFT_STREAM_TIMING").contains("1")
+    def timed[T](l: String)(b: => T): T =
+      if (!timing) b
+      else {
+        val t0 = System.nanoTime()
+        val r = b
+        System.err.println(f"[q111-timing]     dedup.$l%-8s ${
+          (System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+    val deltaBands = timed("sig")(graft.ops.Dedup.bandRows(
         graft.ops.Dedup.minhashSignaturesOf(sh3))
-      .localCheckpoint() // 4 narrow rows per delta doc
+      .localCheckpoint()) // 4 narrow rows per delta doc
     val deltaKeys = deltaBands
       .select(col("band_idx"), col("band_key")).distinct()
-    val relevant = seen
+    val relevant = timed("probe")(seen
       .join(broadcast(deltaKeys), Seq("band_idx", "band_key"),
         "left_semi")
       .unionByName(deltaBands)
-      .localCheckpoint() // collision-relevant index rows only (q67)
-    val allBands = graft.ops.Dedup.capBuckets(relevant,
-      Seq("band_idx", "band_key"), s, capWhat)
+      .localCheckpoint()) // collision-relevant index rows only (q67)
+    val allBands = timed("cap")(graft.ops.Dedup.capBuckets(relevant,
+      Seq("band_idx", "band_key"), s, capWhat))
     val candLazy = allBands.as("a").join(deltaBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val cand = candLazy.localCheckpoint()
+    val cand = timed("cand")(candLazy.localCheckpoint())
     val candDocs = cand.select(col("d1").as("doc_id"))
       .unionByName(cand.select(col("d2").as("doc_id"))).distinct()
     val priorShLazy = priorShOf(candDocs)
     val candSh = priorShLazy
       .unionByName(sh3.join(broadcast(candDocs), Seq("doc_id"),
         "left_semi"))
-      .distinct()
-      .cache() // pairJaccard reads it three times (e1, e2, sizes)
-    val pairs = graft.ops.Dedup.pairJaccard(cand, candSh)
+    // no .distinct()/.cache(): pairJaccard's collect_set aggregation
+    // dedupes shingles map-side and reads the frame exactly once
+    val pairs = timed("verify")(graft.ops.Dedup.pairJaccard(cand, candSh)
       .where(col("jac") >= 0.8)
-      .localCheckpoint()
-    candSh.unpersist()
+      .localCheckpoint())
     (deltaBands, pairs,
       candLazy.queryExecution.executedPlan.toString,
       priorShLazy.queryExecution.executedPlan.toString)
@@ -572,6 +585,10 @@ object CrawlIngest {
       .MemoryStream[Long]
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[scala.concurrent.Future[DataFrame]]
+    // earlier epochs' shingle projections (over their checkpointed
+    // gram frames) — the dedup member's prior-candidate shingle source
+    val priorEpochSh = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
     val query = ms.toDF().toDF("doc_id").writeStream
       .outputMode("append")
       .foreachBatch { (epochIds: Dataset[Row], epochNo: Long) =>
@@ -603,13 +620,26 @@ object CrawlIngest {
         val fDedup = Future {
           dedupMember(s, s.read.parquet(seenPath), sh3,
             "q111 ingest bands") { candDocs =>
-            // prior candidates = old corpus OR an earlier epoch — the
-            // accumulated-index equivalent of the batch form's
-            // cut-pushed old-side scan
-            shingleHashRows(d.join(broadcast(
-                candDocs.join(broadcast(epochIds), Seq("doc_id"),
-                  "left_anti")),
-              Seq("doc_id"), "left_semi"), 3)
+            // prior candidates = old corpus OR an earlier epoch. The
+            // old-corpus side re-shingles under a candidate-pruned,
+            // CUT-PUSHED scan (doc_id < cut reaches the parquet
+            // reader); earlier-epoch candidates reuse that epoch's
+            // already-checkpointed gram projection instead of
+            // re-tokenizing raw text — the shingle analogue of the
+            // seenPath band-index accumulation. (A restartable
+            // deployment persists the shingle deltas as a SideTable
+            // artifact like ingest_seen; in-session the checkpoint
+            // blocks are the same rows at zero recompute.)
+            val priorCand = candDocs.join(broadcast(epochIds),
+              Seq("doc_id"), "left_anti")
+            val fromOld = shingleHashRows(
+              d.where(col("doc_id") < cut)
+                .join(broadcast(priorCand), Seq("doc_id"), "left_semi"),
+              3)
+            priorEpochSh.foldLeft(fromOld) { (u, pSh) =>
+              u.unionByName(pSh.join(broadcast(priorCand),
+                Seq("doc_id"), "left_semi"))
+            }
           }
         }
         val batchKeys = meta.where(col("gk").isNotNull)
@@ -691,6 +721,7 @@ object CrawlIngest {
         mark("record")
         fAppends.foreach(Await.result(_, 60.minutes))
         mark("appends")
+        priorEpochSh += sh3 // visible to later epochs' dedup members
         ()
         }
       }

@@ -49,12 +49,10 @@ object TextPipeline {
   private def shingleRowsAll(s: SparkSession, dir: String, n: Int = 3): DataFrame =
     shingleHashRows(Graft.parquetSource(s, dir).table("documents"), n)
 
-  /** Exact set-overlap counts for candidate pairs via exploded
-    * intersection counts: |A∩B| from an equi-join on the shingle-hash
-    * rows, plus both set sizes. Pairs with an empty intersection drop out
-    * of the join — correct under any positive threshold on any overlap
-    * measure. No array columns, no HOFs; the candidate set is small (that
-    * is the point of blocking), so the joins broadcast. */
+  /** Exact set-overlap counts for candidate pairs — see
+    * [[graft.ops.Dedup.pairOverlap]] (doc-grain `collect_set` arrays,
+    * one aggregation, codegen'd per-pair intersect; empty-intersection
+    * pairs still drop out, so any positive threshold stays correct). */
   private def pairOverlap(cand: DataFrame, sh: DataFrame): DataFrame =
     graft.ops.Dedup.pairOverlap(cand, sh)
 
