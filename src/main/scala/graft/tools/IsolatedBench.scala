@@ -25,6 +25,23 @@ package graft.tools
   */
 object IsolatedBench {
 
+  /** The child-result protocol: read the bench JSON artifact the child
+    * wrote at `SPARK_GRAFT_OUT` and extract this query's seconds from
+    * its "queries" object (first `"<q>":<num>` occurrence — the
+    * "queries" map precedes "reps_detail" in [[graft.Bench]]'s
+    * artifact, whose nested per-rep object can never match the
+    * numeric-literal form). None when the file is missing (child
+    * crashed before writing) or the query key is absent. */
+  private[graft] def parseQuerySec(outPath: java.nio.file.Path,
+      q: String): Option[Double] =
+    if (!java.nio.file.Files.exists(outPath)) None
+    else {
+      val json = new String(
+        java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+      ("\"" + java.util.regex.Pattern.quote(q) + "\":([0-9.]+)").r
+        .findFirstMatchIn(json).map(_.group(1).toDouble)
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: IsolatedBench <sfDir> <query> [query ...]")
@@ -53,25 +70,28 @@ object IsolatedBench {
       // subset run, which Bench already refuses, but belt+braces:
       // unset the round marker and point the /tmp artifact elsewhere)
       pb.environment().remove("SPARK_GRAFT_ROUND")
-      pb.environment().put("SPARK_GRAFT_OUT",
-        s"/tmp/graft_isolated_$q.json")
+      val outPath = java.nio.file.Paths.get(s"/tmp/graft_isolated_$q.json")
+      java.nio.file.Files.deleteIfExists(outPath)
+      pb.environment().put("SPARK_GRAFT_OUT", outPath.toString)
       pb.redirectErrorStream(false)
       val proc = pb.start()
-      // drain stderr on a thread so the child can't block on a full pipe
-      val drainer = new Thread(() => {
-        val br = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getErrorStream))
-        try { while (br.readLine() != null) () } catch { case _: Exception => () }
-      })
-      drainer.setDaemon(true); drainer.start()
-      val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
-      val code = proc.waitFor()
-      // the child's stdout protocol: last line is the bench JSON
-      val sec = out.trim.split("\n").lastOption.flatMap { line =>
-        val m = ("\"" + java.util.regex.Pattern.quote(q) +
-          "\":([0-9.]+)").r.findFirstMatchIn(line)
-        m.map(_.group(1).toDouble)
+      // drain BOTH pipes on threads so the child can't block on a full
+      // pipe — neither stream is parsed; adjudication numbers come from
+      // the SPARK_GRAFT_OUT artifact the child writes, which interleaved
+      // logging can never corrupt (the old last-stdout-line protocol
+      // could)
+      def drain(is: java.io.InputStream): Thread = {
+        val t = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(is))
+          try { while (br.readLine() != null) () }
+          catch { case _: Exception => () }
+        })
+        t.setDaemon(true); t.start(); t
       }
+      drain(proc.getErrorStream); drain(proc.getInputStream)
+      val code = proc.waitFor()
+      val sec = parseQuerySec(outPath, q)
       System.err.println(s"[isolated] $q -> " +
         sec.map(f).getOrElse(s"ERR(exit=$code)"))
       if (sec.isEmpty) errs += 1
