@@ -282,7 +282,18 @@ object Embed {
     * re-reads vectors at fetch. Never all-pairs, and — unlike
     * [[ivfTopK]] — ZERO training passes: the bucket function is
     * corpus-independent, so the index survives any append without
-    * drift (the crawl-loop property, free). */
+    * drift (the crawl-loop property, free).
+    *
+    * @note 100 TB deployments: do NOT call this session form on a
+    *       persisted corpus. Its checkpointed cell frame replicates
+    *       every (vector, norm) once per table — a ≤16× corpus copy
+    *       in executor storage. Build the narrow (id, t, bucket)
+    *       index ONCE with [[lshBuckets]], persist it (it is a pure
+    *       function of each vector, so appends are per-batch index
+    *       deltas — the q203 shape), and serve queries with
+    *       [[lshTopKFrom]], which joins the index and re-reads
+    *       vectors only for candidates. This form is the
+    *       small/medium-corpus and exploratory path. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       bits: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", queryIdCol: String = "vec_id",
