@@ -127,9 +127,31 @@ object ScaleProbe {
             .groupBy(col("m.format"))
             .agg(count(lit(1)).as("n"), sum(col("m.duration")).as("dur"))
         })
+      case "video" =>
+        // q200-shape FRAME DECODE + stats: the engine's most expensive
+        // per-byte op (JPEG entropy decode at the imageio codec seam) —
+        // exchange-free scan → synthesize → mapPartitions decode, then
+        // the container-meta join; sorts excluded (decode is the chain)
+        ("video", () => {
+          val media = graft.queries.Media.syntheticMjpegVideos(docs)
+            .localCheckpoint() // read by the decode AND the meta arm
+          val frames = graft.functions.Multimodal.decodeVideoFrames(media)
+          val vm = graft.functions.Multimodal.videoMeta(col("payload"))
+          val meta = media.select(col("media_id"), vm.as("m"))
+            .select(col("media_id"), col("m.brand").as("brand"),
+              col("m.duration").as("duration_us"))
+          frames.join(meta, Seq("media_id"))
+        })
+      case "thumb" =>
+        // q204-shape thumbnail raster: full image decode + exact
+        // integer NN downsample per payload (the perceptual-dedup
+        // input surface, q208) — pure scan-riding projection
+        ("thumb", () => graft.functions.Multimodal.decodeThumbnails(
+          graft.queries.Media.syntheticValidImages(docs), 4, 3))
       case other =>
         sys.error(s"unknown case '$other' " +
-          "(cascade|bm25|contam|lsh|wordvec:<topV>|wordpiece|videometa)")
+          "(cascade|bm25|contam|lsh|wordvec:<topV>|wordpiece|videometa|" +
+          "video|thumb)")
     }
 
     def fn3(v: Double) =
