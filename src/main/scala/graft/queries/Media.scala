@@ -278,6 +278,16 @@ object Media {
   private val AudioKeys = Seq("channels", "bit_depth", "n_frames",
     "c0_sum", "c0_min", "c0_max", "k1", "k2", "k3")
 
+  /** Per-image content fingerprint over the DECODED pixel sequence —
+    * the q207 signature ([[graft.functions.Multimodal.fingerprintPixels]]
+    * rolling hash; undecodable payloads emit no row). (media_id,
+    * width, height, px_hash). */
+  private[graft] def imageFp(media: DataFrame): DataFrame =
+    graft.functions.Multimodal.fingerprintPixels(media)
+      .where(col("format").isNotNull)
+      .select(col("media_id"), col("width"), col("height"),
+        col("px_hash"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q32: metadata predicate + content-fingerprint features --------
@@ -663,10 +673,7 @@ object Media {
     "q207_image_dedup" -> ((s, dir) => {
       val media = syntheticDedupImages(
         Graft.parquetSource(s, dir).table("documents"))
-      val fp = graft.functions.Multimodal.fingerprintPixels(media)
-        .where(col("format").isNotNull)
-        .select(col("media_id"), col("width"), col("height"),
-          col("px_hash"))
+      val fp = imageFp(media)
         .localCheckpoint() // read by the groups AND the join-back
       val keys = Seq("width", "height", "px_hash")
       val groups = fp.groupBy(keys.map(col): _*)
@@ -715,6 +722,97 @@ object Media {
       val h1 = ph.select(col("media_id").as("m1"),
         col("ahash").as("a1"), col("dhash").as("d1"))
       val h2 = ph.select(col("media_id").as("m2"),
+        col("ahash").as("a2"), col("dhash").as("d2"))
+      cand.join(h1, Seq("m1")).join(h2, Seq("m2"))
+        .select(col("m1"), col("m2"),
+          expr("bit_count(a1 ^ a2)").cast("long").as("ham_a"),
+          expr("bit_count(d1 ^ d2)").cast("long").as("ham_d"))
+        .where(col("ham_a") <= 3)
+        .orderBy("m1", "m2")
+    }),
+
+    // ---- q211: INCREMENTAL image content dedup ---------------------------
+    // q207's crawl-loop square (the q209 shape on the image leg, which
+    // completes the house {session, incremental} rule for the media
+    // content-dedup triangle): persisted per-image pixel fingerprints
+    // (SideTable, decoded ONCE per corpus snapshot), batch-only image
+    // decode, verdicts for BATCH images against the FULL corpus.
+    // Epoch-N ≡ from-scratch is structural — px_hash is a pure
+    // function of the decoded pixel sequence, so artifact ∪
+    // batch-delta IS the from-scratch fingerprint frame (the q203
+    // argument; lifecycle-spec-pinned). The oracle replays the
+    // whole-corpus q207 grouping from the pixel formula and filters
+    // to the batch. Scale: decode is batch-proportional; the group +
+    // join-back shuffle IMAGE-grain rows only.
+    "q211_incremental_image_dedup" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, docs, "doc_id")
+      val fpr = Some(s"$dir/documents.parquet")
+      val baseP = graft.sources.SideTable.ensure(s, "image_fp",
+        s"$dir#$cut", fpr) {
+        imageFp(syntheticDedupImages(docs.where(col("doc_id") < cut)))
+      }
+      val batch = imageFp(syntheticDedupImages(
+          docs.where(col("doc_id") >= cut)))
+        .localCheckpoint() // read by the union AND the verdict join
+      val fp = s.read.parquet(baseP).unionByName(batch)
+      val keys = Seq("width", "height", "px_hash")
+      val groups = fp.groupBy(keys.map(col): _*)
+        .agg(min(col("media_id")).as("dup_of"),
+          count(lit(1)).cast("long").as("grp_size"))
+      batch.join(groups, keys)
+        .select(col("media_id"), col("width"), col("height"),
+          col("px_hash"), col("dup_of"), col("grp_size"),
+          (col("media_id") > col("dup_of")).cast("int").as("is_dup"))
+        .orderBy("media_id")
+    }),
+
+    // ---- q212: INCREMENTAL image perceptual near-dup ---------------------
+    // q208's crawl-loop square: the persisted artifact is the
+    // perceptual-hash frame (media_id, ahash, dhash) — 16 bytes per
+    // image, decoded once — and each epoch decodes ONLY its batch.
+    // Bands are a pure bit-projection of the persisted 64-bit ahash,
+    // so the band index derives from the artifact at image-grain
+    // narrow-row cost (zero decode) instead of being a second
+    // artifact. Candidate probing is batch-proportional BY KEY SHAPE:
+    // ids are cut-split, so any pair touching the batch has its
+    // LARGER member ≥ cut — the m2 side joins only batch bands, the
+    // m1 side the full index (old↔old pairs, already reported by
+    // earlier epochs, never regenerate). capBuckets guards the full
+    // union (mirrored in the oracle); verify = exact bit_count on
+    // candidates, the q208 contract filtered to new pairs.
+    "q212_incremental_image_near_dup" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, docs, "doc_id")
+      val fpr = Some(s"$dir/documents.parquet")
+      val baseP = graft.sources.SideTable.ensure(s, "image_ph",
+        s"$dir#$cut", fpr) {
+        graft.functions.Multimodal.perceptualHashes(
+          syntheticDedupImages(docs.where(col("doc_id") < cut)), 8)
+      }
+      val batch = graft.functions.Multimodal.perceptualHashes(
+          syntheticDedupImages(docs.where(col("doc_id") >= cut)), 8)
+        .localCheckpoint() // read by the union AND the m2 hash join
+      val ph = s.read.parquet(baseP).unionByName(batch)
+        .localCheckpoint() // bands AND the m1 hash join
+      val bands = ph.select(col("media_id"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            shiftrightunsigned(col("ahash"), 16 * b)
+              .bitwiseAND(lit(65535L)).as("bk"))): _*)).as("e"))
+        .select(col("media_id"), col("e.b").as("b"), col("e.bk").as("bk"))
+      val capped = graft.ops.Dedup.capBuckets(bands, Seq("b", "bk"), s,
+        "q212 ahash bands")
+        .localCheckpoint() // probed by BOTH pair sides
+      val cand = capped.select(col("media_id").as("m1"), col("b"),
+          col("bk"))
+        .join(capped.where(col("media_id") >= cut)
+          .select(col("media_id").as("m2"), col("b"), col("bk")),
+          Seq("b", "bk"))
+        .where(col("m1") < col("m2"))
+        .select(col("m1"), col("m2")).distinct()
+      val h1 = ph.select(col("media_id").as("m1"),
+        col("ahash").as("a1"), col("dhash").as("d1"))
+      val h2 = batch.select(col("media_id").as("m2"),
         col("ahash").as("a2"), col("dhash").as("d2"))
       cand.join(h1, Seq("m1")).join(h2, Seq("m2"))
         .select(col("m1"), col("m2"),
@@ -1438,6 +1536,72 @@ object Media {
         |)
         |SELECT m1, m2, ham_a, ham_d FROM ham
         |WHERE ham_a <= 3 ORDER BY m1, m2""".stripMargin),
+
+    // whole-corpus replay of the q207 grouping, filtered to the batch
+    "q211_incremental_image_dedup" ->
+      (imgSrcCtes + """, iph AS (
+        |  SELECT media_id, w, h,
+        |    list_reduce(list_prepend(7, flatten(
+        |      list_transform(range(0, w*h),
+        |        i -> [pr[i+1], pg[i+1], pb[i+1]]))),
+        |      (a, x) -> (a*31 + x) % 1000000007) AS px_hash
+        |  FROM ipx
+        |), grp AS (
+        |  SELECT w, h, px_hash, min(media_id) AS dup_of,
+        |    count(*)::BIGINT AS grp_size
+        |  FROM iph GROUP BY 1, 2, 3
+        |)
+        |SELECT i.media_id, i.w AS width, i.h AS height, i.px_hash,
+        |  g.dup_of, g.grp_size, (i.media_id > g.dup_of)::INT AS is_dup
+        |FROM iph i JOIN grp g ON i.w = g.w AND i.h = g.h
+        |  AND i.px_hash = g.px_hash
+        |WHERE i.media_id >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |ORDER BY i.media_id""".stripMargin),
+
+    // whole-corpus replay of the q208 band join + verify, filtered to
+    // pairs touching the batch: ids are cut-split, so m2 >= cut is
+    // EXACTLY "at least one side in the batch" under m1 < m2
+    "q212_incremental_image_near_dup" ->
+      (imgPlantCtes +
+        s""", pth AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), k ->
+        |      ${imgChan("7", ThumbSi)}) AS v
+        |  FROM idm WHERE w >= 8 AND h >= 8
+        |), ah AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN v[k+1] * 64 > list_sum(v) THEN 1 ELSE 0 END) AS ab,
+        |    list_transform(range(0, 64), k ->
+        |      CASE WHEN v[k+1] > v[(k // 8) * 8 + ((k % 8) + 1) % 8 + 1]
+        |           THEN 1 ELSE 0 END) AS db
+        |  FROM pth
+        |), bnd AS (
+        |  SELECT media_id, t.b AS b,
+        |    list_sum(list_transform(range(0, 16),
+        |      j -> ab[t.b * 16 + j + 1] * (1 << j)))::BIGINT AS bk
+        |  FROM ah, unnest([0, 1, 2, 3]) AS t(b)
+        |), hb AS (
+        |  SELECT b, bk FROM bnd GROUP BY b, bk HAVING count(*) <= 2000
+        |), cand AS (
+        |  SELECT DISTINCT x.media_id AS m1, y.media_id AS m2
+        |  FROM bnd x JOIN hb USING (b, bk) JOIN bnd y USING (b, bk)
+        |  WHERE x.media_id < y.media_id
+        |), ham AS (
+        |  SELECT c.m1, c.m2,
+        |    list_sum(list_transform(range(0, 64), k ->
+        |      CASE WHEN a1.ab[k+1] <> a2.ab[k+1] THEN 1 ELSE 0 END
+        |      ))::BIGINT AS ham_a,
+        |    list_sum(list_transform(range(0, 64), k ->
+        |      CASE WHEN a1.db[k+1] <> a2.db[k+1] THEN 1 ELSE 0 END
+        |      ))::BIGINT AS ham_d
+        |  FROM cand c JOIN ah a1 ON a1.media_id = c.m1
+        |  JOIN ah a2 ON a2.media_id = c.m2
+        |)
+        |SELECT m1, m2, ham_a, ham_d FROM ham
+        |WHERE ham_a <= 3
+        |  AND m2 >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |ORDER BY m1, m2""".stripMargin),
 
     "q33_frame_sample" ->
       """WITH f AS (

@@ -834,6 +834,13 @@ class PipelineSpec extends AnyFunSuite {
         graft.queries.Media.syntheticMjpegVideos)
       check("ml_audio_fp", graft.queries.Media.audioStats,
         graft.queries.Media.syntheticPcmAudio)
+      // the image legs (q211/q212): pixel fingerprints and perceptual
+      // hashes are pure functions of decoded content too
+      check("ml_image_fp", graft.queries.Media.imageFp,
+        graft.queries.Media.syntheticDedupImages)
+      check("ml_image_ph",
+        m => graft.functions.Multimodal.perceptualHashes(m, 8),
+        graft.queries.Media.syntheticDedupImages)
     } finally {
       prev match {
         case Some(v) => s.conf.set("graft.artifacts.dir", v)
