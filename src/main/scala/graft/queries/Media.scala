@@ -278,6 +278,17 @@ object Media {
   private val AudioKeys = Seq("channels", "bit_depth", "n_frames",
     "c0_sum", "c0_min", "c0_max", "k1", "k2", "k3")
 
+  /** Per-video DISTINCT content frame hashes WITHOUT the frame index
+    * (time-shift-tolerant — the q205 signature): one row per (video,
+    * distinct frame content), bounded by frame count. (media_id, h). */
+  private[graft] def videoFrameHashes(media: DataFrame): DataFrame = {
+    val frames = graft.functions.Multimodal.decodeVideoFrames(media)
+    val h = graft.functions.TextFunctions.hash60(concat_ws(":",
+      col("width"), col("height"),
+      col("p_sum"), col("p_min"), col("p_max")))
+    frames.select(col("media_id"), h.as("h")).distinct()
+  }
+
   /** Per-image content fingerprint over the DECODED pixel sequence —
     * the q207 signature ([[graft.functions.Multimodal.fingerprintPixels]]
     * rolling hash; undecodable payloads emit no row). (media_id,
@@ -624,11 +635,7 @@ object Media {
     "q205_video_clip_detect" -> ((s, dir) => {
       val media = syntheticMjpegVideos(
         Graft.parquetSource(s, dir).table("documents"))
-      val frames = graft.functions.Multimodal.decodeVideoFrames(media)
-      val h = graft.functions.TextFunctions.hash60(concat_ws(":",
-        col("width"), col("height"),
-        col("p_sum"), col("p_min"), col("p_max")))
-      val fh = frames.select(col("media_id"), h.as("h")).distinct()
+      val fh = videoFrameHashes(media)
         .localCheckpoint() // both sides of the self-join AND the counts
       val nf = fh.groupBy(col("media_id"))
         .agg(count(lit(1)).as("n"))
@@ -819,6 +826,55 @@ object Media {
           expr("bit_count(a1 ^ a2)").cast("long").as("ham_a"),
           expr("bit_count(d1 ^ d2)").cast("long").as("ham_d"))
         .where(col("ham_a") <= 3)
+        .orderBy("m1", "m2")
+    }),
+
+    // ---- q213: INCREMENTAL video clip detection --------------------------
+    // q205's crawl-loop square — the last media-dedup member without
+    // one: the persisted artifact is the per-video DISTINCT frame-hash
+    // set (media_id, h), frame-count-bounded rows decoded ONCE per
+    // snapshot; each epoch decodes only its batch. Old videos' overlap
+    // denominators (n = |distinct frames|) come from the ARTIFACT, so
+    // no old-media byte is ever re-read. Batch-proportional probing by
+    // the q212 cut-split key shape (the m2 side joins batch hashes
+    // only; old↔old pairs never regenerate); capBuckets guards the
+    // full union with the cap mirrored in the oracle; containment is
+    // the same exact integer-ppm contract filtered to new pairs.
+    "q213_incremental_clip_detect" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, docs, "doc_id")
+      val fpr = Some(s"$dir/documents.parquet")
+      val baseP = graft.sources.SideTable.ensure(s, "video_fh",
+        s"$dir#$cut", fpr) {
+        videoFrameHashes(syntheticMjpegVideos(
+          docs.where(col("doc_id") < cut)))
+      }
+      val batch = videoFrameHashes(syntheticMjpegVideos(
+          docs.where(col("doc_id") >= cut)))
+      val fh = s.read.parquet(baseP).unionByName(batch)
+        .localCheckpoint() // counts AND both pair sides (batch-only
+                           // decode still: the artifact side is a read)
+      val nf = fh.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // one row per video; joined twice
+      val capped = graft.ops.Dedup.capBuckets(fh, Seq("h"), s,
+        "q213 frame-hash buckets")
+      val a = capped.select(col("media_id").as("m1"), col("h"))
+      val b = capped.where(col("media_id") >= cut)
+        .select(col("media_id").as("m2"), col("h"))
+      val shared = a.join(b, Seq("h")).where(col("m1") < col("m2"))
+        .groupBy(col("m1"), col("m2"))
+        .agg(count(lit(1)).cast("long").as("n_shared"))
+      shared
+        .join(nf.select(col("media_id").as("m1"), col("n").as("n1")),
+          Seq("m1"))
+        .join(nf.select(col("media_id").as("m2"), col("n").as("n2")),
+          Seq("m2"))
+        .select(col("m1"), col("m2"), col("n_shared"),
+          col("n1"), col("n2"),
+          expr("(n_shared * 1000000L) div least(n1, n2)")
+            .as("overlap_ppm"))
+        .where(col("overlap_ppm") >= 500000L)
         .orderBy("m1", "m2")
     }),
 
@@ -1600,6 +1656,37 @@ object Media {
         |)
         |SELECT m1, m2, ham_a, ham_d FROM ham
         |WHERE ham_a <= 3
+        |  AND m2 >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
+        |ORDER BY m1, m2""".stripMargin),
+
+    // whole-corpus replay of the q205 containment, filtered to pairs
+    // touching the batch (cut-split ids: m2 >= cut ⟺ some side new)
+    "q213_incremental_clip_detect" ->
+      (videoSrcCtes + """, fh AS (
+        |  SELECT DISTINCT media_id,
+        |    ('0x' || substr(md5(
+        |      w::VARCHAR || ':' || h::VARCHAR || ':' ||
+        |      (64 * list_sum(bv))::BIGINT::VARCHAR || ':' ||
+        |      list_min(bv)::BIGINT::VARCHAR || ':' ||
+        |      list_max(bv)::BIGINT::VARCHAR), 1, 15))::BIGINT AS hh
+        |  FROM vs
+        |), nf AS (
+        |  SELECT media_id, count(*)::BIGINT AS n FROM fh GROUP BY 1
+        |), hb AS (
+        |  SELECT hh FROM fh GROUP BY hh HAVING count(*) <= 2000
+        |), pr AS (
+        |  SELECT a.media_id AS m1, b.media_id AS m2,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM fh a JOIN fh b ON a.hh = b.hh AND a.media_id < b.media_id
+        |  JOIN hb ON hb.hh = a.hh
+        |  GROUP BY 1, 2
+        |)
+        |SELECT m1, m2, n_shared, na.n AS n1, nb.n AS n2,
+        |  ((n_shared * 1000000) // least(na.n, nb.n))::BIGINT
+        |    AS overlap_ppm
+        |FROM pr JOIN nf na ON na.media_id = m1
+        |JOIN nf nb ON nb.media_id = m2
+        |WHERE (n_shared * 1000000) // least(na.n, nb.n) >= 500000
         |  AND m2 >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
         |ORDER BY m1, m2""".stripMargin),
 

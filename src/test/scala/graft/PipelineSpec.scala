@@ -816,7 +816,8 @@ class PipelineSpec extends AnyFunSuite {
       def check(name: String, sig: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame,
           mk: org.apache.spark.sql.DataFrame =>
-          org.apache.spark.sql.DataFrame): Unit = {
+          org.apache.spark.sql.DataFrame,
+          sortCols: Seq[String] = Seq("media_id")): Unit = {
         val p0 = SideTable.ensure(s, name, "snap0") { sig(mk(base)) }
         // the batch-proportional decode claim: a second epoch touching
         // the same snapshot must NOT re-decode the old corpus
@@ -827,8 +828,10 @@ class PipelineSpec extends AnyFunSuite {
         val scratch = sig(mk(all))
         // fingerprint = pure function of decoded content ⇒ append is
         // the from-scratch frame exactly (the q203 structural claim)
-        assert(incr.orderBy("media_id").collect().toSeq ==
-          scratch.orderBy("media_id").collect().toSeq, s"$name drift")
+        assert(incr.orderBy(sortCols.head, sortCols.tail: _*)
+          .collect().toSeq ==
+          scratch.orderBy(sortCols.head, sortCols.tail: _*)
+            .collect().toSeq, s"$name drift")
       }
       check("ml_video_fp", graft.queries.Media.videoSig,
         graft.queries.Media.syntheticMjpegVideos)
@@ -841,6 +844,12 @@ class PipelineSpec extends AnyFunSuite {
       check("ml_image_ph",
         m => graft.functions.Multimodal.perceptualHashes(m, 8),
         graft.queries.Media.syntheticDedupImages)
+      // the clip-detection leg (q213): distinct frame-hash SETS are a
+      // pure function of decoded content too (multi-row per video, so
+      // the drift compare sorts on the full key)
+      check("ml_video_fh", graft.queries.Media.videoFrameHashes,
+        graft.queries.Media.syntheticMjpegVideos,
+        sortCols = Seq("media_id", "h"))
     } finally {
       prev match {
         case Some(v) => s.conf.set("graft.artifacts.dir", v)
