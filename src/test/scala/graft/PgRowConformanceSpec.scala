@@ -189,4 +189,54 @@ class PgRowConformanceSpec extends AnyFunSuite {
         ArrayType(DoubleType, containsNull = false), s"column $c")
     }
   }
+
+  test("TIMESTAMPTZ decodes instant-preserving across DST edges, " +
+      "JVM-zone-independent (scalar and array)") {
+    import java.time.Instant
+    // The reference's select list excludes timestamptz (its engine
+    // panics on it — pg_datatypes_select.sql), so there is no reference
+    // golden value to port; this pins OUR §1.3 convention instead:
+    // timestamptz is an INSTANT (TimestampType), and the getter seam
+    // must preserve it even where the JVM default zone's wall clock is
+    // skipped or ambiguous. America/New_York 2025 edges: 02:xx on
+    // Mar 9 does not exist (spring-forward gap); 01:30 on Nov 2
+    // happens twice (two instants, one wall clock).
+    val instants = Seq(
+      "tstz_pre_gap" -> Instant.parse("2025-03-09T06:59:59Z"), // 01:59:59 EST
+      "tstz_post_gap" -> Instant.parse("2025-03-09T07:00:00Z"), // 03:00 EDT
+      "tstz_first_0130" -> Instant.parse("2025-11-02T05:30:00Z"), // 01:30 EDT
+      "tstz_second_0130" -> Instant.parse("2025-11-02T06:30:00Z")) // 01:30 EST
+    val cols = instants.map { case (n, _) =>
+      PgFixture.Col(n, java.sql.Types.TIMESTAMP, "timestamptz") } :+
+      PgFixture.Col("tstz_array", java.sql.Types.ARRAY, "_timestamptz")
+    val values: Map[String, Any] =
+      instants.map { case (n, i) =>
+        (n: String) -> (java.sql.Timestamp.from(i): Any) }.toMap +
+      ("tstz_array" -> instants.map(p =>
+        java.sql.Timestamp.from(p._2)).toArray[AnyRef])
+    val prevTz = java.util.TimeZone.getDefault
+    try {
+      // run the REAL conversion layer UNDER the affected zone — a
+      // wall-clock-mediated path would corrupt the gap/ambiguous values
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      val (sch, rs) = PgFixture.decodeRows(cols, values)
+      instants.foreach { case (n, want) =>
+        assert(sch(n).dataType == TimestampType, n)
+        val got = rs.head.get(sch.fieldIndex(n))
+          .asInstanceOf[java.sql.Timestamp].toInstant
+        assert(got == want, n)
+      }
+      // the two 01:30 wall clocks stay DISTINCT instants (exactly 1 h)
+      val a = rs.head.get(sch.fieldIndex("tstz_first_0130"))
+        .asInstanceOf[java.sql.Timestamp].getTime
+      val b = rs.head.get(sch.fieldIndex("tstz_second_0130"))
+        .asInstanceOf[java.sql.Timestamp].getTime
+      assert(b - a == 3600000L)
+      assert(sch("tstz_array").dataType == ArrayType(TimestampType))
+      val arr = rs.head.getSeq[java.sql.Timestamp](
+        sch.fieldIndex("tstz_array"))
+      assert(arr.map(_.toInstant) == instants.map(_._2))
+    } finally java.util.TimeZone.setDefault(prevTz)
+  }
 }
