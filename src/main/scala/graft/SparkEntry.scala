@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Classifier, CorpusQuality, CrawlIngest, Embeddings, Media, ReferenceParity, Relational, StreamingParity, TextPipeline, WordVectors}
+import graft.queries.{Classifier, CorpusQuality, CrawlIngest, Embeddings, Media, MediaIngest, ReferenceParity, Relational, StreamingParity, TextPipeline, WordVectors}
 
 /** Driver contract — every implemented operator from SURVEY.md §2 gets a
   * `queries` entry; every SQL-expressible one gets a matching DuckDB oracle
@@ -22,7 +22,7 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceParity.defs ++ Relational.defs ++ TextPipeline.defs ++
-      CorpusQuality.defs ++ Embeddings.defs ++ Media.defs ++
+      CorpusQuality.defs ++ Embeddings.defs ++ Media.defs ++ MediaIngest.defs ++
       StreamingParity.defs ++ CrawlIngest.defs ++ Classifier.defs ++
       WordVectors.defs
 
@@ -30,7 +30,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceParity.oracles ++ Relational.oracles ++ TextPipeline.oracles ++
-      CorpusQuality.oracles ++ Embeddings.oracles ++ Media.oracles ++
+      CorpusQuality.oracles ++ Embeddings.oracles ++ Media.oracles ++ MediaIngest.oracles ++
       StreamingParity.oracles ++ CrawlIngest.oracles ++ Classifier.oracles ++
       WordVectors.oracles
 }

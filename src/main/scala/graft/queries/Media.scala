@@ -275,7 +275,7 @@ object Media {
         coalesce(col("m.c1_max").cast("long"), sent).as("k3"))
   }
 
-  private val AudioKeys = Seq("channels", "bit_depth", "n_frames",
+  private[graft] val AudioKeys = Seq("channels", "bit_depth", "n_frames",
     "c0_sum", "c0_min", "c0_max", "k1", "k2", "k3")
 
   /** Per-video DISTINCT content frame hashes WITHOUT the frame index
@@ -897,7 +897,7 @@ object Media {
     * then the per-channel sample lists straight from the
     * SyntheticAudio formulas. Ends with `as_` = (media_id, ch, bits,
     * nf, trunc, c0, c1). */
-  private val audioSrcCtes: String =
+  private[graft] val audioSrcCtes: String =
     """WITH ap AS (
       |  SELECT doc_id AS media_id,
       |    CASE WHEN doc_id % 13 = 9 AND doc_id >= 9 AND
@@ -932,7 +932,7 @@ object Media {
     * frameSrc, block values per frame — the SyntheticVideo formulas
     * verbatim. Ends with `vs` = (media_id, us, w, h, nf, frame_idx,
     * bv list). */
-  private val videoSrcCtes: String =
+  private[graft] val videoSrcCtes: String =
     """WITH vsrc AS (
       |  SELECT doc_id AS media_id,
       |    (40000 + (doc_id % 7) * 5000)::BIGINT AS us,
