@@ -97,6 +97,79 @@ object SyntheticImage {
       }
     } else payload(id)
 
+  // ---- the q215 cross-modal still plant ----------------------------
+  // Every 23rd id (id % 23 == 7) is a grayscale PNG whose raster IS
+  // frame 0 of video id−7 ([[SyntheticVideo]]'s 8×8 constant-block
+  // formula) — the "image is a still of a corpus video" case a
+  // cross-modal dedup must catch. Sources only from videos that
+  // decode (not truncated) and whose frames are their OWN formula
+  // (plant-free), so the oracle stays CASE-expressible.
+
+  private def stillSourceOk(vid: Long): Boolean =
+    vid % 11 != 5 && !(vid % 13 == 4 && vid >= 4) &&
+      !(vid % 19 == 6 && vid >= 6)
+
+  def isStillPlant(id: Long): Boolean =
+    id % 23 == 7 && id >= 7 && stillSourceOk(id - 7)
+
+  /** The q215 fixture payload: base images plus planted video stills
+    * (frame-0 raster of video id−7, encoded as a REAL grayscale PNG —
+    * different codec, different bytes, same decoded pixels as the
+    * MJPEG frame). */
+  def stillPayload(id: Long): Array[Byte] =
+    if (isStillPlant(id)) {
+      val vid = id - 7
+      val w = ((vid % 3) + 1).toInt * 8
+      val h = ((vid % 2) + 1).toInt * 8
+      pngGrayRaster(w, h, i => {
+        val b = (i / w / 8) * (w / 8) + (i % w) / 8
+        ((vid * 7 + b * 3) % 256).toInt
+      })
+    } else payload(id)
+
+  /** 8-bit grayscale PNG over an arbitrary raster formula (filter
+    * None rows, one real zlib IDAT — the [[png]] envelope with the
+    * pixel source abstracted). */
+  private def pngGrayRaster(w: Int, h: Int, f: Int => Int): Array[Byte] = {
+    val raw = new Array[Byte](h * (1 + w))
+    var o = 0
+    var y = 0
+    while (y < h) {
+      raw(o) = 0 // filter None
+      o += 1
+      var x = 0
+      while (x < w) {
+        raw(o) = f(y * w + x).toByte
+        o += 1
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new Deflater()
+    defl.setInput(raw)
+    defl.finish()
+    val zbuf = new Array[Byte](raw.length + 128)
+    val zout = new ByteArrayOutputStream()
+    while (!defl.finished()) {
+      val n = defl.deflate(zbuf)
+      zout.write(zbuf, 0, n)
+    }
+    defl.end()
+    val ihdr = new ByteArrayOutputStream()
+    be32(ihdr, w); be32(ihdr, h)
+    ihdr.write(8)
+    ihdr.write(0) // grayscale
+    ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    def put(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    put(chunk("IHDR", ihdr.toByteArray))
+    put(chunk("IDAT", zout.toByteArray))
+    put(chunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
   private def be32(out: ByteArrayOutputStream, v: Int): Unit = {
     out.write((v >>> 24) & 0xFF); out.write((v >>> 16) & 0xFF)
     out.write((v >>> 8) & 0xFF); out.write(v & 0xFF)

@@ -278,6 +278,20 @@ object Media {
   private[graft] val AudioKeys = Seq("channels", "bit_depth", "n_frames",
     "c0_sum", "c0_min", "c0_max", "k1", "k2", "k3")
 
+  /** The q215 cross-modal fixture: [[syntheticValidImages]]'s grammar
+    * plus the [[graft.functions.SyntheticImage.stillPayload]] plant —
+    * every 23rd image is a REAL grayscale PNG whose raster is frame 0
+    * of video id−7 (different codec, different bytes, same decoded
+    * pixels). (media_id, payload). */
+  private[graft] def syntheticStillImages(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id =>
+        (id, graft.functions.SyntheticImage.stillPayload(id))))
+      .toDF("media_id", "payload")
+  }
+
   /** Per-video DISTINCT content frame hashes WITHOUT the frame index
     * (time-shift-tolerant — the q205 signature): one row per (video,
     * distinct frame content), bounded by frame count. (media_id, h). */
@@ -876,6 +890,46 @@ object Media {
             .as("overlap_ppm"))
         .where(col("overlap_ppm") >= 500000L)
         .orderBy("m1", "m2")
+    }),
+
+    // ---- q215: cross-modal containment — images that are video stills ---
+    // The dedup family's CROSS-MODAL member: a training-data pipeline
+    // ingesting images AND videos must catch an image that is a frame
+    // of a corpus video (thumbnails, still exports, key-frame scrapes)
+    // — neither q207 (image↔image) nor q205 (video↔video) sees it.
+    // Signature = the SAME frame-content stat tuple the video family
+    // keys on ((w, h, p_sum, p_min, p_max) — the q205 grain): the
+    // image side decodes through decodePixels (gated to grayscale:
+    // all three channel stat tuples equal — a color photo can't be a
+    // grayscale MJPEG frame), the video side through the exchange-free
+    // frame decode, and candidates are one hash join on the stat
+    // tuple; the fixture plants REAL grayscale PNGs carrying frame-0
+    // rasters of plant-free videos (different codec, same pixels).
+    // Stats are order-insensitive, so the match is robust to block
+    // scan order by construction. Scale: decode rides both scans;
+    // the join shuffles image-grain + distinct-frame-grain rows only.
+    "q215_cross_modal_stills" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val ist = graft.functions.Multimodal.decodePixels(
+          syntheticStillImages(docs))
+        .where(col("format").isNotNull &&
+          col("r_sum") === col("g_sum") && col("r_min") === col("g_min") &&
+          col("r_max") === col("g_max") &&
+          col("r_sum") === col("b_sum") && col("r_min") === col("b_min") &&
+          col("r_max") === col("b_max"))
+        .select(col("media_id").as("img_id"), col("width").as("w"),
+          col("height").as("h"), col("r_sum").as("ps"),
+          col("r_min").as("pmn"), col("r_max").as("pmx"))
+      val vf = graft.functions.Multimodal.decodeVideoFrames(
+          syntheticMjpegVideos(docs))
+        .select(col("media_id").as("video_id"), col("width").as("w"),
+          col("height").as("h"), col("p_sum").as("ps"),
+          col("p_min").as("pmn"), col("p_max").as("pmx"))
+        .distinct()
+      ist.join(vf, Seq("w", "h", "ps", "pmn", "pmx"))
+        .select(col("img_id"), col("video_id"), col("w").as("width"),
+          col("h").as("height"))
+        .orderBy("img_id", "video_id")
     }),
 
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
@@ -1689,6 +1743,70 @@ object Media {
         |WHERE (n_shared * 1000000) // least(na.n, nb.n) >= 500000
         |  AND m2 >= (SELECT (max(doc_id) * 4) // 5 FROM documents)
         |ORDER BY m1, m2""".stripMargin),
+
+    // both sides from the formulas: distinct per-video frame stat
+    // tuples vs per-image channel stats (still plants use the video
+    // frame-0 block formula; base images the pixel formula with the
+    // grayscale gate) — the join replays the engine's exactly
+    "q215_cross_modal_stills" ->
+      (videoSrcCtes + """, vfd AS (
+        |  SELECT DISTINCT media_id AS video_id, w, h,
+        |    (64 * list_sum(bv))::BIGINT AS ps,
+        |    list_min(bv)::BIGINT AS pmn,
+        |    list_max(bv)::BIGINT AS pmx
+        |  FROM vs
+        |), sp AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 23 = 7 AND doc_id >= 7
+        |              AND (doc_id-7) % 11 <> 5
+        |              AND NOT ((doc_id-7) % 13 = 4 AND doc_id-7 >= 4)
+        |              AND NOT ((doc_id-7) % 19 = 6 AND doc_id-7 >= 6)
+        |         THEN 1 ELSE 0 END AS still
+        |  FROM documents
+        |), sdim AS (
+        |  SELECT media_id, still,
+        |    (CASE WHEN still = 1 THEN ((media_id-7) % 3 + 1) * 8
+        |          ELSE media_id % 13 + 1 END)::BIGINT AS w,
+        |    (CASE WHEN still = 1 THEN ((media_id-7) % 2 + 1) * 8
+        |          ELSE media_id % 11 + 1 END)::BIGINT AS h
+        |  FROM sp
+        |), ibase AS (
+        |  SELECT media_id, w, h,
+        |    list_transform(range(0, w*h), i -> (media_id*7 + 3*i) % 256)
+        |      AS lr,
+        |    list_transform(range(0, w*h), i -> (media_id*mg + 3*i) % 256)
+        |      AS lg,
+        |    list_transform(range(0, w*h), i -> (media_id*mb + 3*i) % 256)
+        |      AS lb
+        |  FROM (SELECT media_id, w, h,
+        |          CASE WHEN media_id % 3 = 0 THEN 11 ELSE 7 END AS mg,
+        |          CASE WHEN media_id % 3 = 0 THEN 13 ELSE 7 END AS mb
+        |        FROM sdim WHERE still = 0)
+        |), istat AS (
+        |  SELECT media_id, w, h,
+        |    list_sum(lr)::BIGINT AS ps, list_min(lr)::BIGINT AS pmn,
+        |    list_max(lr)::BIGINT AS pmx
+        |  FROM ibase
+        |  WHERE list_sum(lr) = list_sum(lg)
+        |    AND list_min(lr) = list_min(lg)
+        |    AND list_max(lr) = list_max(lg)
+        |    AND list_sum(lr) = list_sum(lb)
+        |    AND list_min(lr) = list_min(lb)
+        |    AND list_max(lr) = list_max(lb)
+        |  UNION ALL
+        |  SELECT media_id, w, h,
+        |    (64 * list_sum(sv))::BIGINT, list_min(sv)::BIGINT,
+        |    list_max(sv)::BIGINT
+        |  FROM (SELECT media_id, w, h,
+        |          list_transform(range(0, (w // 8) * (h // 8)),
+        |            b -> ((media_id-7)*7 + b*3) % 256) AS sv
+        |        FROM sdim WHERE still = 1)
+        |)
+        |SELECT i.media_id AS img_id, v.video_id,
+        |  i.w AS width, i.h AS height
+        |FROM istat i JOIN vfd v ON i.w = v.w AND i.h = v.h
+        |  AND i.ps = v.ps AND i.pmn = v.pmn AND i.pmx = v.pmx
+        |ORDER BY img_id, video_id""".stripMargin),
 
     "q33_frame_sample" ->
       """WITH f AS (
