@@ -112,20 +112,36 @@ object SyntheticImage {
   def isStillPlant(id: Long): Boolean =
     id % 23 == 7 && id >= 7 && stillSourceOk(id - 7)
 
-  /** The q215 fixture payload: base images plus planted video stills
-    * (frame-0 raster of video id−7, encoded as a REAL grayscale PNG —
-    * different codec, different bytes, same decoded pixels as the
-    * MJPEG frame). */
-  def stillPayload(id: Long): Array[Byte] =
-    if (isStillPlant(id)) {
-      val vid = id - 7
+  /** The FAR still plant (id % 29 == 11, near plant wins ties): the
+    * source video is id/2 — a MULTIPLICATIVE back-reference, so at any
+    * corpus size a late-arriving image's source sits in the first half
+    * of the id space, BELOW every 4/5 batch cut: the cross-epoch case
+    * the incremental form (q216) exists for. */
+  def isFarStillPlant(id: Long): Boolean =
+    id % 29 == 11 && !isStillPlant(id) && stillSourceOk(id / 2)
+
+  /** Source video id of a still plant, or −1. */
+  def stillSourceOf(id: Long): Long =
+    if (isStillPlant(id)) id - 7
+    else if (isFarStillPlant(id)) id / 2
+    else -1L
+
+  /** The q215/q216 fixture payload: base images plus planted video
+    * stills (frame-0 raster of the source video, encoded as a REAL
+    * grayscale PNG — different codec, different bytes, same decoded
+    * pixels as the MJPEG frame). */
+  def stillPayload(id: Long): Array[Byte] = {
+    val vid = stillSourceOf(id)
+    if (vid < 0) payload(id)
+    else {
       val w = ((vid % 3) + 1).toInt * 8
       val h = ((vid % 2) + 1).toInt * 8
       pngGrayRaster(w, h, i => {
         val b = (i / w / 8) * (w / 8) + (i % w) / 8
         ((vid * 7 + b * 3) % 256).toInt
       })
-    } else payload(id)
+    }
+  }
 
   /** 8-bit grayscale PNG over an arbitrary raster formula (filter
     * None rows, one real zlib IDAT — the [[png]] envelope with the

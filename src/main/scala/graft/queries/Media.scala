@@ -932,6 +932,45 @@ object Media {
         .orderBy("img_id", "video_id")
     }),
 
+    // ---- q216: INCREMENTAL cross-modal stills ----------------------------
+    // q215's crawl square, and the artifact-sharing payoff: the
+    // per-video distinct frame-hash artifact q213 persists (video_fh —
+    // hash60 over the SAME (w:h:sum:min:max) tuple) IS the cross-modal
+    // index, because a grayscale image's stat tuple hashes identically.
+    // Each image batch decodes ONLY itself, hashes its tuple, and
+    // probes the artifact — zero video re-decodes, zero new artifacts,
+    // batch-proportional throughout. Output: batch images matched to
+    // OLD-corpus videos (the crawl question: "is this incoming image a
+    // still of something we already have?"). Oracle = the q215 join
+    // filtered to img ≥ cut, video < cut.
+    "q216_incremental_cross_modal" -> ((s, dir) => {
+      val docs = Graft.parquetSource(s, dir).table("documents")
+      val cut = BatchCut.cut(s, docs, "doc_id")
+      val fpr = Some(s"$dir/documents.parquet")
+      val baseP = graft.sources.SideTable.ensure(s, "video_fh",
+        s"$dir#$cut", fpr) {
+        videoFrameHashes(syntheticMjpegVideos(
+          docs.where(col("doc_id") < cut)))
+      }
+      val ist = graft.functions.Multimodal.decodePixels(
+          syntheticStillImages(docs.where(col("doc_id") >= cut)))
+        .where(col("format").isNotNull &&
+          col("r_sum") === col("g_sum") && col("r_min") === col("g_min") &&
+          col("r_max") === col("g_max") &&
+          col("r_sum") === col("b_sum") && col("r_min") === col("b_min") &&
+          col("r_max") === col("b_max"))
+        .select(col("media_id").as("img_id"),
+          col("width"), col("height"),
+          graft.functions.TextFunctions.hash60(concat_ws(":",
+            col("width"), col("height"), col("r_sum"), col("r_min"),
+            col("r_max"))).as("h"))
+      ist.join(s.read.parquet(baseP)
+          .select(col("media_id").as("video_id"), col("h")), Seq("h"))
+        .select(col("img_id"), col("video_id"), col("width"),
+          col("height"))
+        .orderBy("img_id", "video_id")
+    }),
+
     // ---- q33: frame sampling — every 4th 16-byte frame -----------------
     "q33_frame_sample" -> ((s, dir) => {
       val frames = sampleFrames(col("payload"), 16, 4)
@@ -1060,6 +1099,74 @@ object Media {
       |    (src % 13 + 1)::BIGINT AS w, (src % 11 + 1)::BIGINT AS h,
       |    (src % 3)::INT AS sfmt
       |  FROM idd
+      |)""".stripMargin
+
+  /** The shared q215/q216 still-image stat CTEs (expects a preceding
+    * `sdocs(doc_id)` CTE selecting the image ids in scope): the
+    * [[graft.functions.SyntheticImage.stillSourceOf]] plant grammar —
+    * near plant id−7 (id % 23 == 7), FAR plant id/2 (id % 29 == 11,
+    * near wins ties; the multiplicative back-reference that stays
+    * below every 4/5 cut) — then per-image (w, h, ps, pmn, pmx) stat
+    * tuples: still plants from the source video's frame-0 block
+    * formula, base images from the pixel formula under the grayscale
+    * gate. Ends with `istat`. */
+  private val stillStatCtes: String =
+    """, sp AS (
+      |  SELECT media_id,
+      |    CASE WHEN nearp = 1 THEN media_id - 7
+      |         WHEN media_id % 29 = 11 AND nearp = 0
+      |              AND (media_id // 2) % 11 <> 5
+      |              AND NOT ((media_id // 2) % 13 = 4
+      |                       AND media_id // 2 >= 4)
+      |              AND NOT ((media_id // 2) % 19 = 6
+      |                       AND media_id // 2 >= 6)
+      |         THEN media_id // 2
+      |         ELSE -1 END AS svid
+      |  FROM (SELECT doc_id AS media_id,
+      |          CASE WHEN doc_id % 23 = 7 AND doc_id >= 7
+      |                    AND (doc_id-7) % 11 <> 5
+      |                    AND NOT ((doc_id-7) % 13 = 4 AND doc_id-7 >= 4)
+      |                    AND NOT ((doc_id-7) % 19 = 6 AND doc_id-7 >= 6)
+      |               THEN 1 ELSE 0 END AS nearp
+      |        FROM sdocs)
+      |), sdim AS (
+      |  SELECT media_id, svid,
+      |    (CASE WHEN svid >= 0 THEN (svid % 3 + 1) * 8
+      |          ELSE media_id % 13 + 1 END)::BIGINT AS w,
+      |    (CASE WHEN svid >= 0 THEN (svid % 2 + 1) * 8
+      |          ELSE media_id % 11 + 1 END)::BIGINT AS h
+      |  FROM sp
+      |), ibase AS (
+      |  SELECT media_id, w, h,
+      |    list_transform(range(0, w*h), i -> (media_id*7 + 3*i) % 256)
+      |      AS lr,
+      |    list_transform(range(0, w*h), i -> (media_id*mg + 3*i) % 256)
+      |      AS lg,
+      |    list_transform(range(0, w*h), i -> (media_id*mb + 3*i) % 256)
+      |      AS lb
+      |  FROM (SELECT media_id, w, h,
+      |          CASE WHEN media_id % 3 = 0 THEN 11 ELSE 7 END AS mg,
+      |          CASE WHEN media_id % 3 = 0 THEN 13 ELSE 7 END AS mb
+      |        FROM sdim WHERE svid < 0)
+      |), istat AS (
+      |  SELECT media_id, w, h,
+      |    list_sum(lr)::BIGINT AS ps, list_min(lr)::BIGINT AS pmn,
+      |    list_max(lr)::BIGINT AS pmx
+      |  FROM ibase
+      |  WHERE list_sum(lr) = list_sum(lg)
+      |    AND list_min(lr) = list_min(lg)
+      |    AND list_max(lr) = list_max(lg)
+      |    AND list_sum(lr) = list_sum(lb)
+      |    AND list_min(lr) = list_min(lb)
+      |    AND list_max(lr) = list_max(lb)
+      |  UNION ALL
+      |  SELECT media_id, w, h,
+      |    (64 * list_sum(sv))::BIGINT, list_min(sv)::BIGINT,
+      |    list_max(sv)::BIGINT
+      |  FROM (SELECT media_id, w, h,
+      |          list_transform(range(0, (w // 8) * (h // 8)),
+      |            b -> (svid*7 + b*3) % 256) AS sv
+      |        FROM sdim WHERE svid >= 0)
       |)""".stripMargin
 
   /** [[imgPlantCtes]] + the per-channel decoded pixel lists straight
@@ -1745,62 +1852,38 @@ object Media {
         |ORDER BY m1, m2""".stripMargin),
 
     // both sides from the formulas: distinct per-video frame stat
-    // tuples vs per-image channel stats (still plants use the video
-    // frame-0 block formula; base images the pixel formula with the
-    // grayscale gate) — the join replays the engine's exactly
+    // tuples vs per-image channel stats (still plants use the source
+    // video's frame-0 block formula; base images the pixel formula
+    // with the grayscale gate) — the join replays the engine's exactly
     "q215_cross_modal_stills" ->
-      (videoSrcCtes + """, vfd AS (
+      (videoSrcCtes +
+        ", sdocs AS (SELECT doc_id FROM documents)" +
+        stillStatCtes + """, vfd AS (
         |  SELECT DISTINCT media_id AS video_id, w, h,
         |    (64 * list_sum(bv))::BIGINT AS ps,
         |    list_min(bv)::BIGINT AS pmn,
         |    list_max(bv)::BIGINT AS pmx
         |  FROM vs
-        |), sp AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 23 = 7 AND doc_id >= 7
-        |              AND (doc_id-7) % 11 <> 5
-        |              AND NOT ((doc_id-7) % 13 = 4 AND doc_id-7 >= 4)
-        |              AND NOT ((doc_id-7) % 19 = 6 AND doc_id-7 >= 6)
-        |         THEN 1 ELSE 0 END AS still
-        |  FROM documents
-        |), sdim AS (
-        |  SELECT media_id, still,
-        |    (CASE WHEN still = 1 THEN ((media_id-7) % 3 + 1) * 8
-        |          ELSE media_id % 13 + 1 END)::BIGINT AS w,
-        |    (CASE WHEN still = 1 THEN ((media_id-7) % 2 + 1) * 8
-        |          ELSE media_id % 11 + 1 END)::BIGINT AS h
-        |  FROM sp
-        |), ibase AS (
-        |  SELECT media_id, w, h,
-        |    list_transform(range(0, w*h), i -> (media_id*7 + 3*i) % 256)
-        |      AS lr,
-        |    list_transform(range(0, w*h), i -> (media_id*mg + 3*i) % 256)
-        |      AS lg,
-        |    list_transform(range(0, w*h), i -> (media_id*mb + 3*i) % 256)
-        |      AS lb
-        |  FROM (SELECT media_id, w, h,
-        |          CASE WHEN media_id % 3 = 0 THEN 11 ELSE 7 END AS mg,
-        |          CASE WHEN media_id % 3 = 0 THEN 13 ELSE 7 END AS mb
-        |        FROM sdim WHERE still = 0)
-        |), istat AS (
-        |  SELECT media_id, w, h,
-        |    list_sum(lr)::BIGINT AS ps, list_min(lr)::BIGINT AS pmn,
-        |    list_max(lr)::BIGINT AS pmx
-        |  FROM ibase
-        |  WHERE list_sum(lr) = list_sum(lg)
-        |    AND list_min(lr) = list_min(lg)
-        |    AND list_max(lr) = list_max(lg)
-        |    AND list_sum(lr) = list_sum(lb)
-        |    AND list_min(lr) = list_min(lb)
-        |    AND list_max(lr) = list_max(lb)
-        |  UNION ALL
-        |  SELECT media_id, w, h,
-        |    (64 * list_sum(sv))::BIGINT, list_min(sv)::BIGINT,
-        |    list_max(sv)::BIGINT
-        |  FROM (SELECT media_id, w, h,
-        |          list_transform(range(0, (w // 8) * (h // 8)),
-        |            b -> ((media_id-7)*7 + b*3) % 256) AS sv
-        |        FROM sdim WHERE still = 1)
+        |)
+        |SELECT i.media_id AS img_id, v.video_id,
+        |  i.w AS width, i.h AS height
+        |FROM istat i JOIN vfd v ON i.w = v.w AND i.h = v.h
+        |  AND i.ps = v.ps AND i.pmn = v.pmn AND i.pmx = v.pmx
+        |ORDER BY img_id, video_id""".stripMargin),
+
+    // the q215 join filtered to batch images vs old-corpus videos
+    "q216_incremental_cross_modal" ->
+      (videoSrcCtes +
+        """, sdocs AS (SELECT doc_id FROM documents
+          |  WHERE doc_id >= (SELECT (max(doc_id) * 4) // 5
+          |                   FROM documents))""".stripMargin +
+        stillStatCtes + """, vfd AS (
+        |  SELECT DISTINCT media_id AS video_id, w, h,
+        |    (64 * list_sum(bv))::BIGINT AS ps,
+        |    list_min(bv)::BIGINT AS pmn,
+        |    list_max(bv)::BIGINT AS pmx
+        |  FROM vs
+        |  WHERE media_id < (SELECT (max(doc_id) * 4) // 5 FROM documents)
         |)
         |SELECT i.media_id AS img_id, v.video_id,
         |  i.w AS width, i.h AS height
