@@ -295,6 +295,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q215/q216: cross-modal decode legs are exchange-free; the " +
+      "incremental form cut-pushes the batch image scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // q215's two decode legs (the q179 codec-seam shape each)
+    for (df <- Seq(
+        graft.functions.Multimodal.decodePixels(
+          graft.queries.Media.syntheticStillImages(docs)),
+        graft.functions.Multimodal.decodeVideoFrames(
+          graft.queries.Media.syntheticMjpegVideos(docs)))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"decode moves data:\n$p")
+      assert(p.contains("MapPartitions"), s"codec seam missing:\n$p")
+    }
+    // q216: only BATCH images decode — the cut reaches the parquet scan
+    val p2 = graft.functions.Multimodal.decodePixels(
+        graft.queries.Media.syntheticStillImages(
+          docs.where(org.apache.spark.sql.functions.col("doc_id") >= 40)))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("GreaterThanOrEqual(doc_id"),
+      s"q216 batch cut not pushed to the documents scan:\n$p2")
+    assert(!p2.contains("Exchange"), s"batch decode moves data:\n$p2")
+  }
+
   test("q174: doc-vector composition broadcasts the word-vector frame " +
       "— the corpus never shuffles by word") {
     // the k·V word-vector frame is metadata-grain at ANY corpus size,
