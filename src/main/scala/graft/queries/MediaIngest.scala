@@ -78,42 +78,72 @@ object MediaIngest {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import graft.sources.SideTable
 
+    // Phase timing (stderr, off by default) — the q111 decomposition
+    // discipline: fixed overhead (snapshot ensure, state seed) vs
+    // per-epoch member work must be separable before optimizing.
+    val timing =
+      s.conf.getOption("graft.stream.timing").contains("true") ||
+        sys.env.get("SPARK_GRAFT_STREAM_TIMING").contains("1")
+    def timed[T](label: String)(body: => T): T =
+      if (!timing) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[q214-timing] $label ${
+          (System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+
     val d = Graft.parquetSource(s, dir).table("documents")
     val cut = BatchCut.cut(s, d)
     val fpr = Some(s"$dir/documents.parquet")
 
     // frozen snapshot artifacts — identity-SHARED with q209/q210/q213
-    val snapFp = SideTable.ensure(s, "video_fp", s"$dir#$cut", fpr) {
+    val snapFp = timed("ensure-video_fp")(SideTable.ensure(s, "video_fp", s"$dir#$cut", fpr) {
       Media.videoSig(Media.syntheticMjpegVideos(
         d.where(col("doc_id") < cut)))
-    }
-    val snapFh = SideTable.ensure(s, "video_fh", s"$dir#$cut", fpr) {
+    })
+    val snapFh = timed("ensure-video_fh")(SideTable.ensure(s, "video_fh", s"$dir#$cut", fpr) {
       Media.videoFrameHashes(Media.syntheticMjpegVideos(
         d.where(col("doc_id") < cut)))
-    }
-    val snapAu = SideTable.ensure(s, "audio_fp", s"$dir#$cut", fpr) {
+    })
+    val snapAu = timed("ensure-audio_fp")(SideTable.ensure(s, "audio_fp", s"$dir#$cut", fpr) {
       Media.audioStats(Media.syntheticPcmAudio(
         d.where(col("doc_id") < cut)))
-    }
+    })
 
-    // per-run accumulated state (the q76/q111 discipline): seeded from
-    // the snapshots under a transient refresh so reruns are idempotent;
-    // application id in the identity so concurrent JVMs never share
+    // per-run accumulated state (the q76/q111 discipline): DELTA-ONLY
+    // artifacts seeded EMPTY (schema from the snapshots) under a
+    // transient refresh so reruns are idempotent; every probe reads
+    // snapshot ∪ delta — the same rows the old copied-snapshot seed
+    // held, without re-writing the whole snapshot per run (guide §2.3:
+    // don't move bytes a scan-side union can reference in place).
+    // Application id in the identity so concurrent JVMs never share
     // in-flight state. A deployment that RESUMES ingestion keeps the
     // artifacts and skips the refresh.
     val runKey = s"$dir#$cut#mediaingest#${s.sparkContext.applicationId}"
     val prevRefresh = s.conf.getOption("graft.artifacts.refresh")
     s.conf.set("graft.artifacts.refresh", "true")
-    val (seenFp, seenFh, seenAu) =
-      try (
-        SideTable.ensure(s, "media_seen_fp", runKey, fpr) {
-          s.read.parquet(snapFp) },
-        SideTable.ensure(s, "media_seen_fh", runKey, fpr) {
-          s.read.parquet(snapFh) },
-        SideTable.ensure(s, "media_seen_au", runKey, fpr) {
-          s.read.parquet(snapAu) })
-      finally prevRefresh.fold(s.conf.unset("graft.artifacts.refresh"))(
+    val (seenFp, seenFh, seenAu) = timed("seed-state") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: scala.concurrent.ExecutionContext = memberEc
+      try {
+        // three independent tiny ensure-writes — concurrent futures
+        val fs = Seq("media_seen_fp" -> snapFp, "media_seen_fh" -> snapFh,
+          "media_seen_au" -> snapAu).map { case (n, snap) =>
+          Future(SideTable.ensure(s, n, runKey, fpr) {
+            s.read.parquet(snap).limit(0) })
+        }
+        val Seq(a, b, c) = fs.map(Await.result(_, 60.minutes))
+        (a, b, c)
+      } finally prevRefresh.fold(s.conf.unset("graft.artifacts.refresh"))(
         v => s.conf.set("graft.artifacts.refresh", v))
+    }
+    // the accumulated view each member probes: frozen snapshot ∪ the
+    // arrived deltas (identical rows to the old seeded copy)
+    def seenView(snap: String, delta: String): DataFrame =
+      s.read.parquet(snap).unionByName(s.read.parquet(delta))
 
     // driver-side id collect = the MemoryStream harness seam (bounded
     // by |stream|; a deployment's source is Kafka/files)
@@ -126,7 +156,8 @@ object MediaIngest {
         math.max(1, (ids.length + nEpochs - 1) / nEpochs)).toSeq
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[Long]
-    val recs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val recs = scala.collection.mutable.ArrayBuffer
+      .empty[scala.concurrent.Future[DataFrame]]
 
     val query = ms.toDF().toDF("doc_id").writeStream
       .outputMode("append")
@@ -134,32 +165,45 @@ object MediaIngest {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.DurationInt
         implicit val ec: scala.concurrent.ExecutionContext = memberEc
+        val bodyT0 = System.nanoTime()
+        def mark(l: String): Unit = if (timing)
+          System.err.println(f"[q214-timing]   epoch-$epochNo +$l%-10s ${
+            (System.nanoTime() - bodyT0) / 1e9}%.3f s")
         val batchDocs =
           d.join(broadcast(epochIds), Seq("doc_id"), "left_semi")
         val bids = epochIds.select(col("doc_id").as("media_id"))
 
-        // ONE decode pass per modality per epoch, shared by all members
-        val frames = graft.functions.Multimodal.decodeVideoFrames(
-            Media.syntheticMjpegVideos(batchDocs))
-          .localCheckpoint() // sig AND frame-hash projections
-        val batchSig = frames.select(col("media_id"), hIdx.as("h"))
-          .groupBy(col("media_id"))
-          .agg(sum(col("h")).as("fp"),
-            count(lit(1)).cast("long").as("n_frames"))
-          .localCheckpoint() // verdict member AND the state append
-        val batchFh = frames.select(col("media_id"), hNoIdx.as("h"))
-          .distinct()
-          .localCheckpoint() // clip member AND the state append
+        // ONE decode pass per modality per epoch, shared by all members.
+        // The PCM decode runs on a future FIRST so it overlaps the video
+        // decode (guide §2.6 — independent jobs back-fill each other);
+        // the two batch fingerprint projections then materialize on
+        // futures too, so neither serializes the other on the driver.
         val fAudioStats = Future {
           Media.audioStats(Media.syntheticPcmAudio(batchDocs))
             .localCheckpoint() // verdict member AND the state append
         }
+        val frames = graft.functions.Multimodal.decodeVideoFrames(
+            Media.syntheticMjpegVideos(batchDocs))
+          .localCheckpoint() // sig AND frame-hash projections
+        mark("frames")
+        val fSig = Future {
+          frames.select(col("media_id"), hIdx.as("h"))
+            .groupBy(col("media_id"))
+            .agg(sum(col("h")).as("fp"),
+              count(lit(1)).cast("long").as("n_frames"))
+            .localCheckpoint() // verdict member AND the state append
+        }
+        val fFh = Future {
+          frames.select(col("media_id"), hNoIdx.as("h"))
+            .distinct()
+            .localCheckpoint() // clip member AND the state append
+        }
 
         // video content-dedup member: arrival-time window verdicts over
         // the collision-RELEVANT slice of accumulated ∪ batch
-        val fVideo = Future {
+        val fVideo = fSig.map { batchSig =>
           val bFps = batchSig.select(col("fp")).distinct()
-          val rel = s.read.parquet(seenFp).unionByName(batchSig)
+          val rel = seenView(snapFp, seenFp).unionByName(batchSig)
             .join(broadcast(bFps), Seq("fp"), "left_semi")
           val w = Window.partitionBy(col("fp")).orderBy(col("media_id"))
           rel.select(col("media_id"), col("fp"),
@@ -174,7 +218,7 @@ object MediaIngest {
         val fAudio = fAudioStats.map { batchAu =>
           val keys = Media.AudioKeys
           val bKeys = batchAu.select(keys.map(col): _*).distinct()
-          val rel = s.read.parquet(seenAu).unionByName(batchAu)
+          val rel = seenView(snapAu, seenAu).unionByName(batchAu)
             .join(broadcast(bKeys), keys, "left_semi")
           val w = Window.partitionBy(keys.map(col): _*)
             .orderBy(col("media_id"))
@@ -188,11 +232,15 @@ object MediaIngest {
 
         // clip member: q213's probe per epoch — relevant rows only,
         // denominators fetched for candidate videos alone
-        val fClip = Future {
+        val fClip = fFh.map { batchFh =>
           val bHs = batchFh.select(col("h")).distinct()
-          val all = s.read.parquet(seenFh).unionByName(batchFh)
+          val all = seenView(snapFh, seenFh).unionByName(batchFh)
           // whole buckets survive the semi-join (membership is by h),
-          // so relevant-slice bucket counts equal full-corpus counts
+          // so relevant-slice bucket counts equal full-corpus counts.
+          // Checkpointed: three consumers (the cap's stats job, both
+          // shared-join sides) — measured 0.3 s/epoch FASTER than
+          // re-running the semi-join per consumer (guide §1.1: tried
+          // lazy, reverted on measurement)
           val rel = all.join(broadcast(bHs), Seq("h"), "left_semi")
             .localCheckpoint()
           val capped = graft.ops.Dedup.capBuckets(rel, Seq("h"), s,
@@ -225,12 +273,34 @@ object MediaIngest {
         }
 
         val vver = Await.result(fVideo, 60.minutes)
+        mark("video")
         val (batchAu, aver) = Await.result(fAudio, 60.minutes)
+        mark("audio")
         val clip = Await.result(fClip, 60.minutes)
+        mark("clip")
+        val batchSig = Await.result(fSig, 60.minutes)
+        val batchFh = Await.result(fFh, 60.minutes)
+
+        // state transitions AFTER scoring — three independent
+        // artifacts, visible to every later epoch's probes; they stay
+        // inside the epoch barrier (later epochs read them), while the
+        // record assembly below overlaps them AND the next epoch
+        val fAppends = Seq(
+          Future(SideTable.append(s, "media_seen_fp", runKey, fpr)(
+            batchSig)),
+          Future(SideTable.append(s, "media_seen_fh", runKey, fpr)(
+            batchFh)),
+          Future(SideTable.append(s, "media_seen_au", runKey, fpr)(
+            batchAu)))
 
         // the batch record: −1 sentinels for undecodable modalities
-        // (is_dup computed BEFORE its n_prior is sentinel-folded)
-        recs += bids
+        // (is_dup computed BEFORE its n_prior is sentinel-folded).
+        // PURE COMPOSITION over already-checkpointed member frames, so
+        // it materializes on a background future that overlaps the next
+        // epoch (the q111 assembly discipline; only the final epoch's
+        // assembly is paid as a tail, awaited before stop() — memberEc
+        // threads inherit the streaming job group, which stop() cancels)
+        recs += Future { bids
           .join(vver, Seq("media_id"), "left")
           .join(aver, Seq("media_id"), "left")
           .join(clip, Seq("media_id"), "left")
@@ -247,25 +317,25 @@ object MediaIngest {
               .as("a_is_dup"),
             coalesce(col("cp"), lit(0L)).as("clip_pairs"))
           .localCheckpoint()
-
-        // state transitions AFTER scoring — three independent
-        // artifacts, visible to every later epoch's probes
-        Seq(
-          Future(SideTable.append(s, "media_seen_fp", runKey, fpr)(
-            batchSig)),
-          Future(SideTable.append(s, "media_seen_fh", runKey, fpr)(
-            batchFh)),
-          Future(SideTable.append(s, "media_seen_au", runKey, fpr)(
-            batchAu)))
-          .foreach(Await.result(_, 60.minutes))
+        }
+        mark("record")
+        fAppends.foreach(Await.result(_, 60.minutes))
+        mark("appends")
         ()
       }
       .start()
     try {
       chunks.foreach { c => ms.addData(c); query.processAllAvailable() }
+      // final epoch's assembly must land BEFORE stop() — see the
+      // record-future comment above (job-group cancellation)
+      timed("assembly-tail")(recs.foreach(
+        scala.concurrent.Await.ready(_,
+          scala.concurrent.duration.Duration(60, "minutes"))))
     } finally query.stop()
 
-    recs.reduceOption(_ unionByName _)
+    recs.map(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration(60, "minutes")))
+      .reduceOption(_ unionByName _)
       .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(
           "media_id", "v_fp", "v_nf", "v_dup_of", "v_n_prior")
