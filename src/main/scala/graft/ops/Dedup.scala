@@ -1228,7 +1228,35 @@ object Dedup {
     * aggregation in this file already accepts; candidate pairs are
     * banding-bounded upstream ([[capBuckets]]), so the join fan-out is
     * the candidate count, never a corpus square. */
+  /** Exact set-overlap counts for candidate pairs via exploded
+    * intersection counts: |A∩B| from an equi-join on the shingle-hash
+    * rows, plus both set sizes. Pairs with an empty intersection drop
+    * out of the join — correct under any positive threshold on any
+    * overlap measure. Reads `sh` three times (e1, e2, sizes) — callers
+    * cache/checkpoint it. Kept as the DEFAULT overlap shape: the
+    * doc-grain array form below measured faster only for the composed
+    * crawl-ingest verify (single-read property), and SLOWER for the
+    * batch blocked-verify family (r17 A/B, see OPTIMIZATION_r17.md). */
   private[graft] def pairOverlap(cand: DataFrame,
+      sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val e1 = sh.select(col("doc_id").as("d1"), col("h"))
+    val e2 = sh.select(col("doc_id").as("d2"), col("h"))
+    cand.join(e1, "d1").join(e2, Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+  }
+
+  /** Doc-grain overlap: one `collect_set` aggregation over `sh`, then
+    * per-pair `array_intersect` — reads `sh` exactly ONCE (map-side
+    * set-dedup), which is what the composed crawl-ingest verify wants
+    * (its `sh` is a union of a cut-pushed old-corpus re-shingle and
+    * checkpointed epoch grams — re-deriving it 3x costs more than the
+    * array shuffle). Same output as [[pairOverlap]] for callers that
+    * threshold on positive overlap (empty intersections dropped). */
+  private[graft] def pairOverlapArrays(cand: DataFrame,
       sh: DataFrame): DataFrame = {
     val docArr = sh.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"))
@@ -1251,6 +1279,14 @@ object Dedup {
   private[graft] def pairJaccard(cand: DataFrame,
       sh: DataFrame): DataFrame =
     pairOverlap(cand, sh)
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))
+
+  /** Exact Jaccard over [[pairOverlapArrays]] — the single-read form. */
+  private[graft] def pairJaccardArrays(cand: DataFrame,
+      sh: DataFrame): DataFrame =
+    pairOverlapArrays(cand, sh)
       .select(col("d1"), col("d2"),
         (col("inter").cast("double") /
           (col("n1") + col("n2") - col("inter")).cast("double")).as("jac"))

@@ -187,9 +187,10 @@ object CrawlIngest {
     val candSh = priorShLazy
       .unionByName(sh3.join(broadcast(candDocs), Seq("doc_id"),
         "left_semi"))
-    // no .distinct()/.cache(): pairJaccard's collect_set aggregation
-    // dedupes shingles map-side and reads the frame exactly once
-    val pairs = timed("verify")(graft.ops.Dedup.pairJaccard(cand, candSh)
+    // no .distinct()/.cache(): pairJaccardArrays' collect_set
+    // aggregation dedupes shingles map-side and reads the frame once
+    val pairs = timed("verify")(
+      graft.ops.Dedup.pairJaccardArrays(cand, candSh)
       .where(col("jac") >= 0.8)
       .localCheckpoint())
     (deltaBands, pairs,
