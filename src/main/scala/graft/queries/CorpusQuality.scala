@@ -1178,14 +1178,19 @@ object CorpusQuality {
         .agg(count(lit(1)).as("n_true_cands"))
       val nCap = candCap.groupBy(col("query_id"))
         .agg(count(lit(1)).as("n_capped_cands"))
+      // assembly joins: every right side is query-set-bounded (one row
+      // per sampled query, or k per query for the rank frames), but the
+      // checkpointed inputs carry no size stats so Spark would plan
+      // SortMergeJoin + 2 exchanges per join — broadcast explicitly
+      // (guide §3.1: hint when you KNOW a side is small)
       val hits = trueTop
-        .join(capTop.select(col("query_id"), col("doc_id")),
+        .join(broadcast(capTop.select(col("query_id"), col("doc_id"))),
           Seq("query_id", "doc_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
       queries.select(col("doc_id").as("query_id"))
-        .join(nTrue, Seq("query_id"), "left")
-        .join(nCap, Seq("query_id"), "left")
-        .join(hits, Seq("query_id"), "left")
+        .join(broadcast(nTrue), Seq("query_id"), "left")
+        .join(broadcast(nCap), Seq("query_id"), "left")
+        .join(broadcast(hits), Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_true_cands"), lit(0L)).as("n_true_cands"),
           coalesce(col("n_capped_cands"), lit(0L)).as("n_capped_cands"),
