@@ -622,10 +622,14 @@ object Embeddings {
         .localCheckpoint() // ≤ 5 rows per query; read by hits AND qids
       val approx = defs("q188_lsh_ann")(s, dir)
         .select(col("q_id"), col("vec_id"))
-      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      // approx is k-per-query and hits one-per-query; the checkpointed
+      // inputs carry no size stats, so hint both joins broadcast
+      // (guide §3.1 — else each is a SortMergeJoin + 2 exchanges)
+      val hits = exact.join(broadcast(approx), Seq("q_id", "vec_id"),
+          "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
       exact.select(col("q_id")).distinct()
-        .join(hits, Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
@@ -676,13 +680,17 @@ object Embeddings {
             bits = LshSweepBits, tables = l, radius = r,
             excludeSelf = true)
           .localCheckpoint() // read by the count AND the hit join
+        // per-query aggregates over checkpointed (stats-free) inputs:
+        // broadcast explicitly or every cell pays 3 SortMergeJoins
+        // (24 across the sweep — guide §3.1)
         val nc = cand.groupBy(col("q_id"))
           .agg(count(lit(1)).as("n_cand"))
-        val nh = exact.join(cand, Seq("q_id", "vec_id"), "left_semi")
+        val nh = exact.join(broadcast(cand), Seq("q_id", "vec_id"),
+            "left_semi")
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
         qids
-          .join(nc, Seq("q_id"), "left")
-          .join(nh, Seq("q_id"), "left")
+          .join(broadcast(nc), Seq("q_id"), "left")
+          .join(broadcast(nh), Seq("q_id"), "left")
           .select(lit(l).as("tables"), lit(r).as("radius"), col("q_id"),
             coalesce(col("n_cand"), lit(0L)).as("n_cand"),
             coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -740,10 +748,14 @@ object Embeddings {
         .localCheckpoint() // ≤ 5 rows per query; read by hits AND qids
       val approx = defs("q46_ivf_ann")(s, dir)
         .select(col("q_id"), col("vec_id"))
-      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      // approx is k-per-query and hits one-per-query; the checkpointed
+      // inputs carry no size stats, so hint both joins broadcast
+      // (guide §3.1 — else each is a SortMergeJoin + 2 exchanges)
+      val hits = exact.join(broadcast(approx), Seq("q_id", "vec_id"),
+          "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
       exact.select(col("q_id")).distinct()
-        .join(hits, Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
@@ -861,12 +873,12 @@ object Embeddings {
         .select(col("q_id"), col("vec_id"))
         .localCheckpoint()
       val hits = exact
-        .join(qtop.select(col("q_id"), col("vec_id")),
+        .join(broadcast(qtop.select(col("q_id"), col("vec_id"))),
           Seq("q_id", "vec_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
       exact.select(col("q_id")).distinct()
-        .join(hits, Seq("q_id"), "left")
-        .join(errs, Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
+        .join(broadcast(errs), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
@@ -1378,10 +1390,14 @@ object Embeddings {
       val approx = pqMemo.computeIfAbsent(pqMemoKey(s, dir),
           _ => computePqAnn(s, dir).localCheckpoint())
         .select(col("q_id"), col("vec_id"))
-      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      // approx is k-per-query and hits one-per-query; the checkpointed
+      // inputs carry no size stats, so hint both joins broadcast
+      // (guide §3.1 — else each is a SortMergeJoin + 2 exchanges)
+      val hits = exact.join(broadcast(approx), Seq("q_id", "vec_id"),
+          "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
       exact.select(col("q_id")).distinct()
-        .join(hits, Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
@@ -1449,10 +1465,14 @@ object Embeddings {
         .localCheckpoint() // ≤ 5 rows per query; read by hits AND qids
       val approx = defs("q123_incremental_ivfpq")(s, dir)
         .select(col("q_id"), col("vec_id"))
-      val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      // approx is k-per-query and hits one-per-query; the checkpointed
+      // inputs carry no size stats, so hint both joins broadcast
+      // (guide §3.1 — else each is a SortMergeJoin + 2 exchanges)
+      val hits = exact.join(broadcast(approx), Seq("q_id", "vec_id"),
+          "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
       exact.select(col("q_id")).distinct()
-        .join(hits, Seq("q_id"), "left")
+        .join(broadcast(hits), Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(5.0d))
