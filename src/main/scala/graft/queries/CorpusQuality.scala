@@ -1144,11 +1144,21 @@ object CorpusQuality {
         .localCheckpoint()
       val tot = tf.agg(sum(col("tf")).as("t_tok"),
         countDistinct(col("doc_id")).as("n_docs"))
+      // SCALE CONTRACT (loud on purpose): this spine is a 1/80 hash
+      // sample of the CORPUS — it grows linearly with input, not with a
+      // fixed query set. Every broadcast hint below (queries, candCap,
+      // and the per-query aggregates, whose row counts are 1 or k per
+      // sampled query) therefore assumes the audit runs on a BOUNDED
+      // sample: at 100 TB a 1/80 doc-id sample is tens of GB and the
+      // hints must be dropped, or the sample redesigned to a
+      // fixed-count one (an output-changing redesign deferred to a
+      // BUILD round — see SCALE.md "q108/recall-audit broadcast
+      // bound"). At every tested SF the sample is hint-safe.
       val queries = d.where(pmod(hash60(col("text")), lit(80)) === 0)
         .select(col("doc_id"))
         .join(tf.select(col("doc_id")).distinct(), Seq("doc_id"),
           "left_semi")
-        .localCheckpoint() // ~1.2% sample — the audit grain
+        .localCheckpoint() // corpus/80 sample — the audit grain
       val qtf = tf.join(broadcast(queries), Seq("doc_id"), "left_semi")
         .select(col("doc_id").as("query_id"), col("h"))
         .localCheckpoint()

@@ -685,7 +685,15 @@ object Embeddings {
         // (24 across the sweep — guide §3.1)
         val nc = cand.groupBy(col("q_id"))
           .agg(count(lit(1)).as("n_cand"))
-        val nh = exact.join(broadcast(cand), Seq("q_id", "vec_id"),
+        // hit count = |exact ∩ cand| per query; both sides are sets on
+        // (q_id, vec_id) (exact = top-5 ranks, cand = distinct pairs by
+        // the lshCandidatePairsFrom construction), so the semi-join
+        // counts the same intersection from either side — probe from
+        // cand so the BROADCAST side is the k-bounded exact frame
+        // (≤ 5 rows/query), never the collision-bounded candidate set
+        // (whose size is the very quantity n_cand measures, and which a
+        // wide-radius cell could grow past broadcast limits at 100 TB)
+        val nh = cand.join(broadcast(exact), Seq("q_id", "vec_id"),
             "left_semi")
           .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
         qids
