@@ -16,7 +16,7 @@ CPA_FILE=$1; CPB_FILE=$2; LA=$3; LB=$4; OUT=$5; ROUNDS=$6; REPS=$7; SF=$8
 shift 8
 QUERIES=("$@")
 CPA=$(cat "$CPA_FILE"); CPB=$(cat "$CPB_FILE")
-mkdir -p "$OUT"
+mkdir -p "$OUT"; OUT=$(cd "$OUT" && pwd)   # absolute: children cd here
 JAVA="${JAVA_HOME:-/usr/lib/jvm/default-java}/bin/java"
 [ -x "$JAVA" ] || JAVA=$(command -v java)
 OPENS=""
@@ -30,6 +30,8 @@ run_child() { # side_label classpath query round
   local lbl=$1 cp=$2 q=$3 r=$4
   local out="$OUT/${lbl}_${q}_round${r}.json"
   rm -f "$out"
+  cd "$OUT" || exit 1   # children write BENCH_scratch_* into CWD —
+                        # keep that OUT of the repo's round ledger
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_REPS="$REPS" \
   SPARK_GRAFT_OUT="$out" SPARK_GRAFT_ROUND= \
   "$JAVA" $OPENS -Dspark.ui.enabled=false \

@@ -211,6 +211,9 @@ object Dedup {
             slice(col("w"), col("start_tok").cast("int"),
               col("n_tok").cast("int")))),
           lit(P)).as("eh"))
+      .localCheckpoint() // extent-bounded (one row per extent); read by
+      // the window-key broadcast below AND the final occ join — without
+      // it each reader re-runs the extent slice-hash pass
     val lens = ext.select(col("n_tok").as("m")).distinct()
     val wins = toks.join(broadcast(lens), size(col("w")) >= col("m"))
       .select(col("m"), col("w"),
@@ -220,7 +223,22 @@ object Dedup {
         pmod(hash60(concat_ws(" ",
             slice(col("w"), col("i"), col("m").cast("int")))),
           lit(P)).as("h"))
-    val occ = wins.groupBy(col("m"), col("h"))
+    // Drop non-matching windows BEFORE the occ exchange (guide §2.3):
+    // the final join keeps only (m, h) groups present in the extent
+    // keys, so semi-joining the window rows on that (extent-bounded,
+    // broadcast) key set first is output-identical — counts for the
+    // surviving groups are over exactly the same rows — while the
+    // shuffle shrinks from every corpus window (Σ_m positions ≈
+    // |lens| corpus passes of mostly-distinct groups, which map-side
+    // partial agg cannot compress) to the matching windows only. At a
+    // 100 TB deployment the extent-key frame is corpus-growth: drop
+    // the broadcast hint there and let AQE pick the strategy — the
+    // pre-aggregation filter stays correct either way.
+    val extKeys = exth.select(col("n_tok").as("m"), col("eh").as("h"))
+      .distinct()
+    val occ = wins
+      .join(broadcast(extKeys), Seq("m", "h"), "left_semi")
+      .groupBy(col("m"), col("h"))
       .agg(count(lit(1)).as("occ"))
     exth.join(occ,
         occ("m") === exth("n_tok") && occ("h") === exth("eh"))
@@ -1213,30 +1231,21 @@ object Dedup {
   // (private[graft]: the q-entry orchestration in graft.queries builds
   // its memoized / artifact-backed variants from the same pieces)
 
-  /** Exact set-overlap counts for candidate pairs.
-    *
-    * Doc-grain array shape: ONE `collect_set` aggregation folds the
-    * shingle rows to a per-doc set (map-side partial agg dedupes, so
-    * callers need NOT `.distinct()` the shingle frame), then the pair
-    * frame joins the doc arrays once per side and the intersection is
-    * a codegen'd `array_intersect` per pair — versus the previous
-    * exploded shape's distinct + shingle-grain shuffle join + count
-    * groupBy + two size joins (and three reads of the shingle frame).
-    *
-    * Scale note: the per-doc array is doc-length-bounded (shingle
-    * count ≈ token count), the same per-row bound every `collect_*`
-    * aggregation in this file already accepts; candidate pairs are
-    * banding-bounded upstream ([[capBuckets]]), so the join fan-out is
-    * the candidate count, never a corpus square. */
   /** Exact set-overlap counts for candidate pairs via exploded
     * intersection counts: |A∩B| from an equi-join on the shingle-hash
     * rows, plus both set sizes. Pairs with an empty intersection drop
     * out of the join — correct under any positive threshold on any
     * overlap measure. Reads `sh` three times (e1, e2, sizes) — callers
-    * cache/checkpoint it. Kept as the DEFAULT overlap shape: the
-    * doc-grain array form below measured faster only for the composed
-    * crawl-ingest verify (single-read property), and SLOWER for the
-    * batch blocked-verify family (r17 A/B, see OPTIMIZATION_r17.md). */
+    * cache/checkpoint it. PRECONDITION: `sh` must be distinct on
+    * (doc_id, h) — duplicate rows inflate `inter` multiplicatively and
+    * the sizes to multiset counts, silently corrupting every overlap
+    * measure downstream; callers `.distinct()` the shingle frame (the
+    * doc-grain [[pairOverlapArrays]] form has no such precondition —
+    * its `collect_set` dedupes). Kept as the DEFAULT overlap shape:
+    * the doc-grain array form below measured faster only for the
+    * composed crawl-ingest verify (single-read property), and SLOWER
+    * for the batch blocked-verify family (r17 A/B, see
+    * OPTIMIZATION_r17.md). */
   private[graft] def pairOverlap(cand: DataFrame,
       sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -1249,13 +1258,22 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
   }
 
-  /** Doc-grain overlap: one `collect_set` aggregation over `sh`, then
-    * per-pair `array_intersect` — reads `sh` exactly ONCE (map-side
-    * set-dedup), which is what the composed crawl-ingest verify wants
-    * (its `sh` is a union of a cut-pushed old-corpus re-shingle and
-    * checkpointed epoch grams — re-deriving it 3x costs more than the
-    * array shuffle). Same output as [[pairOverlap]] for callers that
-    * threshold on positive overlap (empty intersections dropped). */
+  /** Doc-grain overlap: ONE `collect_set` aggregation folds the
+    * shingle rows to a per-doc set (map-side partial agg dedupes, so
+    * callers need NOT `.distinct()` the shingle frame), then the pair
+    * frame joins the doc arrays once per side and the intersection is
+    * a codegen'd `array_intersect` per pair — reads `sh` exactly ONCE,
+    * which is what the composed crawl-ingest verify wants (its `sh` is
+    * a union of a cut-pushed old-corpus re-shingle and checkpointed
+    * epoch grams — re-deriving it 3x costs more than the array
+    * shuffle). Same output as [[pairOverlap]] for callers that
+    * threshold on positive overlap (empty intersections dropped).
+    *
+    * Scale note: the per-doc array is doc-length-bounded (shingle
+    * count ≈ token count), the same per-row bound every `collect_*`
+    * aggregation in this file already accepts; candidate pairs are
+    * banding-bounded upstream ([[capBuckets]]), so the join fan-out is
+    * the candidate count, never a corpus square. */
   private[graft] def pairOverlapArrays(cand: DataFrame,
       sh: DataFrame): DataFrame = {
     val docArr = sh.groupBy(col("doc_id"))
@@ -1320,6 +1338,18 @@ object Dedup {
       keyed.join(oversized.select(keys.map(col): _*), keys, "left_anti")
     }
   }
+
+  // r18 NOTE — capBucketsFused (window bucket-count inside the probe
+  // materialization, cap as a lazy filter, guard on an overlapped
+  // future) was implemented, oracle-verified (216/216) and then
+  // REVERTED on measurement: interleaved fresh-JVM A/B at sf0.1
+  // (9 dedup-family queries, 3 rounds, minima) showed the fused shape
+  // SLOWER everywhere it mattered — q62 1.41×, q67 1.29×, q27 1.20×,
+  // epoch paths 1.02–1.08× — because the window's full-row
+  // shuffle+sort inside the materialization costs more than the one
+  // small stats job it removes (that job aggregates map-side and
+  // ships only per-bucket partial counts). Numbers and protocol in
+  // OPTIMIZATION_r18.md.
 
   /** Exact recovery of the doc-level near-dup answer from rep-level
     * pairs: within-group pairs at similarity exactly 1, cross pairs at
@@ -1395,7 +1425,9 @@ object Dedup {
       minhashBands(repDocs)
         .localCheckpoint(), // 3 narrow cols × 4 rows per rep; the cap's
       // size job and both self-join sides would otherwise each re-run
-      // the 16-min aggregate over the rep shingle stream
+      // the 16-min aggregate over the rep shingle stream. (r18:
+      // window-count cap fusion tried and REVERTED on interleaved A/B
+      // — q27 1.20× slower — see OPTIMIZATION_r18.md)
       Seq("band_idx", "band_key"), s, "q27 LSH bands")
     val a = banded.as("a"); val b = banded.as("b")
     val candLazy = a.join(b,

@@ -1019,12 +1019,22 @@ object CorpusQuality {
       lastIncrementalBm25Plan = cand.queryExecution.executedPlan.toString
       val candC = cand.localCheckpoint() // rare-df-bounded
       val candDocs = candC.select(col("doc_id")).distinct()
-      val candPost = post
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        .localCheckpoint() // candidate docs' full postings
-      val dlC = s.read.parquet(dlPath)
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        .localCheckpoint() // ≤ |candidate docs| rows
+      // the two candidate-bounded artifact probes are independent given
+      // candDocs — materialize them on concurrent futures so neither
+      // serializes the other on the driver (guide §2.6; r18)
+      val (candPost, dlC) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.DurationInt
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        val fPost = Future(post
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .localCheckpoint()) // candidate docs' full postings
+        val fDl = Future(s.read.parquet(dlPath)
+          .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+          .localCheckpoint()) // ≤ |candidate docs| rows
+        (Await.result(fPost, 60.minutes), Await.result(fDl, 60.minutes))
+      }
       val tot = s.read.parquet(totPath)
       bm25TopK(candC
         .join(qtf, Seq("query_id"))

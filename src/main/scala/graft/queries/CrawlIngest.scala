@@ -167,6 +167,13 @@ object CrawlIngest {
       .localCheckpoint()) // 4 narrow rows per delta doc
     val deltaKeys = deltaBands
       .select(col("band_idx"), col("band_key")).distinct()
+    // NOTE (r18, measured): fusing the cap's stats job into this
+    // materialization via a window bucket-count (capBucketsFused) was
+    // tried and REVERTED — interleaved A/B at sf0.1 (9 queries, 3
+    // rounds, fresh-JVM minima) measured the fused shape SLOWER
+    // (q67 1.29×, q27 1.20×, q62 1.41×; this path ~1.02-1.08×): the
+    // window's shuffle+sort inside the probe job costs more than the
+    // one stats job it saves. See OPTIMIZATION_r18.md.
     val relevant = timed("probe")(seen
       .join(broadcast(deltaKeys), Seq("band_idx", "band_key"),
         "left_semi")

@@ -20,9 +20,15 @@ import graft.Graft
   * Accumulated state (seeded from the SAME persisted snapshot
   * artifacts q209/q210/q213 build — shared identity, so a pipeline
   * running both never decodes the old corpus twice):
-  *   - `media_seen_fp`  per-video content fingerprints (q202 sig),
-  *   - `media_seen_fh`  per-video DISTINCT frame-hash sets (q205),
-  *   - `media_seen_au`  per-recording PCM stat tuples (q206).
+  *   - `media_seen_fp_v2`  per-video content fingerprints (q202 sig),
+  *   - `media_seen_fh_v2`  per-video DISTINCT frame-hash sets (q205),
+  *   - `media_seen_au_v2`  per-recording PCM stat tuples (q206).
+  * The `_v2` suffix marks the r17 semantics change from
+  * snapshot-copy+deltas to DELTA-ONLY artifacts (probes read
+  * snapshot ∪ delta): a same-application resume that kept a v1
+  * (snapshot-copied) artifact under the old name would double-count
+  * snapshot rows through the union — the rename makes old-format
+  * artifacts unreachable instead of silently incompatible.
   *
   * Semantics are ARRIVAL-TIME and epoch-invariant by the cut-split
   * argument: feed order is id order, so every group member smaller
@@ -130,8 +136,8 @@ object MediaIngest {
       implicit val ec: scala.concurrent.ExecutionContext = memberEc
       try {
         // three independent tiny ensure-writes — concurrent futures
-        val fs = Seq("media_seen_fp" -> snapFp, "media_seen_fh" -> snapFh,
-          "media_seen_au" -> snapAu).map { case (n, snap) =>
+        val fs = Seq("media_seen_fp_v2" -> snapFp, "media_seen_fh_v2" -> snapFh,
+          "media_seen_au_v2" -> snapAu).map { case (n, snap) =>
           Future(SideTable.ensure(s, n, runKey, fpr) {
             s.read.parquet(snap).limit(0) })
         }
@@ -172,6 +178,14 @@ object MediaIngest {
         val batchDocs =
           d.join(broadcast(epochIds), Seq("doc_id"), "left_semi")
         val bids = epochIds.select(col("doc_id").as("media_id"))
+          .localCheckpoint() // tiny (one row per media id), but MUST be
+          // pinned before the record future launches: the future runs
+          // after the micro-batch may have committed, and a frame
+          // derived from the foreachBatch argument is only re-executable
+          // then because Spark's ForeachBatchSink happens to wrap the
+          // batch in a LogicalRDD over the materialized RDD — the
+          // checkpoint makes the record assembly genuinely
+          // sink-independent instead of relying on that wrapping
 
         // ONE decode pass per modality per epoch, shared by all members.
         // The PCM decode runs on a future FIRST so it overlaps the video
@@ -240,7 +254,9 @@ object MediaIngest {
           // Checkpointed: three consumers (the cap's stats job, both
           // shared-join sides) — measured 0.3 s/epoch FASTER than
           // re-running the semi-join per consumer (guide §1.1: tried
-          // lazy, reverted on measurement)
+          // lazy, reverted on measurement). r18: window-count cap
+          // fusion also tried, also reverted on measurement
+          // (OPTIMIZATION_r18.md)
           val rel = all.join(broadcast(bHs), Seq("h"), "left_semi")
             .localCheckpoint()
           val capped = graft.ops.Dedup.capBuckets(rel, Seq("h"), s,
@@ -286,16 +302,17 @@ object MediaIngest {
         // inside the epoch barrier (later epochs read them), while the
         // record assembly below overlaps them AND the next epoch
         val fAppends = Seq(
-          Future(SideTable.append(s, "media_seen_fp", runKey, fpr)(
+          Future(SideTable.append(s, "media_seen_fp_v2", runKey, fpr)(
             batchSig)),
-          Future(SideTable.append(s, "media_seen_fh", runKey, fpr)(
+          Future(SideTable.append(s, "media_seen_fh_v2", runKey, fpr)(
             batchFh)),
-          Future(SideTable.append(s, "media_seen_au", runKey, fpr)(
+          Future(SideTable.append(s, "media_seen_au_v2", runKey, fpr)(
             batchAu)))
 
         // the batch record: −1 sentinels for undecodable modalities
         // (is_dup computed BEFORE its n_prior is sentinel-folded).
-        // PURE COMPOSITION over already-checkpointed member frames, so
+        // PURE COMPOSITION over already-checkpointed frames (bids
+        // included — see its checkpoint note above), so
         // it materializes on a background future that overlaps the next
         // epoch (the q111 assembly discipline; only the final epoch's
         // assembly is paid as a tail, awaited before stop() — memberEc

@@ -1560,7 +1560,10 @@ object TextPipeline {
         // survives the semi only on a genuine collision). Both the
         // capBuckets stats job and the candidate join read it; without
         // the checkpoint each re-ran the artifact scan + broadcast
-        // semi-join (measured 2.9 s → 2.5 s isolated at sf0.1)
+        // semi-join (measured 2.9 s → 2.5 s isolated at sf0.1).
+        // r18 note: fusing the cap into this materialization via a
+        // window bucket-count was tried and REVERTED on interleaved
+        // A/B (q67 1.29× slower) — see OPTIMIZATION_r18.md.
       val allBands = capBuckets(relevant,
         Seq("band_idx", "band_key"), s, "q67 incremental bands")
       val candLazy = allBands.as("a").join(deltaBands.as("b"),
@@ -1669,7 +1672,8 @@ object TextPipeline {
             .unionByName(deltaBands)
             .localCheckpoint() // the q67 seam: collision-relevant rows
             // only; read by the capBuckets stats job AND the candidate
-            // join, so materialize once per epoch
+            // join, so materialize once per epoch (window-count fusion
+            // tried and REVERTED on r18 A/B — OPTIMIZATION_r18.md)
           val allBands = capBuckets(relevant,
             Seq("band_idx", "band_key"), s, "q76 incremental bands")
           val cand = allBands.as("a").join(deltaBands.as("b"),
