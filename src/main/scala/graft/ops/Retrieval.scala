@@ -34,6 +34,15 @@ object Retrieval {
       col(corpusTextCol).as("text"))
     val q = queries.select(col(queryIdCol).as("doc_id"),
       col(queryTextCol).as("text"))
+    // the query-side term list is independent of the corpus tf/df
+    // chain — materialize it on a concurrent future so its (small)
+    // shingle pass overlaps the corpus-scale tf + stats actions
+    // instead of serializing after them (guide §2.6; r18)
+    val fQtf = scala.concurrent.Future {
+      shingleHashRows(q, 3)
+        .select(col("doc_id").as("query_id"), col("h")).distinct()
+        .localCheckpoint() // query-side term lists — query-set-bounded
+    }(scala.concurrent.ExecutionContext.global)
     val tf = shingleHashRows(c, 3)
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // five consumers (dl/stats/tot/posting join/
@@ -44,9 +53,8 @@ object Retrieval {
       .localCheckpoint() // the df model — reused by prune + scoring
     val tot = tf.agg(sum(col("tf")).as("t_tok"),
       countDistinct(col("doc_id")).as("n_docs"))
-    val qtf = shingleHashRows(q, 3)
-      .select(col("doc_id").as("query_id"), col("h")).distinct()
-      .localCheckpoint() // query-side term lists — query-set-bounded
+    val qtf = scala.concurrent.Await.result(fQtf,
+      scala.concurrent.duration.Duration(60, "minutes"))
     val selfFilter =
       if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true)
     val cand = qtf
